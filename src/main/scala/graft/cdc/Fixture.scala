@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Deterministic Debezium-envelope CDC stream synthesized from the
+  * `orders` testdata table (FIXTURES.md §B) — fully distributed (no
+  * driver-side generation), so it scales with the input.
+  *
+  * Script per key k = o_orderkey (monotone (ts_ms, offset) per key):
+  *   - op 'r' snapshot read of the base row        ts=1000, off=k*10
+  *   - k%3==0 : op 'u' status->'U1', total*1.1     ts=2000, off=k*10+1
+  *   - k%6==0 : op 'u' status->'U2', total*1.2     ts=3000, off=k*10+2
+  *   - k%5==0 : op 'd' delete (after=null)         ts=4000, off=k*10+3
+  *   - k%10==0: op 'c' re-insert status 'RE'       ts=5000, off=k*10+4
+  *   - k%97==0: one extra MALFORMED record (DLQ food)
+  *
+  * The expected final mirror state is therefore plain SQL over `orders`
+  * — which is exactly what the DuckDB oracle checks.
+  */
+object Fixture {
+
+  /** Row schema carried inside the synthetic envelopes. */
+  val rowSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  /** Raw Kafka-shaped records: (topic, key, value, partition, offset). */
+  def ordersCdcEvents(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus"),
+      col("o_totalprice"))
+
+    def envelope(status: org.apache.spark.sql.Column,
+                 total: org.apache.spark.sql.Column,
+                 op: String, ts: Long): org.apache.spark.sql.Column = {
+      val after =
+        if (op == "d") lit(null).cast(rowSchema)
+        else struct(col("id"), status.as("o_orderstatus"), total.as("o_totalprice"))
+      to_json(struct(struct(
+        after.as("after"),
+        lit(op).as("op"),
+        lit(ts).as("ts_ms")).as("payload")))
+    }
+
+    def rec(df: DataFrame, value: org.apache.spark.sql.Column,
+            ts: Long, offsetDelta: Int): DataFrame =
+      df.select(
+        concat(lit(Tables.topicPrefix + ".orders_t"), (col("id") % 9).cast("string")).as("topic"),
+        to_json(struct(struct(col("id")).as("payload"))).as("key"),
+        value.as("value"),
+        (col("id") % 32).cast("int").as("partition"),
+        (col("id") * 10 + offsetDelta).as("offset"))
+
+    val base = rec(o, envelope(col("o_orderstatus"), col("o_totalprice"), "r", 1000), 1000, 0)
+    val u1 = rec(o.filter(col("id") % 3 === 0),
+      envelope(lit("U1"), col("o_totalprice") * 1.1, "u", 2000), 2000, 1)
+    val u2 = rec(o.filter(col("id") % 6 === 0),
+      envelope(lit("U2"), col("o_totalprice") * 1.2, "u", 3000), 3000, 2)
+    val del = rec(o.filter(col("id") % 5 === 0),
+      envelope(lit(""), lit(0d), "d", 4000), 4000, 3)
+    val re = rec(o.filter(col("id") % 10 === 0),
+      envelope(lit("RE"), col("o_totalprice"), "c", 5000), 5000, 4)
+    val corrupt = rec(o.filter(col("id") % 97 === 0),
+      concat(lit("{not-json"), col("id").cast("string")), 9000, 5)
+
+    base.unionByName(u1).unionByName(u2).unionByName(del)
+      .unionByName(re).unionByName(corrupt)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard. All distributed, no
+  * driver-side state:
+  *
+  *   - exact dedup = hash-groupBy (one shuffle keyed by content hash);
+  *   - MinHash signatures are per-row Column algebra; LSH banding turns
+  *     near-dup search into an equi-join on band keys — the only way
+  *     all-pairs similarity survives 100 TB (candidate pairs ∝ bucket
+  *     collisions, not n²);
+  *   - SimHash packs a 64-bit signature per row; near-dups differ in
+  *     few bits (checked per candidate pair, never all-pairs).
+  */
+object DedupFunctions {
+
+  /** Deterministic 64-bit hash of a string with a seed — xxhash64 is a
+    * Spark built-in Catalyst expression (codegen'd). */
+  def h64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signature: for each of k hash families, the minimum hash
+    * over the document's shingle set. Pure array algebra per row. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingles, sh => h64(sh, seed)))
+    }: _*)
+
+  /** LSH band keys: split the k-length signature into `bands` bands of
+    * `rowsPerBand`, hash each band. Two docs sharing ANY band key are
+    * candidates. Returns array<struct<band:int, key:long>>. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+
+  /** SimHash over a shingle array: 64-bit signature whose bit i is set
+    * iff more shingle-hashes have bit i set than clear (the sign of the
+    * +1/-1 vote sum). The bit loop runs at Scala level, so every shift
+    * amount is a constant and the whole thing is native Column algebra.
+    */
+  def simhash(shingles: Column): Column = {
+    val hashes = transform(shingles, sh => xxhash64(sh))
+    val n = size(hashes)
+    (0 until 64).map { i =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
+      // majority vote; distinct powers of two sum to the packed signature
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** Exact-duplicate groups by content hash: one representative
+    * (min doc_id) per group plus the duplicate count. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH candidate pairs: explode band keys, self-join on
+    * (band, key), emit (a, b) with a < b. The join is the scale path —
+    * shuffle is keyed by band hash, so work ∝ collisions. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
+                        k: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs.select(col(idCol).as("doc"),
+      minhashSignature(col(shingleCol), k).as("sig"))
+    val keys = sigs.select(col("doc"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    keys.as("l").join(keys.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"))
+      .distinct()
+  }
+}

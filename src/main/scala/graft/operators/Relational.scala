@@ -1,0 +1,394 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+
+/** Batch relational surface — SURVEY.md §2.3-§2.8 ✔t2 queries.
+  * All pure `functions._` Column algebra: whole-stage codegen, pushdown
+  * and pruning come free from Catalyst.
+  */
+object Relational {
+
+  def queries: Seq[Q] = Seq(
+    // ---- A1/A2: integrity probes -------------------------------------
+    Q("agg_max_id",
+      (s, d) => load(s, d, "orders")
+        .agg(max(col("o_orderkey")).as("max_id"),
+             count(lit(1)).as("cnt")),
+      Some("SELECT max(o_orderkey) AS max_id, count(*) AS cnt FROM orders"),
+      "A1/A2: MAX(id) + COUNT(*) integrity probes (cdc_data_integrity_dynamic_dag.py:50)"),
+
+    // ---- A3: last-offset per group ----------------------------------
+    Q("agg_group_max",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(max(col("event_id")).as("last_offset"),
+             count(lit(1)).as("n")),
+      Some("SELECT event_type, max(event_id) AS last_offset, count(*) AS n " +
+           "FROM events GROUP BY event_type"),
+      "A3: end-offset per topic analog (kafka_latency_monitor.py:60-61)"),
+
+    // ---- TPC-H Q1 shape: multi-aggregate scan ------------------------
+    Q("agg_pricing_summary",
+      (s, d) => load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 1).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |sum(l_quantity) AS sum_qty,
+             |round(sum(l_extendedprice), 1) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+             |round(avg(l_quantity), 4) AS avg_qty,
+             |round(avg(l_discount), 4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "multi-agg scan, map-side partial agg"),
+
+    // ---- distinct aggregation ---------------------------------------
+    Q("agg_distinct",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events")),
+      Some("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+           "count(*) AS n_events FROM events GROUP BY event_type"),
+      "count(distinct) — expand+two-phase agg in Catalyst"),
+
+    // ---- rollup / cube ----------------------------------------------
+    Q("agg_rollup",
+      (s, d) => load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+           "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+      "grouping-sets engine surface (SURVEY §2.3 extension)"),
+
+    Q("agg_cube",
+      (s, d) => load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             max(col("o_orderkey")).as("max_key")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+           "max(o_orderkey) AS max_key FROM orders " +
+           "GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+      "cube"),
+
+    // ---- A6/A7: boolean reductions ----------------------------------
+    Q("agg_bool_all_any",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(bool_and(col("event_type") =!= "error").as("healthy"),
+             bool_or(col("value") > 180).as("has_critical")),
+      Some("SELECT user_id, bool_and(event_type <> 'error') AS healthy, " +
+           "bool_or(value > 180) AS has_critical FROM events GROUP BY user_id"),
+      "A6 all-RUNNING / A7 any-failure reductions (cdc_health_check_dynamic_dag.py:44-47)"),
+
+    // ---- A5: latest-per-key (the upsert dedup kernel) ----------------
+    Q("agg_latest_per_key",
+      (s, d) => {
+        val e = load(s, d, "events")
+        e.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"))
+          .select(col("user_id"),
+            col("last.event_type").as("last_type"),
+            col("last.value").as("last_value"))
+      },
+      Some("""SELECT user_id, event_type AS last_type, value AS last_value
+             |FROM events
+             |QUALIFY row_number() OVER
+             |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
+      "A5 last-write-wins per key via max_by — one shuffle, no sort"),
+
+    // ---- J1-style: full-outer reconciliation join --------------------
+    Q("join_full_outer_reconcile",
+      (s, d) => {
+        val src = load(s, d, "orders").groupBy(col("o_orderpriority").as("table_name"))
+          .agg(max(col("o_orderkey")).as("source_max"))
+        val dst = load(s, d, "orders").filter(col("o_orderkey") % 100 =!= 0)
+          .groupBy(col("o_orderpriority").as("table_name"))
+          .agg(max(col("o_orderkey")).as("dest_max"))
+        src.join(dst, Seq("table_name"), "full_outer")
+          .select(col("table_name"),
+            coalesce(col("source_max"), lit(0L)).as("source_max"),
+            coalesce(col("dest_max"), lit(0L)).as("dest_max"))
+          .withColumn("mismatch", col("source_max") =!= col("dest_max"))
+      },
+      Some("""SELECT table_name,
+             |  coalesce(source_max, 0) AS source_max,
+             |  coalesce(dest_max, 0) AS dest_max,
+             |  coalesce(source_max, 0) <> coalesce(dest_max, 0) AS mismatch
+             |FROM (SELECT o_orderpriority AS table_name, max(o_orderkey) AS source_max
+             |      FROM orders GROUP BY 1) src
+             |FULL OUTER JOIN (SELECT o_orderpriority AS table_name, max(o_orderkey) AS dest_max
+             |      FROM orders WHERE o_orderkey % 100 <> 0 GROUP BY 1) dst
+             |USING (table_name)""".stripMargin),
+      "J1 source-vs-sink MAX(id) reconciliation (cdc_data_integrity_dynamic_dag.py:48-60)"),
+
+    // ---- J4: fact-dim equi-join chain --------------------------------
+    Q("join_revenue_by_segment",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val o = load(s, d, "orders")
+        val c = load(s, d, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("revenue"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT c_mktsegment,
+             |round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      "J4 enrichment join — broadcast dim, shuffle fact join"),
+
+    // ---- semi / anti joins ------------------------------------------
+    Q("join_semi",
+      (s, d) => {
+        val c = load(s, d, "customer")
+        val o = load(s, d, "orders").filter(col("o_totalprice") > 150000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_big_spenders"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_big_spenders FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+             |GROUP BY c_mktsegment""".stripMargin),
+      "left-semi = EXISTS"),
+
+    Q("join_anti",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val li = load(s, d, "lineitem")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin),
+      "left-anti = NOT EXISTS (the exact-key generalization of J1)"),
+
+    // ---- window functions -------------------------------------------
+    Q("window_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        load(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders
+             |QUALIFY rn <= 2""".stripMargin),
+      "row_number top-N per key (A5 window form)"),
+
+    Q("window_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(s, d, "events")
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .select(col("event_id"), col("user_id"),
+            (col("value") - col("prev_value")).as("delta"))
+      },
+      Some("""SELECT event_id, user_id,
+             |value - lag(value, 1) OVER
+             |  (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+             |FROM events""".stripMargin),
+      "lag/lead — offset-trend monitoring (kafka_latency_monitor.py:70 evolution)"),
+
+    Q("window_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        load(s, d, "lineitem")
+          .withColumn("running_qty", sum(col("l_quantity")).over(w))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("running_qty"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+             |sum(l_quantity) OVER (PARTITION BY l_suppkey
+             |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+             |FROM lineitem""".stripMargin),
+      "running total (integer-valued doubles: exact in any order)"),
+
+    Q("window_rank_dense",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+        load(s, d, "customer")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("c_mktsegment"), col("c_custkey"), col("rnk"), col("drnk"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |QUALIFY rnk <= 5""".stripMargin),
+      "rank/dense_rank"),
+
+    // ---- sort / limit / top-k ---------------------------------------
+    Q("topk_orders",
+      (s, d) => load(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"),
+      "O3 TakeOrderedAndProject — per-partition top-k then merge, no full sort"),
+
+    // ---- set operations ---------------------------------------------
+    Q("setop_except",
+      (s, d) => load(s, d, "orders").select(col("o_orderkey").as("okey"))
+        .except(load(s, d, "lineitem").select(col("l_orderkey").as("okey"))),
+      Some("SELECT o_orderkey AS okey FROM orders EXCEPT SELECT l_orderkey FROM lineitem"),
+      "set-difference integrity form (SURVEY §2.7): orders with no lineitems"),
+
+    Q("setop_intersect",
+      (s, d) => load(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ckey"))
+        .intersect(load(s, d, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("ckey"))),
+      Some("SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'F' " +
+           "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
+      "intersect"),
+
+    Q("setop_union",
+      (s, d) => load(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("ckey"))
+        .union(load(s, d, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("ckey")))
+        .distinct(),
+      Some("SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 300000 " +
+           "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 9000"),
+      "union-distinct (merges per-table streams, inverse of P2 routing)"),
+
+    // ---- scalar functions: F1 regex ----------------------------------
+    Q("scalar_regex_route",
+      (s, d) => load(s, d, "documents")
+        .select(concat(lit("mysql-server.pos_bi_db."), col("source")).as("topic"))
+        .select(col("topic"),
+          regexp_extract(col("topic"), "mysql-server\\.pos_bi_db\\.(.*)", 1).as("table_name"))
+        .distinct(),
+      Some("""SELECT DISTINCT 'mysql-server.pos_bi_db.' || source AS topic,
+             |regexp_extract('mysql-server.pos_bi_db.' || source,
+             |  'mysql-server\.pos_bi_db\.(.*)', 1) AS table_name
+             |FROM documents""".stripMargin),
+      "F1/P2 RegexRouter (register-postgres-sink.json:25-27)"),
+
+    // ---- F2 string construction --------------------------------------
+    Q("scalar_string_funcs",
+      (s, d) => load(s, d, "nation")
+        .select(col("n_nationkey"),
+          upper(col("n_name")).as("uname"),
+          length(col("n_name")).as("name_len"),
+          concat_ws("-", col("n_name"), col("n_nationkey").cast("string")).as("tag"),
+          substring(col("n_name"), 1, 3).as("prefix")),
+      Some("""SELECT n_nationkey, upper(n_name) AS uname,
+             |length(n_name) AS name_len,
+             |concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tag,
+             |substring(n_name, 1, 3) AS prefix FROM nation""".stripMargin),
+      "F2 concat/format (kafka_latency_dynamic_monitor.py:49 topic templating)"),
+
+    // ---- F3 JSON navigation ------------------------------------------
+    Q("scalar_json_extract",
+      (s, d) => load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id,
+             |CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+             |FROM events""".stripMargin),
+      "F3 JSON parse/navigate (cdc_health_check_dag.py:20-23); oracle uses the regex form"),
+
+    Q("scalar_json_agg",
+      (s, d) => load(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k")),
+      Some("""SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_mod,
+             |count(*) AS n,
+             |max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k
+             |FROM events GROUP BY 1""".stripMargin),
+      "JSON field → group-agg"),
+
+    // ---- F4/F5 conditionals, null handling ---------------------------
+    Q("scalar_case_coalesce",
+      (s, d) => load(s, d, "lineitem")
+        .select(
+          when(col("l_discount") > 0.05, lit("high"))
+            .when(col("l_discount") > 0.02, lit("mid"))
+            .otherwise(lit("low")).as("disc_band"),
+          col("l_quantity"))
+        .groupBy(col("disc_band"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN l_discount > 0.05 THEN 'high'
+             |  WHEN l_discount > 0.02 THEN 'mid' ELSE 'low' END AS disc_band,
+             |sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      "F4/F5 when/otherwise banding (kafka_latency_monitor.py:72-74 null→0 pattern)"),
+
+    // ---- per-row arithmetic, unrounded (bitwise-deterministic) -------
+    Q("scalar_arith_charge",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("charge")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+           "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge FROM lineitem"),
+      "F4 arithmetic — unrounded; same IEEE op sequence in both engines"),
+
+    // ---- F6 date/time -------------------------------------------------
+    Q("scalar_date_parts",
+      (s, d) => load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 1).as("monthly_total")),
+      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |count(*) AS n_orders, round(sum(o_totalprice), 1) AS monthly_total
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      "F6 date/time parts (cron-cadence analog)"),
+
+    Q("scalar_time_window",
+      (s, d) => load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("v")),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |count(*) AS n, round(sum(value), 2) AS v
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "ST5 tumbling window over event time (batch-checkable form)"),
+
+    // ---- F7 arrays -----------------------------------------------------
+    Q("scalar_array_ops",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"),
+          size(col("words")).as("n_words"),
+          element_at(col("words"), 1).as("first_word"),
+          forall(col("words"), w => length(w) > 0).as("all_nonempty")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+             |string_split(text, ' ')[1] AS first_word,
+             |len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+             |  = len(string_split(text, ' ')) AS all_nonempty
+             |FROM documents""".stripMargin),
+      "F7 array ops: split/size/element_at/forall (tasks[] iteration analog)"))
+}

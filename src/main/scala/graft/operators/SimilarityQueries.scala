@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+import graft.functions.SimilarityFunctions._
+
+/** Similarity-search surface over `embeddings` (north_star): brute-force
+  * cosine top-k baseline + LSH-bucketed ANN scale path. */
+object SimilarityQueries {
+
+  /** Fetch one query vector (vec_id=0) as doubles — a single-row lookup,
+    * the only driver-side action in this family. */
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String): Seq[Double] =
+    load(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+
+  def queries: Seq[Q] = Seq(
+    Q("sim_topk_bruteforce",
+      (s, d) => bruteForceTopK(load(s, d, "embeddings"), queryVec(s, d), 10),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
+             |    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                             CAST(embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
+             |FROM embeddings, q
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+      "brute-force cosine top-k: one scan + TakeOrderedAndProject"),
+
+    Q("sim_cosine_to_query",
+      (s, d) => {
+        val qv = queryVec(s, d)
+        load(s, d, "embeddings")
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), array(qv.map(lit): _*)), 6).as("score"))
+          .filter(col("vec_id") % 10 === 0)
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
+             |    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                             CAST(embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
+             |FROM embeddings, q WHERE vec_id % 10 = 0""".stripMargin),
+      "full cosine scores on a key slice — validates the kernel itself"),
+
+    Q("sim_topk_lsh",
+      (s, d) => lshTopK(s, load(s, d, "embeddings"), queryVec(s, d), 10),
+      None,
+      "ANN top-k via random-hyperplane LSH buckets + 1-bit multi-probe " +
+        "(rows-only; recall vs brute force asserted in tests)"),
+
+    Q("sim_near_dup_pairs",
+      (s, d) => nearDupPairs(load(s, d, "embeddings"), threshold = 0.95),
+      None,
+      "embedding-cosine near-duplicate pairs via LSH bucket collisions"),
+
+    Q("sim_label_centroid_topk",
+      (s, d) => {
+        // per-label centroid then nearest labels to the query vector —
+        // aggregate over vector components (posexplode + groupBy)
+        val e = load(s, d, "embeddings")
+        val qv = queryVec(s, d)
+        val comps = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        val centroids = comps.groupBy(col("label"), col("dim"))
+          .agg(avg(col("x").cast("double")).as("cx"))
+          .groupBy(col("label"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+          .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+        centroids.select(col("label"),
+            round(cosine(col("centroid"), array(qv.map(lit): _*)), 4).as("score"))
+          .orderBy(col("score").desc, col("label"))
+          .limit(5)
+      },
+      None,
+      "IVF building block: per-label centroids (posexplode+agg), " +
+        "rank cells by query affinity (rows-only: avg order differs)"))
+}

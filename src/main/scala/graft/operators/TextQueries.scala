@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface over `documents` (SURVEY §2.10 extensions /
+  * north_star): quality scoring, token statistics, fingerprinting,
+  * language ID. All per-row Column algebra — linear scans, no shuffle.
+  */
+object TextQueries {
+
+  def queries: Seq[Q] = Seq(
+    Q("text_stats",
+      (s, d) => load(s, d, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        meanTokenLen(col("text")).as("mean_token_len")),
+      Some("""SELECT doc_id,
+             |len(string_split(text, ' ')) AS n_words,
+             |len(list_filter(string_split(text, ' '),
+             |    w -> w IN ('the','a','an','of','and','or','to','in','is','on')))
+             |  / len(string_split(text, ' ')) AS stopword_ratio,
+             |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |  / length(text) AS punct_ratio,
+             |CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+             |  / len(string_split(text, ' ')) AS mean_token_len
+             |FROM documents""".stripMargin),
+      "token counting + quality signals (length/punct/stopword ratios)"),
+
+    Q("text_quality_score",
+      (s, d) => load(s, d, "documents").select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality")),
+      Some("""SELECT doc_id,
+             |(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             | + least((len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('the','a','an','of','and','or','to','in','is','on')))
+             |    / len(string_split(text, ' '))) * 5.0, 1.0)
+             | + greatest(0.0, 1.0 - (CAST(length(text) -
+             |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |    / length(text)) * 10.0)) / 3.0 AS quality
+             |FROM documents""".stripMargin),
+      "composite C4/Gopher-style quality score"),
+
+    Q("text_pretoken_count",
+      (s, d) => load(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0)))
+          .as("n_pretokens")),
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS n_pretokens
+             |FROM documents""".stripMargin),
+      "BPE-ish pre-tokenizer token count (regex run segmentation)"),
+
+    Q("text_fingerprint",
+      (s, d) => load(s, d, "documents").select(
+        col("doc_id"),
+        bagOfWordsFingerprint(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id,
+             |md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint
+             |FROM documents""".stripMargin),
+      "bag-of-words canonical document fingerprint (md5 matches across engines)"),
+
+    // Heuristic — not SQL-expressible; driver records rows-only check.
+    Q("text_langid",
+      (s, d) => load(s, d, "documents").select(
+        col("doc_id"), col("lang").as("lang_true"),
+        langId(col("text")).as("lang_pred")),
+      None,
+      "n-gram-marker language ID heuristic (rows-only check)"))
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-loop correctness checker mimicking the driver's DuckDB oracle
+compare: run graft.Verify first, then this. Not part of the shipped
+library (driver-side tooling only).
+
+Usage: python3 tools/check.py <sfdir> <outdir>
+"""
+import hashlib
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    out.sort()
+    h = hashlib.sha256()
+    for t in out:
+        h.update("\x1f".join(t).encode())
+        h.update(b"\x1e")
+    return h.hexdigest(), len(out)
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            grows, gcols = got.fetchall(), [c.lower() for c in got.columns]
+            exp = con.sql(sql)
+            erows, ecols = exp.fetchall(), [c.lower() for c in exp.columns]
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
+            n_fail += 1
+            continue
+        gh, gn = canon(grows, gcols)
+        eh, en = canon(erows, ecols)
+        if gn != en:
+            print(f"FAIL {name}: rowcount spark={gn} oracle={en}")
+            n_fail += 1
+        elif gh != eh:
+            print(f"FAIL {name}: hash mismatch ({gn} rows)")
+            # show a small diff
+            gs = set(map(tuple, (tuple(map(repr, r)) for r in grows)))
+            es = set(map(tuple, (tuple(map(repr, r)) for r in erows)))
+            for r in list(gs - es)[:3]:
+                print(f"  spark-only: {r}")
+            for r in list(es - gs)[:3]:
+                print(f"  oracle-only: {r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({gn} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(oracle)} oracled")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -31,10 +31,15 @@ object Fixture {
 
   /** Raw Kafka-shaped records: (topic, key, value, partition, offset). */
   def ordersCdcEvents(spark: SparkSession, dir: String): DataFrame = {
+    // The orders parquet is a handful of row-groups; without an explicit
+    // spread the whole envelope build+parse pipeline would run at file
+    // parallelism (~6 tasks on local[32]). A real Kafka source has the
+    // same issue with few topic partitions — repartition at ingest.
     val o = Tables.load(spark, dir, "orders").select(
       col("o_orderkey").as("id"),
       col("o_orderstatus"),
       col("o_totalprice"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
     def envelope(status: org.apache.spark.sql.Column,
                  total: org.apache.spark.sql.Column,

@@ -22,11 +22,43 @@ object DedupFunctions {
   def h64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
   /** MinHash signature: for each of k hash families, the minimum hash
-    * over the document's shingle set. Pure array algebra per row. */
+    * over the document's shingle set. Pure array algebra per row.
+    * Prefer [[minhashSignatures]] for bulk work — this per-row form
+    * re-hashes the shingle array once per seed. */
   def minhashSignature(shingles: Column, k: Int): Column =
     array((0 until k).map { seed =>
       array_min(transform(shingles, sh => h64(sh, seed)))
     }: _*)
+
+  /** Bulk MinHash: explode shingles once, hash-aggregate k mins per doc.
+    * One shuffle keyed by doc id; every hash computed exactly once in
+    * whole-stage-codegen'd aggregation — the 100 TB-shaped formulation. */
+  def minhashSignatures(docs: DataFrame, idCol: String, shingleCol: String,
+                        k: Int): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(col(shingleCol)).as("_sh"))
+    val aggs = (0 until k).map(seed => min(h64(col("_sh"), seed)).as(s"_mh$seed"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
+  }
+
+  /** Bulk SimHash: explode shingles, one xxhash64 per shingle, then 64
+    * signed-vote sums per doc in a single hash aggregation; pack the
+    * sign bits with constant shifts. Same single-shuffle shape as
+    * [[minhashSignatures]]. */
+  def simhashSignatures(docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(col(shingleCol)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$i")
+    }
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map { i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a + b).as("sig"))
+  }
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * `rowsPerBand`, hash each band. Two docs sharing ANY band key are
@@ -73,8 +105,8 @@ object DedupFunctions {
   def lshCandidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
                         k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = docs.select(col(idCol).as("doc"),
-      minhashSignature(col(shingleCol), k).as("sig"))
+    val sigs = minhashSignatures(docs, idCol, shingleCol, k)
+      .select(col(idCol).as("doc"), col("sig"))
     val keys = sigs.select(col("doc"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -57,20 +57,22 @@ object DedupQueries {
       "MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join"),
 
     Q("dedup_simhash_signatures",
-      (s, d) => load(s, d, "documents")
-        .select(col("doc_id"),
-          simhash(array_distinct(wordShingles(col("text"), 3))).as("signature")),
+      (s, d) => simhashSignatures(
+        load(s, d, "documents")
+          .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
+        "doc_id", "sh").withColumnRenamed("sig", "signature"),
       None,
-      "64-bit SimHash signatures (near-dups differ in few bits)"),
+      "64-bit SimHash signatures via explode + 64-vote hash-agg"),
 
     Q("dedup_simhash_near_pairs",
       (s, d) => {
         // Block on the top 16 bits so candidate generation is an
         // equi-join, then verify hamming distance on candidates — the
         // standard scale pattern (never all-pairs).
-        val sigs = load(s, d, "documents")
-          .select(col("doc_id"),
-            simhash(array_distinct(wordShingles(col("text"), 3))).as("sig"))
+        val sigs = simhashSignatures(
+          load(s, d, "documents")
+            .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
+          "doc_id", "sh")
           .withColumn("block", shiftrightunsigned(col("sig"), 48))
         sigs.as("l").join(sigs.as("r"),
             col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))

@@ -13,12 +13,23 @@ import org.apache.spark.sql.functions._
   * struct) — ONE shuffle keyed by PK, no window-sort. At 100 TB this is
   * the difference between a shuffle+sort per batch and a combine-heavy
   * agg whose shuffle volume is bounded by (#distinct keys), not (#events).
+  *
+  * Mirrors are VERSIONED: each row keeps the (ts_ms, offset) of the
+  * change that produced it (`_v_ts_ms`/`_v_offset`) and deletes persist
+  * as TOMBSTONE rows (`_v_deleted`) rather than vanishing. Merging a
+  * batch therefore compares against stored versions — a late-arriving
+  * older change can never regress a newer row or resurrect a deleted
+  * key. That's strictly stronger than the reference's plain upsert,
+  * which relies entirely on per-key arrival order.
   */
 object Materialize {
 
-  /** Ordering struct: Kafka guarantees per-partition order; within a key
-    * the reference applies records in order, so last-write-wins resolves
-    * on event time then log position (SURVEY A5/O1). */
+  val versionTs = "_v_ts_ms"
+  val versionOffset = "_v_offset"
+  val deletedFlag = "_v_deleted"
+  private val metaCols = Seq("op", "ts_ms", "topic", "partition", "offset")
+
+  /** Ordering: event time then log position (SURVEY A5/O1). */
   def ordering: Column = struct(col("ts_ms"), col("offset"))
 
   /** Reduce an unwrapped change batch to the newest record per key.
@@ -31,29 +42,42 @@ object Materialize {
       .select(keyCols.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
-  /** Final mirror state of a batch: newest record per key, deletes
-    * removed (tombstone semantics, register-postgres-sink.json:16,24). */
-  def currentState(unwrapped: DataFrame, keyCols: Seq[String]): DataFrame =
+  /** Versioned mirror state of a change batch: newest record per key
+    * with version bookkeeping; deletes retained as tombstones. */
+  def versionedState(unwrapped: DataFrame, keyCols: Seq[String]): DataFrame =
     latestPerKey(unwrapped, keyCols)
-      .filter(col("op") =!= "d")
-      .drop("op", "ts_ms", "topic", "partition", "offset")
+      .withColumn(versionTs, col("ts_ms"))
+      .withColumn(versionOffset, col("offset"))
+      .withColumn(deletedFlag, col("op") === "d")
+      .drop(metaCols: _*)
 
-  /** Merge one change batch into an existing mirror (the foreachBatch
-    * body). Existing rows lose to any newer change for the same key;
-    * a final delete removes the key. Implemented as latest-per-key over
-    * (mirror-as-synthetic-oldest-change ∪ batch) — a single agg, which
-    * AQE can plan as a broadcast when the batch is small.
-    */
-  def merge(mirror: DataFrame, batchUnwrapped: DataFrame,
+  /** User-facing state: live rows only, no bookkeeping columns. */
+  def currentState(unwrapped: DataFrame, keyCols: Seq[String]): DataFrame =
+    stripVersions(versionedState(unwrapped, keyCols))
+
+  /** Drop tombstones + version columns from a versioned mirror. */
+  def stripVersions(mirror: DataFrame): DataFrame =
+    mirror.filter(!col(deletedFlag)).drop(versionTs, versionOffset, deletedFlag)
+
+  /** Merge one change batch into an existing VERSIONED mirror (the
+    * foreachBatch body). Mirror rows (and tombstones) compete with batch
+    * changes at their stored versions, so ordering is correct across
+    * batch boundaries and replays are idempotent. Single hash-agg; AQE
+    * may broadcast the small side. Returns the new versioned mirror. */
+  def merge(mirrorVersioned: DataFrame, batchUnwrapped: DataFrame,
             keyCols: Seq[String]): DataFrame = {
-    val payloadCols = mirror.columns.filterNot(keyCols.contains)
-    val mirrorAsChanges = mirror
-      .withColumn("op", lit("r"))
-      .withColumn("ts_ms", lit(Long.MinValue))
+    val mirrorAsChanges = mirrorVersioned
+      .withColumnRenamed(versionTs, "ts_ms")
+      .withColumnRenamed(versionOffset, "offset")
+      .withColumn("op", when(col(deletedFlag), "d").otherwise("r"))
       .withColumn("topic", lit(null).cast("string"))
       .withColumn("partition", lit(null).cast("int"))
-      .withColumn("offset", lit(Long.MinValue))
-      .select(batchUnwrapped.columns.map(col): _*)
-    currentState(mirrorAsChanges.unionByName(batchUnwrapped), keyCols)
+      .drop(deletedFlag)
+    // allowMissingColumns: additive schema evolution — a new column in
+    // the batch backfills null into mirror-era rows (auto.evolve=true,
+    // register-postgres-sink.json:14)
+    versionedState(
+      mirrorAsChanges.unionByName(batchUnwrapped, allowMissingColumns = true),
+      keyCols)
   }
 }

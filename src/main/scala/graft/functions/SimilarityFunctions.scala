@@ -37,46 +37,54 @@ object SimilarityFunctions {
   }
 
   /** Random-hyperplane LSH signature: bit j = sign(dot(v, r_j)) where
-    * r_j is a deterministic pseudo-random hyperplane derived from
-    * xxhash64(seed=j, dimension-index) — reproducible across executors
-    * with no broadcast state. */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+    * r_j is a deterministic pseudo-random ±1 hyperplane derived from
+    * xxhash64(seed, bit, dimension-index) — reproducible across
+    * executors with no broadcast state. */
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Int = 0): Column =
     (0 until nBits).map { j =>
-      // pseudo-random ±1 hyperplane component per (bit, dim):
-      // sign(xxhash64(j, i)) — derived on the fly, identical everywhere
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x.cast("double") *
-            when(xxhash64(lit(j), i).bitwiseAND(lit(1L)) === 0L, 1d).otherwise(-1d)),
+            when(xxhash64(lit(seed), lit(j), i).bitwiseAND(lit(1L)) === 0L, 1d)
+              .otherwise(-1d)),
         lit(0d), (acc, v) => acc + v)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
 
-  /** ANN top-k: bucket by hyperplane signature, search only the query's
-    * bucket (plus optional multi-probe neighbors at 1-bit distance).
-    * Recall/cost trade-off is nBits; candidate set shrinks ~2^nBits-fold.
-    */
+  /** ANN top-k via MULTI-TABLE random-hyperplane LSH: `nTables`
+    * independent signatures; a vector is a candidate if it lands in the
+    * query's bucket (or a 1-bit-probe neighbor) in ANY table. Collision
+    * probability per table is (1-θ/π)^nBits, so recall is tuned with
+    * (nBits ↓ selectivity, nTables ↑ recall) — the standard trade.
+    * One scan computes all table signatures; the probe filter is a
+    * literal OR, so candidates never shuffle. */
   def lshTopK(spark: SparkSession, embeddings: DataFrame, queryVec: Seq[Double],
-              k: Int, nBits: Int = 8, multiProbe: Boolean = true,
+              k: Int, nBits: Int = 8, nTables: Int = 4, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = array(queryVec.map(lit): _*)
-    val bucketed = embeddings.withColumn("bucket",
-      hyperplaneSignature(col(vecCol), nBits))
-    // query signature, computed the same way on a 1-row frame
-    val qSig = spark.range(1)
-      .select(hyperplaneSignature(q, nBits).as("qb"))
-      .head().getLong(0)
-    val probes: Seq[Long] =
-      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
-      else Seq(qSig)
-    bucketed.filter(col("bucket").isin(probes: _*))
+    // query signatures, one driver-side row
+    val qSigs = spark.range(1)
+      .select((0 until nTables).map(t =>
+        hyperplaneSignature(q, nBits, seed = t).as(s"s$t")): _*)
+      .head()
+    val anyTableMatches = (0 until nTables).map { t =>
+      val sig = hyperplaneSignature(col(vecCol), nBits, seed = t)
+      val base = qSigs.getLong(t)
+      val probes: Seq[Long] =
+        if (multiProbe) base +: (0 until nBits).map(b => base ^ (1L << b))
+        else Seq(base)
+      sig.isin(probes: _*)
+    }.reduce(_ || _)
+    embeddings.filter(anyTableMatches)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold among LSH
-    * bucket collisions (the embedding-space analog of MinHash dedup). */
+    * bucket collisions (the embedding-space analog of MinHash dedup).
+    * True near-duplicates (cos ≈ 1) collide with probability
+    * (1-θ/π)^nBits ≈ 1, while random pairs are pruned ~2^nBits-fold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, nBits: Int = 12,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {

@@ -92,9 +92,9 @@ object CdcQueries {
         // mirror vs "new batch", then merge — exercises J3 across a batch
         // boundary; final state must equal the one-shot materialization.
         val all = unwrapped(s, d)
-        val mirror = Materialize.currentState(all.filter(col("ts_ms") < 3000), Seq("id"))
+        val mirror = Materialize.versionedState(all.filter(col("ts_ms") < 3000), Seq("id"))
         val batch = all.filter(col("ts_ms") >= 3000)
-        Materialize.merge(mirror, batch, Seq("id"))
+        Materialize.stripVersions(Materialize.merge(mirror, batch, Seq("id")))
       },
       Some(oracleFinalState),
       "J3 upsert-merge across batch boundaries == one-shot replay (idempotence of state)"))

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.{Envelope, Materialize}
+
+/** The CDC replication pipeline as a Structured Streaming job — the
+  * Spark-native equivalent of the reference's Kafka Connect sink chain
+  * (EP1): envelope stream → parse → DLQ split → unwrap → route →
+  * per-table upsert-merge into current-state mirrors.
+  *
+  * Semantics carried over from the reference:
+  *   - at-least-once delivery + idempotent keyed merge = effectively-once
+  *     (register-postgres-sink.json:15 upsert is the idempotency
+  *     mechanism; our checkpoint replaces Connect's offset topics);
+  *   - micro-batch trigger ≈ `linger.ms: 500`
+  *     (register-postgres-sink.json:7);
+  *   - poison records never stall the stream: they land in the DLQ table
+  *     (errors.tolerance=all + DLQ topic, register-postgres-sink.json:18-21);
+  *   - additive schema evolution on the mirrors (auto.evolve=true,
+  *     register-postgres-sink.json:14).
+  *
+  * Scale design: the per-batch merge is one hash aggregation keyed by PK
+  * per table; shuffle volume is bounded by batch size + mirror size. At
+  * 100 TB the mirror read/rewrite would be a Delta/Iceberg MERGE (or
+  * JDBC upsert, matching the reference) — the batch-side plan is
+  * identical, only the sink swaps, so the merge logic stays shared with
+  * [[graft.cdc.Materialize]].
+  */
+object CdcPipeline {
+
+  final case class Config(
+      rowSchema: StructType,
+      keyCols: Seq[String],
+      mirrorRoot: String,
+      dlqDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 500L)
+
+  /** Start the pipeline on a streaming DataFrame of Kafka-shaped records
+    * (topic, key, value, partition, offset) — from
+    * `spark.readStream.format("kafka")` in production, MemoryStream in
+    * tests. */
+  def start(records: DataFrame, cfg: Config): StreamingQuery =
+    records.writeStream
+      .queryName("cdc-replication")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, cfg)
+      }
+      .start()
+
+  /** One micro-batch: DLQ split + per-table merge. Runs on the driver
+    * but every DataFrame op inside is distributed; the only driver-side
+    * data is the list of table names present in the batch (≤ #tables). */
+  def processBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    val parsed = Envelope.parse(batch, cfg.rowSchema).persist()
+    try {
+      // DLQ path first: append-only raw strings (register-dlq-sink.json:16-17)
+      val dlq = Envelope.dlq(parsed)
+      dlq.write.mode("append").parquet(cfg.dlqDir)
+
+      val unwrapped = Envelope.unwrap(Envelope.wellFormed(parsed), cfg.keyCols)
+        .withColumn("table_name", Envelope.route(col("topic")))
+      // Driver-side loop over *table names only* — the reference routes
+      // per-topic the same way (RegexRouter → per-table sink tables).
+      val tables = unwrapped.select("table_name").distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      tables.foreach { t =>
+        val changes = unwrapped.filter(col("table_name") === t).drop("table_name")
+        mergeIntoMirror(spark, changes, t, cfg)
+      }
+    } finally parsed.unpersist()
+  }
+
+  /** Keyed merge of one table's changes into its parquet mirror with an
+    * atomic staging-dir swap (a stand-in for a transactional sink). */
+  def mergeIntoMirror(spark: SparkSession, changes: DataFrame, table: String,
+                      cfg: Config): Unit = {
+    val live = new Path(s"${cfg.mirrorRoot}/$table/live")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(live)) Materialize.merge(
+        spark.read.parquet(live.toString), changes, cfg.keyCols)
+      else Materialize.versionedState(changes, cfg.keyCols)
+    val staging = new Path(s"${cfg.mirrorRoot}/$table/.staging")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val old = new Path(s"${cfg.mirrorRoot}/$table/.old")
+    fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(staging, live)
+    fs.delete(old, true)
+  }
+
+  /** Read a table's current (live, unversioned) mirror state. */
+  def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =
+    Materialize.stripVersions(
+      spark.read.parquet(s"${cfg.mirrorRoot}/$table/live"))
+
+  /** Read the dead-letter table. */
+  def deadLetters(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(cfg.dlqDir)
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "another unrelated sentence mentioning kafka topics and debezium envelopes"))
+    .toDF("doc_id", "text")
+
+  private val shingled = docs.select($"doc_id",
+    array_distinct(TextFunctions.wordShingles($"text", 3)).as("sh"))
+
+  test("exact dedup groups exact duplicates only") {
+    val groups = DedupFunctions.exactDupGroups(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 0L)
+    assert(groups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH surfaces the near-dup pair, not unrelated docs") {
+    val pairs = DedupFunctions.lshCandidatePairs(shingled, "doc_id", "sh")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L)),
+      s"expected near/exact dup pair among $pairs")
+    assert(!pairs.contains((2L, 4L)), "unrelated docs must not collide")
+  }
+
+  test("simhash: identical docs share signature; near-dups within few bits") {
+    val sigs = DedupFunctions.simhashSignatures(shingled, "doc_id", "sh")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L), "exact dups must have equal simhash")
+    val hammingNear = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val hammingFar = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
+  }
+
+  test("jaccard of identical shingle sets is 1, disjoint is 0") {
+    val j = shingled.as("l").join(shingled.as("r"),
+        $"l.doc_id" === 0 && $"r.doc_id".isin(3, 2))
+      .select($"r.doc_id",
+        DedupFunctions.jaccard($"l.sh", $"r.sh").as("j"))
+      .as[(Long, Double)].collect().toMap
+    assert(j(3L) == 1.0)
+    assert(j(2L) == 0.0)
+  }
+
+  test("brute-force cosine top-k: self is rank 1 with score 1") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = SimilarityFunctions.bruteForceTopK(emb, q0, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "scores descending")
+  }
+
+  test("LSH ANN finds planted near-duplicates of the query vector") {
+    // testdata embeddings are ~random (top cosine ≈ 0.33), so recall vs
+    // brute force is not a meaningful metric; plant true near-neighbors
+    // (a copy and a slightly perturbed copy of vec 0) — the regime LSH
+    // is actually built for.
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val planted = Seq(
+      (9000L, q0.map(_.toFloat), -1),
+      (9001L, q0.zipWithIndex.map { case (x, i) =>
+        (x + (if (i % 16 == 0) 0.01 else 0.0)).toFloat }, -1))
+      .toDF("vec_id", "embedding", "label")
+    val all = emb.unionByName(planted)
+    val ann = SimilarityFunctions.lshTopK(spark, all, q0, 5)
+      .as[(Long, Double)].collect()
+    val ids = ann.map(_._1).toSet
+    assert(ids.contains(0L), "ANN must find the query vector itself")
+    assert(ids.contains(9000L) && ids.contains(9001L),
+      s"ANN missed planted near-dups: $ids")
+    assert(ann.map(_._2).max <= 1.0 + 1e-9)
+  }
+
+  test("embedding near-dup pairs: planted duplicate found by bucket join") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0)
+    val all = emb.unionByName(
+      Seq((9000L, q0, -1)).toDF("vec_id", "embedding", "label"))
+    val pairs = SimilarityFunctions.nearDupPairs(all, threshold = 0.99)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9000L)), s"missed planted dup: $pairs")
+  }
+}

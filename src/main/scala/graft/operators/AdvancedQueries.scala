@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+
+/** Advanced relational surface (SURVEY §2.5/§2.7/§2.8 extensions):
+  * as-of join, session/sliding time windows, statistical aggregates,
+  * pivot, generators, and the remaining scalar-function families. */
+object AdvancedQueries {
+
+  def queries: Seq[Q] = Seq(
+    // ---- as-of join (temporal lookup) --------------------------------
+    Q("join_asof",
+      (s, d) => {
+        val events = load(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // one deterministic right row per (key, time)
+        val orderVersions = load(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("asof_orderkey"),
+               max_by(col("o_totalprice"), col("o_orderkey")).as("asof_total"))
+        AsofJoin(events, orderVersions,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightPayload = Seq("asof_orderkey", "asof_total"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         max(o_orderkey) AS asof_orderkey,
+             |         arg_max(o_totalprice, o_orderkey) AS asof_total
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts, r.asof_orderkey, r.asof_total
+             |FROM events e ASOF LEFT JOIN r
+             |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin),
+      "as-of join composed from union + last_value-ignoreNulls over one " +
+        "(key,time) sort — one shuffle, no range explosion"),
+
+    // ---- session windows ---------------------------------------------
+    Q("window_session",
+      (s, d) => load(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events")),
+      Some("""WITH s AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT user_id, ts,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n_events
+             |FROM g GROUP BY user_id, sid""".stripMargin),
+      "ST5 session windows; oracle via gaps-and-islands SQL"),
+
+    // ---- sliding windows ---------------------------------------------
+    Q("window_sliding",
+      (s, d) => load(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("v")),
+      Some("""SELECT window_start, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS v
+             |FROM (
+             |  SELECT date_trunc('hour', ts) AS window_start, event_type, value
+             |  FROM events
+             |  UNION ALL
+             |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+             |  FROM events) t
+             |GROUP BY 1, 2""".stripMargin),
+      "ST5 sliding windows (2h window, 1h slide): each event in 2 buckets"),
+
+    // ---- statistical aggregates --------------------------------------
+    Q("agg_stats",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("vr"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cv"),
+          round(corr(col("value"), col("user_id").cast("double")), 6).as("cr"),
+          round(median(col("value")), 6).as("med")),
+      Some("""SELECT event_type,
+             |  round(stddev_samp(value), 4) AS sd,
+             |  round(var_samp(value), 4) AS vr,
+             |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv,
+             |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr,
+             |  round(median(value), 6) AS med
+             |FROM events GROUP BY event_type""".stripMargin),
+      "stddev/variance/covariance/correlation/median"),
+
+    // ---- approximate distinct (HLL) — engine-specific sketch, no oracle
+    Q("agg_approx_distinct",
+      (s, d) => load(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts")),
+      None,
+      "HLL++ approx distinct; accuracy vs exact asserted in tests (±5%)"),
+
+    // ---- window function batch 2 --------------------------------------
+    Q("window_navigation",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          first(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_v"),
+          last(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_v"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 8).as("pr"),
+          round(cume_dist().over(w), 8).as("cd"),
+          lead(col("event_type"), 1, "none").over(w).as("next_type"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+             |  last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 8) AS pr,
+             |  round(cume_dist() OVER w, 8) AS cd,
+             |  coalesce(lead(event_type, 1) OVER w, 'none') AS next_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
+      "first/last_value, ntile, percent_rank, cume_dist, lead-with-default"),
+
+    // ---- pivot ---------------------------------------------------------
+    Q("pivot_event_counts",
+      (s, d) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = load(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      },
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error
+             |FROM events GROUP BY user_id""".stripMargin),
+      "pivot (wide aggregation); oracle via FILTER clauses"),
+
+    // ---- generator (1→N) ----------------------------------------------
+    Q("explode_tokens",
+      (s, d) => load(s, d, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("word")),
+      Some("""SELECT doc_id,
+             |  CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+             |  unnest(string_split(text, ' ')) AS word
+             |FROM documents WHERE doc_id < 20""".stripMargin),
+      "posexplode generator — document chunking building block"),
+
+    // ---- scalar batch 2: math -----------------------------------------
+    Q("scalar_math_funcs",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          sqrt(col("l_quantity")).as("sq"),
+          (col("l_quantity") * col("l_quantity")).as("q2"),
+          (col("l_partkey") % 7).as("pmod"),
+          greatest(col("l_tax"), col("l_discount")).as("gmax"),
+          least(col("l_tax"), col("l_discount")).as("lmin")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_discount - 0.05) AS abs_d,
+             |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+             |  sqrt(l_quantity) AS sq,
+             |  l_quantity * l_quantity AS q2,
+             |  l_partkey % 7 AS pmod,
+             |  greatest(l_tax, l_discount) AS gmax,
+             |  least(l_tax, l_discount) AS lmin
+             |FROM lineitem""".stripMargin),
+      "F9 math: abs/floor/ceil/sqrt/mod/greatest/least (IEEE-exact ops only)"),
+
+    // ---- scalar batch 2: strings --------------------------------------
+    Q("scalar_string_funcs2",
+      (s, d) => load(s, d, "nation")
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 12, "*").as("lp"),
+          rpad(col("n_name"), 12, ".").as("rp"),
+          reverse(col("n_name")).as("rev"),
+          regexp_replace(col("n_name"), "A", "@").as("repl"),
+          instr(col("n_name"), "AN").as("pos_an"),
+          translate(col("n_name"), "AEI", "aei").as("tr"),
+          expr("repeat('ab', n_nationkey % 3)").as("rep")),
+      Some("""SELECT n_nationkey,
+             |  lpad(n_name, 12, '*') AS lp,
+             |  rpad(n_name, 12, '.') AS rp,
+             |  reverse(n_name) AS rev,
+             |  replace(n_name, 'A', '@') AS repl,
+             |  CAST(strpos(n_name, 'AN') AS INTEGER) AS pos_an,
+             |  translate(n_name, 'AEI', 'aei') AS tr,
+             |  repeat('ab', n_nationkey % 3) AS rep
+             |FROM nation""".stripMargin),
+      "F2 strings: pad/reverse/replace/strpos/translate/repeat"),
+
+    // ---- scalar batch 2: dates ----------------------------------------
+    Q("scalar_date_funcs2",
+      (s, d) => load(s, d, "orders")
+        .select(col("o_orderkey"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          quarter(col("o_orderdate")).as("q"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_end"),
+          date_add(col("o_orderdate"), 30).cast("timestamp").as("plus30"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end")),
+      Some("""SELECT o_orderkey,
+             |  CAST(date_part('dow', o_orderdate) AS INTEGER) + 1 AS dow,
+             |  CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy,
+             |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |  CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS days_to_end,
+             |  o_orderdate + INTERVAL 30 DAY AS plus30,
+             |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+             |FROM orders""".stripMargin),
+      "F6 dates: dow/doy/quarter/datediff/date_add/last_day"),
+
+    // ---- multiset difference ------------------------------------------
+    Q("setop_except_all",
+      (s, d) => load(s, d, "lineitem").select(col("l_orderkey").as("okey"))
+        .exceptAll(load(s, d, "orders").select(col("o_orderkey").as("okey"))),
+      Some("SELECT l_orderkey AS okey FROM lineitem " +
+           "EXCEPT ALL SELECT o_orderkey FROM orders"),
+      "EXCEPT ALL multiset semantics (duplicate-preserving diff)"),
+
+    // ---- F8 struct/map runtime ----------------------------------------
+    Q("scalar_struct_map",
+      (s, d) => load(s, d, "nation")
+        .select(col("n_nationkey"),
+          named_struct(lit("name"), col("n_name"), lit("region"), col("n_regionkey"))
+            .getField("name").as("s_name"),
+          map(lit("k"), col("n_regionkey")).getItem("k").as("m_region"),
+          element_at(array(col("n_name"), upper(col("n_name"))), 2).as("arr2")),
+      Some("""SELECT n_nationkey, n_name AS s_name,
+             |  n_regionkey AS m_region, upper(n_name) AS arr2
+             |FROM nation""".stripMargin),
+      "F8 struct/map/array construction + field access (envelope navigation kernel)"))
+}

@@ -24,8 +24,8 @@ final case class Q(
 
 object QueryCatalog {
   def all: Seq[Q] =
-    Relational.queries ++ CdcQueries.queries ++ Monitors.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++
+    Relational.queries ++ AdvancedQueries.queries ++ CdcQueries.queries ++
+      Monitors.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    (1L, "A", 10L), (2L, "A", 25L), (3L, "A", 5L), (4L, "B", 50L), (5L, "C", 9L))
+    .toDF("trade_id", "sym", "t")
+  private val quotes = Seq(
+    ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 20L, 3.0), ("B", 60L, 9.9))
+    .toDF("sym", "qt", "px")
+
+  private def run() = AsofJoin(trades, quotes,
+    leftKey = "sym", rightKey = "sym", leftTime = "t", rightTime = "qt",
+    rightPayload = Seq("px"))
+    .select($"trade_id", $"px").as[(Long, Option[Double])]
+    .collect().toMap
+
+  test("picks newest right row at-or-before left time") {
+    val m = run()
+    assert(m(1L).contains(2.0)) // t=10 matches quote at exactly 10 (<=)
+    assert(m(2L).contains(3.0)) // t=25 -> quote at 20
+  }
+
+  test("no quote at-or-before yields null (left join), unknown key yields null") {
+    val m = run()
+    assert(m(3L).isEmpty) // A's earliest quote (8) is after t=5
+    assert(m(4L).isEmpty) // B's only quote is at 60 > 50
+    assert(m(5L).isEmpty) // C has no quotes at all
+  }
+}

@@ -16,14 +16,20 @@ class QueryCatalogSpec extends SparkSpec {
     assert(names.distinct.size == names.size)
   }
 
-  test("every oracle references only known tables") {
+  test("every oracle references only known tables or its own CTE/subquery aliases") {
     val known = graft.core.Tables.all.toSet
     QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).foreach {
       case (name, sql) =>
+        val ctes = "(?i)(?:with|,)\\s*([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        val aliases = "(?i)\\)\\s*([a-z_][a-z0-9_]*)".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val fromTargets = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-        val unknown = fromTargets -- known -- Set("recs", "sh", "q", "t")
+        val unknown = fromTargets -- known -- ctes -- aliases
         assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+        assert(fromTargets.intersect(known).nonEmpty,
+          s"$name oracle reads no known table")
     }
   }
 
@@ -38,5 +44,12 @@ class QueryCatalogSpec extends SparkSpec {
 
   test("entry() returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val r = QueryCatalog.byName("agg_approx_distinct").fn(spark, sf0001).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
   }
 }

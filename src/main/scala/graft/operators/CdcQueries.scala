@@ -72,6 +72,24 @@ object CdcQueries {
              |SELECT 'dlq' AS side, count(*) AS n FROM orders WHERE o_orderkey % 97 = 0""".stripMargin),
       "ST6/S6 DLQ conservation: parsed + dlq = input (register-postgres-sink.json:18-21)"),
 
+    Q("cdc_include_filter",
+      (s, d) => {
+        // P4 table include-list: admit only whitelisted topics
+        // (register-mysql-connector.json:11-12)
+        val whitelist = Seq("orders_t0", "orders_t3", "orders_t7")
+          .map(t => s"${graft.core.Tables.topicPrefix}.$t")
+        Envelope.wellFormed(
+          Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema))
+          .filter(col("topic").isin(whitelist: _*))
+          .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'mysql-server.pos_bi_db.orders_t' || CAST(o_orderkey % 9 AS VARCHAR) AS topic,
+             |  CAST(sum(5 - (o_orderkey % 3 <> 0)::INT - (o_orderkey % 6 <> 0)::INT
+             |       - (o_orderkey % 5 <> 0)::INT - (o_orderkey % 10 <> 0)::INT) AS BIGINT) AS n
+             |FROM orders WHERE o_orderkey % 9 IN (0, 3, 7)
+             |GROUP BY 1""".stripMargin),
+      "P4 include-list topic filter (Column.isin whitelist)"),
+
     Q("cdc_op_histogram",
       (s, d) => unwrapped(s, d)
         .groupBy(col("op"))

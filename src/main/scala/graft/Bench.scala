@@ -22,10 +22,25 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // End-to-end CDC pipeline throughput (BASELINE.md: >= 6000 events/s
+    // implied sink floor): full processBatch — parse, DLQ write, unwrap,
+    // route, per-table versioned merge, mirror write.
+    val pipeRoot = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir)
+    val nEvents = raw.count()
+    val cfg = graft.streaming.CdcPipeline.Config(
+      graft.cdc.Fixture.rowSchema, Seq("id"),
+      s"$pipeRoot/mirror", s"$pipeRoot/dlq", s"$pipeRoot/ckpt")
+    val tp0 = System.nanoTime()
+    graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
+    val pipeSec = (System.nanoTime() - tp0) / 1e9
+    val eps = (nEvents / pipeSec).toLong
+
+    val qs = (results :+ ("cdc_pipeline_full_batch" -> pipeSec))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipeSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps}""")
     spark.stop()
   }
 }

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  /** Sequential-fold dot product of two equal-length arrays, computed in
-    * double. Deterministic (array-order association). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product of two equal-length arrays, computed in
+    * double — the codegen'd [[VecExpressions.vec_dot]] Catalyst
+    * expression (tight primitive loop; bitwise-identical to a fold). */
+  def dot(a: Column, b: Column): Column = VecExpressions.vec_dot(a, b)
+
+  /** Reference fold formulation (kept for equivalence testing). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
 

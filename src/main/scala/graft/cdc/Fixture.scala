@@ -29,8 +29,17 @@ object Fixture {
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType)))
 
+  // Session-scoped memo: several catalog queries replay the same
+  // envelope stream; persisting it once makes Verify/Bench measure the
+  // operators, not repeated JSON fixture generation.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Raw Kafka-shaped records: (topic, key, value, partition, offset). */
-  def ordersCdcEvents(spark: SparkSession, dir: String): DataFrame = {
+  def ordersCdcEvents(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir), buildEvents(spark, dir).persist())
+
+  private def buildEvents(spark: SparkSession, dir: String): DataFrame = {
     // The orders parquet is a handful of row-groups; without an explicit
     // spread the whole envelope build+parse pipeline would run at file
     // parallelism (~6 tasks on local[32]). A real Kafka source has the

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SimilarityFunctions.{cosine, dot}
+
+/** IVF (inverted-file) similarity index — the second ANN scale path
+  * beside hyperplane LSH: partition vectors into k cells by nearest
+  * centroid (Lloyd iterations, all DataFrame ops), then search only the
+  * `nprobe` cells closest to the query.
+  *
+  * Scale shape: build = iterations × (one broadcast of k centroids +
+  * one scan with a k-way argmin + one hash-agg keyed by cell); search =
+  * scan pruned to probed cells (partition pruning if the index is
+  * written partitioned by cell) + TakeOrderedAndProject. No driver-side
+  * data beyond the k×dim centroid table.
+  */
+object IvfIndex {
+
+  final case class Index(assignments: DataFrame, centroids: Array[(Int, Seq[Double])])
+
+  /** Nearest-centroid id for a vector column, given a small centroid
+    * table rendered as literal arrays (broadcast-by-closure). */
+  private def nearestCell(vec: org.apache.spark.sql.Column,
+                          centroids: Array[(Int, Seq[Double])]) = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(dot(vec, array(c.map(lit): _*)).as("score"), lit(cid).as("cid"))
+    }
+    greatest(scored: _*).getField("cid")
+  }
+
+  /** Build with `iterations` Lloyd steps from deterministic seeds (the
+    * first k vectors by id). Vectors are L2-normalized up front so dot
+    * ordering == cosine ordering. */
+  def build(spark: SparkSession, embeddings: DataFrame, k: Int,
+            iterations: Int = 3, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Index = {
+    val norm = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") /
+        sqrt(dot(col(vecCol), col(vecCol)))).as("v"))
+      .persist()
+    var centroids = norm.orderBy("id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to iterations) {
+      val assigned = norm.withColumn("cell", nearestCell(col("v"), centroids))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("cx"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("p"))
+        .select(col("cell"), transform(col("p"), e => e.getField("cx")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      if (updated.nonEmpty) centroids = updated
+    }
+    val assignments = norm.withColumn("cell", nearestCell(col("v"), centroids))
+    Index(assignments, centroids)
+  }
+
+  /** Top-k by cosine among the `nprobe` cells nearest the query. */
+  def search(index: Index, queryVec: Seq[Double], topK: Int,
+             nprobe: Int = 3): DataFrame = {
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      queryVec.map(_ / n)
+    }
+    val probeCells = index.centroids
+      .map { case (cid, c) => (cid, c.zip(qn).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val q = array(qn.map(lit): _*)
+    index.assignments
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("id").as("vec_id"), round(cosine(col("v"), q), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

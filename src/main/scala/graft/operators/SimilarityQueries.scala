@@ -54,6 +54,16 @@ object SimilarityQueries {
       "ANN top-k via random-hyperplane LSH buckets + 1-bit multi-probe " +
         "(rows-only; recall vs brute force asserted in tests)"),
 
+    Q("sim_topk_ivf",
+      (s, d) => {
+        val idx = graft.functions.IvfIndex.build(s,
+          load(s, d, "embeddings"), k = 16, iterations = 2)
+        graft.functions.IvfIndex.search(idx, queryVec(s, d), topK = 10, nprobe = 4)
+      },
+      None,
+      "IVF ANN: Lloyd-built cells, nprobe nearest cells searched " +
+        "(rows-only; planted-duplicate recovery asserted in tests)"),
+
     Q("sim_near_dup_pairs",
       (s, d) => nearDupPairs(load(s, d, "embeddings"), threshold = 0.95),
       None,

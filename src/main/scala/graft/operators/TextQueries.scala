@@ -65,6 +65,25 @@ object TextQueries {
              |FROM documents""".stripMargin),
       "bag-of-words canonical document fingerprint (md5 matches across engines)"),
 
+    Q("text_chunks",
+      (s, d) => graft.functions.Chunker.chunk(
+        load(s, d, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", size = 32, stride = 16),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE doc_id < 50),
+             |st AS (
+             |  SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 31, 1), 16)) AS start_token
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST((start_token - 1) // 16 AS INTEGER) AS chunk_id,
+             |  CAST(start_token AS INTEGER) AS start_token,
+             |  array_to_string(w[start_token:start_token + 31], ' ') AS chunk_text,
+             |  CAST(least(32, len(w) - start_token + 1) AS INTEGER) AS n_tokens
+             |FROM st""".stripMargin),
+      "document chunker: overlapping 32-token windows, stride 16 (1→N generator)"),
+
     // Heuristic — not SQL-expressible; driver records rows-only check.
     Q("text_langid",
       (s, d) => load(s, d, "documents").select(

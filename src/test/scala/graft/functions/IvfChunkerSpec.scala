@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunker: overlapping windows with stride; short docs get one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
+      (2L, (1 to 5).map(i => s"t$i").mkString(" ")))   // 5 tokens
+      .toDF("doc_id", "text")
+    val chunks = Chunker.chunk(docs, "doc_id", "text", size = 6, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // starts: 1, 4 (lastStart = 10-5=5 -> starts 1,4)
+    assert(d1.map(_.getInt(2)).toSeq == Seq(1, 4))
+    assert(d1.head.getString(3) == "w1 w2 w3 w4 w5 w6")
+    assert(d1.map(_.getInt(4)).toSeq == Seq(6, 6))
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1)
+    assert(d2.head.getString(3) == "t1 t2 t3 t4 t5")
+    assert(d2.head.getInt(4) == 5)
+  }
+
+  test("IVF search finds a planted duplicate and ranks self first") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0)
+    val all = emb.unionByName(
+      Seq((9000L, q0, -1)).toDF("vec_id", "embedding", "label"))
+    val idx = IvfIndex.build(spark, all, k = 8, iterations = 2)
+    val got = IvfIndex.search(idx, q0.map(_.toDouble), topK = 5, nprobe = 2)
+      .as[(Long, Double)].collect()
+    val ids = got.map(_._1).toSet
+    assert(ids.contains(0L) && ids.contains(9000L),
+      s"IVF missed query/planted dup: $ids")
+    assert(math.abs(got.head._2 - 1.0) < 1e-6)
+  }
+
+  test("IVF cells are non-degenerate (more than one cell used)") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val idx = IvfIndex.build(spark, emb, k = 8, iterations = 2)
+    val nCells = idx.assignments.select("cell").distinct().count()
+    assert(nCells > 1, s"k-means collapsed to $nCells cell(s)")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY §4 / the 100 TB mandate): salting
+  * for hot keys when a join's build side is too big to broadcast but a
+  * few keys dominate the probe side.
+  *
+  * AQE's skew-join split handles sort-merge skew adaptively at runtime;
+  * explicit salting remains the tool when (a) AQE is unavailable on the
+  * deployment, or (b) the skew is in an AGGREGATION keyed by a hot key
+  * where a two-phase salt → combine → final shape bounds any single
+  * task's group size.
+  */
+object Skew {
+
+  /** Equi-join `left ⋈ right` on `key` with the left side's hot keys
+    * spread over `saltFactor` salts and the right side replicated
+    * `saltFactor`×. Exact same result as the plain join, but the
+    * per-key shuffle partition load drops by saltFactor.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+                     saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // deterministic spread: hash the whole left row identity via a
+    // stable column combo, NOT rand() (replays must be idempotent)
+    val l = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: first aggregate
+    * (key, salt) partials, then combine per key. `partialAggs` must be
+    * algebraic (sum/count/min/max style) for the split to be exact. */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+                     saltFactor: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(saltFactor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_s"), count(lit(1)).as("_c"))
+      .groupBy(col(key))
+      .agg(sum(col("_s")).as("sum_value"), sum(col("_c")).as("cnt"))
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** ST5 on an actual stream: watermarked tumbling-window aggregation in
+  * append mode, checked against the equivalent batch computation, plus
+  * late-data-drop semantics. */
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+  private def ev(minute: Int, t: String, v: Double) =
+    Ev(Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), t, v)
+
+  test("windowed streaming agg == batch agg; late rows beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"v")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      ms.addData(ev(0, "a", 1), ev(1, "a", 2), ev(6, "b", 10))
+      q.processAllAvailable()
+      // advance event time far enough to close the first windows
+      ms.addData(ev(40, "a", 5))
+      q.processAllAvailable()
+      // this row is > 10 min behind the watermark -> must be dropped
+      ms.addData(ev(2, "a", 100))
+      q.processAllAvailable()
+      ms.addData(ev(59, "z", 0))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map { case (ws, t, n, v) => (ws.toString, t, n, v) }.toSet
+      assert(got.contains(("2024-01-01 10:00:00.0", "a", 2L, 3.0)),
+        s"missing closed window: $got")
+      assert(got.contains(("2024-01-01 10:05:00.0", "b", 1L, 10.0)))
+      // the late row (value=100) must NOT have re-opened the 10:00 window
+      assert(!got.exists { case (_, t, _, v) => t == "a" && v == 103.0 },
+        s"late row leaked into closed window: $got")
+    } finally q.stop()
+  }
+
+  test("ResilientRunner restarts a failing query per policy, then succeeds") {
+    implicit val sqlCtx = spark.sqlContext
+    var attempts = 0
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val restarts = ResilientRunner.runWithRetries(() => {
+      attempts += 1
+      val ms = MemoryStream[Ev]
+      ms.addData(ev(0, "a", 1))
+      val sink = if (attempts < 3) // first two runs fail inside the batch
+        (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("injected failure")
+      else
+        (_: org.apache.spark.sql.DataFrame, _: Long) => ()
+      val q = ms.toDF().writeStream.foreachBatch(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      q
+    }, ResilientRunner.Policy(maxRetries = 2, delayMs = 123), slept.append(_))
+    assert(restarts == 2)
+    assert(attempts == 3)
+    assert(slept.toSeq == Seq(123L, 123L))
+  }
+
+  test("ResilientRunner exhausts retries and rethrows") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = intercept[Throwable] {
+      ResilientRunner.runWithRetries(() => {
+        val ms = MemoryStream[Ev]
+        ms.addData(ev(0, "a", 1))
+        ms.toDF().writeStream.foreachBatch(
+          (_: org.apache.spark.sql.DataFrame, _: Long) =>
+            throw new RuntimeException("always fails"))
+          .trigger(Trigger.AvailableNow()).start()
+      }, ResilientRunner.Policy(maxRetries = 1, delayMs = 1), _ => ())
+    }
+    assert(e.getMessage == null || e.toString.nonEmpty)
+  }
+}

@@ -105,11 +105,14 @@ object DedupFunctions {
   def lshCandidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
                         k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = k / bands
+    // persist: both sides of the self-join read the same signatures —
+    // without it the explode+agg subplan runs twice
     val sigs = minhashSignatures(docs, idCol, shingleCol, k)
       .select(col(idCol).as("doc"), col("sig"))
     val keys = sigs.select(col("doc"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist()
     keys.as("l").join(keys.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc") < col("r.doc"))

@@ -74,6 +74,7 @@ object DedupQueries {
             .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
           "doc_id", "sh")
           .withColumn("block", shiftrightunsigned(col("sig"), 48))
+          .persist() // both self-join sides reuse one signature pass
         sigs.as("l").join(sigs.as("r"),
             col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),

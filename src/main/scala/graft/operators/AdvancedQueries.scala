@@ -239,6 +239,43 @@ object AdvancedQueries {
            "EXCEPT ALL SELECT o_orderkey FROM orders"),
       "EXCEPT ALL multiset semantics (duplicate-preserving diff)"),
 
+    // ---- ordered string/array aggregation ------------------------------
+    Q("agg_collect_sorted",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(sort_array(collect_list(col("event_type"))), ",").as("types_csv"),
+          sort_array(collect_set(col("event_type"))).as("distinct_types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+             |  list_sort(list(DISTINCT event_type)) AS distinct_types
+             |FROM events GROUP BY user_id""".stripMargin),
+      "collect_list/collect_set with canonical ordering (string_agg analog)"),
+
+    // ---- pagination -----------------------------------------------------
+    Q("topk_paginated",
+      (s, d) => load(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(5).limit(15)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 5"),
+      "LIMIT/OFFSET pagination over a deterministic total order"),
+
+    // ---- null-safe equality --------------------------------------------
+    Q("scalar_null_safe_eq",
+      (s, d) => load(s, d, "events")
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("error")).as("nt"))
+        .select(col("event_id"),
+          col("nt").eqNullSafe(lit(null).cast("string")).as("is_error"),
+          coalesce(col("nt"), lit("ERR")).as("filled")),
+      Some("""SELECT event_id,
+             |  nullif(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_error,
+             |  coalesce(nullif(event_type, 'error'), 'ERR') AS filled
+             |FROM events""".stripMargin),
+      "null-safe equality (<=>) + nullif/coalesce null plumbing"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

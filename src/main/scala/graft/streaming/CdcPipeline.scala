@@ -33,6 +33,15 @@ import graft.cdc.{Envelope, Materialize}
   */
 object CdcPipeline {
 
+  // bounded pool for concurrent per-table merge jobs (scheduler-level
+  // parallelism; the work itself runs on executors either way)
+  private lazy val mergeEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val th = new Thread(r, "graft-merge")
+      th.setDaemon(true)
+      th
+    }))
+
   final case class Config(
       rowSchema: StructType,
       keyCols: Seq[String],
@@ -68,14 +77,25 @@ object CdcPipeline {
 
       val unwrapped = Envelope.unwrap(Envelope.wellFormed(parsed), cfg.keyCols)
         .withColumn("table_name", Envelope.route(col("topic")))
-      // Driver-side loop over *table names only* — the reference routes
-      // per-topic the same way (RegexRouter → per-table sink tables).
-      val tables = unwrapped.select("table_name").distinct()
-        .collect().map(_.getString(0)).filter(_.nonEmpty)
-      tables.foreach { t =>
-        val changes = unwrapped.filter(col("table_name") === t).drop("table_name")
-        mergeIntoMirror(spark, changes, t, cfg)
-      }
+        .persist()
+      try {
+        // Driver-side loop over *table names only* — the reference routes
+        // per-topic the same way (RegexRouter → per-table sink tables).
+        // Merges are submitted concurrently: each is an independent Spark
+        // job, so small per-table batches don't serialize on the driver.
+        val tables = unwrapped.select("table_name").distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = mergeEc
+        val jobs = tables.toSeq.map { t =>
+          Future {
+            val changes = unwrapped.filter(col("table_name") === t).drop("table_name")
+            mergeIntoMirror(spark, changes, t, cfg)
+          }
+        }
+        jobs.foreach(Await.result(_, Duration.Inf))
+      } finally unwrapped.unpersist()
     } finally parsed.unpersist()
   }
 

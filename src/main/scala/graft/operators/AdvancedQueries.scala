@@ -125,7 +125,7 @@ object AdvancedQueries {
       Some("""SELECT event_id, user_id,
              |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
              |  last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
-             |  ntile(4) OVER w AS quartile,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
              |  round(percent_rank() OVER w, 8) AS pr,
              |  round(cume_dist() OVER w, 8) AS cd,
              |  coalesce(lead(event_type, 1) OVER w, 'none') AS next_type

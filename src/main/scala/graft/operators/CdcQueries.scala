@@ -95,7 +95,7 @@ object CdcQueries {
         .groupBy(col("op"))
         .agg(count(lit(1)).as("n"),
              max(col("ts_ms")).as("max_ts")),
-      Some("""SELECT op, count(*) AS n, max(ts) AS max_ts FROM (
+      Some("""SELECT op, count(*) AS n, CAST(max(ts) AS BIGINT) AS max_ts FROM (
              |  SELECT 'r' AS op, 1000 AS ts FROM orders
              |  UNION ALL SELECT 'u', 2000 FROM orders WHERE o_orderkey % 3 = 0
              |  UNION ALL SELECT 'u', 3000 FROM orders WHERE o_orderkey % 6 = 0

@@ -28,7 +28,8 @@ object MultimodalQueries {
     Q("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.mediaTable(s, d)), everyK = 4),
-      Some("""SELECT doc_id AS media_id, unnest(range(0, 1 + strlen(text) % 24, 4)) AS frame_idx
+      Some("""SELECT doc_id AS media_id,
+             |CAST(unnest(range(0, 1 + strlen(text) % 24, 4)) AS INTEGER) AS frame_idx
              |FROM documents WHERE doc_id % 3 = 2""".stripMargin),
       "1→N frame-sampling stage (explode over sampled frame indices)"),
 

@@ -194,8 +194,8 @@ object Relational {
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
-             |row_number() OVER (PARTITION BY o_custkey
-             |  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |CAST(row_number() OVER (PARTITION BY o_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
              |FROM orders
              |QUALIFY rn <= 2""".stripMargin),
       "row_number top-N per key (A5 window form)"),
@@ -240,7 +240,8 @@ object Relational {
           .select(col("c_mktsegment"), col("c_custkey"), col("rnk"), col("drnk"))
       },
       Some("""SELECT c_mktsegment, c_custkey,
-             |rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+             |CAST(rank() OVER w AS INTEGER) AS rnk,
+             |CAST(dense_rank() OVER w AS INTEGER) AS drnk
              |FROM customer
              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
              |QUALIFY rnk <= 5""".stripMargin),
@@ -304,7 +305,7 @@ object Relational {
           concat_ws("-", col("n_name"), col("n_nationkey").cast("string")).as("tag"),
           substring(col("n_name"), 1, 3).as("prefix")),
       Some("""SELECT n_nationkey, upper(n_name) AS uname,
-             |length(n_name) AS name_len,
+             |CAST(length(n_name) AS INTEGER) AS name_len,
              |concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tag,
              |substring(n_name, 1, 3) AS prefix FROM nation""".stripMargin),
       "F2 concat/format (kafka_latency_dynamic_monitor.py:49 topic templating)"),
@@ -362,7 +363,8 @@ object Relational {
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n_orders"),
              round(sum(col("o_totalprice")), 1).as("monthly_total")),
-      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             |CAST(month(o_orderdate) AS INTEGER) AS m,
              |count(*) AS n_orders, round(sum(o_totalprice), 1) AS monthly_total
              |FROM orders GROUP BY 1, 2""".stripMargin),
       "F6 date/time parts (cron-cadence analog)"),
@@ -385,7 +387,7 @@ object Relational {
           size(col("words")).as("n_words"),
           element_at(col("words"), 1).as("first_word"),
           forall(col("words"), w => length(w) > 0).as("all_nonempty")),
-      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
              |string_split(text, ' ')[1] AS first_word,
              |len(list_filter(string_split(text, ' '), w -> length(w) > 0))
              |  = len(string_split(text, ' ')) AS all_nonempty

@@ -20,7 +20,7 @@ object TextQueries {
         punctRatio(col("text")).as("punct_ratio"),
         meanTokenLen(col("text")).as("mean_token_len")),
       Some("""SELECT doc_id,
-             |len(string_split(text, ' ')) AS n_words,
+             |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
              |len(list_filter(string_split(text, ' '),
              |    w -> w IN ('the','a','an','of','and','or','to','in','is','on')))
              |  / len(string_split(text, ' ')) AS stopword_ratio,
@@ -52,7 +52,7 @@ object TextQueries {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0)))
           .as("n_pretokens")),
       Some("""SELECT doc_id,
-             |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS n_pretokens
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INTEGER) AS n_pretokens
              |FROM documents""".stripMargin),
       "BPE-ish pre-tokenizer token count (regex run segmentation)"),
 

@@ -48,6 +48,14 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_fail += 1
             continue
+        # dtype audit (warning only — value hash is the gate, but a
+        # strict driver comparator may also hash types)
+        gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
+        etypes = {c.lower(): str(t) for c, t in zip(exp.columns, exp.types)}
+        tmis = {c: (gtypes[c], etypes[c]) for c in gtypes
+                if gtypes[c] != etypes[c]}
+        if tmis:
+            print(f"WARN {name}: dtype mismatch {tmis}")
         gh, gn = canon(grows, gcols)
         eh, en = canon(erows, ecols)
         if gn != en:

@@ -84,6 +84,48 @@ object TextQueries {
              |FROM st""".stripMargin),
       "document chunker: overlapping 32-token windows, stride 16 (1→N generator)"),
 
+    // Composite flagship: the full cleaning pipeline a training-data
+    // job runs — quality gate → exact dedup (keep lowest doc_id) →
+    // chunking — expressed as one declarative plan (filters push into
+    // the scan; dedup is one hash-agg; chunking is a generator).
+    Q("pipeline_clean_chunks",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val quality = docs.filter(
+          graft.functions.TextFunctions.qualityScore(col("text")) > 0.5)
+        val keep = quality
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val kept = quality.join(keep, Seq("doc_id"), "left_semi")
+        graft.functions.Chunker.chunk(kept, "doc_id", "text",
+          size = 64, stride = 32)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             |   + least((len(list_filter(string_split(text, ' '),
+             |        w -> w IN ('the','a','an','of','and','or','to','in','is','on')))
+             |      / len(string_split(text, ' '))) * 5.0, 1.0)
+             |   + greatest(0.0, 1.0 - (CAST(length(text) -
+             |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |      / length(text)) * 10.0)) / 3.0 > 0.5),
+             |keep AS (
+             |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+             |kept AS (
+             |  SELECT q.doc_id, string_split(q.text, ' ') AS w
+             |  FROM q SEMI JOIN keep ON q.doc_id = keep.doc_id),
+             |st AS (
+             |  SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 63, 1), 32)) AS start_token
+             |  FROM kept)
+             |SELECT doc_id,
+             |  CAST((start_token - 1) // 32 AS INTEGER) AS chunk_id,
+             |  CAST(least(64, len(w) - start_token + 1) AS INTEGER) AS n_tokens
+             |FROM st""".stripMargin),
+      "composite training-data pipeline: quality gate → exact dedup → chunk"),
+
     // Heuristic — not SQL-expressible; driver records rows-only check.
     Q("text_langid",
       (s, d) => load(s, d, "documents").select(

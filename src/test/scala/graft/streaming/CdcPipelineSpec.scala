@@ -10,11 +10,12 @@ import graft.SparkSpec
 /** End-to-end streaming replication: MemoryStream of Debezium-shaped
   * records driven through the full pipeline (parse → DLQ split → unwrap
   * → route → merge), mirror state checked after each processed batch. */
+// top-level so Encoders derive without an outer-instance scope
+case class Rec(topic: String, key: String, value: String,
+               partition: Int, offset: Long)
+
 class CdcPipelineSpec extends SparkSpec {
   import spark.implicits._
-
-  case class Rec(topic: String, key: String, value: String,
-                 partition: Int, offset: Long)
 
   private val rowSchema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType)))
@@ -79,6 +80,36 @@ class CdcPipelineSpec extends SparkSpec {
       assert(CdcPipeline.mirror(spark, cfg, "ventas")
         .collect().head.getString(1) == "new")
     } finally q.stop()
+  }
+
+  test("checkpoint resume: restarted pipeline continues without duplicating state") {
+    // file source (durable offsets in the checkpoint, like Kafka) — a
+    // fresh MemoryStream would restart its offsets and be filtered out
+    val cfg = freshCfg()
+    val srcDir = Files.createTempDirectory("graft-src").toString
+    import spark.implicits._
+    def fileStream = spark.readStream
+      .schema(Seq.empty[Rec].toDS().schema)
+      .parquet(srcDir)
+    Seq(rec("ventas", 1, "a", "r", 1000, 0),
+      rec("ventas", 2, "b", "r", 1000, 1)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q1 = CdcPipeline.start(fileStream, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(CdcPipeline.mirror(spark, cfg, "ventas").count() == 2)
+
+    // second incarnation: same checkpoint + mirror; only NEW files apply
+    Seq(rec("ventas", 1, "a2", "u", 2000, 2),
+      rec("ventas", 3, "c", "c", 2000, 3)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q2 = CdcPipeline.start(fileStream, cfg)
+    try {
+      q2.processAllAvailable()
+      val rows = CdcPipeline.mirror(spark, cfg, "ventas")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    } finally q2.stop()
   }
 
   test("monitoring listener observes batches; lag alert fires on big batch") {

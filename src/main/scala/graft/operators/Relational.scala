@@ -216,8 +216,13 @@ object Relational {
 
     Q("window_running_total",
       (s, d) => {
+        // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — the order must include the value columns to be total, or
+        // tied prefixes are engine-dependent (remaining full-duplicate
+        // rows are order-invariant for a running sum).
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         load(s, d, "lineitem")
           .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -225,7 +230,7 @@ object Relational {
       },
       Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
              |sum(l_quantity) OVER (PARTITION BY l_suppkey
-             |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
              |FROM lineitem""".stripMargin),
       "running total (integer-valued doubles: exact in any order)"),

@@ -38,7 +38,7 @@ object Materialize {
     val payload = unwrapped.columns.filterNot(keyCols.contains)
     unwrapped
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), ordering).as("_latest"))
+      .agg(max_by(struct(payload.toSeq.map(col): _*), ordering).as("_latest"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
   }
 

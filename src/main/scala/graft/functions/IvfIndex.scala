@@ -27,7 +27,7 @@ object IvfIndex {
     val scored = centroids.map { case (cid, c) =>
       struct(dot(vec, array(c.map(lit): _*)).as("score"), lit(cid).as("cid"))
     }
-    greatest(scored: _*).getField("cid")
+    greatest(scored.toSeq: _*).getField("cid")
   }
 
   /** Build with `iterations` Lloyd steps from deterministic seeds (the

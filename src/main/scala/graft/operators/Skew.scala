@@ -25,7 +25,7 @@ object Skew {
     // deterministic spread: hash the whole left row identity via a
     // stable column combo, NOT rand() (replays must be idempotent)
     val l = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(left.columns.toSeq.map(col): _*), lit(saltFactor)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")

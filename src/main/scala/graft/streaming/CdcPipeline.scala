@@ -42,13 +42,21 @@ object CdcPipeline {
       th
     }))
 
+  /** @param bucketCount when set, mirrors are written partitioned by
+    *   `_bucket = pmod(hash(keys), n)` — at 100 TB this is what makes a
+    *   key lookup a partition-pruned read instead of a full scan, and a
+    *   mirror-vs-batch merge a co-partitioned join. */
   final case class Config(
       rowSchema: StructType,
       keyCols: Seq[String],
       mirrorRoot: String,
       dlqDir: String,
       checkpointDir: String,
-      triggerMs: Long = 500L)
+      triggerMs: Long = 500L,
+      bucketCount: Option[Int] = None)
+
+  private def bucketCol(cfg: Config) =
+    pmod(hash(cfg.keyCols.map(col): _*), lit(cfg.bucketCount.getOrElse(1)))
 
   /** Start the pipeline on a streaming DataFrame of Kafka-shaped records
     * (topic, key, value, partition, offset) — from
@@ -107,11 +115,18 @@ object CdcPipeline {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(live)) Materialize.merge(
-        spark.read.parquet(live.toString), changes, cfg.keyCols)
+        spark.read.parquet(live.toString).drop("_bucket"), changes, cfg.keyCols)
       else Materialize.versionedState(changes, cfg.keyCols)
     val staging = new Path(s"${cfg.mirrorRoot}/$table/.staging")
     fs.delete(staging, true)
-    merged.write.mode("overwrite").parquet(staging.toString)
+    val writer = cfg.bucketCount match {
+      case Some(n) => merged
+        .withColumn("_bucket", bucketCol(cfg))
+        .repartition(n, col("_bucket"))
+        .write.partitionBy("_bucket")
+      case None => merged.write
+    }
+    writer.mode("overwrite").parquet(staging.toString)
     val old = new Path(s"${cfg.mirrorRoot}/$table/.old")
     fs.delete(old, true)
     if (fs.exists(live)) fs.rename(live, old)
@@ -123,6 +138,21 @@ object CdcPipeline {
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =
     Materialize.stripVersions(
       spark.read.parquet(s"${cfg.mirrorRoot}/$table/live"))
+      .drop("_bucket")
+
+  /** Point lookup by primary key: on a bucketed mirror the `_bucket`
+    * predicate prunes to one partition directory. */
+  def lookup(spark: SparkSession, cfg: Config, table: String,
+             keyValues: Seq[Any]): DataFrame = {
+    val base = spark.read.parquet(s"${cfg.mirrorRoot}/$table/live")
+    val keyed = cfg.keyCols.zip(keyValues).foldLeft(
+      cfg.bucketCount match {
+        case Some(n) => base.filter(col("_bucket") ===
+          pmod(hash(keyValues.map(lit): _*), lit(n)))
+        case None => base
+      })((df, kv) => df.filter(col(kv._1) === lit(kv._2)))
+    Materialize.stripVersions(keyed).drop("_bucket")
+  }
 
   /** Read the dead-letter table. */
   def deadLetters(spark: SparkSession, cfg: Config): DataFrame =

@@ -112,6 +112,32 @@ class CdcPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bucketed mirror: same state, partitioned layout, pruned lookup") {
+    val root = Files.createTempDirectory("graft-pipe-b").toString
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt", triggerMs = 10, bucketCount = Some(4))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Rec]
+    val q = CdcPipeline.start(ms.toDF(), cfg)
+    try {
+      ms.addData((1L to 20L).map(i => rec("ventas", i, s"v$i", "r", 1000, i)): _*)
+      q.processAllAvailable()
+      assert(CdcPipeline.mirror(spark, cfg, "ventas").count() == 20)
+      // physical layout: one dir per bucket
+      val dirs = new java.io.File(s"$root/mirror/ventas/live").listFiles()
+        .filter(_.getName.startsWith("_bucket=")).map(_.getName).sorted
+      assert(dirs.length > 1, s"expected bucket dirs, got ${dirs.mkString(",")}")
+      // point lookup returns exactly the row
+      val row = CdcPipeline.lookup(spark, cfg, "ventas", Seq(7L)).collect()
+      assert(row.length == 1 && row.head.getString(1) == "v7")
+      // and its plan prunes partitions via the _bucket predicate
+      val plan = CdcPipeline.lookup(spark, cfg, "ventas", Seq(7L))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(_bucket"),
+        s"no partition pruning in plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("monitoring listener observes batches; lag alert fires on big batch") {
     val cfg = freshCfg()
     val mon = Monitoring.attach(spark)

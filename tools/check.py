@@ -48,7 +48,7 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_fail += 1
             continue
-        # dtype audit (warning only — value hash is the gate, but a
+        # dtype audit (warning only - value hash is the gate, but a
         # strict driver comparator may also hash types)
         gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
         etypes = {c.lower(): str(t) for c, t in zip(exp.columns, exp.types)}

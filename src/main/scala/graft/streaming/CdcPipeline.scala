@@ -10,8 +10,9 @@ import graft.cdc.{Envelope, Materialize}
 
 /** The CDC replication pipeline as a Structured Streaming job — the
   * Spark-native equivalent of the reference's Kafka Connect sink chain
-  * (EP1): envelope stream → parse → DLQ split → unwrap → route →
-  * per-table upsert-merge into current-state mirrors.
+  * (EP1): envelope stream → route → per-table parse (each table has its
+  * own registered schema) → DLQ split → unwrap → upsert-merge into
+  * current-state mirrors.
   *
   * Semantics carried over from the reference:
   *   - at-least-once delivery + idempotent keyed merge = effectively-once
@@ -19,10 +20,12 @@ import graft.cdc.{Envelope, Materialize}
   *     mechanism; our checkpoint replaces Connect's offset topics);
   *   - micro-batch trigger ≈ `linger.ms: 500`
   *     (register-postgres-sink.json:7);
-  *   - poison records never stall the stream: they land in the DLQ table
+  *   - poison records never stall the stream: malformed envelopes AND
+  *     records on unroutable topics land in the DLQ table
   *     (errors.tolerance=all + DLQ topic, register-postgres-sink.json:18-21);
   *   - additive schema evolution on the mirrors (auto.evolve=true,
-  *     register-postgres-sink.json:14).
+  *     register-postgres-sink.json:14): update the TableSpec registry and
+  *     the merge backfills nulls.
   *
   * Scale design: the per-batch merge is one hash aggregation keyed by PK
   * per table; shuffle volume is bounded by batch size + mirror size. At
@@ -33,8 +36,8 @@ import graft.cdc.{Envelope, Materialize}
   */
 object CdcPipeline {
 
-  // bounded pool for concurrent per-table merge jobs (scheduler-level
-  // parallelism; the work itself runs on executors either way)
+  // bounded pool for concurrent per-table parse+merge jobs
+  // (scheduler-level parallelism; the work itself runs on executors)
   private lazy val mergeEc = scala.concurrent.ExecutionContext.fromExecutor(
     java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val th = new Thread(r, "graft-merge")
@@ -42,7 +45,14 @@ object CdcPipeline {
       th
     }))
 
-  /** @param bucketCount when set, mirrors are written partitioned by
+  /** Per-table registration: envelope row schema + primary key — the
+    * engine analog of the reference's per-table sink declarations. */
+  final case class TableSpec(rowSchema: StructType, keyCols: Seq[String])
+
+  /** @param rowSchema   default row schema (tables without an override)
+    * @param keyCols     default primary-key columns
+    * @param tableSpecs  per-table overrides (schema registry)
+    * @param bucketCount when set, mirrors are written partitioned by
     *   `_bucket = pmod(hash(keys), n)` — at 100 TB this is what makes a
     *   key lookup a partition-pruned read instead of a full scan, and a
     *   mirror-vs-batch merge a co-partitioned join. */
@@ -53,10 +63,14 @@ object CdcPipeline {
       dlqDir: String,
       checkpointDir: String,
       triggerMs: Long = 500L,
-      bucketCount: Option[Int] = None)
+      bucketCount: Option[Int] = None,
+      tableSpecs: Map[String, TableSpec] = Map.empty) {
+    def specFor(table: String): TableSpec =
+      tableSpecs.getOrElse(table, TableSpec(rowSchema, keyCols))
+  }
 
-  private def bucketCol(cfg: Config) =
-    pmod(hash(cfg.keyCols.map(col): _*), lit(cfg.bucketCount.getOrElse(1)))
+  private def bucketCol(spec: TableSpec, n: Int) =
+    pmod(hash(spec.keyCols.map(col): _*), lit(n))
 
   /** Start the pipeline on a streaming DataFrame of Kafka-shaped records
     * (topic, key, value, partition, offset) — from
@@ -72,56 +86,67 @@ object CdcPipeline {
       }
       .start()
 
-  /** One micro-batch: DLQ split + per-table merge. Runs on the driver
-    * but every DataFrame op inside is distributed; the only driver-side
-    * data is the list of table names present in the batch (≤ #tables). */
+  /** One micro-batch: route → per-table parse/merge (concurrent) → one
+    * consolidated DLQ append. Runs on the driver but every DataFrame op
+    * is distributed; the only driver-side data is the list of table
+    * names present in the batch (≤ #tables). */
   def processBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val spark = batch.sparkSession
-    val parsed = Envelope.parse(batch, cfg.rowSchema).persist()
+    val routed = batch
+      .withColumn("table_name", Envelope.route(col("topic")))
+      .persist()
     try {
-      // DLQ path first: append-only raw strings (register-dlq-sink.json:16-17)
-      val dlq = Envelope.dlq(parsed)
-      dlq.write.mode("append").parquet(cfg.dlqDir)
+      val tables = routed.filter(col("table_name") =!= "")
+        .select("table_name").distinct()
+        .collect().map(_.getString(0))
 
-      val unwrapped = Envelope.unwrap(Envelope.wellFormed(parsed), cfg.keyCols)
-        .withColumn("table_name", Envelope.route(col("topic")))
-        .persist()
+      val parsedByTable = tables.toSeq.map { t =>
+        val sub = routed.filter(col("table_name") === t).drop("table_name")
+        t -> Envelope.parse(sub, cfg.specFor(t).rowSchema).persist()
+      }
       try {
-        // Driver-side loop over *table names only* — the reference routes
-        // per-topic the same way (RegexRouter → per-table sink tables).
         // Merges are submitted concurrently: each is an independent Spark
-        // job, so small per-table batches don't serialize on the driver.
-        val tables = unwrapped.select("table_name").distinct()
-          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        // job, so many small per-table batches don't serialize on the
+        // driver (the reference is single-threaded here, tasks.max=1).
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = mergeEc
-        val jobs = tables.toSeq.map { t =>
+        val jobs = parsedByTable.map { case (t, parsed) =>
           Future {
-            val changes = unwrapped.filter(col("table_name") === t).drop("table_name")
-            mergeIntoMirror(spark, changes, t, cfg)
+            val spec = cfg.specFor(t)
+            val unwrapped = Envelope.unwrap(Envelope.wellFormed(parsed), spec.keyCols)
+            mergeIntoMirror(spark, unwrapped, t, cfg)
           }
         }
         jobs.foreach(Await.result(_, Duration.Inf))
-      } finally unwrapped.unpersist()
-    } finally parsed.unpersist()
+
+        // consolidated DLQ append: malformed envelopes from every table
+        // + records whose topic routes nowhere (register-dlq-sink.json:16-17)
+        val unroutable = routed.filter(col("table_name") === "")
+          .select(col("value").cast("string").as("payload_json"))
+        val dlqAll = parsedByTable.map { case (_, p) => Envelope.dlq(p) }
+          .foldLeft(unroutable)(_ unionByName _)
+        dlqAll.write.mode("append").parquet(cfg.dlqDir)
+      } finally parsedByTable.foreach(_._2.unpersist())
+    } finally routed.unpersist()
   }
 
   /** Keyed merge of one table's changes into its parquet mirror with an
     * atomic staging-dir swap (a stand-in for a transactional sink). */
   def mergeIntoMirror(spark: SparkSession, changes: DataFrame, table: String,
                       cfg: Config): Unit = {
+    val spec = cfg.specFor(table)
     val live = new Path(s"${cfg.mirrorRoot}/$table/live")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(live)) Materialize.merge(
-        spark.read.parquet(live.toString).drop("_bucket"), changes, cfg.keyCols)
-      else Materialize.versionedState(changes, cfg.keyCols)
+        spark.read.parquet(live.toString).drop("_bucket"), changes, spec.keyCols)
+      else Materialize.versionedState(changes, spec.keyCols)
     val staging = new Path(s"${cfg.mirrorRoot}/$table/.staging")
     fs.delete(staging, true)
     val writer = cfg.bucketCount match {
       case Some(n) => merged
-        .withColumn("_bucket", bucketCol(cfg))
+        .withColumn("_bucket", bucketCol(spec, n))
         .repartition(n, col("_bucket"))
         .write.partitionBy("_bucket")
       case None => merged.write
@@ -144,8 +169,9 @@ object CdcPipeline {
     * predicate prunes to one partition directory. */
   def lookup(spark: SparkSession, cfg: Config, table: String,
              keyValues: Seq[Any]): DataFrame = {
+    val spec = cfg.specFor(table)
     val base = spark.read.parquet(s"${cfg.mirrorRoot}/$table/live")
-    val keyed = cfg.keyCols.zip(keyValues).foldLeft(
+    val keyed = spec.keyCols.zip(keyValues).foldLeft(
       cfg.bucketCount match {
         case Some(n) => base.filter(col("_bucket") ===
           pmod(hash(keyValues.map(lit): _*), lit(n)))

@@ -112,6 +112,37 @@ class CdcPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("per-table schema registry: heterogeneous tables in one stream; unroutable to DLQ") {
+    val root = Files.createTempDirectory("graft-pipe-m").toString
+    val productSchema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType),
+      StructField("sku", StringType)))
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt", triggerMs = 10,
+      tableSpecs = Map("productos" -> CdcPipeline.TableSpec(productSchema, Seq("id"))))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Rec]
+    val q = CdcPipeline.start(ms.toDF(), cfg)
+    try {
+      ms.addData(
+        rec("ventas", 1, "a", "r", 1000, 0),
+        Rec(s"mysql-server.pos_bi_db.productos", """{"payload":{"id":9}}""",
+          """{"payload":{"after":{"id":9,"price":19.5,"sku":"X1"},"op":"r","ts_ms":1000}}""",
+          0, 1),
+        Rec("some.other.topic", "k", """{"payload":{}}""", 0, 2))
+      q.processAllAvailable()
+      val ventas = CdcPipeline.mirror(spark, cfg, "ventas").collect()
+      assert(ventas.map(_.getString(1)).toSeq == Seq("a"))
+      val productos = CdcPipeline.mirror(spark, cfg, "productos")
+        .orderBy("id").collect()
+      assert(productos.head.getDouble(1) == 19.5 &&
+        productos.head.getString(2) == "X1")
+      // the unroutable topic's record went to the DLQ
+      assert(CdcPipeline.deadLetters(spark, cfg)
+        .as[String].collect().toSeq == Seq("""{"payload":{}}"""))
+    } finally q.stop()
+  }
+
   test("bucketed mirror: same state, partitioned layout, pruned lookup") {
     val root = Files.createTempDirectory("graft-pipe-b").toString
     val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",

@@ -46,8 +46,17 @@ object Envelope {
       from_json(col("value").cast("string"), envelopeSchema(rowSchema)))
 
   /** A record is well-formed iff it parsed AND carries an op code.
-    * Tombstones (null value) are NOT dead letters — they are deletes
-    * (reference: register-postgres-sink.json:24 drop.tombstones=false). */
+    * Tombstones (null value) are NOT dead letters.
+    *
+    * Tombstone semantics: the reference strips delete events with the
+    * unwrap SMT and lets the TOMBSTONE carry the delete into its sink
+    * (register-postgres-sink.json:22-24, drop.tombstones=false). This
+    * engine ingests the envelope stream directly, so the op='d' event
+    * itself is the authoritative delete; a tombstone is a redundant
+    * Kafka-compaction marker. It unwraps to op='d' at version (ts=0,
+    * offset), which any real event outranks — i.e. it deletes a key
+    * only when it is the key's sole record, and never suppresses a
+    * reinsert (verified in CdcPipelineSpec). */
   def isWellFormed: Column =
     col("value").isNull || col("env.payload.op").isNotNull
 

@@ -112,6 +112,29 @@ class CdcPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("tombstones are compaction markers: delete rides the op='d' event") {
+    val cfg = freshCfg()
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Rec]
+    val q = CdcPipeline.start(ms.toDF(), cfg)
+    try {
+      ms.addData(
+        rec("ventas", 1, "a", "r", 1000, 0),
+        // Kafka tombstone for key 1 (value=null): redundant marker — the
+        // row must survive because no op='d' event was emitted
+        Rec(s"mysql-server.pos_bi_db.ventas", """{"payload":{"id":1}}""",
+          null, 0, 1),
+        // tombstone as the SOLE record of key 2: acts as a delete,
+        // leaving no live row
+        Rec(s"mysql-server.pos_bi_db.ventas", """{"payload":{"id":2}}""",
+          null, 0, 2))
+      q.processAllAvailable()
+      val rows = CdcPipeline.mirror(spark, cfg, "ventas")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a")))
+    } finally q.stop()
+  }
+
   test("per-table schema registry: heterogeneous tables in one stream; unroutable to DLQ") {
     val root = Files.createTempDirectory("graft-pipe-m").toString
     val productSchema = StructType(Seq(

@@ -12,12 +12,18 @@ import graft.cdc.{Envelope, Fixture, Materialize}
   */
 object CdcQueries {
 
+  // Shared unwrapped change stream, persisted per (session, sf-dir):
+  // five catalog queries replay it, and the parse is the expensive part.
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   /** Shared Spark pipeline: raw records → unwrapped typed changes. */
   private def unwrapped(s: org.apache.spark.sql.SparkSession, d: String) =
-    Envelope.unwrap(
-      Envelope.wellFormed(
-        Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)),
-      keyCols = Seq("id"))
+    cache.getOrElseUpdate((s, d),
+      Envelope.unwrap(
+        Envelope.wellFormed(
+          Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)),
+        keyCols = Seq("id")).persist())
 
   /** DuckDB-side derivation of the fixture's expected final state. */
   private val oracleFinalState =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{VecCosine, VecDot}
 
 /** SQL-surface registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -30,7 +30,10 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    ("vec_cosine",
+      info("vec_cosine", "vec_cosine(a, b) - single-pass cosine similarity"),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -24,7 +24,13 @@ object SimilarityFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass fused cosine (VecCosine codegen expression); bitwise
+    * equal to `dot(a,b)/(norm(a)*norm(b))` by construction. */
+  def cosine(a: Column, b: Column): Column = VecExpressions.vec_cosine(a, b)
+
+  /** Unfused reference formulation (kept for equivalence testing). */
+  def cosineUnfused(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one query vector.
     * Plan shape: broadcast the query vector (it rides inside the closure

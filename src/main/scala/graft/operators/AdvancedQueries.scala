@@ -99,6 +99,34 @@ object AdvancedQueries {
              |FROM events GROUP BY event_type""".stripMargin),
       "stddev/variance/covariance/correlation/median"),
 
+    // ---- linear regression + bitwise aggregates ------------------------
+    Q("agg_regression",
+      (s, d) => load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n")),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "regr_slope/intercept/r2/count — in-engine linear fits"),
+
+    Q("agg_bitwise",
+      (s, d) => load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("user_id")).as("bxor")),
+      Some("""SELECT event_type, bit_and(user_id) AS band,
+             |  bit_or(user_id) AS bor, bit_xor(user_id) AS bxor
+             |FROM events GROUP BY event_type""".stripMargin),
+      "bitwise aggregates (exact, order-independent)"),
+
     // ---- approximate distinct (HLL) — engine-specific sketch, no oracle
     Q("agg_approx_distinct",
       (s, d) => load(s, d, "lineitem")

@@ -35,6 +35,19 @@ class VecExpressionsSpec extends SparkSpec {
     assert(dd == 11.0)
   }
 
+  test("vec_cosine == unfused dot/(norm*norm) bitwise on testdata") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" === 2).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val qc = array(q.map(lit): _*)
+    val mismatches = emb.select(
+        SimilarityFunctions.cosine($"embedding", qc).as("fused"),
+        SimilarityFunctions.cosineUnfused($"embedding", qc).as("unfused"))
+      .filter($"fused" =!= $"unfused")
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val plan = emb.select(

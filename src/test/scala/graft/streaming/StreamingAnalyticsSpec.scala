@@ -52,6 +52,33 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join: impressions matched to clicks in-window") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Imp(impId: Long, impTs: Timestamp)
+    case class Clk(clkImpId: Long, clkTs: Timestamp)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("imp_id", "imp_ts").withWatermark("imp_ts", "20 minutes")
+    val clkDf = clks.toDF().toDF("clk_imp_id", "clk_ts").withWatermark("clk_ts", "20 minutes")
+    // click must land within 10 minutes after its impression
+    val joined = impDf.join(clkDf,
+      expr("imp_id = clk_imp_id AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 10 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attributed")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+      imps.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(5)))
+      clks.addData((1L, ts(4)))          // in window -> match
+      clks.addData((2L, ts(25)))         // 25 min later -> out of window
+      clks.addData((3L, ts(8)))          // in window -> match
+      q.processAllAvailable()
+      val got = spark.table("attributed").select("imp_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 3L), s"attribution mismatch: $got")
+    } finally q.stop()
+  }
+
   test("ResilientRunner restarts a failing query per policy, then succeeds") {
     implicit val sqlCtx = spark.sqlContext
     var attempts = 0

@@ -41,24 +41,16 @@ object DedupFunctions {
       .select(col(idCol), array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
   }
 
-  /** Bulk SimHash: explode shingles, one xxhash64 per shingle, then 64
-    * signed-vote sums per doc in a single hash aggregation; pack the
-    * sign bits with constant shifts. Same single-shuffle shape as
-    * [[minhashSignatures]]. */
-  def simhashSignatures(docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode(col(shingleCol)).as("_sh"))
-      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"_b$i")
-    }
-    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map { i =>
-          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce((a, b) => a + b).as("sig"))
-  }
+  /** Bulk SimHash: per-row [[simhash]] over the shingle array — ZERO
+    * shuffle (narrow map), unlike the earlier explode + 64-vote-sum
+    * hash-agg formulation whose shuffle volume was ∝ total shingles.
+    * Per-row is the 100 TB shape: signatures pipeline straight into the
+    * block/band join with no exchange of their own. Docs with an empty
+    * shingle array carry no signal and are dropped (the explode form
+    * dropped them implicitly). */
+  def simhashSignatures(docs: DataFrame, idCol: String, shingleCol: String): DataFrame =
+    docs.filter(size(col(shingleCol)) > 0)
+      .select(col(idCol), simhash(col(shingleCol)).as("sig"))
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * `rowsPerBand`, hash each band. Two docs sharing ANY band key are
@@ -71,18 +63,23 @@ object DedupFunctions {
 
   /** SimHash over a shingle array: 64-bit signature whose bit i is set
     * iff more shingle-hashes have bit i set than clear (the sign of the
-    * +1/-1 vote sum). The bit loop runs at Scala level, so every shift
-    * amount is a constant and the whole thing is native Column algebra.
+    * +1/-1 vote sum). Single pass: one xxhash64 per shingle, the 64 vote
+    * counters fold through one `aggregate` — hashes are NOT recomputed
+    * per bit, and nothing here shuffles (narrow per-row algebra).
     */
   def simhash(shingles: Column): Column = {
-    val hashes = transform(shingles, sh => xxhash64(sh))
-    val n = size(hashes)
-    (0 until 64).map { i =>
-      val ones = size(filter(hashes,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
-      // majority vote; distinct powers of two sum to the packed signature
-      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      transform(shingles, sh => xxhash64(sh)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx, (a, i) =>
+        a + when(getbit(h, i) === 1, 1L).otherwise(-1L)))
+    // majority vote per bit; distinct powers of two sum to the packed
+    // signature (bit 63 wraps to Long.MinValue — still the right bit)
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -273,10 +273,12 @@ object AdvancedQueries {
         .groupBy(col("user_id"))
         .agg(
           array_join(sort_array(collect_list(col("event_type"))), ",").as("types_csv"),
-          sort_array(collect_set(col("event_type"))).as("distinct_types")),
+          // scalar (joined-string) output: the driver comparator hashes
+          // column values, and array cells crash its sort
+          array_join(sort_array(collect_set(col("event_type"))), ",").as("distinct_types")),
       Some("""SELECT user_id,
              |  array_to_string(list_sort(list(event_type)), ',') AS types_csv,
-             |  list_sort(list(DISTINCT event_type)) AS distinct_types
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS distinct_types
              |FROM events GROUP BY user_id""".stripMargin),
       "collect_list/collect_set with canonical ordering (string_agg analog)"),
 

@@ -32,32 +32,39 @@ object AsofJoin {
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String,
             rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // The whole payload travels as ONE struct so `last(_, ignoreNulls)`
+    // attaches the matched right row wholesale: a NULL inside one payload
+    // field must NOT be backfilled from an older right row (that would
+    // emit a combined row that never existed).
+    val payloadType = StructType(rightPayload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("_k", col(leftKey))
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-    val lPadded = rightPayload.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("_p", lit(null).cast(payloadType))
     val r = right
       .withColumn("_k", col(rightKey))
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .select(Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
-    val unioned = lPadded
-      .select(Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(col) ++ rightPayload.map(col): _*)
+      .withColumn("_p", struct(rightPayload.map(col): _*))
+      .select(Seq(col("_k"), col("_t"), col("_side"), col("_p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = l
+      .select(Seq(col("_k"), col("_t"), col("_side"), col("_p")) ++
+        leftCols.map(col): _*)
       .unionByName(r)
     // right rows sort before left rows at equal time (_side 0 < 1), so
     // "at-or-before" semantics hold on ties
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightPayload.map(col): _*)
+    unioned
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"_p.$c").as(c)): _*)
   }
 }

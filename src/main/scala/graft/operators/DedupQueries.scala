@@ -62,7 +62,7 @@ object DedupQueries {
           .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
         "doc_id", "sh").withColumnRenamed("sig", "signature"),
       None,
-      "64-bit SimHash signatures via explode + 64-vote hash-agg"),
+      "64-bit SimHash signatures, per-row single-pass fold (no shuffle)"),
 
     Q("dedup_simhash_near_pairs",
       (s, d) => {

@@ -17,11 +17,18 @@ object Skew {
 
   /** Equi-join `left ⋈ right` on `key` with the left side's hot keys
     * spread over `saltFactor` salts and the right side replicated
-    * `saltFactor`×. Exact same result as the plain join, but the
-    * per-key shuffle partition load drops by saltFactor.
+    * `saltFactor`×. Exact same result as the plain join for inner and
+    * left-side join types; right/full outer are rejected — an unmatched
+    * right row exists once per salt replica, so those types would emit
+    * it saltFactor times.
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(normalized),
+      s"saltedEquiJoin supports inner/left_outer/left_semi/left_anti, not $joinType: " +
+        "right-side-preserving types would duplicate unmatched right rows per salt")
     // deterministic spread: hash the whole left row identity via a
     // stable column combo, NOT rand() (replays must be idempotent)
     val l = left.withColumn("_salt",

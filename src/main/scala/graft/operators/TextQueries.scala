@@ -126,11 +126,22 @@ object TextQueries {
              |FROM st""".stripMargin),
       "composite training-data pipeline: quality gate → exact dedup → chunk"),
 
-    // Heuristic — not SQL-expressible; driver records rows-only check.
+    // The marker-count argmax IS SQL-expressible (list_filter + struct
+    // sort), so the heuristic is fully oracle-checked: same scores, same
+    // (score, lang) tie-break.
     Q("text_langid",
       (s, d) => load(s, d, "documents").select(
         col("doc_id"), col("lang").as("lang_true"),
         langId(col("text")).as("lang_pred")),
-      None,
-      "n-gram-marker language ID heuristic (rows-only check)"))
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+             |SELECT doc_id, lang AS lang_true,
+             |  (list_sort([
+             |    {'score': len(list_filter(ws, w -> list_contains(['the','and','of','with'], w))), 'lang': 'en'},
+             |    {'score': len(list_filter(ws, w -> list_contains(['el','la','los','de','con'], w))), 'lang': 'es'},
+             |    {'score': len(list_filter(ws, w -> list_contains(['der','die','das','und','mit'], w))), 'lang': 'de'},
+             |    {'score': len(list_filter(ws, w -> list_contains(['le','les','des','et','avec'], w))), 'lang': 'fr'},
+             |    {'score': len(list_filter(ws, w -> list_contains(['de5','shi4','zai4'], w))), 'lang': 'zh'}
+             |  ])[-1]).lang AS lang_pred
+             |FROM t""".stripMargin),
+      "n-gram-marker language ID heuristic, argmax oracle-checked"))
 }

@@ -138,6 +138,7 @@ object CdcPipeline {
     val spec = cfg.specFor(table)
     val live = new Path(s"${cfg.mirrorRoot}/$table/live")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMirror(fs, s"${cfg.mirrorRoot}/$table")
     val merged =
       if (fs.exists(live)) Materialize.merge(
         spark.read.parquet(live.toString).drop("_bucket"), changes, spec.keyCols)
@@ -159,6 +160,29 @@ object CdcPipeline {
     fs.delete(old, true)
   }
 
+  /** Crash recovery for the two-rename swap: if a previous merge died
+    * between rename(live,.old) and rename(.staging,live) there is no
+    * live dir — without recovery the next merge would rebuild the mirror
+    * from one batch and silently drop all prior state (the checkpoint
+    * prevents replaying earlier batches). A completely-written staging
+    * dir (Spark's _SUCCESS marker) is the newest state → finish the
+    * swap; otherwise .old is the last consistent state → roll back.
+    * A crash mid-write leaves live intact, so nothing to do then. */
+  private[streaming] def recoverMirror(
+      fs: org.apache.hadoop.fs.FileSystem, tableRoot: String): Unit = {
+    val live = new Path(s"$tableRoot/live")
+    if (!fs.exists(live)) {
+      val staging = new Path(s"$tableRoot/.staging")
+      val old = new Path(s"$tableRoot/.old")
+      if (fs.exists(new Path(staging, "_SUCCESS"))) {
+        fs.rename(staging, live)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.rename(old, live)
+      }
+    }
+  }
+
   /** Read a table's current (live, unversioned) mirror state. */
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =
     Materialize.stripVersions(
@@ -171,12 +195,19 @@ object CdcPipeline {
              keyValues: Seq[Any]): DataFrame = {
     val spec = cfg.specFor(table)
     val base = spark.read.parquet(s"${cfg.mirrorRoot}/$table/live")
-    val keyed = spec.keyCols.zip(keyValues).foldLeft(
+    // Cast each probe literal to the REGISTERED key type before hashing:
+    // murmur3 hashes an Int and a Long differently, so an uncast literal
+    // of the wrong width would compute a bucket the row isn't in and the
+    // lookup would silently return empty.
+    val typedKeys = spec.keyCols.zip(keyValues).map { case (k, v) =>
+      lit(v).cast(spec.rowSchema(k).dataType)
+    }
+    val keyed = spec.keyCols.zip(typedKeys).foldLeft(
       cfg.bucketCount match {
         case Some(n) => base.filter(col("_bucket") ===
-          pmod(hash(keyValues.map(lit): _*), lit(n)))
+          pmod(hash(typedKeys: _*), lit(n)))
         case None => base
-      })((df, kv) => df.filter(col(kv._1) === lit(kv._2)))
+      })((df, kv) => df.filter(col(kv._1) === kv._2))
     Materialize.stripVersions(keyed).drop("_bucket")
   }
 

@@ -30,4 +30,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(m(4L).isEmpty) // B's only quote is at 60 > 50
     assert(m(5L).isEmpty) // C has no quotes at all
   }
+
+  test("payload columns come from the SAME matched right row, nulls included") {
+    // Newest quote at t<=15 is (qt=10) whose venue is NULL: the output
+    // must carry (px=2.0, venue=null) — NOT venue backfilled from the
+    // older qt=8 row (a combined row that never existed).
+    val q = Seq(("A", 8L, Some(1.0), Some("X")), ("A", 10L, Some(2.0), None))
+      .toDF("sym", "qt", "px", "venue")
+    val t = Seq((1L, "A", 15L)).toDF("trade_id", "sym", "t")
+    val out = AsofJoin(t, q, "sym", "sym", "t", "qt", Seq("px", "venue"))
+      .select($"trade_id", $"px", $"venue")
+      .as[(Long, Option[Double], Option[String])].collect()
+    assert(out.toSeq == Seq((1L, Some(2.0), None)))
+  }
 }

@@ -21,6 +21,21 @@ class SkewSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) == 900)
   }
 
+  test("salted join rejects right-preserving join types (salt-duplication)") {
+    val left = Seq((1L, "a")).toDF("k", "payload")
+    val right = Seq((2L, "b")).toDF("k", "dim")
+    // an unmatched right row would be emitted once per salt replica
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(left, right, "k", saltFactor = 4, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(left, right, "k", saltFactor = 4, joinType = "right")
+    }
+    // left-preserving types stay supported
+    val lo = Skew.saltedEquiJoin(left, right, "k", saltFactor = 4, joinType = "left_outer")
+    assert(lo.count() == 1)
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val df = ((1 to 500).map(_ => ("hot", 2.0)) ++
       (1 to 50).map(i => (s"k$i", i.toDouble))).toDF("k", "v")

@@ -215,12 +215,50 @@ class CdcPipelineSpec extends SparkSpec {
       // point lookup returns exactly the row
       val row = CdcPipeline.lookup(spark, cfg, "ventas", Seq(7L)).collect()
       assert(row.length == 1 && row.head.getString(1) == "v7")
+      // a mistyped probe literal (Int for the LongType key) must still
+      // hash into the right bucket — murmur3(Int) != murmur3(Long)
+      val rowInt = CdcPipeline.lookup(spark, cfg, "ventas", Seq(7)).collect()
+      assert(rowInt.length == 1 && rowInt.head.getString(1) == "v7")
       // and its plan prunes partitions via the _bucket predicate
       val plan = CdcPipeline.lookup(spark, cfg, "ventas", Seq(7L))
         .queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters: [isnotnull(_bucket"),
         s"no partition pruning in plan:\n$plan")
     } finally q.stop()
+  }
+
+  test("mirror swap crash recovery: no prior state is lost") {
+    // A crash between rename(live, .old) and rename(.staging, live)
+    // leaves no live dir; without recovery the next merge would rebuild
+    // the mirror from its own batch alone and delete .old — silently
+    // dropping all earlier keys (the checkpoint blocks replay).
+    val cfg = freshCfg()
+    val fs = new org.apache.hadoop.fs.Path(cfg.mirrorRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"${cfg.mirrorRoot}/ventas/$s")
+
+    val batch1 = Seq(rec("ventas", 1, "a", "r", 1000, 0),
+      rec("ventas", 2, "b", "r", 1000, 1)).toDS().toDF()
+    CdcPipeline.processBatch(batch1, 0L, cfg)
+    assert(CdcPipeline.mirror(spark, cfg, "ventas").count() == 2)
+
+    // crash window A: live renamed away, old holds the consistent state
+    fs.rename(p("live"), p(".old"))
+    val batch2 = Seq(rec("ventas", 3, "c", "c", 2000, 2)).toDS().toDF()
+    CdcPipeline.processBatch(batch2, 1L, cfg)
+    val rows = CdcPipeline.mirror(spark, cfg, "ventas").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"recovery lost state: $rows")
+
+    // crash window B: swap died after the staging write completed
+    // (_SUCCESS present) but before rename — staging is the NEWEST state
+    // and must win over .old
+    fs.rename(p("live"), p(".staging"))
+    fs.mkdirs(p(".old"))
+    CdcPipeline.recoverMirror(fs, s"${cfg.mirrorRoot}/ventas")
+    assert(fs.exists(p("live")) && !fs.exists(p(".old")))
+    assert(CdcPipeline.mirror(spark, cfg, "ventas").count() == 3)
   }
 
   test("monitoring listener observes batches; lag alert fires on big batch") {

@@ -86,10 +86,16 @@ object CdcPipeline {
       }
       .start()
 
-  /** One micro-batch: route → per-table parse/merge (concurrent) → one
+  /** One micro-batch: route → parse (ONE pass per distinct registered
+    * schema, not per table) → per-table merge (concurrent) → one
     * consolidated DLQ append. Runs on the driver but every DataFrame op
     * is distributed; the only driver-side data is the list of table
-    * names present in the batch (≤ #tables). */
+    * names present in the batch (≤ #tables).
+    *
+    * Tables sharing a row schema share one from_json pass and ONE cached
+    * frame: with N same-schema tables the old per-table formulation
+    * scanned the routed cache N times and pinned N subsets; this parses
+    * every record exactly once regardless of fan-out. */
   def processBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val spark = batch.sparkSession
     val routed = batch
@@ -100,9 +106,10 @@ object CdcPipeline {
         .select("table_name").distinct()
         .collect().map(_.getString(0))
 
-      val parsedByTable = tables.toSeq.map { t =>
-        val sub = routed.filter(col("table_name") === t).drop("table_name")
-        t -> Envelope.parse(sub, cfg.specFor(t).rowSchema).persist()
+      val bySchema = tables.toSeq.groupBy(t => cfg.specFor(t).rowSchema)
+      val parsedBySchema = bySchema.map { case (schema, ts) =>
+        val sub = routed.filter(col("table_name").isin(ts: _*))
+        schema -> Envelope.parse(sub, schema).persist()
       }
       try {
         // Merges are submitted concurrently: each is an independent Spark
@@ -111,11 +118,15 @@ object CdcPipeline {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = mergeEc
-        val jobs = parsedByTable.map { case (t, parsed) =>
-          Future {
-            val spec = cfg.specFor(t)
-            val unwrapped = Envelope.unwrap(Envelope.wellFormed(parsed), spec.keyCols)
-            mergeIntoMirror(spark, unwrapped, t, cfg)
+        val jobs = bySchema.toSeq.flatMap { case (schema, ts) =>
+          val parsed = parsedBySchema(schema)
+          ts.map { t =>
+            Future {
+              val spec = cfg.specFor(t)
+              val sub = parsed.filter(col("table_name") === t).drop("table_name")
+              val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
+              mergeIntoMirror(spark, unwrapped, t, cfg)
+            }
           }
         }
         jobs.foreach(Await.result(_, Duration.Inf))
@@ -124,10 +135,10 @@ object CdcPipeline {
         // + records whose topic routes nowhere (register-dlq-sink.json:16-17)
         val unroutable = routed.filter(col("table_name") === "")
           .select(col("value").cast("string").as("payload_json"))
-        val dlqAll = parsedByTable.map { case (_, p) => Envelope.dlq(p) }
+        val dlqAll = parsedBySchema.values.map(Envelope.dlq)
           .foldLeft(unroutable)(_ unionByName _)
         dlqAll.write.mode("append").parquet(cfg.dlqDir)
-      } finally parsedByTable.foreach(_._2.unpersist())
+      } finally parsedBySchema.values.foreach(_.unpersist())
     } finally routed.unpersist()
   }
 

@@ -85,6 +85,24 @@ object DedupFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Block keys for SimHash candidate generation: the 64-bit signature
+    * split into `nBlocks` equal bit-blocks, each a (block, bits) key.
+    * By pigeonhole, two signatures within hamming distance `nBlocks - 1`
+    * agree on at least one full block — so joining on ANY shared block
+    * key GUARANTEES recall for hamming <= nBlocks-1 (and finds most
+    * looser pairs too), unlike a single fixed top-k-bit block which can
+    * miss a pair whose differing bits happen to fall there. Join cost
+    * scales linearly in nBlocks, never quadratically in rows. */
+  def simhashBlockKeys(sig: Column, nBlocks: Int = 4): Column = {
+    require(64 % nBlocks == 0, s"nBlocks must divide 64, got $nBlocks")
+    val width = 64 / nBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    array((0 until nBlocks).map { i =>
+      struct(lit(i).as("block"),
+        shiftrightunsigned(sig, i * width).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
   /** Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

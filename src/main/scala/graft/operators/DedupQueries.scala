@@ -44,6 +44,57 @@ object DedupQueries {
              |    / len(list_distinct(list_concat(l.s, r.s))) > 0.05""".stripMargin),
       "n-gram Jaccard similarity, brute-force oracle-checkable slice"),
 
+    // The LSH algorithm itself, oracle-checked end-to-end: md5 (shared
+    // by Spark and DuckDB) replaces xxhash64, minhash = lexicographic
+    // min over hex digests, band key = concat of the band's minhashes.
+    // k=8/bands=4 on a doc slice — the xxhash64 variant below stays the
+    // scale path (one 64-bit hash vs an md5 per shingle per seed).
+    Q("dedup_minhash_md5_pairs",
+      (s, d) => {
+        val docs = load(s, d, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigs = docs.select(col("doc_id"),
+          array((0 until 8).map(seed =>
+            array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
+            .as("sig"))
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              concat(element_at(col("sig"), 2 * b + 1),
+                element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+          .persist()
+        bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .distinct()
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+             |  FROM documents WHERE doc_id < 150),
+             |sig AS (
+             |  SELECT doc_id, [
+             |    list_min(list_transform(s, x -> md5('0|' || x))),
+             |    list_min(list_transform(s, x -> md5('1|' || x))),
+             |    list_min(list_transform(s, x -> md5('2|' || x))),
+             |    list_min(list_transform(s, x -> md5('3|' || x))),
+             |    list_min(list_transform(s, x -> md5('4|' || x))),
+             |    list_min(list_transform(s, x -> md5('5|' || x))),
+             |    list_min(list_transform(s, x -> md5('6|' || x))),
+             |    list_min(list_transform(s, x -> md5('7|' || x)))] AS sig
+             |  FROM sh WHERE len(s) > 0),
+             |bands AS (
+             |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+             |  FROM sig, (SELECT unnest(range(4)) AS b))
+             |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |FROM bands l JOIN bands r
+             |  ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin),
+      "MinHash+LSH with md5 hash family — algorithm oracle-checked in DuckDB"),
+
     // MinHash/SimHash signatures use Spark's xxhash64 — not replicable
     // in DuckDB; rows-only checks.
     Q("dedup_minhash_lsh_pairs",
@@ -66,21 +117,26 @@ object DedupQueries {
 
     Q("dedup_simhash_near_pairs",
       (s, d) => {
-        // Block on the top 16 bits so candidate generation is an
-        // equi-join, then verify hamming distance on candidates — the
-        // standard scale pattern (never all-pairs).
+        // Candidate generation blocks on EACH of the four 16-bit
+        // signature blocks (pigeonhole: hamming <= 3 pairs must agree on
+        // one whole block — guaranteed recall there, probabilistic
+        // above), then verifies hamming on candidates. Never all-pairs:
+        // the join is keyed by (block, bits), cost ∝ collisions.
         val sigs = simhashSignatures(
           load(s, d, "documents")
             .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
           "doc_id", "sh")
-          .withColumn("block", shiftrightunsigned(col("sig"), 48))
           .persist() // both self-join sides reuse one signature pass
-        sigs.as("l").join(sigs.as("r"),
-            col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
+        val keys = sigs.select(col("doc_id"), col("sig"),
+          explode(simhashBlockKeys(col("sig"), 4)).as("bk"))
+        keys.as("l").join(keys.as("r"),
+            col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
             hamming64(col("l.sig"), col("r.sig")).as("hamming"))
           .filter(col("hamming") <= 12)
+          .distinct() // a pair may collide in several blocks
       },
       None,
-      "SimHash near-dup pairs via 16-bit blocking + hamming verify"))
+      "SimHash near-dups: 4x16-bit block join (guaranteed recall for " +
+        "hamming<=3) + hamming verify"))
 }

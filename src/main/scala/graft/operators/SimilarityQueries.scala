@@ -69,6 +69,31 @@ object SimilarityQueries {
       None,
       "embedding-cosine near-duplicate pairs via LSH bucket collisions"),
 
+    // Exact (brute-force) pair similarity on a bounded slice — the
+    // deterministic baseline the LSH variant is measured against, and a
+    // full oracle check of the pairwise cosine kernel. Low threshold so
+    // random-vector data still yields rows to hash-compare.
+    Q("sim_pair_scores_exact",
+      (s, d) => {
+        val e = load(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding"))
+        e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+            round(cosine(col("l.embedding"), col("r.embedding")), 6).as("score"))
+          .filter(col("score") >= 0.2)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT l.vec_id AS a, r.vec_id AS b,
+             |  round(list_dot_product(l.v, r.v)
+             |    / (sqrt(list_dot_product(l.v, l.v))
+             |       * sqrt(list_dot_product(r.v, r.v))), 6) AS score
+             |FROM e l JOIN e r ON l.vec_id < r.vec_id
+             |WHERE round(list_dot_product(l.v, r.v)
+             |    / (sqrt(list_dot_product(l.v, l.v))
+             |       * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.2""".stripMargin),
+      "exact pairwise cosine on a slice — oracle-checked brute-force baseline"),
+
     Q("sim_label_centroid_topk",
       (s, d) => {
         // per-label centroid then nearest labels to the query vector —

@@ -44,6 +44,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
   }
 
+  test("simhash block keys guarantee recall for hamming <= nBlocks-1") {
+    // Adversarial placement: the pair differs ONLY inside the TOP 16-bit
+    // block (bits 61..63), which defeats a fixed top-16-bit blocking —
+    // the 4-rotation scheme must still produce a shared key (pigeonhole
+    // over the other three blocks).
+    val sigA = 0x0123456789ABCDEFL
+    val sigB = sigA ^ (7L << 61) // hamming 3, all in the top block
+    val sigs = Seq((0L, sigA), (1L, sigB)).toDF("doc_id", "sig")
+    val keys = sigs.select($"doc_id",
+      explode(DedupFunctions.simhashBlockKeys($"sig", 4)).as("bk"))
+    val candidates = keys.as("l").join(keys.as("r"),
+        $"l.bk" === $"r.bk" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id", $"r.doc_id").distinct().count()
+    assert(candidates == 1, "hamming-3 pair must share a block key")
+    assert(sigA >>> 48 != sigB >>> 48, "top-16 blocking alone would miss it")
+  }
+
   test("jaccard of identical shingle sets is 1, disjoint is 0") {
     val j = shingled.as("l").join(shingled.as("r"),
         $"l.doc_id" === 0 && $"r.doc_id".isin(3, 2))

@@ -38,8 +38,10 @@ object CdcPipeline {
 
   // bounded pool for concurrent per-table parse+merge jobs
   // (scheduler-level parallelism; the work itself runs on executors)
+  // 16 ≥ the reference's 9-table topology, so one batch's merges all
+  // submit at once; threads are driver-side job submitters only
   private lazy val mergeEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
       val th = new Thread(r, "graft-merge")
       th.setDaemon(true)
       th

@@ -27,6 +27,29 @@ object PipeProfile {
       graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
       println(f"[pipeprofile] run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+
+    // Steady-state merge cost: a big mirror absorbing a SMALL batch —
+    // the regime where swap-mirror write amplification hurts and the
+    // manifest layout's touched-buckets-only rewrite should win. The
+    // batch must touch FEW buckets for pruning to bite (hash bucketing
+    // spreads any large key set over every bucket): ~20 keys vs 64
+    // buckets here; at 100 TB the same ratio is a 20k-event batch vs a
+    // 100k-bucket mirror.
+    import org.apache.spark.sql.functions._
+    def smallBatch = raw.filter(col("offset") < 200) // ids < 20, all ops
+    Seq(false, true).foreach { inc =>
+      val root = java.nio.file.Files.createTempDirectory("graft-prof2").toString
+      val cfg = graft.streaming.CdcPipeline.Config(
+        graft.cdc.Fixture.rowSchema, Seq("id"),
+        s"$root/mirror", s"$root/dlq", s"$root/ckpt",
+        bucketCount = Some(64), incrementalMirror = inc)
+      graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg) // build mirror
+      val nb = smallBatch.count()
+      val t0 = System.nanoTime()
+      graft.streaming.CdcPipeline.processBatch(smallBatch, 1L, cfg)
+      println(f"[pipeprofile] steady-state merge ($nb%d events, " +
+        f"incremental=$inc) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

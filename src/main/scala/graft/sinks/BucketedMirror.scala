@@ -1,0 +1,201 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Materialize
+
+/** Incremental CDC mirror: versioned per-bucket parquet directories
+  * committed through an atomic pointer file — the layout that keeps a
+  * keyed merge incremental at 100 TB.
+  *
+  * The plain swap mirror ([[graft.streaming.CdcPipeline.mergeIntoMirror]])
+  * reads and REWRITES the whole table every batch: correct, but write
+  * amplification is mirror_size/batch_size — unusable once the mirror
+  * dwarfs the batch. Here the table is hash-bucketed by primary key
+  * (`pmod(hash(pk), n)`) and a batch only touches the buckets its keys
+  * fall in:
+  *
+  *   - merge reads ONLY the touched buckets' current version dirs
+  *     (a path-pruned scan — no list/filter over the rest of the table),
+  *   - writes each touched bucket as a NEW versioned dir
+  *     `buckets/<b>/v<batchId>`,
+  *   - commits by renaming a freshly written MANIFEST pointer file over
+  *     the old one — a single atomic metadata operation, exactly the
+  *     versioned-directory + pointer-file design of log-structured table
+  *     formats (Delta/Iceberg); this is the minimal parquet-native form.
+  *
+  * Crash safety: data dirs are written BEFORE the manifest commit, so a
+  * crash at any point leaves the old manifest pointing at the old
+  * versions — readers never see partial state. Orphaned uncommitted
+  * version dirs are swept lazily on the next successful commit.
+  * Replays are idempotent: version ids are the batch id, so a replayed
+  * batch rewrites the same dirs and re-commits the same manifest.
+  *
+  * Merge cost per batch: shuffle + rewrite ∝ (batch size + size of
+  * touched buckets); with n buckets and uniformly hashed keys a batch
+  * touching k keys costs ~(k/n)·mirror, not mirror. Bucket count is the
+  * scale knob — at 100 TB choose n so a bucket ≈ a few GB.
+  */
+object BucketedMirror {
+
+  // Manifests are never modified in place: each commit writes
+  // MANIFEST-<batchId> via tmp-file + atomic rename, readers take the
+  // highest id present. A crash at ANY point leaves either the previous
+  // manifest as the max (commit never happened) or the new complete one
+  // (rename is atomic) — there is no window where the table is missing
+  // or partial.
+  private def manifestId(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("MANIFEST-")) n.stripPrefix("MANIFEST-").toLongOption
+    else None
+  }
+
+  private def latestManifest(fs: FileSystem, root: String): Option[Path] = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath)
+      .flatMap(p => manifestId(p).map(_ -> p))
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Reads bucket -> committed version. Absent manifest = empty table. */
+  def readManifest(fs: FileSystem, root: String): Map[Int, Long] =
+    latestManifest(fs, root) match {
+      case None => Map.empty
+      case Some(mf) =>
+        val in = fs.open(mf)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(b, v) = line.split(':')
+          b.toInt -> v.toLong
+        }.toMap
+    }
+
+  private def writeManifest(fs: FileSystem, root: String, batchId: Long,
+                            versions: Map[Int, Long]): Unit = {
+    val tmp = new Path(s"$root/.MANIFEST-$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(versions.toSeq.sorted.map { case (b, v) => s"$b:$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(s"$root/MANIFEST-$batchId")
+    fs.delete(dst, false) // replay of the same batch recommits
+    if (!fs.rename(tmp, dst)) sys.error(s"manifest commit failed for $root")
+    // sweep superseded manifests (keep the newest only)
+    fs.listStatus(new Path(root)).map(_.getPath)
+      .filter(p => manifestId(p).exists(_ < batchId))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  private def bucketPath(root: String, b: Int, v: Long) =
+    s"$root/buckets/$b/v$v"
+
+  private def bucketExpr(keyCols: Seq[String], n: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(n))
+
+  /** Merge one unwrapped change batch into the mirror at `root`.
+    * Only buckets containing batch keys are read or written. */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            keyCols: Seq[String], nBuckets: Int, batchId: Long): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withBucket = changes.withColumn("_bucket", bucketExpr(keyCols, nBuckets))
+      .persist()
+    try {
+      val touched = withBucket.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val current = readManifest(fs, root)
+
+      // path-pruned read: only the touched buckets' committed dirs
+      val livePaths = touched.filter(current.contains)
+        .map(b => bucketPath(root, b, current(b)))
+      val merged = {
+        val batchPart = withBucket.drop("_bucket")
+        val mirrorPart =
+          if (livePaths.isEmpty) None
+          else Some(spark.read.parquet(livePaths: _*).drop("_bucket"))
+        mirrorPart match {
+          case Some(m) => Materialize.merge(m, batchPart, keyCols)
+          case None => Materialize.versionedState(batchPart, keyCols)
+        }
+      }
+
+      // one distributed write of all touched buckets, partitioned so
+      // each bucket lands in its own staging subdir
+      val staging = new Path(s"$root/.staging-b$batchId")
+      fs.delete(staging, true)
+      merged
+        .withColumn("_bucket", bucketExpr(keyCols, nBuckets))
+        .repartition(math.min(touched.length, nBuckets), col("_bucket"))
+        .write.partitionBy("_bucket").mode("overwrite").parquet(staging.toString)
+
+      // move each touched bucket's staging dir to its versioned home;
+      // buckets whose keys were ALL tombstone-compacted away may be
+      // absent from the write — they get an empty marker dir so the
+      // version advances uniformly
+      val next = touched.map { b =>
+        val dst = new Path(bucketPath(root, b, batchId))
+        fs.delete(dst, true) // replay leftovers
+        fs.mkdirs(dst.getParent)
+        val src = new Path(staging, s"_bucket=$b")
+        if (fs.exists(src)) fs.rename(src, dst) else fs.mkdirs(dst)
+        b -> batchId
+      }.toMap
+      fs.delete(staging, true)
+
+      // atomic commit, then lazy sweep of superseded/orphaned versions
+      val committed = current ++ next
+      writeManifest(fs, root, batchId, committed)
+      touched.foreach { b =>
+        val dir = new Path(s"$root/buckets/$b")
+        if (fs.exists(dir)) fs.listStatus(dir)
+          .filter(s => s.getPath.getName != s"v${committed(b)}")
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    } finally withBucket.unpersist()
+  }
+
+  /** Versioned snapshot read (all buckets at their committed versions). */
+  def readVersioned(spark: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifest(fs, root)
+    val paths = manifest.toSeq.sorted
+      .map { case (b, v) => bucketPath(root, b, v) }
+      // an empty marker dir has no parquet footers — skip it
+      .filter(p => fs.listStatus(new Path(p)).exists(_.getPath.getName.endsWith(".parquet")))
+    require(paths.nonEmpty, s"empty mirror at $root")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Live current-state read (tombstones and bookkeeping dropped). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    Materialize.stripVersions(readVersioned(spark, root))
+
+  /** Point lookup: resolves the key's bucket from the manifest and reads
+    * ONLY that bucket's committed dir — O(bucket), not O(table). */
+  def lookup(spark: SparkSession, root: String, keyCols: Seq[String],
+             keyValues: Seq[Any], nBuckets: Int): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifest(fs, root)
+    // same typed-literal hash as the write side (cast avoids the
+    // murmur3(Int) vs murmur3(Long) trap)
+    val schema = readVersioned(spark, root).schema
+    val typed = keyCols.zip(keyValues).map { case (k, v) =>
+      lit(v).cast(schema(k).dataType)
+    }
+    val b = spark.range(1)
+      .select(pmod(hash(typed: _*), lit(nBuckets)).as("b"))
+      .head().getInt(0)
+    manifest.get(b) match {
+      case None => spark.emptyDataFrame
+      case Some(v) =>
+        val keyed = keyCols.zip(typed).foldLeft(
+          spark.read.parquet(bucketPath(root, b, v)))(
+          (df, kv) => df.filter(col(kv._1) === kv._2))
+        Materialize.stripVersions(keyed)
+    }
+  }
+}

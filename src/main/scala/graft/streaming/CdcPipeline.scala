@@ -57,7 +57,11 @@ object CdcPipeline {
     * @param bucketCount when set, mirrors are written partitioned by
     *   `_bucket = pmod(hash(keys), n)` — at 100 TB this is what makes a
     *   key lookup a partition-pruned read instead of a full scan, and a
-    *   mirror-vs-batch merge a co-partitioned join. */
+    *   mirror-vs-batch merge a co-partitioned join.
+    * @param incrementalMirror with bucketCount set, store mirrors in the
+    *   [[graft.sinks.BucketedMirror]] manifest layout: a merge reads and
+    *   rewrites ONLY the buckets the batch touches (write amplification
+    *   ∝ touched buckets, not mirror size) — the 100 TB merge path. */
   final case class Config(
       rowSchema: StructType,
       keyCols: Seq[String],
@@ -66,7 +70,10 @@ object CdcPipeline {
       checkpointDir: String,
       triggerMs: Long = 500L,
       bucketCount: Option[Int] = None,
+      incrementalMirror: Boolean = false,
       tableSpecs: Map[String, TableSpec] = Map.empty) {
+    require(!incrementalMirror || bucketCount.isDefined,
+      "incrementalMirror requires bucketCount")
     def specFor(table: String): TableSpec =
       tableSpecs.getOrElse(table, TableSpec(rowSchema, keyCols))
   }
@@ -127,7 +134,10 @@ object CdcPipeline {
               val spec = cfg.specFor(t)
               val sub = parsed.filter(col("table_name") === t).drop("table_name")
               val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
-              mergeIntoMirror(spark, unwrapped, t, cfg)
+              if (cfg.incrementalMirror)
+                graft.sinks.BucketedMirror.merge(spark, s"${cfg.mirrorRoot}/$t",
+                  unwrapped, spec.keyCols, cfg.bucketCount.get, batchId)
+              else mergeIntoMirror(spark, unwrapped, t, cfg)
             }
           }
         }
@@ -198,7 +208,9 @@ object CdcPipeline {
 
   /** Read a table's current (live, unversioned) mirror state. */
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =
-    Materialize.stripVersions(
+    if (cfg.incrementalMirror)
+      graft.sinks.BucketedMirror.read(spark, s"${cfg.mirrorRoot}/$table")
+    else Materialize.stripVersions(
       spark.read.parquet(s"${cfg.mirrorRoot}/$table/live"))
       .drop("_bucket")
 
@@ -207,6 +219,9 @@ object CdcPipeline {
   def lookup(spark: SparkSession, cfg: Config, table: String,
              keyValues: Seq[Any]): DataFrame = {
     val spec = cfg.specFor(table)
+    if (cfg.incrementalMirror)
+      return graft.sinks.BucketedMirror.lookup(spark, s"${cfg.mirrorRoot}/$table",
+        spec.keyCols, keyValues, cfg.bucketCount.get)
     val base = spark.read.parquet(s"${cfg.mirrorRoot}/$table/live")
     // Cast each probe literal to the REGISTERED key type before hashing:
     // murmur3 hashes an Int and a Long differently, so an uncast literal

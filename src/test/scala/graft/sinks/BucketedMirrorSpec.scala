@@ -1,0 +1,159 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Manifest-layout incremental mirror: correctness vs the one-shot
+  * materialization, INCREMENTALITY (untouched buckets' files must not
+  * be rewritten), crash-safety of the pointer-file commit, replay
+  * idempotence, and single-bucket lookups. */
+class BucketedMirrorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyCols = Seq("id")
+  private val n = 8
+
+  private def changes(rows: (Long, String, String, Long, Long)*): DataFrame =
+    rows.toDF("id", "v", "op", "ts_ms", "offset")
+      .selectExpr("id", "v", "op", "ts_ms", "'t' AS topic",
+        "0 AS partition", "offset")
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def state(root: String): Map[Long, String] =
+    BucketedMirror.read(spark, root).select("id", "v")
+      .as[(Long, String)].collect().toMap
+
+  test("chained incremental merges equal one-shot materialization") {
+    val root = Files.createTempDirectory("bm").toString
+    val b1 = changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),
+      (3L, "c", "r", 1000L, 2L))
+    val b2 = changes((1L, "a2", "u", 2000L, 3L), (2L, "", "d", 2000L, 4L),
+      (4L, "d", "c", 2000L, 5L))
+    BucketedMirror.merge(spark, root, b1, keyCols, n, batchId = 0)
+    BucketedMirror.merge(spark, root, b2, keyCols, n, batchId = 1)
+    assert(state(root) == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("merge rewrites ONLY touched buckets; untouched files untouched") {
+    val root = Files.createTempDirectory("bm").toString
+    val fs = fsOf(root)
+    // spread 64 keys over all 8 buckets
+    BucketedMirror.merge(spark, root,
+      changes((1L to 64L).map(i => (i, s"v$i", "r", 1000L, i)): _*),
+      keyCols, n, batchId = 0)
+    val before = BucketedMirror.readManifest(fs, root)
+    assert(before.values.forall(_ == 0L) && before.size == n)
+
+    // one-key batch: exactly one bucket may advance
+    BucketedMirror.merge(spark, root,
+      changes((7L, "v7b", "u", 2000L, 100L)), keyCols, n, batchId = 1)
+    val after = BucketedMirror.readManifest(fs, root)
+    assert(after.count(_._2 == 1L) == 1,
+      s"exactly one bucket should advance: $after")
+    assert(after.count(_._2 == 0L) == n - 1)
+    // untouched buckets still point at their ORIGINAL v0 dirs (same
+    // files, zero write amplification outside the touched bucket)
+    val touched = after.collectFirst { case (b, 1L) => b }.get
+    (0 until n).filterNot(_ == touched).foreach { b =>
+      assert(fs.exists(new Path(s"$root/buckets/$b/v0")))
+      assert(!fs.exists(new Path(s"$root/buckets/$b/v1")))
+    }
+    assert(state(root)(7L) == "v7b")
+    assert(state(root).size == 64)
+  }
+
+  test("crash before manifest commit leaves the previous state readable") {
+    val root = Files.createTempDirectory("bm").toString
+    val fs = fsOf(root)
+    BucketedMirror.merge(spark, root,
+      changes((1L, "a", "r", 1000L, 0L)), keyCols, n, batchId = 0)
+    // simulate a crashed batch-1: orphan version dirs + staging exist,
+    // but no MANIFEST-1 was committed
+    val b = BucketedMirror.readManifest(fs, root).keys.head
+    fs.mkdirs(new Path(s"$root/buckets/$b/v1"))
+    fs.mkdirs(new Path(s"$root/.staging-b1"))
+    assert(state(root) == Map(1L -> "a"), "reader must follow the manifest")
+    // the next successful merge of the same batch id supersedes orphans
+    BucketedMirror.merge(spark, root,
+      changes((1L, "a1", "u", 2000L, 1L)), keyCols, n, batchId = 1)
+    assert(state(root) == Map(1L -> "a1"))
+  }
+
+  test("replaying a batch is idempotent") {
+    val root = Files.createTempDirectory("bm").toString
+    val b1 = changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L))
+    val b2 = changes((2L, "b2", "u", 2000L, 2L))
+    BucketedMirror.merge(spark, root, b1, keyCols, n, batchId = 0)
+    BucketedMirror.merge(spark, root, b2, keyCols, n, batchId = 1)
+    val first = state(root)
+    BucketedMirror.merge(spark, root, b2, keyCols, n, batchId = 1) // replay
+    assert(state(root) == first)
+    assert(first == Map(1L -> "a", 2L -> "b2"))
+  }
+
+  test("delete-then-reinsert across batches resolves by version") {
+    val root = Files.createTempDirectory("bm").toString
+    BucketedMirror.merge(spark, root,
+      changes((5L, "x", "r", 1000L, 0L)), keyCols, n, 0)
+    BucketedMirror.merge(spark, root,
+      changes((5L, "", "d", 2000L, 1L)), keyCols, n, 1)
+    assert(state(root).isEmpty || !state(root).contains(5L))
+    BucketedMirror.merge(spark, root,
+      changes((5L, "x2", "c", 3000L, 2L)), keyCols, n, 2)
+    assert(state(root) == Map(5L -> "x2"))
+    // and a LATE older change cannot resurrect the pre-delete value
+    BucketedMirror.merge(spark, root,
+      changes((5L, "stale", "u", 1500L, 9L)), keyCols, n, 3)
+    assert(state(root) == Map(5L -> "x2"))
+  }
+
+  test("lookup reads exactly one bucket dir") {
+    val root = Files.createTempDirectory("bm").toString
+    BucketedMirror.merge(spark, root,
+      changes((1L to 32L).map(i => (i, s"v$i", "r", 1000L, i)): _*),
+      keyCols, n, batchId = 0)
+    val out = BucketedMirror.lookup(spark, root, keyCols, Seq(13L), n)
+    assert(out.select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((13L, "v13")))
+    // mistyped probe literal (Int for Long key) still lands in the bucket
+    val outInt = BucketedMirror.lookup(spark, root, keyCols, Seq(13), n)
+    assert(outInt.count() == 1)
+    // plan-level: exactly one bucket dir is scanned
+    val scanned = out.queryExecution.executedPlan.toString
+    assert(scanned.contains("buckets/"), scanned)
+  }
+
+  test("pipeline end-to-end with incrementalMirror config") {
+    val root = Files.createTempDirectory("bm-pipe").toString
+    val cfg = graft.streaming.CdcPipeline.Config(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      Seq("id"), s"$root/mirror", s"$root/dlq", s"$root/ckpt",
+      bucketCount = Some(4), incrementalMirror = true)
+    def rec(id: Long, v: String, op: String, ts: Long, off: Long) =
+      (s"mysql-server.pos_bi_db.ventas", s"""{"payload":{"id":$id}}""",
+        if (op == "d") s"""{"payload":{"after":null,"op":"d","ts_ms":$ts}}"""
+        else s"""{"payload":{"after":{"id":$id,"v":"$v"},"op":"$op","ts_ms":$ts}}""",
+        0, off)
+    val b1 = Seq(rec(1, "a", "r", 1000, 0), rec(2, "b", "r", 1000, 1))
+      .toDF("topic", "key", "value", "partition", "offset")
+    val b2 = Seq(rec(1, "a2", "u", 2000, 2), rec(2, "", "d", 2000, 3))
+      .toDF("topic", "key", "value", "partition", "offset")
+    graft.streaming.CdcPipeline.processBatch(b1, 0L, cfg)
+    graft.streaming.CdcPipeline.processBatch(b2, 1L, cfg)
+    val rows = graft.streaming.CdcPipeline.mirror(spark, cfg, "ventas")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a2")))
+    val hit = graft.streaming.CdcPipeline.lookup(spark, cfg, "ventas", Seq(1L))
+    assert(hit.select("v").as[String].collect().toSeq == Seq("a2"))
+  }
+}

@@ -48,6 +48,38 @@ object SimilarityQueries {
              |FROM embeddings, q WHERE vec_id % 10 = 0""".stripMargin),
       "full cosine scores on a key slice — validates the kernel itself"),
 
+    // Int8-quantized brute-force top-k: the 4×-smaller storage form of
+    // the scan path, oracle-checked (quantization is deterministic
+    // arithmetic, and cosine is scale-invariant so the scales cancel).
+    Q("sim_topk_quantized",
+      (s, d) => {
+        val q8 = load(s, d, "embeddings")
+          .select(col("vec_id"), quantize8(col("embedding")).as("qv"))
+        val qq = q8.filter(col("vec_id") === 0)
+          .select(dequantize(col("qv")).as("q"))
+        q8.crossJoin(broadcast(qq))
+          .select(col("vec_id"),
+            round(cosine(dequantize(col("qv")), col("q")), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |qd AS (SELECT vec_id, list_transform(
+             |         list_transform(v, x -> CAST(round(
+             |           x / (list_max(list_transform(v, y -> abs(y))) / 127))
+             |           AS TINYINT)),
+             |         x -> CAST(x AS DOUBLE)) AS dv
+             |       FROM e),
+             |q AS (SELECT dv FROM qd WHERE vec_id = 0)
+             |SELECT qd.vec_id,
+             |  round(list_dot_product(qd.dv, q.dv)
+             |    / (sqrt(list_dot_product(qd.dv, qd.dv))
+             |       * sqrt(list_dot_product(q.dv, q.dv))), 6) AS score
+             |FROM qd, q
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+      "int8-quantized cosine top-k — 4x smaller scan, oracle-checked"),
+
     Q("sim_topk_lsh",
       (s, d) => lshTopK(s, load(s, d, "embeddings"), queryVec(s, d), 10),
       None,

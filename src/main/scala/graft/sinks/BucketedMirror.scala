@@ -130,6 +130,9 @@ object BucketedMirror {
       merged
         .withColumn("_bucket", bucketExpr(keyCols, nBuckets))
         .repartition(math.min(touched.length, nBuckets), col("_bucket"))
+        // key-sorted within each bucket: parquet row-group min/max stats
+        // then prune point lookups INSIDE the bucket too
+        .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
         .write.partitionBy("_bucket").mode("overwrite").parquet(staging.toString)
 
       // move each touched bucket's staging dir to its versioned home;

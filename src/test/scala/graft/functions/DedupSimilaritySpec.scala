@@ -104,6 +104,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.map(_._2).max <= 1.0 + 1e-9)
   }
 
+  test("int8 quantization: range bound and small cosine error") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q = emb.select($"vec_id",
+      SimilarityFunctions.quantize8($"embedding").as("qv"), $"embedding")
+    // every component in [-127, 127], extremes hit ±127 (max maps to 127)
+    val bounds = q.select(
+      array_max(transform($"qv", _.cast("int"))).as("hi"),
+      array_min(transform($"qv", _.cast("int"))).as("lo"))
+      .agg(max($"hi"), min($"lo")).head()
+    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
+    // quantized cosine tracks full-precision cosine within 2% absolute
+    val qv0 = q.filter($"vec_id" === 0).head()
+    val err = q.select(
+      abs(SimilarityFunctions.cosine(
+        SimilarityFunctions.dequantize($"qv"),
+        SimilarityFunctions.dequantize(typedLit(qv0.getSeq[Byte](1)))) -
+        SimilarityFunctions.cosine($"embedding",
+          typedLit(qv0.getSeq[Float](2).map(_.toDouble)))).as("e"))
+      .agg(max($"e")).head().getDouble(0)
+    assert(err < 0.02, s"quantization cosine error too large: $err")
+  }
+
   test("embedding near-dup pairs: planted duplicate found by bucket join") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()

@@ -157,6 +157,47 @@ object Relational {
              |GROUP BY c_mktsegment""".stripMargin),
       "J4 enrichment join — broadcast dim, shuffle fact join"),
 
+    // ---- snowflake joins over the supplier/part dimensions ----------
+    Q("join_supplier_region_rollup",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val su = load(s, d, "supplier")
+        val n = load(s, d, "nation")
+        val r = load(s, d, "region")
+        li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("revenue"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      "snowflake chain fact→supplier→nation→region, all dims broadcast (TPC-H Q5 shape)"),
+
+    Q("join_part_brand_margin",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val p = load(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("revenue"),
+               round(avg(col("p_retailprice")), 4).as("avg_retail"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT p_brand,
+             |round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+             |round(avg(p_retailprice), 4) AS avg_retail,
+             |count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin),
+      "fact→part broadcast join + brand margin rollup"),
+
     // ---- semi / anti joins ------------------------------------------
     Q("join_semi",
       (s, d) => {

@@ -114,6 +114,51 @@ object DedupFunctions {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over near-dup candidate pairs by hash-to-min
+    * label propagation: every node repeatedly adopts the minimum label
+    * in its neighborhood (including its own) until fixpoint — the
+    * standard distributed CC pattern (one join + one agg per round,
+    * rounds ≈ component diameter, which for dedup graphs is tiny).
+    * Driver-side work per round is ONE count (the convergence check);
+    * labels never leave the cluster.
+    *
+    * Input: pairs (a, b); output: (node, component) where component is
+    * the minimum node id reachable — the canonical document id a dedup
+    * pipeline keeps.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("component", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min pass: each node's new label = min(own, neighbors')
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("component")).as("nbrMin"))
+        .join(labels, "node")
+        .select(col("node"),
+          least(col("component"), col("nbrMin")).as("component"))
+        .persist()
+      val changed = next.alias("n").join(labels.alias("o"), "node")
+        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** MinHash-LSH candidate pairs: explode band keys, self-join on
     * (band, key), emit (a, b) with a < b. The join is the scale path —
     * shuffle is keyed by band hash, so work ∝ collisions. */

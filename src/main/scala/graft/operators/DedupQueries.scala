@@ -10,6 +10,58 @@ import graft.functions.TextFunctions._
   * MinHash+LSH, SimHash, n-gram Jaccard. */
 object DedupQueries {
 
+  /** Deterministic (md5-family) MinHash-LSH candidate pairs on a doc
+    * slice — shared by the pairs query and the cluster-election query,
+    * and replicated verbatim in DuckDB via [[md5MinhashPairsSql]]. */
+  private def md5MinhashPairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val docs = load(s, d, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = docs.select(col("doc_id"),
+      array((0 until 8).map(seed =>
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
+        .as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat(element_at(col("sig"), 2 * b + 1),
+            element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist()
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain producing the same `pairs(a, b)` relation. */
+  private val md5MinhashPairsSql: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+      |  FROM documents WHERE doc_id < 150),
+      |sig AS (
+      |  SELECT doc_id, [
+      |    list_min(list_transform(s, x -> md5('0|' || x))),
+      |    list_min(list_transform(s, x -> md5('1|' || x))),
+      |    list_min(list_transform(s, x -> md5('2|' || x))),
+      |    list_min(list_transform(s, x -> md5('3|' || x))),
+      |    list_min(list_transform(s, x -> md5('4|' || x))),
+      |    list_min(list_transform(s, x -> md5('5|' || x))),
+      |    list_min(list_transform(s, x -> md5('6|' || x))),
+      |    list_min(list_transform(s, x -> md5('7|' || x)))] AS sig
+      |  FROM sh WHERE len(s) > 0),
+      |bands AS (
+      |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS b)),
+      |pairs AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bands l JOIN bands r
+      |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_groups",
       (s, d) => exactDupGroups(load(s, d, "documents"), "doc_id", "text"),
@@ -44,55 +96,37 @@ object DedupQueries {
              |    / len(list_distinct(list_concat(l.s, r.s))) > 0.05""".stripMargin),
       "n-gram Jaccard similarity, brute-force oracle-checkable slice"),
 
+    // Cluster election: candidate pairs -> connected components ->
+    // canonical doc (min id in component) — the step that turns pair
+    // lists into an actual dedup decision. Spark runs the ITERATIVE
+    // hash-to-min propagation (one join+agg per round — the shape that
+    // survives arbitrary pair graphs at 100 TB); the oracle computes
+    // true reachability with a recursive CTE over the same
+    // (deterministic, md5-based) pair set, so the fixpoint itself is
+    // hash-checked.
+    Q("dedup_cluster_election",
+      (s, d) => connectedComponents(md5MinhashPairs(s, d))
+        .select(col("node"), col("component")),
+      Some(s"""WITH RECURSIVE $md5MinhashPairsSql,
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b AS src, a AS dst FROM pairs),
+             |reach AS (
+             |  SELECT src AS node, src AS root FROM edges
+             |  UNION
+             |  SELECT e.dst AS node, r.root FROM reach r
+             |  JOIN edges e ON e.src = r.node)
+             |SELECT node, min(root) AS component FROM reach GROUP BY node""".stripMargin),
+      "near-dup cluster election: iterative hash-to-min CC vs recursive-CTE oracle"),
+
     // The LSH algorithm itself, oracle-checked end-to-end: md5 (shared
     // by Spark and DuckDB) replaces xxhash64, minhash = lexicographic
     // min over hex digests, band key = concat of the band's minhashes.
     // k=8/bands=4 on a doc slice — the xxhash64 variant below stays the
     // scale path (one 64-bit hash vs an md5 per shingle per seed).
     Q("dedup_minhash_md5_pairs",
-      (s, d) => {
-        val docs = load(s, d, "documents").filter(col("doc_id") < 150)
-          .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sigs = docs.select(col("doc_id"),
-          array((0 until 8).map(seed =>
-            array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
-            .as("sig"))
-        val bands = sigs.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              concat(element_at(col("sig"), 2 * b + 1),
-                element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-          .persist()
-        bands.as("l").join(bands.as("r"),
-            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-          .distinct()
-      },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
-             |  FROM documents WHERE doc_id < 150),
-             |sig AS (
-             |  SELECT doc_id, [
-             |    list_min(list_transform(s, x -> md5('0|' || x))),
-             |    list_min(list_transform(s, x -> md5('1|' || x))),
-             |    list_min(list_transform(s, x -> md5('2|' || x))),
-             |    list_min(list_transform(s, x -> md5('3|' || x))),
-             |    list_min(list_transform(s, x -> md5('4|' || x))),
-             |    list_min(list_transform(s, x -> md5('5|' || x))),
-             |    list_min(list_transform(s, x -> md5('6|' || x))),
-             |    list_min(list_transform(s, x -> md5('7|' || x)))] AS sig
-             |  FROM sh WHERE len(s) > 0),
-             |bands AS (
-             |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
-             |  FROM sig, (SELECT unnest(range(4)) AS b))
-             |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-             |FROM bands l JOIN bands r
-             |  ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin),
+      (s, d) => md5MinhashPairs(s, d),
+      Some(s"""WITH $md5MinhashPairsSql
+             |SELECT a, b FROM pairs""".stripMargin),
       "MinHash+LSH with md5 hash family — algorithm oracle-checked in DuckDB"),
 
     // MinHash/SimHash signatures use Spark's xxhash64 — not replicable

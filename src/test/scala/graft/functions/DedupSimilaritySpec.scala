@@ -61,6 +61,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigA >>> 48 != sigB >>> 48, "top-16 blocking alone would miss it")
   }
 
+  test("connected components propagate across chains, not just cliques") {
+    // 1-2, 2-3, 3-4 is a diameter-3 chain (multi-round propagation);
+    // 7-8 is a separate component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val comp = DedupFunctions.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
   test("jaccard of identical shingle sets is 1, disjoint is 0") {
     val j = shingled.as("l").join(shingled.as("r"),
         $"l.doc_id" === 0 && $"r.doc_id".isin(3, 2))

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+import graft.functions.TextFunctions._
+
+/** Training-data pipeline operators beyond the reference's own surface
+  * (SURVEY §2.10 north_star): corpus statistics (TF-IDF, BM25 retrieval,
+  * capped inverted index), deterministic hash-based train/val/test
+  * splits and stratified sampling, and a one-pass table profiler.
+  *
+  * Scale notes (100 TB):
+  *   - TF-IDF / BM25 / posting lists are the inverted-index build
+  *     pattern: explode → hash-agg keyed by (doc, token) / token —
+  *     map-side combine bounds shuffle by #distinct keys, and corpus
+  *     constants (N, avg length) ride along as a broadcast one-row
+  *     cross join, never a driver collect.
+  *   - Posting lists are CAPPED per token (top-20 doc ids) so no
+  *     single hot token can blow up a reducer or the output row.
+  *   - Hash splits/sampling are embarrassingly parallel per-row
+  *     filters — no shuffle, no sampling state, reproducible across
+  *     runs and engines (md5 on the key, hex-prefix thresholds).
+  *   - The profiler computes every column's stats in ONE scan
+  *     (count-distincts share the pass via Spark's Expand), instead of
+  *     a scan per column.
+  */
+object PipelineQueries {
+
+  private val B25_TERMS = Seq("dup", "spark", "join")
+
+  def queries: Seq[Q] = Seq(
+    // TF-IDF: tf = c/len, idf = ln((N+1)/(df+1)); ln output is rounded
+    // (4 dp) because transcendental libm results may differ in the last
+    // ulp across engines; ordering uses the ROUNDED score + unique
+    // (doc_id, tok) tie-break so the top-100 selection is total.
+    Q("text_tfidf_topk",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val lens = docs.select(col("doc_id"), size(col("w")).as("len"))
+        val tc = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        val dfreq = docs
+          .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        tc.join(lens, "doc_id").join(dfreq, "tok").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            round((col("c") / col("len")) *
+              log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 4)
+              .as("tfidf"))
+          .orderBy(col("tfidf").desc, col("doc_id"), col("tok"))
+          .limit(100)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |n AS (SELECT count(*) AS n FROM t),
+             |lens AS (SELECT doc_id, len(w) AS len FROM t),
+             |tc AS (SELECT doc_id, tok, count(*) AS c
+             |       FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, unnest(w) AS tok FROM t) GROUP BY 1)
+             |SELECT tc.doc_id, tc.tok,
+             |  round((c / len) * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+             |FROM tc JOIN lens USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN n
+             |ORDER BY tfidf DESC, doc_id, tok LIMIT 100""".stripMargin),
+      "TF-IDF scoring (inverted-index build): top-100 (doc, term) pairs"),
+
+    // BM25 (k1=1.2, b=0.75) for a fixed 3-term query; both engines
+    // evaluate the textually-identical formula and round the per-doc
+    // term sum (order-unstable) to 4 dp before ranking.
+    Q("text_bm25_search",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+        val stats = docs.agg(count(lit(1)).as("n"),
+          avg(size(col("w"))).as("avglen"))
+        val lens = docs.select(col("doc_id"), size(col("w")).as("len"))
+        val tc = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+          .filter(col("tok").isin(B25_TERMS: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        val dfreq = docs
+          .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
+          .filter(col("tok").isin(B25_TERMS: _*))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val term = tc.join(lens, "doc_id").join(dfreq, "tok")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              ((col("c") * lit(2.2)) /
+                (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / col("avglen"))))))
+              .as("ts"))
+        term.groupBy(col("doc_id")).agg(round(sum(col("ts")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |stats AS (SELECT count(*) AS n, avg(len(w)) AS avglen FROM t),
+             |lens AS (SELECT doc_id, len(w) AS len FROM t),
+             |tc AS (SELECT doc_id, tok, count(*) AS c
+             |       FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+             |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, unnest(w) AS tok FROM t)
+             |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY 1),
+             |term AS (
+             |  SELECT tc.doc_id,
+             |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+             |      ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (len / avglen)))) AS ts
+             |  FROM tc JOIN lens USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN stats)
+             |SELECT doc_id, round(sum(ts), 4) AS score FROM term GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      "BM25 keyword retrieval over the corpus, top-20 docs"),
+
+    // Capped inverted index: per token, document frequency + the first
+    // 20 doc ids (sorted). The cap bounds reducer memory and output row
+    // width however hot the token is.
+    Q("text_posting_lists",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+            _.cast("string")), ",").as("head_ids")),
+      Some("""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents)
+             |SELECT tok, count(*) AS df,
+             |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS head_ids
+             |FROM t GROUP BY tok""".stripMargin),
+      "capped posting lists: df + first-20 doc ids per token"),
+
+    // Deterministic train/val/test split: md5 of the salted key, first
+    // two hex chars against thresholds (~80/10/10). Reproducible across
+    // runs, engines, and cluster sizes; pure per-row filter (no state,
+    // no shuffle, no sampling RNG).
+    Q("split_train_test",
+      (s, d) => load(s, d, "documents").select(col("doc_id"),
+        when(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2) < "cc", "train")
+          .when(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2) < "e6", "val")
+          .otherwise("test").as("split")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin),
+      "deterministic hash-based train/val/test split (~80/10/10)"),
+
+    // Stratified sampling at per-stratum rates (en 10%, others 50%),
+    // again via deterministic key hashing — the scale-safe replacement
+    // for sampleBy (no RNG, stable under retries/re-partitioning).
+    Q("sample_stratified_hash",
+      (s, d) => load(s, d, "documents")
+        .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":samp"))), 1, 2) <
+          when(col("lang") === "en", "1a").otherwise("80"))
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':samp'), 1, 2) <
+             |  CASE WHEN lang = 'en' THEN '1a' ELSE '80' END""".stripMargin),
+      "deterministic stratified sample: 10% of en, 50% of other langs"),
+
+    // One-pass numeric profiler over orders: every column's null count,
+    // distinct count, min/max/avg from a single scan (the distincts
+    // share it via Expand). avg is rounded (order-unstable double sum).
+    Q("profile_orders",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"),
+          round(avg(col(c)), 4).as(s"av_$c")))
+        o.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col("n").as("n"),
+            (col("n") - col(s"nn_$c")).as("n_null"),
+            col(s"nd_$c").as("n_distinct"),
+            col(s"mn_$c").as("min_v"),
+            col(s"mx_$c").as("max_v"),
+            col(s"av_$c").as("avg_r"))): _*)).as("p"))
+          .select(col("p.*"))
+      },
+      Some("""SELECT 'o_orderkey' AS col_name, count(*) AS n,
+             |  count(*) - count(o_orderkey) AS n_null,
+             |  count(DISTINCT o_orderkey) AS n_distinct,
+             |  CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+             |  CAST(max(o_orderkey) AS DOUBLE) AS max_v,
+             |  round(avg(o_orderkey), 4) AS avg_r FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             |  count(DISTINCT o_custkey), CAST(min(o_custkey) AS DOUBLE),
+             |  CAST(max(o_custkey) AS DOUBLE), round(avg(o_custkey), 4) FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE),
+             |  CAST(max(o_totalprice) AS DOUBLE), round(avg(o_totalprice), 4) FROM orders""".stripMargin),
+      "one-pass table profiler: null/distinct/min/max/avg per column"))
+}

@@ -26,7 +26,8 @@ object QueryCatalog {
   def all: Seq[Q] =
     Relational.queries ++ AdvancedQueries.queries ++ CdcQueries.queries ++
       Monitors.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -196,5 +196,41 @@ object PipelineQueries {
              |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
              |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE),
              |  CAST(max(o_totalprice) AS DOUBLE), round(avg(o_totalprice), 4) FROM orders""".stripMargin),
-      "one-pass table profiler: null/distinct/min/max/avg per column"))
+      "one-pass table profiler: null/distinct/min/max/avg per column"),
+
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share the p*(n-1) lerp definition); the
+    // interpolation is rounded (4 dp) since the lerp's op order is an
+    // engine detail.
+    Q("agg_percentiles",
+      (s, d) => load(s, d, "orders").groupBy(col("o_orderpriority")).agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75")),
+      Some("""SELECT o_orderpriority,
+             |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      "exact interpolated quartiles per order priority"),
+
+    // Equi-width histogram: global min/max ride along as a broadcast
+    // one-row cross join; the bin index is pure exact IEEE arithmetic
+    // (sub, div, floor), identical across engines.
+    Q("profile_histogram",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val mm = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        o.crossJoin(broadcast(mm))
+          .select(least(floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(10.0))), lit(9L)).as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+             |            FROM orders)
+             |SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT),
+             |             9) AS bin, count(*) AS n
+             |FROM orders CROSS JOIN mm GROUP BY 1""".stripMargin),
+      "10-bin equi-width histogram of order totals (two-pass: minmax + binning)"))
 }

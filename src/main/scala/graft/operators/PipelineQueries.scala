@@ -36,8 +36,11 @@ object PipelineQueries {
     // (doc_id, tok) tie-break so the top-100 selection is total.
     Q("text_tfidf_topk",
       (s, d) => {
+        // tokenize ONCE; the four derived frames (corpus size, doc
+        // lengths, term counts, doc frequencies) all read the cached
+        // tokenized form — one parquet scan of the corpus, not four
         val docs = load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), tokens(col("text")).as("w")).persist()
         val n = docs.agg(count(lit(1)).as("n"))
         val lens = docs.select(col("doc_id"), size(col("w")).as("len"))
         val tc = docs.select(col("doc_id"), explode(col("w")).as("tok"))
@@ -72,7 +75,7 @@ object PipelineQueries {
     Q("text_bm25_search",
       (s, d) => {
         val docs = load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), tokens(col("text")).as("w")).persist()
         val stats = docs.agg(count(lit(1)).as("n"),
           avg(size(col("w"))).as("avglen"))
         val lens = docs.select(col("doc_id"), size(col("w")).as("len"))

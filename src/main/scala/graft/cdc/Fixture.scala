@@ -50,13 +50,31 @@ object Fixture {
       col("o_totalprice"))
       .repartition(spark.sparkContext.defaultParallelism)
 
+    // Debezium MySQL emits the BEFORE image on update/delete events
+    // (binlog row mode); the script's before is derivable from the key:
+    // the previous alive state is U2 if k%6==0 (past ts 3000), else U1
+    // if k%3==0 (past ts 2000), else the base row.
+    def lastAlive(ts: Long): org.apache.spark.sql.Column = {
+      val u2 = struct(col("id"), lit("U2").as("o_orderstatus"),
+        (col("o_totalprice") * 1.2).as("o_totalprice"))
+      val u1 = struct(col("id"), lit("U1").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
+      val base = struct(col("id"), col("o_orderstatus"), col("o_totalprice"))
+      when(col("id") % 6 === 0 && lit(ts) > 3000, u2)
+        .when(col("id") % 3 === 0 && lit(ts) > 2000, u1)
+        .otherwise(base)
+    }
+
     def envelope(status: org.apache.spark.sql.Column,
                  total: org.apache.spark.sql.Column,
                  op: String, ts: Long): org.apache.spark.sql.Column = {
       val after =
         if (op == "d") lit(null).cast(rowSchema)
         else struct(col("id"), status.as("o_orderstatus"), total.as("o_totalprice"))
+      val before =
+        if (op == "u" || op == "d") lastAlive(ts) else lit(null).cast(rowSchema)
       to_json(struct(struct(
+        before.as("before"),
         after.as("after"),
         lit(op).as("op"),
         lit(ts).as("ts_ms")).as("payload")))

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Envelope
+
+/** Incremental maintenance of grouped COUNT/SUM aggregates from a CDC
+  * change stream — delta maintenance of a materialized view.
+  *
+  * Each change event contributes signed deltas derived from its images
+  * (reference emits before-images in binlog row mode,
+  * register-mysql-connector.json:4-12):
+  *
+  *   op c/r : +1 count, +after.vals   (insert / snapshot read)
+  *   op u   : +after.vals AND -before.vals — if the update moves the
+  *            row between groups this naturally emits -1 on the old
+  *            group and +1 on the new one
+  *   op d   : -1 count, -before.vals
+  *
+  * The per-batch deltas hash-aggregate to ONE row per touched group
+  * (map-side combine), then merge into the running state keyed by
+  * group. Per-batch cost is ∝ groups touched, NOT mirror size — at
+  * 100 TB this is the difference between an O(batch) update and
+  * re-scanning the whole mirror per trigger.
+  *
+  * Semantics and limits (classic view-maintenance theory):
+  *   - COUNT/SUM (and read-time AVG = sum/count) are self-maintainable
+  *     given before-images. MIN/MAX are NOT under deletes (a retracted
+  *     max needs the runner-up) — recompute those from the mirror.
+  *   - Delta application is NOT idempotent: replaying a batch
+  *     double-counts. Run it inside foreachBatch exactly-once (commit
+  *     state transactionally with the batchId; skip already-applied
+  *     ids on restart) — same discipline CdcPipeline uses for merges.
+  *   - Tombstones (null value, no images) contribute nothing: the
+  *     op='d' event that precedes them already carried the delete
+  *     (Envelope.scala tombstone note).
+  */
+object IncrementalAgg {
+
+  /** groupCols/sumCols name fields of the row schema carried in the
+    * envelope images. */
+  final case class Spec(groupCols: Seq[String], sumCols: Seq[String])
+
+  private def stateCols(spec: Spec): Seq[String] =
+    "n_rows" +: spec.sumCols.map(c => s"sum_$c")
+
+  /** Signed, combined per-group deltas for one parsed envelope batch
+    * (output: groupCols ++ n_rows ++ sum_*; one row per touched group). */
+  def deltas(parsed: DataFrame, spec: Spec): DataFrame = {
+    val ok = Envelope.wellFormed(parsed)
+      .filter(col("env.payload.op").isNotNull)
+    def side(img: String, sign: Int, ops: Seq[String]) =
+      ok.filter(col("env.payload.op").isin(ops: _*) &&
+          col(s"env.payload.$img").isNotNull)
+        .select(
+          spec.groupCols.map(g => col(s"env.payload.$img.$g").as(g)) ++
+            (lit(sign.toLong).as("_n") +:
+              spec.sumCols.map(c =>
+                (col(s"env.payload.$img.$c") * sign).as(s"_s_$c"))): _*)
+    val contributions =
+      side("after", 1, Seq("c", "r", "u"))
+        .unionByName(side("before", -1, Seq("u", "d")))
+    val aggs = sum(col("_n")).as("n_rows") +:
+      spec.sumCols.map(c => sum(col(s"_s_$c")).as(s"sum_$c"))
+    contributions.groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a delta frame into the running state; groups whose row count
+    * reaches zero are dropped (their sum residue is definitionally
+    * stale). Cost: one shuffle keyed by group over state ∪ delta. */
+  def merge(state: DataFrame, delta: DataFrame, spec: Spec): DataFrame = {
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+    state.select((spec.groupCols ++ stateCols(spec)).map(col): _*)
+      .unionByName(delta.select((spec.groupCols ++ stateCols(spec)).map(col): _*))
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Convenience: maintain state over a sequence of parsed batches
+    * (first batch's deltas ARE the initial state). */
+  def maintain(batches: Seq[DataFrame], spec: Spec): Option[DataFrame] =
+    batches.map(b => deltas(b, spec)).reduceOption((s, d) => merge(s, d, spec))
+
+  /** Read-time derived averages: avg_<c> = sum_<c> / n_rows. */
+  def withAverages(state: DataFrame, spec: Spec): DataFrame =
+    spec.sumCols.foldLeft(state)((df, c) =>
+      df.withColumn(s"avg_$c", col(s"sum_$c") / col("n_rows")))
+}

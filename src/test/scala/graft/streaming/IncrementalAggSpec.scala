@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.{Envelope, Fixture, Materialize}
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = IncrementalAgg.Spec(Seq("g"), Seq("v"))
+
+  private def env(op: String, before: Option[(Long, String, Double)],
+                  after: Option[(Long, String, Double)]): String = {
+    def img(o: Option[(Long, String, Double)]) = o
+      .map { case (id, g, v) => s"""{"id":$id,"g":"$g","v":$v}""" }
+      .getOrElse("null")
+    s"""{"payload":{"before":${img(before)},"after":${img(after)},"op":"$op","ts_ms":1}}"""
+  }
+
+  private def parsed(values: Seq[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    Envelope.parse(values.toDF("value"), schema)
+  }
+
+  test("insert, in-group update, cross-group move, delete") {
+    val b1 = parsed(Seq(
+      env("c", None, Some((1L, "a", 10.0))),
+      env("c", None, Some((2L, "a", 20.0))),
+      env("c", None, Some((3L, "b", 5.0)))))
+    val b2 = parsed(Seq(
+      env("u", Some((1L, "a", 10.0)), Some((1L, "a", 15.0))), // in-group
+      env("u", Some((3L, "b", 5.0)), Some((3L, "a", 7.0))),   // moves b->a
+      env("d", Some((2L, "a", 20.0)), None)))                 // delete
+    val state = IncrementalAgg.maintain(Seq(b1, b2), spec).get
+      .select("g", "n_rows", "sum_v").as[(String, Long, Double)]
+      .collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+    assert(state == Map("a" -> ((2L, 22.0))))
+    assert(!state.contains("b"), "emptied group must be dropped")
+  }
+
+  test("group emptied then re-populated") {
+    val b1 = parsed(Seq(env("c", None, Some((1L, "x", 3.0)))))
+    val b2 = parsed(Seq(env("d", Some((1L, "x", 3.0)), None)))
+    val b3 = parsed(Seq(env("c", None, Some((9L, "x", 4.0)))))
+    val after2 = IncrementalAgg.maintain(Seq(b1, b2), spec).get
+    assert(after2.count() == 0)
+    val after3 = IncrementalAgg.maintain(Seq(b1, b2, b3), spec).get
+      .select("g", "n_rows", "sum_v").as[(String, Long, Double)].head()
+    assert(after3 == (("x", 1L, 4.0)))
+  }
+
+  test("tombstones and malformed records contribute nothing") {
+    val good = parsed(Seq(env("c", None, Some((1L, "a", 1.0)))))
+    val junk = Envelope.parse(
+      Seq[Option[String]](None, Some("{not json")).toDF("value"),
+      good.select("env.payload.after.*").schema)
+    val state = IncrementalAgg.maintain(Seq(good, junk), spec).get
+      .select("g", "n_rows", "sum_v").as[(String, Long, Double)].head()
+    assert(state == (("a", 1L, 1.0)))
+  }
+
+  test("fixture e2e: incremental state equals recompute from the mirror") {
+    val ospec = IncrementalAgg.Spec(Seq("o_orderstatus"), Seq("o_totalprice"))
+    val raw = Fixture.ordersCdcEvents(spark, sf0001)
+    val parsedAll = Envelope.parse(raw, Fixture.rowSchema)
+    // the fixture script is 5 ts epochs — replay them as ordered batches
+    val batches = Seq(1000L, 2000L, 3000L, 4000L, 5000L).map(ts =>
+      parsedAll.filter(col("env.payload.ts_ms") === ts))
+    val state = IncrementalAgg.maintain(batches, ospec).get
+      .select("o_orderstatus", "n_rows", "sum_o_totalprice")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, s) => g -> ((n, s)) }.toMap
+
+    val mirror = Materialize.currentState(
+      Envelope.unwrap(Envelope.wellFormed(parsedAll), Seq("id")), Seq("id"))
+    val expect = mirror.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, s) => g -> ((n, s)) }.toMap
+
+    assert(state.keySet == expect.keySet)
+    state.foreach { case (g, (n, s)) =>
+      assert(n == expect(g)._1, s"count mismatch for $g")
+      assert(math.abs(s - expect(g)._2) < 1e-6 * math.max(1.0, math.abs(s)),
+        s"sum mismatch for $g: $s vs ${expect(g)._2}")
+    }
+  }
+}

@@ -51,6 +51,11 @@ object CdcPipeline {
     * engine analog of the reference's per-table sink declarations. */
   final case class TableSpec(rowSchema: StructType, keyCols: Seq[String])
 
+  /** A maintained aggregate view: per-group COUNT/SUM state over one
+    * table's change stream, updated incrementally per batch (see
+    * [[IncrementalAgg]]). */
+  final case class AggView(table: String, spec: IncrementalAgg.Spec)
+
   /** @param rowSchema   default row schema (tables without an override)
     * @param keyCols     default primary-key columns
     * @param tableSpecs  per-table overrides (schema registry)
@@ -61,7 +66,11 @@ object CdcPipeline {
     * @param incrementalMirror with bucketCount set, store mirrors in the
     *   [[graft.sinks.BucketedMirror]] manifest layout: a merge reads and
     *   rewrites ONLY the buckets the batch touches (write amplification
-    *   ∝ touched buckets, not mirror size) — the 100 TB merge path. */
+    *   ∝ touched buckets, not mirror size) — the 100 TB merge path.
+    * @param aggViews    maintained aggregate views by name; each batch
+    *   folds its deltas into the view state (O(touched groups), never a
+    *   mirror rescan), guarded by the applied batch id for idempotence
+    *   under foreachBatch replay. */
   final case class Config(
       rowSchema: StructType,
       keyCols: Seq[String],
@@ -71,7 +80,8 @@ object CdcPipeline {
       triggerMs: Long = 500L,
       bucketCount: Option[Int] = None,
       incrementalMirror: Boolean = false,
-      tableSpecs: Map[String, TableSpec] = Map.empty) {
+      tableSpecs: Map[String, TableSpec] = Map.empty,
+      aggViews: Map[String, AggView] = Map.empty) {
     require(!incrementalMirror || bucketCount.isDefined,
       "incrementalMirror requires bucketCount")
     def specFor(table: String): TableSpec =
@@ -141,7 +151,19 @@ object CdcPipeline {
             }
           }
         }
-        jobs.foreach(Await.result(_, Duration.Inf))
+        // Maintained aggregate views ride the same batch: deltas come
+        // from the already-parsed frame, so a view costs one extra
+        // aggregation per batch, not a reparse. Independent of the
+        // merges — submitted to the same pool.
+        val viewJobs = cfg.aggViews.toSeq.collect {
+          case (name, v) if tables.contains(v.table) =>
+            Future {
+              val parsed = parsedBySchema(cfg.specFor(v.table).rowSchema)
+                .filter(col("table_name") === v.table)
+              updateAggView(spark, name, parsed, v, batchId, cfg)
+            }
+        }
+        (jobs ++ viewJobs).foreach(Await.result(_, Duration.Inf))
 
         // consolidated DLQ append: malformed envelopes from every table
         // + records whose topic routes nowhere (register-dlq-sink.json:16-17)
@@ -205,6 +227,47 @@ object CdcPipeline {
       }
     }
   }
+
+  /** Fold one batch's deltas into a maintained view's state. Delta
+    * application is not idempotent, so the state carries the last
+    * applied batch id as a constant column `_b_upto` (RLE-compressed to
+    * nothing in parquet): state and watermark commit ATOMICALLY in the
+    * same staging-dir swap, and a replayed batch (foreachBatch restart)
+    * is skipped instead of double-counted. Reuses the mirror swap's
+    * crash recovery. */
+  private def updateAggView(spark: SparkSession, name: String,
+      parsed: DataFrame, view: AggView, batchId: Long, cfg: Config): Unit = {
+    val root = s"${cfg.mirrorRoot}/_views/$name"
+    val live = new Path(s"$root/live")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMirror(fs, root)
+    val delta = IncrementalAgg.deltas(parsed, view.spec)
+    val merged =
+      if (fs.exists(live)) {
+        val state = spark.read.parquet(live.toString)
+        val upto = state.agg(max(col("_b_upto"))).head().getLong(0)
+        if (upto >= batchId) return // replayed batch: already applied
+        IncrementalAgg.merge(state.drop("_b_upto"), delta, view.spec)
+      } else delta
+    val staging = new Path(s"$root/.staging")
+    fs.delete(staging, true)
+    // aggregate state is #groups rows — orders of magnitude smaller
+    // than the stream; one file keeps the swap cheap and the read local
+    merged.withColumn("_b_upto", lit(batchId))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val old = new Path(s"$root/.old")
+    fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(staging, live)
+    fs.delete(old, true)
+  }
+
+  /** Read a maintained aggregate view's current state (with derived
+    * `avg_*` columns). */
+  def aggView(spark: SparkSession, cfg: Config, name: String): DataFrame =
+    IncrementalAgg.withAverages(
+      spark.read.parquet(s"${cfg.mirrorRoot}/_views/$name/live").drop("_b_upto"),
+      cfg.aggViews(name).spec)
 
   /** Read a table's current (live, unversioned) mirror state. */
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =

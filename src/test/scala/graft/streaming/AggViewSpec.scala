@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Maintained aggregate views inside the pipeline: per-batch delta
+  * folds, idempotent replay, and equality with a mirror recompute. */
+class AggViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("g", StringType),
+    StructField("x", DoubleType)))
+
+  private def img(id: Long, g: String, x: Double) =
+    s"""{"id":$id,"g":"$g","x":$x}"""
+
+  private def env(op: String, before: String, after: String): String =
+    s"""{"payload":{"before":$before,"after":$after,"op":"$op","ts_ms":1}}"""
+
+  private def rec(id: Long, value: String, off: Long) =
+    Rec("mysql-server.pos_bi_db.ventas", s"""{"payload":{"id":$id}}""",
+      value, 0, off)
+
+  private def cfgWithView() = {
+    val root = Files.createTempDirectory("graft-aggview").toString
+    CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt",
+      aggViews = Map("by_g" -> CdcPipeline.AggView("ventas",
+        IncrementalAgg.Spec(Seq("g"), Seq("x")))))
+  }
+
+  private def viewMap(cfg: CdcPipeline.Config) =
+    CdcPipeline.aggView(spark, cfg, "by_g")
+      .select("g", "n_rows", "sum_x").as[(String, Long, Double)]
+      .collect().map { case (g, n, s) => g -> ((n, s)) }.toMap
+
+  test("view folds batches, survives replay, matches mirror recompute") {
+    val cfg = cfgWithView()
+    val b0 = Seq(
+      rec(1, env("c", "null", img(1, "a", 10.0)), 0),
+      rec(2, env("c", "null", img(2, "a", 20.0)), 1),
+      rec(3, env("c", "null", img(3, "b", 5.0)), 2)).toDF()
+    CdcPipeline.processBatch(b0, 0L, cfg)
+    assert(viewMap(cfg) == Map("a" -> ((2L, 30.0)), "b" -> ((1L, 5.0))))
+
+    val b1 = Seq(
+      rec(3, env("u", img(3, "b", 5.0), img(3, "a", 7.0)), 3), // b -> a
+      rec(2, env("d", img(2, "a", 20.0), "null"), 4)).toDF()
+    CdcPipeline.processBatch(b1, 1L, cfg)
+    val after1 = viewMap(cfg)
+    assert(after1 == Map("a" -> ((2L, 17.0))), s"got $after1")
+
+    // foreachBatch replay after a restart delivers the same batch id —
+    // the view must not double-apply
+    CdcPipeline.processBatch(b1, 1L, cfg)
+    assert(viewMap(cfg) == after1, "replayed batch must be a no-op")
+
+    // and the maintained state equals a recompute from the mirror
+    val recompute = CdcPipeline.mirror(spark, cfg, "ventas")
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, s) => g -> ((n, s)) }.toMap
+    assert(viewMap(cfg) == recompute)
+  }
+
+  test("avg columns derive from sums at read time") {
+    val cfg = cfgWithView()
+    val b0 = Seq(
+      rec(1, env("c", "null", img(1, "a", 10.0)), 0),
+      rec(2, env("c", "null", img(2, "a", 20.0)), 1)).toDF()
+    CdcPipeline.processBatch(b0, 0L, cfg)
+    val avg = CdcPipeline.aggView(spark, cfg, "by_g")
+      .select("avg_x").as[Double].head()
+    assert(avg == 15.0)
+  }
+}

@@ -55,6 +55,14 @@ object Materialize {
   def currentState(unwrapped: DataFrame, keyCols: Seq[String]): DataFrame =
     stripVersions(versionedState(unwrapped, keyCols))
 
+  /** Time travel: the table state as of `tsUpTo` — replay the change
+    * log with every later event masked out. On a ts-partitioned change
+    * log the filter prunes partitions, so the cost is one latest-per-key
+    * pass over events up to the cutoff, never a full-history scan. */
+  def stateAsOf(unwrapped: DataFrame, keyCols: Seq[String],
+                tsUpTo: Long): DataFrame =
+    currentState(unwrapped.filter(col("ts_ms") <= tsUpTo), keyCols)
+
   /** Drop tombstones + version columns from a versioned mirror. */
   def stripVersions(mirror: DataFrame): DataFrame =
     mirror.filter(!col(deletedFlag)).drop(versionTs, versionOffset, deletedFlag)

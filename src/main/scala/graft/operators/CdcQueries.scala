@@ -46,6 +46,20 @@ object CdcQueries {
       "EP1 spine: parse P1 → unwrap → A5 latest-per-key → tombstone filter; " +
         "single hash-agg shuffle keyed by PK"),
 
+    // Time travel to ts=3500: updates U1/U2 applied, deletes (ts 4000)
+    // and re-inserts (ts 5000) not yet visible.
+    Q("cdc_time_travel",
+      (s, d) => Materialize.stateAsOf(unwrapped(s, d), Seq("id"), 3500L),
+      Some("""SELECT o_orderkey AS id,
+             |  CASE WHEN o_orderkey % 6 = 0 THEN 'U2'
+             |       WHEN o_orderkey % 3 = 0 THEN 'U1'
+             |       ELSE o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 1.2
+             |       WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders""".stripMargin),
+      "state as-of a past timestamp: replay the change log below the cutoff"),
+
     Q("cdc_route_counts",
       (s, d) => {
         val parsed = Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)

@@ -156,6 +156,13 @@ object DedupFunctions {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly rather than return partially-propagated labels — a
+    // silent miss here would elect multiple "canonical" docs for one
+    // duplicate cluster with no signal; raise maxIter for graphs of
+    // larger diameter
+    if (!converged) sys.error(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds maxIter)")
     labels
   }
 

@@ -29,6 +29,18 @@ object PipelineQueries {
 
   private val B25_TERMS = Seq("dup", "spark", "join")
 
+  // Session-scoped memo of the tokenized corpus: TF-IDF and BM25 both
+  // derive four frames from it, and Verify/Bench invoke them repeatedly
+  // — a per-invocation persist() would pin a new dead cache entry each
+  // time (same pattern as cdc.Fixture's envelope memo).
+  private val tokenized = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def tokenizedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    tokenized.getOrElseUpdate((s, d),
+      load(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w")).persist())
+
   def queries: Seq[Q] = Seq(
     // TF-IDF: tf = c/len, idf = ln((N+1)/(df+1)); ln output is rounded
     // (4 dp) because transcendental libm results may differ in the last
@@ -39,8 +51,7 @@ object PipelineQueries {
         // tokenize ONCE; the four derived frames (corpus size, doc
         // lengths, term counts, doc frequencies) all read the cached
         // tokenized form — one parquet scan of the corpus, not four
-        val docs = load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w")).persist()
+        val docs = tokenizedDocs(s, d)
         val n = docs.agg(count(lit(1)).as("n"))
         val lens = docs.select(col("doc_id"), size(col("w")).as("len"))
         val tc = docs.select(col("doc_id"), explode(col("w")).as("tok"))
@@ -74,8 +85,7 @@ object PipelineQueries {
     // term sum (order-unstable) to 4 dp before ranking.
     Q("text_bm25_search",
       (s, d) => {
-        val docs = load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w")).persist()
+        val docs = tokenizedDocs(s, d)
         val stats = docs.agg(count(lit(1)).as("n"),
           avg(size(col("w"))).as("avglen"))
         val lens = docs.select(col("doc_id"), size(col("w")).as("len"))

@@ -188,21 +188,16 @@ object CdcPipeline {
       if (fs.exists(live)) Materialize.merge(
         spark.read.parquet(live.toString).drop("_bucket"), changes, spec.keyCols)
       else Materialize.versionedState(changes, spec.keyCols)
-    val staging = new Path(s"${cfg.mirrorRoot}/$table/.staging")
-    fs.delete(staging, true)
-    val writer = cfg.bucketCount match {
-      case Some(n) => merged
-        .withColumn("_bucket", bucketCol(spec, n))
-        .repartition(n, col("_bucket"))
-        .write.partitionBy("_bucket")
-      case None => merged.write
+    atomicSwap(fs, s"${cfg.mirrorRoot}/$table") { staging =>
+      val writer = cfg.bucketCount match {
+        case Some(n) => merged
+          .withColumn("_bucket", bucketCol(spec, n))
+          .repartition(n, col("_bucket"))
+          .write.partitionBy("_bucket")
+        case None => merged.write
+      }
+      writer.mode("overwrite").parquet(staging.toString)
     }
-    writer.mode("overwrite").parquet(staging.toString)
-    val old = new Path(s"${cfg.mirrorRoot}/$table/.old")
-    fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(staging, live)
-    fs.delete(old, true)
   }
 
   /** Crash recovery for the two-rename swap: if a previous merge died
@@ -245,16 +240,32 @@ object CdcPipeline {
     val merged =
       if (fs.exists(live)) {
         val state = spark.read.parquet(live.toString)
-        val upto = state.agg(max(col("_b_upto"))).head().getLong(0)
+        // coalesce guards the empty-state file (all groups deleted, or
+        // a first batch that was entirely malformed): max over zero
+        // rows is null, and a bare getLong would NPE and crash-loop
+        // the stream on every replay
+        val upto = state.agg(coalesce(max(col("_b_upto")), lit(-1L)))
+          .head().getLong(0)
         if (upto >= batchId) return // replayed batch: already applied
         IncrementalAgg.merge(state.drop("_b_upto"), delta, view.spec)
-      } else delta
+      } else delta.filter(col("n_rows") > 0) // same invariant merge keeps
+    atomicSwap(fs, root) { staging =>
+      // aggregate state is #groups rows — orders of magnitude smaller
+      // than the stream; one file keeps the swap cheap and the read local
+      merged.withColumn("_b_upto", lit(batchId))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    }
+  }
+
+  /** Two-rename atomic publish of a freshly-written `.staging` dir as
+    * `live` (shared by mirror merges and view updates; recovery for the
+    * crash window between the renames is [[recoverMirror]]). */
+  private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem, root: String)
+                        (write: Path => Unit): Unit = {
+    val live = new Path(s"$root/live")
     val staging = new Path(s"$root/.staging")
     fs.delete(staging, true)
-    // aggregate state is #groups rows — orders of magnitude smaller
-    // than the stream; one file keeps the swap cheap and the read local
-    merged.withColumn("_b_upto", lit(batchId))
-      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    write(staging)
     val old = new Path(s"$root/.old")
     fs.delete(old, true)
     if (fs.exists(live)) fs.rename(live, old)

@@ -80,10 +80,13 @@ object IncrementalAgg {
       .filter(col("n_rows") > 0)
   }
 
-  /** Convenience: maintain state over a sequence of parsed batches
-    * (first batch's deltas ARE the initial state). */
+  /** Convenience: maintain state over a sequence of parsed batches.
+    * The final filter keeps the state invariant merge() maintains
+    * (no zero-count groups) even in the single-batch case, where a
+    * same-batch insert+delete would otherwise leave a phantom group. */
   def maintain(batches: Seq[DataFrame], spec: Spec): Option[DataFrame] =
     batches.map(b => deltas(b, spec)).reduceOption((s, d) => merge(s, d, spec))
+      .map(_.filter(col("n_rows") > 0))
 
   /** Read-time derived averages: avg_<c> = sum_<c> / n_rows. */
   def withAverages(state: DataFrame, spec: Spec): DataFrame =

@@ -68,6 +68,27 @@ class AggViewSpec extends SparkSpec {
     assert(viewMap(cfg) == recompute)
   }
 
+  test("empty initial state (all-malformed batch) doesn't wedge the view") {
+    val cfg = cfgWithView()
+    // batch 0: routes to ventas but nothing parses -> empty state file
+    val b0 = Seq(rec(1, "{not json", 0)).toDF()
+    CdcPipeline.processBatch(b0, 0L, cfg)
+    // batch 1 must read the empty state without crashing and apply
+    val b1 = Seq(rec(2, env("c", "null", img(2, "a", 4.0)), 1)).toDF()
+    CdcPipeline.processBatch(b1, 1L, cfg)
+    assert(viewMap(cfg) == Map("a" -> ((1L, 4.0))))
+  }
+
+  test("same-batch insert+delete leaves no phantom zero-count group") {
+    val cfg = cfgWithView()
+    val b0 = Seq(
+      rec(1, env("c", "null", img(1, "a", 10.0)), 0),
+      rec(1, env("d", img(1, "a", 10.0), "null"), 1),
+      rec(2, env("c", "null", img(2, "b", 2.0)), 2)).toDF()
+    CdcPipeline.processBatch(b0, 0L, cfg)
+    assert(viewMap(cfg) == Map("b" -> ((1L, 2.0))))
+  }
+
   test("avg columns derive from sums at read time") {
     val cfg = cfgWithView()
     val b0 = Seq(

@@ -89,6 +89,31 @@ class AggViewSpec extends SparkSpec {
     assert(viewMap(cfg) == Map("b" -> ((1L, 2.0))))
   }
 
+  test("distinct counts via a two-level view (group by (g, value))") {
+    // COUNT(DISTINCT x) is not self-maintainable directly, but a view
+    // keyed by (g, x) is — read-time distinct = rows per g. Deletes
+    // retract correctly because the per-value row count hits zero.
+    val root = Files.createTempDirectory("graft-aggview").toString
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt",
+      aggViews = Map("distinct_x" -> CdcPipeline.AggView("ventas",
+        IncrementalAgg.Spec(Seq("g", "x"), Nil))))
+    val b0 = Seq(
+      rec(1, env("c", "null", img(1, "a", 1.0)), 0),
+      rec(2, env("c", "null", img(2, "a", 1.0)), 1), // duplicate value
+      rec(3, env("c", "null", img(3, "a", 2.0)), 2),
+      rec(4, env("c", "null", img(4, "b", 9.0)), 3)).toDF()
+    CdcPipeline.processBatch(b0, 0L, cfg)
+    val b1 = Seq( // delete one of the two x=1 rows: distinct unchanged
+      rec(2, env("d", img(2, "a", 1.0), "null"), 4),
+      // delete the only x=2 row: distinct drops
+      rec(3, env("d", img(3, "a", 2.0), "null"), 5)).toDF()
+    CdcPipeline.processBatch(b1, 1L, cfg)
+    val distinct = CdcPipeline.aggView(spark, cfg, "distinct_x")
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(distinct == Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("avg columns derive from sums at read time") {
     val cfg = cfgWithView()
     val b0 = Seq(

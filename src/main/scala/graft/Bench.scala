@@ -62,11 +62,16 @@ object Bench {
     // route, per-table versioned merge, mirror write.
     val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir)
     val nEvents = raw.count()
-    def pipeRun(): Double = {
+    def pipeRun(withViews: Boolean = false): Double = {
       val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val views =
+        if (!withViews) Map.empty[String, graft.streaming.CdcPipeline.AggView]
+        else Map("by_status" -> graft.streaming.CdcPipeline.AggView("orders_t0",
+          graft.streaming.IncrementalAgg.Spec(
+            Seq("o_orderstatus"), Seq("o_totalprice"))))
       val cfg = graft.streaming.CdcPipeline.Config(
         graft.cdc.Fixture.rowSchema, Seq("id"),
-        s"$root/mirror", s"$root/dlq", s"$root/ckpt")
+        s"$root/mirror", s"$root/dlq", s"$root/ckpt", aggViews = views)
       val tp0 = System.nanoTime()
       graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
       (System.nanoTime() - tp0) / 1e9
@@ -75,10 +80,13 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pipe1 = pipeRun()
+    val pipeV1 = pipeRun(withViews = true)
     val pass2 = names.map(n => n -> timed(n)).toMap
     val pipe2 = pipeRun()
+    val pipeV2 = pipeRun(withViews = true)
     val pipeSec = math.min(pipe1, pipe2)
     val eps = (nEvents / pipeSec).toLong
+    val epsViews = (nEvents / math.min(pipeV1, pipeV2)).toLong
 
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val results = names.map(n => n -> math.min(pass1(n), pass2(n))) :+
@@ -86,7 +94,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews}""")
     spark.stop()
   }
 }

@@ -227,6 +227,28 @@ object PipelineQueries {
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
       "exact interpolated quartiles per order priority"),
 
+    // Deterministic group mode (most frequent value, ties broken by the
+    // smallest value): two-stage hash agg — value counts, then
+    // argmax-with-tiebreak via min_by over (-count, value). Built-in
+    // mode() is tie-nondeterministic across engines; this isn't.
+    Q("agg_mode_deterministic",
+      (s, d) => load(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min_by(col("o_orderpriority"),
+          struct((-col("n")).as("nn"), col("o_orderpriority").as("p")))
+          .as("mode_priority"),
+          max(col("n")).as("mode_n")),
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus, o_orderpriority AS p, count(*) AS n
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderstatus,
+             |  (list_sort(list({'nn': -n, 'p': p})))[1].p AS mode_priority,
+             |  max(n) AS mode_n
+             |FROM c GROUP BY o_orderstatus""".stripMargin),
+      "deterministic mode per group (argmax count, smallest-value tie-break)"),
+
     // Equi-width histogram: global min/max ride along as a broadcast
     // one-row cross join; the bin index is pure exact IEEE arithmetic
     // (sub, div, floor), identical across engines.

@@ -157,6 +157,37 @@ object Relational {
              |GROUP BY c_mktsegment""".stripMargin),
       "J4 enrichment join — broadcast dim, shuffle fact join"),
 
+    // TPC-H Q3 shape (shipping priority): selective filters on all
+    // three tables push into the scans, the small filtered customer
+    // side broadcasts, revenue aggregates per order, and the top-10 is
+    // TakeOrderedAndProject (never a global sort). Unique order:
+    // (revenue desc, l_orderkey).
+    Q("join_shipping_priority",
+      (s, d) => {
+        val cut = lit("1995-03-15").cast("timestamp")
+        val li = load(s, d, "lineitem").filter(col("l_shipdate") > cut)
+        val o = load(s, d, "orders").filter(col("o_orderdate") < cut)
+        val c = load(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      "TPC-H Q3 shape: filtered 3-way join, per-order revenue, top-10"),
+
     // ---- snowflake joins over the supplier/part dimensions ----------
     Q("join_supplier_region_rollup",
       (s, d) => {

@@ -114,6 +114,32 @@ class AggViewSpec extends SparkSpec {
     assert(distinct == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("streaming restart: view continues from checkpoint without recount") {
+    val cfg = cfgWithView()
+    val srcDir = Files.createTempDirectory("graft-aggview-src").toString
+    def fileStream = spark.readStream
+      .schema(Seq.empty[Rec].toDS().schema).parquet(srcDir)
+    Seq(
+      rec(1, env("c", "null", img(1, "a", 10.0)), 0),
+      rec(2, env("c", "null", img(2, "b", 20.0)), 1)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q1 = CdcPipeline.start(fileStream, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(viewMap(cfg) == Map("a" -> ((1L, 10.0)), "b" -> ((1L, 20.0))))
+
+    // second incarnation, same checkpoint: only the new file applies —
+    // the view must fold just the new deltas
+    Seq(
+      rec(1, env("u", img(1, "a", 10.0), img(1, "b", 11.0)), 2), // a -> b
+      rec(2, env("d", img(2, "b", 20.0), "null"), 3)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q2 = CdcPipeline.start(fileStream, cfg)
+    try {
+      q2.processAllAvailable()
+      assert(viewMap(cfg) == Map("b" -> ((1L, 11.0))))
+    } finally q2.stop()
+  }
+
   test("avg columns derive from sums at read time") {
     val cfg = cfgWithView()
     val b0 = Seq(

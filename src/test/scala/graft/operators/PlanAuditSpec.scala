@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan regression guard: the scale-critical plan shapes
+  * documented in PLANS.md, asserted against the actual executed plans
+  * so a refactor can't silently trade them away. (Small-SF plans —
+  * AQE may choose broadcasts here that become shuffles at scale; the
+  * asserted properties are the ones that hold at ANY scale.) */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    QueryCatalog.byName(name).fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("agg_pricing_summary pushes the date filter into the parquet scan") {
+    val p = plan("agg_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      p.take(800))
+  }
+
+  test("topk_orders is TakeOrderedAndProject, never a global sort") {
+    assert(plan("topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_shipping_priority: top-k via TakeOrderedAndProject") {
+    val p = plan("join_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("window_topn_per_group truncates partitions before the shuffle") {
+    assert(plan("window_topn_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("range joins never fall back to a nested loop") {
+    assert(!plan("join_range_point").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("join_range_overlap").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("profile_orders computes all column stats in one scan (Expand)") {
+    val p = plan("profile_orders")
+    assert(p.contains("Expand"), p.take(800))
+    // exactly one parquet scan of orders feeds the whole profile
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("tfidf ranking is TakeOrderedAndProject over the scored pairs") {
+    assert(plan("text_tfidf_topk").contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.DedupFunctions._
+import graft.functions.TextFunctions.wordShingles
+
+/** Cross-batch streaming near-duplicate detection: an append-only
+  * MinHash-LSH band-key index on disk, probed by each arriving batch.
+  *
+  * Per batch: (1) signature + band keys for the new docs — narrow
+  * per-row algebra plus one hash-agg keyed by doc; (2) equi-join the
+  * batch's keys against the index on (band, key) → cross-batch
+  * candidate pairs, plus a within-batch self-join; (3) append the
+  * batch's keys to the index under `batch=<id>` (overwrite per batch
+  * id, so a foreachBatch replay rewrites the same partition instead of
+  * duplicating it — the probe result is deterministic and the index
+  * stays exactly-once).
+  *
+  * Scale: the index grows with the corpus but the probe is an
+  * equi-join keyed by (band, key) — shuffle ∝ batch keys + colliding
+  * index keys, never an index scan per document. At 100 TB the index
+  * would be bucketed by key hash so the join co-partitions
+  * (`bucketBy`/Delta Z-order); the join shape is already the right
+  * one. Candidate pairs are LSH candidates — callers verify with
+  * [[graft.functions.DedupFunctions.jaccard]] on the shingle sets of
+  * the pair, exactly as in the batch path.
+  */
+object StreamingDedup {
+
+  final case class Config(indexDir: String, k: Int = 32, bands: Int = 8,
+                          shingleSize: Int = 3)
+
+  private def bandKeysOf(docs: DataFrame, idCol: String, textCol: String,
+                         cfg: Config): DataFrame = {
+    val shingled = docs.select(col(idCol).as("doc"),
+      array_distinct(wordShingles(col(textCol), cfg.shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    minhashSignatures(shingled, "doc", "sh", cfg.k)
+      .select(col("doc"),
+        explode(lshBandKeys(col("sig"), cfg.bands, cfg.k / cfg.bands)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Process one batch of documents: returns candidate near-dup pairs
+    * `(a, b)` where `a` is a new doc and `b` an already-indexed doc
+    * (cross-batch), or both are new with `a < b` (within-batch). The
+    * batch's keys are committed to the index before returning. */
+  def processBatch(docs: DataFrame, idCol: String, textCol: String,
+                   batchId: Long, cfg: Config): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = new Path(cfg.indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = bandKeysOf(docs, idCol, textCol, cfg).persist()
+
+    val intra = keys.as("l").join(keys.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"))
+
+    // probe the index EXCLUDING this batch's own partition, so a
+    // replayed batch doesn't pair its docs against themselves
+    val indexGlob = new Path(cfg.indexDir)
+    val priorBatches =
+      if (!fs.exists(indexGlob)) Seq.empty
+      else fs.listStatus(indexGlob).map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("batch=") &&
+            p.getName.stripPrefix("batch=").toLong != batchId
+        }.map(_.toString).toSeq
+    val cross =
+      if (priorBatches.isEmpty) intra.limit(0)
+      else keys.as("l").join(
+          spark.read.parquet(priorBatches: _*).as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc") =!= col("r.doc"))
+        .select(col("l.doc").as("a"), col("r.doc").as("b"))
+
+    val pairs = intra.unionByName(cross).distinct()
+      // materialize before the index write below invalidates nothing —
+      // pairs only depend on `keys` (persisted) and prior partitions
+      .persist()
+    pairs.count()
+
+    keys.write.mode("overwrite")
+      .parquet(s"${cfg.indexDir}/batch=$batchId")
+    keys.unpersist()
+    pairs
+  }
+}

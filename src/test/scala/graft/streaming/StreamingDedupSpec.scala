@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while counting rows in a distributed table scan pipeline"
+
+  private def cfg() = StreamingDedup.Config(
+    Files.createTempDirectory("graft-sdedup").toString + "/index")
+
+  test("near-dup arriving in a later batch is detected against the index") {
+    val c = cfg()
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different words about streams joins and windows " +
+        "aggregations watermarks triggers checkpoints and state stores")).toDF("doc_id", "text")
+    val p1 = StreamingDedup.processBatch(b1, "doc_id", "text", 0L, c)
+    assert(p1.count() == 0, "unrelated docs must not pair")
+
+    val b2 = Seq(
+      (3L, base + " extra"), // near-dup of doc 1
+      (4L, "yet another unrelated document mentioning parquet files " +
+        "manifests buckets partitions and compaction strategies entirely")).toDF("doc_id", "text")
+    val p2 = StreamingDedup.processBatch(b2, "doc_id", "text", 1L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(p2.contains((3L, 1L)), s"cross-batch near-dup missed: $p2")
+    assert(!p2.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated new doc must not pair: $p2")
+  }
+
+  test("replayed batch is idempotent: no self-pairs, index not duplicated") {
+    val c = cfg()
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    StreamingDedup.processBatch(b1, "doc_id", "text", 0L, c)
+    // replay the same batch id — its own keys are excluded from probe
+    val replay = StreamingDedup.processBatch(b1, "doc_id", "text", 0L, c)
+    assert(replay.count() == 0, "replay must not pair a doc with itself")
+    // index holds exactly one copy of the batch partition
+    val idx = spark.read.parquet(s"${c.indexDir}/batch=0")
+    assert(idx.select("doc").distinct().count() == 1)
+  }
+
+  test("within-batch near-dups also surface") {
+    val c = cfg()
+    val b = Seq((10L, base), (11L, base + " tail")).toDF("doc_id", "text")
+    val p = StreamingDedup.processBatch(b, "doc_id", "text", 0L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(p.contains((10L, 11L)), s"within-batch pair missed: $p")
+  }
+}

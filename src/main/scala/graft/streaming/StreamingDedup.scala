@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DedupFunctions._
+import graft.functions.SimilarityFunctions.{cosine, dequantize, hyperplaneSignature, quantize8}
 import graft.functions.TextFunctions.wordShingles
 
 /** Cross-batch streaming near-duplicate detection: an append-only
@@ -86,6 +87,60 @@ object StreamingDedup {
 
     keys.write.mode("overwrite")
       .parquet(s"${cfg.indexDir}/batch=$batchId")
+    keys.unpersist()
+    pairs
+  }
+
+  /** Embedding-space analog: multi-table random-hyperplane LSH index
+    * with INT8-QUANTIZED vectors (4-8× smaller index at 100 TB; the
+    * quantization cosine error is bounded — see QuantizeSpec — so the
+    * threshold applies to the dequantized score). Candidate pairs =
+    * bucket collisions in ANY table, verified by cosine ≥ threshold
+    * inside the join. */
+  final case class AnnConfig(indexDir: String, nBits: Int = 12,
+                             nTables: Int = 2, threshold: Double = 0.9)
+
+  private def annKeysOf(vecs: DataFrame, idCol: String, vecCol: String,
+                        cfg: AnnConfig): DataFrame =
+    vecs.select(col(idCol).as("id"), quantize8(col(vecCol)).as("qv"),
+        explode(array((0 until cfg.nTables).map(t => struct(lit(t).as("t"),
+          hyperplaneSignature(col(vecCol), cfg.nBits, seed = t).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("id"), col("qv"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  /** Returns verified near-dup pairs `(a, b, score)`; `a` is a new
+    * vector, `b` indexed (cross-batch) or both new with `a < b`. */
+  def processEmbeddingBatch(vecs: DataFrame, idCol: String, vecCol: String,
+                            batchId: Long, cfg: AnnConfig): DataFrame = {
+    val spark = vecs.sparkSession
+    val fs = new Path(cfg.indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = annKeysOf(vecs, idCol, vecCol, cfg).persist()
+
+    def verified(l: DataFrame, r: DataFrame, cond: Column) =
+      l.as("l").join(r.as("r"),
+          col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") && cond)
+        .select(col("l.id").as("a"), col("r.id").as("b"),
+          round(cosine(dequantize(col("l.qv")), dequantize(col("r.qv"))), 6)
+            .as("score"))
+        .filter(col("score") >= cfg.threshold)
+
+    val intra = verified(keys, keys, col("l.id") < col("r.id"))
+    val prior =
+      if (!fs.exists(new Path(cfg.indexDir))) Seq.empty
+      else fs.listStatus(new Path(cfg.indexDir)).map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("batch=") &&
+            p.getName.stripPrefix("batch=").toLong != batchId
+        }.map(_.toString).toSeq
+    val cross =
+      if (prior.isEmpty) intra.limit(0)
+      else verified(keys, spark.read.parquet(prior: _*),
+        col("l.id") =!= col("r.id"))
+
+    val pairs = intra.unionByName(cross).distinct().persist()
+    pairs.count()
+    keys.write.mode("overwrite").parquet(s"${cfg.indexDir}/batch=$batchId")
     keys.unpersist()
     pairs
   }

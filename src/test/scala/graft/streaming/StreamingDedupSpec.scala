@@ -45,6 +45,27 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idx.select("doc").distinct().count() == 1)
   }
 
+  test("embedding probe: cross-batch near-identical vector detected") {
+    val c = StreamingDedup.AnnConfig(
+      Files.createTempDirectory("graft-sann").toString + "/index")
+    val dim = 16
+    def unit(axis: Int): Seq[Double] =
+      (0 until dim).map(i => if (i == axis) 1.0 else 0.0)
+    def nearly(axis: Int): Seq[Double] =
+      (0 until dim).map(i => if (i == axis) 0.99 else 0.002)
+    val b1 = Seq((1L, unit(0)), (2L, unit(5))).toDF("vec_id", "embedding")
+    val p1 = StreamingDedup.processEmbeddingBatch(
+      b1, "vec_id", "embedding", 0L, c)
+    assert(p1.count() == 0, "orthogonal vectors must not pair")
+
+    val b2 = Seq((3L, nearly(0)), (4L, unit(11))).toDF("vec_id", "embedding")
+    val p2 = StreamingDedup.processEmbeddingBatch(
+      b2, "vec_id", "embedding", 1L, c)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p2.contains((3L, 1L)), s"cross-batch embedding dup missed: $p2")
+    assert(!p2.exists(p => p._1 == 4L || p._2 == 4L), s"spurious pair: $p2")
+  }
+
   test("within-batch near-dups also surface") {
     val c = cfg()
     val b = Seq((10L, base), (11L, base + " tail")).toDF("doc_id", "text")

@@ -126,6 +126,45 @@ object SimilarityQueries {
              |       * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.2""".stripMargin),
       "exact pairwise cosine on a slice — oracle-checked brute-force baseline"),
 
+    // KNN join: top-3 neighbors PER QUERY vector (not one global query
+    // — the batch shape an embedding-dedup or retrieval-eval job runs).
+    // Brute-force on an oracle-checkable slice; the window rank-limit
+    // becomes WindowGroupLimit (pre-shuffle truncation). The LSH/IVF
+    // variants above are the sub-linear scale path for the same shape.
+    Q("sim_knn_join",
+      (s, d) => {
+        val q = load(s, d, "embeddings").filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = load(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        val scored = q.join(corpus, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(cosine(col("qv"), col("nv")), 6).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("nid"), col("score"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |          FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+             |      FROM embeddings WHERE vec_id < 200),
+             |scored AS (
+             |  SELECT qid, nid,
+             |    round(list_dot_product(qv, nv)
+             |      / (sqrt(list_dot_product(qv, qv))
+             |         * sqrt(list_dot_product(nv, nv))), 6) AS score
+             |  FROM q JOIN c ON qid <> nid)
+             |SELECT qid, nid, score, rank FROM (
+             |  SELECT qid, nid, score,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+             |  FROM scored)
+             |WHERE rank <= 3""".stripMargin),
+      "KNN join: top-3 cosine neighbors per query vector, rank-limited window"),
+
     Q("sim_label_centroid_topk",
       (s, d) => {
         // per-label centroid then nearest labels to the query vector —

@@ -52,7 +52,12 @@ object SimilarityFunctions {
     * embedding corpus scannable (and cosine is scale-invariant, so
     * quantized cosine needs no dequantization factor). */
   def quantize8(v: Column): Column = {
-    val s = array_max(transform(v, x => abs(x.cast("double")))) / lit(127d)
+    // greatest(·, tiny) guards the all-zero vector: an unguarded scale
+    // of 0 makes x/s NaN and the tinyint cast silently garbage — here a
+    // zero vector quantizes to an explicit all-zero array instead.
+    val s = greatest(
+      array_max(transform(v, x => abs(x.cast("double")))) / lit(127d),
+      lit(java.lang.Double.MIN_NORMAL))
     transform(v, x => round(x.cast("double") / s).cast("tinyint"))
   }
 

@@ -10,31 +10,43 @@ import graft.functions.TextFunctions._
   * MinHash+LSH, SimHash, n-gram Jaccard. */
 object DedupQueries {
 
+  // Session-scoped memo (same pattern as PipelineQueries.tokenizedDocs):
+  // the pairs frame is shared by the pairs query and the cluster-election
+  // query, and Verify/Bench invoke both repeatedly — a per-invocation
+  // persist() would pin a new dead cache entry each time.
+  private val md5Pairs = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   /** Deterministic (md5-family) MinHash-LSH candidate pairs on a doc
     * slice — shared by the pairs query and the cluster-election query,
     * and replicated verbatim in DuckDB via [[md5MinhashPairsSql]]. */
   private def md5MinhashPairs(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame = {
-    val docs = load(s, d, "documents").filter(col("doc_id") < 150)
-      .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = docs.select(col("doc_id"),
-      array((0 until 8).map(seed =>
-        array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
-        .as("sig"))
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          concat(element_at(col("sig"), 2 * b + 1),
-            element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()
-    bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-      .distinct()
-  }
+                              d: String): org.apache.spark.sql.DataFrame =
+    md5Pairs.getOrElseUpdate((s, d), {
+      val docs = load(s, d, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = docs.select(col("doc_id"),
+        array((0 until 8).map(seed =>
+          array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
+          .as("sig"))
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            concat(element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .persist()
+      val pairs = bands.as("l").join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+        .persist()
+      pairs.count() // materialize, then release the intermediate bands
+      bands.unpersist()
+      pairs
+    })
 
   /** DuckDB CTE chain producing the same `pairs(a, b)` relation. */
   private val md5MinhashPairsSql: String =

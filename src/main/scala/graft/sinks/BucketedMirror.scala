@@ -93,6 +93,38 @@ object BucketedMirror {
   private def bucketPath(root: String, b: Int, v: Long) =
     s"$root/buckets/$b/v$v"
 
+  // Schema sidecar: the versioned row schema as DDL, written before the
+  // manifest commit. Lets an empty mirror (all keys tombstone-compacted,
+  // buckets = empty marker dirs) still serve correctly-schemed reads.
+  private def writeSchema(fs: FileSystem, root: String,
+                          schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = new Path(s"$root/._SCHEMA.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(s"$root/_SCHEMA")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) sys.error(s"schema commit failed for $root")
+  }
+
+  private def readSchema(fs: FileSystem,
+                         root: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(s"$root/_SCHEMA")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.StructType.fromDDL(txt))
+    }
+  }
+
+  // Never-written mirror: no data, no sidecar. The minimal schema that
+  // keeps read()'s stripVersions total — bookkeeping columns only.
+  private def bookkeepingSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      s"`${Materialize.versionTs}` BIGINT, `${Materialize.versionOffset}` BIGINT, " +
+        s"`${Materialize.deletedFlag}` BOOLEAN")
+
   private def bucketExpr(keyCols: Seq[String], n: Int) =
     pmod(hash(keyCols.map(col): _*), lit(n))
 
@@ -151,6 +183,7 @@ object BucketedMirror {
 
       // atomic commit, then lazy sweep of superseded/orphaned versions
       val committed = current ++ next
+      writeSchema(fs, root, merged.schema)
       writeManifest(fs, root, batchId, committed)
       touched.foreach { b =>
         val dir = new Path(s"$root/buckets/$b")
@@ -161,7 +194,10 @@ object BucketedMirror {
     } finally withBucket.unpersist()
   }
 
-  /** Versioned snapshot read (all buckets at their committed versions). */
+  /** Versioned snapshot read (all buckets at their committed versions).
+    * An empty mirror — never written, or every key tombstone-compacted
+    * away — yields an EMPTY frame with the committed schema (from the
+    * `_SCHEMA` sidecar), never an exception. */
   def readVersioned(spark: SparkSession, root: String): DataFrame = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifest(fs, root)
@@ -169,8 +205,9 @@ object BucketedMirror {
       .map { case (b, v) => bucketPath(root, b, v) }
       // an empty marker dir has no parquet footers — skip it
       .filter(p => fs.listStatus(new Path(p)).exists(_.getPath.getName.endsWith(".parquet")))
-    require(paths.nonEmpty, s"empty mirror at $root")
-    spark.read.parquet(paths: _*)
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      readSchema(fs, root).getOrElse(bookkeepingSchema))
   }
 
   /** Live current-state read (tombstones and bookkeeping dropped). */
@@ -183,6 +220,10 @@ object BucketedMirror {
              keyValues: Seq[Any], nBuckets: Int): DataFrame = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifest(fs, root)
+    // empty/never-written mirror: an empty (correctly-schemed when the
+    // sidecar exists) result, matching the swap-mirror lookup path
+    if (manifest.isEmpty)
+      return Materialize.stripVersions(readVersioned(spark, root))
     // same typed-literal hash as the write side (cast avoids the
     // murmur3(Int) vs murmur3(Long) trap)
     val schema = readVersioned(spark, root).schema

@@ -34,6 +34,20 @@ object StreamingDedup {
   final case class Config(indexDir: String, k: Int = 32, bands: Int = 8,
                           shingleSize: Int = 3)
 
+  /** Index partitions strictly before `batchId`. `< batchId` (not
+    * `!= batchId`) so that after a checkpoint reset/replay from an
+    * earlier offset, stale higher-numbered batch dirs are never probed. */
+  private def priorBatchPaths(fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String, batchId: Long): Seq[String] = {
+    val root = new Path(indexDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          p.getName.stripPrefix("batch=").toLong < batchId
+      }.map(_.toString).toSeq
+  }
+
   private def bandKeysOf(docs: DataFrame, idCol: String, textCol: String,
                          cfg: Config): DataFrame = {
     val shingled = docs.select(col(idCol).as("doc"),
@@ -48,7 +62,13 @@ object StreamingDedup {
   /** Process one batch of documents: returns candidate near-dup pairs
     * `(a, b)` where `a` is a new doc and `b` an already-indexed doc
     * (cross-batch), or both are new with `a < b` (within-batch). The
-    * batch's keys are committed to the index before returning. */
+    * batch's keys are committed to the index before returning.
+    *
+    * The returned frame is persisted and already materialized (its
+    * lineage reads index partitions this method may later overwrite, so
+    * caching is correctness, not an optimization) — the CALLER owns the
+    * cache entry and must `unpersist()` it once consumed, typically at
+    * the end of the enclosing `foreachBatch` body. */
   def processBatch(docs: DataFrame, idCol: String, textCol: String,
                    batchId: Long, cfg: Config): DataFrame = {
     val spark = docs.sparkSession
@@ -61,16 +81,11 @@ object StreamingDedup {
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("a"), col("r.doc").as("b"))
 
-    // probe the index EXCLUDING this batch's own partition, so a
-    // replayed batch doesn't pair its docs against themselves
-    val indexGlob = new Path(cfg.indexDir)
-    val priorBatches =
-      if (!fs.exists(indexGlob)) Seq.empty
-      else fs.listStatus(indexGlob).map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith("batch=") &&
-            p.getName.stripPrefix("batch=").toLong != batchId
-        }.map(_.toString).toSeq
+    // probe STRICTLY PRIOR batches only (< batchId, not != batchId):
+    // a replayed batch must not pair its docs against themselves, and
+    // after a checkpoint reset that reprocesses from an earlier offset,
+    // stale higher-numbered batch dirs must not leak into candidates
+    val priorBatches = priorBatchPaths(fs, cfg.indexDir, batchId)
     val cross =
       if (priorBatches.isEmpty) intra.limit(0)
       else keys.as("l").join(
@@ -109,7 +124,9 @@ object StreamingDedup {
       .select(col("id"), col("qv"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
 
   /** Returns verified near-dup pairs `(a, b, score)`; `a` is a new
-    * vector, `b` indexed (cross-batch) or both new with `a < b`. */
+    * vector, `b` indexed (cross-batch) or both new with `a < b`.
+    * As with [[processBatch]], the result is persisted + materialized;
+    * the caller must `unpersist()` it once consumed. */
   def processEmbeddingBatch(vecs: DataFrame, idCol: String, vecCol: String,
                             batchId: Long, cfg: AnnConfig): DataFrame = {
     val spark = vecs.sparkSession
@@ -126,13 +143,7 @@ object StreamingDedup {
         .filter(col("score") >= cfg.threshold)
 
     val intra = verified(keys, keys, col("l.id") < col("r.id"))
-    val prior =
-      if (!fs.exists(new Path(cfg.indexDir))) Seq.empty
-      else fs.listStatus(new Path(cfg.indexDir)).map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith("batch=") &&
-            p.getName.stripPrefix("batch=").toLong != batchId
-        }.map(_.toString).toSeq
+    val prior = priorBatchPaths(fs, cfg.indexDir, batchId)
     val cross =
       if (prior.isEmpty) intra.limit(0)
       else verified(keys, spark.read.parquet(prior: _*),

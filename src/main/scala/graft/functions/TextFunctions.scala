@@ -72,6 +72,26 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Length of the longest run of equal values in `arr` after sorting —
+    * i.e. the highest multiplicity of any element. O(n log n) per row
+    * (sort + two linear boundary scans), no shuffle, no O(n²)
+    * count-per-distinct blowup on long documents: run starts are
+    * positions where a[i] != a[i-1], run ends where a[i] != a[i+1], and
+    * run lengths are their pairwise differences. `try_element_at` keeps
+    * the neighbor probes total under ANSI mode. */
+  def maxSortedRunLength(arr: Column): Column = {
+    val a = sort_array(arr)
+    val m = size(a)
+    val idx = when(m >= 1, sequence(lit(1), m))
+      .otherwise(array().cast("array<int>"))
+    val starts = filter(idx, i =>
+      (i === 1) || (try_element_at(a, i) =!= try_element_at(a, i - 1)))
+    val ends = filter(idx, i =>
+      (i === m) || (try_element_at(a, i) =!= try_element_at(a, i + 1)))
+    when(m === 0, lit(0)).otherwise(
+      array_max(zip_with(ends, starts, (e, st) => e - st + 1)))
+  }
+
   /** Very small n-gram language-ID heuristic: scores text against
     * per-language marker token sets and returns the argmax language.
     * (The testdata generator plants language marker words; in real use

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+import graft.functions.Packing
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization (SURVEY §2.10 north_star):
+  * repetition-based quality metrics (Gopher-style), PII redaction,
+  * benchmark decontamination, greedy sequence packing, and
+  * temperature-based mixture reweighting.
+  *
+  * Scale notes (100 TB):
+  *   - Repetition metrics and PII redaction are pure per-row Column
+  *     algebra — codegen'd linear scans, no shuffle. The top-bigram
+  *     multiplicity uses the sorted-run trick (O(n log n) per doc), not
+  *     count-per-distinct (O(n²) on long documents).
+  *   - Decontamination joins the corpus against the eval set's n-grams:
+  *     the eval side is small by construction, so it broadcasts — no
+  *     shuffle of the 100 TB side; distinct-shingling both sides first
+  *     bounds the join input by gram cardinality, and at extreme scale
+  *     the broadcast degrades gracefully to a bloom-filter pre-filter
+  *     with identical semantics (the join re-verifies).
+  *   - Packing is sequential per group (see [[graft.functions.Packing]])
+  *     — one forward scan per group, O(1) task state.
+  *   - Temperature reweighting aggregates to #groups rows; the total
+  *     rides along as a broadcast one-row cross join, never a driver
+  *     collect.
+  */
+object CurationQueries {
+
+  /** 1..n as an array column, empty when n < 1 (`sequence` would count
+    * DOWN for n = 0 — the same trap charNgrams documents). */
+  private def idxSeq(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+
+  // deterministic synthetic PII (both engines construct the identical
+  // string, so the redaction regexes are genuinely exercised): the
+  // testdata corpus itself is PII-free word soup
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  def queries: Seq[Q] = Seq(
+    // Gopher-style repetition signals per document. All three are
+    // ratios of small exact integers — bitwise-identical doubles in
+    // both engines, no rounding needed.
+    Q("text_repetition",
+      (s, d) => {
+        val ws = tokens(col("text"))
+        val sg = wordShingles(col("text"), 2)
+        val adj = size(filter(idxSeq(size(ws) - 1), i =>
+          try_element_at(ws, i) === try_element_at(ws, i + 1)))
+        load(s, d, "documents").select(
+          col("doc_id"),
+          (lit(1d) - size(array_distinct(ws)).cast("double") / size(ws))
+            .as("dup_token_frac"),
+          (adj.cast("double") / (size(ws) - 1)).as("adj_repeat_frac"),
+          (maxSortedRunLength(sg).cast("double") / size(sg))
+            .as("top_bigram_frac"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |b AS (SELECT doc_id, ws,
+             |        list_sort(list_transform(generate_series(1, len(ws) - 1),
+             |          i -> ws[i] || ' ' || ws[i + 1])) AS sg
+             |      FROM t),
+             |r AS (SELECT doc_id, ws, sg,
+             |        list_filter(generate_series(1, len(sg)),
+             |          i -> i = 1 OR sg[i] != sg[i - 1]) AS starts,
+             |        list_filter(generate_series(1, len(sg)),
+             |          i -> i = len(sg) OR sg[i] != sg[i + 1]) AS ends
+             |      FROM b)
+             |SELECT doc_id,
+             |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_token_frac,
+             |  CAST(len(list_filter(generate_series(1, len(ws) - 1),
+             |    i -> ws[i] = ws[i + 1])) AS DOUBLE) / (len(ws) - 1) AS adj_repeat_frac,
+             |  CAST(list_max(list_transform(generate_series(1, len(starts)),
+             |    j -> ends[j] - starts[j] + 1)) AS DOUBLE) / len(sg) AS top_bigram_frac
+             |FROM r""".stripMargin),
+      "Gopher-style repetition metrics: dup-token / adjacent-repeat / top-bigram fractions"),
+
+    // PII redaction over customer contact notes: counts each PII class,
+    // then redacts email → IP → phone (orderings chosen so no pattern
+    // can match inside another's replacement). RE2-safe regexes (no
+    // lookaround) per the oracle contract.
+    Q("text_pii_redact",
+      (s, d) => {
+        val note = concat(
+          col("c_name"), lit(" phone 555-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+          lit(" email c"), col("c_custkey").cast("string"),
+          lit("@shop.example.com ip 10.0."),
+          pmod(col("c_custkey"), lit(256)).cast("string"), lit("."),
+          pmod(col("c_custkey") * 7, lit(256)).cast("string"))
+        load(s, d, "customer").select(
+          col("c_custkey"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(note, lit(emailRe), lit("[EMAIL]")),
+              lit(ipRe), lit("[IP]")),
+            lit(phoneRe), lit("[PHONE]")).as("redacted"),
+          size(regexp_extract_all(note, lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(note, lit(ipRe), lit(0))).as("n_ips"),
+          size(regexp_extract_all(note, lit(phoneRe), lit(0))).as("n_phones"))
+      },
+      Some("""WITH n AS (
+             |  SELECT c_custkey,
+             |    c_name || ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             |      || ' email c' || CAST(c_custkey AS VARCHAR)
+             |      || '@shop.example.com ip 10.0.'
+             |      || CAST(c_custkey % 256 AS VARCHAR) || '.'
+             |      || CAST(c_custkey * 7 % 256 AS VARCHAR) AS note
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  regexp_replace(regexp_replace(regexp_replace(note,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(note, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+             |  CAST(len(regexp_extract_all(note, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones
+             |FROM n""".stripMargin),
+      "PII detection + redaction (email/IPv4/phone) with per-class counts"),
+
+    // Benchmark decontamination: flag training documents sharing any
+    // 3-gram shingle with the (pretend) eval set — doc_id % 50 == 0.
+    // The eval side is tiny → broadcast join; n_shared_grams /
+    // n_eval_docs quantify the contamination.
+    Q("dedup_decontaminate",
+      (s, d) => {
+        val g = load(s, d, "documents").select(col("doc_id"),
+          explode(array_distinct(wordShingles(col("text"), 3))).as("gram"))
+        val evalG = g.filter(col("doc_id") % 50 === 0)
+          .withColumnRenamed("doc_id", "eval_id")
+        val trainG = g.filter(col("doc_id") % 50 =!= 0)
+        trainG.join(broadcast(evalG), Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared_grams"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |      i -> array_to_string(w[i:i+2], ' '))) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             |e AS (SELECT doc_id AS eval_id, unnest(g) AS gram FROM t WHERE doc_id % 50 = 0),
+             |tr AS (SELECT doc_id, unnest(g) AS gram FROM t WHERE doc_id % 50 != 0)
+             |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared_grams,
+             |  count(DISTINCT e.eval_id) AS n_eval_docs
+             |FROM tr JOIN e ON tr.gram = e.gram
+             |GROUP BY tr.doc_id""".stripMargin),
+      "eval-set decontamination: 3-gram overlap against a broadcast benchmark set"),
+
+    // Greedy first-fit-sequential packing of documents into 128-token
+    // context windows, per language, in doc_id order. The Spark side is
+    // the typed mapPartitions scan; the oracle replays the identical
+    // recurrence as a recursive CTE.
+    Q("pipeline_pack_sequences",
+      (s, d) => Packing.packGreedy(
+        load(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(tokens(col("text"))).as("n_tokens")),
+        groupCol = "lang", idCol = "doc_id", nTokensCol = "n_tokens",
+        ctx = 128).toDF(),
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |p AS (
+             |  SELECT lang, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.lang, t.doc_id, t.n, t.rn,
+             |         CASE WHEN p.fill + t.n > 128 THEN p.bin + 1 ELSE p.bin END,
+             |         CASE WHEN p.fill + t.n > 128 THEN t.n ELSE p.fill + t.n END
+             |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+             |SELECT doc_id, lang, bin AS bin_id, fill AS fill_after FROM p""".stripMargin),
+      "greedy sequence packing into 128-token bins per language (typed mapPartitions)"),
+
+    // Temperature-based mixture reweighting (alpha = 0.5 via sqrt —
+    // correctly-rounded IEEE, bitwise identical across engines; only
+    // the 5-term normalizer sum is order-unstable, hence the rounding).
+    Q("sample_temperature",
+      (s, d) => {
+        val c = load(s, d, "documents").groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val z = c.agg(sum(sqrt(col("n_docs"))).as("z"))
+        c.crossJoin(broadcast(z)).select(
+          col("lang"), col("n_docs"),
+          round(sqrt(col("n_docs")) / col("z"), 4).as("weight"),
+          round(sqrt(col("n_docs")) / col("z") * 10000, 1).as("expected_10k"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+             |z AS (SELECT sum(sqrt(n_docs)) AS z FROM c)
+             |SELECT lang, n_docs, round(sqrt(n_docs) / z, 4) AS weight,
+             |  round(sqrt(n_docs) / z * 10000, 1) AS expected_10k
+             |FROM c CROSS JOIN z""".stripMargin),
+      "temperature (alpha=0.5) mixture reweighting across language groups"))
+}

@@ -27,7 +27,7 @@ object QueryCatalog {
     Relational.queries ++ AdvancedQueries.queries ++ CdcQueries.queries ++
       Monitors.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ RangeJoin.queries
+      PipelineQueries.queries ++ RangeJoin.queries ++ CurationQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
+
 /** Deduplication primitives for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard. All distributed, no
   * driver-side state:
@@ -130,24 +132,23 @@ object DedupFunctions {
                           bCol: String = "b", maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = persistOnce(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct())
     var labels = edges.select(col("src").as("node"))
       .distinct().withColumn("component", col("node"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor-min pass: each node's new label = min(own, neighbors')
-      val next = edges
+      val next = persistOnce(edges
         .join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("nbrMin"))
         .join(labels, "node")
         .select(col("node"),
-          least(col("component"), col("nbrMin")).as("component"))
-        .persist()
+          least(col("component"), col("nbrMin")).as("component")))
       val changed = next.alias("n").join(labels.alias("o"), "node")
         .filter(col("n.component") =!= col("o.component")).limit(1).count()
       labels.unpersist()
@@ -176,10 +177,9 @@ object DedupFunctions {
     // without it the explode+agg subplan runs twice
     val sigs = minhashSignatures(docs, idCol, shingleCol, k)
       .select(col(idCol).as("doc"), col("sig"))
-    val keys = sigs.select(col("doc"),
+    val keys = persistOnce(sigs.select(col("doc"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key")))
     keys.as("l").join(keys.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc") < col("r.doc"))

@@ -36,10 +36,10 @@ object IvfIndex {
   def build(spark: SparkSession, embeddings: DataFrame, k: Int,
             iterations: Int = 3, idCol: String = "vec_id",
             vecCol: String = "embedding"): Index = {
-    val norm = embeddings.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") /
-        sqrt(dot(col(vecCol), col(vecCol)))).as("v"))
-      .persist()
+    val norm = graft.core.Caching.persistOnce(
+      embeddings.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double") /
+          sqrt(dot(col(vecCol), col(vecCol)))).as("v")))
     var centroids = norm.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iterations) {

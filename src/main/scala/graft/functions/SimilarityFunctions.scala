@@ -116,9 +116,10 @@ object SimilarityFunctions {
   def nearDupPairs(embeddings: DataFrame, threshold: Double, nBits: Int = 12,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val sig = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-      .persist() // both self-join sides reuse one signature pass
+    val sig = graft.core.Caching.persistOnce(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+        hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    ) // both self-join sides reuse one signature pass
     sig.as("l").join(sig.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

@@ -168,11 +168,10 @@ object DedupQueries {
         // one whole block — guaranteed recall there, probabilistic
         // above), then verifies hamming on candidates. Never all-pairs:
         // the join is keyed by (block, bits), cost ∝ collisions.
-        val sigs = simhashSignatures(
+        val sigs = graft.core.Caching.persistOnce(simhashSignatures(
           load(s, d, "documents")
             .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
-          "doc_id", "sh")
-          .persist() // both self-join sides reuse one signature pass
+          "doc_id", "sh")) // both self-join sides reuse one signature pass
         val keys = sigs.select(col("doc_id"), col("sig"),
           explode(simhashBlockKeys(col("sig"), 4)).as("bk"))
         keys.as("l").join(keys.as("r"),

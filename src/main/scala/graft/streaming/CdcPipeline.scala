@@ -134,22 +134,29 @@ object CdcPipeline {
         // Merges are submitted concurrently: each is an independent Spark
         // job, so many small per-table batches don't serialize on the
         // driver (the reference is single-threaded here, tasks.max=1).
+        // Tables sharing (row schema, key) merge in ONE job — one
+        // (table, key)-keyed hash agg + one partitioned write for the
+        // whole group instead of a shuffle + write + commit per table
+        // (the reference's 9-table fan-out is exactly this regime).
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = mergeEc
         val jobs = bySchema.toSeq.flatMap { case (schema, ts) =>
           val parsed = parsedBySchema(schema)
-          ts.map { t =>
-            Future {
-              val spec = cfg.specFor(t)
-              val sub = parsed.filter(col("table_name") === t).drop("table_name")
-              val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
-              if (cfg.incrementalMirror)
+          if (cfg.incrementalMirror)
+            ts.map { t =>
+              Future {
+                val spec = cfg.specFor(t)
+                val sub = parsed.filter(col("table_name") === t).drop("table_name")
+                val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
                 graft.sinks.BucketedMirror.merge(spark, s"${cfg.mirrorRoot}/$t",
                   unwrapped, spec.keyCols, cfg.bucketCount.get, batchId)
-              else mergeIntoMirror(spark, unwrapped, t, cfg)
+              }
             }
-          }
+          else
+            ts.groupBy(t => cfg.specFor(t).keyCols).values.toSeq.map { group =>
+              Future { mergeGroupIntoMirrors(spark, parsed, group, cfg) }
+            }
         }
         // Maintained aggregate views ride the same batch: deltas come
         // from the already-parsed frame, so a view costs one extra
@@ -174,6 +181,60 @@ object CdcPipeline {
         dlqAll.write.mode("append").parquet(cfg.dlqDir)
       } finally parsedBySchema.values.foreach(_.unpersist())
     } finally routed.unpersist()
+  }
+
+  /** Unified merge for a group of same-schema same-key tables: the
+    * change stream is keyed by `(table_name, pk)` so the whole group is
+    * ONE hash aggregation and ONE `partitionBy(table_name)` write; the
+    * published state is then swapped per table (each table keeps its own
+    * atomic two-rename publish + recovery, so crash semantics are
+    * unchanged — a batch replay re-merges idempotently whatever subset
+    * had already swapped). Write amplification is the same as the
+    * per-table path (every touched table rewrites); scheduling overhead
+    * drops from #tables jobs to one. */
+  private def mergeGroupIntoMirrors(spark: SparkSession, parsed: DataFrame,
+                                    ts: Seq[String], cfg: Config): Unit = {
+    val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
+    val fs = new Path(cfg.mirrorRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ts.foreach(t => recoverMirror(fs, s"${cfg.mirrorRoot}/$t"))
+    val changes = Envelope.unwrap(
+      Envelope.wellFormed(parsed.filter(col("table_name").isin(ts: _*))),
+      spec.keyCols)
+      .withColumn("table_name", Envelope.route(col("topic")))
+    val existing = ts.flatMap { t =>
+      val live = new Path(s"${cfg.mirrorRoot}/$t/live")
+      if (fs.exists(live))
+        Some(spark.read.parquet(live.toString).drop("_bucket")
+          .withColumn("table_name", lit(t)))
+      else None
+    }
+    val groupKey = "table_name" +: spec.keyCols
+    val merged = existing.reduceOption(_ unionByName _) match {
+      case Some(mirror) => Materialize.merge(mirror, changes, groupKey)
+      case None => Materialize.versionedState(changes, groupKey)
+    }
+    // one write for the group, then per-table staging + swap
+    val tmp = new Path(cfg.mirrorRoot,
+      s".group_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val writer = cfg.bucketCount match {
+        case Some(n) => merged
+          .withColumn("_bucket", bucketCol(spec, n))
+          .repartition(n, col("table_name"), col("_bucket"))
+          .write.partitionBy("table_name", "_bucket")
+        case None => merged.write.partitionBy("table_name")
+      }
+      writer.mode("overwrite").parquet(tmp.toString)
+      ts.foreach { t =>
+        val part = new Path(tmp, s"table_name=$t")
+        if (fs.exists(part)) atomicSwap(fs, s"${cfg.mirrorRoot}/$t") { staging =>
+          if (!fs.rename(part, staging))
+            sys.error(s"staging rename failed for $t")
+          fs.create(new Path(staging, "_SUCCESS"), true).close()
+        }
+      }
+    } finally fs.delete(tmp, true)
   }
 
   /** Keyed merge of one table's changes into its parquet mirror with an

@@ -63,14 +63,25 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Word n-grams (shingles) via sliding windows over the token array. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  /** Word n-grams (shingles) via sliding windows over the token array.
+    *
+    * PERF: pass a PRE-PROJECTED token-array column (not `tokens(text)`
+    * inline) whenever the input is large — an expression argument is
+    * re-evaluated inside the per-element `transform` lambda (Spark
+    * doesn't hoist loop-invariant subexpressions out of lambdas), which
+    * turns shingling into O(n · tokenize) = O(n²) per document. With a
+    * column attribute the token array is computed once per row. */
+  def wordShinglesFromTokens(ws: Column, n: Int): Column = {
     val upper = size(ws) - (n - 1)
     when(upper >= 1,
       transform(sequence(lit(1), upper), i => array_join(slice(ws, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** [[wordShinglesFromTokens]] over whitespace tokens — fine for small
+    * inputs / oracle slices; see the PERF note above for corpus scans. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Length of the longest run of equal values in `arr` after sorting —
     * i.e. the highest multiplicity of any element. O(n log n) per row
@@ -79,8 +90,14 @@ object TextFunctions {
     * positions where a[i] != a[i-1], run ends where a[i] != a[i+1], and
     * run lengths are their pairwise differences. `try_element_at` keeps
     * the neighbor probes total under ANSI mode. */
-  def maxSortedRunLength(arr: Column): Column = {
-    val a = sort_array(arr)
+  def maxSortedRunLength(arr: Column): Column =
+    maxRunLengthPreSorted(sort_array(arr))
+
+  /** [[maxSortedRunLength]] for an input that is ALREADY sorted — pass a
+    * pre-projected sorted column so the sort isn't re-inlined at every
+    * reference site (CollapseProject keeps a multiply-referenced
+    * non-trivial alias materialized). */
+  def maxRunLengthPreSorted(a: Column): Column = {
     val m = size(a)
     val idx = when(m >= 1, sequence(lit(1), m))
       .otherwise(array().cast("array<int>"))

@@ -50,16 +50,25 @@ object CurationQueries {
     // both engines, no rounding needed.
     Q("text_repetition",
       (s, d) => {
-        val ws = tokens(col("text"))
-        val sg = wordShingles(col("text"), 2)
+        // staged projections: ws / sorted-sg are multiply-referenced
+        // non-trivial aliases, so CollapseProject materializes each ONCE
+        // per row instead of re-inlining the split/sort at every use —
+        // and shingling runs over the ws COLUMN so tokenization isn't
+        // re-evaluated inside the transform lambda (O(n²) otherwise)
+        val base = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .select(col("doc_id"), col("ws"),
+            sort_array(wordShinglesFromTokens(col("ws"), 2)).as("sg"))
+        val ws = col("ws")
+        val sg = col("sg")
         val adj = size(filter(idxSeq(size(ws) - 1), i =>
           try_element_at(ws, i) === try_element_at(ws, i + 1)))
-        load(s, d, "documents").select(
+        base.select(
           col("doc_id"),
           (lit(1d) - size(array_distinct(ws)).cast("double") / size(ws))
             .as("dup_token_frac"),
           (adj.cast("double") / (size(ws) - 1)).as("adj_repeat_frac"),
-          (maxSortedRunLength(sg).cast("double") / size(sg))
+          (maxRunLengthPreSorted(sg).cast("double") / size(sg))
             .as("top_bigram_frac"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -131,8 +140,11 @@ object CurationQueries {
     // n_eval_docs quantify the contamination.
     Q("dedup_decontaminate",
       (s, d) => {
-        val g = load(s, d, "documents").select(col("doc_id"),
-          explode(array_distinct(wordShingles(col("text"), 3))).as("gram"))
+        // tokens pre-projected so the shingle transform is O(n) per doc
+        val g = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShinglesFromTokens(col("w"), 3))).as("gram"))
         val evalG = g.filter(col("doc_id") % 50 === 0)
           .withColumnRenamed("doc_id", "eval_id")
         val trainG = g.filter(col("doc_id") % 50 =!= 0)

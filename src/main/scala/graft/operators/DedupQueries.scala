@@ -145,8 +145,12 @@ object DedupQueries {
     // in DuckDB; rows-only checks.
     Q("dedup_minhash_lsh_pairs",
       (s, d) => {
+        // tokens pre-projected: shingling over the column is O(n)/doc
+        // (an inline tokens(text) re-tokenizes inside the lambda)
         val docs = load(s, d, "documents")
-          .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh"))
           .filter(size(col("sh")) > 0)
         lshCandidatePairs(docs, "doc_id", "sh")
       },
@@ -156,7 +160,9 @@ object DedupQueries {
     Q("dedup_simhash_signatures",
       (s, d) => simhashSignatures(
         load(s, d, "documents")
-          .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh")),
         "doc_id", "sh").withColumnRenamed("sig", "signature"),
       None,
       "64-bit SimHash signatures, per-row single-pass fold (no shuffle)"),
@@ -170,7 +176,9 @@ object DedupQueries {
         // the join is keyed by (block, bits), cost ∝ collisions.
         val sigs = graft.core.Caching.persistOnce(simhashSignatures(
           load(s, d, "documents")
-            .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh")),
+            .select(col("doc_id"), tokens(col("text")).as("w"))
+            .select(col("doc_id"),
+              array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh")),
           "doc_id", "sh")) // both self-join sides reuse one signature pass
         val keys = sigs.select(col("doc_id"), col("sig"),
           explode(simhashBlockKeys(col("sig"), 4)).as("bk"))

@@ -33,7 +33,8 @@ object Bench {
     "text_quality_score", "text_pretoken_count", "pipeline_clean_chunks",
     "cdc_merge_incremental", "mm_frame_sample", "join_range_point",
     "text_tfidf_topk", "dedup_cluster_election", "profile_orders",
-    "text_repetition", "dedup_decontaminate", "pipeline_pack_sequences")
+    "text_repetition", "dedup_decontaminate", "pipeline_pack_sequences",
+    "agg_topk_typed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,5 +41,12 @@ object GraftExtensions {
     functions.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // typed Aggregator surface (SURVEY §2.10): bounded per-group top-k,
+    // callable from SQL as topk_scored(score, id)
+    spark.udf.register("topk_scored",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopK.TopKAggregator(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[graft.functions.TopK.ScoredId]()))
   }
 }

@@ -191,6 +191,24 @@ object CurationQueries {
              |SELECT doc_id, lang, bin AS bin_id, fill AS fill_after FROM p""".stripMargin),
       "greedy sequence packing into 128-token bins per language (typed mapPartitions)"),
 
+    // Typed-Aggregator surface (SURVEY §2.10): bounded per-group top-k
+    // with map-side partial aggregation — shuffle ≤ k rows per group
+    // per map partition, vs collect_list's unbounded buffer or a window
+    // sort's full-group shuffle. Oracle = the window formulation (same
+    // total order), so the Aggregator's merge logic is hash-checked.
+    Q("agg_topk_typed",
+      (s, d) => graft.functions.TopK.perGroup(
+        load(s, d, "orders"), Seq("o_orderpriority"),
+        scoreCol = "o_totalprice", idCol = "o_orderkey", k = 3),
+      Some("""SELECT o_orderpriority, CAST(rn - 1 AS INTEGER) AS rank,
+             |  o_totalprice AS score, CAST(o_orderkey AS BIGINT) AS id
+             |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3""".stripMargin),
+      "typed Aggregator top-k per group (bounded buffer, partial-agg)"),
+
     // Temperature-based mixture reweighting (alpha = 0.5 via sqrt —
     // correctly-rounded IEEE, bitwise identical across engines; only
     // the 5-term normalizer sum is order-unstable, hence the rounding).

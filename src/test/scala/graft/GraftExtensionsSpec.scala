@@ -13,6 +13,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("topk_scored UDAF callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT g, topk_scored(s, id) AS tk FROM VALUES " +
+        "(1, 5.0, 10L), (1, 7.0, 11L), (1, 7.0, 9L), (2, 1.0, 12L) " +
+        "AS t(g, s, id) GROUP BY g ORDER BY g").collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    // best-first, tie on score broken by ascending id
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((7.0, 9L), (7.0, 11L), (5.0, 10L)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
+  }
+
   test("vec_dot over a SQL view of the embeddings table") {
     GraftExtensions.register(spark)
     graft.core.Tables.load(spark, sf0001, "embeddings")

@@ -37,6 +37,69 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
 
+  // ---------------------------------------------------------------
+  // transformWithState surface (Spark 4 arbitrary-state API v2):
+  // cross-batch exact dedup for a streaming ingest — emit only the
+  // FIRST occurrence of each content fingerprint; duplicates in later
+  // batches (or the same batch) are suppressed. State is one boolean
+  // per fingerprint in the RocksDB state store, optionally TTL'd so
+  // the fingerprint set doesn't grow unboundedly (a bounded dedup
+  // window is the standard 100 TB compromise: exact within the TTL
+  // horizon, MinHash/LSH for the long tail).
+  // ---------------------------------------------------------------
+
+  final case class FingerprintedDoc(fp: String, doc_id: Long, text: String)
+
+  implicit val fpEnc: Encoder[FingerprintedDoc] = Encoders.product[FingerprintedDoc]
+  implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+  implicit val stringEnc: Encoder[String] = Encoders.STRING
+
+  private class FirstSeenProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, FingerprintedDoc, FingerprintedDoc] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConfig = ttl
+        .map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Boolean]("seen", boolEnc, ttlConfig)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[FingerprintedDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FingerprintedDoc] = {
+      if (seen.exists()) Iterator.empty
+      else rows.nextOption() match {
+        case None => Iterator.empty
+        case Some(first) =>
+          seen.update(true)
+          Iterator.single(first) // within-batch dups: rest of `rows` dropped
+      }
+    }
+  }
+
+  /** First occurrence of each fingerprint only, across batches; pass a
+    * TTL to bound state (fingerprints seen longer ago than the TTL
+    * readmit — exact dedup within the horizon). Requires the RocksDB
+    * state store provider (transformWithState's backing store). */
+  def firstSeenOnly(docs: Dataset[FingerprintedDoc],
+                    ttl: Option[java.time.Duration] = None)
+      : Dataset[FingerprintedDoc] = {
+    // TimeMode.None unless TTL is requested: ProcessingTime mode makes
+    // EVERY trigger a stateful timer batch (a no-data micro-batch per
+    // trigger interval — observed as a runaway stage count with a fast
+    // trigger), which only TTL eviction actually needs.
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    docs.groupByKey(_.fp)
+      .transformWithState(new FirstSeenProcessor(ttl), timeMode,
+        OutputMode.Append())
+  }
+
   private def update(id: Long, batch: Iterator[KeyedChange],
                      state: GroupState[StateValue]): Iterator[Transition] = {
     val newest = batch.reduceOption { (a, b) =>

@@ -50,6 +50,45 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstSeenOnly (transformWithState): cross-batch exact dedup by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.FingerprintedDoc
+    // transformWithState is backed by the RocksDB state store;
+    // changelog checkpointing avoids a full RocksDB snapshot zip per
+    // batch per partition (observed minutes per micro-batch without it)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val ms = MemoryStream[FingerprintedDoc]
+    val q = StatefulOps.firstSeenOnly(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("first_seen")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def ids(): Set[Long] = spark.table("first_seen")
+        .as[FingerprintedDoc].collect().map(_.doc_id).toSet
+
+      // batch 1: two distinct docs + a within-batch duplicate of fp "a"
+      ms.addData(FingerprintedDoc("a", 1, "t1"), FingerprintedDoc("b", 2, "t2"),
+        FingerprintedDoc("a", 3, "t1"))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L))
+
+      // batch 2: cross-batch duplicate suppressed, new fp admitted
+      ms.addData(FingerprintedDoc("a", 4, "t1"), FingerprintedDoc("c", 5, "t3"))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L, 5L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dropDuplicatesWithinWatermark dedups replayed events") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long)]

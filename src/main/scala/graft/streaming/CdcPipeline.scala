@@ -210,7 +210,10 @@ object CdcPipeline {
       else None
     }
     val groupKey = "table_name" +: spec.keyCols
-    val merged = existing.reduceOption(_ unionByName _) match {
+    // allowMissingColumns: sibling mirrors can lag an additive schema
+    // evolution (a table that hasn't merged since the new column
+    // appeared still has the old layout) — missing columns backfill null
+    val merged = existing.reduceOption(_.unionByName(_, allowMissingColumns = true)) match {
       case Some(mirror) => Materialize.merge(mirror, changes, groupKey)
       case None => Materialize.versionedState(changes, groupKey)
     }

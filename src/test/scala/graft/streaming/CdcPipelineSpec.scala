@@ -66,6 +66,37 @@ class CdcPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("group merge tolerates a sibling mirror lagging a schema evolution") {
+    // ventas mirrors under the OLD schema; the registry then evolves
+    // additively and a batch touches ventas AND compras together —
+    // compras' first merge and ventas' lagging (old-layout) mirror land
+    // in the same schema group, so the cross-mirror union must backfill
+    val root = Files.createTempDirectory("graft-pipe-evo").toString
+    val oldCfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt", triggerMs = 10)
+    CdcPipeline.processBatch(
+      Seq(rec("ventas", 1, "a", "r", 1000, 0)).toDF(), 0L, oldCfg)
+
+    val evolved = StructType(rowSchema.fields :+ StructField("extra", LongType))
+    val newCfg = oldCfg.copy(rowSchema = evolved)
+    def envNew(id: Long, extra: Long, ts: Long): String =
+      s"""{"payload":{"after":{"id":$id,"v":"x","extra":$extra},"op":"u","ts_ms":$ts}}"""
+    val batch = Seq(
+      Rec("mysql-server.pos_bi_db.ventas", s"""{"payload":{"id":2}}""",
+        envNew(2, 42, 2000), 0, 1),
+      Rec("mysql-server.pos_bi_db.compras", s"""{"payload":{"id":7}}""",
+        envNew(7, 43, 2000), 0, 2)).toDF()
+    CdcPipeline.processBatch(batch, 1L, newCfg)
+
+    val ventas = CdcPipeline.mirror(spark, newCfg, "ventas")
+      .orderBy("id").collect()
+    // old row survives with null backfill; new rows carry the column
+    assert(ventas.map(r => (r.getLong(0),
+      Option(r.getAs[Any]("extra")))).toSeq ==
+      Seq((1L, None), (2L, Some(42L))))
+    assert(CdcPipeline.mirror(spark, newCfg, "compras").count() == 1)
+  }
+
   test("late-arriving older change never regresses the mirror") {
     val cfg = freshCfg()
     implicit val sqlCtx = spark.sqlContext

@@ -29,6 +29,27 @@ class BucketedMirrorSpec extends SparkSpec {
     BucketedMirror.read(spark, root).select("id", "v")
       .as[(Long, String)].collect().toMap
 
+  test("never-written mirror reads/looks up as empty, never throws") {
+    val root = Files.createTempDirectory("bm-empty").toString + "/none"
+    assert(BucketedMirror.read(spark, root).count() == 0)
+    assert(BucketedMirror.readVersioned(spark, root).count() == 0)
+    assert(BucketedMirror.lookup(spark, root, keyCols, Seq(1L), n).count() == 0)
+  }
+
+  test("fully tombstone-compacted mirror keeps the committed schema") {
+    val root = Files.createTempDirectory("bm-tomb").toString
+    BucketedMirror.merge(spark, root,
+      changes((1L, "a", "r", 1000L, 0L)), keyCols, n, batchId = 0)
+    // delete the only key; live state is now empty
+    BucketedMirror.merge(spark, root,
+      changes((1L, "", "d", 2000L, 1L)), keyCols, n, batchId = 1)
+    val live = BucketedMirror.read(spark, root)
+    assert(live.count() == 0)
+    // schema survives via the _SCHEMA sidecar: row columns still present
+    assert(live.columns.toSet == Set("id", "v"))
+    assert(BucketedMirror.lookup(spark, root, keyCols, Seq(1L), n).count() == 0)
+  }
+
   test("chained incremental merges equal one-shot materialization") {
     val root = Files.createTempDirectory("bm").toString
     val b1 = changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),

@@ -45,6 +45,23 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idx.select("doc").distinct().count() == 1)
   }
 
+  test("checkpoint reset: stale higher-numbered index batches are not probed") {
+    val c = cfg()
+    StreamingDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 0L, c)
+    StreamingDedup.processBatch(
+      Seq((5L, base + " tail")).toDF("doc_id", "text"), "doc_id", "text", 2L, c)
+    // reset to an earlier offset: batch id 1 replays while a stale
+    // batch=2 dir (doc 5, a near-dup) still exists on disk — candidates
+    // must only come from batches STRICTLY BEFORE 1, i.e. doc 1
+    val pairs = StreamingDedup.processBatch(
+      Seq((3L, base + " extra")).toDF("doc_id", "text"), "doc_id", "text", 1L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1L)), s"prior-batch near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"stale future-batch doc must not appear in candidates: $pairs")
+  }
+
   test("embedding probe: cross-batch near-identical vector detected") {
     val c = StreamingDedup.AnnConfig(
       Files.createTempDirectory("graft-sann").toString + "/index")

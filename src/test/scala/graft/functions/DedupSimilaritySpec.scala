@@ -136,6 +136,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(err < 0.02, s"quantization cosine error too large: $err")
   }
 
+  test("int8 quantization: all-zero vector maps to zeros, not NaN garbage") {
+    val z = Seq((1L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(SimilarityFunctions.quantize8($"embedding").as("qv"))
+      .head().getSeq[Byte](0)
+    assert(z == Seq[Byte](0, 0, 0, 0))
+  }
+
   test("embedding near-dup pairs: planted duplicate found by bucket join") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()

@@ -173,12 +173,16 @@ object CdcPipeline {
         (jobs ++ viewJobs).foreach(Await.result(_, Duration.Inf))
 
         // consolidated DLQ append: malformed envelopes from every table
-        // + records whose topic routes nowhere (register-dlq-sink.json:16-17)
+        // + records whose topic routes nowhere (register-dlq-sink.json:16-17).
+        // Clean batches skip the write entirely — the emptiness probe is
+        // one cheap scan of the already-cached frames, vs a parquet
+        // commit (files + _SUCCESS) per trigger polluting the DLQ dir
+        // forever on a long-running stream.
         val unroutable = routed.filter(col("table_name") === "")
           .select(col("value").cast("string").as("payload_json"))
         val dlqAll = parsedBySchema.values.map(Envelope.dlq)
           .foldLeft(unroutable)(_ unionByName _)
-        dlqAll.write.mode("append").parquet(cfg.dlqDir)
+        if (!dlqAll.isEmpty) dlqAll.write.mode("append").parquet(cfg.dlqDir)
       } finally parsedBySchema.values.foreach(_.unpersist())
     } finally routed.unpersist()
   }
@@ -377,7 +381,15 @@ object CdcPipeline {
     Materialize.stripVersions(keyed).drop("_bucket")
   }
 
-  /** Read the dead-letter table. */
-  def deadLetters(spark: SparkSession, cfg: Config): DataFrame =
-    spark.read.parquet(cfg.dlqDir)
+  /** Read the dead-letter table. A pipeline that never saw a poison
+    * record has no DLQ dir (clean batches don't write) — that reads as
+    * an empty, correctly-schemed frame. */
+  def deadLetters(spark: SparkSession, cfg: Config): DataFrame = {
+    val dir = new Path(cfg.dlqDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) spark.read.parquet(cfg.dlqDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("`payload_json` STRING"))
+  }
 }

@@ -95,6 +95,8 @@ class CdcPipelineSpec extends SparkSpec {
       Option(r.getAs[Any]("extra")))).toSeq ==
       Seq((1L, None), (2L, Some(42L))))
     assert(CdcPipeline.mirror(spark, newCfg, "compras").count() == 1)
+    // clean batches never created a DLQ dir; reading it is still total
+    assert(CdcPipeline.deadLetters(spark, newCfg).count() == 0)
   }
 
   test("late-arriving older change never regresses the mirror") {

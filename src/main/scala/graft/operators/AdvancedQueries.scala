@@ -127,13 +127,20 @@ object AdvancedQueries {
              |FROM events GROUP BY event_type""".stripMargin),
       "bitwise aggregates (exact, order-independent)"),
 
-    // ---- approximate distinct (HLL) — engine-specific sketch, no oracle
+    // ---- approximate distinct (HLL) — the sketch VALUE is
+    // engine-specific, so the oracle checks the PROPERTY instead: the
+    // exact count hash-matches, and `within_5pct` (Spark's HLL++ vs its
+    // own exact count) must equal DuckDB's literal TRUE — a wrong sketch
+    // fails the hash compare.
     Q("agg_approx_distinct",
       (s, d) => load(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts")),
-      None,
-      "HLL++ approx distinct; accuracy vs exact asserted in tests (±5%)"),
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) -
+            countDistinct(col("l_partkey"))).cast("double") /
+            countDistinct(col("l_partkey")) <= 0.05).as("within_5pct")),
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS within_5pct FROM lineitem""".stripMargin),
+      "HLL++ approx distinct, property-oracled: within 5% of exact"),
 
     // ---- window function batch 2 --------------------------------------
     Q("window_navigation",

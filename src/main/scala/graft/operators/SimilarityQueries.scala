@@ -98,10 +98,32 @@ object SimilarityQueries {
       "IVF ANN: Lloyd-built cells (index memoized — offline artifact), " +
         "nprobe nearest cells searched (rows-only; recall asserted in tests)"),
 
+    // Planted exact duplicates make the LSH path oracle-able: identical
+    // vectors share every hyperplane bucket (collision probability 1),
+    // and random 64-dim pairs cannot reach cosine 0.95 (≈7.6σ), so the
+    // emitted pair set equals the brute-force threshold join the oracle
+    // runs on the same slice — the bucketing is checked end-to-end, not
+    // just rows-counted. Scores are omitted from the output (sum-order
+    // of the two engines' cosine kernels is an implementation detail).
     Q("sim_near_dup_pairs",
-      (s, d) => nearDupPairs(load(s, d, "embeddings"), threshold = 0.95),
-      None,
-      "embedding-cosine near-duplicate pairs via LSH bucket collisions"),
+      (s, d) => {
+        val slice = load(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val planted = slice.filter(col("vec_id").isin(3L, 7L))
+          .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+        nearDupPairs(slice.unionByName(planted), threshold = 0.95)
+          .select(col("a"), col("b"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+             |  UNION ALL
+             |  SELECT vec_id + 9000, embedding FROM embeddings
+             |  WHERE vec_id IN (3, 7))
+             |SELECT l.vec_id AS a, r.vec_id AS b
+             |FROM e l JOIN e r ON l.vec_id < r.vec_id
+             |WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95""".stripMargin),
+      "embedding near-dup pairs via LSH buckets, oracle-checked against " +
+        "the brute-force threshold join (planted duplicates)"),
 
     // Exact (brute-force) pair similarity on a bounded slice — the
     // deterministic baseline the LSH variant is measured against, and a

@@ -51,8 +51,8 @@ class QueryCatalogSpec extends SparkSpec {
 
   test("approx_count_distinct is within 5% of exact") {
     val r = QueryCatalog.byName("agg_approx_distinct").fn(spark, sf0001).head()
-    val (approx, exact) = (r.getLong(0), r.getLong(1))
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx $approx vs exact $exact")
+    assert(r.getAs[Long]("exact_parts") > 0)
+    assert(r.getAs[Boolean]("within_5pct"),
+      s"HLL++ estimate drifted beyond 5% of exact: $r")
   }
 }

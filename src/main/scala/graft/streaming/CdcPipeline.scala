@@ -141,30 +141,37 @@ object CdcPipeline {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = mergeEc
-        val jobs = bySchema.toSeq.flatMap { case (schema, ts) =>
-          val parsed = parsedBySchema(schema)
-          if (cfg.incrementalMirror)
-            ts.map { t =>
-              Future {
-                val spec = cfg.specFor(t)
-                val sub = parsed.filter(col("table_name") === t).drop("table_name")
-                val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
-                graft.sinks.BucketedMirror.merge(spark, s"${cfg.mirrorRoot}/$t",
-                  unwrapped, spec.keyCols, cfg.bucketCount.get, batchId)
+        // mergeFor maps each table to the future completing its mirror
+        // merge — view updates with max maintenance sequence on it (the
+        // dirty-group recompute must read the POST-batch mirror)
+        val jobsWithTables: Seq[(Seq[String], Future[Unit])] =
+          bySchema.toSeq.flatMap { case (schema, ts) =>
+            val parsed = parsedBySchema(schema)
+            if (cfg.incrementalMirror)
+              ts.map { t =>
+                Seq(t) -> Future {
+                  val spec = cfg.specFor(t)
+                  val sub = parsed.filter(col("table_name") === t).drop("table_name")
+                  val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
+                  graft.sinks.BucketedMirror.merge(spark, s"${cfg.mirrorRoot}/$t",
+                    unwrapped, spec.keyCols, cfg.bucketCount.get, batchId)
+                }
               }
-            }
-          else
-            ts.groupBy(t => cfg.specFor(t).keyCols).values.toSeq.map { group =>
-              Future { mergeGroupIntoMirrors(spark, parsed, group, cfg) }
-            }
-        }
+            else
+              ts.groupBy(t => cfg.specFor(t).keyCols).values.toSeq.map { group =>
+                group -> Future { mergeGroupIntoMirrors(spark, parsed, group, cfg) }
+              }
+          }
+        val jobs = jobsWithTables.map(_._2)
+        val mergeFor: Map[String, Future[Unit]] =
+          jobsWithTables.flatMap { case (ts, f) => ts.map(_ -> f) }.toMap
         // Maintained aggregate views ride the same batch: deltas come
         // from the already-parsed frame, so a view costs one extra
-        // aggregation per batch, not a reparse. Independent of the
-        // merges — submitted to the same pool.
+        // aggregation per batch, not a reparse. Each runs AFTER its
+        // table's merge (max recompute reads the post-batch mirror).
         val viewJobs = cfg.aggViews.toSeq.collect {
           case (name, v) if tables.contains(v.table) =>
-            Future {
+            mergeFor(v.table).map { _ =>
               val parsed = parsedBySchema(cfg.specFor(v.table).rowSchema)
                 .filter(col("table_name") === v.table)
               updateAggView(spark, name, parsed, v, batchId, cfg)
@@ -305,6 +312,9 @@ object CdcPipeline {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverMirror(fs, root)
     val delta = IncrementalAgg.deltas(parsed, view.spec)
+    // max maintenance recomputes dirty groups from the POST-batch
+    // mirror (this view job is sequenced after the table's merge)
+    val mirrorRows = Some(() => mirror(spark, cfg, view.table))
     val merged =
       if (fs.exists(live)) {
         val state = spark.read.parquet(live.toString)
@@ -315,8 +325,12 @@ object CdcPipeline {
         val upto = state.agg(coalesce(max(col("_b_upto")), lit(-1L)))
           .head().getLong(0)
         if (upto >= batchId) return // replayed batch: already applied
-        IncrementalAgg.merge(state.drop("_b_upto"), delta, view.spec)
-      } else delta.filter(col("n_rows") > 0) // same invariant merge keeps
+        IncrementalAgg.merge(state.drop("_b_upto"), delta, view.spec, mirrorRows)
+      } else
+        // empty-state merge (NOT a bare filter): a within-batch
+        // insert+delete of a group's max row must already trigger the
+        // dirty recompute on the very first batch
+        IncrementalAgg.merge(delta.limit(0), delta, view.spec, mirrorRows)
     atomicSwap(fs, root) { staging =>
       // aggregate state is #groups rows — orders of magnitude smaller
       // than the stream; one file keeps the swap cheap and the read local

@@ -38,12 +38,21 @@ import graft.cdc.Envelope
   */
 object IncrementalAgg {
 
-  /** groupCols/sumCols name fields of the row schema carried in the
-    * envelope images. */
-  final case class Spec(groupCols: Seq[String], sumCols: Seq[String])
+  /** groupCols/sumCols/maxCols name fields of the row schema carried in
+    * the envelope images. `maxCols` maintains per-group MAX — the
+    * reference's own integrity probe is `MAX(id)` per table
+    * (cdc_data_integrity_dynamic_dag.py:50), here kept continuously
+    * instead of re-queried on a cron. MAX is not self-maintainable
+    * under deletes (a retracted max needs the runner-up), so merging
+    * flags "dirty" groups — ones whose retracted value could have been
+    * the max — and recomputes ONLY those from the mirror:
+    * O(dirty groups' rows), never a full rescan. */
+  final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
+                        maxCols: Seq[String] = Nil)
 
   private def stateCols(spec: Spec): Seq[String] =
-    "n_rows" +: spec.sumCols.map(c => s"sum_$c")
+    "n_rows" +: (spec.sumCols.map(c => s"sum_$c") ++
+      spec.maxCols.map(c => s"max_$c"))
 
   /** Signed, combined per-group deltas for one parsed envelope batch
     * (output: groupCols ++ n_rows ++ sum_*; one row per touched group). */
@@ -56,28 +65,80 @@ object IncrementalAgg {
         .select(
           spec.groupCols.map(g => col(s"env.payload.$img.$g").as(g)) ++
             (lit(sign.toLong).as("_n") +:
-              spec.sumCols.map(c =>
-                (col(s"env.payload.$img.$c") * sign).as(s"_s_$c"))): _*)
+              (spec.sumCols.map(c =>
+                (col(s"env.payload.$img.$c") * sign).as(s"_s_$c")) ++
+                spec.maxCols.map(c =>
+                  col(s"env.payload.$img.$c").as(s"_m_$c")))): _*)
     val contributions =
       side("after", 1, Seq("c", "r", "u"))
         .unionByName(side("before", -1, Seq("u", "d")))
-    val aggs = sum(col("_n")).as("n_rows") +:
-      spec.sumCols.map(c => sum(col(s"_s_$c")).as(s"sum_$c"))
+    val aggs = (sum(col("_n")).as("n_rows") +:
+      spec.sumCols.map(c => sum(col(s"_s_$c")).as(s"sum_$c"))) ++
+      // inserted-side max candidates and retracted-side max (for the
+      // dirty test) ride the same hash agg — FILTER on the sign column
+      spec.maxCols.flatMap(c => Seq(
+        max(when(col("_n") === 1, col(s"_m_$c"))).as(s"max_$c"),
+        max(when(col("_n") === -1, col(s"_m_$c"))).as(s"_ret_$c")))
     contributions.groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Fold a delta frame into the running state; groups whose row count
     * reaches zero are dropped (their sum residue is definitionally
-    * stale). Cost: one shuffle keyed by group over state ∪ delta. */
-  def merge(state: DataFrame, delta: DataFrame, spec: Spec): DataFrame = {
-    val aggs = sum(col("n_rows")).as("n_rows") +:
-      spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
-    state.select((spec.groupCols ++ stateCols(spec)).map(col): _*)
-      .unionByName(delta.select((spec.groupCols ++ stateCols(spec)).map(col): _*))
+    * stale). Cost: one shuffle keyed by group over state ∪ delta.
+    *
+    * With `maxCols`, a group is DIRTY when a retracted value could have
+    * been its max (retracted ≥ merged candidate): those groups — and
+    * only those — are recomputed from `mirrorRows` (the table's
+    * post-batch live rows), semi-joined so the recompute cost is ∝
+    * dirty groups' rows. Passing no mirror with a dirty retraction
+    * fails loudly rather than serving a silently-stale max. The dirty
+    * probe is one driver-side emptiness check on the (tiny, ≤ touched
+    * groups) delta frame. */
+  def merge(state: DataFrame, delta: DataFrame, spec: Spec,
+            mirrorRows: Option[() => DataFrame] = None): DataFrame = {
+    val retCols = spec.maxCols.map(c => s"_ret_$c")
+    def aligned(df: DataFrame) = {
+      val withRet = retCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(
+          delta.schema(c).dataType)))
+      withRet.select((spec.groupCols ++ stateCols(spec) ++ retCols).map(col): _*)
+    }
+    val aggs = (sum(col("n_rows")).as("n_rows") +:
+      spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+      spec.maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+      spec.maxCols.map(c => max(col(s"_ret_$c")).as(s"_ret_$c"))
+    val merged = aligned(state).unionByName(aligned(delta))
       .groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_rows") > 0)
+    if (spec.maxCols.isEmpty) merged
+    else {
+      val dirtyCond = spec.maxCols.map(c =>
+        col(s"_ret_$c").isNotNull &&
+          (col(s"max_$c").isNull || col(s"_ret_$c") >= col(s"max_$c")))
+        .reduce(_ || _)
+      val dirty = merged.filter(dirtyCond)
+        .select(spec.groupCols.map(col): _*)
+      if (dirty.isEmpty) merged.drop(retCols: _*)
+      else {
+        val mirror = mirrorRows.getOrElse(sys.error(
+          "IncrementalAgg: max retraction needs mirrorRows to recompute " +
+            s"dirty groups (maxCols=${spec.maxCols.mkString(",")})"))()
+        val reAggs = spec.maxCols.map(c => max(col(c)).as(s"_re_max_$c"))
+        val recomputed = mirror
+          .join(broadcast(dirty), spec.groupCols, "left_semi")
+          .groupBy(spec.groupCols.map(col): _*)
+          .agg(reAggs.head, reAggs.tail: _*)
+        spec.maxCols.foldLeft(
+          merged.join(recomputed, spec.groupCols, "left"))((df, c) =>
+            df.withColumn(s"max_$c",
+              coalesce(col(s"_re_max_$c"), col(s"max_$c")))
+              .drop(s"_re_max_$c"))
+          .drop(retCols: _*)
+      }
+    }
   }
 
   /** Convenience: maintain state over a sequence of parsed batches.

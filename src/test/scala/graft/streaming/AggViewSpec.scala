@@ -68,6 +68,39 @@ class AggViewSpec extends SparkSpec {
     assert(viewMap(cfg) == recompute)
   }
 
+  test("MAX(id) integrity-probe view: retraction recomputes from mirror") {
+    // the reference's integrity probe (MAX(id) per table,
+    // cdc_data_integrity_dynamic_dag.py:50) as a maintained view
+    val root = Files.createTempDirectory("graft-aggview-max").toString
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt",
+      aggViews = Map("max_id" -> CdcPipeline.AggView("ventas",
+        IncrementalAgg.Spec(Seq("g"), Seq("x"), maxCols = Seq("id")))))
+    def maxMap() = CdcPipeline.aggView(spark, cfg, "max_id")
+      .select("g", "max_id").as[(String, Long)].collect().toMap
+
+    CdcPipeline.processBatch(Seq(
+      rec(1, env("c", "null", img(1, "a", 1.0)), 0),
+      rec(9, env("c", "null", img(9, "a", 2.0)), 1),
+      rec(4, env("c", "null", img(4, "b", 3.0)), 2)).toDF(), 0L, cfg)
+    assert(maxMap() == Map("a" -> 9L, "b" -> 4L))
+
+    // delete the max id of group a -> dirty recompute from the mirror
+    CdcPipeline.processBatch(Seq(
+      rec(9, env("d", img(9, "a", 2.0), "null"), 3)).toDF(), 1L, cfg)
+    assert(maxMap() == Map("a" -> 1L, "b" -> 4L))
+
+    // a higher id arrives: plain candidate merge, no recompute path
+    CdcPipeline.processBatch(Seq(
+      rec(12, env("c", "null", img(12, "a", 5.0)), 4)).toDF(), 2L, cfg)
+    assert(maxMap() == Map("a" -> 12L, "b" -> 4L))
+
+    // state equals a full recompute from the mirror
+    val recompute = CdcPipeline.mirror(spark, cfg, "ventas")
+      .groupBy("g").agg(max("id")).as[(String, Long)].collect().toMap
+    assert(maxMap() == recompute)
+  }
+
   test("empty initial state (all-malformed batch) doesn't wedge the view") {
     val cfg = cfgWithView()
     // batch 0: routes to ventas but nothing parses -> empty state file

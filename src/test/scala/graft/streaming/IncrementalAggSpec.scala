@@ -43,6 +43,51 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!state.contains("b"), "emptied group must be dropped")
   }
 
+  test("max maintenance: retracted max triggers recompute, others don't") {
+    val mspec = IncrementalAgg.Spec(Seq("g"), Seq("v"), maxCols = Seq("v"))
+    val b1 = parsed(Seq(
+      env("c", None, Some((1L, "a", 5.0))),
+      env("c", None, Some((2L, "a", 9.0))),
+      env("c", None, Some((3L, "b", 7.0)))))
+    val s1 = IncrementalAgg.merge(
+      IncrementalAgg.deltas(b1, mspec).limit(0),
+      IncrementalAgg.deltas(b1, mspec), mspec,
+      Some(() => sys.error("no retraction in b1 — must not recompute")))
+    val m1 = s1.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m1 == Map("a" -> 9.0, "b" -> 7.0))
+
+    // delete the max of group a: dirty -> recompute from "mirror"
+    val b2 = parsed(Seq(env("d", Some((2L, "a", 9.0)), None)))
+    val mirror = Seq((1L, "a", 5.0), (3L, "b", 7.0)).toDF("id", "g", "v")
+    val s2 = IncrementalAgg.merge(s1, IncrementalAgg.deltas(b2, mspec),
+      mspec, Some(() => mirror))
+    val m2 = s2.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m2 == Map("a" -> 5.0, "b" -> 7.0), m2.toString)
+
+    // delete a NON-max row: no recompute needed (mirror thunk must not run)
+    val b3 = parsed(Seq(
+      env("c", None, Some((4L, "a", 6.0))),
+      env("d", Some((1L, "a", 5.0)), None)))
+    val s3 = IncrementalAgg.merge(s2, IncrementalAgg.deltas(b3, mspec),
+      mspec, Some(() => sys.error("non-max retraction must not recompute")))
+    val m3 = s3.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m3 == Map("a" -> 6.0, "b" -> 7.0), m3.toString)
+  }
+
+  test("max maintenance: within-first-batch insert+delete of the max") {
+    val mspec = IncrementalAgg.Spec(Seq("g"), Seq("v"), maxCols = Seq("v"))
+    val b1 = parsed(Seq(
+      env("c", None, Some((1L, "a", 5.0))),
+      env("c", None, Some((2L, "a", 9.0))),
+      env("d", Some((2L, "a", 9.0)), None)))
+    val mirror = Seq((1L, "a", 5.0)).toDF("id", "g", "v")
+    val s1 = IncrementalAgg.merge(
+      IncrementalAgg.deltas(b1, mspec).limit(0),
+      IncrementalAgg.deltas(b1, mspec), mspec, Some(() => mirror))
+    val m1 = s1.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m1 == Map("a" -> 5.0), m1.toString)
+  }
+
   test("group emptied then re-populated") {
     val b1 = parsed(Seq(env("c", None, Some((1L, "x", 3.0)))))
     val b2 = parsed(Seq(env("d", Some((1L, "x", 3.0)), None)))

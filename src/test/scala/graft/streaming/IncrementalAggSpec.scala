@@ -74,6 +74,26 @@ class IncrementalAggSpec extends SparkSpec {
     assert(m3 == Map("a" -> 6.0, "b" -> 7.0), m3.toString)
   }
 
+  test("min maintenance: symmetric dirty test (retracted min recomputes)") {
+    val mspec = IncrementalAgg.Spec(Seq("g"), Nil, minCols = Seq("v"))
+    val b1 = parsed(Seq(
+      env("c", None, Some((1L, "a", 5.0))),
+      env("c", None, Some((2L, "a", 9.0)))))
+    val s1 = IncrementalAgg.merge(
+      IncrementalAgg.deltas(b1, mspec).limit(0),
+      IncrementalAgg.deltas(b1, mspec), mspec,
+      Some(() => sys.error("no retraction in b1")))
+    assert(s1.select("g", "min_v").as[(String, Double)].collect().toMap ==
+      Map("a" -> 5.0))
+    // delete the min -> recompute; delete of a non-min must not
+    val b2 = parsed(Seq(env("d", Some((1L, "a", 5.0)), None)))
+    val mirror = Seq((2L, "a", 9.0)).toDF("id", "g", "v")
+    val s2 = IncrementalAgg.merge(s1, IncrementalAgg.deltas(b2, mspec),
+      mspec, Some(() => mirror))
+    assert(s2.select("g", "min_v").as[(String, Double)].collect().toMap ==
+      Map("a" -> 9.0))
+  }
+
   test("max maintenance: within-first-batch insert+delete of the max") {
     val mspec = IncrementalAgg.Spec(Seq("g"), Seq("v"), maxCols = Seq("v"))
     val b1 = parsed(Seq(

@@ -156,12 +156,19 @@ object BucketedMirror {
       }
 
       // one distributed write of all touched buckets, partitioned so
-      // each bucket lands in its own staging subdir
+      // each bucket lands in its own staging subdir. Write parallelism
+      // scales with BATCH size, not touched-bucket count: a 40-event
+      // steady-state batch touching 30 buckets writes from a couple of
+      // tasks (partitionBy still splits the dirs), instead of paying 30
+      // task commits for a handful of rows.
+      val batchRows = withBucket.count() // cached; drives parallelism
+      val nPart = math.max(1, math.min(touched.length,
+        (batchRows / 50000L + 1).toInt * 4))
       val staging = new Path(s"$root/.staging-b$batchId")
       fs.delete(staging, true)
       merged
         .withColumn("_bucket", bucketExpr(keyCols, nBuckets))
-        .repartition(math.min(touched.length, nBuckets), col("_bucket"))
+        .repartition(nPart, col("_bucket"))
         // key-sorted within each bucket: parquet row-group min/max stats
         // then prune point lookups INSIDE the bucket too
         .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)

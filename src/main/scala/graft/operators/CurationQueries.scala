@@ -191,6 +191,69 @@ object CurationQueries {
              |SELECT doc_id, lang, bin AS bin_id, fill AS fill_after FROM p""".stripMargin),
       "greedy sequence packing into 128-token bins per language (typed mapPartitions)"),
 
+    // Composite flagship: the curation chain a training-data job runs —
+    // quality gate → eval-set decontamination (anti-join against the
+    // broadcast benchmark grams) → greedy packing into context windows —
+    // declared as ONE plan (filters collapse into the scan, the
+    // decontamination side broadcasts, packing is the typed tail). The
+    // oracle chains the same CTEs and replays the packing recurrence.
+    Q("pipeline_curate_pack",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            tokens(col("text")).as("w"))
+        val train = docs.filter(qualityScore(col("text")) > 0.5 &&
+          col("doc_id") % 50 =!= 0)
+        val grams = (df: org.apache.spark.sql.DataFrame) => df.select(
+          col("doc_id"),
+          explode(array_distinct(wordShinglesFromTokens(col("w"), 3))).as("gram"))
+        val evalGrams = grams(docs.filter(col("doc_id") % 50 === 0))
+          .select(col("gram")).distinct()
+        val contaminated = grams(train).join(broadcast(evalGrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("lang"), col("doc_id"), size(col("w")).as("n_tokens"))
+        Packing.packGreedy(clean, "lang", "doc_id", "n_tokens", ctx = 256)
+          .toDF().select(col("doc_id"), col("lang"), col("bin_id"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+             |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+             |q AS (
+             |  SELECT doc_id, lang, w FROM t0
+             |  WHERE (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             |   + least((len(list_filter(w,
+             |        x -> x IN ('the','a','an','of','and','or','to','in','is','on')))
+             |      / len(w)) * 5.0, 1.0)
+             |   + greatest(0.0, 1.0 - (CAST(length(text) -
+             |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |      / length(text)) * 10.0)) / 3.0 > 0.5
+             |   AND doc_id % 50 != 0),
+             |eg AS (
+             |  SELECT DISTINCT unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> array_to_string(w[i:i+2], ' ')))) AS gram
+             |  FROM t0 WHERE doc_id % 50 = 0),
+             |tg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> array_to_string(w[i:i+2], ' ')))) AS gram
+             |  FROM q),
+             |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.gram = eg.gram),
+             |clean AS (
+             |  SELECT q.lang, q.doc_id, CAST(len(q.w) AS BIGINT) AS n,
+             |    row_number() OVER (PARTITION BY q.lang ORDER BY q.doc_id) AS rn
+             |  FROM q ANTI JOIN bad ON q.doc_id = bad.doc_id),
+             |p AS (
+             |  SELECT lang, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
+             |  FROM clean WHERE rn = 1
+             |  UNION ALL
+             |  SELECT c.lang, c.doc_id, c.n, c.rn,
+             |         CASE WHEN p.fill + c.n > 256 THEN p.bin + 1 ELSE p.bin END,
+             |         CASE WHEN p.fill + c.n > 256 THEN c.n ELSE p.fill + c.n END
+             |  FROM p JOIN clean c ON c.lang = p.lang AND c.rn = p.rn + 1)
+             |SELECT doc_id, lang, bin AS bin_id FROM p""".stripMargin),
+      "composite curation flagship: quality gate → decontaminate → pack"),
+
     // Typed-Aggregator surface (SURVEY §2.10): bounded per-group top-k
     // with map-side partial aggregation — shuffle ≤ k rows per group
     // per map partition, vs collect_list's unbounded buffer or a window

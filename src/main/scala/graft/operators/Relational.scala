@@ -74,6 +74,49 @@ object Relational {
            "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
       "grouping-sets engine surface (SURVEY §2.3 extension)"),
 
+    // Arbitrary GROUPING SETS (not just the rollup/cube lattices) with
+    // grouping_id disambiguating real NULL group values from subtotal
+    // rows — one Expand pass, no scan per set.
+    Q("agg_grouping_sets",
+      (s, d) => {
+        load(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                |  count(*) AS n, sum(o_totalprice) AS sum_price
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+          .stripMargin)
+          .selectExpr("o_orderstatus", "o_orderpriority", "gid", "n",
+            "round(sum_price, 1) AS sum_price_r")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  count(*) AS n, round(sum(o_totalprice), 1) AS sum_price_r
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
+      "arbitrary GROUPING SETS + grouping_id (beyond rollup/cube lattices)"),
+
+    // count(DISTINCT) over a window is unsupported in both engines —
+    // the standard max-of-dense_rank formulation computes it with two
+    // window passes over one sort order.
+    Q("window_distinct_count",
+      (s, d) => {
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+        val byKeyPrio = byKey.orderBy(col("o_orderpriority"))
+        load(s, d, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_orderkey"), col("o_custkey"),
+            max(dense_rank().over(byKeyPrio)).over(byKey)
+              .cast("long").as("n_distinct_prio"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(max(dr) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_prio
+             |FROM (SELECT o_orderkey, o_custkey,
+             |        dense_rank() OVER (PARTITION BY o_custkey
+             |          ORDER BY o_orderpriority) AS dr
+             |      FROM orders WHERE o_custkey < 100)""".stripMargin),
+      "windowed distinct count via the max-of-dense_rank formulation"),
+
     Q("agg_cube",
       (s, d) => load(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))

@@ -96,6 +96,33 @@ object Relational {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
       "arbitrary GROUPING SETS + grouping_id (beyond rollup/cube lattices)"),
 
+    // RANGE frame (value-based, not row-count): trailing 30-day revenue
+    // per customer. RANGE includes ALL peers of the current order value,
+    // so the result is deterministic under ties (where a ROWS frame
+    // would depend on tie order); the frame bound is epoch days.
+    Q("window_range_frame",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30, 0)
+        load(s, d, "orders").filter(col("o_custkey") < 200)
+          .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            // cents-as-long per row (bitwise-identical double multiply,
+            // then EXACT integer summation in any order) — immune to
+            // the half-ulp rounding boundary a double sum can hit.
+            // round BEFORE the cast: 82425.90*100 = 8242589.999…, and
+            // Spark's long cast truncates where DuckDB's rounds
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w)
+              .as("rev_30d_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
+             |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rev_30d_cents
+             |FROM orders WHERE o_custkey < 200""".stripMargin),
+      "value-based RANGE window frame: trailing 30-day revenue per customer"),
+
     // count(DISTINCT) over a window is unsupported in both engines —
     // the standard max-of-dense_rank formulation computes it with two
     // window passes over one sort order.

@@ -467,6 +467,25 @@ object Relational {
              |FROM events""".stripMargin),
       "F3 JSON parse/navigate (cdc_health_check_dag.py:20-23); oracle uses the regex form"),
 
+    // Spark 4 VariantType: parse the JSON ONCE into the binary variant
+    // encoding, then field access is a cheap typed probe — at 100 TB the
+    // scale-correct replacement for re-parsing a JSON string per
+    // get_json_object call. The oracle only sees the extracted values
+    // (the variant encoding itself is engine-internal).
+    Q("scalar_variant",
+      (s, d) => load(s, d, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          (try_variant_get(col("v"), "$.k", "int") % 10).as("k_mod"),
+          try_variant_get(col("v"), "$.missing", "int").as("absent")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_mod,
+             |  CAST(NULL AS INTEGER) AS absent
+             |FROM events""".stripMargin),
+      "Spark 4 VariantType: parse once, typed variant_get probes (missing path -> null)"),
+
     Q("scalar_json_agg",
       (s, d) => load(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"))

@@ -104,11 +104,16 @@ object Bench {
     } :+ ("cdc_pipeline_full_batch" -> pipeSec)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // total is meaningful only when every query has a timing: a query
+    // that failed BOTH passes would shrink a partial sum, making a
+    // crash-regression read as a speedup — emit -1 so cross-run total
+    // comparisons are forced to inspect the failed list instead.
+    val total =
+      if (failed.isEmpty) f(results.map(_._2).sum) else "-1"
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews}""")
     spark.stop()
   }
 }

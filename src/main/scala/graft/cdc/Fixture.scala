@@ -32,12 +32,11 @@ object Fixture {
   // Session-scoped memo: several catalog queries replay the same
   // envelope stream; persisting it once makes Verify/Bench measure the
   // operators, not repeated JSON fixture generation.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cache = new graft.core.SessionMemo[String, DataFrame]
 
   /** Raw Kafka-shaped records: (topic, key, value, partition, offset). */
   def ordersCdcEvents(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir), buildEvents(spark, dir).persist())
+    cache.getOrElseUpdate(spark, dir)(buildEvents(spark, dir).persist())
 
   private def buildEvents(spark: SparkSession, dir: String): DataFrame = {
     // The orders parquet is a handful of row-groups; without an explicit

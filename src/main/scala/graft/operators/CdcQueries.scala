@@ -14,12 +14,12 @@ object CdcQueries {
 
   // Shared unwrapped change stream, persisted per (session, sf-dir):
   // five catalog queries replay it, and the parse is the expensive part.
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val cache =
+    new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
 
   /** Shared Spark pipeline: raw records → unwrapped typed changes. */
   private def unwrapped(s: org.apache.spark.sql.SparkSession, d: String) =
-    cache.getOrElseUpdate((s, d),
+    cache.getOrElseUpdate(s, d)(
       Envelope.unwrap(
         Envelope.wellFormed(
           Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)),

@@ -13,16 +13,38 @@ object DedupQueries {
   // Session-scoped memo (same pattern as PipelineQueries.tokenizedDocs):
   // the pairs frame is shared by the pairs query and the cluster-election
   // query, and Verify/Bench invoke both repeatedly — a per-invocation
-  // persist() would pin a new dead cache entry each time.
-  private val md5Pairs = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  // persist() would pin a new dead cache entry each time. SessionMemo
+  // evicts entries when the owning session's context stops.
+  private val md5Pairs =
+    new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
+
+  /** Predicate selecting the docs that get planted copies — replicated
+    * verbatim in the DuckDB oracles (tokens == split-on-space, so the
+    * token-count guard is `len(string_split(text, ' ')) >= 5`; ≥5
+    * tokens guarantees a non-empty 3-shingle set on both copies). */
+  private val plantedPredicate =
+    "doc_id % 25 = 0 AND len(string_split(text, ' ')) >= 5"
+
+  /** Documents plus an exact copy of every 25th doc at doc_id+9000.
+    * Identical text ⇒ identical shingle set ⇒ identical MinHash/SimHash
+    * signature ⇒ identical band/block keys, so every (source, copy)
+    * pair MUST surface from the candidate joins — a recovery set DuckDB
+    * derives from `documents` alone, which makes the xxhash64-family
+    * dedup queries oracle-checkable end-to-end. */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val base = load(s, d, "documents").select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 25 === 0 && size(tokens(col("text"))) >= 5)
+        .select((col("doc_id") + 9000L).as("doc_id"), col("text")))
+  }
 
   /** Deterministic (md5-family) MinHash-LSH candidate pairs on a doc
     * slice — shared by the pairs query and the cluster-election query,
     * and replicated verbatim in DuckDB via [[md5MinhashPairsSql]]. */
   private def md5MinhashPairs(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
-    md5Pairs.getOrElseUpdate((s, d), {
+    md5Pairs.getOrElseUpdate(s, d) {
       val docs = load(s, d, "documents").filter(col("doc_id") < 150)
         .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -46,7 +68,7 @@ object DedupQueries {
       pairs.count() // materialize, then release the intermediate bands
       bands.unpersist()
       pairs
-    })
+    }
 
   /** DuckDB CTE chain producing the same `pairs(a, b)` relation. */
   private val md5MinhashPairsSql: String =
@@ -141,31 +163,64 @@ object DedupQueries {
              |SELECT a, b FROM pairs""".stripMargin),
       "MinHash+LSH with md5 hash family — algorithm oracle-checked in DuckDB"),
 
-    // MinHash/SimHash signatures use Spark's xxhash64 — not replicable
-    // in DuckDB; rows-only checks.
+    // MinHash/SimHash signatures use Spark's xxhash64 — the VALUES are
+    // not replicable in DuckDB (md5 is the only shared hash family; the
+    // md5 variant above value-checks the algorithm). These queries are
+    // instead oracled via PLANTED duplicates: copies of selected docs at
+    // doc_id+9000 share the source's shingle set exactly, so their
+    // signatures/band keys/block keys are identical and the pipeline
+    // MUST emit every (source, copy) pair — a set DuckDB derives from
+    // `documents` alone. A broken hash/band/block/join stage drops
+    // planted pairs and fails the compare.
     Q("dedup_minhash_lsh_pairs",
       (s, d) => {
         // tokens pre-projected: shingling over the column is O(n)/doc
         // (an inline tokens(text) re-tokenizes inside the lambda)
-        val docs = load(s, d, "documents")
+        val docs = plantedDocs(s, d)
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(col("doc_id"),
             array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh"))
           .filter(size(col("sh")) > 0)
         lshCandidatePairs(docs, "doc_id", "sh")
+          .filter(col("b") === col("a") + 9000L) // planted-recovery slice
       },
-      None,
-      "MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join"),
+      Some(s"""SELECT doc_id AS a, doc_id + 9000 AS b
+             |FROM documents WHERE $plantedPredicate""".stripMargin),
+      "MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-" +
+        "join), planted-duplicate recovery oracle-checked"),
 
     Q("dedup_simhash_signatures",
-      (s, d) => simhashSignatures(
-        load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
-          .select(col("doc_id"),
-            array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh")),
-        "doc_id", "sh").withColumnRenamed("sig", "signature"),
-      None,
-      "64-bit SimHash signatures, per-row single-pass fold (no shuffle)"),
+      (s, d) => {
+        val sigs = plantedDocs(s, d)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("text"),
+            array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("text"), simhash(col("sh")).as("sig"))
+        // Property summary the oracle can derive from `documents`:
+        // exact doc/text counts, plus two signature invariants — equal
+        // texts (the planted copies) must map to ONE signature each
+        // (distinct (text) == distinct (text, sig)), and signatures
+        // must not be degenerate (collisions across the ~500 distinct
+        // texts are possible for 64-bit simhash but an all-constant or
+        // near-constant signature column is a bug).
+        sigs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_texts"),
+          (countDistinct(struct(col("text"), col("sig"))) ===
+            countDistinct(col("text"))).as("dup_groups_one_sig"),
+          (countDistinct(col("sig")).cast("double") >=
+            countDistinct(col("text")) * 0.5).as("sig_diversity_ok"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 9000, text FROM documents WHERE $plantedPredicate)
+             |SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts,
+             |  TRUE AS dup_groups_one_sig, TRUE AS sig_diversity_ok
+             |FROM corpus WHERE len(string_split(text, ' ')) >= 3""".stripMargin),
+      "64-bit SimHash signatures, per-row single-pass fold (no shuffle); " +
+        "property-oracled: planted copies sign identically, non-degenerate"),
 
     Q("dedup_simhash_near_pairs",
       (s, d) => {
@@ -175,7 +230,7 @@ object DedupQueries {
         // above), then verifies hamming on candidates. Never all-pairs:
         // the join is keyed by (block, bits), cost ∝ collisions.
         val sigs = graft.core.Caching.persistOnce(simhashSignatures(
-          load(s, d, "documents")
+          plantedDocs(s, d)
             .select(col("doc_id"), tokens(col("text")).as("w"))
             .select(col("doc_id"),
               array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh")),
@@ -185,11 +240,13 @@ object DedupQueries {
         keys.as("l").join(keys.as("r"),
             col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-            hamming64(col("l.sig"), col("r.sig")).as("hamming"))
+            hamming64(col("l.sig"), col("r.sig")).cast("long").as("hamming"))
           .filter(col("hamming") <= 12)
           .distinct() // a pair may collide in several blocks
+          .filter(col("b") === col("a") + 9000L) // planted-recovery slice
       },
-      None,
+      Some(s"""SELECT doc_id AS a, doc_id + 9000 AS b, CAST(0 AS BIGINT) AS hamming
+             |FROM documents WHERE $plantedPredicate""".stripMargin),
       "SimHash near-dups: 4x16-bit block join (guaranteed recall for " +
-        "hamming<=3) + hamming verify"))
+        "hamming<=3) + hamming verify; planted-duplicate recovery oracle-checked"))
 }

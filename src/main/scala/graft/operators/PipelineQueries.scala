@@ -33,11 +33,11 @@ object PipelineQueries {
   // derive four frames from it, and Verify/Bench invoke them repeatedly
   // — a per-invocation persist() would pin a new dead cache entry each
   // time (same pattern as cdc.Fixture's envelope memo).
-  private val tokenized = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val tokenized =
+    new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
 
   private def tokenizedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
-    tokenized.getOrElseUpdate((s, d),
+    tokenized.getOrElseUpdate(s, d)(
       load(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("w")).persist())
 

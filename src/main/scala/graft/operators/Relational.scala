@@ -116,10 +116,12 @@ object Relational {
             sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w)
               .as("rev_30d_cents"))
       },
+      // outer CAST: DuckDB's windowed sum(BIGINT) yields HUGEINT; Spark's
+      // yields BIGINT — the driver hashes dtypes, so pin the oracle's type
       Some("""SELECT o_orderkey, o_custkey,
-             |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
              |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
-             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rev_30d_cents
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_30d_cents
              |FROM orders WHERE o_custkey < 200""".stripMargin),
       "value-based RANGE window frame: trailing 30-day revenue per customer"),
 

@@ -16,6 +16,40 @@ object SimilarityQueries {
       .select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
 
+  /** Corpus with ten planted copies of the query vector (vec_id=0) at
+    * ids 9001–9010. An ANN structure MUST rank identical vectors at the
+    * top (cosine 1 ≥ anything a random 64-dim pair can reach), and an
+    * identical vector lands in the query's own LSH buckets / IVF cell
+    * with probability 1 — so the planted corpus makes the approximate
+    * top-k EQUAL the exact top-k, and the DuckDB oracle can verify the
+    * ANN result by recomputing the brute-force ground truth in SQL.
+    * A broken probe/routing path misses the planted rows and fails the
+    * hash compare. */
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(9001L), lit(9010L))).as("vec_id"),
+        col("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** Brute-force ground truth over [[plantedCorpus]] — the shared
+    * oracle for the two ANN top-k queries. */
+  private val plantedTopkOracle: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT 9000 + r.i AS vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM embeddings e, (SELECT unnest(range(1, 11)) AS i) r
+      |  WHERE e.vec_id = 0),
+      |q AS (SELECT v FROM c WHERE vec_id = 0)
+      |SELECT c.vec_id,
+      |  round(list_dot_product(c.v, q.v)
+      |    / (sqrt(list_dot_product(c.v, c.v))
+      |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
+      |FROM c, q ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_bruteforce",
       (s, d) => bruteForceTopK(load(s, d, "embeddings"), queryVec(s, d), 10),
@@ -80,23 +114,29 @@ object SimilarityQueries {
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
       "int8-quantized cosine top-k — 4x smaller scan, oracle-checked"),
 
+    // ANN top-k over the planted corpus: ten exact copies of the query
+    // vector dominate the true top-10, and identical vectors share the
+    // query's buckets/cell with probability 1 — so the LSH/IVF result
+    // must EQUAL the brute-force ground truth the oracle recomputes in
+    // SQL. Recall on un-planted (random) data is asserted in tests;
+    // these rows hash-check the probe → candidate → rank pipeline.
     Q("sim_topk_lsh",
-      (s, d) => lshTopK(s, load(s, d, "embeddings"), queryVec(s, d), 10),
-      None,
-      "ANN top-k via random-hyperplane LSH buckets + 1-bit multi-probe " +
-        "(rows-only; recall vs brute force asserted in tests)"),
+      (s, d) => lshTopK(s, plantedCorpus(s, d), queryVec(s, d), 10),
+      Some(plantedTopkOracle),
+      "ANN top-k via random-hyperplane LSH buckets + 1-bit multi-probe, " +
+        "oracle-checked against brute force via planted duplicates"),
 
     Q("sim_topk_ivf",
       (s, d) => {
         // index built ONCE per corpus (offline artifact), searches
         // amortize it — see IvfIndex.buildCached
-        val idx = graft.functions.IvfIndex.buildCached(s, d,
-          load(s, d, "embeddings"), k = 16, iterations = 2)
+        val idx = graft.functions.IvfIndex.buildCached(s, s"$d#planted10",
+          plantedCorpus(s, d), k = 16, iterations = 2)
         graft.functions.IvfIndex.search(idx, queryVec(s, d), topK = 10, nprobe = 4)
       },
-      None,
+      Some(plantedTopkOracle),
       "IVF ANN: Lloyd-built cells (index memoized — offline artifact), " +
-        "nprobe nearest cells searched (rows-only; recall asserted in tests)"),
+        "nprobe nearest cells searched, oracle-checked via planted duplicates"),
 
     // Planted exact duplicates make the LSH path oracle-able: identical
     // vectors share every hyperplane bucket (collision probability 1),
@@ -192,22 +232,90 @@ object SimilarityQueries {
     Q("sim_label_centroid_topk",
       (s, d) => {
         // per-label centroid then nearest labels to the query vector —
-        // aggregate over vector components (posexplode + groupBy)
+        // aggregate over vector components (posexplode + groupBy).
+        // Components are quantized to round(x*1e6) LONGs before the
+        // per-(label, dim) sum: integer sums are ORDER-INDEPENDENT and
+        // exact (a double sum's value depends on reduction order, which
+        // made this query uncheckable), and cosine is scale-invariant so
+        // the un-divided component sums point exactly where the mean
+        // does — the whole query becomes oracle-reproducible in DuckDB.
         val e = load(s, d, "embeddings")
         val qv = queryVec(s, d)
         val comps = e.select(col("label"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
         val centroids = comps.groupBy(col("label"), col("dim"))
-          .agg(avg(col("x").cast("double")).as("cx"))
+          .agg(sum(round(col("x").cast("double") * 1e6, 0).cast("long")).as("cq"))
           .groupBy(col("label"))
-          .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
-          .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("cq")))).as("pairs"))
+          .select(col("label"),
+            transform(col("pairs"), p => p.getField("cq").cast("double")).as("centroid"))
         centroids.select(col("label"),
             round(cosine(col("centroid"), array(qv.map(lit): _*)), 4).as("score"))
           .orderBy(col("score").desc, col("label"))
           .limit(5)
       },
-      None,
-      "IVF building block: per-label centroids (posexplode+agg), " +
-        "rank cells by query affinity (rows-only: avg order differs)"))
+      Some("""WITH comps AS (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+             |  FROM embeddings),
+             |sums AS (SELECT label, dim, sum(xq) AS cq FROM comps GROUP BY 1, 2),
+             |cent AS (SELECT label, list(CAST(cq AS DOUBLE) ORDER BY dim) AS c
+             |         FROM sums GROUP BY label),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings WHERE vec_id = 0)
+             |SELECT label,
+             |  round(list_dot_product(c, v)
+             |    / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(v, v))), 4) AS score
+             |FROM cent, q ORDER BY score DESC, label LIMIT 5""".stripMargin),
+      "IVF building block: per-label centroids via order-independent " +
+        "quantized component sums (posexplode+agg), ranked by query affinity"),
+
+    // Batch KNN join routed through IVF cells — the scale path for
+    // sim_knn_join's shape: queries are assigned to their nprobe
+    // nearest cells per-row (centroids ride the closure), the corpus is
+    // equi-joined on `cell`, and a rank-limit takes the top-3 per
+    // query. Candidates per query ∝ nprobe × cell size, not |corpus| —
+    // no nested-loop join anywhere (asserted in PlanAuditSpec). Three
+    // copies of each query vector are planted so every query's true
+    // top-3 is in its own cell and the oracle can recompute the exact
+    // ground truth brute-force in SQL (identical vectors land in the
+    // query's cell with probability 1).
+    Q("sim_knn_join_ivf",
+      (s, d) => {
+        val base = load(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 5)
+          .select(explode(sequence(lit(1L), lit(3L))).as("j"),
+            col("vec_id"), col("embedding"))
+          .select((lit(9000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+            col("embedding"))
+        val corpus = base.unionByName(planted)
+        val idx = graft.functions.IvfIndex.buildCached(s, s"$d#knn200",
+          corpus, k = 16, iterations = 2)
+        graft.functions.IvfIndex.knnJoin(idx,
+          base.filter(col("vec_id") < 5), topK = 3, nprobe = 2)
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 200),
+             |c AS (
+             |  SELECT * FROM base
+             |  UNION ALL
+             |  SELECT 9000 + e.vec_id * 10 + r.j AS vec_id, e.v
+             |  FROM base e, (SELECT unnest(range(1, 4)) AS j) r
+             |  WHERE e.vec_id < 5),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT qid, c.vec_id AS nid,
+             |    round(list_dot_product(qv, c.v)
+             |      / (sqrt(list_dot_product(qv, qv))
+             |         * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+             |  FROM q JOIN c ON qid <> c.vec_id)
+             |SELECT qid, nid, score, rank FROM (
+             |  SELECT qid, nid, score,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+             |  FROM scored)
+             |WHERE rank <= 3""".stripMargin),
+      "batch KNN join routed through IVF cells (equi-join on cell, " +
+        "top-k per query) — oracle-checked via planted duplicates"))
 }

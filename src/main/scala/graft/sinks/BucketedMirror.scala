@@ -93,28 +93,47 @@ object BucketedMirror {
   private def bucketPath(root: String, b: Int, v: Long) =
     s"$root/buckets/$b/v$v"
 
-  // Schema sidecar: the versioned row schema as DDL, written before the
-  // manifest commit. Lets an empty mirror (all keys tombstone-compacted,
-  // buckets = empty marker dirs) still serve correctly-schemed reads.
-  private def writeSchema(fs: FileSystem, root: String,
+  // Schema sidecar: the versioned row schema as DDL. Sidecars are
+  // VERSIONED like manifests (`_SCHEMA-<batchId>`, tmp + atomic rename,
+  // never modified in place): a reader always finds a complete sidecar —
+  // there is no delete-then-rename window — and reads pick the sidecar
+  // whose id matches the committed manifest, so a crash between the
+  // sidecar write and the manifest commit leaves an orphan that no
+  // reader selects (swept on the next successful commit). Lets an empty
+  // mirror (all keys tombstone-compacted, buckets = empty marker dirs)
+  // still serve correctly-schemed reads.
+  private def schemaId(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("_SCHEMA-")) n.stripPrefix("_SCHEMA-").toLongOption
+    else None
+  }
+
+  private def writeSchema(fs: FileSystem, root: String, batchId: Long,
                           schema: org.apache.spark.sql.types.StructType): Unit = {
-    val tmp = new Path(s"$root/._SCHEMA.tmp")
+    val tmp = new Path(s"$root/._SCHEMA-$batchId.tmp")
     val out = fs.create(tmp, true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(s"$root/_SCHEMA")
-    fs.delete(dst, false)
+    val dst = new Path(s"$root/_SCHEMA-$batchId")
+    fs.delete(dst, false) // replay of the same batch recommits
     if (!fs.rename(tmp, dst)) sys.error(s"schema commit failed for $root")
   }
 
+  /** Sidecar matching the committed manifest: greatest id ≤ the latest
+    * manifest's id — an orphan from a crashed commit (newer than any
+    * manifest) is never selected. */
   private def readSchema(fs: FileSystem,
                          root: String): Option[org.apache.spark.sql.types.StructType] = {
-    val p = new Path(s"$root/_SCHEMA")
-    if (!fs.exists(p)) None
-    else {
+    val committed = latestManifest(fs, root).flatMap(manifestId)
+    val dir = new Path(root)
+    if (!fs.exists(dir)) return None
+    val candidates = fs.listStatus(dir).map(_.getPath)
+      .flatMap(p => schemaId(p).map(_ -> p))
+      .filter { case (id, _) => committed.forall(id <= _) }
+    candidates.sortBy(_._1).lastOption.map { case (_, p) =>
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      Some(org.apache.spark.sql.types.StructType.fromDDL(txt))
+      org.apache.spark.sql.types.StructType.fromDDL(txt)
     }
   }
 
@@ -188,10 +207,15 @@ object BucketedMirror {
       }.toMap
       fs.delete(staging, true)
 
-      // atomic commit, then lazy sweep of superseded/orphaned versions
+      // atomic commit (sidecar first, manifest second — readers select
+      // the sidecar by committed manifest id, so this order is crash-safe),
+      // then lazy sweep of superseded/orphaned versions
       val committed = current ++ next
-      writeSchema(fs, root, merged.schema)
+      writeSchema(fs, root, batchId, merged.schema)
       writeManifest(fs, root, batchId, committed)
+      fs.listStatus(new Path(root)).map(_.getPath)
+        .filter(p => schemaId(p).exists(_ < batchId))
+        .foreach(p => fs.delete(p, false))
       touched.foreach { b =>
         val dir = new Path(s"$root/buckets/$b")
         if (fs.exists(dir)) fs.listStatus(dir)

@@ -47,4 +47,26 @@ class PlanAuditSpec extends SparkSpec {
   test("tfidf ranking is TakeOrderedAndProject over the scored pairs") {
     assert(plan("text_tfidf_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("IVF-routed KNN join is an equi-join on cell, never a nested loop") {
+    val p = plan("sim_knn_join_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("decontamination broadcasts the eval grams; corpus never shuffles " +
+    "before the join") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // corpus grams + eval grams — both derive from documents, two scans
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(800))
+  }
+
+  test("curate+pack: decontamination stage is a broadcast LeftAnti") {
+    val p = plan("pipeline_curate_pack")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }

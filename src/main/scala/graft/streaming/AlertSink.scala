@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+/** Alert delivery channel (ST9 tail) — the reference's failure path is
+  * an email task gated ONE_FAILED (cdc_health_check_dag.py:71-87, SMTP
+  * relay in docker-compose.yml:42-48). The engine computes the alert
+  * ROWS ([[Monitoring.lagAlerts]]/[[Monitoring.healthAlerts]]); a sink
+  * is purely the delivery concern, so channels are pluggable and the
+  * dispatcher is channel-agnostic.
+  */
+trait AlertSink {
+  def deliver(alert: AlertSink.Alert): Unit
+}
+
+object AlertSink {
+
+  /** One delivered notification. `key` identifies the underlying
+    * condition — the dispatcher guarantees at-most-once delivery per
+    * key per dispatcher (Airflow's one-email-per-failed-run analog). */
+  final case class Alert(key: String, severity: String, subject: String,
+                         body: String)
+
+  /** Log-channel sink (always available; the container has no SMTP
+    * relay or network egress). */
+  final class LogSink extends AlertSink {
+    private val log = org.apache.logging.log4j.LogManager.getLogger("graft.alerts")
+    override def deliver(a: Alert): Unit =
+      log.warn(s"[${a.severity}] ${a.subject} — ${a.body}")
+  }
+
+  /** Webhook sink: POSTs a JSON payload. The HTTP transport is
+    * injectable — production uses [[httpPost]]; tests (and this
+    * egress-less container) inject a recorder. The payload shape matches
+    * what an SMTP bridge or chat-ops webhook consumes, standing in for
+    * the reference's email channel. */
+  final class WebhookSink(url: String,
+                          post: (String, String) => Int = httpPost)
+      extends AlertSink {
+    override def deliver(a: Alert): Unit = {
+      val code = post(url, payload(a))
+      if (code < 200 || code >= 300)
+        sys.error(s"webhook delivery failed: HTTP $code for ${a.key}")
+    }
+  }
+
+  /** JSON payload for [[WebhookSink]]. */
+  def payload(a: Alert): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    s"""{"key":${q(a.key)},"severity":${q(a.severity)},""" +
+      s""""subject":${q(a.subject)},"body":${q(a.body)}}"""
+  }
+
+  /** Default webhook transport (java.net, no extra dependency). */
+  def httpPost(url: String, body: String): Int = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try conn.getResponseCode finally conn.disconnect()
+  }
+
+  /** Recording sink for tests and for draining alerts programmatically. */
+  final class InMemorySink extends AlertSink {
+    private val q = new ConcurrentLinkedQueue[Alert]()
+    override def deliver(a: Alert): Unit = q.add(a)
+    def delivered: Seq[Alert] = q.asScala.toSeq
+  }
+}
+
+/** Fans alert rows out to the configured channels, at most once per
+  * alert key: repeated dispatch calls (every trigger, say) re-deliver
+  * nothing for conditions already notified — exactly the reference's
+  * one-email-per-failed-run behavior (TriggerRule.ONE_FAILED fires once
+  * per DAG run, cdc_health_check_dag.py:83-87).
+  *
+  * Alert volume is listener-event-bounded (queries × batches), never
+  * data-bounded, so the driver-side seen-set is O(small) by
+  * construction.
+  */
+final class AlertDispatcher(sinks: Seq[AlertSink], lagThreshold: Long = 500) {
+  import AlertSink.Alert
+
+  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def emit(a: Alert): Boolean =
+    seen.add(a.key) && { sinks.foreach(_.deliver(a)); true }
+
+  /** Collect current alert rows from `mon` and deliver the new ones.
+    * Returns the number of alerts delivered by THIS call. */
+  def dispatch(mon: Monitoring): Int = {
+    val lag = mon.lagAlerts(lagThreshold).collect().map { r =>
+      val q = r.getAs[String]("query_name")
+      val b = r.getAs[Long]("batch_id")
+      Alert(s"lag:$q:$b", "warn",
+        s"lag SLO breach in $q",
+        s"batch $b queued ${r.getAs[Long]("lag")} rows " +
+          s"(threshold ${r.getAs[Long]("threshold")})")
+    }
+    val health = mon.healthAlerts.collect().map { r =>
+      val q = r.getAs[String]("query_name")
+      val detail = r.getAs[String]("detail")
+      Alert(s"health:$q", "error", s"query $q terminated abnormally", detail)
+    }
+    (lag ++ health).count(emit)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class AlertSinkSpec extends SparkSpec {
+  import AlertSink._
+
+  private def awaitNonEmpty(f: => Boolean): Unit = {
+    // the streaming listener bus is async — allow it to drain
+    val deadline = System.nanoTime() + 10000000000L
+    while (!f && System.nanoTime() < deadline) Thread.sleep(50)
+  }
+
+  test("webhook sink posts the JSON payload; non-2xx is an error") {
+    val posted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val ok = new WebhookSink("http://alerts.invalid/hook",
+      (u, b) => { posted += ((u, b)); 200 })
+    ok.deliver(Alert("health:q1", "error", "query q1 terminated", "boom \"x\""))
+    assert(posted.size == 1)
+    assert(posted.head._1 == "http://alerts.invalid/hook")
+    assert(posted.head._2 ==
+      """{"key":"health:q1","severity":"error","subject":"query q1 terminated","body":"boom \"x\""}""")
+
+    val down = new WebhookSink("http://alerts.invalid/hook", (_, _) => 503)
+    intercept[RuntimeException] {
+      down.deliver(Alert("k", "warn", "s", "b"))
+    }
+  }
+
+  test("a failed streaming query delivers exactly one alert; " +
+    "redispatch and replays deliver nothing") {
+    val mon = Monitoring.attach(spark)
+    val mem = new InMemorySink
+    val dispatcher = new AlertDispatcher(Seq(mem, new LogSink))
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    try {
+      val ms = MemoryStream[Long]
+      val q = ms.toDS().map { x =>
+        if (x >= 0) throw new RuntimeException("poison record") else x
+      }.writeStream.format("noop")
+        .queryName("alert_e2e")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("alert-ckpt").toString)
+        .start()
+      ms.addData(1L)
+      intercept[Exception] { q.processAllAvailable() }
+      awaitNonEmpty(!mon.healthAlerts.isEmpty)
+
+      assert(dispatcher.dispatch(mon) == 1, "first dispatch delivers the failure")
+      assert(mem.delivered.size == 1)
+      val a = mem.delivered.head
+      assert(a.severity == "error")
+      assert(a.body.contains("poison record"))
+
+      // every later trigger re-dispatches; the condition must not re-fire
+      assert(dispatcher.dispatch(mon) == 0)
+      assert(mem.delivered.size == 1)
+    } finally spark.streams.removeListener(mon)
+  }
+
+  test("lag SLO breach alerts once per (query, batch)") {
+    val mon = Monitoring.attach(spark)
+    val mem = new InMemorySink
+    val dispatcher = new AlertDispatcher(Seq(mem), lagThreshold = 100)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    try {
+      val ms = MemoryStream[Long]
+      val q = ms.toDS().writeStream.format("noop")
+        .queryName("lag_e2e")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("lag-ckpt").toString)
+        .start()
+      try {
+        ms.addData(0L until 600L: _*)
+        q.processAllAvailable()
+        awaitNonEmpty(!mon.lagAlerts(100).isEmpty)
+
+        val n = dispatcher.dispatch(mon)
+        assert(n >= 1, "oversized batch must trip the lag SLO")
+        assert(mem.delivered.exists(a =>
+          a.severity == "warn" && a.subject.contains("lag_e2e")))
+        assert(dispatcher.dispatch(mon) == 0)
+      } finally q.stop()
+    } finally spark.streams.removeListener(mon)
+  }
+}

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   * WHOLE set, minutes apart by construction, and min per query — two
   * back-to-back runs of one query would share a spike; separated passes
   * don't.
+  *
+  * Timing semantics note: `sim_topk_ivf`/`sim_knn_join_ivf` memoize the
+  * IVF index as an offline artifact (built once per corpus,
+  * `IvfIndex.buildCached`), so their numbers measure SEARCH ONLY — the
+  * ANN contract is that build cost amortizes across queries; pass 1 of
+  * the first run pays the build.
   */
 object Bench {
 
@@ -34,7 +40,7 @@ object Bench {
     "cdc_merge_incremental", "mm_frame_sample", "join_range_point",
     "text_tfidf_topk", "dedup_cluster_election", "profile_orders",
     "text_repetition", "dedup_decontaminate", "pipeline_pack_sequences",
-    "agg_topk_typed", "pipeline_curate_pack")
+    "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

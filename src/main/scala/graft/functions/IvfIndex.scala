@@ -111,6 +111,31 @@ object IvfIndex {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Persist the index as a true offline artifact: assignments written
+    * PARTITIONED BY cell — [[search]]'s probed-cell `isin` filter then
+    * becomes directory-level partition pruning, so a query reads only
+    * its nprobe cells' files out of a 100 TB index — plus the k×dim
+    * centroid table (one small file). */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assignments.sparkSession
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assignments")
+    import spark.implicits._
+    index.centroids.toSeq.toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a [[save]]d index. The assignments frame stays lazy — nothing
+    * is scanned until a search prunes to its probed cells. */
+  def load(spark: SparkSession, path: String): Index = {
+    val assignments = spark.read.parquet(s"$path/assignments")
+      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    Index(assignments, centroids)
+  }
+
   /** Top-k by cosine among the `nprobe` cells nearest the query. */
   def search(index: Index, queryVec: Seq[Double], topK: Int,
              nprobe: Int = 3): DataFrame = {

@@ -70,7 +70,12 @@ object CdcPipeline {
     * @param aggViews    maintained aggregate views by name; each batch
     *   folds its deltas into the view state (O(touched groups), never a
     *   mirror rescan), guarded by the applied batch id for idempotence
-    *   under foreachBatch replay. */
+    *   under foreachBatch replay.
+    * @param sinkOverride plug in any [[graft.sinks.MirrorSink]] — the
+    *   adapter point for transactional table formats (a Delta/Iceberg
+    *   MERGE sink implements the trait; the pipeline is unchanged).
+    *   Unset, the sink derives from the flags: `incrementalMirror` →
+    *   [[graft.sinks.BucketedMirrorSink]], else [[graft.sinks.SwapMirror]]. */
   final case class Config(
       rowSchema: StructType,
       keyCols: Seq[String],
@@ -81,11 +86,16 @@ object CdcPipeline {
       bucketCount: Option[Int] = None,
       incrementalMirror: Boolean = false,
       tableSpecs: Map[String, TableSpec] = Map.empty,
-      aggViews: Map[String, AggView] = Map.empty) {
+      aggViews: Map[String, AggView] = Map.empty,
+      sinkOverride: Option[graft.sinks.MirrorSink] = None) {
     require(!incrementalMirror || bucketCount.isDefined,
       "incrementalMirror requires bucketCount")
     def specFor(table: String): TableSpec =
       tableSpecs.getOrElse(table, TableSpec(rowSchema, keyCols))
+    def mirrorSink: graft.sinks.MirrorSink = sinkOverride.getOrElse {
+      if (incrementalMirror) graft.sinks.BucketedMirrorSink(bucketCount.get)
+      else graft.sinks.SwapMirror(bucketCount)
+    }
   }
 
   private def bucketCol(spec: TableSpec, n: Int) =
@@ -144,23 +154,35 @@ object CdcPipeline {
         // mergeFor maps each table to the future completing its mirror
         // merge — view updates with max maintenance sequence on it (the
         // dirty-group recompute must read the POST-batch mirror)
+        // Swap mirrors take the unified group-merge fast path (one job
+        // per same-schema same-key group — a layout-specific
+        // optimization); every other sink merges per table through the
+        // MirrorSink interface.
+        val groupMergeable = cfg.mirrorSink match {
+          case s: graft.sinks.SwapMirror => Some(s)
+          case _ => None
+        }
         val jobsWithTables: Seq[(Seq[String], Future[Unit])] =
           bySchema.toSeq.flatMap { case (schema, ts) =>
             val parsed = parsedBySchema(schema)
-            if (cfg.incrementalMirror)
-              ts.map { t =>
-                Seq(t) -> Future {
-                  val spec = cfg.specFor(t)
-                  val sub = parsed.filter(col("table_name") === t).drop("table_name")
-                  val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
-                  graft.sinks.BucketedMirror.merge(spark, s"${cfg.mirrorRoot}/$t",
-                    unwrapped, spec.keyCols, cfg.bucketCount.get, batchId)
+            groupMergeable match {
+              case None =>
+                ts.map { t =>
+                  Seq(t) -> Future {
+                    val spec = cfg.specFor(t)
+                    val sub = parsed.filter(col("table_name") === t).drop("table_name")
+                    val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
+                    cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
+                      unwrapped, spec.keyCols, batchId)
+                  }
                 }
-              }
-            else
-              ts.groupBy(t => cfg.specFor(t).keyCols).values.toSeq.map { group =>
-                group -> Future { mergeGroupIntoMirrors(spark, parsed, group, cfg) }
-              }
+              case Some(swap) =>
+                ts.groupBy(t => cfg.specFor(t).keyCols).values.toSeq.map { group =>
+                  group -> Future {
+                    mergeGroupIntoMirrors(spark, parsed, group, cfg, swap.bucketCount)
+                  }
+                }
+            }
           }
         val jobs = jobsWithTables.map(_._2)
         val mergeFor: Map[String, Future[Unit]] =
@@ -204,7 +226,8 @@ object CdcPipeline {
     * per-table path (every touched table rewrites); scheduling overhead
     * drops from #tables jobs to one. */
   private def mergeGroupIntoMirrors(spark: SparkSession, parsed: DataFrame,
-                                    ts: Seq[String], cfg: Config): Unit = {
+                                    ts: Seq[String], cfg: Config,
+                                    bucketCount: Option[Int]): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
     val fs = new Path(cfg.mirrorRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -232,7 +255,7 @@ object CdcPipeline {
     val tmp = new Path(cfg.mirrorRoot,
       s".group_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val writer = cfg.bucketCount match {
+      val writer = bucketCount match {
         case Some(n) => merged
           .withColumn("_bucket", bucketCol(spec, n))
           .repartition(n, col("table_name"), col("_bucket"))
@@ -252,51 +275,18 @@ object CdcPipeline {
   }
 
   /** Keyed merge of one table's changes into its parquet mirror with an
-    * atomic staging-dir swap (a stand-in for a transactional sink). */
+    * atomic staging-dir swap (a stand-in for a transactional sink).
+    * Delegates to [[graft.sinks.SwapMirror]]. */
   def mergeIntoMirror(spark: SparkSession, changes: DataFrame, table: String,
-                      cfg: Config): Unit = {
-    val spec = cfg.specFor(table)
-    val live = new Path(s"${cfg.mirrorRoot}/$table/live")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverMirror(fs, s"${cfg.mirrorRoot}/$table")
-    val merged =
-      if (fs.exists(live)) Materialize.merge(
-        spark.read.parquet(live.toString).drop("_bucket"), changes, spec.keyCols)
-      else Materialize.versionedState(changes, spec.keyCols)
-    atomicSwap(fs, s"${cfg.mirrorRoot}/$table") { staging =>
-      val writer = cfg.bucketCount match {
-        case Some(n) => merged
-          .withColumn("_bucket", bucketCol(spec, n))
-          .repartition(n, col("_bucket"))
-          .write.partitionBy("_bucket")
-        case None => merged.write
-      }
-      writer.mode("overwrite").parquet(staging.toString)
-    }
-  }
+                      cfg: Config): Unit =
+    graft.sinks.SwapMirror(cfg.bucketCount).merge(spark,
+      s"${cfg.mirrorRoot}/$table", changes, cfg.specFor(table).keyCols,
+      batchId = -1L)
 
-  /** Crash recovery for the two-rename swap: if a previous merge died
-    * between rename(live,.old) and rename(.staging,live) there is no
-    * live dir — without recovery the next merge would rebuild the mirror
-    * from one batch and silently drop all prior state (the checkpoint
-    * prevents replaying earlier batches). A completely-written staging
-    * dir (Spark's _SUCCESS marker) is the newest state → finish the
-    * swap; otherwise .old is the last consistent state → roll back.
-    * A crash mid-write leaves live intact, so nothing to do then. */
+  /** See [[graft.sinks.SwapMirror.recoverMirror]]. */
   private[streaming] def recoverMirror(
-      fs: org.apache.hadoop.fs.FileSystem, tableRoot: String): Unit = {
-    val live = new Path(s"$tableRoot/live")
-    if (!fs.exists(live)) {
-      val staging = new Path(s"$tableRoot/.staging")
-      val old = new Path(s"$tableRoot/.old")
-      if (fs.exists(new Path(staging, "_SUCCESS"))) {
-        fs.rename(staging, live)
-        fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        fs.rename(old, live)
-      }
-    }
-  }
+      fs: org.apache.hadoop.fs.FileSystem, tableRoot: String): Unit =
+    graft.sinks.SwapMirror.recoverMirror(fs, tableRoot)
 
   /** Fold one batch's deltas into a maintained view's state. Delta
     * application is not idempotent, so the state carries the last
@@ -339,21 +329,11 @@ object CdcPipeline {
     }
   }
 
-  /** Two-rename atomic publish of a freshly-written `.staging` dir as
-    * `live` (shared by mirror merges and view updates; recovery for the
-    * crash window between the renames is [[recoverMirror]]). */
+  /** Two-rename atomic publish — see [[graft.sinks.SwapMirror.atomicSwap]]
+    * (shared by group merges and view updates). */
   private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem, root: String)
-                        (write: Path => Unit): Unit = {
-    val live = new Path(s"$root/live")
-    val staging = new Path(s"$root/.staging")
-    fs.delete(staging, true)
-    write(staging)
-    val old = new Path(s"$root/.old")
-    fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(staging, live)
-    fs.delete(old, true)
-  }
+                        (write: Path => Unit): Unit =
+    graft.sinks.SwapMirror.atomicSwap(fs, root)(write)
 
   /** Read a maintained aggregate view's current state (with derived
     * `avg_*` columns). */
@@ -364,36 +344,14 @@ object CdcPipeline {
 
   /** Read a table's current (live, unversioned) mirror state. */
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =
-    if (cfg.incrementalMirror)
-      graft.sinks.BucketedMirror.read(spark, s"${cfg.mirrorRoot}/$table")
-    else Materialize.stripVersions(
-      spark.read.parquet(s"${cfg.mirrorRoot}/$table/live"))
-      .drop("_bucket")
+    cfg.mirrorSink.read(spark, s"${cfg.mirrorRoot}/$table")
 
-  /** Point lookup by primary key: on a bucketed mirror the `_bucket`
-    * predicate prunes to one partition directory. */
+  /** Point lookup by primary key: pruned to one bucket/partition dir by
+    * the sink (O(bucket), not O(table)). */
   def lookup(spark: SparkSession, cfg: Config, table: String,
-             keyValues: Seq[Any]): DataFrame = {
-    val spec = cfg.specFor(table)
-    if (cfg.incrementalMirror)
-      return graft.sinks.BucketedMirror.lookup(spark, s"${cfg.mirrorRoot}/$table",
-        spec.keyCols, keyValues, cfg.bucketCount.get)
-    val base = spark.read.parquet(s"${cfg.mirrorRoot}/$table/live")
-    // Cast each probe literal to the REGISTERED key type before hashing:
-    // murmur3 hashes an Int and a Long differently, so an uncast literal
-    // of the wrong width would compute a bucket the row isn't in and the
-    // lookup would silently return empty.
-    val typedKeys = spec.keyCols.zip(keyValues).map { case (k, v) =>
-      lit(v).cast(spec.rowSchema(k).dataType)
-    }
-    val keyed = spec.keyCols.zip(typedKeys).foldLeft(
-      cfg.bucketCount match {
-        case Some(n) => base.filter(col("_bucket") ===
-          pmod(hash(typedKeys: _*), lit(n)))
-        case None => base
-      })((df, kv) => df.filter(col(kv._1) === kv._2))
-    Materialize.stripVersions(keyed).drop("_bucket")
-  }
+             keyValues: Seq[Any]): DataFrame =
+    cfg.mirrorSink.lookup(spark, s"${cfg.mirrorRoot}/$table",
+      cfg.specFor(table).keyCols, keyValues)
 
   /** Read the dead-letter table. A pipeline that never saw a poison
     * record has no DLQ dir (clean batches don't write) — that reads as

@@ -46,4 +46,32 @@ class IvfChunkerSpec extends SparkSpec {
     val nCells = idx.assignments.select("cell").distinct().count()
     assert(nCells > 1, s"k-means collapsed to $nCells cell(s)")
   }
+
+  test("saved index reloads to identical searches with partition-pruned " +
+    "probes") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val built = IvfIndex.build(spark, emb, k = 8, iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+
+    assert(loaded.centroids.map(_._1).toSeq == built.centroids.map(_._1).toSeq)
+    def run(idx: IvfIndex.Index) =
+      IvfIndex.search(idx, q0, topK = 10, nprobe = 3)
+        .as[(Long, Double)].collect().toSeq
+    assert(run(loaded) == run(built))
+    def runJoin(idx: IvfIndex.Index) =
+      IvfIndex.knnJoin(idx, emb.filter($"vec_id" < 5), topK = 3, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    assert(runJoin(loaded) == runJoin(built))
+
+    // the offline artifact's payoff: the probed-cell filter prunes to
+    // nprobe PARTITION DIRECTORIES — only those cells' files are read
+    val plan = IvfIndex.search(loaded, q0, topK = 10, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1200))
+  }
 }

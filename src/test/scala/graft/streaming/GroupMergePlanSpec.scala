@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.SparkSpec
+
+/** Plan audit for the unified CDC group merge: tables sharing a row
+  * schema and key must merge in ONE job whose plan has exactly one
+  * shuffle — a `(table_name, pk)`-keyed aggregation feeding one
+  * partitioned write — instead of an agg + write per table (PLANS.md
+  * "CDC group merge"). Captured from the REAL pipeline via a
+  * QueryExecutionListener, so a refactor that silently reverts to
+  * per-table merges (or adds a shuffle) fails here. */
+class GroupMergePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def rec(table: String, id: Long, off: Long) =
+    Rec(s"mysql-server.pos_bi_db.$table", s"""{"payload":{"id":$id}}""",
+      s"""{"payload":{"after":{"id":$id,"v":"x$id"},"op":"r","ts_ms":1000}}""",
+      0, off)
+
+  test("same-schema tables merge as one single-Exchange write job") {
+    val captured = new ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val root = Files.createTempDirectory("graft-gm").toString
+      val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+        s"$root/dlq", s"$root/ckpt")
+      val batch = Seq(
+        rec("ventas", 1, 0), rec("ventas", 2, 1),
+        rec("compras", 7, 2), rec("gastos", 9, 3)).toDS().toDF()
+      CdcPipeline.processBatch(batch, 0L, cfg)
+      // the listener bus is async
+      val deadline = System.nanoTime() + 10000000000L
+      def writes = captured.asScala.toSeq.map(_.executedPlan.toString)
+        .filter(_.contains("WriteFiles"))
+        .filterNot(_.contains("dlq"))
+      while (writes.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+
+      val mirrorWrites = writes.filter(_.contains("table_name"))
+      assert(mirrorWrites.size == 1,
+        s"3 same-schema tables must produce ONE group write, got " +
+          s"${mirrorWrites.size}:\n${writes.mkString("\n----\n")}")
+      // AQE's toString appends an "== Initial Plan ==" section that
+      // repeats every node — count shuffles in the final plan only
+      val finalPlan = mirrorWrites.head.split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(finalPlan).size
+      assert(exchanges == 1,
+        s"group merge must shuffle exactly once, got $exchanges:\n" +
+          finalPlan.take(2000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

@@ -153,4 +153,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 9000L)), s"missed planted dup: $pairs")
   }
+
+  test("IVF knnJoin recovers PERTURBED planted neighbors for every query") {
+    // the catalog query oracles exact copies; here the planted
+    // neighbors are slightly perturbed (cosine ≈ 0.9999, vs ~0.33 for
+    // random pairs), so recovery additionally requires near — not just
+    // identical — vectors to route into a probed cell
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+      .filter($"vec_id" < 300)
+    val queries = emb.filter($"vec_id" < 5)
+    val planted = queries.as[(Long, Seq[Float], Int)].collect().flatMap {
+      case (qid, v, _) => (1 to 2).map { j =>
+        (9000L + qid * 10 + j,
+          v.zipWithIndex.map { case (x, i) =>
+            x + (if (i % 8 == j % 8) 0.01f else 0.0f) }, -1)
+      }
+    }.toSeq.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(spark, emb.unionByName(planted),
+      k = 12, iterations = 2)
+    val top = IvfIndex.knnJoin(idx, queries, topK = 2, nprobe = 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val expect = Set(9000L + qid * 10 + 1, 9000L + qid * 10 + 2)
+      assert(top(qid) == expect,
+        s"query $qid: expected planted $expect, got ${top(qid)}")
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import SimilarityFunctions.{cosine, dot}
+import SimilarityFunctions.dot
 
 /** IVF (inverted-file) similarity index — the second ANN scale path
   * beside hyperplane LSH: partition vectors into k cells by nearest
@@ -19,6 +19,15 @@ import SimilarityFunctions.{cosine, dot}
 object IvfIndex {
 
   final case class Index(assignments: DataFrame, centroids: Array[(Int, Seq[Double])])
+
+  /** L2-normalize a float-array column; an all-zero vector stays all
+    * zeros (norm floored at MIN_NORMAL — same guard as
+    * [[SimilarityFunctions.quantize8]]) instead of normalizing to null
+    * components, which would otherwise sort null scores FIRST in the
+    * probe ranking and route the row to arbitrary cells. */
+  private def l2norm(vec: org.apache.spark.sql.Column) =
+    transform(vec, x => x.cast("double") /
+      greatest(sqrt(dot(vec, vec)), lit(java.lang.Double.MIN_NORMAL)))
 
   // Session-scoped index memo: an IVF index is an OFFLINE artifact —
   // built once over the corpus, then searched many times (the whole
@@ -53,9 +62,7 @@ object IvfIndex {
             iterations: Int = 3, idCol: String = "vec_id",
             vecCol: String = "embedding"): Index = {
     val norm = graft.core.Caching.persistOnce(
-      embeddings.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double") /
-          sqrt(dot(col(vecCol), col(vecCol)))).as("v")))
+      embeddings.select(col(idCol).as("id"), l2norm(col(vecCol)).as("v")))
     var centroids = norm.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iterations) {
@@ -91,18 +98,18 @@ object IvfIndex {
     * always its first probe. */
   def knnJoin(index: Index, queries: DataFrame, topK: Int, nprobe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qn = queries.select(col(idCol).as("qid"),
-      transform(col(vecCol), x => x.cast("double") /
-        sqrt(dot(col(vecCol), col(vecCol)))).as("qv"))
+    val qn = queries.select(col(idCol).as("qid"), l2norm(col(vecCol)).as("qv"))
     val cellScores = array(index.centroids.map { case (cid, c) =>
       struct(dot(col("qv"), array(c.map(lit): _*)).as("score"), lit(cid).as("cid"))
     }.toSeq: _*)
     val probed = qn.withColumn("cell",
       explode(slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cid")))
+    // both sides are L2-normalized, so dot == cosine — and stays defined
+    // (0.0, not 0/0 = NaN) when the query was the guarded zero vector
     val scored = probed.join(index.assignments, "cell")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
-        round(cosine(col("qv"), col("v")), 6).as("score"))
+        round(dot(col("qv"), col("v")), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -140,16 +147,17 @@ object IvfIndex {
   def search(index: Index, queryVec: Seq[Double], topK: Int,
              nprobe: Int = 3): DataFrame = {
     val qn = {
-      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      val n = math.max(math.sqrt(queryVec.map(x => x * x).sum),
+        java.lang.Double.MIN_NORMAL) // zero query stays zero, not NaN
       queryVec.map(_ / n)
     }
     val probeCells = index.centroids
       .map { case (cid, c) => (cid, c.zip(qn).map { case (a, b) => a * b }.sum) }
       .sortBy(-_._2).take(nprobe).map(_._1)
     val q = array(qn.map(lit): _*)
-    index.assignments
+    index.assignments // normalized × normalized: dot == cosine, NaN-free
       .filter(col("cell").isin(probeCells.toSeq: _*))
-      .select(col("id").as("vec_id"), round(cosine(col("v"), q), 6).as("score"))
+      .select(col("id").as("vec_id"), round(dot(col("v"), q), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(topK)
   }

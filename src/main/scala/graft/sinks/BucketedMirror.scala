@@ -104,7 +104,8 @@ object BucketedMirror {
   // still serve correctly-schemed reads.
   private def schemaId(p: Path): Option[Long] = {
     val n = p.getName
-    if (n.startsWith("_SCHEMA-")) n.stripPrefix("_SCHEMA-").toLongOption
+    if (n == "_SCHEMA") Some(0L) // pre-versioning layout: treat as id 0
+    else if (n.startsWith("_SCHEMA-")) n.stripPrefix("_SCHEMA-").toLongOption
     else None
   }
 
@@ -158,6 +159,7 @@ object BucketedMirror {
       val touched = withBucket.select("_bucket").distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
+      val prevManifestId = latestManifest(fs, root).flatMap(manifestId)
       val current = readManifest(fs, root)
 
       // path-pruned read: only the touched buckets' committed dirs
@@ -213,9 +215,20 @@ object BucketedMirror {
       val committed = current ++ next
       writeSchema(fs, root, batchId, merged.schema)
       writeManifest(fs, root, batchId, committed)
-      fs.listStatus(new Path(root)).map(_.getPath)
-        .filter(p => schemaId(p).exists(_ < batchId))
-        .foreach(p => fs.delete(p, false))
+      // sidecar sweep with ONE GENERATION of retention: keep the sidecar
+      // the new manifest selects AND the one the previous committed
+      // manifest selected — a concurrent reader that resolved the
+      // previous manifest id must still find a sidecar <= its manifest
+      // (sweeping everything < batchId would leave it only the too-new
+      // sidecar and force the bookkeeping-schema fallback). Older
+      // orphans, including a legacy bare `_SCHEMA` (id 0) once it is no
+      // longer selected, are dropped.
+      val sidecars = fs.listStatus(new Path(root)).map(_.getPath)
+        .flatMap(p => schemaId(p).map(_ -> p))
+      val keep = (prevManifestId.flatMap(prev =>
+        sidecars.map(_._1).filter(_ <= prev).maxOption).toSeq :+ batchId).toSet
+      sidecars.filterNot { case (id, _) => keep(id) }
+        .foreach { case (_, p) => fs.delete(p, false) }
       touched.foreach { b =>
         val dir = new Path(s"$root/buckets/$b")
         if (fs.exists(dir)) fs.listStatus(dir)

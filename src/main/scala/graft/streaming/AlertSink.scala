@@ -80,25 +80,53 @@ object AlertSink {
 }
 
 /** Fans alert rows out to the configured channels, at most once per
-  * alert key: repeated dispatch calls (every trigger, say) re-deliver
-  * nothing for conditions already notified — exactly the reference's
-  * one-email-per-failed-run behavior (TriggerRule.ONE_FAILED fires once
-  * per DAG run, cdc_health_check_dag.py:83-87).
+  * alert key PER CHANNEL: repeated dispatch calls (every trigger, say)
+  * re-deliver nothing for conditions already notified — exactly the
+  * reference's one-email-per-failed-run behavior (TriggerRule.ONE_FAILED
+  * fires once per DAG run, cdc_health_check_dag.py:83-87).
+  *
+  * Delivery failures are NOT committed: a sink that throws (webhook
+  * outage, say) is retried on the next dispatch, and only that sink —
+  * channels that already delivered the key are never re-notified. A
+  * failure is also isolated to its (alert, sink) pair: the remaining
+  * sinks and remaining alerts of the same dispatch still run (the
+  * reference's email task is likewise retried per task instance, not
+  * dropped, and one failed notification never cancels the others).
   *
   * Alert volume is listener-event-bounded (queries × batches), never
-  * data-bounded, so the driver-side seen-set is O(small) by
-  * construction.
+  * data-bounded, so the driver-side delivered-set is O(small × channels)
+  * by construction.
   */
 final class AlertDispatcher(sinks: Seq[AlertSink], lagThreshold: Long = 500) {
   import AlertSink.Alert
 
-  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val log = org.apache.logging.log4j.LogManager.getLogger("graft.alerts")
+  // (alert key, sink index) pairs whose delivery SUCCEEDED; a key is
+  // committed per channel only after that channel accepted it.
+  private val delivered = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  private def emit(a: Alert): Boolean =
-    seen.add(a.key) && { sinks.foreach(_.deliver(a)); true }
+  private def fullyDelivered(key: String): Boolean =
+    sinks.indices.forall(i => delivered.contains((key, i)))
+
+  /** Attempt every not-yet-successful channel for `a`; returns true iff
+    * the alert is now delivered on all channels. */
+  private def emit(a: Alert): Boolean = {
+    sinks.zipWithIndex.foreach { case (sink, i) =>
+      if (!delivered.contains((a.key, i))) {
+        try { sink.deliver(a); delivered.add((a.key, i)); () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"delivery of ${a.key} to sink #$i failed, " +
+              s"will retry next dispatch: $e")
+        }
+      }
+    }
+    fullyDelivered(a.key)
+  }
 
   /** Collect current alert rows from `mon` and deliver the new ones.
-    * Returns the number of alerts delivered by THIS call. */
+    * Returns the number of alerts that became fully delivered (all
+    * channels) by THIS call. */
   def dispatch(mon: Monitoring): Int = {
     val lag = mon.lagAlerts(lagThreshold).collect().map { r =>
       val q = r.getAs[String]("query_name")
@@ -113,6 +141,15 @@ final class AlertDispatcher(sinks: Seq[AlertSink], lagThreshold: Long = 500) {
       val detail = r.getAs[String]("detail")
       Alert(s"health:$q", "error", s"query $q terminated abnormally", detail)
     }
-    (lag ++ health).count(emit)
+    dispatchAlerts(lag ++ health)
   }
+
+  /** Deliver a batch of already-collected alerts (the channel-facing
+    * half of [[dispatch]]). Returns the number that became fully
+    * delivered by this call. */
+  def dispatchAlerts(alerts: Seq[Alert]): Int =
+    alerts.count { a =>
+      val before = fullyDelivered(a.key)
+      emit(a) && !before
+    }
 }

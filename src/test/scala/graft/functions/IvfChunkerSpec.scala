@@ -40,6 +40,28 @@ class IvfChunkerSpec extends SparkSpec {
     assert(math.abs(got.head._2 - 1.0) < 1e-6)
   }
 
+  test("a zero query vector gets deterministic top-k, not null-score " +
+    "probes or NaNs") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val idx = IvfIndex.build(spark, emb, k = 8, iterations = 2)
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+
+    // batch path: all scores defined (cosine 0 against everything),
+    // exactly topK rows — a null-score probe ranking would have routed
+    // the row to arbitrary cells or dropped it
+    val zq = Seq((999999L, Seq.fill(dim)(0f), -1))
+      .toDF("vec_id", "embedding", "label")
+    val got = IvfIndex.knnJoin(idx, zq, topK = 3, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length == 3, s"expected 3 neighbors, got ${got.length}")
+    assert(got.forall(r => !r._3.isNaN && r._3 == 0.0), got.mkString(","))
+
+    // single-query path: same guarantee
+    val single = IvfIndex.search(idx, Seq.fill(dim)(0.0), topK = 3, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(single.length == 3 && single.forall(r => !r._2.isNaN && r._2 == 0.0))
+  }
+
   test("IVF cells are non-degenerate (more than one cell used)") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val idx = IvfIndex.build(spark, emb, k = 8, iterations = 2)

@@ -50,6 +50,43 @@ class BucketedMirrorSpec extends SparkSpec {
     assert(BucketedMirror.lookup(spark, root, keyCols, Seq(1L), n).count() == 0)
   }
 
+  test("sidecar sweep keeps one generation; legacy bare _SCHEMA is read") {
+    val root = Files.createTempDirectory("bm-sc").toString
+    val fs = fsOf(root)
+    def sidecars: Set[String] = fs.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_SCHEMA")).toSet
+
+    BucketedMirror.merge(spark, root,
+      changes((1L, "a", "r", 1000L, 0L)), keyCols, n, batchId = 0)
+    BucketedMirror.merge(spark, root,
+      changes((2L, "b", "r", 2000L, 1L)), keyCols, n, batchId = 1)
+    // a reader that resolved MANIFEST-0 before the batch-1 commit must
+    // still find its sidecar: one generation of retention
+    assert(sidecars == Set("_SCHEMA-0", "_SCHEMA-1"), sidecars)
+
+    BucketedMirror.merge(spark, root,
+      changes((3L, "c", "r", 3000L, 2L)), keyCols, n, batchId = 2)
+    assert(sidecars == Set("_SCHEMA-1", "_SCHEMA-2"),
+      s"two-generations-old sidecar must be swept: $sidecars")
+
+    // pre-versioning mirrors wrote a bare `_SCHEMA`: still readable.
+    // Empty the mirror (schema then comes from the sidecar alone) and
+    // replace its versioned sidecars with the legacy name.
+    (1L to 3L).zipWithIndex.foreach { case (id, i) =>
+      BucketedMirror.merge(spark, root,
+        changes((id, "", "d", 9000L + i, 10L + i)), keyCols, n, batchId = 3 + i)
+    }
+    val legacy = new Path(root, "_SCHEMA")
+    assert(fs.rename(new Path(root, s"_SCHEMA-5"), legacy))
+    fs.listStatus(new Path(root)).map(_.getPath)
+      .filter(p => p.getName.startsWith("_SCHEMA-"))
+      .foreach(p => fs.delete(p, false))
+    val live = BucketedMirror.read(spark, root)
+    assert(live.count() == 0)
+    assert(live.columns.toSet == Set("id", "v"),
+      s"legacy _SCHEMA not honored: ${live.columns.mkString(",")}")
+  }
+
   test("chained incremental merges equal one-shot materialization") {
     val root = Files.createTempDirectory("bm").toString
     val b1 = changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),

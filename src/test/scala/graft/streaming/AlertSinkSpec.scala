@@ -29,6 +29,41 @@ class AlertSinkSpec extends SparkSpec {
     }
   }
 
+  test("a failing channel is retried on the next dispatch and never " +
+    "suppresses the alert or its sibling channels") {
+    val good = new InMemorySink
+    var webhookUp = false
+    val flakyDelivered = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    val flaky = new AlertSink {
+      // same failure mode as WebhookSink on a non-2xx response
+      override def deliver(a: Alert): Unit = {
+        if (!webhookUp) sys.error("webhook delivery failed: HTTP 503")
+        flakyDelivered += a
+      }
+    }
+    val dispatcher = new AlertDispatcher(Seq(good, flaky))
+    val a1 = Alert("health:q1", "error", "q1 down", "boom")
+    val a2 = Alert("health:q2", "error", "q2 down", "boom")
+
+    // webhook down: the healthy channel still gets BOTH alerts (one bad
+    // delivery must not abort the rest of the batch), nothing is fully
+    // delivered, and the keys are NOT burned
+    assert(dispatcher.dispatchAlerts(Seq(a1, a2)) == 0)
+    assert(good.delivered.map(_.key) == Seq("health:q1", "health:q2"))
+    assert(flakyDelivered.isEmpty)
+
+    // webhook back up: the retry delivers both alerts on the flaky
+    // channel WITHOUT re-notifying the healthy one
+    webhookUp = true
+    assert(dispatcher.dispatchAlerts(Seq(a1, a2)) == 2)
+    assert(good.delivered.size == 2, "already-delivered channel not re-notified")
+    assert(flakyDelivered.map(_.key).toSeq == Seq("health:q1", "health:q2"))
+
+    // steady state: nothing re-fires anywhere
+    assert(dispatcher.dispatchAlerts(Seq(a1, a2)) == 0)
+    assert(good.delivered.size == 2 && flakyDelivered.size == 2)
+  }
+
   test("a failed streaming query delivers exactly one alert; " +
     "redispatch and replays deliver nothing") {
     val mon = Monitoring.attach(spark)

@@ -25,7 +25,21 @@ object DedupQueries {
   private val plantedPredicate =
     "doc_id % 25 = 0 AND len(string_split(text, ' ')) >= 5"
 
-  /** Documents plus an exact copy of every 25th doc at doc_id+9000.
+  /** Offset for planted-copy ids, derived from the corpus itself so
+    * planted ids can NEVER collide with real ones at any scale factor
+    * (a fixed +9000 silently collides once real doc_ids reach 9000):
+    * the next-plus-one multiple of 1000 above max(doc_id).
+    * [[plantOffsetSql]] is the same expression for the DuckDB side. */
+  private def plantOffset(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val maxId = load(s, d, "documents")
+      .agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+    (maxId / 1000 + 2) * 1000
+  }
+
+  private val plantOffsetSql =
+    "((SELECT max(doc_id) FROM documents) // 1000 + 2) * 1000"
+
+  /** Documents plus an exact copy of every 25th doc at doc_id+offset.
     * Identical text ⇒ identical shingle set ⇒ identical MinHash/SimHash
     * signature ⇒ identical band/block keys, so every (source, copy)
     * pair MUST surface from the candidate joins — a recovery set DuckDB
@@ -36,7 +50,7 @@ object DedupQueries {
     val base = load(s, d, "documents").select(col("doc_id"), col("text"))
     base.unionByName(
       base.filter(col("doc_id") % 25 === 0 && size(tokens(col("text"))) >= 5)
-        .select((col("doc_id") + 9000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + lit(plantOffset(s, d))).as("doc_id"), col("text")))
   }
 
   /** Deterministic (md5-family) MinHash-LSH candidate pairs on a doc
@@ -167,7 +181,7 @@ object DedupQueries {
     // not replicable in DuckDB (md5 is the only shared hash family; the
     // md5 variant above value-checks the algorithm). These queries are
     // instead oracled via PLANTED duplicates: copies of selected docs at
-    // doc_id+9000 share the source's shingle set exactly, so their
+    // doc_id+offset share the source's shingle set exactly, so their
     // signatures/band keys/block keys are identical and the pipeline
     // MUST emit every (source, copy) pair — a set DuckDB derives from
     // `documents` alone. A broken hash/band/block/join stage drops
@@ -182,9 +196,9 @@ object DedupQueries {
             array_distinct(wordShinglesFromTokens(col("w"), 3)).as("sh"))
           .filter(size(col("sh")) > 0)
         lshCandidatePairs(docs, "doc_id", "sh")
-          .filter(col("b") === col("a") + 9000L) // planted-recovery slice
+          .filter(col("b") === col("a") + lit(plantOffset(s, d))) // planted-recovery slice
       },
-      Some(s"""SELECT doc_id AS a, doc_id + 9000 AS b
+      Some(s"""SELECT doc_id AS a, doc_id + $plantOffsetSql AS b
              |FROM documents WHERE $plantedPredicate""".stripMargin),
       "MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-" +
         "join), planted-duplicate recovery oracle-checked"),
@@ -215,7 +229,8 @@ object DedupQueries {
       Some(s"""WITH corpus AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
-             |  SELECT doc_id + 9000, text FROM documents WHERE $plantedPredicate)
+             |  SELECT doc_id + $plantOffsetSql, text FROM documents
+             |  WHERE $plantedPredicate)
              |SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts,
              |  TRUE AS dup_groups_one_sig, TRUE AS sig_diversity_ok
              |FROM corpus WHERE len(string_split(text, ' ')) >= 3""".stripMargin),
@@ -243,9 +258,9 @@ object DedupQueries {
             hamming64(col("l.sig"), col("r.sig")).cast("long").as("hamming"))
           .filter(col("hamming") <= 12)
           .distinct() // a pair may collide in several blocks
-          .filter(col("b") === col("a") + 9000L) // planted-recovery slice
+          .filter(col("b") === col("a") + lit(plantOffset(s, d))) // planted-recovery slice
       },
-      Some(s"""SELECT doc_id AS a, doc_id + 9000 AS b, CAST(0 AS BIGINT) AS hamming
+      Some(s"""SELECT doc_id AS a, doc_id + $plantOffsetSql AS b, CAST(0 AS BIGINT) AS hamming
              |FROM documents WHERE $plantedPredicate""".stripMargin),
       "SimHash near-dups: 4x16-bit block join (guaranteed recall for " +
         "hamming<=3) + hamming verify; planted-duplicate recovery oracle-checked"))

@@ -16,20 +16,37 @@ object SimilarityQueries {
       .select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
 
+  /** Offset for planted-copy ids, derived from the corpus itself so
+    * planted ids can NEVER collide with real ones at any scale factor
+    * (a fixed +9000 silently collides once real vec_ids reach 9000,
+    * diverging Spark and oracle on duplicate ids with different
+    * payloads): the next-plus-one multiple of 1000 above max(vec_id) —
+    * strictly greater than max + 1000. [[plantOffsetSql]] is the same
+    * expression for the DuckDB side, so both engines plant identically. */
+  private def plantOffset(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val maxId = load(s, d, "embeddings")
+      .agg(coalesce(max(col("vec_id")), lit(0L))).head().getLong(0)
+    (maxId / 1000 + 2) * 1000
+  }
+
+  private val plantOffsetSql =
+    "((SELECT max(vec_id) FROM embeddings) // 1000 + 2) * 1000"
+
   /** Corpus with ten planted copies of the query vector (vec_id=0) at
-    * ids 9001–9010. An ANN structure MUST rank identical vectors at the
-    * top (cosine 1 ≥ anything a random 64-dim pair can reach), and an
-    * identical vector lands in the query's own LSH buckets / IVF cell
-    * with probability 1 — so the planted corpus makes the approximate
-    * top-k EQUAL the exact top-k, and the DuckDB oracle can verify the
-    * ANN result by recomputing the brute-force ground truth in SQL.
-    * A broken probe/routing path misses the planted rows and fails the
-    * hash compare. */
+    * ids offset+1 … offset+10. An ANN structure MUST rank identical
+    * vectors at the top (cosine 1 ≥ anything a random 64-dim pair can
+    * reach), and an identical vector lands in the query's own LSH
+    * buckets / IVF cell with probability 1 — so the planted corpus makes
+    * the approximate top-k EQUAL the exact top-k, and the DuckDB oracle
+    * can verify the ANN result by recomputing the brute-force ground
+    * truth in SQL. A broken probe/routing path misses the planted rows
+    * and fails the hash compare. */
   private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame = {
+    val off = plantOffset(s, d)
     val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") === 0)
-      .select(explode(sequence(lit(9001L), lit(9010L))).as("vec_id"),
+      .select(explode(sequence(lit(off + 1), lit(off + 10))).as("vec_id"),
         col("embedding"))
     base.unionByName(planted)
   }
@@ -37,10 +54,10 @@ object SimilarityQueries {
   /** Brute-force ground truth over [[plantedCorpus]] — the shared
     * oracle for the two ANN top-k queries. */
   private val plantedTopkOracle: String =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  UNION ALL
-      |  SELECT 9000 + r.i AS vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+      |  SELECT $plantOffsetSql + r.i AS vec_id, CAST(e.embedding AS DOUBLE[]) AS v
       |  FROM embeddings e, (SELECT unnest(range(1, 11)) AS i) r
       |  WHERE e.vec_id = 0),
       |q AS (SELECT v FROM c WHERE vec_id = 0)
@@ -147,17 +164,18 @@ object SimilarityQueries {
     // of the two engines' cosine kernels is an implementation detail).
     Q("sim_near_dup_pairs",
       (s, d) => {
+        val off = plantOffset(s, d)
         val slice = load(s, d, "embeddings").filter(col("vec_id") < 200)
           .select(col("vec_id"), col("embedding"))
         val planted = slice.filter(col("vec_id").isin(3L, 7L))
-          .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+          .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
         nearDupPairs(slice.unionByName(planted), threshold = 0.95)
           .select(col("a"), col("b"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
              |  UNION ALL
-             |  SELECT vec_id + 9000, embedding FROM embeddings
+             |  SELECT vec_id + $plantOffsetSql, embedding FROM embeddings
              |  WHERE vec_id IN (3, 7))
              |SELECT l.vec_id AS a, r.vec_id AS b
              |FROM e l JOIN e r ON l.vec_id < r.vec_id
@@ -282,12 +300,13 @@ object SimilarityQueries {
     // query's cell with probability 1).
     Q("sim_knn_join_ivf",
       (s, d) => {
+        val off = plantOffset(s, d)
         val base = load(s, d, "embeddings").filter(col("vec_id") < 200)
           .select(col("vec_id"), col("embedding"))
         val planted = base.filter(col("vec_id") < 5)
           .select(explode(sequence(lit(1L), lit(3L))).as("j"),
             col("vec_id"), col("embedding"))
-          .select((lit(9000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          .select((lit(off) + col("vec_id") * 10 + col("j")).as("vec_id"),
             col("embedding"))
         val corpus = base.unionByName(planted)
         val idx = graft.functions.IvfIndex.buildCached(s, s"$d#knn200",
@@ -295,13 +314,13 @@ object SimilarityQueries {
         graft.functions.IvfIndex.knnJoin(idx,
           base.filter(col("vec_id") < 5), topK = 3, nprobe = 2)
       },
-      Some("""WITH base AS (
+      Some(s"""WITH base AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |  FROM embeddings WHERE vec_id < 200),
              |c AS (
              |  SELECT * FROM base
              |  UNION ALL
-             |  SELECT 9000 + e.vec_id * 10 + r.j AS vec_id, e.v
+             |  SELECT $plantOffsetSql + e.vec_id * 10 + r.j AS vec_id, e.v
              |  FROM base e, (SELECT unnest(range(1, 4)) AS j) r
              |  WHERE e.vec_id < 5),
              |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 5),

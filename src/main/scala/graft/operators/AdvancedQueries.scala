@@ -142,6 +142,63 @@ object AdvancedQueries {
              |  TRUE AS within_5pct FROM lineitem""".stripMargin),
       "HLL++ approx distinct, property-oracled: within 5% of exact"),
 
+    // ---- mergeable HLL sketches (DataSketches) ------------------------
+    // The 100 TB distinct-count shape: per-partition sketches (here
+    // per month) built once, UNIONED for any rollup — no re-scan of the
+    // raw data per rollup, and the running view is incrementally
+    // maintainable (IncrementalDistinct operator + spec). Sketch bytes
+    // and estimates are engine-specific, so the oracle checks the
+    // property: exact counts hash-match and both the direct and the
+    // merged-from-partitions estimates land within 5% of exact.
+    Q("agg_hll_mergeable",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val perMonth = o
+          .groupBy(col("o_orderpriority"), month(col("o_orderdate")).as("m"))
+          .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+        val merged = perMonth.groupBy(col("o_orderpriority"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        val direct = o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+            hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 12)).as("est_direct"))
+        direct.join(merged, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("exact_customers"),
+            (abs(col("est_direct") - col("exact_customers")).cast("double") /
+              col("exact_customers") <= 0.05).as("direct_within_5pct"),
+            (abs(col("est_merged") - col("exact_customers")).cast("double") /
+              col("exact_customers") <= 0.05).as("merged_within_5pct"))
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_customers,
+             |  TRUE AS direct_within_5pct, TRUE AS merged_within_5pct
+             |FROM orders GROUP BY 1""".stripMargin),
+      "mergeable HLL sketches: per-month sketches unioned per priority; " +
+        "property-oracled against exact distinct"),
+
+    // ---- salted skew join ---------------------------------------------
+    // One hot key must not pin one shuffle partition at 1000 executors:
+    // the fact side salts deterministically (Skew.saltedEquiJoin), the
+    // dim side replicates saltFactor ways, the join runs on (key, salt)
+    // — same rows out (the oracle is the PLAIN join), hot-key load
+    // divided by saltFactor. PlanAuditSpec pins the salted join shape.
+    Q("join_salted_skew",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val o = load(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Skew.saltedEquiJoin(li, o, "l_orderkey", saltFactor = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin),
+      "salted skew join: deterministic fact-side salt + nSalts-replicated " +
+        "dim, equi-join on (key, salt) — equals the plain join"),
+
     // ---- window function batch 2 --------------------------------------
     Q("window_navigation",
       (s, d) => {

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SwapMirror
+
+/** Incremental maintenance of grouped COUNT(DISTINCT) via MERGEABLE HLL
+  * sketches — the companion to [[IncrementalAgg]] for the one aggregate
+  * family that is not delta-maintainable from signed contributions
+  * (a distinct count cannot be decremented, and recomputing
+  * count(DISTINCT) per trigger rescans the corpus).
+  *
+  * Per batch: one hash-agg builds a DataSketches HLL sketch per group
+  * (`hll_sketch_agg`, map-side combined), then the stored per-group
+  * sketches and the batch's are unioned (`hll_union_agg` — register-wise
+  * max) and swapped in atomically. State size ∝ groups × 2^lgK bytes
+  * (KBs per group), NEVER corpus size: at 100 TB the running
+  * distinct-users-per-day view costs one small shuffle per batch and a
+  * KB-scale state rewrite, while estimates stay within HLL's ~1.6%
+  * (lgK 12) of exact.
+  *
+  * Unlike [[IncrementalAgg]]'s signed sums, folding is IDEMPOTENT under
+  * batch replay: a sketch union is a slot-wise max, so re-folding the
+  * same rows changes nothing — at-least-once foreachBatch delivery needs
+  * no applied-batch-id guard here.
+  *
+  * Reference anchor: the integrity monitors poll scalar probes per table
+  * (cdc_data_integrity_dynamic_dag.py:50); this maintains the
+  * distinct-cardinality analog continuously instead of re-querying.
+  */
+object IncrementalDistinct {
+
+  /** Maintain one sketch per `groupCols` combination over `valueCol`.
+    * `lgK` is the DataSketches log2(registers) accuracy knob. */
+  final case class Spec(groupCols: Seq[String], valueCol: String, lgK: Int = 12)
+
+  /** Per-group sketches for one batch (one hash-agg, combined map-side). */
+  def sketch(batch: DataFrame, spec: Spec): DataFrame =
+    batch.groupBy(spec.groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(spec.valueCol), spec.lgK).as("sk"))
+
+  /** Union stored and delta sketches per group — register-wise max, so
+    * associative, commutative, and idempotent. */
+  def merge(state: DataFrame, delta: DataFrame, spec: Spec): DataFrame =
+    state.unionByName(delta)
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** Fold one batch into the sketch state at `root` (atomic two-rename
+    * publish, crash-recovered on the next update/read). */
+  def update(spark: SparkSession, root: String, spec: Spec,
+             batch: DataFrame): Unit = {
+    val live = new Path(s"$root/live")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapMirror.recoverMirror(fs, root)
+    val delta = sketch(batch, spec)
+    val merged =
+      if (fs.exists(live)) merge(spark.read.parquet(live.toString), delta, spec)
+      else delta
+    SwapMirror.atomicSwap(fs, root)(staging =>
+      merged.write.mode("overwrite").parquet(staging.toString))
+  }
+
+  /** Current estimates: one row per group, `distinct_<valueCol>`. */
+  def estimates(spark: SparkSession, root: String, spec: Spec): DataFrame = {
+    val live = new Path(s"$root/live")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapMirror.recoverMirror(fs, root)
+    spark.read.parquet(live.toString)
+      .select(spec.groupCols.map(col) :+
+        hll_sketch_estimate(col("sk")).as(s"distinct_${spec.valueCol}"): _*)
+  }
+}

@@ -25,7 +25,8 @@ import graft.functions.TextFunctions.wordShingles
   * index keys, never an index scan per document. At 100 TB the index
   * would be bucketed by key hash so the join co-partitions
   * (`bucketBy`/Delta Z-order); the join shape is already the right
-  * one. Candidate pairs are LSH candidates — callers verify with
+  * one. Sub-second triggers accrete one tiny dir per batch — fold them
+  * periodically with [[compact]], which preserves replay semantics. Candidate pairs are LSH candidates — callers verify with
   * [[graft.functions.DedupFunctions.jaccard]] on the shingle sets of
   * the pair, exactly as in the batch path.
   */
@@ -34,18 +35,98 @@ object StreamingDedup {
   final case class Config(indexDir: String, k: Int = 32, bands: Int = 8,
                           shingleSize: Int = 3)
 
-  /** Index partitions strictly before `batchId`. `< batchId` (not
-    * `!= batchId`) so that after a checkpoint reset/replay from an
-    * earlier offset, stale higher-numbered batch dirs are never probed. */
-  private def priorBatchPaths(fs: org.apache.hadoop.fs.FileSystem,
-                              indexDir: String, batchId: Long): Seq[String] = {
+  private def batchDirId(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None
+  }
+
+  private def compactedId(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("compacted=")) n.stripPrefix("compacted=").toLongOption
+    else None
+  }
+
+  /** Index keys from batches strictly before `batchId`, or None when the
+    * index is empty. `< batchId` (not `!= batchId`) so that after a
+    * checkpoint reset/replay from an earlier offset, stale
+    * higher-numbered keys are never probed — including keys INSIDE a
+    * compacted segment, which keeps each key's original `batch` id as a
+    * column (sorted, so the replay filter prunes row groups).
+    *
+    * Layout resolved here: the newest `compacted=<floor>` segment holds
+    * every batch < floor folded into one parquet dir; loose
+    * `batch=<id>` dirs cover id >= floor. Loose dirs below the floor
+    * (crash leftovers of a half-finished [[compact]] sweep) are already
+    * contained in the segment and are ignored. */
+  private def priorKeys(spark: org.apache.spark.sql.SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        indexDir: String, batchId: Long): Option[DataFrame] = {
     val root = new Path(indexDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          p.getName.stripPrefix("batch=").toLong < batchId
-      }.map(_.toString).toSeq
+    if (!fs.exists(root)) return None
+    val entries = fs.listStatus(root).map(_.getPath)
+    val floor = entries.flatMap(compactedId(_)).maxOption.getOrElse(0L)
+    val loose = entries
+      .filter(p => batchDirId(p).exists(id => id >= floor && id < batchId))
+      .map(_.toString).sorted
+    val looseDf =
+      if (loose.isEmpty) None
+      else Some(spark.read.parquet(loose.toSeq: _*))
+    val compactedDf =
+      if (floor == 0L) None
+      else Some(spark.read.parquet(s"$indexDir/compacted=$floor")
+        .filter(col("batch") < batchId).drop("batch"))
+    (compactedDf.toSeq ++ looseDf.toSeq).reduceOption(_ unionByName _)
+  }
+
+  /** Fold every loose `batch=<id>` partition with id < `upTo` (plus any
+    * previous compacted segment) into a single `compacted=<upTo>`
+    * segment — the small-file compaction a 500 ms-trigger stream needs:
+    * steady state otherwise accretes one tiny dir per trigger, and every
+    * probe pays a full listing plus thousands of parquet footer reads.
+    *
+    * Keys keep their originating `batch` id as a column so a
+    * checkpoint-reset replay below the compaction floor still probes
+    * strictly-prior keys only. Crash-safe: the segment is staged and
+    * atomically renamed BEFORE the folded sources are swept, so a probe
+    * at any point sees either the old layout or the new one, never a
+    * partial segment; a crash mid-sweep leaves already-folded leftovers
+    * that [[priorKeys]] ignores and the next compact removes. Replays
+    * of the same `upTo` are idempotent. */
+  def compact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+              upTo: Long): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).map(_.getPath)
+    val prevFloor = entries.flatMap(compactedId(_)).maxOption
+    if (prevFloor.exists(_ >= upTo)) return // already folded this far
+    val loose = entries
+      .filter(p => batchDirId(p).exists(id => id >= prevFloor.getOrElse(0L) && id < upTo))
+    val looseDf =
+      if (loose.isEmpty) None
+      // basePath surfaces the dir name as a `batch` partition column —
+      // the id each key must carry into the segment
+      else Some(spark.read.option("basePath", indexDir)
+        .parquet(loose.map(_.toString).toSeq: _*)
+        .withColumn("batch", col("batch").cast("long")))
+    val prevDf = prevFloor.map(f => spark.read.parquet(s"$indexDir/compacted=$f"))
+    val all = (prevDf.toSeq ++ looseDf.toSeq).reduceOption(_ unionByName _)
+    if (all.isEmpty) return
+
+    val target = new Path(s"$indexDir/compacted=$upTo")
+    val tmp = new Path(s"$indexDir/.compacting-$upTo")
+    fs.delete(tmp, true)
+    all.get.sortWithinPartitions("batch") // row-group pruning for replays
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true) // replayed compaction recommits
+    if (!fs.rename(tmp, target)) sys.error(s"compaction commit failed for $indexDir")
+
+    // sweep everything the new segment supersedes (re-list: the write
+    // may have raced an appending batch, which must survive)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      if (batchDirId(p).exists(_ < upTo) || compactedId(p).exists(_ != upTo))
+        fs.delete(p, true)
+    }
   }
 
   private def bandKeysOf(docs: DataFrame, idCol: String, textCol: String,
@@ -85,14 +166,14 @@ object StreamingDedup {
     // a replayed batch must not pair its docs against themselves, and
     // after a checkpoint reset that reprocesses from an earlier offset,
     // stale higher-numbered batch dirs must not leak into candidates
-    val priorBatches = priorBatchPaths(fs, cfg.indexDir, batchId)
-    val cross =
-      if (priorBatches.isEmpty) intra.limit(0)
-      else keys.as("l").join(
-          spark.read.parquet(priorBatches: _*).as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc") =!= col("r.doc"))
-        .select(col("l.doc").as("a"), col("r.doc").as("b"))
+    val cross = priorKeys(spark, fs, cfg.indexDir, batchId) match {
+      case None => intra.limit(0)
+      case Some(prior) =>
+        keys.as("l").join(prior.as("r"),
+            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+              col("l.doc") =!= col("r.doc"))
+          .select(col("l.doc").as("a"), col("r.doc").as("b"))
+    }
 
     val pairs = intra.unionByName(cross).distinct()
       // materialize before the index write below invalidates nothing —
@@ -143,11 +224,10 @@ object StreamingDedup {
         .filter(col("score") >= cfg.threshold)
 
     val intra = verified(keys, keys, col("l.id") < col("r.id"))
-    val prior = priorBatchPaths(fs, cfg.indexDir, batchId)
-    val cross =
-      if (prior.isEmpty) intra.limit(0)
-      else verified(keys, spark.read.parquet(prior: _*),
-        col("l.id") =!= col("r.id"))
+    val cross = priorKeys(spark, fs, cfg.indexDir, batchId) match {
+      case None => intra.limit(0)
+      case Some(prior) => verified(keys, prior, col("l.id") =!= col("r.id"))
+    }
 
     val pairs = intra.unionByName(cross).distinct().persist()
     pairs.count()

@@ -69,4 +69,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("salted skew join joins on (key, salt) — the hot key is spread") {
+    // force the shuffle path: at scale neither side broadcasts, and the
+    // point of salting is the shape of that shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("join_salted_skew")
+      assert(p.contains("_salt"), p.take(1200))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+      // the exchange keys include the salt, not the bare hot key
+      assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(p).isDefined,
+        p.take(1200))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("mergeable HLL rollup: sketches union without rescanning orders") {
+    // two scans total: one builds the per-month sketches, one the
+    // direct estimate + exact baseline — the per-priority MERGE reuses
+    // the month sketches instead of a third scan
+    val p = plan("agg_hll_mergeable")
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
+  }
 }

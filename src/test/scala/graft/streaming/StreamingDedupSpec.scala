@@ -62,6 +62,83 @@ class StreamingDedupSpec extends SparkSpec {
       s"stale future-batch doc must not appear in candidates: $pairs")
   }
 
+  test("compaction folds batch dirs into one segment; probes unchanged") {
+    val c = cfg()
+    val unrelated = "completely different words about streams joins and " +
+      "windows aggregations watermarks triggers checkpoints state stores"
+    StreamingDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 0L, c)
+    StreamingDedup.processBatch(
+      Seq((2L, unrelated)).toDF("doc_id", "text"), "doc_id", "text", 1L, c)
+    StreamingDedup.processBatch(
+      Seq((3L, unrelated + " suffix")).toDF("doc_id", "text"), "doc_id", "text", 2L, c)
+
+    StreamingDedup.compact(spark, c.indexDir, upTo = 3L)
+    val fs = new org.apache.hadoop.fs.Path(c.indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(c.indexDir))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("compacted=3"), s"loose dirs must be folded: $names")
+
+    // a probe against the compacted segment behaves exactly as before
+    val pairs = StreamingDedup.processBatch(
+      Seq((9L, base + " extra")).toDF("doc_id", "text"), "doc_id", "text", 3L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((9L, 1L)), s"compacted probe diverged: $pairs")
+
+    // incremental compaction folds the previous segment + new batches
+    StreamingDedup.compact(spark, c.indexDir, upTo = 4L)
+    val pairs2 = StreamingDedup.processBatch(
+      Seq((10L, base + " more")).toDF("doc_id", "text"), "doc_id", "text", 4L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((10L, 1L), (10L, 9L)), s"recompacted probe diverged: $pairs2")
+  }
+
+  test("checkpoint reset below the compaction floor probes strictly-" +
+    "prior keys only") {
+    val c = cfg()
+    StreamingDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 0L, c)
+    StreamingDedup.processBatch(
+      Seq((5L, base + " tail")).toDF("doc_id", "text"), "doc_id", "text", 2L, c)
+    StreamingDedup.compact(spark, c.indexDir, upTo = 3L)
+    // replay batch 1 with the whole index folded into compacted=3: doc 5
+    // (batch 2, a near-dup) is INSIDE the segment but must not be probed
+    val pairs = StreamingDedup.processBatch(
+      Seq((3L, base + " extra")).toDF("doc_id", "text"), "doc_id", "text", 1L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1L)), s"prior-batch near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"compacted future-batch keys must not be probed on replay: $pairs")
+  }
+
+  test("crash leftovers below the compaction floor are ignored, not " +
+    "double-probed") {
+    val c = cfg()
+    StreamingDedup.processBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 0L, c)
+    // simulate a crash mid-sweep: the segment committed but batch=0
+    // survived — copy it aside, compact, then restore the leftover
+    val fs = new org.apache.hadoop.fs.Path(c.indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = spark.read.parquet(s"${c.indexDir}/batch=0").collect()
+    val schema = spark.read.parquet(s"${c.indexDir}/batch=0").schema
+    StreamingDedup.compact(spark, c.indexDir, upTo = 1L)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(keep.toIndexedSeq), schema)
+      .write.parquet(s"${c.indexDir}/batch=0")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${c.indexDir}/batch=0")))
+
+    val pairs = StreamingDedup.processBatch(
+      Seq((7L, base + " extra")).toDF("doc_id", "text"), "doc_id", "text", 1L, c)
+    // the leftover duplicates the segment's keys; candidates must still
+    // be the distinct pair set
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((7L, 1L)))
+    // and the next compaction sweeps the leftover for good
+    StreamingDedup.compact(spark, c.indexDir, upTo = 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${c.indexDir}/batch=0")))
+  }
+
   test("embedding probe: cross-batch near-identical vector detected") {
     val c = StreamingDedup.AnnConfig(
       Files.createTempDirectory("graft-sann").toString + "/index")

@@ -174,6 +174,34 @@ object AdvancedQueries {
       "mergeable HLL sketches: per-month sketches unioned per priority; " +
         "property-oracled against exact distinct"),
 
+    // ---- bitmap exact distinct (mergeable, no approximation) ----------
+    // The EXACT sibling of the HLL rollup: per-(group, month, bucket)
+    // roaring-style bitmaps (bitmap_construct_agg over in-bucket bit
+    // positions), OR-merged across months, counted and summed over
+    // buckets. Every stage is an algebraic agg — map-side combined,
+    // shuffle ∝ groups × touched buckets — and the result is EXACT, so
+    // the oracle is a plain count(DISTINCT): the whole merge pipeline is
+    // value-checked, not property-checked.
+    Q("agg_bitmap_distinct",
+      (s, d) => {
+        val perMonth = load(s, d, "orders")
+          .select(col("o_orderpriority"), month(col("o_orderdate")).as("m"),
+            bitmap_bucket_number(col("o_custkey")).as("bucket"),
+            bitmap_bit_position(col("o_custkey")).as("pos"))
+          .groupBy(col("o_orderpriority"), col("m"), col("bucket"))
+          .agg(bitmap_construct_agg(col("pos")).as("bm"))
+        perMonth
+          .groupBy(col("o_orderpriority"), col("bucket"))
+          .agg(bitmap_count(bitmap_or_agg(col("bm"))).as("c"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("c")).as("exact_customers"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(DISTINCT o_custkey) AS exact_customers
+             |FROM orders GROUP BY 1""".stripMargin),
+      "exact mergeable distinct via bucketed bitmaps " +
+        "(construct per month, OR-merge, count) — value-oracled"),
+
     // ---- salted skew join ---------------------------------------------
     // One hot key must not pin one shuffle partition at 1000 executors:
     // the fact side salts deterministically (Skew.saltedEquiJoin), the

@@ -51,9 +51,9 @@ object CdcPipeline {
     * engine analog of the reference's per-table sink declarations. */
   final case class TableSpec(rowSchema: StructType, keyCols: Seq[String])
 
-  /** A maintained aggregate view: per-group COUNT/SUM state over one
-    * table's change stream, updated incrementally per batch (see
-    * [[IncrementalAgg]]). */
+  /** A maintained aggregate view: per-group COUNT/SUM/MIN/MAX and
+    * HLL-distinct state over one table's change stream, updated
+    * incrementally per batch (see [[IncrementalAgg]]). */
   final case class AggView(table: String, spec: IncrementalAgg.Spec)
 
   /** @param rowSchema   default row schema (tables without an override)
@@ -336,11 +336,16 @@ object CdcPipeline {
     graft.sinks.SwapMirror.atomicSwap(fs, root)(write)
 
   /** Read a maintained aggregate view's current state (with derived
-    * `avg_*` columns). */
-  def aggView(spark: SparkSession, cfg: Config, name: String): DataFrame =
-    IncrementalAgg.withAverages(
-      spark.read.parquet(s"${cfg.mirrorRoot}/_views/$name/live").drop("_b_upto"),
-      cfg.aggViews(name).spec)
+    * `avg_*` columns and, for `distinctCols`, `distinct_*` estimates in
+    * place of the raw sketch binaries). */
+  def aggView(spark: SparkSession, cfg: Config, name: String): DataFrame = {
+    val spec = cfg.aggViews(name).spec
+    IncrementalAgg.withDistinctEstimates(
+      IncrementalAgg.withAverages(
+        spark.read.parquet(s"${cfg.mirrorRoot}/_views/$name/live").drop("_b_upto"),
+        spec),
+      spec)
+  }
 
   /** Read a table's current (live, unversioned) mirror state. */
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =

@@ -47,10 +47,19 @@ object IncrementalAgg {
     * self-maintainable under deletes (a retracted max needs the
     * runner-up), so merging flags "dirty" groups — ones whose retracted
     * value could have been the extremum — and recomputes ONLY those
-    * from the mirror: O(dirty groups' rows), never a full rescan. */
+    * from the mirror: O(dirty groups' rows), never a full rescan.
+    *
+    * `distinctCols` maintain per-group distinct cardinalities as
+    * mergeable HLL sketches (`hll_<c>` state columns, KBs per group —
+    * see [[IncrementalDistinct]] for the standalone form). Semantics:
+    * distinct values EVER WRITTEN (inserts + update after-images) — a
+    * sketch cannot retract, so deletes don't decrement and a row that
+    * moves groups is counted in both. That is the "users ever active
+    * per status" monitor shape, not current-state distinct. */
   final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
                         maxCols: Seq[String] = Nil,
-                        minCols: Seq[String] = Nil)
+                        minCols: Seq[String] = Nil,
+                        distinctCols: Seq[String] = Nil)
 
   /** One maintained extremum: the column it tracks + its direction. */
   private final case class Bound(src: String, isMax: Boolean) {
@@ -69,7 +78,8 @@ object IncrementalAgg {
       spec.minCols.map(Bound(_, isMax = false))
 
   private def stateCols(spec: Spec): Seq[String] =
-    "n_rows" +: (spec.sumCols.map(c => s"sum_$c") ++ bounds(spec).map(_.state))
+    "n_rows" +: (spec.sumCols.map(c => s"sum_$c") ++ bounds(spec).map(_.state) ++
+      spec.distinctCols.map(c => s"hll_$c"))
 
   /** Signed, combined per-group deltas for one parsed envelope batch
     * (output: groupCols ++ n_rows ++ sum columns ++ extremum candidates
@@ -78,7 +88,7 @@ object IncrementalAgg {
   def deltas(parsed: DataFrame, spec: Spec): DataFrame = {
     val ok = Envelope.wellFormed(parsed)
       .filter(col("env.payload.op").isNotNull)
-    val boundSrcs = (spec.maxCols ++ spec.minCols).distinct
+    val boundSrcs = (spec.maxCols ++ spec.minCols ++ spec.distinctCols).distinct
     def side(img: String, sign: Int, ops: Seq[String]) =
       ok.filter(col("env.payload.op").isin(ops: _*) &&
           col(s"env.payload.$img").isNotNull)
@@ -99,7 +109,11 @@ object IncrementalAgg {
       // plays the FILTER clause
       bounds(spec).flatMap(b => Seq(
         b.agg(when(col("_n") === 1, col(s"_m_${b.src}"))).as(b.state),
-        b.agg(when(col("_n") === -1, col(s"_m_${b.src}"))).as(b.ret)))
+        b.agg(when(col("_n") === -1, col(s"_m_${b.src}"))).as(b.ret))) ++
+      // written-side (sign +1) values sketch per group — deletes and
+      // before-images contribute nothing (sketches can't retract)
+      spec.distinctCols.map(c =>
+        hll_sketch_agg(when(col("_n") === 1, col(s"_m_$c"))).as(s"hll_$c"))
     contributions.groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -129,7 +143,9 @@ object IncrementalAgg {
     val aggs = (sum(col("n_rows")).as("n_rows") +:
       spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
       bs.map(b => b.agg(col(b.state)).as(b.state)) ++
-      bs.map(b => b.agg(col(b.ret)).as(b.ret))
+      bs.map(b => b.agg(col(b.ret)).as(b.ret)) ++
+      // sketch union is register-wise max: associative and idempotent
+      spec.distinctCols.map(c => hll_union_agg(col(s"hll_$c")).as(s"hll_$c"))
     val merged = aligned(state).unionByName(aligned(delta))
       .groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -169,4 +185,14 @@ object IncrementalAgg {
   def withAverages(state: DataFrame, spec: Spec): DataFrame =
     spec.sumCols.foldLeft(state)((df, c) =>
       df.withColumn(s"avg_$c", col(s"sum_$c") / col("n_rows")))
+
+  /** Read-time distinct estimates from the maintained sketches:
+    * distinct_<c> = estimate(hll_<c>); the raw sketch binaries are
+    * dropped (they exist to be merged, not read). A group whose every
+    * written value was null carries a null sketch → null estimate. */
+  def withDistinctEstimates(state: DataFrame, spec: Spec): DataFrame =
+    spec.distinctCols.foldLeft(state)((df, c) =>
+      df.withColumn(s"distinct_$c",
+          when(col(s"hll_$c").isNotNull, hll_sketch_estimate(col(s"hll_$c"))))
+        .drop(s"hll_$c"))
 }

@@ -147,6 +147,39 @@ class AggViewSpec extends SparkSpec {
     assert(distinct == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("HLL distinctCols view: O(groups) sketch state, ever-written " +
+    "semantics, replay-safe") {
+    // the sketch-state alternative to the two-level (g, x) view above:
+    // state is one row per GROUP (not per distinct value — the 100 TB
+    // shape when values are high-cardinality), at the cost of
+    // ever-written semantics (deletes don't retract)
+    val root = Files.createTempDirectory("graft-aggview-hll").toString
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt",
+      aggViews = Map("ids_by_g" -> CdcPipeline.AggView("ventas",
+        IncrementalAgg.Spec(Seq("g"), Nil, distinctCols = Seq("id")))))
+    def ids() = CdcPipeline.aggView(spark, cfg, "ids_by_g")
+      .select("g", "distinct_id").as[(String, Long)].collect().toMap
+
+    CdcPipeline.processBatch(Seq(
+      rec(1, env("c", "null", img(1, "a", 1.0)), 0),
+      rec(2, env("c", "null", img(2, "a", 2.0)), 1),
+      rec(4, env("c", "null", img(4, "b", 9.0)), 2)).toDF(), 0L, cfg)
+    assert(ids() == Map("a" -> 2L, "b" -> 1L))
+
+    val b1 = Seq(
+      rec(1, env("u", img(1, "a", 1.0), img(1, "a", 1.5)), 3), // same id
+      rec(3, env("c", "null", img(3, "a", 3.0)), 4),           // new id
+      rec(2, env("d", img(2, "a", 2.0), "null"), 5)).toDF()    // no retract
+    CdcPipeline.processBatch(b1, 1L, cfg)
+    assert(ids() == Map("a" -> 3L, "b" -> 1L),
+      "ever-written: the deleted id stays counted, the update doesn't double")
+
+    // foreachBatch replay: guarded by _b_upto AND idempotent by algebra
+    CdcPipeline.processBatch(b1, 1L, cfg)
+    assert(ids() == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("streaming restart: view continues from checkpoint without recount") {
     val cfg = cfgWithView()
     val srcDir = Files.createTempDirectory("graft-aggview-src").toString

@@ -108,6 +108,55 @@ class IncrementalAggSpec extends SparkSpec {
     assert(m1 == Map("a" -> 5.0), m1.toString)
   }
 
+  test("distinct maintenance: counts values ever written; deletes don't " +
+    "retract; replay is idempotent") {
+    val dspec = IncrementalAgg.Spec(Seq("g"), Seq("v"), distinctCols = Seq("id"))
+    val b1 = parsed(Seq(
+      env("c", None, Some((1L, "a", 10.0))),
+      env("c", None, Some((2L, "a", 20.0))),
+      env("c", None, Some((3L, "b", 5.0)))))
+    val b2 = parsed(Seq(
+      env("u", Some((1L, "a", 10.0)), Some((1L, "a", 15.0))), // same id again
+      env("u", Some((3L, "b", 5.0)), Some((3L, "a", 7.0))),   // moves b -> a
+      env("d", Some((2L, "a", 20.0)), None)))                 // no retraction
+    def run(batches: Seq[DataFrame]) = IncrementalAgg.withDistinctEstimates(
+        IncrementalAgg.maintain(batches, dspec).get, dspec)
+      .select("g", "n_rows", "distinct_id").as[(String, Long, Long)]
+      .collect().map { case (g, n, dc) => g -> ((n, dc)) }.toMap
+    // group a saw ids {1, 2} in b1, {1, 3} in b2 -> 3 ever-written ids
+    // alive rows are 2 (id 2 deleted); group b emptied and dropped
+    assert(run(Seq(b1, b2)) == Map("a" -> ((2L, 3L))))
+    // sketch union is idempotent: re-folding b2 changes nothing
+    assert(run(Seq(b1, b2, b2)) == Map("a" -> ((2L, 3L))))
+  }
+
+  test("fixture e2e: maintained distinct equals ever-written distinct") {
+    val dspec = IncrementalAgg.Spec(Seq("o_orderstatus"), Nil,
+      distinctCols = Seq("id"))
+    val raw = Fixture.ordersCdcEvents(spark, sf0001)
+    val parsedAll = Envelope.parse(raw, Fixture.rowSchema)
+    val batches = Seq(1000L, 2000L, 3000L, 4000L, 5000L).map(ts =>
+      parsedAll.filter(col("env.payload.ts_ms") === ts))
+    val state = IncrementalAgg.withDistinctEstimates(
+        IncrementalAgg.maintain(batches, dspec).get, dspec)
+      .select("o_orderstatus", "distinct_id").as[(String, Long)]
+      .collect().toMap
+
+    val expect = Envelope.wellFormed(parsedAll)
+      .filter(col("env.payload.op").isin("c", "r", "u") &&
+        col("env.payload.after").isNotNull)
+      .select(col("env.payload.after.o_orderstatus").as("g"),
+        col("env.payload.after.id").as("id"))
+      .groupBy("g").agg(countDistinct("id").as("n"))
+      .as[(String, Long)].collect().toMap
+
+    assert(state.keySet == expect.keySet)
+    expect.foreach { case (g, n) =>
+      assert(math.abs(state(g) - n).toDouble / n <= 0.05,
+        s"group $g: estimate ${state(g)} vs exact $n")
+    }
+  }
+
   test("group emptied then re-populated") {
     val b1 = parsed(Seq(env("c", None, Some((1L, "x", 3.0)))))
     val b2 = parsed(Seq(env("d", Some((1L, "x", 3.0)), None)))

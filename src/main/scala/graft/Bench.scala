@@ -40,7 +40,8 @@ object Bench {
     "cdc_merge_incremental", "mm_frame_sample", "join_range_point",
     "text_tfidf_topk", "dedup_cluster_election", "profile_orders",
     "text_repetition", "dedup_decontaminate", "pipeline_pack_sequences",
-    "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf")
+    "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf",
+    "agg_bitmap_distinct", "join_salted_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

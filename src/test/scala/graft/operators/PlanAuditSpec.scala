@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sim_knn_join_ivf")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
+    // the per-query rank limit truncates map-side (Partial) BEFORE the
+    // shuffle — candidates per partition cap at k per query, so the
+    // exchange never carries a full candidate set
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
   test("decontamination broadcasts the eval grams; corpus never shuffles " +

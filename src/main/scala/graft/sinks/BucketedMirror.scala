@@ -62,23 +62,38 @@ object BucketedMirror {
 
   /** Reads bucket -> committed version. Absent manifest = empty table. */
   def readManifest(fs: FileSystem, root: String): Map[Int, Long] =
+    readManifestFull(fs, root)._1
+
+  /** The manifest's declared bucket count (header line `n:<count>`).
+    * None for a never-written mirror or a pre-header manifest. */
+  def readBucketCount(fs: FileSystem, root: String): Option[Int] =
+    readManifestFull(fs, root)._2
+
+  private def readManifestFull(fs: FileSystem,
+                               root: String): (Map[Int, Long], Option[Int]) =
     latestManifest(fs, root) match {
-      case None => Map.empty
+      case None => (Map.empty, None)
       case Some(mf) =>
         val in = fs.open(mf)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+        val n = lines.collectFirst {
+          case l if l.startsWith("n:") => l.stripPrefix("n:").toInt
+        }
+        val versions = lines.filterNot(_.startsWith("n:")).map { line =>
           val Array(b, v) = line.split(':')
           b.toInt -> v.toLong
         }.toMap
+        (versions, n)
     }
 
   private def writeManifest(fs: FileSystem, root: String, batchId: Long,
-                            versions: Map[Int, Long]): Unit = {
+                            versions: Map[Int, Long], nBuckets: Int): Unit = {
     val tmp = new Path(s"$root/.MANIFEST-$batchId.tmp")
     val out = fs.create(tmp, true)
-    try out.write(versions.toSeq.sorted.map { case (b, v) => s"$b:$v" }
+    try out.write((s"n:$nBuckets" +:
+      versions.toSeq.sorted.map { case (b, v) => s"$b:$v" })
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(s"$root/MANIFEST-$batchId")
@@ -160,7 +175,13 @@ object BucketedMirror {
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       val prevManifestId = latestManifest(fs, root).flatMap(manifestId)
-      val current = readManifest(fs, root)
+      val (current, storedN) = readManifestFull(fs, root)
+      // a merge with the wrong bucket count would hash keys into buckets
+      // the manifest doesn't know about and read the wrong dirs — rows
+      // silently vanish. Fail loudly; migrate with [[rebucket]].
+      storedN.filter(_ != nBuckets).foreach(n => sys.error(
+        s"BucketedMirror at $root is bucketed n=$n but merge was called " +
+          s"with nBuckets=$nBuckets; run rebucket() to change the layout"))
 
       // path-pruned read: only the touched buckets' committed dirs
       val livePaths = touched.filter(current.contains)
@@ -214,7 +235,7 @@ object BucketedMirror {
       // then lazy sweep of superseded/orphaned versions
       val committed = current ++ next
       writeSchema(fs, root, batchId, merged.schema)
-      writeManifest(fs, root, batchId, committed)
+      writeManifest(fs, root, batchId, committed, nBuckets)
       // sidecar sweep with ONE GENERATION of retention: keep the sidecar
       // the new manifest selects AND the one the previous committed
       // manifest selected — a concurrent reader that resolved the
@@ -258,12 +279,67 @@ object BucketedMirror {
   def read(spark: SparkSession, root: String): DataFrame =
     Materialize.stripVersions(readVersioned(spark, root))
 
+  /** Migrate the mirror to `newN` buckets: one full read of the
+    * committed state, one partitioned rewrite, one manifest commit —
+    * the ONLY operation that may change the bucket count (merges with a
+    * mismatched count fail loudly instead of mis-routing keys). Run it
+    * between batches when buckets outgrow their target size (the scale
+    * knob: a bucket ≈ a few GB at 100 TB). Crash-safe like a merge: new
+    * version dirs land before the manifest pointer flips, and a replay
+    * with the same `batchId` recommits the same layout. */
+  def rebucket(spark: SparkSession, root: String, keyCols: Seq[String],
+               newN: Int, batchId: Long): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevManifestId = latestManifest(fs, root).flatMap(manifestId)
+    val state = readVersioned(spark, root)
+    val staging = new Path(s"$root/.rebucket-b$batchId")
+    fs.delete(staging, true)
+    state
+      .withColumn("_bucket", bucketExpr(keyCols, newN))
+      .repartition(newN, col("_bucket"))
+      .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
+      .write.partitionBy("_bucket").mode("overwrite").parquet(staging.toString)
+    val next = (0 until newN).map { b =>
+      val dst = new Path(bucketPath(root, b, batchId))
+      fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      val src = new Path(staging, s"_bucket=$b")
+      if (fs.exists(src)) fs.rename(src, dst) else fs.mkdirs(dst)
+      b -> batchId
+    }.toMap
+    fs.delete(staging, true)
+    writeSchema(fs, root, batchId, state.schema)
+    writeManifest(fs, root, batchId, next, newN)
+    // sweep the old layout: every bucket dir version the new manifest
+    // doesn't point at (including buckets >= newN when shrinking),
+    // plus superseded sidecars (same one-generation rule as merge)
+    val bucketsRoot = new Path(s"$root/buckets")
+    if (fs.exists(bucketsRoot)) fs.listStatus(bucketsRoot).foreach { st =>
+      val b = st.getPath.getName.toIntOption
+      b match {
+        case Some(bid) if next.contains(bid) =>
+          fs.listStatus(st.getPath)
+            .filter(s => s.getPath.getName != s"v${next(bid)}")
+            .foreach(s => fs.delete(s.getPath, true))
+        case _ => fs.delete(st.getPath, true)
+      }
+    }
+    val sidecars = fs.listStatus(new Path(root)).map(_.getPath)
+      .flatMap(p => schemaId(p).map(_ -> p))
+    val keep = (prevManifestId.flatMap(prev =>
+      sidecars.map(_._1).filter(_ <= prev).maxOption).toSeq :+ batchId).toSet
+    sidecars.filterNot { case (id, _) => keep(id) }
+      .foreach { case (_, p) => fs.delete(p, false) }
+  }
+
   /** Point lookup: resolves the key's bucket from the manifest and reads
-    * ONLY that bucket's committed dir — O(bucket), not O(table). */
+    * ONLY that bucket's committed dir — O(bucket), not O(table). The
+    * manifest's own bucket count wins over the caller's (a stale config
+    * after a [[rebucket]] would otherwise probe the wrong bucket). */
   def lookup(spark: SparkSession, root: String, keyCols: Seq[String],
              keyValues: Seq[Any], nBuckets: Int): DataFrame = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = readManifest(fs, root)
+    val (manifest, storedN) = readManifestFull(fs, root)
     // empty/never-written mirror: an empty (correctly-schemed when the
     // sidecar exists) result, matching the swap-mirror lookup path
     if (manifest.isEmpty)
@@ -275,7 +351,7 @@ object BucketedMirror {
       lit(v).cast(schema(k).dataType)
     }
     val b = spark.range(1)
-      .select(pmod(hash(typed: _*), lit(nBuckets)).as("b"))
+      .select(pmod(hash(typed: _*), lit(storedN.getOrElse(nBuckets))).as("b"))
       .head().getInt(0)
     manifest.get(b) match {
       case None => spark.emptyDataFrame

@@ -87,6 +87,72 @@ class BucketedMirrorSpec extends SparkSpec {
       s"legacy _SCHEMA not honored: ${live.columns.mkString(",")}")
   }
 
+  test("bucket-count mismatch fails loudly; rebucket migrates the layout") {
+    val root = Files.createTempDirectory("bm-rb").toString
+    val fs = fsOf(root)
+    BucketedMirror.merge(spark, root,
+      changes((1L to 32L).map(i => (i, s"v$i", "r", 1000L, i)): _*),
+      keyCols, n, batchId = 0)
+    assert(BucketedMirror.readBucketCount(fs, root).contains(n))
+
+    // a merge with the wrong count would hash keys into dirs the
+    // manifest doesn't know about — it must refuse, not mis-route
+    val err = intercept[RuntimeException] {
+      BucketedMirror.merge(spark, root,
+        changes((1L, "x", "u", 2000L, 40L)), keyCols, nBuckets = 16, batchId = 1)
+    }
+    assert(err.getMessage.contains("rebucket"))
+
+    // migrate 8 -> 16 buckets: state preserved, new layout committed
+    BucketedMirror.rebucket(spark, root, keyCols, newN = 16, batchId = 1)
+    assert(BucketedMirror.readBucketCount(fs, root).contains(16))
+    assert(state(root) == (1L to 32L).map(i => i -> s"v$i").toMap)
+
+    // merges and lookups continue on the new layout
+    BucketedMirror.merge(spark, root,
+      changes((1L, "x", "u", 2000L, 40L), (33L, "new", "c", 2000L, 41L)),
+      keyCols, nBuckets = 16, batchId = 2)
+    assert(state(root)(1L) == "x" && state(root)(33L) == "new")
+    // a STALE caller count can't mis-probe: the manifest's n wins
+    val hit = BucketedMirror.lookup(spark, root, keyCols, Seq(33L), n)
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(hit == Seq((33L, "new")), s"stale-n lookup mis-probed: $hit")
+
+    // shrink back down: buckets beyond the new count are swept
+    BucketedMirror.rebucket(spark, root, keyCols, newN = 4, batchId = 3)
+    assert(state(root).size == 33)
+    val bucketDirs = fs.listStatus(new Path(s"$root/buckets"))
+      .map(_.getPath.getName.toInt).toSet
+    assert(bucketDirs == (0 until 4).toSet, s"old buckets not swept: $bucketDirs")
+  }
+
+  test("pre-header manifests (no n: line) stay readable and mergeable") {
+    val root = Files.createTempDirectory("bm-legacy").toString
+    val fs = fsOf(root)
+    BucketedMirror.merge(spark, root,
+      changes((1L, "a", "r", 1000L, 0L)), keyCols, n, batchId = 0)
+    // strip the header line, simulating a manifest written before the
+    // bucket count was recorded
+    val mf = fs.listStatus(new Path(root)).map(_.getPath)
+      .filter(_.getName.startsWith("MANIFEST-")).head
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val out = fs.create(mf, true)
+    try out.write(txt.linesIterator.filterNot(_.startsWith("n:"))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    assert(BucketedMirror.readBucketCount(fs, root).isEmpty)
+    assert(state(root) == Map(1L -> "a"))
+    // legacy mirrors merge without the guard (count unknown) and the
+    // next commit records the count
+    BucketedMirror.merge(spark, root,
+      changes((2L, "b", "c", 2000L, 1L)), keyCols, n, batchId = 1)
+    assert(BucketedMirror.readBucketCount(fs, root).contains(n))
+    assert(state(root) == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("chained incremental merges equal one-shot materialization") {
     val root = Files.createTempDirectory("bm").toString
     val b1 = changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),

@@ -213,7 +213,8 @@ object AdvancedQueries {
         val li = load(s, d, "lineitem")
         val o = load(s, d, "orders")
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        Skew.saltedEquiJoin(li, o, "l_orderkey", saltFactor = 8)
+        Skew.saltedEquiJoin(li, o, "l_orderkey", saltFactor = 8,
+            saltBy = Seq("l_orderkey", "l_linenumber")) // narrow, cheap hash
           .groupBy(col("o_orderpriority"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
             .as("revenue"),

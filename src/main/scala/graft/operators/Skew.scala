@@ -23,16 +23,21 @@ object Skew {
     * it saltFactor times.
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
-                     saltFactor: Int, joinType: String = "inner"): DataFrame = {
+                     saltFactor: Int, joinType: String = "inner",
+                     saltBy: Seq[String] = Nil): DataFrame = {
     val normalized = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
         .contains(normalized),
       s"saltedEquiJoin supports inner/left_outer/left_semi/left_anti, not $joinType: " +
         "right-side-preserving types would duplicate unmatched right rows per salt")
-    // deterministic spread: hash the whole left row identity via a
-    // stable column combo, NOT rand() (replays must be idempotent)
+    // deterministic spread: hash a stable column combo, NOT rand()
+    // (replays must be idempotent). Default is the whole left row —
+    // always spreads — but on a wide fact table a caller-named narrow
+    // discriminator (a line number, an offset) salts at a fraction of
+    // the hash cost.
+    val saltCols = if (saltBy.nonEmpty) saltBy else left.columns.toSeq
     val l = left.withColumn("_salt",
-      pmod(hash(left.columns.toSeq.map(col): _*), lit(saltFactor)))
+      pmod(hash(saltCols.map(col): _*), lit(saltFactor)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")

@@ -369,4 +369,44 @@ object CdcPipeline {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("`payload_json` STRING"))
   }
+
+  /** Fold the DLQ's per-trigger appended part files into a compact set
+    * — a stream that poisons regularly accretes one file per dirty
+    * trigger, and every [[deadLetters]] read then pays a footer per
+    * file. Call between batches from the pipeline's own driver (the
+    * single writer): the fold lists the data files present, writes
+    * their union as ~`targetBytes` files, moves those in, then deletes
+    * the originals. A crash inside the move window can leave a row
+    * duplicated — the same at-least-once semantics DLQ appends already
+    * have under foreachBatch replay (dead letters are reviewed, not
+    * arithmetic). */
+  def compactDlq(spark: SparkSession, cfg: Config,
+                 targetBytes: Long = 128L << 20): Unit = {
+    val dir = new Path(cfg.dlqDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val originals = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (originals.length <= 1) return
+    val totalBytes = originals.map(_.getLen).sum
+    val nOut = math.max(1, (totalBytes / targetBytes).toInt +
+      (if (totalBytes % targetBytes == 0) 0 else 1))
+    val tmp = new Path(dir, ".dlq-compact")
+    fs.delete(tmp, true)
+    spark.read.parquet(originals.map(_.getPath.toString).toSeq: _*)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val moved = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    moved.zipWithIndex.foreach { case (p, i) =>
+      // unique names so a re-run never collides with a previous fold
+      val dst = new Path(dir,
+        s"compact-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet")
+      if (!fs.rename(p, dst)) sys.error(s"DLQ compaction move failed: $p")
+    }
+    originals.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+  }
 }

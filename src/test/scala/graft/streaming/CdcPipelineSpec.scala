@@ -66,6 +66,39 @@ class CdcPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DLQ compaction folds per-trigger files; rows and schema unchanged") {
+    val cfg = freshCfg()
+    // five dirty batches -> five appended part-file sets
+    (0 until 5).foreach { i =>
+      CdcPipeline.processBatch(Seq(
+        rec("ventas", 100L + i, s"ok$i", "c", 1000L + i, 2L * i),
+        Rec("mysql-server.pos_bi_db.ventas", "k", s"{broken$i", 0, 2L * i + 1))
+        .toDF(), i.toLong, cfg)
+    }
+    val fs = new org.apache.hadoop.fs.Path(cfg.dlqDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.dlqDir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    assert(dataFiles().length >= 5, "expected one file set per dirty trigger")
+    val before = CdcPipeline.deadLetters(spark, cfg)
+      .as[String].collect().sorted.toSeq
+
+    CdcPipeline.compactDlq(spark, cfg)
+    assert(dataFiles().length == 1, "fold must leave one compact file")
+    val after = CdcPipeline.deadLetters(spark, cfg)
+      .as[String].collect().sorted.toSeq
+    assert(after == before, "compaction must not change the dead letters")
+
+    // idempotent: a single compact file is left alone
+    CdcPipeline.compactDlq(spark, cfg)
+    assert(dataFiles().length == 1)
+    // and the stream keeps appending normally afterwards
+    CdcPipeline.processBatch(Seq(
+      Rec("mysql-server.pos_bi_db.ventas", "k", "{late", 0, 99)).toDF(), 9L, cfg)
+    assert(CdcPipeline.deadLetters(spark, cfg).count() == before.size + 1)
+  }
+
   test("group merge tolerates a sibling mirror lagging a schema evolution") {
     // ventas mirrors under the OLD schema; the registry then evolves
     // additively and a batch touches ventas AND compras together —

@@ -20,14 +20,20 @@ object IvfIndex {
 
   final case class Index(assignments: DataFrame, centroids: Array[(Int, Seq[Double])])
 
-  /** L2-normalize a float-array column; an all-zero vector stays all
-    * zeros (norm floored at MIN_NORMAL — same guard as
-    * [[SimilarityFunctions.quantize8]]) instead of normalizing to null
-    * components, which would otherwise sort null scores FIRST in the
-    * probe ranking and route the row to arbitrary cells. */
-  private def l2norm(vec: org.apache.spark.sql.Column) =
-    transform(vec, x => x.cast("double") /
-      greatest(sqrt(dot(vec, vec)), lit(java.lang.Double.MIN_NORMAL)))
+  /** Project `out` = L2-normalized `vecCol`. The norm is computed ONCE
+    * per row into a temp column — embedded inside the transform lambda
+    * it would re-evaluate the O(d) dot product for every element
+    * (O(d²) per row). An all-zero vector stays all zeros (norm floored
+    * at MIN_NORMAL — same guard as [[SimilarityFunctions.quantize8]])
+    * instead of normalizing to null components, which would otherwise
+    * sort null scores FIRST in the probe ranking and route the row to
+    * arbitrary cells. */
+  private def withL2Normalized(df: DataFrame, vecCol: String,
+                               out: String): DataFrame =
+    df.withColumn("_l2norm", greatest(sqrt(dot(col(vecCol), col(vecCol))),
+        lit(java.lang.Double.MIN_NORMAL)))
+      .withColumn(out, transform(col(vecCol), x => x.cast("double") / col("_l2norm")))
+      .drop("_l2norm")
 
   // Session-scoped index memo: an IVF index is an OFFLINE artifact —
   // built once over the corpus, then searched many times (the whole
@@ -62,7 +68,8 @@ object IvfIndex {
             iterations: Int = 3, idCol: String = "vec_id",
             vecCol: String = "embedding"): Index = {
     val norm = graft.core.Caching.persistOnce(
-      embeddings.select(col(idCol).as("id"), l2norm(col(vecCol)).as("v")))
+      withL2Normalized(embeddings.select(col(idCol).as("id"), col(vecCol)),
+        vecCol, "v").select(col("id"), col("v")))
     var centroids = norm.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iterations) {
@@ -98,7 +105,8 @@ object IvfIndex {
     * always its first probe. */
   def knnJoin(index: Index, queries: DataFrame, topK: Int, nprobe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qn = queries.select(col(idCol).as("qid"), l2norm(col(vecCol)).as("qv"))
+    val qn = withL2Normalized(queries.select(col(idCol).as("qid"), col(vecCol)),
+      vecCol, "qv").select(col("qid"), col("qv"))
     val cellScores = array(index.centroids.map { case (cid, c) =>
       struct(dot(col("qv"), array(c.map(lit): _*)).as("score"), lit(cid).as("cid"))
     }.toSeq: _*)

@@ -23,11 +23,13 @@ object SimilarityQueries {
     * payloads): the next-plus-one multiple of 1000 above max(vec_id) —
     * strictly greater than max + 1000. [[plantOffsetSql]] is the same
     * expression for the DuckDB side, so both engines plant identically. */
-  private def plantOffset(s: org.apache.spark.sql.SparkSession, d: String): Long = {
-    val maxId = load(s, d, "embeddings")
-      .agg(coalesce(max(col("vec_id")), lit(0L))).head().getLong(0)
-    (maxId / 1000 + 2) * 1000
-  }
+  private val offsets = new graft.core.SessionMemo[String, Long]
+  private def plantOffset(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    offsets.getOrElseUpdate(s, d) { // memoized: one stats-only scan per dir
+      val maxId = load(s, d, "embeddings")
+        .agg(coalesce(max(col("vec_id")), lit(0L))).head().getLong(0)
+      (maxId / 1000 + 2) * 1000
+    }
 
   private val plantOffsetSql =
     "((SELECT max(vec_id) FROM embeddings) // 1000 + 2) * 1000"

@@ -286,11 +286,21 @@ object BucketedMirror {
     * between batches when buckets outgrow their target size (the scale
     * knob: a bucket ≈ a few GB at 100 TB). Crash-safe like a merge: new
     * version dirs land before the manifest pointer flips, and a replay
-    * with the same `batchId` recommits the same layout. */
+    * with the same `batchId` recommits the same layout. `batchId` must
+    * advance past the last committed manifest — readers resolve the
+    * HIGHEST manifest id, so a lower id would commit a manifest nobody
+    * reads while the sweep removes the dirs the old one points at.
+    * Every bucket is rewritten and the old versions swept on commit, so
+    * run it in a maintenance window (between batches, no concurrent
+    * readers) — the same regime as any full-table rewrite. */
   def rebucket(spark: SparkSession, root: String, keyCols: Seq[String],
                newN: Int, batchId: Long): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevManifestId = latestManifest(fs, root).flatMap(manifestId)
+    prevManifestId.filter(_ >= batchId).foreach(prev => sys.error(
+      s"rebucket batchId=$batchId must exceed the committed manifest id " +
+        s"$prev at $root — readers take the highest id, so a lower commit " +
+        "would be invisible while the sweep destroys the visible versions"))
     val state = readVersioned(spark, root)
     val staging = new Path(s"$root/.rebucket-b$batchId")
     fs.delete(staging, true)

@@ -109,13 +109,17 @@ final class AlertDispatcher(sinks: Seq[AlertSink], lagThreshold: Long = 500) {
     sinks.indices.forall(i => delivered.contains((key, i)))
 
   /** Attempt every not-yet-successful channel for `a`; returns true iff
-    * the alert is now delivered on all channels. */
+    * the alert is now delivered on all channels. The ConcurrentHashMap
+    * `add` is an ATOMIC claim taken before delivering (and released on
+    * failure so the next dispatch retries) — concurrent dispatches of
+    * the same key therefore can't double-deliver on a channel. */
   private def emit(a: Alert): Boolean = {
     sinks.zipWithIndex.foreach { case (sink, i) =>
-      if (!delivered.contains((a.key, i))) {
-        try { sink.deliver(a); delivered.add((a.key, i)); () }
+      if (delivered.add((a.key, i))) {
+        try sink.deliver(a)
         catch {
           case scala.util.control.NonFatal(e) =>
+            delivered.remove((a.key, i))
             log.warn(s"delivery of ${a.key} to sink #$i failed, " +
               s"will retry next dispatch: $e")
         }

@@ -54,10 +54,12 @@ object StreamingDedup {
     * column (sorted, so the replay filter prunes row groups).
     *
     * Layout resolved here: the newest `compacted=<floor>` segment holds
-    * every batch < floor folded into one parquet dir; loose
-    * `batch=<id>` dirs cover id >= floor. Loose dirs below the floor
-    * (crash leftovers of a half-finished [[compact]] sweep) are already
-    * contained in the segment and are ignored. */
+    * every batch < floor folded by [[compact]] — [[resetBelowFloor]]
+    * maintains that invariant across checkpoint resets, so the segment
+    * filter is just `batch < batchId`. Loose dirs below the floor can
+    * only be crash leftovers of a half-finished sweep whose keys the
+    * segment already contains — probing them merely duplicates
+    * candidates, which the callers' distinct() folds. */
   private def priorKeys(spark: org.apache.spark.sql.SparkSession,
                         fs: org.apache.hadoop.fs.FileSystem,
                         indexDir: String, batchId: Long): Option[DataFrame] = {
@@ -66,7 +68,7 @@ object StreamingDedup {
     val entries = fs.listStatus(root).map(_.getPath)
     val floor = entries.flatMap(compactedId(_)).maxOption.getOrElse(0L)
     val loose = entries
-      .filter(p => batchDirId(p).exists(id => id >= floor && id < batchId))
+      .filter(p => batchDirId(p).exists(_ < batchId))
       .map(_.toString).sorted
     val looseDf =
       if (loose.isEmpty) None
@@ -76,6 +78,45 @@ object StreamingDedup {
       else Some(spark.read.parquet(s"$indexDir/compacted=$floor")
         .filter(col("batch") < batchId).drop("batch"))
     (compactedDf.toSeq ++ looseDf.toSeq).reduceOption(_ unionByName _)
+  }
+
+  /** Restore the segment invariant after a checkpoint reset BELOW the
+    * compaction floor: a batch about to be written with `batchId` <
+    * floor means every segment key from `batchId` onward belongs to the
+    * pre-reset timeline — it must never be probed again (the re-ingested
+    * replacement keys arrive as new loose dirs). The segment is
+    * truncated to `batch < batchId` and renamed `compacted=<batchId>`
+    * (the floor drops to the reset point), and stale loose dirs >=
+    * batchId from the old timeline are removed. Idempotent: a replay of
+    * the same reset batch re-runs the truncation to the same result; a
+    * crash between the new segment's rename and the old one's delete
+    * self-heals on that replay. No-op in normal operation. */
+  private def resetBelowFloor(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String, batchId: Long): Unit = {
+    val root = new Path(indexDir)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).map(_.getPath)
+    val floor = entries.flatMap(compactedId(_)).maxOption.getOrElse(0L)
+    if (floor == 0L || batchId >= floor) return
+    val stale = spark.read.parquet(s"$indexDir/compacted=$floor")
+    val truncated = stale.filter(col("batch") < batchId)
+    if (truncated.isEmpty) () // reset to the very start: no segment at all
+    else {
+      val target = new Path(s"$indexDir/compacted=$batchId")
+      val tmp = new Path(s"$indexDir/.compacting-$batchId")
+      fs.delete(tmp, true)
+      truncated.sortWithinPartitions("batch")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        sys.error(s"segment truncation commit failed for $indexDir")
+    }
+    // drop the pre-reset segment and the old timeline's loose dirs
+    entries.foreach { p =>
+      if (compactedId(p).exists(_ > batchId) || batchDirId(p).exists(_ >= batchId))
+        fs.delete(p, true)
+    }
   }
 
   /** Fold every loose `batch=<id>` partition with id < `upTo` (plus any
@@ -102,29 +143,42 @@ object StreamingDedup {
     if (prevFloor.exists(_ >= upTo)) return // already folded this far
     val loose = entries
       .filter(p => batchDirId(p).exists(id => id >= prevFloor.getOrElse(0L) && id < upTo))
+    if (loose.isEmpty) return // nothing new to fold — the floor must not
+    // advance past batches that were never folded (a floor ahead of the
+    // stream would make resetBelowFloor misread normal progress as a
+    // checkpoint reset)
+    // The new floor is bounded by what was ACTUALLY folded, not the
+    // caller's upTo: a floor claiming unfolded (possibly still-arriving)
+    // batches would let the sweep below delete a racing append that the
+    // segment never absorbed.
+    val boundary = math.min(upTo,
+      loose.flatMap(batchDirId(_)).max + 1)
     val looseDf =
-      if (loose.isEmpty) None
       // basePath surfaces the dir name as a `batch` partition column —
       // the id each key must carry into the segment
-      else Some(spark.read.option("basePath", indexDir)
+      spark.read.option("basePath", indexDir)
         .parquet(loose.map(_.toString).toSeq: _*)
-        .withColumn("batch", col("batch").cast("long")))
+        .withColumn("batch", col("batch").cast("long"))
     val prevDf = prevFloor.map(f => spark.read.parquet(s"$indexDir/compacted=$f"))
-    val all = (prevDf.toSeq ++ looseDf.toSeq).reduceOption(_ unionByName _)
-    if (all.isEmpty) return
+    val all = (prevDf.toSeq :+ looseDf).reduce(_ unionByName _)
 
-    val target = new Path(s"$indexDir/compacted=$upTo")
-    val tmp = new Path(s"$indexDir/.compacting-$upTo")
+    val target = new Path(s"$indexDir/compacted=$boundary")
+    val tmp = new Path(s"$indexDir/.compacting-$boundary")
     fs.delete(tmp, true)
-    all.get.sortWithinPartitions("batch") // row-group pruning for replays
+    all.sortWithinPartitions("batch") // row-group pruning for replays
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(target, true) // replayed compaction recommits
     if (!fs.rename(tmp, target)) sys.error(s"compaction commit failed for $indexDir")
 
-    // sweep everything the new segment supersedes (re-list: the write
-    // may have raced an appending batch, which must survive)
+    // sweep ONLY what the segment absorbed: the folded dirs, leftovers
+    // below the previous floor (already inside the previous segment),
+    // and superseded segments. A batch dir appended while the fold ran
+    // is untouched — it stays loose and probed until the next fold.
+    val foldedPaths = loose.map(_.toString).toSet
     fs.listStatus(root).map(_.getPath).foreach { p =>
-      if (batchDirId(p).exists(_ < upTo) || compactedId(p).exists(_ != upTo))
+      if (foldedPaths.contains(p.toString) ||
+          batchDirId(p).exists(_ < prevFloor.getOrElse(0L)) ||
+          compactedId(p).exists(_ != boundary))
         fs.delete(p, true)
     }
   }
@@ -155,6 +209,7 @@ object StreamingDedup {
     val spark = docs.sparkSession
     val fs = new Path(cfg.indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resetBelowFloor(spark, fs, cfg.indexDir, batchId)
     val keys = bandKeysOf(docs, idCol, textCol, cfg).persist()
 
     val intra = keys.as("l").join(keys.as("r"),
@@ -213,6 +268,7 @@ object StreamingDedup {
     val spark = vecs.sparkSession
     val fs = new Path(cfg.indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resetBelowFloor(spark, fs, cfg.indexDir, batchId)
     val keys = annKeysOf(vecs, idCol, vecCol, cfg).persist()
 
     def verified(l: DataFrame, r: DataFrame, cond: Column) =

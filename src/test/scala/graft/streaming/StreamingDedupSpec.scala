@@ -112,6 +112,40 @@ class StreamingDedupSpec extends SparkSpec {
       s"compacted future-batch keys must not be probed on replay: $pairs")
   }
 
+  test("checkpoint reset BELOW the compaction floor: pre-reset segment " +
+    "keys from the reset point onward are never probed; re-ingested " +
+    "batches are") {
+    val c = cfg()
+    val keepText = "stable early document that predates the reset " +
+      "and must remain probe-able forever after truncation"
+    val staleText = base // pre-reset timeline content at batch 2
+    StreamingDedup.processBatch(
+      Seq((1L, keepText)).toDF("doc_id", "text"), "doc_id", "text", 0L, c)
+    StreamingDedup.processBatch(
+      Seq((2L, staleText)).toDF("doc_id", "text"), "doc_id", "text", 1L, c)
+    StreamingDedup.compact(spark, c.indexDir, upTo = 2L)
+
+    // reset to batch 1, which now re-ingests DIFFERENT content
+    val newText = "entirely new replacement content flowing after the " +
+      "checkpoint reset replaced what batch one used to hold"
+    StreamingDedup.processBatch(
+      Seq((5L, newText)).toDF("doc_id", "text"), "doc_id", "text", 1L, c)
+
+    // batch 2 of the new timeline: near-dups of the STALE batch-1 text
+    // must find nothing (those keys were truncated out of the segment);
+    // near-dups of the kept batch-0 text and the re-ingested batch-1
+    // text must both surface
+    val pairs = StreamingDedup.processBatch(
+      Seq((7L, staleText + " probe"), (8L, keepText + " probe"),
+        (9L, newText + " probe")).toDF("doc_id", "text"),
+      "doc_id", "text", 2L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((7L, 2L)),
+      s"stale pre-reset segment key was probed: $pairs")
+    assert(pairs.contains((8L, 1L)), s"pre-reset-point key lost: $pairs")
+    assert(pairs.contains((9L, 5L)), s"re-ingested key not probed: $pairs")
+  }
+
   test("crash leftovers below the compaction floor are ignored, not " +
     "double-probed") {
     val c = cfg()

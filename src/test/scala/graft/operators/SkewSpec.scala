@@ -21,6 +21,25 @@ class SkewSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) == 900)
   }
 
+  test("narrow saltBy columns spread the hot key and still equal the " +
+    "plain join") {
+    val left = ((1 to 900).map(i => (1L, i.toLong, s"p$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, i.toLong, s"q$i")))
+      .toDF("k", "line", "payload")
+    val right = (1 to 101).map(i => (i.toLong, s"dim$i")).toDF("k", "dim")
+    val plain = left.join(right, Seq("k")).select($"k", $"payload", $"dim")
+      .as[(Long, String, String)].collect().toSet
+    val salted = Skew.saltedEquiJoin(left, right, "k", saltFactor = 8,
+        saltBy = Seq("line")) // cheap single-column hash, not the whole row
+      .select($"k", $"payload", $"dim")
+      .as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+    // the hot key genuinely spreads: its 900 rows land on several salts
+    val saltsUsed = left.filter($"k" === 1L)
+      .select(pmod(hash($"line"), lit(8))).distinct().count()
+    assert(saltsUsed > 1, s"hot key not spread: $saltsUsed salt(s)")
+  }
+
   test("salted join rejects right-preserving join types (salt-duplication)") {
     val left = Seq((1L, "a")).toDF("k", "payload")
     val right = Seq((2L, "b")).toDF("k", "dim")

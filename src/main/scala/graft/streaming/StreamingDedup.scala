@@ -32,8 +32,12 @@ import graft.functions.TextFunctions.wordShingles
   */
 object StreamingDedup {
 
+  /** `compactEvery`: fold the index every N batches (after the batch's
+    * keys commit) — the operational default for sub-second triggers;
+    * None leaves compaction to explicit [[compact]] calls. */
   final case class Config(indexDir: String, k: Int = 32, bands: Int = 8,
-                          shingleSize: Int = 3)
+                          shingleSize: Int = 3,
+                          compactEvery: Option[Int] = None)
 
   private def batchDirId(p: Path): Option[Long] = {
     val n = p.getName
@@ -239,6 +243,10 @@ object StreamingDedup {
     keys.write.mode("overwrite")
       .parquet(s"${cfg.indexDir}/batch=$batchId")
     keys.unpersist()
+    cfg.compactEvery.foreach { every =>
+      if (batchId > 0 && batchId % every == 0)
+        compact(spark, cfg.indexDir, batchId) // folds strictly-prior dirs
+    }
     pairs
   }
 

@@ -112,6 +112,33 @@ class StreamingDedupSpec extends SparkSpec {
       s"compacted future-batch keys must not be probed on replay: $pairs")
   }
 
+  test("compactEvery folds the index automatically as batches flow") {
+    val c = StreamingDedup.Config(
+      Files.createTempDirectory("graft-sdedup-auto").toString + "/index",
+      compactEvery = Some(2))
+    val unrelated = Seq(
+      "first body about shuffles exchanges and partition counts overall",
+      "second body counting parquet footers manifests and bucket layouts",
+      "third body on watermarks state stores and trigger cadence matters",
+      "fourth body mentioning salting skew and replicated dimension rows")
+    unrelated.zipWithIndex.foreach { case (t, i) =>
+      StreamingDedup.processBatch(
+        Seq((10L + i, t)).toDF("doc_id", "text"), "doc_id", "text", i.toLong, c)
+    }
+    val fs = new org.apache.hadoop.fs.Path(c.indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(c.indexDir))
+      .map(_.getPath.getName).toSet
+    // batch 2 folded {0,1}; batch 3 stays loose until the next boundary
+    assert(names == Set("compacted=2", "batch=2", "batch=3"), names)
+    // probes unaffected: a near-dup of batch 0's doc still surfaces
+    val pairs = StreamingDedup.processBatch(
+      Seq((50L, unrelated.head + " probe")).toDF("doc_id", "text"),
+      "doc_id", "text", 4L, c)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((50L, 10L)), s"auto-compacted probe diverged: $pairs")
+  }
+
   test("checkpoint reset BELOW the compaction floor: pre-reset segment " +
     "keys from the reset point onward are never probed; re-ingested " +
     "batches are") {

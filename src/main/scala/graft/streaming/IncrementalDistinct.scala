@@ -68,6 +68,9 @@ object IncrementalDistinct {
     val live = new Path(s"$root/live")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapMirror.recoverMirror(fs, root)
+    if (!fs.exists(live)) sys.error(
+      s"IncrementalDistinct state at $root does not exist — call update() " +
+        "with at least one batch before reading estimates")
     spark.read.parquet(live.toString)
       .select(spec.groupCols.map(col) :+
         hll_sketch_estimate(col("sk")).as(s"distinct_${spec.valueCol}"): _*)

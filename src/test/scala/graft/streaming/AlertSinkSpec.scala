@@ -64,6 +64,20 @@ class AlertSinkSpec extends SparkSpec {
     assert(good.delivered.size == 2 && flakyDelivered.size == 2)
   }
 
+  test("concurrent dispatches of the same alert deliver exactly once " +
+    "per channel (atomic claim)") {
+    val mem = new InMemorySink
+    val dispatcher = new AlertDispatcher(Seq(mem))
+    val alert = Alert("health:race", "error", "down", "boom")
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      dispatcher.dispatchAlerts(Seq(alert)); ()
+    }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(mem.delivered.size == 1,
+      s"atomic claim violated: ${mem.delivered.size} deliveries")
+  }
+
   test("a failed streaming query delivers exactly one alert; " +
     "redispatch and replays deliver nothing") {
     val mon = Monitoring.attach(spark)

@@ -140,6 +140,25 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new vectors to a [[save]]d index WITHOUT a rebuild: each
+    * vector is assigned to its nearest existing centroid (per-row
+    * algebra over the broadcast-by-closure centroid literals — no
+    * shuffle) and appended to that cell's partition dir, so the next
+    * partition-pruned search sees it immediately. Centroids do NOT
+    * move — Lloyd drift needs a periodic [[build]]+[[save]] — so recall
+    * degrades only as the live distribution drifts from the build-time
+    * centroids; until then append cost is O(new vectors), never
+    * O(index). */
+  def append(spark: SparkSession, path: String, vecs: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val idx = load(spark, path)
+    val nn = withL2Normalized(vecs.select(col(idCol).as("id"), col(vecCol)),
+      vecCol, "v").select(col("id"), col("v"))
+    nn.withColumn("cell", nearestCell(col("v"), idx.centroids))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
   /** Load a [[save]]d index. The assignments frame stays lazy — nothing
     * is scanned until a search prunes to its probed cells. */
   def load(spark: SparkSession, path: String): Index = {

@@ -69,6 +69,33 @@ class IvfChunkerSpec extends SparkSpec {
     assert(nCells > 1, s"k-means collapsed to $nCells cell(s)")
   }
 
+  test("append adds vectors to a saved index without a rebuild; " +
+    "searches see them immediately") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    IvfIndex.save(IvfIndex.build(spark, emb, k = 8, iterations = 2), dir)
+
+    val before = IvfIndex.search(IvfIndex.load(spark, dir),
+      q0.map(_.toDouble), topK = 3, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(!before.contains(777777L))
+
+    // append an exact copy of the query vector under a fresh id: it
+    // must land in the query's own cell and dominate the next search
+    IvfIndex.append(spark, dir,
+      Seq((777777L, q0, -1)).toDF("vec_id", "embedding", "label"))
+    val after = IvfIndex.search(IvfIndex.load(spark, dir),
+      q0.map(_.toDouble), topK = 3, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(after.map(_._1).toSet.contains(777777L),
+      s"appended vector invisible to search: ${after.mkString(",")}")
+    assert(math.abs(after.head._2 - 1.0) < 1e-6)
+    // the original entries are untouched (append, not rewrite)
+    assert(after.map(_._1).toSet.intersect(before).nonEmpty)
+  }
+
   test("saved index reloads to identical searches with partition-pruned " +
     "probes") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")

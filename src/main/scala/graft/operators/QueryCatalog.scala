@@ -27,7 +27,8 @@ object QueryCatalog {
     Relational.queries ++ AdvancedQueries.queries ++ CdcQueries.queries ++
       Monitors.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ RangeJoin.queries ++ CurationQueries.queries
+      PipelineQueries.queries ++ RangeJoin.queries ++ CurationQueries.queries ++
+      SqlSurface.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.core.Tables.load
+
+/** Modern SQL surface (SURVEY §2.5/§2.7 extensions): recursive CTEs,
+  * correlated EXISTS / NOT EXISTS, correlated scalar subqueries, and
+  * LATERAL joins — the query shapes an analyst migrating off the
+  * reference's Postgres-backed marts (reference: the ad-hoc SQL probes
+  * in the dags Python files) expects an engine to parse and plan
+  * natively.
+  *
+  * Scale notes:
+  *   - The recursive CTE drives Spark's UnionLoop execution: the
+  *     recursion generates the tiny date spine (one row per month);
+  *     the fact table joins it ONCE after the loop — recursion depth
+  *     is bounded by calendar range, never by fact-table size.
+  *   - EXISTS / NOT EXISTS rewrite to LeftSemi / LeftAnti hash joins
+  *     (no row explosion, broadcast-able build side).
+  *   - The correlated scalar subquery rewrites to one aggregate over
+  *     the inner table joined back on the correlation key — one
+  *     shuffle of the (brand, avg) pairs, not a per-row re-scan.
+  *   - LATERAL ... LIMIT k rewrites through DomainJoin to a
+  *     per-domain-row top-k, the same WindowGroupLimit class of plan
+  *     as window_topn_per_group; the lateral form is the declarative
+  *     surface, not a nested-loop execution.
+  *
+  * Money columns use the exact-cents trick (round(x*100) per row, then
+  * integer sums) so Spark and the DuckDB oracle agree bitwise
+  * regardless of reduction order.
+  */
+object SqlSurface {
+
+  def queries: Seq[Q] = Seq(
+    Q("cte_recursive_months",
+      (s, d) => {
+        load(s, d, "orders").createOrReplaceTempView("orders_rcte")
+        s.sql("""WITH RECURSIVE months(m, hi) AS (
+          |  SELECT date_trunc('month', min(o_orderdate)),
+          |         date_trunc('month', max(o_orderdate))
+          |  FROM orders_rcte
+          |  UNION ALL
+          |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi)
+          |SELECT CAST(m AS DATE) AS month_start,
+          |       count(o_orderkey) AS n_orders,
+          |       coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+          |         AS revenue_cents
+          |FROM months LEFT JOIN orders_rcte
+          |  ON date_trunc('month', o_orderdate) = m
+          |GROUP BY 1""".stripMargin)
+      },
+      Some("""WITH RECURSIVE months(m, hi) AS (
+             |  SELECT date_trunc('month', min(o_orderdate)),
+             |         date_trunc('month', max(o_orderdate))
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi)
+             |SELECT CAST(m AS DATE) AS month_start,
+             |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+             |    AS BIGINT) AS revenue_cents
+             |FROM months LEFT JOIN orders
+             |  ON date_trunc('month', o_orderdate) = m
+             |GROUP BY 1""".stripMargin),
+      "WITH RECURSIVE month spine (UnionLoop) + one fact join after the " +
+        "loop — depth bounded by calendar range, not data size"),
+
+    Q("subquery_exists",
+      (s, d) => {
+        load(s, d, "customer").createOrReplaceTempView("customer_sq")
+        load(s, d, "orders").createOrReplaceTempView("orders_sq")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer_sq c
+          |WHERE EXISTS (
+          |    SELECT 1 FROM orders_sq o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM orders_sq o2
+          |    WHERE o2.o_custkey = c.c_custkey
+          |      AND o2.o_orderstatus = 'F'
+          |      AND o2.o_totalprice < 50000)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (
+             |    SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_orderpriority = '1-URGENT')
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders o2
+             |    WHERE o2.o_custkey = c.c_custkey
+             |      AND o2.o_orderstatus = 'F'
+             |      AND o2.o_totalprice < 50000)""".stripMargin),
+      "correlated EXISTS / NOT EXISTS → LeftSemi + LeftAnti hash joins"),
+
+    Q("subquery_scalar_brand",
+      (s, d) => {
+        load(s, d, "part").createOrReplaceTempView("part_sq")
+        s.sql("""SELECT p_partkey, p_brand, p_retailprice,
+          |  round((SELECT avg(p2.p_retailprice) FROM part_sq p2
+          |         WHERE p2.p_brand = p.p_brand), 2) AS brand_avg
+          |FROM part_sq p
+          |WHERE p_retailprice > round(
+          |  (SELECT avg(p3.p_retailprice) FROM part_sq p3
+          |   WHERE p3.p_brand = p.p_brand), 2)""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice,
+             |  round((SELECT avg(p2.p_retailprice) FROM part p2
+             |         WHERE p2.p_brand = p.p_brand), 2) AS brand_avg
+             |FROM part p
+             |WHERE p_retailprice > round(
+             |  (SELECT avg(p3.p_retailprice) FROM part p3
+             |   WHERE p3.p_brand = p.p_brand), 2)""".stripMargin),
+      "correlated scalar subquery → one (brand, avg) aggregate joined " +
+        "back on the correlation key; rounded to 2 dp before the " +
+        "comparison so both engines snap the order-unstable avg to the " +
+        "same value"),
+
+    Q("join_lateral_topn",
+      (s, d) => {
+        load(s, d, "region").createOrReplaceTempView("region_lt")
+        load(s, d, "nation").createOrReplaceTempView("nation_lt")
+        load(s, d, "supplier").createOrReplaceTempView("supplier_lt")
+        s.sql("""SELECT r.r_name, t.n_name, t.bal_cents
+          |FROM region_lt r, LATERAL (
+          |  SELECT n.n_name,
+          |         sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS bal_cents
+          |  FROM nation_lt n JOIN supplier_lt s
+          |    ON s.s_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name
+          |  ORDER BY bal_cents DESC, n_name LIMIT 2) t""".stripMargin)
+      },
+      Some("""SELECT r.r_name, t.n_name, t.bal_cents
+             |FROM region r, LATERAL (
+             |  SELECT n.n_name,
+             |    CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |      AS bal_cents
+             |  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+             |  WHERE n.n_regionkey = r.r_regionkey
+             |  GROUP BY n.n_name
+             |  ORDER BY bal_cents DESC, n_name LIMIT 2) t""".stripMargin),
+      "LATERAL top-k per outer row; exact-cents sums tie-broken by name " +
+        "make the LIMIT deterministic in both engines"))
+}

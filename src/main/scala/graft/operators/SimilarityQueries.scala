@@ -180,6 +180,21 @@ object SimilarityQueries {
         "compression), ADC lookup-table scan — oracle-checked via " +
         "planted duplicates"),
 
+    // IVF-PQ + exact re-rank emits (vec_id, score): the exact-cosine
+    // re-rank stage restores brute-force scores over the candidates,
+    // so the full (id, score) ground truth is hash-checked, not just
+    // the id list.
+    Q("sim_topk_ivfpq",
+      (s, d) => {
+        val idx = graft.functions.IvfPq.buildCached(s, s"$d#planted10",
+          plantedCorpus(s, d), kCells = 16, m = 8, ksub = 16, iterations = 2)
+        graft.functions.IvfPq.searchReranked(idx, queryVec(s, d), 10)
+      },
+      Some(plantedTopkOracle),
+      "IVF-PQ two-stage ANN: nprobe cell pruning → 8-byte-code ADC → " +
+        "exact re-rank of the oversampled candidates — the composed " +
+        "100 TB architecture, oracle-checked via planted duplicates"),
+
     // Planted exact duplicates make the LSH path oracle-able: identical
     // vectors share every hyperplane bucket (collision probability 1),
     // and random 64-dim pairs cannot reach cosine 0.95 (≈7.6σ), so the

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    .select($"vec_id", $"embedding")
+
+  private lazy val q0 = emb.filter($"vec_id" === 0).select($"embedding")
+    .head().getSeq[Float](0)
+
+  test("planted exact duplicate survives cell pruning + ADC and ranks top-2") {
+    val all = emb.unionByName(Seq((900000L, q0)).toDF("vec_id", "embedding"))
+    val idx = IvfPq.build(spark, all, kCells = 8, m = 8, ksub = 16)
+    val top = IvfPq.search(idx, q0.map(_.toDouble), 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == Set(0L, 900000L), s"dup lost in routing/ADC: $top")
+  }
+
+  test("re-rank restores exact cosine scores over the candidates") {
+    val all = emb.unionByName(Seq((900000L, q0)).toDF("vec_id", "embedding"))
+    val idx = IvfPq.build(spark, all, kCells = 8, m = 8, ksub = 16)
+    val got = IvfPq.searchReranked(idx, q0.map(_.toDouble), 5)
+      .as[(Long, Double)].collect()
+    assert(got.take(2).map(_._1).toSet == Set(0L, 900000L))
+    got.take(2).foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-6) }
+    // strictly decreasing after the tied duplicates, ids break ties
+    assert(got.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("re-rank recall on perturbed neighbors >= plain ADC recall") {
+    val rnd = new scala.util.Random(13)
+    val planted = (1 to 10).map { i =>
+      (900000L + i, q0.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val all = emb.filter($"vec_id" =!= 0).unionByName(planted)
+    val idx = IvfPq.build(spark, all, kCells = 8, m = 8, ksub = 16)
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.select($"vec_id").as[Long].collect().count(_ > 900000L)
+    val adc = recall(IvfPq.search(idx, q0.map(_.toDouble), 10, nprobe = 4))
+    val rr = recall(IvfPq.searchReranked(idx, q0.map(_.toDouble), 10, nprobe = 4))
+    assert(rr >= adc, s"re-rank lost recall: adc=$adc reranked=$rr")
+    assert(rr >= 6, s"re-rank recall too low: $rr/10")
+  }
+
+  test("re-rank joins candidates broadcast, final top-k via TakeOrderedAndProject") {
+    val idx = IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16)
+    val p = IvfPq.searchReranked(idx, q0.map(_.toDouble), 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+}

@@ -71,6 +71,43 @@ object IvfPq {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** Persist as an offline artifact: codes written PARTITIONED BY cell
+    * (search's probed-cell filter becomes directory-level pruning — a
+    * query reads nprobe cells' code files out of a 100 TB index), the
+    * float assignments via [[IvfIndex.save]] (same partitioning, read
+    * only by the re-rank stage for the tiny candidate set), and the
+    * codebook flattened to (j, cell, c) rows. */
+  def save(idx: Index, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    idx.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    IvfIndex.save(idx.ivf, s"$path/ivf")
+    import spark.implicits._
+    (for {
+      (perCell, j) <- idx.cb.centroids.zipWithIndex
+      (c, cell) <- perCell.zipWithIndex
+    } yield (j, cell, c.toSeq)).toSeq
+      .toDF("j", "cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Load a [[save]]d index; the codes frame stays lazy, so nothing is
+    * scanned until a search prunes to its probed cells. */
+  def load(spark: SparkSession, path: String): Index = {
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("cell").cast("int").as("cell"), col("pq"))
+    val ivf = IvfIndex.load(spark, s"$path/ivf")
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val dsub = cents(0)(0).length
+    Index(codes, ivf, PqIndex.Codebook(m, dsub, ksub, cents))
+  }
+
   /** Two-stage search: ADC ranks `oversample × topK` candidates from
     * the probed cells, then ONLY those rows join back to their float
     * vectors (broadcast of the tiny candidate set) for an exact cosine

@@ -139,5 +139,28 @@ object SqlSurface {
              |  GROUP BY n.n_name
              |  ORDER BY bal_cents DESC, n_name LIMIT 2) t""".stripMargin),
       "LATERAL top-k per outer row; exact-cents sums tie-broken by name " +
-        "make the LIMIT deterministic in both engines"))
+        "make the LIMIT deterministic in both engines"),
+
+    Q("scalar_unpivot_long",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        load(s, d, "lineitem")
+          .filter(col("l_orderkey") < 500)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "measure", "value")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  'l_quantity' AS measure, l_quantity AS value
+             |FROM lineitem WHERE l_orderkey < 500
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |FROM lineitem WHERE l_orderkey < 500
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |FROM lineitem WHERE l_orderkey < 500""".stripMargin),
+      "UNPIVOT wide measures to long form (Spark melt; the inverse of " +
+        "pivot_event_counts) — values are raw per-row doubles, exact in " +
+        "both engines"))
 }

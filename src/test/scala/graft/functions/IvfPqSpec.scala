@@ -47,6 +47,27 @@ class IvfPqSpec extends SparkSpec {
     assert(rr >= 6, s"re-rank recall too low: $rr/10")
   }
 
+  test("saved index reloads to identical results; probes prune code partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      val built = IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16)
+      IvfPq.save(built, dir)
+      val loaded = IvfPq.load(spark, dir)
+      val q = q0.map(_.toDouble)
+      val a = IvfPq.searchReranked(built, q, 10).as[(Long, Double)].collect().toSeq
+      val b = IvfPq.searchReranked(loaded, q, 10).as[(Long, Double)].collect().toSeq
+      assert(a == b, s"loaded search diverged:\n$a\n$b")
+      // the ADC stage over the loaded index reads only probed cells:
+      // the cell filter must reach the scan as a partition filter
+      val p = IvfPq.search(loaded, q, 10, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+        p.take(1200))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("re-rank joins candidates broadcast, final top-k via TakeOrderedAndProject") {
     val idx = IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16)
     val p = IvfPq.searchReranked(idx, q0.map(_.toDouble), 10)

@@ -91,6 +91,35 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** Append new vectors to a [[save]]d index WITHOUT a rebuild: append
+    * the float vectors to their IVF cell partitions
+    * ([[IvfIndex.append]]), then encode them against the EXISTING
+    * codebook and append the codes to the same cell's partition — the
+    * next search sees them in both stages. Centroids and codebooks do
+    * not move (Lloyd drift needs a periodic build+save), so append cost
+    * is O(new vectors), never O(index). */
+  def append(spark: SparkSession, path: String, vecs: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    IvfIndex.append(spark, s"$path/ivf", vecs, idCol, vecCol)
+    val idx = load(spark, path)
+    val assigned = vecs.select(col(idCol).as("id"), col(vecCol))
+      .withColumn("cell", {
+        // same routing as the saved assignments: nearest centroid of
+        // the L2-normalized vector
+        val n = greatest(sqrt(dot(col(vecCol), col(vecCol))),
+          lit(java.lang.Double.MIN_NORMAL))
+        val v = transform(col(vecCol), x => x.cast("double") / n)
+        val scored = idx.ivf.centroids.map { case (cid, c) =>
+          struct(dot(v, array(c.map(lit).toSeq: _*)).as("score"),
+            lit(cid).as("cid"))
+        }
+        greatest(scored.toSeq: _*).getField("cid")
+      })
+    PqIndex.encode(assigned, idx.cb, vecCol = vecCol, out = "pq")
+      .select(col("id"), col("cell"), col("pq"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Load a [[save]]d index; the codes frame stays lazy, so nothing is
     * scanned until a search prunes to its probed cells. */
   def load(spark: SparkSession, path: String): Index = {

@@ -68,6 +68,25 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("append adds vectors to a saved index; both stages see them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ap").toString
+    try {
+      IvfPq.save(IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16), dir)
+      // append an exact duplicate of the query vector post-build
+      IvfPq.append(spark, dir,
+        Seq((900000L, q0)).toDF("vec_id", "embedding"))
+      val idx = IvfPq.load(spark, dir)
+      val q = q0.map(_.toDouble)
+      val adc = IvfPq.search(idx, q, 2).select($"vec_id").as[Long].collect().toSet
+      assert(adc == Set(0L, 900000L), s"appended dup invisible to ADC: $adc")
+      val rr = IvfPq.searchReranked(idx, q, 2).as[(Long, Double)].collect()
+      assert(rr.map(_._1).toSet == Set(0L, 900000L))
+      rr.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-6) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("re-rank joins candidates broadcast, final top-k via TakeOrderedAndProject") {
     val idx = IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16)
     val p = IvfPq.searchReranked(idx, q0.map(_.toDouble), 10)

@@ -97,9 +97,14 @@ object Bench {
     val pass2 = names.map(n => n -> timed(n)).toMap
     val pipe2 = pipeRun()
     val pipeV2 = pipeRun(withViews = true)
-    val pipeSec = math.min(pipe1, pipe2)
+    // the pipeline number is the HEADLINE metric and a single pass is
+    // one I/O-heavy job on a contended host — a third sample cuts the
+    // odds that both earlier runs shared a spike
+    val pipe3 = pipeRun()
+    val pipeV3 = pipeRun(withViews = true)
+    val pipeSec = Seq(pipe1, pipe2, pipe3).min
     val eps = (nEvents / pipeSec).toLong
-    val epsViews = (nEvents / math.min(pipeV1, pipeV2)).toLong
+    val epsViews = (nEvents / Seq(pipeV1, pipeV2, pipeV3).min).toLong
 
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     // min of the two passes when both succeeded; -1 sentinel + failed

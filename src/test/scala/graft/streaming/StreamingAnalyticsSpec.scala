@@ -79,6 +79,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within the gap and close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("ss"),
+        $"session_window.end".as("se"), $"event_type", $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      // 10:00 and 10:03 fall within one 5-minute gap -> ONE session
+      ms.addData(ev(0, "a", 1), ev(3, "a", 1))
+      q.processAllAvailable()
+      // 10:20 starts a new session AND advances the watermark to 10:10,
+      // past the first session's end (10:08) -> it closes and emits
+      ms.addData(ev(20, "a", 1))
+      q.processAllAvailable()
+      ms.addData(ev(59, "z", 0)) // watermark 10:49 closes the 10:20 session
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .as[(Timestamp, Timestamp, String, Long)].collect()
+        .map { case (s, e, t, n) => (s.toString, e.toString, t, n) }.toSet
+      // merged session: start = first event, end = last event + gap
+      assert(got.contains(("2024-01-01 10:00:00.0", "2024-01-01 10:08:00.0", "a", 2L)),
+        s"merged session missing/mis-bounded: $got")
+      assert(got.contains(("2024-01-01 10:20:00.0", "2024-01-01 10:25:00.0", "a", 1L)),
+        s"second session missing: $got")
+    } finally q.stop()
+  }
+
   test("ResilientRunner restarts a failing query per policy, then succeeds") {
     implicit val sqlCtx = spark.sqlContext
     var attempts = 0

@@ -62,6 +62,55 @@ object AdvancedQueries {
              |FROM g GROUP BY user_id, sid""".stripMargin),
       "ST5 session windows; oracle via gaps-and-islands SQL"),
 
+    // ---- time-series gap fill (LOCF) ---------------------------------
+    // A sparse per-(type, day) revenue series is completed over a full
+    // calendar spine, missing days forward-filled from the last
+    // observation. Scale shape: the spine is types × days (tiny, built
+    // from a 1-row bounds aggregate), the fill is ONE window pass per
+    // type — no self-join, no per-gap work. Exact-cents sums keep the
+    // filled values hash-identical across engines.
+    Q("window_gap_fill",
+      (s, d) => {
+        val src = load(s, d, "events").filter(col("user_id") % 97 === 0)
+        val daily = src
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val bounds = src.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val spine = src.select(col("event_type")).distinct()
+          .crossJoin(bounds)
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(0L))
+              .as("cents_filled"),
+            col("cents").isNotNull.as("observed"))
+      },
+      Some("""WITH src AS (SELECT * FROM events WHERE user_id % 97 = 0),
+             |b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+             |             CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+             |      FROM src),
+             |types AS (SELECT DISTINCT event_type FROM src),
+             |spine AS (SELECT t.event_type, CAST(d.day AS DATE) AS day
+             |  FROM types t, b, LATERAL (
+             |    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+             |      AS day) d),
+             |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM src GROUP BY 1, 2)
+             |SELECT s.event_type, s.day,
+             |  coalesce(last_value(d.cents IGNORE NULLS) OVER (
+             |    PARTITION BY s.event_type ORDER BY s.day
+             |    ROWS UNBOUNDED PRECEDING), 0) AS cents_filled,
+             |  CAST(d.cents IS NOT NULL AS BOOLEAN) AS observed
+             |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin),
+      "calendar-spine gap fill with forward-fill (LOCF): one window " +
+        "pass per series, spine from a 1-row bounds aggregate"),
+
     // ---- sliding windows ---------------------------------------------
     Q("window_sliding",
       (s, d) => load(s, d, "events")

@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -39,6 +41,41 @@ object ZOrder {
     v = (v | (v << 2)) & 0x33333333L
     v = (v | (v << 1)) & 0x55555555L
     v
+  }
+
+  /** True n-dimensional Morton interleave: bit i of column j lands at
+    * position i·n + j. Reference implementation for [[ZOrderKeyN]]. */
+  def interleaveN(xs: Array[Long], bits: Int): Long = {
+    val n = xs.length
+    var out = 0L
+    var j = 0
+    while (j < n) {
+      var i = 0
+      while (i < bits) {
+        out |= ((xs(j) >> i) & 1L) << (i * n + j)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Morton key of `cols.length` integral columns, `bits` low bits
+    * each (`bits × n ≤ 63`). Pairwise composition of 2-D interleaves
+    * is NOT a true n-D Morton order — this is. */
+  def zkeyN(bits: Int, cols: Column*): Column = {
+    require(cols.size >= 2, "zkeyN needs at least 2 columns")
+    require(bits * cols.size <= 63, s"bits=$bits × ${cols.size} dims > 63")
+    GraftColumnBridge.column(ZOrderKeyN(
+      cols.map(c => GraftColumnBridge.expression(c.cast("long"))), bits))
+  }
+
+  /** DuckDB-evaluable SQL for [[zkeyN]] (oracle counterpart). */
+  def zkeyNOracleSql(bits: Int, cols: String*): String = {
+    val n = cols.size
+    (for { (c, j) <- cols.zipWithIndex; i <- 0 until bits }
+      yield s"((($c >> $i) & 1) << ${i * n + j})")
+      .mkString("(", " + ", ")")
   }
 
   /** Morton key of two integral columns (low 16 bits each). */
@@ -81,6 +118,64 @@ case class ZOrderKey(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrderKey =
     copy(left = newLeft, right = newRight)
+}
+
+/** n-ary Morton interleave over BIGINT columns, `bits` low bits each.
+  * Codegen unrolls to `n × bits` shift/mask/or terms — branch-free,
+  * allocation-free, inside whole-stage codegen. Null if any input is
+  * null. */
+case class ZOrderKeyN(children: Seq[Expression], bits: Int)
+    extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType) &&
+        children.size >= 2 && bits * children.size <= 63)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ZOrderKeyN needs >=2 bigint inputs with bits×dims <= 63, got " +
+        s"${children.map(_.dataType).mkString(",")} bits=$bits")
+
+  override def eval(input: InternalRow): Any = {
+    val xs = new Array[Long](children.size)
+    var j = 0
+    while (j < xs.length) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      xs(j) = v.asInstanceOf[Long]
+      j += 1
+    }
+    ZOrder.interleaveN(xs, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val n = children.size
+    val terms = (for {
+      (e, j) <- evals.zipWithIndex
+      i <- 0 until bits
+    } yield s"(((${e.value} >> $i) & 1L) << ${i * n + j})").mkString(" | ")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    if (nullable) {
+      val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+      ev.copy(code = code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) { ${ev.value} = $terms; }""")
+    } else {
+      ev.copy(code = code"""
+        $childCode
+        long ${ev.value} = $terms;""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKeyN =
+    copy(children = newChildren)
 }
 
 /** Write-side clustering helpers: turn a computed cluster key into a

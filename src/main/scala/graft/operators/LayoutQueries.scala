@@ -37,5 +37,36 @@ object LayoutQueries {
               |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
               |FROM z GROUP BY 1""".stripMargin),
       "codegen'd Morton interleave vs a bit-by-bit integer-sum oracle; " +
-        "per-z-bucket dim ranges show the rectangles parquet stats prune on"))
+        "per-z-bucket dim ranges show the rectangles parquet stats prune on"),
+
+    Q("layout_zorder3_key",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+          .select(
+            col("l_orderkey").bitwiseAND(1023).as("a"),
+            col("l_partkey").bitwiseAND(1023).as("b"),
+            col("l_suppkey").bitwiseAND(1023).as("c"))
+          .withColumn("zkey",
+            ZOrder.zkeyN(10, col("a"), col("b"), col("c")))
+        li.groupBy(shiftright(col("zkey"), 18).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+            min(col("b")).as("b_min"), max(col("b")).as("b_max"),
+            min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+      },
+      Some(s"""WITH k AS (
+              |  SELECT (l_orderkey & 1023) AS a, (l_partkey & 1023) AS b,
+              |         (l_suppkey & 1023) AS c
+              |  FROM lineitem),
+              |z AS (SELECT a, b, c,
+              |        ${ZOrder.zkeyNOracleSql(10, "a", "b", "c")} AS zkey
+              |      FROM k)
+              |SELECT CAST(zkey >> 18 AS BIGINT) AS zbucket,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+              |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max,
+              |  CAST(min(c) AS BIGINT) AS c_min, CAST(max(c) AS BIGINT) AS c_max
+              |FROM z GROUP BY 1""".stripMargin),
+      "true 3-D Morton key (bit i of dim j → position 3i+j): cubes in " +
+        "(a,b,c) space — the ZORDER BY (a,b,c) layout primitive"))
 }

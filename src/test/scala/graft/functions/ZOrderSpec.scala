@@ -45,6 +45,33 @@ class ZOrderSpec extends SparkSpec {
     assert((ZOrder.interleave16(10, 20) >> 20) != (ZOrder.interleave16(30000, 40000) >> 20))
   }
 
+  test("n-ary interleave matches bit-by-bit reference; expression stays codegen'd") {
+    def ref(xs: Seq[Long], bits: Int): Long = {
+      val n = xs.length
+      (for (j <- xs.indices; i <- 0 until bits)
+        yield ((xs(j) >> i) & 1L) << (i * n + j)).fold(0L)(_ | _)
+    }
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 200) {
+      val xs = Array.fill(3)(rnd.nextLong() & 0x3FF)
+      assert(ZOrder.interleaveN(xs, 10) == ref(xs.toSeq, 10), xs.toSeq)
+    }
+    val df = spark.range(0, 2048).select(
+      (col("id") % 7).as("a"), (col("id") % 11).as("b"), (col("id") % 13).as("c"))
+      .withColumn("z", ZOrder.zkeyN(10, col("a"), col("b"), col("c")))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("z") == ZOrder.interleaveN(
+        Array(r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")), 10))
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p.take(400))
+    // null propagates
+    val withNull = spark.range(1).select(
+      lit(null).cast("long").as("a"), lit(1L).as("b"))
+      .withColumn("z", ZOrder.zkeyN(10, col("a"), col("b")))
+    assert(withNull.head().isNullAt(2))
+  }
+
   test("zorderWrite tightens per-file min/max spans on both dimensions") {
     val dir = Files.createTempDirectory("graft_zorder").toString
     // two mid-cardinality dimensions of comparable range (z-order

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.core.Tables.load
 
 /** Modern SQL surface (SURVEY §2.5/§2.7 extensions): recursive CTEs,
@@ -162,5 +164,44 @@ object SqlSurface {
              |FROM lineitem WHERE l_orderkey < 500""".stripMargin),
       "UNPIVOT wide measures to long form (Spark melt; the inverse of " +
         "pivot_event_counts) — values are raw per-row doubles, exact in " +
-        "both engines"))
+        "both engines"),
+
+    // TPC-H Q5 shape: six-table star join — the region filter pushes
+    // into its scan, tiny dims broadcast (region→nation explicit, the
+    // rest by size), the customer-supplier co-nation predicate rides
+    // the join, and at scale only the fact tables shuffle. Audited:
+    // pushed region filter, no nested-loop fallback anywhere.
+    Q("join_local_supplier_revenue",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val o = load(s, d, "orders")
+        val c = load(s, d, "customer")
+        val su = load(s, d, "supplier")
+        val n = load(s, d, "nation")
+        val r = load(s, d, "region").filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin),
+      "TPC-H Q5 shape: local-supplier revenue per nation — broadcast " +
+        "dim chain, one fact-fact shuffle join"))
 }

@@ -114,6 +114,13 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("six-table star join: region filter pushed, no nested-loop fallback") {
+    val p = plan("join_local_supplier_revenue")
+    assert(p.contains("EqualTo(r_name,ASIA)"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("mergeable HLL rollup: sketches union without rescanning orders") {
     // two scans total: one builds the per-month sketches, one the
     // direct estimate + exact baseline — the per-priority MERGE reuses

@@ -30,6 +30,8 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+  // literal inputs fold at plan time (e.g. a query vector's self-norm)
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left).isDefined && elemType(right).isDefined)
@@ -96,6 +98,8 @@ case class VecCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+  // literal inputs fold at plan time (e.g. a query vector's self-norm)
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left).isDefined && elemType(right).isDefined)

@@ -101,6 +101,8 @@ case class ZOrderKey(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
+  // literal inputs fold to a constant at plan time
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == LongType && right.dataType == LongType)
@@ -129,6 +131,7 @@ case class ZOrderKeyN(children: Seq[Expression], bits: Int)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.forall(_.dataType == LongType) &&

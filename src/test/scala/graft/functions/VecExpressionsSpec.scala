@@ -48,6 +48,24 @@ class VecExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("literal-only custom expressions constant-fold at plan time") {
+    // a vec_dot of two literal arrays (e.g. a query vector's self-norm)
+    // must fold to a Literal in the optimized plan, not re-evaluate per
+    // row; same for zorder_key of constants
+    val df = spark.range(3).select(
+      VecExpressions.vec_dot(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0), org.apache.spark.sql.functions.lit(2.0)),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(3.0), org.apache.spark.sql.functions.lit(4.0))).as("d"),
+      ZOrder.zkey(org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.lit(5L)).as("z"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("vecdot") && !opt.contains("zorderkey"),
+      s"literal expressions did not fold:\n$opt")
+    assert(opt.contains("11.0") && opt.contains("39"), opt)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val plan = emb.select(

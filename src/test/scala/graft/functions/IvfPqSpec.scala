@@ -87,6 +87,37 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("streaming vectors ingest into a saved index per micro-batch") {
+    // the streaming half of the ANN artifact lifecycle: vectors arrive
+    // on a stream, each micro-batch appends to the saved index (O(new)
+    // routing + encode), and the next search sees them — no rebuild,
+    // no restart
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_st").toString
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      IvfPq.save(IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16), dir)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = ms.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfPq.append(spark, dir, batch)
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try {
+        ms.addData((900000L, q0.toSeq))
+        q.processAllAvailable()
+      } finally q.stop()
+      val idx = IvfPq.load(spark, dir)
+      val top = IvfPq.search(idx, q0.map(_.toDouble), 2)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(top == Set(0L, 900000L), s"streamed vector not searchable: $top")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("re-rank joins candidates broadcast, final top-k via TakeOrderedAndProject") {
     val idx = IvfPq.build(spark, emb, kCells = 8, m = 8, ksub = 16)
     val p = IvfPq.searchReranked(idx, q0.map(_.toDouble), 10)

@@ -227,6 +227,42 @@ object PipelineQueries {
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
       "exact interpolated quartiles per order priority"),
 
+    // Approximate percentiles (KLL-style sketch, rank error ≤ n/acc):
+    // property-oracled like agg_approx_distinct — the estimate must lie
+    // inside the exact quantile band p ± 0.01, which DuckDB verifies by
+    // emitting the exact band endpoints + TRUE. At 100 TB the sketch is
+    // mergeable per-partition state; the exact sort-based form is the
+    // small-data baseline.
+    Q("agg_approx_percentile",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        li.agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"),
+            expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+            expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+            expr("percentile(l_extendedprice, 0.89)").as("lo90"),
+            expr("percentile(l_extendedprice, 0.91)").as("hi90"))
+          .select(
+            round(col("lo50"), 2).as("band50_lo"),
+            round(col("hi50"), 2).as("band50_hi"),
+            round(col("lo90"), 2).as("band90_lo"),
+            round(col("hi90"), 2).as("band90_hi"),
+            (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+              .as("p50_in_band"),
+            (col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+              .as("p90_in_band"))
+      },
+      Some("""SELECT
+             |  round(quantile_cont(l_extendedprice, 0.49), 2) AS band50_lo,
+             |  round(quantile_cont(l_extendedprice, 0.51), 2) AS band50_hi,
+             |  round(quantile_cont(l_extendedprice, 0.89), 2) AS band90_lo,
+             |  round(quantile_cont(l_extendedprice, 0.91), 2) AS band90_hi,
+             |  TRUE AS p50_in_band, TRUE AS p90_in_band
+             |FROM lineitem""".stripMargin),
+      "approx percentiles property-oracled: sketch estimate must land " +
+        "inside the exact p±0.01 quantile band"),
+
     // Deterministic group mode (most frequent value, ties broken by the
     // smallest value): two-stage hash agg — value counts, then
     // argmax-with-tiebreak via min_by over (-count, value). Built-in

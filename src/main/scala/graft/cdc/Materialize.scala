@@ -67,6 +67,28 @@ object Materialize {
   def stripVersions(mirror: DataFrame): DataFrame =
     mirror.filter(!col(deletedFlag)).drop(versionTs, versionOffset, deletedFlag)
 
+  /** Type-2 (SCD2) history from the change stream: every alive version
+    * of a key becomes one row with a `[valid_from, valid_to)` interval;
+    * an update or delete at the NEXT event time closes the previous
+    * interval, and the key's current version carries `valid_to = null`.
+    * One window pass per key — `lead(ts)` over ALL events (deletes
+    * included, so they close intervals) and the delete rows themselves
+    * are dropped after the lead is taken. Shuffle ∝ change volume,
+    * keyed by PK — the same shape as materialization, with history
+    * retained instead of collapsed. */
+  def history(unwrapped: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts_ms"), col("offset"))
+    val meta = Set("topic", "partition", "offset", "op", "ts_ms")
+    val payloadCols = unwrapped.columns.filterNot(meta.contains)
+    unwrapped
+      .withColumn("_next_ts", lead(col("ts_ms"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(payloadCols.map(col) ++
+        Seq(col("ts_ms").as("valid_from"), col("_next_ts").as("valid_to")): _*)
+  }
+
   /** Merge one change batch into an existing VERSIONED mirror (the
     * foreachBatch body). Mirror rows (and tombstones) compete with batch
     * changes at their stored versions, so ordering is correct across

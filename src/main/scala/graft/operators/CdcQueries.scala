@@ -135,5 +135,38 @@ object CdcQueries {
         Materialize.stripVersions(Materialize.merge(mirror, batch, Seq("id")))
       },
       Some(oracleFinalState),
-      "J3 upsert-merge across batch boundaries == one-shot replay (idempotence of state)"))
+      "J3 upsert-merge across batch boundaries == one-shot replay (idempotence of state)"),
+
+    // SCD2 history: every alive version of a key becomes an interval
+    // row; the fixture's modulo script makes the full expected history
+    // derivable in SQL (FIXTURES.md §B). Deletes close intervals but
+    // emit no row; the current version has valid_to NULL.
+    Q("cdc_scd2_history",
+      (s, d) => Materialize.history(unwrapped(s, d), Seq("id"))
+        .select(col("id"), col("o_orderstatus"), col("o_totalprice"),
+          col("valid_from"), col("valid_to")),
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS id, o_orderstatus, o_totalprice
+             |  FROM orders)
+             |SELECT id, o_orderstatus, o_totalprice,
+             |  CAST(1000 AS BIGINT) AS valid_from,
+             |  CAST(CASE WHEN id % 3 = 0 THEN 2000
+             |            WHEN id % 5 = 0 THEN 4000 END AS BIGINT) AS valid_to
+             |FROM base
+             |UNION ALL
+             |SELECT id, 'U1', o_totalprice * 1.1, CAST(2000 AS BIGINT),
+             |  CAST(CASE WHEN id % 6 = 0 THEN 3000
+             |            WHEN id % 5 = 0 THEN 4000 END AS BIGINT)
+             |FROM base WHERE id % 3 = 0
+             |UNION ALL
+             |SELECT id, 'U2', o_totalprice * 1.2, CAST(3000 AS BIGINT),
+             |  CAST(CASE WHEN id % 5 = 0 THEN 4000 END AS BIGINT)
+             |FROM base WHERE id % 6 = 0
+             |UNION ALL
+             |SELECT id, 'RE', o_totalprice, CAST(5000 AS BIGINT),
+             |  CAST(NULL AS BIGINT)
+             |FROM base WHERE id % 10 = 0""".stripMargin),
+      "type-2 dimension history from the change stream: one lead() " +
+        "window pass per key; deletes close intervals, current rows " +
+        "stay open"))
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level data-quality expectations — the gate a replication
+  * pipeline puts between raw mirrors and consumers (the batch analog
+  * of the reference's health-check DAGs, applied to DATA instead of
+  * connectors; same contract as Delta Live Tables expectations).
+  *
+  * Everything is one scan of Column algebra: a rule's predicate is
+  * evaluated per row, a NULL predicate result counts as a violation
+  * (unknown is not clean), and per-rule stats are conditional sums —
+  * no second pass, no UDFs, shuffle only for the final 1-row stats
+  * aggregate. */
+object Expectations {
+
+  final case class Rule(name: String, predicate: Column)
+
+  private def violated(r: Rule): Column = !coalesce(r.predicate, lit(false))
+
+  /** Append `_violations`: the names of every rule the row fails
+    * (empty array = clean row). */
+  def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.withColumn("_violations", array_compact(array(
+      rules.map(r => when(violated(r), lit(r.name))): _*)))
+
+  /** (clean rows, violating rows with their `_violations` names).
+    * Both sides derive from one annotated plan — with the source
+    * cached or reused, the filter splits without recomputation. */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val annotated = annotate(df, rules)
+    (annotated.filter(size(col("_violations")) === 0).drop("_violations"),
+      annotated.filter(size(col("_violations")) > 0))
+  }
+
+  /** Per-rule violation counts + row totals, in ONE scan (conditional
+    * sums, map-side combined). Columns: n_rows, n_clean, and one
+    * `viol_<rule>` per rule. */
+  def stats(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val perRule = rules.map(r =>
+      sum(when(violated(r), 1L).otherwise(0L)).as(s"viol_${r.name}"))
+    val clean = sum(when(rules.map(violated).reduce(_ || _), 0L).otherwise(1L))
+      .as("n_clean")
+    df.agg(count(lit(1)).as("n_rows"), (clean +: perRule): _*)
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("quality_expectations",
+      (s, d) => {
+        val orders = graft.core.Tables.load(s, d, "orders")
+        stats(orders, Seq(
+          Rule("bounded_total", col("o_totalprice") < 300000),
+          Rule("status_known", col("o_orderstatus").isin("P", "O", "F")),
+          Rule("urgent_is_recent", col("o_orderpriority") =!= "1-URGENT" ||
+            col("o_orderdate") >= "1996-01-01")))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE)
+             |             OR NOT coalesce(o_orderstatus IN ('P','O','F'), FALSE)
+             |             OR NOT coalesce(o_orderpriority <> '1-URGENT'
+             |                  OR o_orderdate >= TIMESTAMP '1996-01-01', FALSE)
+             |           THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+             |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS viol_bounded_total,
+             |  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('P','O','F'),
+             |             FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS viol_status_known,
+             |  CAST(sum(CASE WHEN NOT coalesce(o_orderpriority <> '1-URGENT'
+             |             OR o_orderdate >= TIMESTAMP '1996-01-01', FALSE)
+             |           THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS viol_urgent_is_recent
+             |FROM orders""".stripMargin),
+      "row-level expectations: per-rule violation counts + clean total " +
+        "in one conditional-sum scan (DLT-style quality gate)"))
+}

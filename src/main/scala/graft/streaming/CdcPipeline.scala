@@ -87,9 +87,14 @@ object CdcPipeline {
       incrementalMirror: Boolean = false,
       tableSpecs: Map[String, TableSpec] = Map.empty,
       aggViews: Map[String, AggView] = Map.empty,
-      sinkOverride: Option[graft.sinks.MirrorSink] = None) {
+      sinkOverride: Option[graft.sinks.MirrorSink] = None,
+      expectations: Map[String, Seq[graft.operators.Expectations.Rule]] =
+        Map.empty,
+      quarantineDir: Option[String] = None) {
     require(!incrementalMirror || bucketCount.isDefined,
       "incrementalMirror requires bucketCount")
+    require(expectations.values.forall(_.isEmpty) || quarantineDir.isDefined,
+      "expectations require quarantineDir")
     def specFor(table: String): TableSpec =
       tableSpecs.getOrElse(table, TableSpec(rowSchema, keyCols))
     def mirrorSink: graft.sinks.MirrorSink = sinkOverride.getOrElse {
@@ -162,26 +167,47 @@ object CdcPipeline {
           case s: graft.sinks.SwapMirror => Some(s)
           case _ => None
         }
+        // Row-level expectations: violating CHANGE rows (deletes exempt
+        // — removing a bad row is always clean) are quarantined to a
+        // typed side table with their rule names and excluded from the
+        // merge. Gated tables take the per-table path so the group-merge
+        // fast path stays rule-free.
+        def gate(t: String, unwrapped: DataFrame): DataFrame =
+          cfg.expectations.get(t).filter(_.nonEmpty) match {
+            case None => unwrapped
+            case Some(rules) =>
+              val ann = graft.operators.Expectations.annotate(unwrapped, rules)
+              val isBad = col("op") =!= "d" && size(col("_violations")) > 0
+              val bad = ann.filter(isBad)
+              if (!bad.isEmpty) bad.write.mode("append")
+                .parquet(s"${cfg.quarantineDir.get}/$t")
+              ann.filter(!isBad).drop("_violations")
+          }
+        def perTableJob(parsed: DataFrame, t: String): Future[Unit] = Future {
+          val spec = cfg.specFor(t)
+          val sub = parsed.filter(col("table_name") === t).drop("table_name")
+          val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
+          cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
+            gate(t, unwrapped), spec.keyCols, batchId)
+        }
+        def hasRules(t: String) =
+          cfg.expectations.get(t).exists(_.nonEmpty)
         val jobsWithTables: Seq[(Seq[String], Future[Unit])] =
           bySchema.toSeq.flatMap { case (schema, ts) =>
             val parsed = parsedBySchema(schema)
             groupMergeable match {
               case None =>
-                ts.map { t =>
-                  Seq(t) -> Future {
-                    val spec = cfg.specFor(t)
-                    val sub = parsed.filter(col("table_name") === t).drop("table_name")
-                    val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
-                    cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
-                      unwrapped, spec.keyCols, batchId)
-                  }
-                }
+                ts.map(t => Seq(t) -> perTableJob(parsed, t))
               case Some(swap) =>
-                ts.groupBy(t => cfg.specFor(t).keyCols).values.toSeq.map { group =>
-                  group -> Future {
-                    mergeGroupIntoMirrors(spark, parsed, group, cfg, swap.bucketCount)
-                  }
-                }
+                val (gated, fast) = ts.partition(hasRules)
+                gated.map(t => Seq(t) -> perTableJob(parsed, t)) ++
+                  fast.groupBy(t => cfg.specFor(t).keyCols).values.toSeq
+                    .map { group =>
+                      group -> Future {
+                        mergeGroupIntoMirrors(spark, parsed, group, cfg,
+                          swap.bucketCount)
+                      }
+                    }
             }
           }
         val jobs = jobsWithTables.map(_._2)

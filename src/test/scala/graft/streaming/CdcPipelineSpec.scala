@@ -99,6 +99,39 @@ class CdcPipelineSpec extends SparkSpec {
     assert(CdcPipeline.deadLetters(spark, cfg).count() == before.size + 1)
   }
 
+  test("expectations quarantine violating changes; deletes stay clean") {
+    val root = Files.createTempDirectory("graft-pipe-exp").toString
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt",
+      expectations = Map("ventas" -> Seq(graft.operators.Expectations.Rule(
+        "nonempty_v", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("v")) > 0))),
+      quarantineDir = Some(s"$root/quarantine"))
+
+    // violating insert (empty v) is quarantined, not mirrored
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 1, "a", "r", 1000, 0),
+      rec("ventas", 2, "", "r", 1000, 1)).toDF(), 0L, cfg)
+    assert(CdcPipeline.mirror(spark, cfg, "ventas")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    val q1 = spark.read.parquet(s"$root/quarantine/ventas")
+    assert(q1.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(q1.select("_violations").as[Seq[String]].head() == Seq("nonempty_v"))
+
+    // violating UPDATE is quarantined — the mirror keeps the old value
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 1, "", "u", 2000, 2)).toDF(), 1L, cfg)
+    val afterU = CdcPipeline.mirror(spark, cfg, "ventas").collect()
+    assert(afterU.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+
+    // a DELETE always passes the gate (removing a row is clean)
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 1, "", "d", 3000, 3)).toDF(), 2L, cfg)
+    assert(CdcPipeline.mirror(spark, cfg, "ventas").count() == 0)
+    // quarantine kept both bad rows, nothing else
+    assert(spark.read.parquet(s"$root/quarantine/ventas").count() == 2)
+  }
+
   test("group merge tolerates a sibling mirror lagging a schema evolution") {
     // ventas mirrors under the OLD schema; the registry then evolves
     // additively and a batch touches ventas AND compras together —

@@ -111,6 +111,85 @@ object AdvancedQueries {
       "calendar-spine gap fill with forward-fill (LOCF): one window " +
         "pass per series, spine from a 1-row bounds aggregate"),
 
+    // ---- time-series linear interpolation ----------------------------
+    // Same sparse spine as window_gap_fill, but gaps are LINEARLY
+    // interpolated between the surrounding observations (edges backfill
+    // / forward-fill). Two window passes per series (one backward, one
+    // forward), no self-join. The lerp runs in double with an identical
+    // op sequence in both engines, then rounds to integral cents, so
+    // results stay hash-exact.
+    Q("window_interpolate",
+      (s, d) => {
+        val src = load(s, d, "events").filter(col("user_id") % 97 === 0)
+        val daily = src
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val bounds = src.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val spine = src.select(col("event_type")).distinct()
+          .crossJoin(bounds)
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+        val base = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val joined = spine.join(daily, Seq("event_type", "day"), "left")
+        val prevC = last(col("cents"), ignoreNulls = true).over(back)
+        val prevD = last(when(col("cents").isNotNull, col("day")),
+          ignoreNulls = true).over(back)
+        val nextC = first(col("cents"), ignoreNulls = true).over(fwd)
+        val nextD = first(when(col("cents").isNotNull, col("day")),
+          ignoreNulls = true).over(fwd)
+        joined.select(col("event_type"), col("day"),
+          when(col("cents").isNotNull, col("cents"))
+            .when(prevC.isNull, nextC)
+            .when(nextC.isNull, prevC)
+            .otherwise(round(prevC + (nextC - prevC) *
+              (datediff(col("day"), prevD).cast("double") /
+                datediff(nextD, prevD))).cast("long"))
+            .as("cents_interp"),
+          col("cents").isNotNull.as("observed"))
+      },
+      Some("""WITH src AS (SELECT * FROM events WHERE user_id % 97 = 0),
+             |b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+             |             CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+             |      FROM src),
+             |types AS (SELECT DISTINCT event_type FROM src),
+             |spine AS (SELECT t.event_type, CAST(d.day AS DATE) AS day
+             |  FROM types t, b, LATERAL (
+             |    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+             |      AS day) d),
+             |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM src GROUP BY 1, 2),
+             |j AS (
+             |  SELECT s.event_type, s.day, d.cents,
+             |    last_value(d.cents IGNORE NULLS) OVER wb AS prev_c,
+             |    last_value(CASE WHEN d.cents IS NOT NULL THEN s.day END
+             |      IGNORE NULLS) OVER wb AS prev_d,
+             |    first_value(d.cents IGNORE NULLS) OVER wf AS next_c,
+             |    first_value(CASE WHEN d.cents IS NOT NULL THEN s.day END
+             |      IGNORE NULLS) OVER wf AS next_d
+             |  FROM spine s LEFT JOIN daily d USING (event_type, day)
+             |  WINDOW
+             |    wb AS (PARTITION BY s.event_type ORDER BY s.day
+             |           ROWS UNBOUNDED PRECEDING),
+             |    wf AS (PARTITION BY s.event_type ORDER BY s.day
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_type, day,
+             |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+             |    WHEN prev_c IS NULL THEN next_c
+             |    WHEN next_c IS NULL THEN prev_c
+             |    ELSE CAST(round(prev_c + (next_c - prev_c) *
+             |      (CAST(day - prev_d AS DOUBLE) / (next_d - prev_d)))
+             |      AS BIGINT) END AS BIGINT) AS cents_interp,
+             |  CAST(cents IS NOT NULL AS BOOLEAN) AS observed
+             |FROM j""".stripMargin),
+      "linear interpolation across series gaps: two window passes " +
+        "(backward + forward), edge gaps fall back to nearest " +
+        "observation, lerp rounded to exact cents"),
+
     // ---- sliding windows ---------------------------------------------
     Q("window_sliding",
       (s, d) => load(s, d, "events")

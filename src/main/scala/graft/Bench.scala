@@ -108,7 +108,9 @@ object Bench {
     val epsViews = (nEvents / Seq(pipeV1, pipeV2, pipeV3).min).toLong
 
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    // min of the two passes when both succeeded; -1 sentinel + failed
+    // catalog queries: min of the two passes when both succeeded (the
+    // pipeline headline above is the min of its THREE samples); -1
+    // sentinel + failed
     // list when neither did (a single-pass failure keeps the good time
     // but still flags the name — contended-host flakiness vs regression
     // is then distinguishable in the JSON).

@@ -91,8 +91,15 @@ object PqIndex {
 
     def sliceOf(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
 
+    val seedRows = norm.orderBy("id").limit(ksub).collect()
+    // a corpus smaller than ksub would seed short per-subspace centroid
+    // arrays while Codebook.ksub still reports the requested value —
+    // load() would then reconstruct a different codebook than the cache
+    // key claims. Fail loudly, mirroring the d % m == 0 require.
+    require(seedRows.length == ksub,
+      s"corpus has ${seedRows.length} vectors; PQ seeding needs >= ksub=$ksub")
     var cb: Array[Array[Array[Double]]] =
-      norm.orderBy("id").limit(ksub).collect().zipWithIndex.map {
+      seedRows.zipWithIndex.map {
         case (r, c) => (c, r.getSeq[Double](1)) } match {
         case seeds => Array.tabulate(m) { j =>
           seeds.map { case (_, v) =>

@@ -171,24 +171,42 @@ object CdcPipeline {
         // — removing a bad row is always clean) are quarantined to a
         // typed side table with their rule names and excluded from the
         // merge. Gated tables take the per-table path so the group-merge
-        // fast path stays rule-free.
-        def gate(t: String, unwrapped: DataFrame): DataFrame =
-          cfg.expectations.get(t).filter(_.nonEmpty) match {
-            case None => unwrapped
-            case Some(rules) =>
-              val ann = graft.operators.Expectations.annotate(unwrapped, rules)
-              val isBad = col("op") =!= "d" && size(col("_violations")) > 0
-              val bad = ann.filter(isBad)
-              if (!bad.isEmpty) bad.write.mode("append")
-                .parquet(s"${cfg.quarantineDir.get}/$t")
-              ann.filter(!isBad).drop("_violations")
-          }
+        // fast path stays rule-free. The quarantine write is idempotent
+        // under foreachBatch replay: rows are stamped with the batch id
+        // and written into their `_batch_id=` partition with DYNAMIC
+        // partition overwrite, so a replayed batch overwrites its own
+        // partition instead of appending duplicates (the same guard the
+        // agg views get from `_b_upto`).
+        def gatedMerge(t: String, unwrapped: DataFrame,
+                       rules: Seq[graft.operators.Expectations.Rule]): Unit = {
+          // annotate once, persist once: the bad-row probe, the
+          // quarantine write and the merge all reuse one evaluation of
+          // the parse→wellFormed→unwrap lineage
+          val ann = graft.operators.Expectations.annotate(unwrapped, rules)
+            .persist()
+          try {
+            val isBad = col("op") =!= "d" && size(col("_violations")) > 0
+            val bad = ann.filter(isBad)
+            if (!bad.isEmpty) bad
+              .withColumn("_batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_batch_id")
+              .parquet(s"${cfg.quarantineDir.get}/$t")
+            cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
+              ann.filter(!isBad).drop("_violations"), cfg.specFor(t).keyCols,
+              batchId)
+          } finally ann.unpersist()
+        }
         def perTableJob(parsed: DataFrame, t: String): Future[Unit] = Future {
           val spec = cfg.specFor(t)
           val sub = parsed.filter(col("table_name") === t).drop("table_name")
           val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
-          cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
-            gate(t, unwrapped), spec.keyCols, batchId)
+          cfg.expectations.get(t).filter(_.nonEmpty) match {
+            case None => cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
+              unwrapped, spec.keyCols, batchId)
+            case Some(rules) => gatedMerge(t, unwrapped, rules)
+          }
         }
         def hasRules(t: String) =
           cfg.expectations.get(t).exists(_.nonEmpty)

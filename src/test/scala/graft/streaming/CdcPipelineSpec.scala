@@ -124,6 +124,13 @@ class CdcPipelineSpec extends SparkSpec {
     val afterU = CdcPipeline.mirror(spark, cfg, "ventas").collect()
     assert(afterU.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
 
+    // foreachBatch REPLAY of the same batch: the quarantine write is
+    // batch-partitioned with dynamic overwrite, so the replayed rows
+    // land over their own partition instead of appending duplicates
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 1, "", "u", 2000, 2)).toDF(), 1L, cfg)
+    assert(spark.read.parquet(s"$root/quarantine/ventas").count() == 2)
+
     // a DELETE always passes the gate (removing a row is clean)
     CdcPipeline.processBatch(Seq(
       rec("ventas", 1, "", "d", 3000, 3)).toDF(), 2L, cfg)

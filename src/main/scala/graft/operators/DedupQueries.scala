@@ -124,30 +124,55 @@ object DedupQueries {
       "exact dedup = hash-groupBy; shuffle keyed by content hash"),
 
     // Small-n brute-force Jaccard (oracle-checkable); the LSH variant
-    // below is the scale path.
+    // below is the scale path. The corpus slice gets PLANTED near-
+    // duplicates (every 5th doc re-appears at doc_id+offset with its
+    // last two tokens dropped — a prefix copy, so its shingle set is a
+    // subset of the source's and the pair's Jaccard is (t-4)/(t-2)-ish,
+    // well above the 0.5 threshold): on random testdata no natural pair
+    // crosses the threshold, so without planting both engines find
+    // nothing and the compare is vacuous. Both sides brute-force the
+    // same planted corpus, so every value — including the Jaccard
+    // doubles, exact int/int divisions — is hash-checked.
     Q("dedup_jaccard_pairs",
       (s, d) => {
-        val docs = load(s, d, "documents").filter(col("doc_id") < 40)
+        val base = load(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"))
+        val w = tokens(col("text"))
+        val planted = base
+          .filter(col("doc_id") % 5 === 0 && size(w) >= 10)
+          .select((col("doc_id") + lit(plantOffset(s, d))).as("doc_id"),
+            array_join(slice(w, lit(1), size(w) - 2), " ").as("text"))
+        val docs = base.unionByName(planted)
           .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
         docs.as("l").join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
             (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
               size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
-          .filter(col("jaccard") > 0.05)
+          .filter(col("jaccard") > 0.5)
       },
-      Some("""WITH sh AS (
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
+             |corpus AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, array_to_string(
+             |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ')
+             |  FROM base
+             |  WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 10),
+             |sh AS (
              |  SELECT doc_id, list_distinct(list_transform(
              |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
              |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
-             |  FROM documents WHERE doc_id < 40)
+             |  FROM corpus)
              |SELECT l.doc_id AS a, r.doc_id AS b,
              |  CAST(len(list_filter(l.s, x -> list_contains(r.s, x))) AS DOUBLE)
              |    / len(list_distinct(list_concat(l.s, r.s))) AS jaccard
              |FROM sh l, sh r
              |WHERE l.doc_id < r.doc_id
              |  AND CAST(len(list_filter(l.s, x -> list_contains(r.s, x))) AS DOUBLE)
-             |    / len(list_distinct(list_concat(l.s, r.s))) > 0.05""".stripMargin),
-      "n-gram Jaccard similarity, brute-force oracle-checkable slice"),
+             |    / len(list_distinct(list_concat(l.s, r.s))) > 0.5""".stripMargin),
+      "n-gram Jaccard near-dups, brute-force slice with planted " +
+        "prefix-copies (values hash-checked, non-vacuous)"),
 
     // Cluster election: candidate pairs -> connected components ->
     // canonical doc (min id in component) — the step that turns pair

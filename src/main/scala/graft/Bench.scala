@@ -91,6 +91,37 @@ object Bench {
       (System.nanoTime() - tp0) / 1e9
     }
 
+    // Mirror write amplification: merge one identical SMALL batch into
+    // an identically seeded mirror under each layout and report the
+    // bytes that batch wrote. Swap rewrites the table, bucketed rewrites
+    // every touched bucket, log-structured writes only the batch's delta
+    // segment — per-batch bytes ∝ batch size, the 100 TB merge property.
+    val smallBatch = raw.limit(10).persist()
+    smallBatch.count()
+    def batchWriteBytes(sink: graft.sinks.MirrorSink): Long = {
+      val root = java.nio.file.Files.createTempDirectory("graft-wamp").toString
+      val cfg = graft.streaming.CdcPipeline.Config(
+        graft.cdc.Fixture.rowSchema, Seq("id"),
+        s"$root/mirror", s"$root/dlq", s"$root/ckpt",
+        sinkOverride = Some(sink))
+      graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
+      val t0 = System.currentTimeMillis()
+      graft.streaming.CdcPipeline.processBatch(smallBatch, 1L, cfg)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/mirror"), true)
+      var sum = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getModificationTime >= t0) sum += f.getLen
+      }
+      sum
+    }
+    val wampSwap = batchWriteBytes(graft.sinks.SwapMirror(None))
+    val wampBucket = batchWriteBytes(graft.sinks.BucketedMirrorSink(32))
+    val wampLog = batchWriteBytes(graft.sinks.LogMirrorSink(maxDeltas = 64))
+    smallBatch.unpersist()
+
     val names = headline.filter(SparkEntry.queries.contains)
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pipe1 = pipeRun()
@@ -129,7 +160,7 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews,"small_batch_write_bytes":{"swap":$wampSwap,"bucketed":$wampBucket,"log":$wampLog}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,313 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Materialize
+
+/** Log-structured CDC mirror: an immutable BASE segment plus an ordered
+  * list of per-batch DELTA segments, committed through an atomic
+  * manifest pointer — the layout that makes a merge's write cost
+  * proportional to the BATCH, not to the mirror or even a bucket of it.
+  *
+  * The other two parquet-native layouts both rewrite state a batch
+  * didn't change: [[SwapMirror]] rewrites the whole table,
+  * [[BucketedMirror]] rewrites every touched bucket (a 1-row change
+  * still rewrites its whole ~GB bucket at scale). Here a merge writes
+  * ONLY the batch collapsed to latest-per-key — the delta segment —
+  * and never reads the base at all:
+  *
+  *   - merge: `versionedState(batch)` → `segments/delta-<batchId>`,
+  *     manifest appends the segment. Zero base reads, write bytes
+  *     ∝ batch keys. This is the reference's row-level upsert cost
+  *     model (register-postgres-sink.json:15-17 writes only the
+  *     batch's rows) realized on immutable storage.
+  *   - read: base ∪ deltas reconciled by the stored (ts_ms, offset)
+  *     version per key — the same ordering every mirror layout uses,
+  *     so late/replayed changes can never regress a newer row.
+  *   - compaction (automatic past `maxDeltas`, or explicit): folds
+  *     base+deltas into a fresh base segment and resets the delta
+  *     list — amortized O(mirror/maxDeltas) per batch, the standard
+  *     LSM trade: read cost is bounded by `maxDeltas` reconcile
+  *     inputs, write amplification is bounded by the fold cadence.
+  *
+  * Crash safety follows [[BucketedMirror]]'s versioned-dir + pointer
+  * design: segment dirs land BEFORE the manifest commit (tmp-file +
+  * atomic rename, readers take the highest manifest id), so a crash at
+  * any point leaves the previous manifest pointing at complete
+  * segments. Replays are idempotent — a replayed batch overwrites its
+  * own delta dir and recommits an identical manifest; tombstones are
+  * RETAINED through compaction, so a replayed batch containing a
+  * pre-delete change can never resurrect a deleted key.
+  *
+  * At 100 TB: deltas are small sorted files (row-group stats serve
+  * point lookups); the base is bucket-partitioned (`n:` in the
+  * manifest) so key lookups prune to one base partition + the deltas;
+  * compaction is the only mirror-sized job and runs on YOUR cadence,
+  * off the ingest path if desired (`maxDeltas = Int.MaxValue` +
+  * explicit `compact()` in a maintenance window).
+  */
+object LogMirror {
+
+  /** Committed mirror layout: key columns + optional base bucket count,
+    * the base segment id, and the ordered live delta ids. */
+  final case class Manifest(keyCols: Seq[String], bucketCount: Option[Int],
+                            base: Option[Long], deltas: Seq[Long])
+
+  private def manifestId(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("MANIFEST-")) n.stripPrefix("MANIFEST-").toLongOption
+    else None
+  }
+
+  private def latestManifest(fs: FileSystem, root: String): Option[Path] = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath)
+      .flatMap(p => manifestId(p).map(_ -> p))
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Absent manifest = never-written mirror. */
+  def readManifest(fs: FileSystem, root: String): Option[Manifest] =
+    latestManifest(fs, root).map { mf =>
+      val in = fs.open(mf)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+      Manifest(
+        keyCols = lines.collectFirst {
+          case l if l.startsWith("k:") => l.stripPrefix("k:").split(',').toSeq
+        }.getOrElse(Seq.empty),
+        bucketCount = lines.collectFirst {
+          case l if l.startsWith("n:") => l.stripPrefix("n:").toInt
+        },
+        base = lines.collectFirst {
+          case l if l.startsWith("base:") => l.stripPrefix("base:").toLong
+        },
+        deltas = lines.collect {
+          case l if l.startsWith("delta:") => l.stripPrefix("delta:").toLong
+        }.sorted)
+    }
+
+  private def writeManifest(fs: FileSystem, root: String, commitId: Long,
+                            m: Manifest): Unit = {
+    val tmp = new Path(s"$root/.MANIFEST-$commitId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((
+      Seq(s"k:${m.keyCols.mkString(",")}") ++
+        m.bucketCount.map(n => s"n:$n") ++
+        m.base.map(b => s"base:$b") ++
+        m.deltas.map(d => s"delta:$d"))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(s"$root/MANIFEST-$commitId")
+    fs.delete(dst, false) // replay of the same batch recommits
+    if (!fs.rename(tmp, dst)) sys.error(s"manifest commit failed for $root")
+    // sweep superseded manifests (readers take the newest)
+    fs.listStatus(new Path(root)).map(_.getPath)
+      .filter(p => manifestId(p).exists(_ < commitId))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  private def basePath(root: String, v: Long) = s"$root/segments/base-$v"
+  private def deltaPath(root: String, v: Long) = s"$root/segments/delta-$v"
+
+  private def bucketExpr(keyCols: Seq[String], n: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(n))
+
+  /** Latest row per key across segments by the stored version order —
+    * the cross-segment analog of [[Materialize.latestPerKey]], running
+    * on already-versioned rows. One hash aggregation with map-side
+    * partial `max_by`; shuffle keyed by PK. */
+  private def reconcile(segments: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val payload = segments.columns.filterNot(keyCols.contains)
+    segments
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.toSeq.map(col): _*),
+        struct(col(Materialize.versionTs), col(Materialize.versionOffset)))
+        .as("_latest"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** allowMissingColumns: a delta written after an additive schema
+    * evolution carries columns the base predates — they backfill null
+    * (auto.evolve=true, register-postgres-sink.json:14). */
+  private def unionSegments(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  private def segmentFrames(spark: SparkSession, root: String,
+                            m: Manifest): Seq[DataFrame] =
+    (m.base.map(v => spark.read.parquet(basePath(root, v))).toSeq ++
+      m.deltas.map(v => spark.read.parquet(deltaPath(root, v))))
+      .map(_.drop("_bucket"))
+
+  /** Merge one unwrapped change batch: write the batch's latest-per-key
+    * delta segment (NO base read), commit, and fold when the delta list
+    * reaches `maxDeltas`. */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            keyCols: Seq[String], batchId: Long, maxDeltas: Int,
+            bucketCount: Option[Int]): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = readManifest(fs, root)
+    prev.foreach { m =>
+      // a merge keyed differently from the committed layout would
+      // reconcile the wrong per-key state — fail loudly
+      require(m.keyCols == keyCols,
+        s"LogMirror at $root is keyed by ${m.keyCols}; merge got $keyCols")
+    }
+    // readers resolve the HIGHEST manifest id, so a commit below it
+    // would be invisible while its sweep destroys the visible segments;
+    // equality is the foreachBatch replay (allowed — it recommits)
+    latestManifest(fs, root).flatMap(manifestId).filter(_ > batchId)
+      .foreach(newest => sys.error(
+        s"LogMirror commit ids must advance: batch $batchId behind " +
+          s"committed manifest $newest at $root"))
+    val delta = Materialize.versionedState(changes, keyCols).persist()
+    try {
+      if (delta.isEmpty) return // nothing survived the batch (all malformed)
+      // delta files are key-sorted so parquet row-group min/max stats
+      // prune point lookups inside each segment
+      delta.sortWithinPartitions(keyCols.map(col): _*)
+        .write.mode("overwrite").parquet(deltaPath(root, batchId))
+    } finally delta.unpersist()
+    val deltas = prev.map(_.deltas).getOrElse(Seq.empty)
+      .filterNot(_ == batchId) :+ batchId // replay overwrites its own slot
+    val m = Manifest(keyCols, bucketCount, prev.flatMap(_.base), deltas)
+    if (deltas.length >= maxDeltas) compactTo(spark, fs, root, m, batchId)
+    else {
+      writeManifest(fs, root, batchId, m)
+      sweep(fs, root, m)
+    }
+  }
+
+  /** Fold base+deltas into a fresh base segment (explicit entry point
+    * for off-ingest-path compaction; merge calls it automatically past
+    * `maxDeltas`). No-op when there is nothing to fold. Tombstones are
+    * retained: a replayed batch may still carry changes OLDER than a
+    * key's delete, and only the tombstone's stored version outranks
+    * them. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root).filter(_.deltas.nonEmpty).foreach { m =>
+      compactTo(spark, fs, root, m, m.deltas.max)
+    }
+  }
+
+  private def compactTo(spark: SparkSession, fs: FileSystem, root: String,
+                        m: Manifest, commitId: Long): Unit = {
+    val folded = reconcile(unionSegments(segmentFrames(spark, root, m)),
+      m.keyCols)
+    val writer = m.bucketCount match {
+      case Some(n) => folded
+        .withColumn("_bucket", bucketExpr(m.keyCols, n))
+        .repartition(n, col("_bucket"))
+        .sortWithinPartitions(("_bucket" +: m.keyCols).map(col): _*)
+        .write.partitionBy("_bucket")
+      case None => folded
+        .sortWithinPartitions(m.keyCols.map(col): _*)
+        .write
+    }
+    writer.mode("overwrite").parquet(basePath(root, commitId))
+    val next = m.copy(base = Some(commitId), deltas = Seq.empty)
+    writeManifest(fs, root, commitId, next)
+    sweep(fs, root, next)
+  }
+
+  /** Drop segment dirs the committed manifest no longer references
+    * (superseded bases, folded deltas, crash leftovers). Single-writer
+    * discipline, same as [[BucketedMirror]]'s version sweep: a reader
+    * holding the immediately-previous manifest may race a compaction
+    * sweep — run compaction off the read path or tolerate a retry. */
+  private def sweep(fs: FileSystem, root: String, m: Manifest): Unit = {
+    val dir = new Path(s"$root/segments")
+    if (!fs.exists(dir)) return
+    val live = m.base.map(v => s"base-$v").toSet ++
+      m.deltas.map(v => s"delta-$v")
+    fs.listStatus(dir).map(_.getPath)
+      .filterNot(p => live(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Versioned snapshot (tombstones + bookkeeping retained). */
+  def readVersioned(spark: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root) match {
+      case Some(m) =>
+        reconcile(unionSegments(segmentFrames(spark, root, m)), m.keyCols)
+      case None =>
+        // never-written mirror: committed segments are always non-empty
+        // (versionedState of a non-empty batch keeps tombstones), so the
+        // only schema-less case is this one — bookkeeping columns only
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            s"`${Materialize.versionTs}` BIGINT, " +
+              s"`${Materialize.versionOffset}` BIGINT, " +
+              s"`${Materialize.deletedFlag}` BOOLEAN"))
+    }
+  }
+
+  /** Live current-state read. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    Materialize.stripVersions(readVersioned(spark, root))
+
+  /** Point lookup: the base read prunes to the key's `_bucket=`
+    * partition (manifest's stored n), each delta is key-filtered with
+    * row-group stats doing the pruning (segments are key-sorted) — then
+    * the handful of surviving rows reconcile. O(base partition +
+    * #deltas row groups), never O(table). */
+  def lookup(spark: SparkSession, root: String, keyCols: Seq[String],
+             keyValues: Seq[Any]): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root) match {
+      case None => Materialize.stripVersions(readVersioned(spark, root))
+      case Some(m) =>
+        val schema = spark.read.parquet(
+          (m.base.map(basePath(root, _)) orElse
+            m.deltas.lastOption.map(deltaPath(root, _))).get).schema
+        // typed literals: murmur3 hashes Int and Long differently, so an
+        // uncast probe would compute a bucket the row isn't in
+        val typed = keyCols.zip(keyValues).map { case (k, v) =>
+          lit(v).cast(schema(k).dataType)
+        }
+        def keyFilter(df: DataFrame): DataFrame =
+          keyCols.zip(typed).foldLeft(df)((d, kv) => d.filter(col(kv._1) === kv._2))
+        val baseRows = m.base.map { v =>
+          val b = spark.read.parquet(basePath(root, v))
+          keyFilter(m.bucketCount match {
+            case Some(n) if b.columns.contains("_bucket") =>
+              b.filter(col("_bucket") === pmod(hash(typed: _*), lit(n)))
+            case _ => b
+          }).drop("_bucket")
+        }.toSeq
+        val deltaRows = m.deltas.map(v =>
+          keyFilter(spark.read.parquet(deltaPath(root, v))))
+        Materialize.stripVersions(
+          reconcile(unionSegments(baseRows ++ deltaRows), keyCols))
+    }
+  }
+}
+
+/** [[LogMirror]] behind the [[MirrorSink]] interface — the in-repo
+  * realization of the row-level MERGE sink the trait was declared for:
+  * per-batch write cost ∝ batch size (delta-only writes), read-side
+  * reconcile bounded by `maxDeltas`, compaction amortized. */
+final case class LogMirrorSink(maxDeltas: Int = 16,
+                               bucketCount: Option[Int] = None)
+    extends MirrorSink {
+  require(maxDeltas >= 1, "maxDeltas must be >= 1")
+
+  override def merge(spark: SparkSession, tableRoot: String, changes: DataFrame,
+                     keyCols: Seq[String], batchId: Long): Unit =
+    LogMirror.merge(spark, tableRoot, changes, keyCols, batchId, maxDeltas,
+      bucketCount)
+
+  override def read(spark: SparkSession, tableRoot: String): DataFrame =
+    LogMirror.read(spark, tableRoot)
+
+  override def lookup(spark: SparkSession, tableRoot: String,
+                      keyCols: Seq[String], keyValues: Seq[Any]): DataFrame =
+    LogMirror.lookup(spark, tableRoot, keyCols, keyValues)
+}

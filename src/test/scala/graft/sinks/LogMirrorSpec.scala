@@ -1,0 +1,186 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Log-structured base+delta mirror: equivalence with the swap layout
+  * on the full insert/update/delete/replay matrix, DELTA-ONLY writes
+  * (per-batch write bytes ∝ batch, base files untouched), automatic and
+  * explicit compaction, tombstone retention through compaction, crash
+  * leftovers, and pruned lookups. */
+class LogMirrorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyCols = Seq("id")
+
+  private def changes(rows: (Long, String, String, Long, Long)*): DataFrame =
+    rows.toDF("id", "v", "op", "ts_ms", "offset")
+      .selectExpr("id", "v", "op", "ts_ms", "'t' AS topic",
+        "0 AS partition", "offset")
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def state(root: String): Map[Long, String] =
+    LogMirror.read(spark, root).select("id", "v")
+      .as[(Long, String)].collect().toMap
+
+  private def merge(root: String, c: DataFrame, batchId: Long,
+                    maxDeltas: Int = 16): Unit =
+    LogMirror.merge(spark, root, c, keyCols, batchId, maxDeltas, None)
+
+  private def segmentNames(root: String): Set[String] = {
+    val fs = fsOf(root)
+    val dir = new Path(s"$root/segments")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSet
+  }
+
+  private def dirBytes(root: String, name: String): Long = {
+    val fs = fsOf(root)
+    fs.getContentSummary(new Path(s"$root/segments/$name")).getLength
+  }
+
+  test("never-written mirror reads/looks up as empty, never throws") {
+    val root = Files.createTempDirectory("lm-empty").toString + "/none"
+    assert(LogMirror.read(spark, root).count() == 0)
+    assert(LogMirror.lookup(spark, root, keyCols, Seq(1L)).count() == 0)
+  }
+
+  test("insert/update/delete/replay matrix matches the swap layout") {
+    val lmRoot = Files.createTempDirectory("lm-eq").toString
+    val swRoot = Files.createTempDirectory("lm-eq-sw").toString
+    val swap = SwapMirror()
+    val batches = Seq(
+      changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),
+        (3L, "c", "r", 1000L, 2L)),
+      changes((1L, "a2", "u", 2000L, 3L), (2L, "", "d", 2000L, 4L),
+        (9L, "i", "c", 2000L, 5L)),
+      // late-arriving OLDER change for key 1 + resurrect-attempt on the
+      // deleted key 2 at a pre-delete version: both must lose
+      changes((1L, "stale", "u", 1500L, 6L), (2L, "ghost", "u", 1500L, 7L)),
+      changes((3L, "", "d", 3000L, 8L), (4L, "d4", "c", 3000L, 9L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      merge(lmRoot, b, i.toLong)
+      swap.merge(spark, swRoot, b, keyCols, i.toLong)
+    }
+    // replay the LAST batch (foreachBatch at-least-once)
+    merge(lmRoot, batches.last, (batches.size - 1).toLong)
+    def swapState = swap.read(spark, swRoot).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(state(lmRoot) == swapState)
+    assert(state(lmRoot) == Map(1L -> "a2", 9L -> "i", 4L -> "d4"))
+  }
+
+  test("a merge writes ONLY the batch's delta: base files untouched, " +
+    "write bytes proportional to batch size") {
+    val root = Files.createTempDirectory("lm-inc").toString
+    // seed a base: 20k keys, then compact so it all lives in base-*
+    merge(root, changes((1L to 20000L).map(i =>
+      (i, s"v$i", "r", 1000L, i)): _*), 0L)
+    LogMirror.compact(spark, root)
+    val fs = fsOf(root)
+    val baseName = segmentNames(root).find(_.startsWith("base-")).get
+    val baseFiles = fs.listStatus(new Path(s"$root/segments/$baseName"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val baseBytes = dirBytes(root, baseName)
+
+    // 50-row batch: the write must be one small delta segment
+    merge(root, changes((1L to 50L).map(i =>
+      (i, s"u$i", "u", 2000L, 20000L + i)): _*), 1L)
+    val names = segmentNames(root)
+    assert(names.contains(baseName), "base segment must survive a merge")
+    assert(names.contains("delta-1"))
+    val afterFiles = fs.listStatus(new Path(s"$root/segments/$baseName"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    assert(afterFiles == baseFiles, "base files must not be rewritten")
+    val deltaBytes = dirBytes(root, "delta-1")
+    assert(deltaBytes * 10 < baseBytes,
+      s"delta ($deltaBytes B) must be small vs base ($baseBytes B) — " +
+        "write amplification ∝ batch, not mirror")
+    // and the merged state is correct
+    assert(state(root)(25L) == "u25")
+    assert(state(root)(20000L) == "v20000")
+  }
+
+  test("automatic compaction folds past maxDeltas; state preserved; " +
+    "folded segments swept") {
+    val root = Files.createTempDirectory("lm-cpt").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L)), 0L, maxDeltas = 3)
+    merge(root, changes((2L, "b", "r", 2000L, 1L)), 1L, maxDeltas = 3)
+    assert(segmentNames(root) == Set("delta-0", "delta-1"))
+    // third delta trips the fold: one base, no deltas, old dirs gone
+    merge(root, changes((1L, "a2", "u", 3000L, 2L)), 2L, maxDeltas = 3)
+    assert(segmentNames(root) == Set("base-2"))
+    assert(state(root) == Map(1L -> "a2", 2L -> "b"))
+    // replay of the compacting batch is idempotent
+    merge(root, changes((1L, "a2", "u", 3000L, 2L)), 2L, maxDeltas = 3)
+    assert(state(root) == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("tombstones survive compaction: a replayed pre-delete change " +
+    "cannot resurrect the key") {
+    val root = Files.createTempDirectory("lm-tomb").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L)), 0L)
+    merge(root, changes((1L, "", "d", 3000L, 1L)), 1L)
+    LogMirror.compact(spark, root)
+    assert(state(root).isEmpty)
+    // replay an OLD update (version < the delete's): must stay deleted
+    merge(root, changes((1L, "zombie", "u", 2000L, 2L)), 2L)
+    assert(state(root).isEmpty,
+      "compacted tombstone must still outrank older replayed changes")
+  }
+
+  test("crash leftovers: an unreferenced partial segment dir is " +
+    "invisible to readers and swept on the next commit") {
+    val root = Files.createTempDirectory("lm-crash").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L)), 0L)
+    val fs = fsOf(root)
+    // simulate a crash between the segment write and the manifest
+    // commit: an orphan delta dir with garbage
+    fs.mkdirs(new Path(s"$root/segments/delta-99"))
+    assert(state(root) == Map(1L -> "a"), "orphan must not be read")
+    merge(root, changes((2L, "b", "r", 2000L, 1L)), 1L)
+    assert(!segmentNames(root).contains("delta-99"), "orphan swept on commit")
+    assert(state(root) == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("bucketed base: lookup prunes to one base partition + deltas") {
+    val root = Files.createTempDirectory("lm-look").toString
+    LogMirror.merge(spark, root, changes((1L to 1000L).map(i =>
+      (i, s"v$i", "r", 1000L, i)): _*), keyCols, 0L, 16, Some(8))
+    LogMirror.compact(spark, root)
+    LogMirror.merge(spark, root, changes((7L, "u7", "u", 2000L, 2000L)),
+      keyCols, 1L, 16, Some(8))
+    // delta overrides base through the lookup path
+    assert(LogMirror.lookup(spark, root, keyCols, Seq(7L))
+      .select("v").as[String].head() == "u7")
+    assert(LogMirror.lookup(spark, root, keyCols, Seq(500L))
+      .select("v").as[String].head() == "v500")
+    // the base scan is partition-pruned to the probe key's bucket
+    val plan = LogMirror.lookup(spark, root, keyCols, Seq(500L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_bucket"),
+      s"base lookup must prune on _bucket:\n$plan")
+  }
+
+  test("schema evolution: a delta with a new column backfills null " +
+    "into base-era rows") {
+    val root = Files.createTempDirectory("lm-evo").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L)), 0L)
+    LogMirror.compact(spark, root)
+    val evolved = Seq((2L, "b", 7L, "r", 2000L, 1L))
+      .toDF("id", "v", "extra", "op", "ts_ms", "offset")
+      .selectExpr("id", "v", "extra", "op", "ts_ms", "'t' AS topic",
+        "0 AS partition", "offset")
+    LogMirror.merge(spark, root, evolved, keyCols, 1L, 16, None)
+    assert(LogMirror.read(spark, root).count() == 2)
+    val byId = LogMirror.read(spark, root).select("id", "extra")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(7L))
+  }
+}

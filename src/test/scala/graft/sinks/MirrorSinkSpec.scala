@@ -96,9 +96,12 @@ class MirrorSinkSpec extends SparkSpec {
     assert(CdcPipeline.lookup(spark, c, "compras", Seq(7L)).count() == 1)
   }
 
-  test("swap and bucketed sinks produce identical state for identical input") {
+  test("swap, bucketed and log-structured sinks produce identical state " +
+    "for identical input") {
     val swapCfg = cfg(Some(SwapMirror(Some(4))))
     val bucketCfg = cfg(Some(BucketedMirrorSink(4)))
+    val logCfg = cfg(Some(LogMirrorSink(maxDeltas = 2, bucketCount = Some(4))))
+    val all = Seq(swapCfg, bucketCfg, logCfg)
     val batches = Seq(
       Seq(rec("ventas", 1, "a", "r", 1000, 0), rec("ventas", 2, "b", "r", 1000, 1),
         rec("ventas", 3, "c", "r", 1000, 2)),
@@ -106,16 +109,20 @@ class MirrorSinkSpec extends SparkSpec {
         rec("ventas", 9, "i", "c", 2000, 5)))
     batches.zipWithIndex.foreach { case (b, i) =>
       val df = b.toDS().toDF()
-      CdcPipeline.processBatch(df, i.toLong, swapCfg)
-      CdcPipeline.processBatch(df, i.toLong, bucketCfg)
+      all.foreach(c => CdcPipeline.processBatch(df, i.toLong, c))
     }
+    // replay the last batch against the log sink (maxDeltas=2 means the
+    // second batch compacted — the replay exercises the post-compaction
+    // idempotence path through the full pipeline)
+    CdcPipeline.processBatch(batches.last.toDS().toDF(), 1L, logCfg)
     def state(c: CdcPipeline.Config) =
       CdcPipeline.mirror(spark, c, "ventas").orderBy("id").collect()
         .map(r => (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("v")))).toSeq
     assert(state(swapCfg) == state(bucketCfg))
+    assert(state(swapCfg) == state(logCfg))
     assert(state(swapCfg) == Seq((1L, "a2"), (3L, "c"), (9L, "i")))
-    // both prune lookups and agree on them too
-    assert(CdcPipeline.lookup(spark, swapCfg, "ventas", Seq(9L)).count() == 1)
-    assert(CdcPipeline.lookup(spark, bucketCfg, "ventas", Seq(9L)).count() == 1)
+    // all three prune lookups and agree on them too
+    all.foreach(c =>
+      assert(CdcPipeline.lookup(spark, c, "ventas", Seq(9L)).count() == 1))
   }
 }

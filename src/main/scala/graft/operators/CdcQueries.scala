@@ -17,6 +17,10 @@ object CdcQueries {
   private val cache =
     new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
 
+  /** Shared with [[Expectations]]' table-integrity query. */
+  private[operators] def fixtureChanges(s: org.apache.spark.sql.SparkSession,
+                                        d: String) = unwrapped(s, d)
+
   /** Shared Spark pipeline: raw records → unwrapped typed changes. */
   private def unwrapped(s: org.apache.spark.sql.SparkSession, d: String) =
     cache.getOrElseUpdate(s, d)(

@@ -45,7 +45,63 @@ object Expectations {
     df.agg(count(lit(1)).as("n_rows"), (clean +: perRule): _*)
   }
 
+  /** One-row table-grain stats (row count + per-column extrema) — the
+    * continuous form of the reference's integrity probe, which compares
+    * MAX(id) between source and sink per table
+    * (cdc_data_integrity_dynamic_dag.py:48-60). `prefix` lets the
+    * reference side land as `ref_*` columns next to the sink's. */
+  def tableStats(df: DataFrame, maxCols: Seq[String],
+                 prefix: String = ""): DataFrame =
+    df.agg(count(lit(1)).as(s"${prefix}n_rows"),
+      maxCols.map(c => max(col(c)).as(s"${prefix}max_$c")): _*)
+
+  /** Table-grain rule evaluation: annotate the 1-row `sink × reference`
+    * stats frame and keep only failed rules — empty result = clean
+    * table. Rules see columns `n_rows`/`max_*` (sink) and
+    * `ref_n_rows`/`ref_max_*` (reference), e.g.
+    * `col("max_id") === col("ref_max_id")` or
+    * `abs(col("n_rows") - col("ref_n_rows")) <= 10`. */
+  def tableViolations(sinkStats: DataFrame, refStats: DataFrame,
+                      rules: Seq[Rule]): DataFrame =
+    annotate(sinkStats.crossJoin(refStats), rules)
+      .filter(size(col("_violations")) > 0)
+
   def queries: Seq[Q] = Seq(
+    // Table-grain integrity expectation over the CDC spine: the sink
+    // side is the fixture stream materialized to current state, the
+    // reference side is the source-of-truth expectation derived from
+    // `orders` — MAX(id) parity + row-count delta, evaluated
+    // continuously instead of on the reference's cron.
+    Q("quality_table_integrity",
+      (s, d) => {
+        val sink = tableStats(graft.cdc.Materialize.currentState(
+          CdcQueries.fixtureChanges(s, d), Seq("id")), Seq("id"))
+        val src = tableStats(
+          graft.core.Tables.load(s, d, "orders")
+            .filter(!(col("o_orderkey") % 5 === 0 &&
+              col("o_orderkey") % 10 =!= 0))
+            .select(col("o_orderkey").as("id")),
+          Seq("id"), prefix = "ref_")
+        sink.crossJoin(src)
+          .withColumn("ok_max_id_parity", col("max_id") === col("ref_max_id"))
+          .withColumn("ok_row_count",
+            abs(col("n_rows") - col("ref_n_rows")) <= 0)
+      },
+      Some("""WITH sink AS (
+             |  SELECT count(*) AS n_rows, max(id) AS max_id FROM (
+             |    SELECT o_orderkey AS id FROM orders
+             |    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0)) t),
+             |src AS (
+             |  SELECT count(*) AS ref_n_rows, max(o_orderkey) AS ref_max_id
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0))
+             |SELECT n_rows, max_id, ref_n_rows, ref_max_id,
+             |  max_id = ref_max_id AS ok_max_id_parity,
+             |  abs(n_rows - ref_n_rows) <= 0 AS ok_row_count
+             |FROM sink, src""".stripMargin),
+      "table-grain integrity expectation: MAX(pk) parity + row-count " +
+        "delta, sink (CDC state) vs source, stats-only scans"),
+
     Q("quality_expectations",
       (s, d) => {
         val orders = graft.core.Tables.load(s, d, "orders")

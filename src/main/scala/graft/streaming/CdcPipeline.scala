@@ -56,6 +56,18 @@ object CdcPipeline {
     * incrementally per batch (see [[IncrementalAgg]]). */
   final case class AggView(table: String, spec: IncrementalAgg.Spec)
 
+  /** Table-grain expectation riding an agg view: after each batch the
+    * view's O(groups) state rolls up to ONE stats row (`n_rows`,
+    * `sum_*`, `max_*`, `min_*`) — never a mirror rescan — and `rules`
+    * are evaluated against it, optionally next to `ref_n_rows`/
+    * `ref_max_*` from a `reference` source-of-truth frame. This is the
+    * reference's MAX(id)-parity integrity check
+    * (cdc_data_integrity_dynamic_dag.py:48-60) as a continuous
+    * expectation instead of a cron. */
+  final case class TableExpectation(
+      rules: Seq[graft.operators.Expectations.Rule],
+      reference: Option[SparkSession => DataFrame] = None)
+
   /** @param rowSchema   default row schema (tables without an override)
     * @param keyCols     default primary-key columns
     * @param tableSpecs  per-table overrides (schema registry)
@@ -90,11 +102,17 @@ object CdcPipeline {
       sinkOverride: Option[graft.sinks.MirrorSink] = None,
       expectations: Map[String, Seq[graft.operators.Expectations.Rule]] =
         Map.empty,
-      quarantineDir: Option[String] = None) {
+      quarantineDir: Option[String] = None,
+      tableExpectations: Map[String, TableExpectation] = Map.empty) {
     require(!incrementalMirror || bucketCount.isDefined,
       "incrementalMirror requires bucketCount")
     require(expectations.values.forall(_.isEmpty) || quarantineDir.isDefined,
       "expectations require quarantineDir")
+    require(tableExpectations.isEmpty || quarantineDir.isDefined,
+      "tableExpectations require quarantineDir")
+    require(tableExpectations.keySet.subsetOf(aggViews.keySet),
+      "tableExpectations are keyed by agg-view name (the stats ride the " +
+        "view's delta path) — register the view first")
     def specFor(table: String): TableSpec =
       tableSpecs.getOrElse(table, TableSpec(rowSchema, keyCols))
     def mirrorSink: graft.sinks.MirrorSink = sinkOverride.getOrElse {
@@ -241,6 +259,8 @@ object CdcPipeline {
               val parsed = parsedBySchema(cfg.specFor(v.table).rowSchema)
                 .filter(col("table_name") === v.table)
               updateAggView(spark, name, parsed, v, batchId, cfg)
+              cfg.tableExpectations.get(name).foreach(te =>
+                checkTableExpectations(spark, name, v, te, batchId, cfg))
             }
         }
         (jobs ++ viewJobs).foreach(Await.result(_, Duration.Inf))
@@ -378,6 +398,53 @@ object CdcPipeline {
   private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem, root: String)
                         (write: Path => Unit): Unit =
     graft.sinks.SwapMirror.atomicSwap(fs, root)(write)
+
+  /** Evaluate a view's table-grain expectations after its batch update:
+    * the O(groups) view state rolls up to one stats row, rules run
+    * against it (× the reference stats when declared), and failed rules
+    * land as one quarantine row per batch under
+    * `quarantineDir/_table/<view>` — batch-partitioned with dynamic
+    * overwrite, so foreachBatch replays overwrite their own partition
+    * (same idempotence as the row-level quarantine). Cost per batch:
+    * one O(groups) rollup + (with a reference) one stats-only scan of
+    * the reference — the reference probe is MAX(pk)/COUNT, which
+    * parquet serves from footer statistics. */
+  private def checkTableExpectations(spark: SparkSession, name: String,
+      view: AggView, te: TableExpectation, batchId: Long,
+      cfg: Config): Unit = {
+    val spec = view.spec
+    val state = aggView(spark, cfg, name)
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      (spec.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        spec.maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+        spec.minCols.map(c => min(col(s"min_$c")).as(s"min_$c")))
+    val sink = state.agg(aggs.head, aggs.tail: _*)
+    val full = te.reference match {
+      case Some(f) => sink.crossJoin(graft.operators.Expectations
+        .tableStats(f(spark), spec.maxCols, prefix = "ref_"))
+      case None => sink
+    }
+    val bad = graft.operators.Expectations.annotate(full, te.rules)
+      .filter(size(col("_violations")) > 0)
+    if (!bad.isEmpty) bad
+      .withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(s"${cfg.quarantineDir.get}/_table/$name")
+  }
+
+  /** Recorded table-grain expectation violations for a view: one row
+    * per (batch, failed-rule-set) with the stats the rules saw. Empty
+    * when the view has never violated. Feed these to the alert fan-in
+    * the same way health rows go — each row is a fired condition. */
+  def tableViolations(spark: SparkSession, cfg: Config,
+                      name: String): DataFrame = {
+    val dir = new Path(s"${cfg.quarantineDir.get}/_table/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    else spark.emptyDataFrame
+  }
 
   /** Read a maintained aggregate view's current state (with derived
     * `avg_*` columns and, for `distinctCols`, `distinct_*` estimates in

@@ -139,6 +139,52 @@ class CdcPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/quarantine/ventas").count() == 2)
   }
 
+  test("table-grain expectations: clean batch passes, drift quarantines " +
+    "once, replay stays idempotent") {
+    import org.apache.spark.sql.functions.{abs, col}
+    val root = Files.createTempDirectory("graft-pipe-texp").toString
+    // reference source-of-truth: ids 1,2 — the integrity DAG's "source"
+    val reference = (s: org.apache.spark.sql.SparkSession) => {
+      import s.implicits._
+      Seq(1L, 2L).toDF("id")
+    }
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt",
+      aggViews = Map("v_stats" -> CdcPipeline.AggView("ventas",
+        IncrementalAgg.Spec(Seq("v"), Nil, maxCols = Seq("id")))),
+      quarantineDir = Some(s"$root/quarantine"),
+      tableExpectations = Map("v_stats" -> CdcPipeline.TableExpectation(
+        rules = Seq(
+          graft.operators.Expectations.Rule("max_id_parity",
+            col("max_id") === col("ref_max_id")),
+          graft.operators.Expectations.Rule("row_count_delta",
+            abs(col("n_rows") - col("ref_n_rows")) <= 0)),
+        reference = Some(reference))))
+
+    // batch 0 matches the reference exactly: no violation is recorded
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 1, "a", "r", 1000, 0),
+      rec("ventas", 2, "b", "r", 1000, 1)).toDF(), 0L, cfg)
+    assert(CdcPipeline.tableViolations(spark, cfg, "v_stats").count() == 0)
+
+    // batch 1 drifts past the reference: MAX(id) parity AND row-count
+    // delta both fire — ONE quarantine row carrying both rule names
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 3, "c", "r", 2000, 2)).toDF(), 1L, cfg)
+    val viol = CdcPipeline.tableViolations(spark, cfg, "v_stats")
+    assert(viol.count() == 1)
+    val row = viol.head()
+    assert(row.getSeq[String](row.fieldIndex("_violations")).toSet ==
+      Set("max_id_parity", "row_count_delta"))
+    assert(row.getLong(row.fieldIndex("max_id")) == 3L)
+    assert(row.getLong(row.fieldIndex("ref_max_id")) == 2L)
+
+    // foreachBatch replay of batch 1: same partition overwritten, no dup
+    CdcPipeline.processBatch(Seq(
+      rec("ventas", 3, "c", "r", 2000, 2)).toDF(), 1L, cfg)
+    assert(CdcPipeline.tableViolations(spark, cfg, "v_stats").count() == 1)
+  }
+
   test("group merge tolerates a sibling mirror lagging a schema evolution") {
     // ventas mirrors under the OLD schema; the registry then evolves
     // additively and a batch touches ventas AND compras together —

@@ -77,6 +77,62 @@ object AlertSink {
     override def deliver(a: Alert): Unit = q.add(a)
     def delivered: Seq[Alert] = q.asScala.toSeq
   }
+
+  /** A rendered email, transport-agnostic. */
+  final case class Email(from: String, to: Seq[String], subject: String,
+                         htmlBody: String) {
+    /** RFC-822-shaped serialization (what a file/log transport records
+      * and an SMTP transport would put on the wire). */
+    def serialized: String =
+      s"""From: $from
+         |To: ${to.mkString(", ")}
+         |Subject: $subject
+         |Content-Type: text/html; charset=UTF-8
+         |
+         |$htmlBody
+         |""".stripMargin
+  }
+
+  /** SMTP-shaped channel — the reference's terminal alert action is an
+    * email task (subject + html body, cdc_health_check_dag.py:71-84;
+    * SMTP relay in docker-compose). The sink owns the RENDERING (the
+    * EmailOperator analog); delivery goes through a pluggable transport
+    * — an SMTP client in production, [[EmailSink.fileTransport]] in
+    * this relay-less sandbox. A transport that throws fails the
+    * delivery, so the dispatcher's per-(alert,channel) retry semantics
+    * apply unchanged. */
+  final class EmailSink(to: Seq[String], from: String = "graft-alerts@local",
+                        send: Email => Unit) extends AlertSink {
+    override def deliver(a: Alert): Unit = send(EmailSink.render(a, to, from))
+  }
+
+  object EmailSink {
+
+    /** The reference's email format: flagged subject, h3 headline,
+      * body lines as paragraphs, provenance footer
+      * (cdc_health_check_dag.py:73-84). */
+    def render(a: Alert, to: Seq[String], from: String): Email = Email(
+      from, to,
+      subject = s"[ALERT][${a.severity.toUpperCase}] ${a.subject}",
+      htmlBody =
+        s"""<h3>${a.subject}</h3>
+           |<p>${a.body}</p>
+           |<p><strong>Condition:</strong> ${a.key}</p>
+           |<br><small>Sent automatically by the graft alert dispatcher.</small>""".stripMargin)
+
+    /** File transport: one file per message under `dir` (named by a
+      * content hash, so a redelivered identical message overwrites
+      * instead of accreting). The sandbox stand-in for an SMTP client. */
+    def fileTransport(dir: String): Email => Unit = { m =>
+      val path = new java.io.File(dir)
+      path.mkdirs()
+      val name = java.util.UUID.nameUUIDFromBytes(
+        m.serialized.getBytes("UTF-8")).toString
+      val f = new java.io.File(path, s"$name.eml")
+      val w = new java.io.FileWriter(f)
+      try w.write(m.serialized) finally w.close()
+    }
+  }
 }
 
 /** Fans alert rows out to the configured channels, at most once per

@@ -29,6 +29,41 @@ class AlertSinkSpec extends SparkSpec {
     }
   }
 
+  test("email channel renders the reference's subject/body format and " +
+    "delivers once per condition") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[Email]
+    val email = new EmailSink(Seq("ops@example.invalid"), "graft@local",
+      sent += _)
+    val dispatcher = new AlertDispatcher(Seq(email))
+    val alert = Alert("probe:mysql-connector:FAILED", "error",
+      "connector mysql-connector is FAILED", "task 0 threw")
+    assert(dispatcher.dispatchAlerts(Seq(alert)) == 1)
+    // re-dispatching the same condition sends NOTHING more (the
+    // reference's one-email-per-failed-run)
+    assert(dispatcher.dispatchAlerts(Seq(alert)) == 0)
+    assert(sent.size == 1)
+    val m = sent.head
+    assert(m.to == Seq("ops@example.invalid"))
+    assert(m.subject == "[ALERT][ERROR] connector mysql-connector is FAILED")
+    assert(m.htmlBody.contains("<h3>connector mysql-connector is FAILED</h3>"))
+    assert(m.htmlBody.contains("<p>task 0 threw</p>"))
+    assert(m.htmlBody.contains("probe:mysql-connector:FAILED"))
+    // RFC-822-ish serialization carries headers then body
+    assert(m.serialized.startsWith("From: graft@local\nTo: ops@example.invalid\n"))
+
+    // file transport: one .eml per message; identical redelivery
+    // overwrites (content-hash name) instead of accreting
+    val dir = java.nio.file.Files.createTempDirectory("graft-eml").toString
+    val fileSink = new EmailSink(Seq("ops@example.invalid"), "graft@local",
+      EmailSink.fileTransport(dir))
+    fileSink.deliver(alert)
+    fileSink.deliver(alert)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.length == 1 && files.head.getName.endsWith(".eml"))
+    val content = scala.io.Source.fromFile(files.head).mkString
+    assert(content.contains("Subject: [ALERT][ERROR] connector mysql-connector is FAILED"))
+  }
+
   test("a failing channel is retried on the next dispatch and never " +
     "suppresses the alert or its sibling channels") {
     val good = new InMemorySink

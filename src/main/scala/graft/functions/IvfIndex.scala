@@ -130,7 +130,7 @@ object IvfIndex {
     * PARTITIONED BY cell — [[search]]'s probed-cell `isin` filter then
     * becomes directory-level partition pruning, so a query reads only
     * its nprobe cells' files out of a 100 TB index — plus the k×dim
-    * centroid table (one small file). */
+    * centroid table (one small file) and the `_STATS` drift sidecar. */
   def save(index: Index, path: String): Unit = {
     val spark = index.assignments.sparkSession
     index.assignments.write.mode("overwrite")
@@ -138,6 +138,8 @@ object IvfIndex {
     import spark.implicits._
     index.centroids.toSeq.toDF("cell", "c")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    IndexStats.reset(spark, path,
+      spark.read.parquet(s"$path/assignments").count())
   }
 
   /** Append new vectors to a [[save]]d index WITHOUT a rebuild: each
@@ -145,18 +147,68 @@ object IvfIndex {
     * algebra over the broadcast-by-closure centroid literals — no
     * shuffle) and appended to that cell's partition dir, so the next
     * partition-pruned search sees it immediately. Centroids do NOT
-    * move — Lloyd drift needs a periodic [[build]]+[[save]] — so recall
-    * degrades only as the live distribution drifts from the build-time
-    * centroids; until then append cost is O(new vectors), never
-    * O(index). */
+    * move — so recall degrades as the live distribution drifts from the
+    * build-time centroids. The `_STATS` sidecar tracks the appended
+    * fraction as the drift proxy ([[appendedFraction]]); past a
+    * threshold, [[appendOrRebuild]] folds everything into fresh
+    * centroids. Append cost stays O(new vectors), never O(index). */
   def append(spark: SparkSession, path: String, vecs: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val idx = load(spark, path)
-    val nn = withL2Normalized(vecs.select(col(idCol).as("id"), col(vecCol)),
-      vecCol, "v").select(col("id"), col("v"))
+    val nn = graft.core.Caching.persistOnce(
+      withL2Normalized(vecs.select(col(idCol).as("id"), col(vecCol)),
+        vecCol, "v").select(col("id"), col("v")))
+    val n = nn.count() // O(batch): drives the drift stats
     nn.withColumn("cell", nearestCell(col("v"), idx.centroids))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/assignments")
+    IndexStats.recordAppend(spark, path, n)
+  }
+
+  /** Appended fraction of the saved index — the drift proxy: appends
+    * route through FROZEN centroids, so the larger the appended share,
+    * the further the centroid layout lags the live distribution. */
+  def appendedFraction(spark: SparkSession, path: String): Double =
+    IndexStats.read(spark, path) match {
+      case Some((base, appended)) if base + appended > 0 =>
+        appended.toDouble / (base + appended)
+      case _ => 0.0
+    }
+
+  /** [[append]], then REBUILD when the appended fraction trips
+    * `threshold`: all stored vectors (already normalized) re-cluster
+    * into fresh centroids and the artifact is rewritten — recall
+    * recovers because the new centroids cover the drifted distribution.
+    * Returns true iff a rebuild ran. Amortized cost: at threshold 0.5 a
+    * rebuild runs once per index doubling, so the O(index) fold
+    * amortizes to O(1) per appended vector — the classic LSM/ANN
+    * maintenance trade. Run it from the ingest path, or set a high
+    * threshold and schedule [[build]]+[[save]] in a maintenance window. */
+  def appendOrRebuild(spark: SparkSession, path: String, vecs: DataFrame,
+                      k: Int, threshold: Double = 0.5, iterations: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Boolean = {
+    append(spark, path, vecs, idCol, vecCol)
+    if (appendedFraction(spark, path) <= threshold) false
+    else {
+      val all = load(spark, path).assignments
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val rebuilt = build(spark, all, k, iterations)
+      // stage the rewrite next to the index, then swap dirs: a crash
+      // mid-rebuild leaves the old artifact intact
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = s"$path.rebuild"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      save(rebuilt, staging)
+      val old = new org.apache.hadoop.fs.Path(s"$path.old")
+      fs.delete(old, true)
+      fs.rename(new org.apache.hadoop.fs.Path(path), old)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path))
+      fs.delete(old, true)
+      true
+    }
   }
 
   /** Load a [[save]]d index. The assignments frame stays lazy — nothing
@@ -168,6 +220,52 @@ object IvfIndex {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     Index(assignments, centroids)
+  }
+
+  /** `_STATS` drift sidecar shared by the saved ANN artifacts
+    * ([[IvfIndex]], [[IvfPq]]): base count at build time + cumulative
+    * appended count, rewritten tmp+atomic-rename (single-writer, same
+    * discipline as the mirror manifests). */
+  private[functions] object IndexStats {
+    import org.apache.hadoop.fs.Path
+
+    private def write(spark: SparkSession, path: String, base: Long,
+                      appended: Long): Unit = {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(s"$path/._STATS.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"base:$base\nappended:$appended\n".getBytes("UTF-8"))
+      finally out.close()
+      val dst = new Path(s"$path/_STATS")
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) sys.error(s"stats commit failed for $path")
+    }
+
+    /** (base, appended); None for a pre-stats artifact. */
+    def read(spark: SparkSession, path: String): Option[(Long, Long)] = {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new Path(s"$path/_STATS")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val kv = txt.linesIterator.filter(_.contains(':')).map { l =>
+          val Array(k, v) = l.split(':'); k -> v.toLong
+        }.toMap
+        Some((kv.getOrElse("base", 0L), kv.getOrElse("appended", 0L)))
+      }
+    }
+
+    def reset(spark: SparkSession, path: String, base: Long): Unit =
+      write(spark, path, base, 0L)
+
+    def recordAppend(spark: SparkSession, path: String, n: Long): Unit = {
+      val (base, appended) = read(spark, path).getOrElse((0L, 0L))
+      write(spark, path, base, appended + n)
+    }
   }
 
   /** Top-k by cosine among the `nprobe` cells nearest the query. */

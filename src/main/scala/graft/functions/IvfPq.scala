@@ -120,6 +120,46 @@ object IvfPq {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Drift proxy, shared with the nested IVF artifact: the fraction of
+    * vectors appended through the FROZEN centroids/codebooks since the
+    * last build (floats and codes append together, so one counter
+    * covers both). */
+  def appendedFraction(spark: SparkSession, path: String): Double =
+    IvfIndex.appendedFraction(spark, s"$path/ivf")
+
+  /** [[append]], then REBUILD the whole artifact (cells AND codebooks)
+    * when the appended fraction trips `threshold` — quantization error
+    * drifts with the distribution exactly like cell routing does, so
+    * both halves re-train together. Staged-dir swap: a crash
+    * mid-rebuild leaves the old artifact intact. Returns true iff a
+    * rebuild ran; amortized O(1) per appended vector at threshold 0.5
+    * (one O(index) fold per doubling). */
+  def appendOrRebuild(spark: SparkSession, path: String, vecs: DataFrame,
+                      kCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                      threshold: Double = 0.5, iterations: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Boolean = {
+    append(spark, path, vecs, idCol, vecCol)
+    if (appendedFraction(spark, path) <= threshold) false
+    else {
+      val all = load(spark, path).ivf.assignments
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val rebuilt = build(spark, all, kCells, m, ksub, iterations)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = s"$path.rebuild"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      save(rebuilt, staging)
+      val old = new org.apache.hadoop.fs.Path(s"$path.old")
+      fs.delete(old, true)
+      fs.rename(new org.apache.hadoop.fs.Path(path), old)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path))
+      fs.delete(old, true)
+      true
+    }
+  }
+
   /** Load a [[save]]d index; the codes frame stays lazy, so nothing is
     * scanned until a search prunes to its probed cells. */
   def load(spark: SparkSession, path: String): Index = {

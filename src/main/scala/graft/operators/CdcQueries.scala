@@ -141,6 +141,29 @@ object CdcQueries {
       Some(oracleFinalState),
       "J3 upsert-merge across batch boundaries == one-shot replay (idempotence of state)"),
 
+    Q("cdc_log_mirror_state",
+      (s, d) => {
+        // The fixture stream's five event-time waves merged one batch
+        // at a time into a LOG-STRUCTURED mirror (maxDeltas=3, so the
+        // run crosses a compaction fold mid-stream), then read back:
+        // the base+delta reconcile — delta-only writes, versioned
+        // tombstones, folded base — must equal the one-shot
+        // materialization the oracle derives from `orders`.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-logmirror-q").toString + "/orders"
+        val all = unwrapped(s, d)
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            graft.sinks.LogMirror.merge(s, root,
+              all.filter(col("ts_ms") === ts), Seq("id"), i.toLong,
+              maxDeltas = 3, bucketCount = Some(4))
+        }
+        graft.sinks.LogMirror.read(s, root)
+      },
+      Some(oracleFinalState),
+      "log-structured mirror spine: per-wave delta merges + mid-stream " +
+        "compaction fold == one-shot materialization"),
+
     // SCD2 history: every alive version of a key becomes an interval
     // row; the fixture's modulo script makes the full expected history
     // derivable in SQL (FIXTURES.md §B). Deletes close intervals but

@@ -446,6 +446,26 @@ object CdcPipeline {
     else spark.emptyDataFrame
   }
 
+  /** Table-grain violations as dispatchable alerts — one per
+    * (batch, rule), keyed so [[AlertDispatcher]] delivers each fired
+    * condition exactly once across repeated dispatches (the same
+    * fan-in path the probe and query-health alerts ride). */
+  def tableViolationAlerts(spark: SparkSession, cfg: Config,
+                           name: String): Seq[AlertSink.Alert] = {
+    val v = tableViolations(spark, cfg, name)
+    if (v.columns.isEmpty) return Seq.empty
+    // _batch_id is a partition column — read back inferred as int
+    v.select(col("_batch_id").cast("long"), explode(col("_violations")).as("rule"))
+      .collect().map { r =>
+        val b = r.getLong(0)
+        val rule = r.getString(1)
+        AlertSink.Alert(s"texp:$name:$b:$rule", "error",
+          s"table expectation $rule failed for view $name",
+          s"batch $b violated table-grain rule '$rule' " +
+            s"(stats row quarantined under _table/$name)")
+      }.toSeq
+  }
+
   /** Read a maintained aggregate view's current state (with derived
     * `avg_*` columns and, for `distinctCols`, `distinct_*` estimates in
     * place of the raw sketch binaries). */

@@ -183,6 +183,17 @@ class CdcPipelineSpec extends SparkSpec {
     CdcPipeline.processBatch(Seq(
       rec("ventas", 3, "c", "r", 2000, 2)).toDF(), 1L, cfg)
     assert(CdcPipeline.tableViolations(spark, cfg, "v_stats").count() == 1)
+
+    // violations ride the alert fan-in: one alert per (batch, rule),
+    // delivered exactly once across repeated dispatches
+    val sink = new AlertSink.InMemorySink
+    val dispatcher = new AlertDispatcher(Seq(sink))
+    val alerts = CdcPipeline.tableViolationAlerts(spark, cfg, "v_stats")
+    assert(dispatcher.dispatchAlerts(alerts) == 2)
+    assert(dispatcher.dispatchAlerts(
+      CdcPipeline.tableViolationAlerts(spark, cfg, "v_stats")) == 0)
+    assert(sink.delivered.map(_.key).toSet ==
+      Set("texp:v_stats:1:max_id_parity", "texp:v_stats:1:row_count_delta"))
   }
 
   test("group merge tolerates a sibling mirror lagging a schema evolution") {

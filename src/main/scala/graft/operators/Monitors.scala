@@ -33,6 +33,65 @@ object Monitors {
              |      FROM events GROUP BY 1)""".stripMargin),
       "J2/ST7 lag vs MAX_LAG_THRESHOLD=500 (kafka_latency_monitor.py:60-84)"),
 
+    // ST8 external probe verdicts: the Connect status-check logic
+    // (connector AND first task RUNNING; unreachable/unparseable are
+    // verdicts) over a deterministic response table, derived
+    // independently by DuckDB's JSON functions from the SAME bodies —
+    // the probe's decision logic is hash-gated, not just spec'd.
+    Q("mon_probe_status",
+      (s, d) => {
+        import s.implicits._
+        Seq(
+          ("garbage", "not json", ""),
+          ("gone", null: String, "java.net.ConnectException: refused"),
+          ("mysql-connector",
+            """{"connector":{"state":"RUNNING"},"tasks":[{"id":0,"state":"RUNNING"}]}""",
+            ""),
+          ("paused-conn",
+            """{"connector":{"state":"PAUSED"},"tasks":[{"id":0,"state":"RUNNING"}]}""",
+            ""),
+          ("postgres-sink",
+            """{"connector":{"state":"RUNNING"},"tasks":[{"id":0,"state":"FAILED"}]}""",
+            ""),
+          ("taskless",
+            """{"connector":{"state":"RUNNING"},"tasks":[]}""", ""))
+          .toDF("component", "body", "err")
+          .select(col("component"),
+            graft.streaming.StatusProbe.verdict(col("body"), col("err"))
+              .as("state"))
+          .orderBy("component")
+      },
+      Some("""SELECT component,
+             |  CASE
+             |    WHEN err <> '' THEN 'UNREACHABLE'
+             |    WHEN json_extract_string(jbody, '$.connector.state') IS NULL
+             |      THEN 'UNPARSEABLE'
+             |    WHEN json_extract_string(jbody, '$.connector.state') = 'RUNNING'
+             |      AND coalesce(json_extract_string(jbody, '$.tasks[0].state'),
+             |                   'MISSING') = 'RUNNING'
+             |      THEN 'RUNNING'
+             |    ELSE coalesce(
+             |      CASE WHEN json_extract_string(jbody, '$.connector.state')
+             |                <> 'RUNNING'
+             |           THEN json_extract_string(jbody, '$.connector.state') END,
+             |      json_extract_string(jbody, '$.tasks[0].state'),
+             |      'DEGRADED')
+             |  END AS state
+             |FROM (SELECT component, err,
+             |        CASE WHEN coalesce(json_valid(body), FALSE) THEN body END
+             |          AS jbody
+             |      FROM (VALUES
+             |  ('garbage', 'not json', ''),
+             |  ('gone', NULL, 'java.net.ConnectException: refused'),
+             |  ('mysql-connector', '{"connector":{"state":"RUNNING"},"tasks":[{"id":0,"state":"RUNNING"}]}', ''),
+             |  ('paused-conn', '{"connector":{"state":"PAUSED"},"tasks":[{"id":0,"state":"RUNNING"}]}', ''),
+             |  ('postgres-sink', '{"connector":{"state":"RUNNING"},"tasks":[{"id":0,"state":"FAILED"}]}', ''),
+             |  ('taskless', '{"connector":{"state":"RUNNING"},"tasks":[]}', '')
+             |) AS t(component, body, err)) v
+             |ORDER BY component""".stripMargin),
+      "ST8 external status-probe verdict logic, derived independently " +
+        "in DuckDB JSON from the same response bodies"),
+
     // ST8/A6: health = every task of a connector RUNNING.
     Q("mon_health_rollup",
       (s, d) => load(s, d, "events")

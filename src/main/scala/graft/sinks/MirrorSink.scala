@@ -15,15 +15,21 @@ import graft.cdc.Materialize
   * Delta/Iceberg-style row-level MERGE sink implements `merge` by
   * feeding [[Materialize]]'s versioned change batch to its MERGE
   * command and the reads by snapshot queries — no pipeline changes
-  * (plug it in via `CdcPipeline.Config.sinkOverride`). The two
-  * parquet-native implementations ship in-repo:
+  * (plug it in via `CdcPipeline.Config.sinkOverride`). Three
+  * parquet-native implementations ship in-repo, in increasing
+  * write-efficiency order:
   *
   *   - [[SwapMirror]] — full-rewrite + atomic two-rename publish.
   *     Simple and crash-safe; write amplification ∝ mirror size
   *     (fine while batches are a meaningful fraction of the table).
   *   - [[BucketedMirrorSink]] — hash-bucketed versioned dirs + manifest
   *     pointer ([[BucketedMirror]]): a batch rewrites only the buckets
-  *     it touches — the 100 TB merge path.
+  *     it touches.
+  *   - [[LogMirrorSink]] — log-structured base+delta segments
+  *     ([[LogMirror]]): a batch writes ONLY its own delta (bytes ∝
+  *     batch, not mirror or bucket), reads reconcile by version,
+  *     compaction amortized — the row-level-MERGE cost model on
+  *     immutable storage, and the 100 TB merge path.
   *
   * Contract: `merge` must be idempotent under batch replay (the
   * pipeline runs in foreachBatch, at-least-once), and `read` must never

@@ -38,22 +38,9 @@ final class StatusProbe(targets: Seq[StatusProbe.Target],
         (t.name, null: String, e.toString)
       }
     }
-    val schema = "STRUCT<connector: STRUCT<state: STRING>, " +
-      "tasks: ARRAY<STRUCT<id: INT, state: STRING>>>"
     raw.toDF("component", "body", "err")
-      .withColumn("j", from_json(col("body"), schema, Map.empty[String, String]))
       .select(col("component"),
-        when(col("err") =!= "", lit("UNREACHABLE"))
-          .when(col("j.connector.state").isNull, lit("UNPARSEABLE"))
-          // the reference requires connector AND first task RUNNING
-          .when(col("j.connector.state") === "RUNNING" &&
-            coalesce(element_at(col("j.tasks"), 1).getField("state"),
-              lit("MISSING")) === "RUNNING", lit("RUNNING"))
-          .otherwise(coalesce(
-            when(col("j.connector.state") =!= "RUNNING",
-              col("j.connector.state")),
-            element_at(col("j.tasks"), 1).getField("state"),
-            lit("DEGRADED"))).as("state"),
+        StatusProbe.verdict(col("body"), col("err")).as("state"),
         when(col("err") =!= "", col("err"))
           .otherwise(coalesce(col("body"), lit(""))).as("detail"))
   }
@@ -91,6 +78,32 @@ object StatusProbe {
     * (`/connectors/{name}/status`, cdc_health_check_dag.py:52,63). */
   def connectTargets(baseUrl: String, connectors: Seq[String]): Seq[Target] =
     connectors.map(c => Target(c, s"$baseUrl/connectors/$c/status"))
+
+  /** The status verdict as a Column over a fetched (body, err) pair —
+    * the reference's check (connector AND first task RUNNING,
+    * cdc_health_check_dag.py:17-33) with failure-shaped verdicts for
+    * unreachable/unparseable responses. Shared by [[StatusProbe]] and
+    * the oracled `mon_probe_status` catalog query. */
+  def verdict(body: org.apache.spark.sql.Column,
+              err: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val schema = "STRUCT<connector: STRUCT<state: STRING>, " +
+      "tasks: ARRAY<STRUCT<id: INT, state: STRING>>>"
+    val j = from_json(body, schema, Map.empty[String, String])
+    val connState = j.getField("connector").getField("state")
+    // try_element_at: a taskless connector response has an EMPTY tasks
+    // array — ANSI element_at would throw, the reference treats it as a
+    // failed check (task_state None, cdc_health_check_dag.py:23)
+    val taskState = try_element_at(j.getField("tasks"), lit(1))
+      .getField("state")
+    when(err =!= "", lit("UNREACHABLE"))
+      .when(connState.isNull, lit("UNPARSEABLE"))
+      .when(connState === "RUNNING" &&
+        coalesce(taskState, lit("MISSING")) === "RUNNING", lit("RUNNING"))
+      .otherwise(coalesce(
+        when(connState =!= "RUNNING", connState),
+        taskState,
+        lit("DEGRADED")))
+  }
 
   /** Default GET transport (java.net, no extra dependency). */
   def httpGet(url: String): String = {

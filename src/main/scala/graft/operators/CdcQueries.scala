@@ -164,6 +164,52 @@ object CdcQueries {
       "log-structured mirror spine: per-wave delta merges + mid-stream " +
         "compaction fold == one-shot materialization"),
 
+    Q("cdc_changefeed",
+      (s, d) => {
+        // Outbound incremental consumption: the five fixture waves merged
+        // as batches 0..4 into a log mirror (maxDeltas high enough that
+        // nothing folds), then a downstream consumer checkpointed at
+        // batch 1 polls changesSince(1) — the net effect of waves
+        // ts=3000/4000/5000 only, one row per changed key, deletes as
+        // key-only tombstone rows, each row stamped with the batch that
+        // produced it. Reads ONLY delta segments 2..4; the base is never
+        // opened (the reference's sink-connector consumption model,
+        // register-postgres-sink.json:15-17, served from the mirror).
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-changefeed-q").toString + "/orders"
+        val all = unwrapped(s, d)
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            graft.sinks.LogMirror.merge(s, root,
+              all.filter(col("ts_ms") === ts), Seq("id"), i.toLong,
+              maxDeltas = 16, bucketCount = None)
+        }
+        graft.sinks.LogMirror.changesSince(s, root, 1L)
+          .withColumnRenamed(graft.sinks.LogMirror.changeType, "change_type")
+          .withColumnRenamed(graft.sinks.LogMirror.commitVersion,
+            "commit_version")
+      },
+      // Keys touched after batch 1: u2 (id%6=0, batch 2), delete
+      // (id%5=0, batch 3), re-insert (id%10=0, batch 4). Latest wins
+      // per key; %10 implies %5 so the re-insert masks the delete.
+      Some("""SELECT o_orderkey AS id,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN 'RE'
+             |       WHEN o_orderkey % 5 = 0 THEN NULL
+             |       ELSE 'U2' END AS o_orderstatus,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice
+             |       WHEN o_orderkey % 5 = 0 THEN NULL
+             |       ELSE o_totalprice * 1.2 END AS o_totalprice,
+             |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+             |       THEN 'delete' ELSE 'upsert' END AS change_type,
+             |  CAST(CASE WHEN o_orderkey % 10 = 0 THEN 4
+             |            WHEN o_orderkey % 5 = 0 THEN 3
+             |            ELSE 2 END AS BIGINT) AS commit_version
+             |FROM orders
+             |WHERE o_orderkey % 6 = 0 OR o_orderkey % 5 = 0""".stripMargin),
+      "outbound incremental changefeed from the log mirror: net " +
+        "per-key changes after a consumer checkpoint, delta-segment " +
+        "reads only"),
+
     // SCD2 history: every alive version of a key becomes an interval
     // row; the fixture's modulo script makes the full expected history
     // derivable in SQL (FIXTURES.md §B). Deletes close intervals but

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -166,6 +167,65 @@ class LogMirrorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(_bucket"),
       s"base lookup must prune on _bucket:\n$plan")
+  }
+
+  test("changefeed: net effect of batches after the checkpoint, " +
+    "latest-per-key across the window, deletes marked") {
+    val root = Files.createTempDirectory("lm-feed").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),
+      (3L, "c", "r", 1000L, 2L)), 0L)
+    merge(root, changes((1L, "a2", "u", 2000L, 3L), (2L, "", "d", 2000L, 4L)), 1L)
+    merge(root, changes((1L, "a3", "u", 3000L, 5L), (4L, "d4", "c", 3000L, 6L)), 2L)
+    assert(LogMirror.currentVersion(spark, root).contains(2L))
+    val feed = LogMirror.changesSince(spark, root, 0L)
+      .select(col("id"), col("v"), col(LogMirror.changeType),
+        col(LogMirror.commitVersion))
+      .as[(Long, String, String, Long)].collect().toSet
+    // key 1 changed in batches 1 AND 2 → ONE row, batch 2's value wins
+    assert(feed == Set(
+      (1L, "a3", "upsert", 2L),
+      (2L, "", "delete", 1L),
+      (4L, "d4", "upsert", 2L)))
+    // applying the feed to the state as of the checkpoint reproduces
+    // the mirror's current state (the downstream-consumer contract)
+    val replayed = Map(1L -> "a", 2L -> "b", 3L -> "c") -- feed.collect {
+      case (id, _, "delete", _) => id
+    } ++ feed.collect { case (id, v, "upsert", _) => id -> v }
+    assert(replayed == state(root))
+  }
+
+  test("changefeed: caught-up and never-written feeds are empty; " +
+    "replay of the newest batch leaves the feed identical") {
+    val fresh = Files.createTempDirectory("lm-feed-f").toString + "/none"
+    assert(LogMirror.changesSince(spark, fresh, -1L).count() == 0)
+    assert(LogMirror.currentVersion(spark, fresh).isEmpty)
+    val root = Files.createTempDirectory("lm-feed-c").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L)), 0L)
+    merge(root, changes((1L, "a2", "u", 2000L, 1L)), 1L)
+    assert(LogMirror.changesSince(spark, root, 1L).count() == 0,
+      "consumer at the head must see an empty feed")
+    val before = LogMirror.changesSince(spark, root, 0L)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    merge(root, changes((1L, "a2", "u", 2000L, 1L)), 1L) // foreachBatch replay
+    val after = LogMirror.changesSince(spark, root, 0L)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(before == after && after == Set((1L, "a2")))
+  }
+
+  test("changefeed: a checkpoint older than the compacted base throws " +
+    "(re-snapshot contract); one at/after the base reads deltas only") {
+    val root = Files.createTempDirectory("lm-feed-r").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L)), 0L, maxDeltas = 2)
+    merge(root, changes((2L, "b", "r", 2000L, 1L)), 1L, maxDeltas = 2) // folds → base-1
+    merge(root, changes((1L, "a2", "u", 3000L, 2L)), 2L, maxDeltas = 2)
+    assert(segmentNames(root) == Set("base-1", "delta-2"))
+    val e = intercept[RuntimeException] {
+      LogMirror.changesSince(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("Re-snapshot"))
+    val feed = LogMirror.changesSince(spark, root, 1L)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(feed == Set((1L, "a2")))
   }
 
   test("schema evolution: a delta with a new column backfills null " +

@@ -134,6 +134,33 @@ object CurationQueries {
              |FROM n""".stripMargin),
       "PII detection + redaction (email/IPv4/phone) with per-class counts"),
 
+    // Corpus-frequency boilerplate removal: a banner paragraph planted
+    // into every doc_id % 7 == 0 document crosses the minDocs=10
+    // threshold (71+ docs at every SF) and is stripped; every document's
+    // own single-paragraph prose stays below it (max natural full-text
+    // dup in testdata is 2), so the cleaned corpus must hash-equal the
+    // ORIGINAL documents table. Detection shuffles 8-byte paragraph
+    // hashes only; cleanup is map-only against the broadcast-literal
+    // boilerplate set — corpus text never shuffles.
+    Q("text_boilerplate_strip",
+      (s, d) => {
+        val planted = load(s, d, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit("\n\nsubscribe to our newsletter for daily updates")))
+            .otherwise(col("text")))
+        graft.functions.Boilerplate
+          .strip(planted, "text", "doc_id", minDocs = 10)
+          .select(col("doc_id"), col("text"), col("n_removed"))
+      },
+      Some("""SELECT doc_id, text,
+             |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_removed
+             |FROM documents""".stripMargin),
+      "cross-document boilerplate paragraphs stripped by corpus " +
+        "frequency; per-doc prose intact (hash-only detection shuffle, " +
+        "map-only cleanup)"),
+
     // Benchmark decontamination: flag training documents sharing any
     // 3-gram shingle with the (pretend) eval set — doc_id % 50 == 0.
     // The eval side is tiny → broadcast join; n_shared_grams /

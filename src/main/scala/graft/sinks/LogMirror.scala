@@ -253,6 +253,13 @@ object LogMirror {
   def read(spark: SparkSession, root: String): DataFrame =
     Materialize.stripVersions(readVersioned(spark, root))
 
+  /** Thrown by [[changesSince]] when compaction has folded batches
+    * newer than the requested checkpoint into the base — the per-batch
+    * segments are gone, so the consumer must re-snapshot via [[read]] /
+    * [[readVersioned]] and resume from [[currentVersion]]. */
+  final class RetentionLostException(msg: String)
+    extends RuntimeException(msg)
+
   /** Change-type marker column emitted by [[changesSince]]. */
   val changeType = "_change_type"
 
@@ -299,31 +306,41 @@ object LogMirror {
     * `maxDeltas` (the retention window) to the slowest consumer's lag,
     * or run explicit `compact()` on a cadence that respects it. */
   def changesSince(spark: SparkSession, root: String,
-                   sinceVersion: Long): DataFrame = {
+                   sinceVersion: Long): DataFrame =
+    asFeed(changesSinceVersioned(spark, root, sinceVersion))
+
+  /** Replication-grade form of [[changesSince]]: the same per-key net
+    * window, but RETAINING the stored (`_v_ts_ms`, `_v_offset`) version
+    * columns and tombstone flag alongside `_commit_version` — a
+    * replicator re-applies source ordering exactly, so a target mirror
+    * converges to byte-identical versioned state. */
+  def changesSinceVersioned(spark: SparkSession, root: String,
+                            sinceVersion: Long): DataFrame = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fs, root) match {
       case None =>
-        asFeed(readVersioned(spark, root).withColumn(commitVersion, lit(-1L)))
+        readVersioned(spark, root).withColumn(commitVersion, lit(-1L))
       case Some(m) =>
-        m.base.filter(_ > sinceVersion).foreach(b => sys.error(
-          s"LogMirror at $root folded batches up to $b into its base; " +
-            s"the per-batch changes after $sinceVersion are gone " +
-            "(retention = maxDeltas). Re-snapshot via read() and resume " +
-            "from currentVersion()."))
+        m.base.filter(_ > sinceVersion).foreach(b => throw
+          new RetentionLostException(
+            s"LogMirror at $root folded batches up to $b into its base; " +
+              s"the per-batch changes after $sinceVersion are gone " +
+              "(retention = maxDeltas). Re-snapshot via read() and resume " +
+              "from currentVersion()."))
         val window = m.deltas.filter(_ > sinceVersion)
         if (window.isEmpty) {
           // consumer is caught up: empty feed in the live schema
           val any = (m.deltas.lastOption.map(deltaPath(root, _)) orElse
             m.base.map(basePath(root, _))).get
-          asFeed(spark.read.parquet(any).drop("_bucket")
-            .withColumn(commitVersion, lit(-1L)).limit(0))
+          spark.read.parquet(any).drop("_bucket")
+            .withColumn(commitVersion, lit(-1L)).limit(0)
         } else {
           val frames = window.map(v =>
             spark.read.parquet(deltaPath(root, v)).drop("_bucket")
               .withColumn(commitVersion, lit(v)))
           // commitVersion rides the payload through max_by, so each
           // surviving row carries the id of the batch that produced it
-          asFeed(reconcile(unionSegments(frames), m.keyCols))
+          reconcile(unionSegments(frames), m.keyCols)
         }
     }
   }

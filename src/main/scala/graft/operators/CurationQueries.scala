@@ -161,6 +161,32 @@ object CurationQueries {
         "frequency; per-doc prose intact (hash-only detection shuffle, " +
         "map-only cleanup)"),
 
+    // CCNet-style unigram LM scoring: bits-per-token surprisal under a
+    // model fit on the corpus itself. maxVocab far exceeds the testdata
+    // vocabulary, so the truncated model is exact and the oracle can
+    // refit the identical model in SQL (the OOV path is spec-tested).
+    // Sum of ~30 log2 terms → 4 dp rounding absorbs engine ulp drift.
+    Q("text_lm_score",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val model = graft.functions.LmScore.fit(docs, "text")
+        docs.select(col("doc_id"),
+          round(graft.functions.LmScore.bitsPerToken(col("text"), model), 4)
+            .as("bits_per_token"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |freq AS (
+             |  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+             |tot AS (SELECT sum(c) AS t FROM freq)
+             |SELECT doc_id,
+             |  round(-sum(log2(c / t)) / count(*), 4) AS bits_per_token
+             |FROM tok JOIN freq USING (w) CROSS JOIN tot
+             |GROUP BY doc_id""".stripMargin),
+      "unigram LM bits-per-token (CCNet-style quality signal): " +
+        "vocab-sized fit exchange, map-only broadcast-literal scoring"),
+
     // Benchmark decontamination: flag training documents sharing any
     // 3-gram shingle with the (pretend) eval set — doc_id % 50 == 0.
     // The eval side is tiny → broadcast join; n_shared_grams /

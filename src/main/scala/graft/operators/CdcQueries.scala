@@ -164,6 +164,37 @@ object CdcQueries {
       "log-structured mirror spine: per-wave delta merges + mid-stream " +
         "compaction fold == one-shot materialization"),
 
+    Q("mon_mirror_segments",
+      (s, d) => {
+        // The five fixture waves merged without folding, then the
+        // mirror's per-segment health stats: one 1-row aggregate per
+        // segment (footer-served counts), unioned. Wave sizes and the
+        // delete wave's tombstone count are plain SQL over `orders`.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-segstats-q").toString + "/orders"
+        val all = unwrapped(s, d)
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            graft.sinks.LogMirror.merge(s, root,
+              all.filter(col("ts_ms") === ts), Seq("id"), i.toLong,
+              maxDeltas = 16, bucketCount = None)
+        }
+        graft.sinks.LogMirror.segmentStats(s, root)
+      },
+      Some("""SELECT 'delta' AS kind, CAST(0 AS BIGINT) AS version,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(0 AS BIGINT) AS n_tombstones FROM orders
+             |UNION ALL SELECT 'delta', 1, count(*), 0 FROM orders
+             |  WHERE o_orderkey % 3 = 0
+             |UNION ALL SELECT 'delta', 2, count(*), 0 FROM orders
+             |  WHERE o_orderkey % 6 = 0
+             |UNION ALL SELECT 'delta', 3, count(*), count(*) FROM orders
+             |  WHERE o_orderkey % 5 = 0
+             |UNION ALL SELECT 'delta', 4, count(*), 0 FROM orders
+             |  WHERE o_orderkey % 10 = 0""".stripMargin),
+      "log-mirror per-segment health stats (rows + tombstones per " +
+        "live segment) — the compaction-cadence signal"),
+
     Q("cdc_changefeed",
       (s, d) => {
         // Outbound incremental consumption: the five fixture waves merged

@@ -215,6 +215,36 @@ object LogMirror {
     sweep(fs, root, next)
   }
 
+  /** Per-segment health stats — (kind, version, n_rows, n_tombstones)
+    * for the base and every live delta — the numbers an operator
+    * watches to size `maxDeltas` / schedule compaction (deep deltas =
+    * slow reads; tombstone-heavy base = fold overdue). One plan: each
+    * segment aggregates to a single row (parquet footers serve the
+    * counts; no full scan materializes), then a union of 1-row frames.
+    * Feed the result into the monitoring spine like any health frame. */
+  def segmentStats(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("version", LongType),
+      StructField("n_rows", LongType), StructField("n_tombstones", LongType)))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(m) =>
+        def statsOf(kind: String, v: Long, path: String): DataFrame =
+          spark.read.parquet(path).agg(
+            lit(kind).as("kind"), lit(v).as("version"),
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(col(Materialize.deletedFlag).cast("long")), lit(0L))
+              .as("n_tombstones"))
+            .select("kind", "version", "n_rows", "n_tombstones")
+        (m.base.map(v => statsOf("base", v, basePath(root, v))).toSeq ++
+          m.deltas.map(v => statsOf("delta", v, deltaPath(root, v))))
+          .reduce(_.unionByName(_))
+    }
+  }
+
   /** Drop segment dirs the committed manifest no longer references
     * (superseded bases, folded deltas, crash leftovers). Single-writer
     * discipline, same as [[BucketedMirror]]'s version sweep: a reader

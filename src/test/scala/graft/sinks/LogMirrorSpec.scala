@@ -228,6 +228,24 @@ class LogMirrorSpec extends SparkSpec {
     assert(feed == Set((1L, "a2")))
   }
 
+  test("segmentStats reports rows and tombstones per live segment, " +
+    "base included; empty mirror reports nothing") {
+    val fresh = Files.createTempDirectory("lm-stats-e").toString + "/none"
+    assert(LogMirror.segmentStats(spark, fresh).count() == 0)
+    val root = Files.createTempDirectory("lm-stats").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),
+      (3L, "c", "r", 1000L, 2L)), 0L)
+    merge(root, changes((2L, "", "d", 2000L, 3L)), 1L)
+    LogMirror.compact(spark, root) // base-1: 3 rows, 1 tombstone
+    merge(root, changes((4L, "d4", "c", 3000L, 4L),
+      (1L, "", "d", 3000L, 5L)), 2L)
+    val stats = LogMirror.segmentStats(spark, root)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats == Set(
+      ("base", 1L, 3L, 1L),
+      ("delta", 2L, 2L, 1L)))
+  }
+
   test("schema evolution: a delta with a new column backfills null " +
     "into base-era rows") {
     val root = Files.createTempDirectory("lm-evo").toString

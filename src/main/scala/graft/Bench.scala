@@ -48,7 +48,7 @@ object Bench {
     "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf",
     "agg_bitmap_distinct", "join_salted_skew", "sim_topk_pq",
     "sim_topk_ivfpq", "join_lateral_topn", "layout_zorder_key",
-    "join_local_supplier_revenue")
+    "join_local_supplier_revenue", "text_lm_score", "cdc_changefeed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

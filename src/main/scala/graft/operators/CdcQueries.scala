@@ -195,6 +195,36 @@ object CdcQueries {
       "log-mirror per-segment health stats (rows + tombstones per " +
         "live segment) — the compaction-cadence signal"),
 
+    Q("cdc_replicated_state",
+      (s, d) => {
+        // The replication chain end-to-end: five fixture waves merged
+        // into a SOURCE log mirror with maxDeltas=3 (wave 3 trips a
+        // fold), a downstream replicator polling at waves 2, 3 and 5 —
+        // the middle poll finds its checkpoint behind the folded base
+        // and takes the re-snapshot path; the others apply deltas only.
+        // The TARGET mirror's final state must equal the one-shot
+        // materialization the oracle derives from `orders`.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-replicate-q").toString
+        val (src, dst) = (s"$root/src", s"$root/dst")
+        val sink = graft.sinks.LogMirrorSink()
+        val all = unwrapped(s, d)
+        def wave(ts: Long, i: Int): Unit = graft.sinks.LogMirror.merge(
+          s, src, all.filter(col("ts_ms") === ts), Seq("id"), i.toLong,
+          maxDeltas = 3, bucketCount = None)
+        wave(1000L, 0); wave(2000L, 1)
+        graft.sinks.ChangefeedReplicator.poll(s, src, dst, sink, Seq("id"))
+        wave(3000L, 2) // third delta folds into base-2 → checkpoint 1 lost
+        graft.sinks.ChangefeedReplicator.poll(s, src, dst, sink, Seq("id"))
+        wave(4000L, 3); wave(5000L, 4)
+        graft.sinks.ChangefeedReplicator.poll(s, src, dst, sink, Seq("id"))
+        sink.read(s, dst)
+      },
+      Some(oracleFinalState),
+      "changefeed replication e2e across a mid-stream compaction fold " +
+        "(incremental polls + the retention-lost re-snapshot) == " +
+        "one-shot materialization"),
+
     Q("cdc_changefeed",
       (s, d) => {
         // Outbound incremental consumption: the five fixture waves merged

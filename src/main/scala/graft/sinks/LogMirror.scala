@@ -245,6 +245,35 @@ object LogMirror {
     }
   }
 
+  /** Stats-driven compaction policy: fold when the delta list is
+    * deeper than `maxDeltaDepth` OR tombstones exceed
+    * `maxTombstoneRatio` of all segment rows (a tombstone-heavy mirror
+    * pays reconcile work for keys that no longer exist — only a fold
+    * collapses a tombstone onto the base row it masks). Returns true
+    * when it compacted. Decision cost is [[segmentStats]] — footer
+    * metadata, not a scan — so this is safe to call every batch from a
+    * maintenance cadence (`merge`'s own `maxDeltas` fold stays the
+    * inline backstop). */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxDeltaDepth: Int = 8,
+                      maxTombstoneRatio: Double = 0.2): Boolean = {
+    require(maxDeltaDepth >= 1, "maxDeltaDepth must be >= 1")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root).filter(_.deltas.nonEmpty) match {
+      case None => false
+      case Some(m) =>
+        val due =
+          if (m.deltas.length > maxDeltaDepth) true
+          else {
+            val r = segmentStats(spark, root)
+              .agg(sum("n_rows"), sum("n_tombstones")).head()
+            r.getLong(1) > r.getLong(0) * maxTombstoneRatio
+          }
+        if (due) compactTo(spark, fs, root, m, m.deltas.max)
+        due
+    }
+  }
+
   /** Drop segment dirs the committed manifest no longer references
     * (superseded bases, folded deltas, crash leftovers). Single-writer
     * discipline, same as [[BucketedMirror]]'s version sweep: a reader

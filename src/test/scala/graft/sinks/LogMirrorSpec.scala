@@ -246,6 +246,32 @@ class LogMirrorSpec extends SparkSpec {
       ("delta", 2L, 2L, 1L)))
   }
 
+  test("compactIfNeeded folds on tombstone ratio or delta depth, " +
+    "not before") {
+    val root = Files.createTempDirectory("lm-policy").toString
+    merge(root, changes((1L to 10L).map(i => (i, s"v$i", "r", 1000L, i)): _*), 0L)
+    merge(root, changes((1L, "u1", "u", 2000L, 11L)), 1L)
+    // 11 rows, 0 tombstones, depth 2 — nothing due
+    assert(!LogMirror.compactIfNeeded(spark, root, maxDeltaDepth = 4,
+      maxTombstoneRatio = 0.2))
+    assert(segmentNames(root) == Set("delta-0", "delta-1"))
+    // delete 4 of 10 keys → 15 segment rows, 4 tombstones > 20%
+    merge(root, changes((1L to 4L).map(i => (i, "", "d", 3000L, 20L + i)): _*), 2L)
+    assert(LogMirror.compactIfNeeded(spark, root, maxDeltaDepth = 4,
+      maxTombstoneRatio = 0.2))
+    assert(segmentNames(root) == Set("base-2"), "fold must collapse deltas")
+    assert(state(root) == (5L to 10L).map(i => i -> s"v$i").toMap)
+    // an already-folded mirror (no deltas) is never due
+    assert(!LogMirror.compactIfNeeded(spark, root))
+    // depth trigger: three 1-row deltas over maxDeltaDepth=2
+    merge(root, changes((11L, "a", "c", 4000L, 30L)), 3L)
+    merge(root, changes((12L, "b", "c", 4000L, 31L)), 4L)
+    merge(root, changes((13L, "c", "c", 4000L, 32L)), 5L)
+    assert(LogMirror.compactIfNeeded(spark, root, maxDeltaDepth = 2,
+      maxTombstoneRatio = 1.0))
+    assert(segmentNames(root) == Set("base-5"))
+  }
+
   test("schema evolution: a delta with a new column backfills null " +
     "into base-era rows") {
     val root = Files.createTempDirectory("lm-evo").toString

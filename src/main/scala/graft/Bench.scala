@@ -48,7 +48,12 @@ object Bench {
     "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf",
     "agg_bitmap_distinct", "join_salted_skew", "sim_topk_pq",
     "sim_topk_ivfpq", "join_lateral_topn", "layout_zorder_key",
-    "join_local_supplier_revenue", "text_lm_score", "cdc_changefeed")
+    // cdc_changefeed/cdc_replicated_state are NOT benched: the catalog
+    // forms build a temp mirror from the full fixture stream first, so
+    // their wall time is mirror construction, not the delta-sized feed
+    // read they exist to exercise (small_batch_write_bytes covers the
+    // write side; the feed read is bounded by delta segments by design)
+    "join_local_supplier_revenue", "text_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,6 +50,20 @@ object PipeProfile {
       println(f"[pipeprofile] steady-state merge ($nb%d events, " +
         f"incremental=$inc) ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // and the log-structured sink: write ∝ batch (no base read at all)
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft-prof3").toString
+      val cfg = graft.streaming.CdcPipeline.Config(
+        graft.cdc.Fixture.rowSchema, Seq("id"),
+        s"$root/mirror", s"$root/dlq", s"$root/ckpt",
+        sinkOverride = Some(graft.sinks.LogMirrorSink(bucketCount = Some(64))))
+      graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
+      val nb = smallBatch.count()
+      val t0 = System.nanoTime()
+      graft.streaming.CdcPipeline.processBatch(smallBatch, 1L, cfg)
+      println(f"[pipeprofile] steady-state merge ($nb%d events, " +
+        f"log-structured) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

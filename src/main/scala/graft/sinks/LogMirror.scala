@@ -150,8 +150,21 @@ object LogMirror {
             keyCols: Seq[String], batchId: Long, maxDeltas: Int,
             bucketCount: Option[Int]): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prev = readManifest(fs, root)
-    prev.foreach { m =>
+    precheck(fs, root, keyCols, batchId)
+    val delta = Materialize.versionedState(changes, keyCols).persist()
+    try {
+      if (delta.isEmpty) return // nothing survived the batch (all malformed)
+      // delta files are key-sorted so parquet row-group min/max stats
+      // prune point lookups inside each segment
+      delta.sortWithinPartitions(keyCols.map(col): _*)
+        .write.mode("overwrite").parquet(deltaPath(root, batchId))
+    } finally delta.unpersist()
+    commitDelta(spark, fs, root, keyCols, batchId, maxDeltas, bucketCount)
+  }
+
+  private def precheck(fs: FileSystem, root: String, keyCols: Seq[String],
+                       batchId: Long): Unit = {
+    readManifest(fs, root).foreach { m =>
       // a merge keyed differently from the committed layout would
       // reconcile the wrong per-key state — fail loudly
       require(m.keyCols == keyCols,
@@ -164,14 +177,14 @@ object LogMirror {
       .foreach(newest => sys.error(
         s"LogMirror commit ids must advance: batch $batchId behind " +
           s"committed manifest $newest at $root"))
-    val delta = Materialize.versionedState(changes, keyCols).persist()
-    try {
-      if (delta.isEmpty) return // nothing survived the batch (all malformed)
-      // delta files are key-sorted so parquet row-group min/max stats
-      // prune point lookups inside each segment
-      delta.sortWithinPartitions(keyCols.map(col): _*)
-        .write.mode("overwrite").parquet(deltaPath(root, batchId))
-    } finally delta.unpersist()
+  }
+
+  /** Manifest commit for an already-written `delta-<batchId>` segment
+    * (+ the past-`maxDeltas` fold). */
+  private def commitDelta(spark: SparkSession, fs: FileSystem, root: String,
+                          keyCols: Seq[String], batchId: Long, maxDeltas: Int,
+                          bucketCount: Option[Int]): Unit = {
+    val prev = readManifest(fs, root)
     val deltas = prev.map(_.deltas).getOrElse(Seq.empty)
       .filterNot(_ == batchId) :+ batchId // replay overwrites its own slot
     val m = Manifest(keyCols, bucketCount, prev.flatMap(_.base), deltas)
@@ -180,6 +193,54 @@ object LogMirror {
       writeManifest(fs, root, batchId, m)
       sweep(fs, root, m)
     }
+  }
+
+  /** Group merge for same-schema same-key tables (the steady-state
+    * shape of a multi-table CDC pipeline): ONE `(table, key)`-keyed
+    * latest-per-key aggregation and ONE `partitionBy(table)` write land
+    * EVERY table's delta segment in a single Spark job; each table then
+    * receives its segment by a metadata rename and commits its own
+    * manifest. Per-table crash semantics are unchanged — segments land
+    * before manifests, a replayed batch overwrites its own slot — and a
+    * crash mid-loop leaves the remaining tables' manifests at the prior
+    * batch, which the replay completes. Steady-state job count is O(1)
+    * in the table count instead of O(tables) — the log-structured
+    * analog of the swap layout's group merge. `changes` must carry
+    * `tableCol`; tables absent from the batch are untouched. */
+  def mergeGroup(spark: SparkSession, mirrorRoot: String, changes: DataFrame,
+                 tables: Seq[String], keyCols: Seq[String], batchId: Long,
+                 maxDeltas: Int, bucketCount: Option[Int],
+                 tableCol: String = "table_name"): Unit = {
+    val fs = new Path(mirrorRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tables.foreach(t => precheck(fs, s"$mirrorRoot/$t", keyCols, batchId))
+    val delta = Materialize.versionedState(changes, tableCol +: keyCols)
+    val tmp = new Path(mirrorRoot,
+      s".log_group_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      // one write: partition dirs split per table, rows key-sorted
+      // within each task so every file's row groups carry usable stats
+      delta.sortWithinPartitions((tableCol +: keyCols).map(col): _*)
+        .write.partitionBy(tableCol).mode("overwrite").parquet(tmp.toString)
+      tables.foreach { t =>
+        val part = new Path(tmp, s"$tableCol=$t")
+        if (fs.exists(part)) { // absent = no surviving changes for t
+          val root = s"$mirrorRoot/$t"
+          val dst = new Path(deltaPath(root, batchId))
+          fs.delete(dst, true) // replay overwrites its own slot
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(part, dst))
+            sys.error(s"delta segment rename failed for $t")
+          // stagger the folds: the group shares one batch counter, so
+          // every table would hit maxDeltas on the SAME trigger and the
+          // amortized fold would become a global pause; a deterministic
+          // per-table offset spreads folds over [maxDeltas, 1.5×maxDeltas)
+          val stagger = math.abs(t.hashCode) % (maxDeltas / 2 + 1)
+          commitDelta(spark, fs, root, keyCols, batchId,
+            maxDeltas + stagger, bucketCount)
+        }
+      }
+    } finally fs.delete(tmp, true)
   }
 
   /** Fold base+deltas into a fresh base segment (explicit entry point

@@ -181,8 +181,10 @@ object CdcPipeline {
         // per same-schema same-key group — a layout-specific
         // optimization); every other sink merges per table through the
         // MirrorSink interface.
-        val groupMergeable = cfg.mirrorSink match {
-          case s: graft.sinks.SwapMirror => Some(s)
+        val groupMergeable: Option[Either[graft.sinks.SwapMirror,
+            graft.sinks.LogMirrorSink]] = cfg.mirrorSink match {
+          case s: graft.sinks.SwapMirror => Some(Left(s))
+          case s: graft.sinks.LogMirrorSink => Some(Right(s))
           case _ => None
         }
         // Row-level expectations: violating CHANGE rows (deletes exempt
@@ -234,14 +236,18 @@ object CdcPipeline {
             groupMergeable match {
               case None =>
                 ts.map(t => Seq(t) -> perTableJob(parsed, t))
-              case Some(swap) =>
+              case Some(sink) =>
                 val (gated, fast) = ts.partition(hasRules)
                 gated.map(t => Seq(t) -> perTableJob(parsed, t)) ++
                   fast.groupBy(t => cfg.specFor(t).keyCols).values.toSeq
                     .map { group =>
                       group -> Future {
-                        mergeGroupIntoMirrors(spark, parsed, group, cfg,
-                          swap.bucketCount)
+                        sink match {
+                          case Left(swap) => mergeGroupIntoMirrors(
+                            spark, parsed, group, cfg, swap.bucketCount)
+                          case Right(log) => mergeGroupIntoLogMirrors(
+                            spark, parsed, group, cfg, log, batchId)
+                        }
                       }
                     }
             }
@@ -336,6 +342,25 @@ object CdcPipeline {
         }
       }
     } finally fs.delete(tmp, true)
+  }
+
+  /** Group merge for same-schema same-key tables on the LOG-STRUCTURED
+    * layout: one latest-per-key job + one partitioned write lands every
+    * table's delta segment (see [[graft.sinks.LogMirror.mergeGroup]]) —
+    * steady-state job count O(1) in the table count, write bytes still
+    * ∝ batch. */
+  private def mergeGroupIntoLogMirrors(spark: SparkSession,
+                                       parsed: DataFrame, ts: Seq[String],
+                                       cfg: Config,
+                                       sink: graft.sinks.LogMirrorSink,
+                                       batchId: Long): Unit = {
+    val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
+    val changes = Envelope.unwrap(
+      Envelope.wellFormed(parsed.filter(col("table_name").isin(ts: _*))),
+      spec.keyCols)
+      .withColumn("table_name", Envelope.route(col("topic")))
+    graft.sinks.LogMirror.mergeGroup(spark, cfg.mirrorRoot, changes, ts,
+      spec.keyCols, batchId, sink.maxDeltas, sink.bucketCount)
   }
 
   /** Keyed merge of one table's changes into its parquet mirror with an

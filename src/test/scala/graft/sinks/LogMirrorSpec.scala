@@ -272,6 +272,47 @@ class LogMirrorSpec extends SparkSpec {
     assert(segmentNames(root) == Set("base-5"))
   }
 
+  test("mergeGroup: one write lands every table's delta; state equals " +
+    "per-table merges; absent tables untouched; replay idempotent") {
+    val groupRoot = Files.createTempDirectory("lm-grp").toString
+    val soloRoot = Files.createTempDirectory("lm-grp-solo").toString
+    def tagged(t: String, rows: (Long, String, String, Long, Long)*) =
+      changes(rows: _*).withColumn("table_name",
+        org.apache.spark.sql.functions.lit(t))
+    val tables = Seq("ta", "tb", "tc")
+    val b0 = tagged("ta", (1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L))
+      .unionByName(tagged("tb", (1L, "x", "r", 1000L, 2L)))
+    // tc absent from both batches
+    val b1 = tagged("ta", (1L, "a2", "u", 2000L, 3L), (2L, "", "d", 2000L, 4L))
+      .unionByName(tagged("tb", (9L, "y", "c", 2000L, 5L)))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      LogMirror.mergeGroup(spark, groupRoot, b, tables, keyCols, i.toLong,
+        maxDeltas = 16, bucketCount = None)
+      tables.foreach { t =>
+        val sub = b.filter(col("table_name") === t).drop("table_name")
+        if (!sub.isEmpty)
+          merge(s"$soloRoot/$t", sub, i.toLong)
+      }
+    }
+    // replay the last group batch (foreachBatch at-least-once)
+    LogMirror.mergeGroup(spark, groupRoot, b1, tables, keyCols, 1L,
+      maxDeltas = 16, bucketCount = None)
+    for (t <- Seq("ta", "tb")) {
+      assert(state(s"$groupRoot/$t") == state(s"$soloRoot/$t"),
+        s"group and per-table state must match for $t")
+      assert(segmentNames(s"$groupRoot/$t") == Set("delta-0", "delta-1"))
+    }
+    assert(state(s"$groupRoot/ta") == Map(1L -> "a2"))
+    assert(state(s"$groupRoot/tb") == Map(1L -> "x", 9L -> "y"))
+    assert(!fsOf(groupRoot).exists(
+      new org.apache.hadoop.fs.Path(s"$groupRoot/tc")),
+      "a table absent from every batch must stay untouched")
+    // staging dir cleaned
+    assert(!fsOf(groupRoot).listStatus(
+      new org.apache.hadoop.fs.Path(groupRoot))
+      .exists(_.getPath.getName.startsWith(".log_group_staging")))
+  }
+
   test("schema evolution: a delta with a new column backfills null " +
     "into base-era rows") {
     val root = Files.createTempDirectory("lm-evo").toString

@@ -402,13 +402,15 @@ object LogMirror {
       .drop(Materialize.versionTs, Materialize.versionOffset,
         Materialize.deletedFlag)
 
-  /** Outbound incremental changefeed: the NET effect of every batch
-    * committed after `sinceVersion` — one row per changed key, marked
-    * `_change_type` ('upsert'|'delete', deletes keep only key columns)
-    * and `_commit_version` (the batch whose change survived). A
-    * consumer that applies the feed to its copy of the state as of
-    * `sinceVersion` lands exactly on the mirror's current state — the
-    * downstream half of the reference's replication chain (a sink
+  /** Outbound incremental changefeed: the POST-IMAGE of every key whose
+    * mirror state changed after `sinceVersion` — one row per changed
+    * key, marked `_change_type` ('upsert'|'delete', deletes keep only
+    * key columns) and `_commit_version` (the batch whose change
+    * survived). Late event-time arrivals that lost the version race to
+    * pre-checkpoint state emit nothing (the mirror didn't change), so a
+    * consumer that applies the feed BLINDLY to its copy of the state as
+    * of `sinceVersion` lands exactly on the mirror's current state —
+    * the downstream half of the reference's replication chain (a sink
     * connector consuming row-level changes,
     * register-postgres-sink.json:15-17), emitted from the mirror
     * instead of the source DB.
@@ -429,11 +431,22 @@ object LogMirror {
                    sinceVersion: Long): DataFrame =
     asFeed(changesSinceVersioned(spark, root, sinceVersion))
 
-  /** Replication-grade form of [[changesSince]]: the same per-key net
-    * window, but RETAINING the stored (`_v_ts_ms`, `_v_offset`) version
-    * columns and tombstone flag alongside `_commit_version` — a
-    * replicator re-applies source ordering exactly, so a target mirror
-    * converges to byte-identical versioned state. */
+  /** Replication-grade form of [[changesSince]]: the same per-key
+    * POST-IMAGE window, but RETAINING the stored (`_v_ts_ms`,
+    * `_v_offset`) version columns and tombstone flag alongside
+    * `_commit_version` — a replicator re-applies source ordering
+    * exactly, so a target mirror converges to byte-identical versioned
+    * state.
+    *
+    * Post-image semantics: a window change that LOST the version race
+    * to pre-checkpoint state (a late event-time arrival for a key whose
+    * mirror value is already newer) changed nothing — it emits NO row.
+    * Without this, a consumer applying the feed blindly would regress
+    * such keys to the stale value. The check key-probes the
+    * pre-checkpoint segments for the window's keys only (left-semi on
+    * key-sorted segments: row-group stats prune, cost ∝ affected keys,
+    * not mirror); version ties (the same event redelivered in a later
+    * batch) resolve to the prior copy, i.e. no emission. */
   def changesSinceVersioned(spark: SparkSession, root: String,
                             sinceVersion: Long): DataFrame = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -460,7 +473,33 @@ object LogMirror {
               .withColumn(commitVersion, lit(v)))
           // commitVersion rides the payload through max_by, so each
           // surviving row carries the id of the batch that produced it
-          reconcile(unionSegments(frames), m.keyCols)
+          val windowNet = reconcile(unionSegments(frames), m.keyCols)
+          val olderFrames =
+            (m.base.map(v => spark.read.parquet(basePath(root, v))) .toSeq ++
+              m.deltas.filter(_ <= sinceVersion)
+                .map(v => spark.read.parquet(deltaPath(root, v))))
+              .map(_.drop("_bucket"))
+          if (olderFrames.isEmpty) windowNet
+          else {
+            val prior = unionSegments(olderFrames)
+              .join(windowNet.select(m.keyCols.map(col): _*), m.keyCols,
+                "left_semi")
+              .withColumn(commitVersion, lit(null).cast("long"))
+            val payload = windowNet.columns.filterNot(m.keyCols.contains)
+            // max_by ordering: stored version first; on an exact tie the
+            // prior copy (null commit) outranks the window copy, so a
+            // redelivered identical event emits nothing
+            val ordering = struct(col(Materialize.versionTs),
+              col(Materialize.versionOffset),
+              when(col(commitVersion).isNull, 1L).otherwise(0L))
+            prior.unionByName(windowNet, allowMissingColumns = true)
+              .groupBy(m.keyCols.map(col): _*)
+              .agg(max_by(struct(payload.toSeq.map(col): _*), ordering)
+                .as("_latest"))
+              .select(m.keyCols.map(col) ++
+                payload.map(c => col(s"_latest.$c").as(c)): _*)
+              .filter(col(commitVersion).isNotNull)
+          }
         }
     }
   }

@@ -194,6 +194,24 @@ class LogMirrorSpec extends SparkSpec {
     assert(replayed == state(root))
   }
 
+  test("changefeed emits POST-IMAGES: late arrivals that lost the " +
+    "version race and exact redeliveries emit nothing") {
+    val root = Files.createTempDirectory("lm-feed-pi").toString
+    merge(root, changes((1L, "new", "u", 5000L, 9L),
+      (3L, "c", "r", 1000L, 2L)), 0L)
+    // batch 1: a LATE change for key 1 (older version than the mirror's),
+    // a genuine insert for key 2, and key 3's batch-0 event REDELIVERED
+    merge(root, changes((1L, "stale", "u", 1000L, 1L),
+      (2L, "b", "c", 6000L, 10L), (3L, "c", "r", 1000L, 2L)), 1L)
+    val feed = LogMirror.changesSince(spark, root, 0L)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(feed == Map(2L -> "b"),
+      "only the key whose mirror state actually changed may emit: " +
+        s"got $feed")
+    // the mirror itself still holds the newer value for key 1
+    assert(state(root) == Map(1L -> "new", 2L -> "b", 3L -> "c"))
+  }
+
   test("changefeed: caught-up and never-written feeds are empty; " +
     "replay of the newest batch leaves the feed identical") {
     val fresh = Files.createTempDirectory("lm-feed-f").toString + "/none"

@@ -257,9 +257,37 @@ object LogMirror {
   }
 
   private def compactTo(spark: SparkSession, fs: FileSystem, root: String,
-                        m: Manifest, commitId: Long): Unit = {
-    val folded = reconcile(unionSegments(segmentFrames(spark, root, m)),
-      m.keyCols)
+                        m: Manifest, commitId: Long): Unit =
+    writeBase(spark, fs, root, m, commitId,
+      reconcile(unionSegments(segmentFrames(spark, root, m)), m.keyCols))
+
+  /** Hard-delete: remove EVERY trace of the given keys — live rows AND
+    * tombstones — from the mirror (the right-to-be-forgotten obligation
+    * a replication platform carries; soft deletes keep tombstones, a
+    * purge may not). One forced fold: reconcile all segments, anti-join
+    * the purge set, publish as a FRESH base at `currentVersion + 1` and
+    * sweep every old segment — write cost ∝ mirror, the same job class
+    * as a compaction, run it in the same maintenance window
+    * (single-writer discipline: quiesce the ingest stream first — the
+    * version bump makes a concurrent writer's in-flight batch fail
+    * loudly rather than resurrect data). Changefeed consumers behind
+    * the purge get the retention-lost re-snapshot, so purged keys never
+    * reach them; `keys` carries the mirror's key columns (any size —
+    * it joins, it is never collected). */
+  def purgeKeys(spark: SparkSession, root: String, keys: DataFrame): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root).foreach { m =>
+      val purgeId = latestManifest(fs, root).flatMap(manifestId).get + 1
+      val folded = reconcile(unionSegments(segmentFrames(spark, root, m)),
+        m.keyCols)
+        .join(keys.select(m.keyCols.map(col): _*), m.keyCols, "left_anti")
+      writeBase(spark, fs, root, m, purgeId, folded)
+    }
+  }
+
+  private def writeBase(spark: SparkSession, fs: FileSystem, root: String,
+                        m: Manifest, commitId: Long,
+                        folded: DataFrame): Unit = {
     val writer = m.bucketCount match {
       case Some(n) => folded
         .withColumn("_bucket", bucketExpr(m.keyCols, n))

@@ -331,6 +331,35 @@ class LogMirrorSpec extends SparkSpec {
       .exists(_.getPath.getName.startsWith(".log_group_staging")))
   }
 
+  test("purgeKeys removes every trace of the keys — live rows AND " +
+    "tombstones — across base and deltas; other keys untouched") {
+    val root = Files.createTempDirectory("lm-purge").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),
+      (3L, "c", "r", 1000L, 2L)), 0L)
+    merge(root, changes((2L, "", "d", 2000L, 3L)), 1L)
+    LogMirror.compact(spark, root) // base holds 2's tombstone
+    merge(root, changes((1L, "a2", "u", 3000L, 4L),
+      (4L, "d4", "c", 3000L, 5L)), 2L)
+    // purge keys 1 (live, in base AND delta) and 2 (tombstone in base)
+    LogMirror.purgeKeys(spark, root, Seq(1L, 2L).toDF("id"))
+    assert(state(root) == Map(3L -> "c", 4L -> "d4"))
+    // every trace gone: the versioned view (tombstones included) and
+    // the raw segment files contain neither key
+    val versioned = LogMirror.readVersioned(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(versioned == Set(3L, 4L), s"traces remain: $versioned")
+    assert(segmentNames(root) == Set("base-3"),
+      "purge must publish one fresh base and sweep old segments")
+    // a consumer checkpointed before the purge must re-snapshot (and
+    // thus never observe the purged keys as a feed row)
+    intercept[LogMirror.RetentionLostException] {
+      LogMirror.changesSince(spark, root, 2L)
+    }
+    // the mirror keeps working: new batches merge and read fine
+    merge(root, changes((5L, "e", "c", 4000L, 6L)), 4L)
+    assert(state(root) == Map(3L -> "c", 4L -> "d4", 5L -> "e"))
+  }
+
   test("schema evolution: a delta with a new column backfills null " +
     "into base-era rows") {
     val root = Files.createTempDirectory("lm-evo").toString

@@ -470,11 +470,11 @@ object LogMirror {
     * to pre-checkpoint state (a late event-time arrival for a key whose
     * mirror value is already newer) changed nothing — it emits NO row.
     * Without this, a consumer applying the feed blindly would regress
-    * such keys to the stale value. The check key-probes the
-    * pre-checkpoint segments for the window's keys only (left-semi on
-    * key-sorted segments: row-group stats prune, cost ∝ affected keys,
-    * not mirror); version ties (the same event redelivered in a later
-    * batch) resolve to the prior copy, i.e. no emission. */
+    * such keys to the stale value. The check reads ONLY the key and
+    * version columns of the pre-checkpoint segments (parquet prunes the
+    * payload) and semi-joins the window's keys; version ties (the same
+    * event redelivered in a later batch) resolve to the prior copy,
+    * i.e. no emission. */
   def changesSinceVersioned(spark: SparkSession, root: String,
                             sinceVersion: Long): DataFrame = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -502,31 +502,29 @@ object LogMirror {
           // commitVersion rides the payload through max_by, so each
           // surviving row carries the id of the batch that produced it
           val windowNet = reconcile(unionSegments(frames), m.keyCols)
+          val verCols = Seq(Materialize.versionTs, Materialize.versionOffset)
+          // prior version per affected key, from KEY+VERSION columns
+          // only — the parquet scan prunes the payload (bytes ∝ key and
+          // version columns of the older segments, not the mirror)
           val olderFrames =
-            (m.base.map(v => spark.read.parquet(basePath(root, v))) .toSeq ++
+            (m.base.map(v => spark.read.parquet(basePath(root, v))).toSeq ++
               m.deltas.filter(_ <= sinceVersion)
                 .map(v => spark.read.parquet(deltaPath(root, v))))
-              .map(_.drop("_bucket"))
+              .map(_.select((m.keyCols ++ verCols).map(col): _*))
           if (olderFrames.isEmpty) windowNet
           else {
-            val prior = unionSegments(olderFrames)
+            val prior = olderFrames.reduce(_.unionByName(_))
               .join(windowNet.select(m.keyCols.map(col): _*), m.keyCols,
                 "left_semi")
-              .withColumn(commitVersion, lit(null).cast("long"))
-            val payload = windowNet.columns.filterNot(m.keyCols.contains)
-            // max_by ordering: stored version first; on an exact tie the
-            // prior copy (null commit) outranks the window copy, so a
-            // redelivered identical event emits nothing
-            val ordering = struct(col(Materialize.versionTs),
-              col(Materialize.versionOffset),
-              when(col(commitVersion).isNull, 1L).otherwise(0L))
-            prior.unionByName(windowNet, allowMissingColumns = true)
               .groupBy(m.keyCols.map(col): _*)
-              .agg(max_by(struct(payload.toSeq.map(col): _*), ordering)
-                .as("_latest"))
-              .select(m.keyCols.map(col) ++
-                payload.map(c => col(s"_latest.$c").as(c)): _*)
-              .filter(col(commitVersion).isNotNull)
+              .agg(max(struct(verCols.map(col): _*)).as("_prior_v"))
+            // a window change emits only when it STRICTLY outranks the
+            // pre-checkpoint version: late arrivals that lost the race
+            // and exact redeliveries (ties) emit nothing
+            windowNet.join(prior, m.keyCols, "left")
+              .filter(col("_prior_v").isNull ||
+                struct(verCols.map(col): _*) > col("_prior_v"))
+              .drop("_prior_v")
           }
         }
     }

@@ -66,4 +66,45 @@ class GroupMergePlanSpec extends SparkSpec {
           finalPlan.take(2000))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("the LOG-STRUCTURED group path also lands every table's delta " +
+    "from one single-Exchange write job") {
+    val captured = new ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val root = Files.createTempDirectory("graft-gml").toString
+      val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+        s"$root/dlq", s"$root/ckpt",
+        sinkOverride = Some(graft.sinks.LogMirrorSink()))
+      val batch = Seq(
+        rec("ventas", 1, 0), rec("ventas", 2, 1),
+        rec("compras", 7, 2), rec("gastos", 9, 3)).toDS().toDF()
+      CdcPipeline.processBatch(batch, 0L, cfg)
+      val deadline = System.nanoTime() + 10000000000L
+      def writes = captured.asScala.toSeq.map(_.executedPlan.toString)
+        .filter(_.contains("WriteFiles"))
+        .filterNot(_.contains("dlq"))
+      while (writes.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+
+      val mirrorWrites = writes.filter(_.contains("table_name"))
+      assert(mirrorWrites.size == 1,
+        s"3 same-schema tables must produce ONE grouped delta write, " +
+          s"got ${mirrorWrites.size}:\n${writes.mkString("\n----\n")}")
+      val finalPlan = mirrorWrites.head.split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(finalPlan).size
+      assert(exchanges == 1,
+        s"grouped log merge must shuffle exactly once, got $exchanges:\n" +
+          finalPlan.take(2000))
+      // and the segments actually landed per table
+      for (t <- Seq("ventas", "compras", "gastos"))
+        assert(graft.sinks.LogMirror.read(spark, s"$root/mirror/$t")
+          .count() > 0, s"$t segment missing")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

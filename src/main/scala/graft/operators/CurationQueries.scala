@@ -187,6 +187,35 @@ object CurationQueries {
       "unigram LM bits-per-token (CCNet-style quality signal): " +
         "vocab-sized fit exchange, map-only broadcast-literal scoring"),
 
+    // Held-out variant: fit on even doc_ids, score the odd ones — every
+    // token absent from the fitting half scores through the OOV floor
+    // (0.5 of a count at the fitted total), so the floor semantics are
+    // hash-oracled, not just spec-tested.
+    Q("text_lm_score_heldout",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val model = graft.functions.LmScore.fit(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+          round(graft.functions.LmScore.bitsPerToken(col("text"), model), 4)
+            .as("bits_per_token"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |fit AS (
+             |  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok
+             |  WHERE doc_id % 2 = 0 GROUP BY w),
+             |tot AS (SELECT sum(c) AS t FROM fit)
+             |SELECT doc_id,
+             |  round(-sum(log2(coalesce(c, 0.5) / t)) / count(*), 4)
+             |    AS bits_per_token
+             |FROM tok LEFT JOIN fit USING (w) CROSS JOIN tot
+             |WHERE doc_id % 2 = 1
+             |GROUP BY doc_id""".stripMargin),
+      "held-out unigram LM scoring: unseen tokens hit the OOV floor — " +
+        "the floor semantics hash-checked against an independent refit"),
+
     // Benchmark decontamination: flag training documents sharing any
     // 3-gram shingle with the (pretend) eval set — doc_id % 50 == 0.
     // The eval side is tiny → broadcast join; n_shared_grams /

@@ -66,6 +66,38 @@ class LogMirrorPropertySpec extends SparkSpec {
     }
   }
 
+  test("a replicator under random folds, random poll cadences and " +
+    "random checkpoint-loss crashes still converges the target") {
+    val rnd = new Random(2718)
+    for (trial <- 1 to 3) {
+      val src = Files.createTempDirectory(s"lmpr-s$trial").toString
+      val dst = Files.createTempDirectory(s"lmpr-d$trial").toString
+      val sink = LogMirrorSink()
+      val changes = genChanges(rnd, n = 70, keys = 7)
+      val batches = changes.grouped(1 + rnd.nextInt(14)).toSeq
+      val fs = new org.apache.hadoop.fs.Path(dst)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        // small random maxDeltas → folds happen, consumers fall behind
+        // retention and must take the re-snapshot path
+        LogMirror.merge(spark, src, toDf(b), Seq("id"), i.toLong,
+          maxDeltas = 1 + rnd.nextInt(3), None)
+        if (rnd.nextInt(2) == 0)
+          ChangefeedReplicator.poll(spark, src, dst, sink, Seq("id"))
+        if (rnd.nextInt(5) == 0) // crash window: merge landed, ckpt lost
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dst/_CHANGEFEED_CKPT"), false)
+      }
+      ChangefeedReplicator.poll(spark, src, dst, sink, Seq("id"))
+      val target = sink.read(spark, dst).select("id", "v")
+        .as[(Long, String)].collect().toMap
+      assert(target == model(changes),
+        s"trial $trial: replicated target diverged from the model")
+      assert(target == mirrorState(src),
+        s"trial $trial: replicated target diverged from the source")
+    }
+  }
+
   test("a changefeed consumer applying every window lands on the " +
     "mirror's state, for random checkpoint cadences") {
     val rnd = new Random(1337)

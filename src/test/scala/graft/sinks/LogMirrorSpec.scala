@@ -212,6 +212,21 @@ class LogMirrorSpec extends SparkSpec {
     assert(state(root) == Map(1L -> "new", 2L -> "b", 3L -> "c"))
   }
 
+  test("changefeed post-image probe reads a BUCKETED compacted base: " +
+    "late arrivals against base-era state are still suppressed") {
+    val root = Files.createTempDirectory("lm-feed-pb").toString
+    LogMirror.merge(spark, root, changes((1L, "new", "u", 5000L, 0L),
+      (2L, "b", "r", 1000L, 1L)), keyCols, 0L, 16, Some(4))
+    LogMirror.compact(spark, root) // bucketed base-0 holds both keys
+    LogMirror.merge(spark, root, changes((1L, "stale", "u", 1000L, 2L),
+      (3L, "c", "c", 6000L, 3L)), keyCols, 1L, 16, Some(4))
+    val feed = LogMirror.changesSince(spark, root, 0L)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(feed == Map(3L -> "c"),
+      s"late arrival vs base-era state must be suppressed, got $feed")
+    assert(state(root) == Map(1L -> "new", 2L -> "b", 3L -> "c"))
+  }
+
   test("changefeed: caught-up and never-written feeds are empty; " +
     "replay of the newest batch leaves the feed identical") {
     val fresh = Files.createTempDirectory("lm-feed-f").toString + "/none"

@@ -230,12 +230,14 @@ object CdcQueries {
         // Outbound incremental consumption: the five fixture waves merged
         // as batches 0..4 into a log mirror (maxDeltas high enough that
         // nothing folds), then a downstream consumer checkpointed at
-        // batch 1 polls changesSince(1) — the net effect of waves
-        // ts=3000/4000/5000 only, one row per changed key, deletes as
+        // batch 1 polls changesSince(1) — the post-image of waves
+        // ts=3000/4000/5000, one row per changed key, deletes as
         // key-only tombstone rows, each row stamped with the batch that
-        // produced it. Reads ONLY delta segments 2..4; the base is never
-        // opened (the reference's sink-connector consumption model,
-        // register-postgres-sink.json:15-17, served from the mirror).
+        // produced it. Payload reads touch ONLY delta segments 2..4 (the
+        // post-image race probe reads just key+version columns of the
+        // older segments) — the reference's sink-connector consumption
+        // model, register-postgres-sink.json:15-17, served from the
+        // mirror.
         val root = java.nio.file.Files
           .createTempDirectory("graft-changefeed-q").toString + "/orders"
         val all = unwrapped(s, d)

@@ -109,6 +109,22 @@ object ChangefeedReplicator {
       val n = changes.count()
       if (n > 0) sink.merge(spark, targetRoot, changes, keyCols,
         batchId = srcVersion.get)
+      // Forget-propagation: a key hard-purged upstream (purgeKeys) has
+      // NO record in the source — not even a tombstone — so the
+      // re-snapshot batch cannot delete it and the target would retain
+      // forgotten data forever. Purge target keys absent from the
+      // source's versioned state (tombstoned keys are present there and
+      // propagate as ordinary deletes above). LogMirror targets purge
+      // natively; other sinks document the caveat in [[MirrorSink]].
+      if (resnap) sink match {
+        case _: LogMirrorSink
+          if LogMirror.currentVersion(spark, targetRoot).nonEmpty =>
+          val stale = LogMirror.readVersioned(spark, targetRoot)
+            .select(keyCols.map(col): _*)
+            .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+          if (!stale.isEmpty) LogMirror.purgeKeys(spark, targetRoot, stale)
+        case _ => ()
+      }
       writeCheckpoint(fs, targetRoot, srcVersion.get)
       Result(n, ckpt, srcVersion, resnap)
     } finally changes.unpersist()

@@ -34,6 +34,12 @@ import graft.cdc.Materialize
   * Contract: `merge` must be idempotent under batch replay (the
   * pipeline runs in foreachBatch, at-least-once), and `read` must never
   * observe a partially-committed batch.
+  *
+  * Hard purges (right-to-be-forgotten, [[LogMirror.purgeKeys]]) leave
+  * NO source record to replicate, so [[ChangefeedReplicator]] can
+  * propagate them to a target only when the target sink purges natively
+  * (LogMirror does); other layouts need an out-of-band purge on each
+  * replica.
   */
 trait MirrorSink extends Serializable {
 

@@ -101,6 +101,31 @@ class ChangefeedReplicatorSpec extends SparkSpec {
     assert(state(sink, dst) == srcState(src))
   }
 
+  test("an upstream hard purge reaches the replicated target through " +
+    "the re-snapshot: no trace survives on either side") {
+    val src = Files.createTempDirectory("cfr-purge-s").toString
+    val dst = Files.createTempDirectory("cfr-purge-d").toString
+    val sink = LogMirrorSink()
+    srcMerge(src, changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L),
+      (3L, "c", "r", 1000L, 2L)), 0L)
+    ChangefeedReplicator.poll(spark, src, dst, sink, keyCols)
+    assert(state(sink, dst) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    LogMirror.purgeKeys(spark, src, Seq(2L).toDF("id"))
+    val r = ChangefeedReplicator.poll(spark, src, dst, sink, keyCols)
+    assert(r.resnapshot, "a purge folds the source past the checkpoint")
+    assert(state(sink, dst) == Map(1L -> "a", 3L -> "c"))
+    // the forgotten key left no trace on the target — not even a
+    // tombstone in the versioned view
+    val traces = LogMirror.readVersioned(spark, dst)
+      .select("id").as[Long].collect().toSet
+    assert(traces == Set(1L, 3L), s"target retains purged traces: $traces")
+    // replication continues normally afterwards
+    srcMerge(src, changes((4L, "d", "c", 2000L, 3L)), 2L)
+    ChangefeedReplicator.poll(spark, src, dst, sink, keyCols)
+    assert(state(sink, dst) == srcState(src))
+  }
+
   test("sink-agnostic: a SwapMirror target converges identically") {
     val src = Files.createTempDirectory("cfr-swap-s").toString
     val dst = Files.createTempDirectory("cfr-swap-d").toString

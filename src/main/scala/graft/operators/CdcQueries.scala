@@ -304,5 +304,64 @@ object CdcQueries {
              |FROM base WHERE id % 10 = 0""".stripMargin),
       "type-2 dimension history from the change stream: one lead() " +
         "window pass per key; deletes close intervals, current rows " +
-        "stay open"))
+        "stay open"),
+
+    Q("cdc_join_view",
+      (s, d) => {
+        // Incrementally-maintained JOIN view: orders (fact) and
+        // customer (dim) each live as CDC log mirrors fed in three
+        // scripted waves; a maintenance poll runs BETWEEN waves, so the
+        // final view state is reached through the delta rule (fact feed
+        // ⋈ current dim, dim-touched keys re-derived, deletes on both
+        // sides), never a full recompute after wave 0. Oracle = the
+        // plain SQL join of the two final states.
+        //   fact: snapshot ts1000 → %4 price*1.05 ts2000 → %9 delete ts3000
+        //   dim : snapshot ts1000 → %7 'MOVED'   ts2000 → %13 delete ts3000
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-joinview-q").toString
+        val (fact, dim, view) = (s"$root/fact", s"$root/dim", s"$root/view")
+        val orders = graft.core.Tables.load(s, d, "orders")
+        val cust = graft.core.Tables.load(s, d, "customer")
+        def factWave(df: org.apache.spark.sql.DataFrame, price: org.apache.spark.sql.Column,
+                     op: String, ts: Long) =
+          df.select(col("o_orderkey"), col("o_custkey"),
+            price.as("o_totalprice"), lit(op).as("op"), lit(ts).as("ts_ms"),
+            col("o_orderkey").as("offset"))
+        def dimWave(df: org.apache.spark.sql.DataFrame, seg: org.apache.spark.sql.Column,
+                    op: String, ts: Long) =
+          df.select(col("c_custkey").as("o_custkey"),
+            seg.as("c_mktsegment"), lit(op).as("op"), lit(ts).as("ts_ms"),
+            col("c_custkey").as("offset"))
+        import graft.sinks.{IncrementalJoinView, LogMirror}
+        def mergeF(c: org.apache.spark.sql.DataFrame, b: Long) =
+          LogMirror.merge(s, fact, c, Seq("o_orderkey"), b, 16, None)
+        def mergeD(c: org.apache.spark.sql.DataFrame, b: Long) =
+          LogMirror.merge(s, dim, c, Seq("o_custkey"), b, 16, None)
+        def maintain() = IncrementalJoinView.poll(s, fact, dim, view,
+          Seq("o_orderkey"), Seq("o_custkey"))
+        mergeF(factWave(orders, col("o_totalprice"), "r", 1000L), 0L)
+        mergeD(dimWave(cust, col("c_mktsegment"), "r", 1000L), 0L)
+        maintain()
+        mergeF(factWave(orders.filter(col("o_orderkey") % 4 === 0),
+          col("o_totalprice") * 1.05, "u", 2000L), 1L)
+        mergeD(dimWave(cust.filter(col("c_custkey") % 7 === 0),
+          lit("MOVED"), "u", 2000L), 1L)
+        maintain()
+        mergeF(factWave(orders.filter(col("o_orderkey") % 9 === 0),
+          col("o_totalprice"), "d", 3000L), 2L)
+        mergeD(dimWave(cust.filter(col("c_custkey") % 13 === 0),
+          lit(""), "d", 3000L), 2L)
+        maintain()
+        IncrementalJoinView.read(s, view)
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey,
+             |  CASE WHEN o.o_orderkey % 4 = 0 THEN o.o_totalprice * 1.05
+             |       ELSE o.o_totalprice END AS o_totalprice,
+             |  CASE WHEN c.c_custkey % 7 = 0 THEN 'MOVED'
+             |       ELSE c.c_mktsegment END AS c_mktsegment
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE o.o_orderkey % 9 <> 0 AND c.c_custkey % 13 <> 0""".stripMargin),
+      "incrementally-maintained fact⋈dim view over two CDC mirrors: " +
+        "delta maintenance (feed ⋈ current dim + dim-touched re-derive) " +
+        "across three change waves == the full-join recompute"))
 }

@@ -363,5 +363,48 @@ object CdcQueries {
              |WHERE o.o_orderkey % 9 <> 0 AND c.c_custkey % 13 <> 0""".stripMargin),
       "incrementally-maintained fact⋈dim view over two CDC mirrors: " +
         "delta maintenance (feed ⋈ current dim + dim-touched re-derive) " +
-        "across three change waves == the full-join recompute"))
+        "across three change waves == the full-join recompute"),
+
+    Q("cdc_agg_view",
+      (s, d) => {
+        // Incrementally-maintained GROUP-BY view over the orders log
+        // mirror, maintained through every path the operator has: the
+        // fixture's five waves merge at maxDeltas=3 with a poll between
+        // each, so the run covers (0) the initial snapshot, (1) an
+        // incremental poll where U1 MOVES %3 keys into a new status
+        // group — their old groups retract via the key→group sidecar
+        // map, (2) a retention-lost resnapshot when wave 2's merge
+        // folds the deltas past the checkpoint, (3) an incremental
+        // delete wave whose tombstones find their groups in the map,
+        // and (4) an incremental poll where the re-insert wave births
+        // the 'RE' group. Final view state must equal the one-shot
+        // GROUP BY over the materialized mirror the oracle derives
+        // from `orders`.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-aggview-q").toString
+        val (src, view) = (s"$root/src", s"$root/view")
+        val all = unwrapped(s, d)
+        import graft.sinks.{IncrementalAggView, LogMirror}
+        val aggs = Seq(sum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"), max(col("id")).as("max_id"))
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            LogMirror.merge(s, src, all.filter(col("ts_ms") === ts),
+              Seq("id"), i.toLong, maxDeltas = 3, bucketCount = None)
+            IncrementalAggView.poll(s, src, view,
+              Seq("o_orderstatus"), aggs)
+        }
+        IncrementalAggView.read(s, view)
+          .select(col("o_orderstatus"),
+            round(col("sum_price"), 1).as("sum_price"),
+            col("n_rows"), col("max_id"))
+      },
+      Some(s"""WITH fin AS ($oracleFinalState)
+              |SELECT o_orderstatus, round(sum(o_totalprice), 1) AS sum_price,
+              |  count(*) AS n_rows, max(id) AS max_id
+              |FROM fin GROUP BY 1""".stripMargin),
+      "incrementally-maintained aggregate view over the log mirror's " +
+        "changefeed: dirty-group recompute (moves retract via the " +
+        "key→group map, deletes find their group there) across five " +
+        "change waves and a mid-stream fold == the one-shot GROUP BY"))
 }

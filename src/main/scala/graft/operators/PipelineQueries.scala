@@ -41,6 +41,34 @@ object PipelineQueries {
       load(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("w")).persist())
 
+  /** BM25 (k1=1.2, b=0.75) top-`n` docs for the fixed [[B25_TERMS]]
+    * query — the lexical retrieval arm, shared by `text_bm25_search`
+    * and the hybrid fusion query. Per-doc term sums are order-unstable
+    * doubles → rounded to 4 dp before the (score, doc_id) ranking. */
+  private def bm25Top(s: org.apache.spark.sql.SparkSession, d: String,
+                      n: Int): org.apache.spark.sql.DataFrame = {
+    val docs = tokenizedDocs(s, d)
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(col("w"))).as("avglen"))
+    val lens = docs.select(col("doc_id"), size(col("w")).as("len"))
+    val tc = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(B25_TERMS: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val dfreq = docs
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
+      .filter(col("tok").isin(B25_TERMS: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val term = tc.join(lens, "doc_id").join(dfreq, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("c") * lit(2.2)) /
+            (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / col("avglen"))))))
+          .as("ts"))
+    term.groupBy(col("doc_id")).agg(round(sum(col("ts")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+  }
+
   def queries: Seq[Q] = Seq(
     // TF-IDF: tf = c/len, idf = ln((N+1)/(df+1)); ln output is rounded
     // (4 dp) because transcendental libm results may differ in the last
@@ -84,28 +112,7 @@ object PipelineQueries {
     // evaluate the textually-identical formula and round the per-doc
     // term sum (order-unstable) to 4 dp before ranking.
     Q("text_bm25_search",
-      (s, d) => {
-        val docs = tokenizedDocs(s, d)
-        val stats = docs.agg(count(lit(1)).as("n"),
-          avg(size(col("w"))).as("avglen"))
-        val lens = docs.select(col("doc_id"), size(col("w")).as("len"))
-        val tc = docs.select(col("doc_id"), explode(col("w")).as("tok"))
-          .filter(col("tok").isin(B25_TERMS: _*))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        val dfreq = docs
-          .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
-          .filter(col("tok").isin(B25_TERMS: _*))
-          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val term = tc.join(lens, "doc_id").join(dfreq, "tok")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-              ((col("c") * lit(2.2)) /
-                (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / col("avglen"))))))
-              .as("ts"))
-        term.groupBy(col("doc_id")).agg(round(sum(col("ts")), 4).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-      },
+      (s, d) => bm25Top(s, d, 20),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |stats AS (SELECT count(*) AS n, avg(len(w)) AS avglen FROM t),
              |lens AS (SELECT doc_id, len(w) AS len FROM t),
@@ -123,6 +130,73 @@ object PipelineQueries {
              |SELECT doc_id, round(sum(ts), 4) AS score FROM term GROUP BY doc_id
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
       "BM25 keyword retrieval over the corpus, top-20 docs"),
+
+    // Hybrid retrieval (the RAG serving shape): the BM25 keyword arm
+    // and the dense cosine arm each retrieve their top-20, then the
+    // lists fuse by reciprocal-rank fusion (k=60) — rank-based, so the
+    // incomparable score scales never need calibration. Each arm
+    // truncates via TakeOrderedAndProject BEFORE the rank window runs,
+    // so the (unpartitioned) window sees ≤20 rows; at 100 TB the cost
+    // is two retrieval scans — fusion touches 40 rows. Ranks are ints
+    // and 1/(60+rank) is a single division, so the fused score is
+    // bitwise-deterministic; rounding is cosmetic.
+    Q("text_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = bm25Top(s, d, 20)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lex_rank"))
+        val qv = load(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val vec = load(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"),
+            round(graft.functions.SimilarityFunctions.cosine(
+              col("embedding"), array(qv.map(lit): _*)), 6).as("vscore"))
+          .orderBy(col("vscore").desc, col("doc_id")).limit(20)
+          .withColumn("vec_rank", row_number().over(
+            Window.orderBy(col("vscore").desc, col("doc_id"))))
+          .select(col("doc_id"), col("vec_rank"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+            round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
+              .as("rrf_score"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |stats AS (SELECT count(*) AS n, avg(len(w)) AS avglen FROM t),
+             |lens AS (SELECT doc_id, len(w) AS len FROM t),
+             |tc AS (SELECT doc_id, tok, count(*) AS c
+             |       FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+             |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, unnest(w) AS tok FROM t)
+             |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY 1),
+             |term AS (
+             |  SELECT tc.doc_id,
+             |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+             |      ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (len / avglen)))) AS ts
+             |  FROM tc JOIN lens USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN stats),
+             |bm AS (SELECT doc_id, round(sum(ts), 4) AS score FROM term
+             |       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+             |lex AS (SELECT doc_id, CAST(row_number() OVER
+             |          (ORDER BY score DESC, doc_id) AS INT) AS lex_rank FROM bm),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS doc_id,
+             |         round(list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
+             |           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                                    CAST(embedding AS DOUBLE[])))
+             |              * sqrt(list_dot_product(q.v, q.v))), 6) AS vscore
+             |       FROM embeddings, q ORDER BY vscore DESC, doc_id LIMIT 20),
+             |vec AS (SELECT doc_id, CAST(row_number() OVER
+             |          (ORDER BY vscore DESC, doc_id) AS INT) AS vec_rank FROM cs)
+             |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             |  round(coalesce(1.0 / (60 + l.lex_rank), 0)
+             |      + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score
+             |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id""".stripMargin),
+      "hybrid BM25 + dense retrieval fused by reciprocal-rank fusion " +
+        "(k=60) — union of both top-20 arms with per-arm ranks"),
 
     // Capped inverted index: per token, document frequency + the first
     // 20 doc ids (sorted). The cap bounds reducer memory and output row

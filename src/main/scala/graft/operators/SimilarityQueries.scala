@@ -376,5 +376,66 @@ object SimilarityQueries {
              |  FROM scored)
              |WHERE rank <= 3""".stripMargin),
       "batch KNN join routed through IVF cells (equi-join on cell, " +
-        "top-k per query) — oracle-checked via planted duplicates"))
+        "top-k per query) — oracle-checked via planted duplicates"),
+
+    // Retrieval-quality eval harness: nDCG@20 of the dense cosine arm
+    // over a deterministic multi-query set (vec_id % 100 = 0) with
+    // rule-derived binary relevance labels (vec_id ≡ qid mod 17) —
+    // the offline metric loop every retrieval/curation pipeline runs
+    // against its index. Per-query top-20 goes through a row_number
+    // window partitioned by query (WindowGroupLimit truncates map-side
+    // before the shuffle); IDCG uses the query's TRUE relevant count
+    // capped at k, folded with `aggregate` over a generated sequence —
+    // no driver-side math. Both engines compute the identical formula;
+    // log2 drifts ≤1 ulp and the metric rounds at 4 dp.
+    Q("eval_ndcg_at_k",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("embedding"), col("qv")), 6).as("score"),
+            (col("vec_id") % 17 === col("qid") % 17).cast("int").as("rel"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val dcg = scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .groupBy(col("qid"))
+          .agg(sum(col("rel") / log2(col("rnk") + 1)).as("dcg"))
+        val icaps = scored.groupBy(col("qid"))
+          .agg(least(sum(col("rel")), lit(20L)).cast("int").as("icap"))
+        dcg.join(icaps, "qid")
+          .select(col("qid"),
+            round(col("dcg") / aggregate(
+              sequence(lit(1), col("icap")), lit(0.0),
+              (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1)), 4)
+              .as("ndcg"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+             |scored AS (
+             |  SELECT qid, e.vec_id,
+             |    round(list_dot_product(e.v, qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(qv, qv))), 6) AS score,
+             |    CAST(e.vec_id % 17 = qid % 17 AS INT) AS rel
+             |  FROM e, qs WHERE e.vec_id <> qid),
+             |top AS (
+             |  SELECT qid, rel, rnk FROM (
+             |    SELECT qid, rel, row_number() OVER
+             |      (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+             |    FROM scored)
+             |  WHERE rnk <= 20),
+             |dcg AS (SELECT qid, sum(rel / log2(rnk + 1)) AS dcg
+             |        FROM top GROUP BY qid),
+             |icaps AS (SELECT qid, CAST(least(sum(rel), 20) AS INT) AS icap
+             |          FROM scored GROUP BY qid)
+             |SELECT d.qid, round(d.dcg / list_sum(list_transform(
+             |    range(1, icap + 1), i -> 1.0 / log2(i + 1))), 4) AS ndcg
+             |FROM dcg d JOIN icaps USING (qid)""".stripMargin),
+      "offline retrieval eval: per-query nDCG@20 of the cosine arm " +
+        "against rule-derived relevance labels"))
 }

@@ -538,5 +538,97 @@ object AdvancedQueries {
       Some("""SELECT n_nationkey, n_name AS s_name,
              |  n_regionkey AS m_region, upper(n_name) AS arr2
              |FROM nation""".stripMargin),
-      "F8 struct/map/array construction + field access (envelope navigation kernel)"))
+      "F8 struct/map/array construction + field access (envelope navigation kernel)"),
+
+    // ---- product-analytics shapes over the event stream ---------------
+
+    // Ordered funnel view → click → purchase: each stage is the user's
+    // FIRST qualifying event strictly after their previous stage, so a
+    // click before any view doesn't count. Three (filter → per-user
+    // min) hash aggs chained by equi-joins on user_id — every shuffle
+    // is keyed by user_id, so AQE coalesces and the joins co-locate;
+    // no window over the full event history. Stage-lag averages sum
+    // integer microsecond diffs (exact under 2^53) before one division.
+    Q("events_funnel_stages",
+      (s, d) => {
+        val ev = load(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+        def lagS(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          round(avg(unix_micros(a) - unix_micros(b)) / 1e6, 2)
+        s1.agg(count(lit(1)).as("n_users"),
+            lit(null).cast("double").as("avg_lag_s"))
+          .withColumn("stage", lit("1_view"))
+          .unionByName(s2.agg(count(lit(1)).as("n_users"),
+              lagS(col("t2"), col("t1")).as("avg_lag_s"))
+            .withColumn("stage", lit("2_click")))
+          .unionByName(s3.agg(count(lit(1)).as("n_users"),
+              lagS(col("t3"), col("t2")).as("avg_lag_s"))
+            .withColumn("stage", lit("3_purchase")))
+          .select(col("stage"), col("n_users"), col("avg_lag_s"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(ts) AS t2, min(t1) AS t1
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(ts) AS t3, min(t2) AS t2
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+             |SELECT '1_view' AS stage, count(*) AS n_users,
+             |  CAST(NULL AS DOUBLE) AS avg_lag_s FROM s1
+             |UNION ALL
+             |SELECT '2_click', count(*),
+             |  round(avg(epoch_us(t2) - epoch_us(t1)) / 1e6, 2) FROM s2
+             |UNION ALL
+             |SELECT '3_purchase', count(*),
+             |  round(avg(epoch_us(t3) - epoch_us(t2)) / 1e6, 2) FROM s3""".stripMargin),
+      "ordered 3-stage funnel with per-stage user counts and average " +
+        "stage-to-stage lag"),
+
+    // Weekly cohort retention over paying users (purchase events above
+    // a value floor — the raw stream is dense enough that every user is
+    // active in week 0, which would collapse the matrix to one cohort):
+    // users bucket by first qualifying week, then distinct (user, week)
+    // activity joins back to the cohort — the (cohort_week,
+    // week_offset) matrix every growth dashboard draws. The filter
+    // collapses into the scan; distinct-then-join keeps the join input
+    // at one row per user-week, and both shuffles key on user_id.
+    Q("events_cohort_retention",
+      (s, d) => {
+        val uw = load(s, d, "events")
+          .filter(col("event_type") === "purchase" && col("value") > 45)
+          .select(col("user_id"),
+            expr("datediff(to_date(ts), date '2024-01-01') div 7")
+              .cast("long").as("wk"))
+          .distinct()
+        val coh = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        uw.join(coh, "user_id")
+          .groupBy(col("cw").as("cohort_week"),
+            (col("wk") - col("cw")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+             |         AS BIGINT) AS wk
+             |  FROM events WHERE event_type = 'purchase' AND value > 45),
+             |coh AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+             |SELECT cw AS cohort_week, wk - cw AS week_offset,
+             |  count(*) AS n_users
+             |FROM uw JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin),
+      "weekly cohort retention matrix: first-activity cohorts × " +
+        "activity-week offsets"))
 }

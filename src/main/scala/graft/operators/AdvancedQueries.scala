@@ -630,5 +630,33 @@ object AdvancedQueries {
              |  count(*) AS n_users
              |FROM uw JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin),
       "weekly cohort retention matrix: first-activity cohorts × " +
-        "activity-week offsets"))
+        "activity-week offsets"),
+
+    // Last-touch attribution: every purchase attributes to the user's
+    // most recent click at-or-before it — the AsofJoin operator reused
+    // on the event stream (one user_id-keyed shuffle + sort, no range
+    // theta-join), checked against DuckDB's native ASOF JOIN. Purchases
+    // with no prior click keep a NULL lag (left semantics).
+    Q("events_attribution_asof",
+      (s, d) => {
+        val ev = load(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        AsofJoin(purchases, clicks, "user_id", "c_user", "ts", "click_ts",
+          Seq("click_ts"))
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+              .as("lag_us"))
+      },
+      Some("""SELECT p.event_id, p.user_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+             |                WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+      "last-touch attribution via the as-of join operator vs DuckDB's " +
+        "native ASOF JOIN"))
 }

@@ -128,4 +128,31 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("agg_hll_mergeable")
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
   }
+
+  test("hybrid RRF: both retrieval arms truncate via TakeOrderedAndProject " +
+    "before the rank windows run") {
+    val p = plan("text_hybrid_rrf")
+    // each arm is a top-k (BM25 / cosine) feeding a ≤20-row window;
+    // neither arm may globally sort its full candidate set
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("nDCG eval: per-query top-20 truncates map-side before the shuffle") {
+    assert(plan("eval_ndcg_at_k").contains("WindowGroupLimit"))
+  }
+
+  test("funnel: three per-user min-aggs chained on user_id, no window " +
+    "over the raw event history and no nested-loop fallback") {
+    val p = plan("events_funnel_stages")
+    assert(!p.contains("Window "), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("attribution as-of join: one user-keyed exchange + sort, " +
+    "never a range theta-join") {
+    val p = plan("events_attribution_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }

@@ -131,6 +131,34 @@ class IncrementalAggViewSpec extends SparkSpec {
       "group 'b' lost its only (purged) key and must be gone")
   }
 
+  test("arbitrary aggregates maintain: dirty-group recompute reads the " +
+    "source's current rows, so count_distinct and avg need no mergeable " +
+    "state") {
+    val (src, view) = roots("anyagg")
+    val anyAggs = Seq(countDistinct(col("x")).as("nd_x"),
+      round(avg(col("x")), 4).as("avg_x"))
+    def pollA() = IncrementalAggView.poll(spark, src, view, groupCols, anyAggs)
+    def state() = IncrementalAggView.read(spark, view)
+      .select("g", "nd_x", "avg_x")
+      .as[(Option[String], Long, Double)].collect().toSet
+    def recompute() = LogMirror.read(spark, src).groupBy("g")
+      .agg(countDistinct(col("x")).as("nd_x"), round(avg(col("x")), 4).as("avg_x"))
+      .as[(Option[String], Long, Double)].collect().toSet
+    mergeSrc(src, changes((1L, "a", 10L, "r", 1000L, 0L),
+      (2L, "a", 10L, "r", 1000L, 1L), (3L, "a", 4L, "r", 1000L, 2L),
+      (4L, "b", 7L, "r", 1000L, 3L)), 0L)
+    pollA()
+    assert(state() == Set((Some("a"), 2L, 8.0), (Some("b"), 1L, 7.0)))
+    // key 2 changes value (10→4): distinct count in 'a' stays 2 but the
+    // set changes; key 4 moves b→a shrinking 'b' to nothing
+    mergeSrc(src, changes((2L, "a", 4L, "u", 2000L, 4L),
+      (4L, "a", 10L, "u", 2000L, 5L)), 1L)
+    val r = pollA()
+    assert(!r.resnapshot)
+    assert(state() == recompute())
+    assert(state() == Set((Some("a"), 2L, 7.0)))
+  }
+
   test("differential property: random interleaved upserts, moves and " +
     "deletes at random poll cadences always converge") {
     val rnd = new scala.util.Random(20260814L)

@@ -17,10 +17,14 @@ import graft.functions.{VecCosine, VecDot, ZOrderKey}
   *  - [[GraftExtensions.register]] for an already-running session.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // transparent materialized-view rewrite (no-op until a view is
+    // registered in MvCatalog)
+    e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+  }
 }
 
 object GraftExtensions {
@@ -45,6 +49,10 @@ object GraftExtensions {
     functions.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // MV rewrite for sessions not built with the extensions class
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewriteRule
     // typed Aggregator surface (SURVEY §2.10): bounded per-group top-k,
     // callable from SQL as topk_scored(score, id)
     spark.udf.register("topk_scored",

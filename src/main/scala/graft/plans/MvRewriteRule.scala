@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
+
+/** Transparent materialized-view rewrite: an optimizer rule that
+  * replaces `Aggregate(groupCols, aggs, scan(source))` with a scan of
+  * the registered summary table when [[MvCatalog]] holds a FRESH claim
+  * covering exactly those grouping columns and every requested
+  * aggregate — the query-acceleration half of incremental view
+  * maintenance (the other half, keeping the summary current, is
+  * [[graft.sinks.IncrementalAggView]]).
+  *
+  * At 100 TB this turns a full fact-table aggregation into a read of
+  * an O(groups) rollup — the query text doesn't change, so every
+  * dashboard on the base table accelerates the moment a view is
+  * registered.
+  *
+  * Safety properties (each falls through to the base table, never a
+  * wrong answer):
+  *   - the source scan must be the DIRECT child of the aggregate
+  *     (modulo the optimizer's column-pruning projection of plain
+  *     attributes) — any filter/computed projection in between
+  *     disqualifies;
+  *   - grouping expressions must be bare columns matching the
+  *     registered set (order-insensitive); every aggregate must be
+  *     non-DISTINCT, unfiltered, and structurally match a registered
+  *     key — `sum/min/max(col)`, `count(*)`, `count(col)`, plus
+  *     `avg(col)` derived as `sum(col)/count(col)` when BOTH parts are
+  *     registered (legacy-mode division: an all-NULL group yields NULL
+  *     exactly like the original avg);
+  *   - replacement expressions must reproduce the original output
+  *     types bit-for-bit and are re-aliased under the original
+  *     exprIds, so parent operators resolve unchanged;
+  *   - [[MvCatalog.freshEntry]] re-checks the source's file-listing
+  *     fingerprint, so a source write after the last view refresh
+  *     disables the rewrite instead of serving stale rows.
+  */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** The scan under the aggregate, looked through a pruning projection
+    * of bare attributes (what ColumnPruning inserts). */
+  private def sourceOf(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case r: LogicalRelation => Some(r)
+      case Project(ps, r: LogicalRelation)
+        if ps.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+      case _ => None
+    }
+
+  private def locationOf(rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {
+        case Seq(single) => Some(single.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def aggKeyOf(fn: AggregateFunction): Option[MvCatalog.AggKey] =
+    fn match {
+      case s: Sum => s.child match {
+        case a: AttributeReference => Some(("sum", a.name)); case _ => None
+      }
+      case m: Min => m.child match {
+        case a: AttributeReference => Some(("min", a.name)); case _ => None
+      }
+      case m: Max => m.child match {
+        case a: AttributeReference => Some(("max", a.name)); case _ => None
+      }
+      case c: Count => c.children match {
+        case Seq(Literal(v, _)) if v != null => Some(("count", "*"))
+        case Seq(a: AttributeReference) => Some(("count", a.name))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    for {
+      rel <- sourceOf(agg.child)
+      loc <- locationOf(rel)
+      entry <- MvCatalog.freshEntry(spark, loc)
+      groupAttrs <- bareAttrs(agg.groupingExpressions)
+      if groupAttrs.map(_.name).sorted == entry.groupCols.sorted
+      viewPlan = entry.view().queryExecution.analyzed
+      proj <- projection(agg.aggregateExpressions, groupAttrs.map(_.name).toSet,
+        entry, viewPlan)
+    } yield Project(proj, viewPlan)
+  }
+
+  private def bareAttrs(es: Seq[Expression]): Option[Seq[AttributeReference]] =
+    if (es.nonEmpty && es.forall(_.isInstanceOf[AttributeReference]))
+      Some(es.map(_.asInstanceOf[AttributeReference]))
+    else None
+
+  /** Map every output expression of the aggregate onto the view's
+    * columns, or refuse the whole rewrite. */
+  private def projection(outs: Seq[NamedExpression], groupNames: Set[String],
+                         entry: MvCatalog.Entry,
+                         viewPlan: LogicalPlan): Option[Seq[NamedExpression]] = {
+    def viewAttr(name: String): Option[Attribute] =
+      viewPlan.output.find(_.name == name)
+    def byKey(key: MvCatalog.AggKey): Option[Attribute] =
+      entry.aggs.get(key).flatMap(viewAttr)
+
+    val mapped = outs.map {
+      // grouping column passthrough (possibly re-aliased by the user)
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        viewAttr(a.name).filter(_.dataType == a.dataType)
+          .map(v => Alias(v, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name)
+        if groupNames.contains(a.name) =>
+        viewAttr(a.name).filter(_.dataType == al.dataType)
+          .map(v => Alias(v, name)(exprId = al.exprId))
+      case al @ Alias(ae: AggregateExpression, name)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+        val repl: Option[Expression] = ae.aggregateFunction match {
+          case av: Average => av.child match {
+            case a: AttributeReference =>
+              for {
+                s <- byKey(("sum", a.name))
+                c <- byKey(("count", a.name))
+              } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType),
+                EvalMode.LEGACY)
+            case _ => None
+          }
+          case fn => aggKeyOf(fn).flatMap(byKey)
+        }
+        repl.filter(_.dataType == al.dataType)
+          .map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+  }
+}

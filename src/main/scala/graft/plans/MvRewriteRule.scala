@@ -94,15 +94,25 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       loc <- locationOf(rel)
       entry <- MvCatalog.freshEntry(spark, loc)
       groupAttrs <- bareAttrs(agg.groupingExpressions)
-      if groupAttrs.map(_.name).sorted == entry.groupCols.sorted
+      names = groupAttrs.map(_.name)
+      if names.distinct == names && names.toSet.subsetOf(entry.groupCols.toSet)
       viewPlan = entry.view().queryExecution.analyzed
-      proj <- projection(agg.aggregateExpressions, groupAttrs.map(_.name).toSet,
-        entry, viewPlan)
-    } yield Project(proj, viewPlan)
+      result <-
+        if (names.sorted == entry.groupCols.sorted)
+          // exact grouping match: pure projection of the view
+          projection(agg.aggregateExpressions, names.toSet, entry, viewPlan)
+            .map(p => Project(p, viewPlan))
+        else
+          // coarser grouping (strict subset, incl. a global aggregate):
+          // re-aggregate the O(groups) view — sum of sums, min of mins,
+          // count as sum of counts, avg from summed parts
+          rollup(agg.aggregateExpressions, names.toSet, entry, viewPlan)
+    } yield result
   }
 
+  /** Bare-attribute grouping expressions (empty = global aggregate). */
   private def bareAttrs(es: Seq[Expression]): Option[Seq[AttributeReference]] =
-    if (es.nonEmpty && es.forall(_.isInstanceOf[AttributeReference]))
+    if (es.forall(_.isInstanceOf[AttributeReference]))
       Some(es.map(_.asInstanceOf[AttributeReference]))
     else None
 
@@ -144,5 +154,76 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
     if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+  }
+
+  /** Coarser-grain rewrite: `GROUP BY subset` re-aggregates the view.
+    * Every supported aggregate is decomposable — `sum→sum(sum)`,
+    * `min→min(min)`, `max→max(max)`, `count→sum(count)` (coalesced to
+    * 0 so a global count over an empty source still returns 0, like
+    * the original), `avg→sum(sum)/sum(count)`. A non-decomposable or
+    * type-shifting shape (e.g. decimal sums, which widen on re-sum)
+    * refuses the whole rewrite. */
+  private def rollup(outs: Seq[NamedExpression], groupNames: Set[String],
+                     entry: MvCatalog.Entry,
+                     viewPlan: LogicalPlan): Option[LogicalPlan] = {
+    def viewAttr(name: String): Option[Attribute] =
+      viewPlan.output.find(_.name == name)
+    def byKey(key: MvCatalog.AggKey): Option[Attribute] =
+      entry.aggs.get(key).flatMap(viewAttr)
+    def reAgg(fn: AggregateFunction): Expression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+    def sumOfCounts(key: MvCatalog.AggKey): Option[Expression] =
+      byKey(key).map(c => Coalesce(Seq(reAgg(Sum(c)), Literal(0L))))
+
+    val mapped: Seq[Option[NamedExpression]] = outs.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        viewAttr(a.name).filter(_.dataType == a.dataType)
+          .map(v => Alias(v, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name)
+        if groupNames.contains(a.name) =>
+        viewAttr(a.name).filter(_.dataType == al.dataType)
+          .map(v => Alias(v, name)(exprId = al.exprId))
+      case al @ Alias(ae: AggregateExpression, name)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+        val repl: Option[Expression] = ae.aggregateFunction match {
+          case s: Sum => s.child match {
+            case a: AttributeReference =>
+              byKey(("sum", a.name)).map(v => reAgg(Sum(v)))
+            case _ => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference =>
+              byKey(("min", a.name)).map(v => reAgg(Min(v)))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference =>
+              byKey(("max", a.name)).map(v => reAgg(Max(v)))
+            case _ => None
+          }
+          case c: Count => c.children match {
+            case Seq(Literal(v, _)) if v != null => sumOfCounts(("count", "*"))
+            case Seq(a: AttributeReference) => sumOfCounts(("count", a.name))
+            case _ => None
+          }
+          case av: Average => av.child match {
+            case a: AttributeReference =>
+              for {
+                s <- byKey(("sum", a.name))
+                c <- byKey(("count", a.name))
+              } yield Divide(Cast(reAgg(Sum(s)), DoubleType),
+                Cast(reAgg(Sum(c)), DoubleType), EvalMode.LEGACY)
+            case _ => None
+          }
+          case _ => None
+        }
+        repl.filter(_.dataType == al.dataType)
+          .map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    val groupExprs = groupNames.toSeq.sorted.map(viewAttr)
+    if (mapped.forall(_.isDefined) && groupExprs.forall(_.isDefined))
+      Some(Aggregate(groupExprs.map(_.get), mapped.map(_.get), viewPlan))
+    else None
   }
 }

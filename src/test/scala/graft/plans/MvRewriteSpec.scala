@@ -90,6 +90,48 @@ class MvRewriteSpec extends SparkSpec
       assert(scans(q).contains(src), scans(q).take(1500))
   }
 
+  test("a coarser GROUP BY re-aggregates the view: sum of sums, " +
+    "count as summed counts, avg from parts, global aggregate") {
+    val root = Files.createTempDirectory("mv-rollup").toString
+    val (src, view) = (s"$root/src", s"$root/view")
+    Seq(("a", "x1", 10L, Some(2L)), ("a", "x2", 4L, None),
+      ("b", "x1", 7L, Some(5L)), ("b", "x1", 1L, Some(3L)),
+      ("c", "x3", 9L, None))
+      .toDF("g", "h", "x", "y").write.parquet(src)
+    spark.read.parquet(src).groupBy("g", "h")
+      .agg(sum("x").as("sum_x"), count(lit(1)).as("n"),
+        sum("y").as("sum_y"), count(col("y")).as("n_y"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .write.parquet(view)
+    MvCatalog.register(spark, src, Seq("g", "h"),
+      Map(("sum", "x") -> "sum_x", ("count", "*") -> "n",
+        ("sum", "y") -> "sum_y", ("count", "y") -> "n_y",
+        ("min", "x") -> "min_x", ("max", "x") -> "max_x"),
+      () => spark.read.parquet(view))
+
+    val byG = spark.read.parquet(src).groupBy("g")
+      .agg(sum("x").as("s"), count(lit(1)).as("c"), min("x").as("mn"),
+        avg(col("y")).as("ay"))
+    assert(scans(byG).contains(view) && !scans(byG).contains(src),
+      scans(byG).take(1500))
+    assert(byG.as[(String, Long, Long, Long, Option[Double])]
+      .collect().toSet ==
+      Set(("a", 14L, 2L, 4L, Some(2.0)), ("b", 8L, 2L, 1L, Some(4.0)),
+        ("c", 9L, 1L, 9L, None)))
+
+    val global = spark.read.parquet(src)
+      .agg(sum("x").as("s"), count(lit(1)).as("c"), max("x").as("mx"))
+    assert(scans(global).contains(view), scans(global).take(1500))
+    assert(global.as[(Long, Long, Long)].collect().toSet ==
+      Set((31L, 5L, 10L)))
+
+    // subset grouping but an uncovered aggregate → whole rewrite off
+    val miss = spark.read.parquet(src).groupBy("g")
+      .agg(sum("x"), countDistinct(col("h")))
+    assert(scans(miss).contains(src), scans(miss).take(1500))
+    MvCatalog.unregister(spark, src)
+  }
+
   test("a source write after the view refresh disables the rewrite " +
     "until re-registration") {
     val (src, view) = setup("stale")

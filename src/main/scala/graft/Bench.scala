@@ -53,7 +53,12 @@ object Bench {
     // their wall time is mirror construction, not the delta-sized feed
     // read they exist to exercise (small_batch_write_bytes covers the
     // write side; the feed read is bounded by delta segments by design)
-    "join_local_supplier_revenue", "text_lm_score")
+    "join_local_supplier_revenue", "text_lm_score",
+    // round-6 families: hybrid retrieval fusion + event analytics.
+    // (eval_ndcg_at_k and events_attribution_asof stay un-benched to
+    // hold the output line under the driver's ~2000-char stdout window;
+    // their cost classes are covered by sim_knn_join_ivf and join_asof.)
+    "text_hybrid_rrf", "events_funnel_stages", "events_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

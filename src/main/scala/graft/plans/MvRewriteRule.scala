@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Safety properties (each falls through to the base table, never a
   * wrong answer):
-  *   - the source scan must be the DIRECT child of the aggregate
-  *     (modulo the optimizer's column-pruning projection of plain
-  *     attributes) — any filter/computed projection in between
-  *     disqualifies;
+  *   - the source scan must sit directly under the aggregate, modulo
+  *     the optimizer's column-pruning projection and at most one
+  *     deterministic Filter over GROUP columns (such a predicate
+  *     commutes with the grouping and re-applies over the view's group
+  *     values); filters touching aggregated columns, computed
+  *     projections, or anything else in between disqualify;
   *   - grouping expressions must be bare columns matching the
   *     registered set (order-insensitive); every aggregate must be
   *     non-DISTINCT, unfiltered, and structurally match a registered
@@ -49,13 +51,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
+  private case class Src(rel: LogicalRelation, filter: Option[Expression])
+
   /** The scan under the aggregate, looked through a pruning projection
-    * of bare attributes (what ColumnPruning inserts). */
-  private def sourceOf(plan: LogicalPlan): Option[LogicalRelation] =
+    * of bare attributes (what ColumnPruning inserts) and at most one
+    * deterministic, subquery-free Filter — predicates over group
+    * columns commute with the grouping, so [[rewrite]] can re-apply
+    * them over the view's group values. */
+  private def sourceOf(plan: LogicalPlan): Option[Src] =
     plan match {
-      case r: LogicalRelation => Some(r)
-      case Project(ps, r: LogicalRelation)
-        if ps.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+      case r: LogicalRelation => Some(Src(r, None))
+      case Project(ps, child)
+        if ps.forall(_.isInstanceOf[AttributeReference]) => sourceOf(child)
+      case Filter(cond, child)
+        if cond.deterministic &&
+          cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+        sourceOf(child).flatMap(s =>
+          if (s.filter.isEmpty) Some(s.copy(filter = Some(cond))) else None)
       case _ => None
     }
 
@@ -90,24 +102,45 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
     for {
-      rel <- sourceOf(agg.child)
-      loc <- locationOf(rel)
+      src <- sourceOf(agg.child)
+      loc <- locationOf(src.rel)
       entry <- MvCatalog.freshEntry(spark, loc)
       groupAttrs <- bareAttrs(agg.groupingExpressions)
       names = groupAttrs.map(_.name)
       if names.distinct == names && names.toSet.subsetOf(entry.groupCols.toSet)
+      // a filter may only touch view group columns (then it commutes
+      // with the grouping and re-applies over the view's group values)
+      if src.filter.forall(_.references.forall(a =>
+        entry.groupCols.contains(a.name)))
       viewPlan = entry.view().queryExecution.analyzed
+      child <- src.filter match {
+        case None => Some(viewPlan)
+        case Some(cond) => rebind(cond, viewPlan).map(Filter(_, viewPlan))
+      }
       result <-
         if (names.sorted == entry.groupCols.sorted)
-          // exact grouping match: pure projection of the view
+          // exact grouping match: pure projection of the (filtered) view
           projection(agg.aggregateExpressions, names.toSet, entry, viewPlan)
-            .map(p => Project(p, viewPlan))
+            .map(p => Project(p, child))
         else
           // coarser grouping (strict subset, incl. a global aggregate):
           // re-aggregate the O(groups) view — sum of sums, min of mins,
           // count as sum of counts, avg from summed parts
-          rollup(agg.aggregateExpressions, names.toSet, entry, viewPlan)
+          rollup(agg.aggregateExpressions, names.toSet, entry, viewPlan, child)
     } yield result
+  }
+
+  /** Re-point a predicate's source attributes at the view's columns of
+    * the same name; None if any attribute or type fails to line up. */
+  private def rebind(cond: Expression,
+                     viewPlan: LogicalPlan): Option[Expression] = {
+    val ok = cond.references.forall(a =>
+      viewPlan.output.exists(v => v.name == a.name && v.dataType == a.dataType))
+    if (!ok) None
+    else Some(cond.transform {
+      case a: AttributeReference =>
+        viewPlan.output.find(_.name == a.name).get
+    })
   }
 
   /** Bare-attribute grouping expressions (empty = global aggregate). */
@@ -164,8 +197,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * type-shifting shape (e.g. decimal sums, which widen on re-sum)
     * refuses the whole rewrite. */
   private def rollup(outs: Seq[NamedExpression], groupNames: Set[String],
-                     entry: MvCatalog.Entry,
-                     viewPlan: LogicalPlan): Option[LogicalPlan] = {
+                     entry: MvCatalog.Entry, viewPlan: LogicalPlan,
+                     child: LogicalPlan): Option[LogicalPlan] = {
     def viewAttr(name: String): Option[Attribute] =
       viewPlan.output.find(_.name == name)
     def byKey(key: MvCatalog.AggKey): Option[Attribute] =
@@ -223,7 +256,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     val groupExprs = groupNames.toSeq.sorted.map(viewAttr)
     if (mapped.forall(_.isDefined) && groupExprs.forall(_.isDefined))
-      Some(Aggregate(groupExprs.map(_.get), mapped.map(_.get), viewPlan))
+      Some(Aggregate(groupExprs.map(_.get), mapped.map(_.get), child))
     else None
   }
 }

@@ -129,6 +129,25 @@ class MvRewriteSpec extends SparkSpec
     val miss = spark.read.parquet(src).groupBy("g")
       .agg(sum("x"), countDistinct(col("h")))
     assert(scans(miss).contains(src), scans(miss).take(1500))
+
+    // a WHERE over group columns commutes with the grouping: it
+    // re-applies over the view's group values — exact and rollup grain
+    val fExact = spark.read.parquet(src)
+      .filter(col("h") === "x1" && col("g") =!= "c")
+      .groupBy("g", "h").agg(sum("x").as("s"))
+    assert(scans(fExact).contains(view) && !scans(fExact).contains(src),
+      scans(fExact).take(1500))
+    assert(fExact.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "x1", 10L), ("b", "x1", 8L)))
+    val fRoll = spark.read.parquet(src).filter(col("h") === "x1")
+      .groupBy("g").agg(sum("x").as("s"), count(lit(1)).as("c"))
+    assert(scans(fRoll).contains(view), scans(fRoll).take(1500))
+    assert(fRoll.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 10L, 1L), ("b", 8L, 2L)))
+    // ...but a filter touching an aggregated column cannot
+    val fBad = spark.read.parquet(src).filter(col("x") > 2)
+      .groupBy("g").agg(sum("x").as("s"))
+    assert(scans(fBad).contains(src), scans(fBad).take(1500))
     MvCatalog.unregister(spark, src)
   }
 

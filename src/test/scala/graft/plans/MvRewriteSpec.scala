@@ -151,6 +151,19 @@ class MvRewriteSpec extends SparkSpec
     MvCatalog.unregister(spark, src)
   }
 
+  test("HAVING survives the rewrite: the post-aggregation filter " +
+    "resolves against the preserved exprIds") {
+    val (src, view) = setup("having")
+    val q = spark.read.parquet(src).groupBy("g")
+      .agg(sum("x").as("s"), count(lit(1)).as("c"))
+      .filter(col("s") > 8) // HAVING sum(x) > 8
+    assert(scans(q).contains(view) && !scans(q).contains(src),
+      scans(q).take(1500))
+    assert(q.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 14L, 2L), ("c", 9L, 1L)))
+    MvCatalog.unregister(spark, src)
+  }
+
   test("a source write after the view refresh disables the rewrite " +
     "until re-registration") {
     val (src, view) = setup("stale")

@@ -195,6 +195,37 @@ object CdcQueries {
       "log-mirror per-segment health stats (rows + tombstones per " +
         "live segment) — the compaction-cadence signal"),
 
+    Q("cdc_state_at_version",
+      (s, d) => {
+        // COMMIT-time travel on the log mirror: the five fixture waves
+        // merge as batches 0..4 (no fold), then readAsOf(2) reconciles
+        // ONLY segments 0..2 — the r/U1/U2 waves with deletes and
+        // re-inserts not yet committed. Same expected state as
+        // cdc_time_travel (EVENT-time travel at ts=3500) reached by a
+        // disjoint mechanism: segment-set selection instead of a
+        // change-log replay filter.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-versiontravel-q").toString + "/orders"
+        val all = unwrapped(s, d)
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            graft.sinks.LogMirror.merge(s, root,
+              all.filter(col("ts_ms") === ts), Seq("id"), i.toLong,
+              maxDeltas = 16, bucketCount = None)
+        }
+        graft.sinks.LogMirror.readAsOf(s, root, 2L)
+      },
+      Some("""SELECT o_orderkey AS id,
+             |  CASE WHEN o_orderkey % 6 = 0 THEN 'U2'
+             |       WHEN o_orderkey % 3 = 0 THEN 'U1'
+             |       ELSE o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 1.2
+             |       WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders""".stripMargin),
+      "commit-time travel on the log mirror: state as of batch 2 from " +
+        "the segment history alone (the log layout IS the history)"),
+
     Q("cdc_replicated_state",
       (s, d) => {
         // The replication chain end-to-end: five fixture waves merged

@@ -401,6 +401,44 @@ object LogMirror {
   def read(spark: SparkSession, root: String): DataFrame =
     Materialize.stripVersions(readVersioned(spark, root))
 
+  /** Version time travel: the mirror's state as of committed batch
+    * `version` — reconcile the base plus ONLY the delta segments with
+    * id ≤ `version`, exactly the segment set a reader at that commit
+    * saw. Same cost class as [[read]] (bounded by the delta depth at
+    * that point), no extra storage: the log layout IS the history.
+    *
+    * Retention contract mirrors [[changesSince]]: compaction folds
+    * deltas into a base stamped with the newest folded id, so once the
+    * base id has advanced past `version` the per-batch segments that
+    * made up that state are gone — this throws
+    * [[RetentionLostException]] rather than serving a state assembled
+    * from the wrong segments. Size `maxDeltas` (the retention window)
+    * to the oldest state you need to reproduce, or compact explicitly
+    * on that cadence. Complements [[Materialize.stateAsOf]] (EVENT-time
+    * travel over a change log): this is COMMIT-time travel over the
+    * mirror's own segment history, the "query the table as of batch N"
+    * obligation of a replication target. */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root) match {
+      case None => read(spark, root)
+      case Some(m) =>
+        m.base.filter(_ > version).foreach(b => throw
+          new RetentionLostException(
+            s"LogMirror at $root folded batches up to $b into its base; " +
+              s"the state as of $version can no longer be reconstructed " +
+              "(retention = maxDeltas)."))
+        val visible = m.copy(deltas = m.deltas.filter(_ <= version))
+        if (visible.base.isEmpty && visible.deltas.isEmpty)
+          // requested a version before the first commit: empty state in
+          // the live schema
+          read(spark, root).limit(0)
+        else Materialize.stripVersions(
+          reconcile(unionSegments(segmentFrames(spark, root, visible)),
+            m.keyCols))
+    }
+  }
+
   /** Thrown by [[changesSince]] when compaction has folded batches
     * newer than the requested checkpoint into the base — the per-batch
     * segments are gone, so the consumer must re-snapshot via [[read]] /

@@ -375,6 +375,33 @@ class LogMirrorSpec extends SparkSpec {
     assert(state(root) == Map(3L -> "c", 4L -> "d4", 5L -> "e"))
   }
 
+  test("readAsOf reconstructs every committed version from the segment " +
+    "history; folded-away versions throw; pre-history is empty") {
+    val root = Files.createTempDirectory("lm-asof").toString
+    merge(root, changes((1L, "a", "r", 1000L, 0L), (2L, "b", "r", 1000L, 1L)), 0L)
+    merge(root, changes((1L, "a2", "u", 2000L, 2L)), 1L)
+    merge(root, changes((2L, "", "d", 3000L, 3L), (3L, "c", "c", 3000L, 4L)), 2L)
+    def asOf(v: Long): Map[Long, String] =
+      LogMirror.readAsOf(spark, root, v).select("id", "v")
+        .as[(Long, String)].collect().toMap
+    assert(asOf(0L) == Map(1L -> "a", 2L -> "b"))
+    assert(asOf(1L) == Map(1L -> "a2", 2L -> "b"))
+    assert(asOf(2L) == state(root), "head version must equal the live read")
+    // a version beyond the head selects every segment (same as live)
+    assert(asOf(99L) == state(root))
+    // a version before the first commit is the empty pre-history state
+    assert(LogMirror.readAsOf(spark, root, -1L).count() == 0)
+    // after a fold, states at/after the base id survive; older throw
+    LogMirror.compact(spark, root) // base-2
+    assert(asOf(2L) == Map(1L -> "a2", 3L -> "c"))
+    intercept[LogMirror.RetentionLostException] {
+      LogMirror.readAsOf(spark, root, 1L)
+    }
+    // never-written mirror: empty, never throws
+    val fresh = Files.createTempDirectory("lm-asof-e").toString + "/none"
+    assert(LogMirror.readAsOf(spark, fresh, 0L).count() == 0)
+  }
+
   test("schema evolution: a delta with a new column backfills null " +
     "into base-era rows") {
     val root = Files.createTempDirectory("lm-evo").toString

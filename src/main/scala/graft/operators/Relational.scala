@@ -396,6 +396,33 @@ object Relational {
              |QUALIFY rnk <= 5""".stripMargin),
       "rank/dense_rank"),
 
+    // Distribution window family (ntile/percent_rank/cume_dist): the
+    // unique (o_totalprice, o_orderkey) ordering makes every rank —
+    // and so every derived distribution value — deterministic;
+    // percent_rank and cume_dist divide exact small ints, bitwise-equal
+    // across engines.
+    Q("window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        load(s, d, "orders")
+          .filter(col("o_orderkey") < 3000)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |percent_rank() OVER w AS pct_rank,
+             |cume_dist() OVER w AS cume
+             |FROM orders
+             |WHERE o_orderkey < 3000
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+      "ntile/percent_rank/cume_dist distribution windows over a unique " +
+        "total order"),
+
     // ---- sort / limit / top-k ---------------------------------------
     Q("topk_orders",
       (s, d) => load(s, d, "orders")

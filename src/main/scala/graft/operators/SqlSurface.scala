@@ -203,5 +203,68 @@ object SqlSurface {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin),
       "TPC-H Q5 shape: local-supplier revenue per nation — broadcast " +
-        "dim chain, one fact-fact shuffle join"))
+        "dim chain, one fact-fact shuffle join"),
+
+    // TPC-H Q8 shape: national market share — a two-sided dimension
+    // chain (supplier nation on one arm, customer nation→region on the
+    // other) hanging off the lineitem⋈orders fact join, reduced to a
+    // conditional-sum ratio per year. The p_type filter prunes the part
+    // dim BEFORE its join (the most selective edge runs first), every
+    // dim broadcasts, and the only shuffles are the fact-fact join and
+    // the O(years) final aggregate. Exact-cents sums make the ratio's
+    // inputs order-independent; the share divides two exact longs.
+    Q("join_market_share",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val o = load(s, d, "orders")
+        val c = load(s, d, "customer")
+        val su = load(s, d, "supplier")
+        val p = load(s, d, "part").filter(col("p_type") === "ECONOMY")
+        val r = load(s, d, "region").filter(col("r_name") === "ASIA")
+        val suppNation = load(s, d, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+        val custNation = load(s, d, "nation")
+          .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+        val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("n2_key"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("n1_key"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", cents).otherwise(0L))
+              .as("nation_cents"),
+            sum(cents).as("total_cents"))
+          .select(col("o_year"),
+            round(col("nation_cents") / col("total_cents"), 6).as("mkt_share"),
+            col("nation_cents"), col("total_cents"))
+      },
+      Some("""WITH vol AS (
+             |  SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+             |    n2.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'),
+             |yr AS (
+             |  SELECT o_year,
+             |    CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+             |    CAST(sum(cents) AS BIGINT) AS total_cents
+             |  FROM vol GROUP BY o_year)
+             |SELECT o_year, round(nation_cents / total_cents, 6) AS mkt_share,
+             |  nation_cents, total_cents
+             |FROM yr""".stripMargin),
+      "TPC-H Q8 shape: supplier-nation market share per year over an " +
+        "8-relation join — both dim arms broadcast, exact-cents " +
+        "conditional-sum ratio"))
 }

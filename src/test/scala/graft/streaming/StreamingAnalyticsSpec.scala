@@ -79,6 +79,45 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unconverted impressions emit " +
+    "null-padded only after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("imp_id", "imp_ts").withWatermark("imp_ts", "20 minutes")
+    val clkDf = clks.toDF().toDF("clk_imp_id", "clk_ts").withWatermark("clk_ts", "20 minutes")
+    // same interval condition as the inner case; leftOuter additionally
+    // emits each unmatched impression ONCE, null-padded, as soon as the
+    // watermark proves no in-window click can still arrive — the
+    // "unconverted impressions" half of attribution, with state for
+    // both sides evicted by the same watermark
+    val joined = impDf.join(clkDf,
+      expr("imp_id = clk_imp_id AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 10 minutes"),
+      "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attribution_outer")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+      imps.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(5)))
+      clks.addData((1L, ts(4))) // only impression 1 converts
+      q.processAllAvailable()
+      def got = spark.table("attribution_outer")
+        .select($"imp_id", $"clk_imp_id".isNotNull.as("matched"))
+        .as[(Long, Boolean)].collect().toSet
+      // watermark hasn't passed the unmatched windows: no null rows yet
+      assert(got == Set((1L, true)),
+        s"unmatched rows must wait for the watermark: $got")
+      // event time advances far past every window+watermark → the
+      // unconverted impressions 2 and 3 emit exactly once, null-padded
+      imps.addData((99L, ts(59))); clks.addData((99L, ts(59)))
+      q.processAllAvailable()
+      assert(got.contains((2L, false)) && got.contains((3L, false)),
+        s"unconverted impressions must emit null-padded: $got")
+      assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 3L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap and close at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]

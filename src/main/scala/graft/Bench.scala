@@ -58,7 +58,10 @@ object Bench {
     // (eval_ndcg_at_k and events_attribution_asof stay un-benched to
     // hold the output line under the driver's ~2000-char stdout window;
     // their cost classes are covered by sim_knn_join_ivf and join_asof.)
-    "text_hybrid_rrf", "events_funnel_stages", "events_cohort_retention")
+    "text_hybrid_rrf", "events_funnel_stages", "events_cohort_retention",
+    // fourth-session families: the two heaviest optimizer shapes
+    // (8-relation conditional-share join; Q21 collapsed to one shuffle)
+    "join_market_share", "join_only_late_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,5 +266,65 @@ object SqlSurface {
              |FROM yr""".stripMargin),
       "TPC-H Q8 shape: supplier-nation market share per year over an " +
         "8-relation join — both dim arms broadcast, exact-cents " +
-        "conditional-sum ratio"))
+        "conditional-sum ratio"),
+
+    // TPC-H Q21 shape: suppliers who were the ONLY late supplier of a
+    // multi-supplier order. The classic formulation is EXISTS + NOT
+    // EXISTS self-joins on lineitem; the Spark-first plan replaces both
+    // correlated probes with ONE order-keyed aggregation (distinct
+    // suppliers, distinct LATE suppliers) — the fact table shuffles
+    // once on l_orderkey instead of three times, and the "exists
+    // another / not exists another late" predicates become n_supp > 1
+    // AND n_late_supp = 1 over the aggregate. Same rows, one shuffle.
+    Q("join_only_late_supplier",
+      (s, d) => {
+        val o = load(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val flagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+              .as("late"))
+        // per-(order,supplier) rollup (map-side combine shrinks the fact
+        // rows to distinct pairs), then the per-order supplier counts as
+        // whole-partition windows over that rollup — ONE lineage, so the
+        // fact table is scanned and shuffled exactly once; no Expand
+        // (countDistinct) multiplication, no self-join re-scan
+        val perPair = flagged.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("late")).as("late"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+        val culprit = perPair
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late_supp", sum(col("late").cast("long")).over(w))
+          .filter(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
+        culprit.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(load(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some("""WITH flagged AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'),
+             |per_order AS (
+             |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+             |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+             |  FROM flagged GROUP BY 1),
+             |culprit AS (
+             |  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+             |  FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+             |  WHERE f.late AND p.n_supp > 1 AND p.n_late_supp = 1)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
+      "TPC-H Q21 shape: only-late-supplier of multi-supplier orders — " +
+        "correlated EXISTS/NOT EXISTS collapsed into one order-keyed " +
+        "distinct-count aggregation (one fact shuffle, not three)"))
 }

@@ -155,4 +155,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(800))
   }
+
+  test("market share (Q8 shape): selective dim filters pushed into " +
+    "their scans, every dim arm broadcast, no nested-loop fallback") {
+    val p = plan("join_market_share")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p.take(2000))
+    assert(p.contains("EqualTo(r_name,ASIA)"), p.take(2000))
+    // the 8-relation join runs as broadcast hash joins off the fact
+    // spine — at most the fact-fact lineitem⋈orders edge may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }

@@ -330,6 +330,55 @@ object AdvancedQueries {
       "exact mergeable distinct via bucketed bitmaps " +
         "(construct per month, OR-merge, count) — value-oracled"),
 
+    // ---- heavy hitters (Misra-Gries two-pass) -------------------------
+    // The frequent-items sibling of the distinct sketches: at 100 TB the
+    // key domain (URLs, n-grams, user ids) can be billions of keys —
+    // a plain groupBy.count shuffles the WHOLE domain to find the
+    // handful of hot keys. Pass 1 runs the capacity-c Misra-Gries
+    // sketch (O(c) state per partition, ≤ c pairs shuffled per map
+    // task), whose candidate array provably contains every key with
+    // frequency > n/(c+1); pass 2 re-counts ONLY candidate keys
+    // (array_contains prune against the broadcast 1-row sketch result,
+    // ≤ c groups) and applies the exact threshold. The final answer is
+    // identical to the full exact aggregation — the oracle IS that
+    // exact aggregation — while the sketch bounds state and shuffle by
+    // c, not by domain size. The testdata's keys are near-uniform, so
+    // hot keys are planted: every 5th event also contributes its
+    // user_id mod 3 eight times (~20% of the combined stream each),
+    // the repo's planted-signal pattern (same rule in the oracle).
+    Q("agg_heavy_hitters",
+      (s, d) => {
+        val ev = load(s, d, "events")
+        val stream = ev.select(col("user_id").as("key"))
+          .unionByName(ev.filter(col("event_id") % 5 === 0)
+            .select(explode(sequence(lit(1), lit(8))).as("rep"),
+              (col("user_id") % 3).as("key"))
+            .select("key"))
+        val sketch = stream.agg(count(lit(1)).as("n"),
+          graft.functions.HeavyHitters.heavyHitterCandidates(15)(col("key"))
+            .as("cand"))
+        stream.crossJoin(broadcast(sketch))
+          .filter(array_contains(col("cand"), col("key")))
+          .groupBy(col("key"), col("n"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 16 > col("n"))
+          .select(col("key"), col("cnt"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH stream AS (
+             |  SELECT user_id AS key FROM events
+             |  UNION ALL
+             |  SELECT user_id % 3 AS key FROM events CROSS JOIN range(8)
+             |  WHERE event_id % 5 = 0),
+             |tot AS (SELECT count(*) AS n FROM stream)
+             |SELECT key, count(*) AS cnt
+             |FROM stream, tot GROUP BY key, n
+             |HAVING count(*) * 16 > n
+             |ORDER BY key""".stripMargin),
+      "Misra-Gries heavy hitters: capacity-15 mergeable sketch prunes " +
+        "the key domain, exact confirm pass over ≤15 candidates — " +
+        "hash-identical to the full exact aggregation"),
+
     // ---- salted skew join ---------------------------------------------
     // One hot key must not pin one shuffle partition at 1000 executors:
     // the fact side salts deterministically (Skew.saltedEquiJoin), the

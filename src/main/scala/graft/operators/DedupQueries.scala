@@ -293,5 +293,106 @@ object DedupQueries {
       Some(s"""SELECT doc_id AS a, doc_id + $plantOffsetSql AS b, CAST(0 AS BIGINT) AS hamming
              |FROM documents WHERE $plantedPredicate""".stripMargin),
       "SimHash near-dups: 4x16-bit block join (guaranteed recall for " +
-        "hamming<=3) + hamming verify; planted-duplicate recovery oracle-checked"))
+        "hamming<=3) + hamming verify; planted-duplicate recovery oracle-checked"),
+
+    // Fuzzy eval-set decontamination — the NEAR-duplicate sibling of
+    // dedup_decontaminate (which needs an exact shared n-gram): a
+    // benchmark document that was lightly edited before entering the
+    // training corpus still leaks. Pipeline: shingle both corpora →
+    // md5-family MinHash signatures → band keys → train⋈eval band
+    // equi-join (the eval side is a broadcast — benchmark suites are
+    // small by construction; the corpus is NEVER self-joined) →
+    // candidate (train, eval) pairs → exact-Jaccard confirm ≥ 0.5 over
+    // the candidates only. The md5 hash family is shared with DuckDB,
+    // so the ENTIRE pipeline — candidate generation included — replays
+    // verbatim in the oracle: every emitted value is hash-checked, not
+    // just a planted-recovery slice. The eval set is planted prefix
+    // copies (last two tokens dropped) of every 25th doc, so the
+    // result is non-vacuous at every scale factor; Jaccard doubles are
+    // exact int/int divisions (bitwise identical across engines).
+    Q("dedup_fuzzy_decontaminate",
+      (s, d) => {
+        val base = load(s, d, "documents").select(col("doc_id"), col("text"))
+        val w = tokens(col("text"))
+        val evalDocs = base.filter(col("doc_id") % 25 === 0 && size(w) >= 10)
+          .select((col("doc_id") + lit(plantOffset(s, d))).as("eval_id"),
+            array_join(slice(w, lit(1), size(w) - 2), " ").as("text"))
+        def shingled(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+          .select(col(idCol), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        def banded(df: org.apache.spark.sql.DataFrame, idCol: String) = {
+          val sigs = df.select(col(idCol),
+            array((0 until 8).map(seed =>
+              array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
+              .as("sig"))
+          sigs.select(col(idCol),
+            explode(array((0 until 4).map(b =>
+              struct(lit(b).as("band"),
+                concat(element_at(col("sig"), 2 * b + 1),
+                  element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+            .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+        }
+        val trainSh = shingled(base, "doc_id")
+        val evalSh = shingled(evalDocs, "eval_id")
+        val cand = banded(trainSh, "doc_id")
+          .join(broadcast(banded(evalSh, "eval_id")), Seq("band", "key"))
+          .select(col("doc_id"), col("eval_id")).distinct()
+        cand.join(trainSh, "doc_id")
+          .join(broadcast(evalSh.withColumnRenamed("sh", "esh")), "eval_id")
+          .select(col("doc_id").as("train_id"), col("eval_id"),
+            (size(array_intersect(col("sh"), col("esh"))).cast("double") /
+              size(array_union(col("sh"), col("esh")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT doc_id + $plantOffsetSql AS eval_id, array_to_string(
+             |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ') AS text
+             |  FROM documents
+             |  WHERE doc_id % 25 = 0 AND len(string_split(text, ' ')) >= 10),
+             |tsh AS (SELECT * FROM (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+             |  FROM documents) WHERE len(s) > 0),
+             |esh AS (SELECT * FROM (
+             |  SELECT eval_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+             |  FROM ev) WHERE len(s) > 0),
+             |tsig AS (
+             |  SELECT doc_id, [
+             |    list_min(list_transform(s, x -> md5('0|' || x))),
+             |    list_min(list_transform(s, x -> md5('1|' || x))),
+             |    list_min(list_transform(s, x -> md5('2|' || x))),
+             |    list_min(list_transform(s, x -> md5('3|' || x))),
+             |    list_min(list_transform(s, x -> md5('4|' || x))),
+             |    list_min(list_transform(s, x -> md5('5|' || x))),
+             |    list_min(list_transform(s, x -> md5('6|' || x))),
+             |    list_min(list_transform(s, x -> md5('7|' || x)))] AS sig FROM tsh),
+             |esig AS (
+             |  SELECT eval_id, [
+             |    list_min(list_transform(s, x -> md5('0|' || x))),
+             |    list_min(list_transform(s, x -> md5('1|' || x))),
+             |    list_min(list_transform(s, x -> md5('2|' || x))),
+             |    list_min(list_transform(s, x -> md5('3|' || x))),
+             |    list_min(list_transform(s, x -> md5('4|' || x))),
+             |    list_min(list_transform(s, x -> md5('5|' || x))),
+             |    list_min(list_transform(s, x -> md5('6|' || x))),
+             |    list_min(list_transform(s, x -> md5('7|' || x)))] AS sig FROM esh),
+             |tband AS (SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+             |  FROM tsig, (SELECT unnest(range(4)) AS b)),
+             |eband AS (SELECT eval_id, b, sig[2*b+1] || sig[2*b+2] AS key
+             |  FROM esig, (SELECT unnest(range(4)) AS b)),
+             |cand AS (SELECT DISTINCT t.doc_id, e.eval_id
+             |  FROM tband t JOIN eband e ON t.b = e.b AND t.key = e.key)
+             |SELECT train_id, eval_id, jaccard FROM (
+             |  SELECT c.doc_id AS train_id, c.eval_id,
+             |    CAST(len(list_filter(t.s, x -> list_contains(e.s, x))) AS DOUBLE)
+             |      / len(list_distinct(list_concat(t.s, e.s))) AS jaccard
+             |  FROM cand c JOIN tsh t ON c.doc_id = t.doc_id
+             |  JOIN esh e ON c.eval_id = e.eval_id)
+             |WHERE jaccard >= 0.5""".stripMargin),
+      "fuzzy decontamination: md5-MinHash LSH train⋈eval band join " +
+        "(eval side broadcast) + exact-Jaccard confirm — whole pipeline " +
+        "value-checked in DuckDB, planted prefix-copy eval set"))
 }

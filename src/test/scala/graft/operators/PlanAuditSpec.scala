@@ -156,6 +156,22 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("fuzzy decontamination joins the corpus against a BROADCAST eval " +
+    "side — the training corpus is never self-joined or nested-looped") {
+    val p = plan("dedup_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("heavy hitters: the confirm pass re-aggregates only candidate " +
+    "keys (broadcast 1-row sketch, no second full-domain shuffle)") {
+    val p = plan("agg_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("market share (Q8 shape): selective dim filters pushed into " +
     "their scans, every dim arm broadcast, no nested-loop fallback") {
     val p = plan("join_market_share")

@@ -437,5 +437,61 @@ object SimilarityQueries {
              |    range(1, icap + 1), i -> 1.0 / log2(i + 1))), 4) AS ndcg
              |FROM dcg d JOIN icaps USING (qid)""".stripMargin),
       "offline retrieval eval: per-query nDCG@20 of the cosine arm " +
-        "against rule-derived relevance labels"))
+        "against rule-derived relevance labels"),
+
+    // SemDeDup-shaped semantic deduplication: k-means cells bound the
+    // candidate space (pairs form only WITHIN a cell — candidates ∝
+    // Σ cell², never n²), an exact-cosine confirm keeps pairs ≥ 0.95,
+    // and connected components elect the canonical (min-id) survivor
+    // per duplicate group — the full cluster→pair→elect decision, not
+    // just a pair list. Oracle determinism is the planted-duplicate
+    // argument: an identical vector normalizes identically, so it maps
+    // to the SAME cell with probability 1 and scores cosine 1, while
+    // random 64-dim pairs cannot reach 0.95 (≈7.6σ) — so the
+    // cell-bounded pair set EQUALS the brute-force threshold join
+    // DuckDB runs, and the CC fixpoint is checked by a recursive-CTE
+    // reachability oracle. Planted: copies of vec 3 and 7 at +off, a
+    // second copy of 3 at +2·off (one 3-node group, one 2-node group).
+    Q("dedup_semantic_clusters",
+      (s, d) => {
+        val off = plantOffset(s, d)
+        val slice = load(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val corpus = slice
+          .unionByName(slice.filter(col("vec_id").isin(3L, 7L))
+            .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding")))
+          .unionByName(slice.filter(col("vec_id") === 3L)
+            .select((col("vec_id") + lit(2 * off)).as("vec_id"), col("embedding")))
+        val a = graft.functions.IvfIndex.build(s, corpus, k = 8, iterations = 2)
+          .assignments // (id, v normalized, cell)
+        val pairs = a.as("l").join(a.as("r"),
+            col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+          .filter(cosine(col("l.v"), col("r.v")) >= 0.95)
+          .select(col("l.id").as("a"), col("r.id").as("b"))
+        graft.functions.DedupFunctions.connectedComponents(pairs)
+          .select(col("node"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+             |  UNION ALL
+             |  SELECT vec_id + $plantOffsetSql, embedding FROM embeddings
+             |  WHERE vec_id IN (3, 7)
+             |  UNION ALL
+             |  SELECT vec_id + 2 * ($plantOffsetSql), embedding FROM embeddings
+             |  WHERE vec_id = 3),
+             |pairs AS (
+             |  SELECT l.vec_id AS a, r.vec_id AS b
+             |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+             |  WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b AS src, a AS dst FROM pairs),
+             |reach AS (
+             |  SELECT src AS node, src AS root FROM edges
+             |  UNION
+             |  SELECT ed.dst AS node, r.root FROM reach r
+             |  JOIN edges ed ON ed.src = r.node)
+             |SELECT node, min(root) AS component FROM reach GROUP BY node""".stripMargin),
+      "SemDeDup-shaped semantic dedup: k-means cells bound candidates, " +
+        "cosine>=0.95 confirm, connected components elect the min-id " +
+        "survivor — planted-duplicate + recursive-CTE oracle"))
 }

@@ -126,5 +126,52 @@ object Monitors {
              |UNION ALL
              |SELECT 'health', CAST(user_id AS VARCHAR), round(sum(value), 2)
              |FROM events WHERE event_type = 'error' GROUP BY 2""".stripMargin),
-      "ST9 ONE_FAILED alert fan-in across monitor families (cdc_health_check_dag.py:83-87)"))
+      "ST9 ONE_FAILED alert fan-in across monitor families (cdc_health_check_dag.py:83-87)"),
+
+    // Adaptive lag anomaly detection — the evolution of the reference's
+    // FIXED threshold (MAX_LAG_THRESHOLD=500, kafka_latency_monitor
+    // .py:15): a static threshold misfires when topics have different
+    // baseline lag, so each topic's per-minute lag sample is scored
+    // against ITS OWN trailing 6-sample mean/stddev and flagged past
+    // 2σ. One aggregation (per-topic-minute samples) + one window pass
+    // — the window partitions by topic, so at 1000 topics the state is
+    // 6 numbers per topic, never the raw event history. Warmup rows
+    // (fewer than 2 prior samples / zero variance) are excluded; the
+    // z-score is rounded 4 dp on BOTH sides before the 2σ compare so
+    // the flag can't diverge on sum-order ulps.
+    Q("mon_lag_anomaly",
+      (s, d) => {
+        val samples = load(s, d, "events")
+          .groupBy(col("event_type").as("topic"),
+            date_trunc("minute", col("ts")).as("w"))
+          .agg((max(col("event_id")) -
+            coalesce(max(when(col("value") < 100, col("event_id"))), lit(0L)))
+            .as("lag"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("topic").orderBy("w").rowsBetween(-6, -1)
+        samples
+          .withColumn("mu", avg(col("lag")).over(win))
+          .withColumn("sigma", stddev_samp(col("lag")).over(win))
+          .filter(col("sigma").isNotNull && col("sigma") > 0)
+          .withColumn("z", round((col("lag") - col("mu")) / col("sigma"), 4))
+          .select(col("topic"), col("w"), col("lag"), col("z"),
+            (abs(col("z")) > 2.0).as("anomaly"))
+      },
+      Some("""WITH samples AS (
+             |  SELECT event_type AS topic, date_trunc('minute', ts) AS w,
+             |    max(event_id) - coalesce(max(event_id) FILTER (WHERE value < 100), 0)
+             |      AS lag
+             |  FROM events GROUP BY 1, 2)
+             |SELECT topic, w, lag, round((lag - mu) / sigma, 4) AS z,
+             |  abs(round((lag - mu) / sigma, 4)) > 2.0 AS anomaly
+             |FROM (
+             |  SELECT topic, w, lag,
+             |    avg(lag) OVER win AS mu,
+             |    stddev_samp(lag) OVER win AS sigma
+             |  FROM samples
+             |  WINDOW win AS (PARTITION BY topic ORDER BY w
+             |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             |WHERE sigma IS NOT NULL AND sigma > 0""".stripMargin),
+      "per-topic self-baselining lag anomaly: trailing-window z-score " +
+        "past 2σ — adaptive replacement for the fixed 500-message threshold"))
 }

@@ -377,5 +377,53 @@ object PipelineQueries {
              |SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT),
              |             9) AS bin, count(*) AS n
              |FROM orders CROSS JOIN mm GROUP BY 1""".stripMargin),
-      "10-bin equi-width histogram of order totals (two-pass: minmax + binning)"))
+      "10-bin equi-width histogram of order totals (two-pass: minmax + binning)"),
+
+    // Domain-mixture planning — the static calculation behind a
+    // Pile/DoReMi-style training mix: given target mixture weights per
+    // domain and the tokens actually available, the largest total
+    // budget that respects the mix without oversampling any domain is
+    // bound by the scarcest domain (min over available/weight); each
+    // domain then samples at rate budget·weight/available (the binding
+    // domain at 1.0). Cost: one domain-keyed aggregation over the
+    // corpus + arithmetic on a #domains-row frame — the 100 TB corpus
+    // is touched once, the plan itself is O(domains). Token sums are
+    // exact integer sums; every double op is the same IEEE expression
+    // tree in both engines, so values stay unrounded.
+    Q("pipeline_domain_mix",
+      (s, d) => {
+        val weights = typedLit(Map(
+          "en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "es" -> 0.1, "fr" -> 0.1))
+        val avail = load(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(sum(size(tokens(col("text")))).as("available_tokens"))
+          .withColumn("target_weight", element_at(weights, col("lang")))
+          .filter(col("target_weight").isNotNull)
+        val budget = avail.agg(
+          min(col("available_tokens") / col("target_weight")).as("budget_tokens"))
+        avail.crossJoin(broadcast(budget))
+          .select(col("lang"), col("available_tokens"), col("target_weight"),
+            (col("budget_tokens") * col("target_weight") / col("available_tokens"))
+              .as("sample_rate"),
+            (col("budget_tokens") * col("target_weight")).as("planned_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH avail AS (
+             |  SELECT lang, sum(len(string_split(text, ' '))) AS available_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT * FROM (VALUES
+             |  ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
+             |  ('de', CAST(0.15 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+             |  ('fr', CAST(0.1 AS DOUBLE))) t(lang, target_weight)),
+             |j AS (SELECT avail.lang, CAST(available_tokens AS BIGINT) AS available_tokens,
+             |        target_weight
+             |      FROM avail JOIN w ON avail.lang = w.lang),
+             |b AS (SELECT min(available_tokens / target_weight) AS budget_tokens FROM j)
+             |SELECT lang, available_tokens, target_weight,
+             |  budget_tokens * target_weight / available_tokens AS sample_rate,
+             |  budget_tokens * target_weight AS planned_tokens
+             |FROM j, b ORDER BY lang""".stripMargin),
+      "domain-mixture planner: scarcest domain binds the token budget, " +
+        "per-domain sampling rates respect the target mix — one corpus " +
+        "scan, O(domains) arithmetic"))
 }

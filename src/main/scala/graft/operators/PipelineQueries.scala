@@ -425,5 +425,65 @@ object PipelineQueries {
              |FROM j, b ORDER BY lang""".stripMargin),
       "domain-mixture planner: scarcest domain binds the token budget, " +
         "per-domain sampling rates respect the target mix — one corpus " +
-        "scan, O(domains) arithmetic"))
+        "scan, O(domains) arithmetic"),
+
+    // Reproducible epoch shuffling — every epoch must visit the corpus
+    // in a different order, yet the order must be a pure function of
+    // (epoch, doc_id) so a resumed/re-run job shards identically. The
+    // order key is md5(epoch|doc_id) (shared hash family, so DuckDB
+    // replays the permutation bit-for-bit); positions are assigned
+    // WITHIN each language partition, so the window parallelizes per
+    // group — at 100 TB the same hash key feeds repartitionByRange for
+    // a driver-free global order, and per-shard positions (this shape)
+    // are what a data loader actually consumes.
+    Q("pipeline_epoch_shuffle",
+      (s, d) => {
+        def orderKey(epoch: Int) =
+          md5(concat(lit(s"$epoch|"), col("doc_id").cast("string")))
+        def pos(epoch: Int) = row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(orderKey(epoch), col("doc_id"))).cast("long")
+        load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            pos(1).as("epoch1_pos"), pos(2).as("epoch2_pos"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)), doc_id) AS epoch1_pos,
+             |  row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5('2|' || CAST(doc_id AS VARCHAR)), doc_id) AS epoch2_pos
+             |FROM documents""".stripMargin),
+      "reproducible per-epoch shuffle: md5(epoch|id) order key, " +
+        "positions assigned within language shards (parallel windows)"),
+
+    // Quantile-threshold quality filtering — "drop the worst quartile"
+    // needs a GLOBAL threshold before any row can be filtered: pass 1
+    // computes the exact p25 of the quality score (one aggregation),
+    // pass 2 broadcasts the 1-row threshold and filters the corpus —
+    // the corpus never shuffles, and the threshold is rounded 6 dp on
+    // both sides so borderline membership can't diverge on
+    // interpolation ulps.
+    Q("pipeline_quality_cutoff",
+      (s, d) => {
+        val scored = load(s, d, "documents")
+          .select(col("doc_id"), qualityScore(col("text")).as("q"))
+        val thr = scored.agg(
+          round(percentile(col("q"), lit(0.25)), 6).as("q25"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("q") > col("q25"))
+          .select(col("doc_id"), col("q"), col("q25"))
+      },
+      Some("""WITH scored AS (SELECT doc_id,
+             |  (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             |   + least((len(list_filter(string_split(text, ' '),
+             |        w -> w IN ('the','a','an','of','and','or','to','in','is','on')))
+             |      / len(string_split(text, ' '))) * 5.0, 1.0)
+             |   + greatest(0.0, 1.0 - (CAST(length(text) -
+             |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |      / length(text)) * 10.0)) / 3.0 AS q
+             |  FROM documents),
+             |thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS q25 FROM scored)
+             |SELECT doc_id, q, q25 FROM scored, thr WHERE q > q25""".stripMargin),
+      "global-quantile quality cutoff: exact p25 threshold broadcast " +
+        "back over the corpus — two passes, zero corpus shuffles"))
 }

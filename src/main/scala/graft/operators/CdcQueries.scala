@@ -337,6 +337,68 @@ object CdcQueries {
         "window pass per key; deletes close intervals, current rows " +
         "stay open"),
 
+    // Point-in-time training-set assembly — the feature-store join: for
+    // every (entity, label_ts) example, attach the feature row that was
+    // CURRENT at label_ts, never a later one (leakage) and never an
+    // expired one (resurrecting deleted state). Composition, not a new
+    // operator: the SCD2 history's non-overlapping validity intervals
+    // turn "interval containing ts" into an AS-OF lookup (latest
+    // valid_from <= ts) plus a validity check (ts < valid_to) — ONE
+    // keyed exchange + sort via AsofJoin, no range-join explosion, no
+    // per-example rescan of the history. Labels at 1500/2500/3500/4500
+    // sample every fixture generation, including the deleted window
+    // (features null — the example survives, its features don't leak).
+    Q("cdc_pit_features",
+      (s, d) => {
+        val hist = Materialize.history(unwrapped(s, d), Seq("id"))
+          .select(col("id"), col("o_orderstatus"), col("o_totalprice"),
+            col("valid_from"), col("valid_to"))
+        val labels = graft.core.Tables.load(s, d, "orders")
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("entity_id"),
+            (lit(1500L) + (col("o_orderkey") % 8) * 500).as("label_ts"))
+        val valid = col("valid_to").isNull || col("label_ts") < col("valid_to")
+        AsofJoin(labels, hist, "entity_id", "id", "label_ts", "valid_from",
+            Seq("o_orderstatus", "o_totalprice", "valid_to"))
+          .select(col("entity_id"), col("label_ts"),
+            when(valid, col("o_orderstatus")).as("status"),
+            when(valid, col("o_totalprice")).as("price"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS id, o_orderstatus, o_totalprice
+             |  FROM orders),
+             |hist AS (
+             |  SELECT id, o_orderstatus, o_totalprice,
+             |    CAST(1000 AS BIGINT) AS valid_from,
+             |    CAST(CASE WHEN id % 3 = 0 THEN 2000
+             |              WHEN id % 5 = 0 THEN 4000 END AS BIGINT) AS valid_to
+             |  FROM base
+             |  UNION ALL
+             |  SELECT id, 'U1', o_totalprice * 1.1, CAST(2000 AS BIGINT),
+             |    CAST(CASE WHEN id % 6 = 0 THEN 3000
+             |              WHEN id % 5 = 0 THEN 4000 END AS BIGINT)
+             |  FROM base WHERE id % 3 = 0
+             |  UNION ALL
+             |  SELECT id, 'U2', o_totalprice * 1.2, CAST(3000 AS BIGINT),
+             |    CAST(CASE WHEN id % 5 = 0 THEN 4000 END AS BIGINT)
+             |  FROM base WHERE id % 6 = 0
+             |  UNION ALL
+             |  SELECT id, 'RE', o_totalprice, CAST(5000 AS BIGINT),
+             |    CAST(NULL AS BIGINT)
+             |  FROM base WHERE id % 10 = 0),
+             |labels AS (
+             |  SELECT o_orderkey AS entity_id,
+             |    CAST(1500 + (o_orderkey % 8) * 500 AS BIGINT) AS label_ts
+             |  FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT l.entity_id, l.label_ts,
+             |  h.o_orderstatus AS status, h.o_totalprice AS price
+             |FROM labels l LEFT JOIN hist h
+             |  ON h.id = l.entity_id AND h.valid_from <= l.label_ts
+             |  AND (h.valid_to IS NULL OR l.label_ts < h.valid_to)""".stripMargin),
+      "point-in-time feature join: as-of lookup against SCD2 validity " +
+        "intervals — no label leakage, no resurrection of deleted state, " +
+        "one keyed exchange"),
+
     Q("cdc_join_view",
       (s, d) => {
         // Incrementally-maintained JOIN view: orders (fact) and

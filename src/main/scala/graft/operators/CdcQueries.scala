@@ -43,6 +43,56 @@ object CdcQueries {
       |FROM orders
       |WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0)""".stripMargin
 
+  /** Scripted fact/dim change waves driving [[graft.sinks.IncrementalJoinView]],
+    * shared by `cdc_join_view` and the chained `cdc_star_rollup_view`:
+    *   fact: snapshot ts1000 → %4 price*1.05 ts2000 → %9 delete ts3000
+    *   dim : snapshot ts1000 → %7 'MOVED'   ts2000 → %13 delete ts3000
+    * A maintenance poll runs between waves; `afterPoll` fires after each
+    * so a downstream consumer (the agg view) can ride the SAME cadence.
+    * Returns the join-view root. */
+  private def runJoinViewWaves(s: org.apache.spark.sql.SparkSession, d: String,
+                               afterPoll: String => Unit = _ => ()): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-joinview-q").toString
+    val (fact, dim, view) = (s"$root/fact", s"$root/dim", s"$root/view")
+    val orders = graft.core.Tables.load(s, d, "orders")
+    val cust = graft.core.Tables.load(s, d, "customer")
+    def factWave(df: org.apache.spark.sql.DataFrame, price: org.apache.spark.sql.Column,
+                 op: String, ts: Long) =
+      df.select(col("o_orderkey"), col("o_custkey"),
+        price.as("o_totalprice"), lit(op).as("op"), lit(ts).as("ts_ms"),
+        col("o_orderkey").as("offset"))
+    def dimWave(df: org.apache.spark.sql.DataFrame, seg: org.apache.spark.sql.Column,
+                op: String, ts: Long) =
+      df.select(col("c_custkey").as("o_custkey"),
+        seg.as("c_mktsegment"), lit(op).as("op"), lit(ts).as("ts_ms"),
+        col("c_custkey").as("offset"))
+    import graft.sinks.{IncrementalJoinView, LogMirror}
+    def mergeF(c: org.apache.spark.sql.DataFrame, b: Long) =
+      LogMirror.merge(s, fact, c, Seq("o_orderkey"), b, 16, None)
+    def mergeD(c: org.apache.spark.sql.DataFrame, b: Long) =
+      LogMirror.merge(s, dim, c, Seq("o_custkey"), b, 16, None)
+    def maintain(): Unit = {
+      IncrementalJoinView.poll(s, fact, dim, view,
+        Seq("o_orderkey"), Seq("o_custkey"))
+      afterPoll(view)
+    }
+    mergeF(factWave(orders, col("o_totalprice"), "r", 1000L), 0L)
+    mergeD(dimWave(cust, col("c_mktsegment"), "r", 1000L), 0L)
+    maintain()
+    mergeF(factWave(orders.filter(col("o_orderkey") % 4 === 0),
+      col("o_totalprice") * 1.05, "u", 2000L), 1L)
+    mergeD(dimWave(cust.filter(col("c_custkey") % 7 === 0),
+      lit("MOVED"), "u", 2000L), 1L)
+    maintain()
+    mergeF(factWave(orders.filter(col("o_orderkey") % 9 === 0),
+      col("o_totalprice"), "d", 3000L), 2L)
+    mergeD(dimWave(cust.filter(col("c_custkey") % 13 === 0),
+      lit(""), "d", 3000L), 2L)
+    maintain()
+    view
+  }
+
   def queries: Seq[Q] = Seq(
     Q("cdc_materialize",
       (s, d) => Materialize.currentState(unwrapped(s, d), Seq("id")),
@@ -408,44 +458,8 @@ object CdcQueries {
         // ⋈ current dim, dim-touched keys re-derived, deletes on both
         // sides), never a full recompute after wave 0. Oracle = the
         // plain SQL join of the two final states.
-        //   fact: snapshot ts1000 → %4 price*1.05 ts2000 → %9 delete ts3000
-        //   dim : snapshot ts1000 → %7 'MOVED'   ts2000 → %13 delete ts3000
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-joinview-q").toString
-        val (fact, dim, view) = (s"$root/fact", s"$root/dim", s"$root/view")
-        val orders = graft.core.Tables.load(s, d, "orders")
-        val cust = graft.core.Tables.load(s, d, "customer")
-        def factWave(df: org.apache.spark.sql.DataFrame, price: org.apache.spark.sql.Column,
-                     op: String, ts: Long) =
-          df.select(col("o_orderkey"), col("o_custkey"),
-            price.as("o_totalprice"), lit(op).as("op"), lit(ts).as("ts_ms"),
-            col("o_orderkey").as("offset"))
-        def dimWave(df: org.apache.spark.sql.DataFrame, seg: org.apache.spark.sql.Column,
-                    op: String, ts: Long) =
-          df.select(col("c_custkey").as("o_custkey"),
-            seg.as("c_mktsegment"), lit(op).as("op"), lit(ts).as("ts_ms"),
-            col("c_custkey").as("offset"))
-        import graft.sinks.{IncrementalJoinView, LogMirror}
-        def mergeF(c: org.apache.spark.sql.DataFrame, b: Long) =
-          LogMirror.merge(s, fact, c, Seq("o_orderkey"), b, 16, None)
-        def mergeD(c: org.apache.spark.sql.DataFrame, b: Long) =
-          LogMirror.merge(s, dim, c, Seq("o_custkey"), b, 16, None)
-        def maintain() = IncrementalJoinView.poll(s, fact, dim, view,
-          Seq("o_orderkey"), Seq("o_custkey"))
-        mergeF(factWave(orders, col("o_totalprice"), "r", 1000L), 0L)
-        mergeD(dimWave(cust, col("c_mktsegment"), "r", 1000L), 0L)
-        maintain()
-        mergeF(factWave(orders.filter(col("o_orderkey") % 4 === 0),
-          col("o_totalprice") * 1.05, "u", 2000L), 1L)
-        mergeD(dimWave(cust.filter(col("c_custkey") % 7 === 0),
-          lit("MOVED"), "u", 2000L), 1L)
-        maintain()
-        mergeF(factWave(orders.filter(col("o_orderkey") % 9 === 0),
-          col("o_totalprice"), "d", 3000L), 2L)
-        mergeD(dimWave(cust.filter(col("c_custkey") % 13 === 0),
-          lit(""), "d", 3000L), 2L)
-        maintain()
-        IncrementalJoinView.read(s, view)
+        val view = runJoinViewWaves(s, d)
+        graft.sinks.IncrementalJoinView.read(s, view)
       },
       Some("""SELECT o.o_orderkey, o.o_custkey,
              |  CASE WHEN o.o_orderkey % 4 = 0 THEN o.o_totalprice * 1.05
@@ -499,5 +513,46 @@ object CdcQueries {
       "incrementally-maintained aggregate view over the log mirror's " +
         "changefeed: dirty-group recompute (moves retract via the " +
         "key→group map, deletes find their group there) across five " +
-        "change waves and a mid-stream fold == the one-shot GROUP BY"))
+        "change waves and a mid-stream fold == the one-shot GROUP BY"),
+
+    // Chained incremental star rollup: fact⋈dim JOIN view → GROUP-BY
+    // view, BOTH maintained incrementally — the view composition claim
+    // (a maintained view is itself a LogMirror, so anything that
+    // consumes a mirror's changefeed can ride a view) proven end to
+    // end. The agg view groups by the DIM attribute (c_mktsegment), the
+    // star-schema stress case: a dim-side update moves every joined
+    // fact row of that customer into a NEW group — the join view
+    // re-derives the touched keys, its changefeed emits their
+    // post-images, and the agg view's key→group sidecar retracts the
+    // old segment's contribution. Poll cost at every step ∝ changed
+    // rows, never a view or mirror rescan; the oracle is the one-shot
+    // GROUP BY over the plain SQL join of the final states.
+    Q("cdc_star_rollup_view",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-starrollup-q").toString
+        val rollup = s"$root/rollup"
+        import graft.sinks.IncrementalAggView
+        val aggs = Seq(sum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        runJoinViewWaves(s, d, afterPoll = view =>
+          IncrementalAggView.poll(s, view, rollup,
+            Seq("c_mktsegment"), aggs))
+        IncrementalAggView.read(s, rollup)
+          .select(col("c_mktsegment"),
+            round(col("sum_price"), 1).as("sum_price"), col("n_orders"))
+      },
+      Some("""WITH joined AS (
+             |  SELECT CASE WHEN o.o_orderkey % 4 = 0 THEN o.o_totalprice * 1.05
+             |              ELSE o.o_totalprice END AS o_totalprice,
+             |    CASE WHEN c.c_custkey % 7 = 0 THEN 'MOVED'
+             |         ELSE c.c_mktsegment END AS c_mktsegment
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE o.o_orderkey % 9 <> 0 AND c.c_custkey % 13 <> 0)
+             |SELECT c_mktsegment, round(sum(o_totalprice), 1) AS sum_price,
+             |  count(*) AS n_orders
+             |FROM joined GROUP BY 1""".stripMargin),
+      "chained incremental views: fact⋈dim join view feeding a " +
+        "dim-attribute rollup view, both delta-maintained across three " +
+        "change waves == the one-shot GROUP BY over the full join"))
 }

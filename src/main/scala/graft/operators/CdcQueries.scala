@@ -554,5 +554,54 @@ object CdcQueries {
              |FROM joined GROUP BY 1""".stripMargin),
       "chained incremental views: fact⋈dim join view feeding a " +
         "dim-attribute rollup view, both delta-maintained across three " +
-        "change waves == the one-shot GROUP BY over the full join"))
+        "change waves == the one-shot GROUP BY over the full join"),
+
+    // Incrementally-maintained LEADERBOARD (top-k per group) — the view
+    // shape plain delta rules cannot keep correct: when a leader is
+    // deleted or demoted, the replacement is NOT in the change feed (it
+    // was previously rank k+1, invisible). The dirty-group-recompute
+    // rule handles it by construction — a touched group re-derives its
+    // top-k from source current state — and the bounded TopK Aggregator
+    // keeps the recompute itself map-side-partial (≤ k rows per group
+    // per partition cross the wire, never the group's history). The
+    // fixture's five waves demote leaders via %3/%6 status moves AND
+    // delete %5 keys (leaders among them), so both invalidation paths
+    // are exercised before the final read.
+    Q("cdc_topk_view",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-topkview-q").toString
+        val (src, view) = (s"$root/src", s"$root/view")
+        val all = unwrapped(s, d)
+        import graft.sinks.{IncrementalAggView, LogMirror}
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        val fn = udaf(new graft.functions.TopK.TopKAggregator(3),
+          ExpressionEncoder[graft.functions.TopK.ScoredId]())
+        val aggs = Seq(
+          fn(col("o_totalprice").cast("double"), col("id").cast("long"))
+            .as("top3"))
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            LogMirror.merge(s, src, all.filter(col("ts_ms") === ts),
+              Seq("id"), i.toLong, maxDeltas = 16, bucketCount = None)
+            IncrementalAggView.poll(s, src, view,
+              Seq("o_orderstatus"), aggs)
+        }
+        IncrementalAggView.read(s, view)
+          .select(col("o_orderstatus"), posexplode(col("top3")).as(Seq("rank", "e")))
+          .select(col("o_orderstatus"), col("rank").cast("int").as("rank"),
+            col("e.score").as("score"), col("e.id").as("id"))
+      },
+      Some(s"""WITH fin AS ($oracleFinalState),
+              |ranked AS (
+              |  SELECT o_orderstatus, o_totalprice, id,
+              |    row_number() OVER (PARTITION BY o_orderstatus
+              |      ORDER BY o_totalprice DESC, id) AS rk
+              |  FROM fin)
+              |SELECT o_orderstatus, CAST(rk - 1 AS INTEGER) AS rank,
+              |  o_totalprice AS score, id
+              |FROM ranked WHERE rk <= 3""".stripMargin),
+      "incrementally-maintained top-k-per-group view: dirty-group " +
+        "recompute repairs deleted/demoted leaders from source state; " +
+        "bounded TopK Aggregator keeps the recompute map-side-partial"))
 }

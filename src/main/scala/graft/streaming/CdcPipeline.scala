@@ -103,7 +103,12 @@ object CdcPipeline {
       expectations: Map[String, Seq[graft.operators.Expectations.Rule]] =
         Map.empty,
       quarantineDir: Option[String] = None,
-      tableExpectations: Map[String, TableExpectation] = Map.empty) {
+      tableExpectations: Map[String, TableExpectation] = Map.empty,
+      consistentSnapshots: Boolean = false) {
+    require(!consistentSnapshots ||
+      sinkOverride.exists(_.isInstanceOf[graft.sinks.LogMirrorSink]),
+      "consistentSnapshots pin LogMirror versions (readAsOf) — they " +
+        "require the LogMirrorSink")
     require(!incrementalMirror || bucketCount.isDefined,
       "incrementalMirror requires bucketCount")
     require(expectations.values.forall(_.isEmpty) || quarantineDir.isDefined,
@@ -270,6 +275,16 @@ object CdcPipeline {
             }
         }
         (jobs ++ viewJobs).foreach(Await.result(_, Duration.Inf))
+
+        // Cross-table consistency cut: AFTER every table's merge landed,
+        // pin the batch as one atomic snapshot (SnapshotCatalog) —
+        // snapshot readers can never observe table A at batch N joined
+        // with table B at N-1, and a crash anywhere above leaves the
+        // previous complete snapshot in place (replays recommit the
+        // same id idempotently).
+        if (cfg.consistentSnapshots)
+          graft.sinks.SnapshotCatalog.commit(spark, cfg.mirrorRoot, batchId,
+            tables.toSeq)
 
         // consolidated DLQ append: malformed envelopes from every table
         // + records whose topic routes nowhere (register-dlq-sink.json:16-17).

@@ -368,7 +368,8 @@ object AdvancedQueries {
       Some("""WITH stream AS (
              |  SELECT user_id AS key FROM events
              |  UNION ALL
-             |  SELECT user_id % 3 AS key FROM events CROSS JOIN range(8)
+             |  SELECT user_id % 3 AS key
+             |  FROM events CROSS JOIN (SELECT unnest(range(8)) AS i) reps
              |  WHERE event_id % 5 = 0),
              |tot AS (SELECT count(*) AS n FROM stream)
              |SELECT key, count(*) AS cnt

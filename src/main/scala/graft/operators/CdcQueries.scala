@@ -603,5 +603,54 @@ object CdcQueries {
               |FROM ranked WHERE rk <= 3""".stripMargin),
       "incrementally-maintained top-k-per-group view: dirty-group " +
         "recompute repairs deleted/demoted leaders from source state; " +
-        "bounded TopK Aggregator keeps the recompute map-side-partial"))
+        "bounded TopK Aggregator keeps the recompute map-side-partial"),
+
+    // Cross-table consistent snapshot read: batch 0 lands orders AND
+    // customer and commits SNAP-0; batch 1 then merges an orders
+    // repricing but CRASHES before customer merged — no snapshot.
+    // A snapshot reader joining the two tables must see the COMPLETE
+    // batch-0 cut (original prices), not orders@1 ⋈ customer@0; the
+    // on-disk orders mirror HAS the new prices (a live read would leak
+    // them — the torn window the per-table JDBC sink of the reference
+    // lives with). Oracle = the join over the ORIGINAL tables.
+    Q("cdc_snapshot_read",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-snapread-q").toString
+        import graft.sinks.{LogMirror, SnapshotCatalog}
+        val orders = graft.core.Tables.load(s, d, "orders")
+        val cust = graft.core.Tables.load(s, d, "customer")
+        def ordWave(df: org.apache.spark.sql.DataFrame, price: org.apache.spark.sql.Column,
+                    op: String, ts: Long) =
+          df.select(col("o_orderkey").as("id"), col("o_custkey"),
+            price.as("o_totalprice"), lit(op).as("op"), lit(ts).as("ts_ms"),
+            lit("t").as("topic"), lit(0).as("partition"),
+            col("o_orderkey").as("offset"))
+        LogMirror.merge(s, s"$root/orders",
+          ordWave(orders, col("o_totalprice"), "r", 1000L), Seq("id"), 0L, 16, None)
+        LogMirror.merge(s, s"$root/customer",
+          cust.select(col("c_custkey").as("id"), col("c_mktsegment"),
+            lit("r").as("op"), lit(1000L).as("ts_ms"), lit("t").as("topic"),
+            lit(0).as("partition"), col("c_custkey").as("offset")),
+          Seq("id"), 0L, 16, None)
+        SnapshotCatalog.commit(s, root, 0L, Seq("orders", "customer"))
+        // batch 1: repricing merged into orders only, then crash — the
+        // snapshot for batch 1 is never committed
+        LogMirror.merge(s, s"$root/orders",
+          ordWave(orders.filter(col("o_orderkey") % 4 === 0),
+            col("o_totalprice") * 1.05, "u", 2000L), Seq("id"), 1L, 16, None)
+        SnapshotCatalog.readTable(s, root, "orders").as("o")
+          .join(SnapshotCatalog.readTable(s, root, "customer").as("c"),
+            col("o.o_custkey") === col("c.id"))
+          .groupBy(col("c.c_mktsegment"))
+          .agg(round(sum(col("o.o_totalprice")), 1).as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 1) AS revenue,
+             |  count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin),
+      "consistent snapshot read: a torn batch (orders merged, customer " +
+        "not, no snapshot) stays invisible — the reader gets the " +
+        "complete previous cut, value-checked against the original join"))
 }

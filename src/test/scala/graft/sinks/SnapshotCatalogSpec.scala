@@ -77,6 +77,30 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(SnapshotCatalog.latest(spark, group).map(_._1).contains(1L))
   }
 
+  test("historical snapshot reads are group-consistent; sweep bounds " +
+    "the snapshot file count and how far back reads reach") {
+    val group = Files.createTempDirectory("graft-snap").toString
+    // four batches, keep=2
+    (0 to 3).foreach { b =>
+      merge(group, "a", changes((1L, s"a$b", if (b == 0) "r" else "u",
+        1000L * (b + 1), b + 1L)), b.toLong)
+      SnapshotCatalog.commit(spark, group, b.toLong, Seq("a"), keep = 2)
+    }
+    // snapshots 0 and 1 swept, 2 and 3 retained
+    assert(SnapshotCatalog.at(spark, group, 0L).isEmpty)
+    assert(SnapshotCatalog.at(spark, group, 1L).isEmpty)
+    assert(SnapshotCatalog.readTableAt(spark, group, "a", 2L)
+      .select("v").as[String].collect().toSeq == Seq("a2"))
+    assert(SnapshotCatalog.readTableAt(spark, group, "a", 3L)
+      .select("v").as[String].collect().toSeq == Seq("a3"))
+    intercept[LogMirror.RetentionLostException] {
+      SnapshotCatalog.readTableAt(spark, group, "a", 0L)
+    }
+    intercept[RuntimeException] {
+      SnapshotCatalog.readTableAt(spark, group, "unknown", 3L)
+    }
+  }
+
   test("groups without a snapshot fall back to the live read") {
     val group = Files.createTempDirectory("graft-snap").toString
     merge(group, "a", changes((1L, "a0", "r", 1000L, 1L)), 0L)

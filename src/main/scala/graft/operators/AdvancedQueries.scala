@@ -63,6 +63,43 @@ object AdvancedQueries {
       "ST5 session windows; oracle via gaps-and-islands SQL"),
 
     // ---- time-series gap fill (LOCF) ---------------------------------
+    // Gaps-and-islands: longest run of CONSECUTIVE order dates per
+    // customer. The islands form via the anchor trick — date minus
+    // row_number is constant within a consecutive run — so the whole
+    // computation is one customer-partitioned window pass plus two
+    // keyed aggregations; no self-join per gap, no iteration, and every
+    // shuffle keys on o_custkey (one co-partitioned lineage AQE keeps).
+    // The classic sessionize-without-timestamps surface an analyst
+    // expects an engine to plan well.
+    Q("window_order_streaks",
+      (s, d) => {
+        val days = load(s, d, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+          .distinct()
+        val rn = row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate")))
+        days.withColumn("anchor", date_sub(col("o_orderdate"), rn))
+          .groupBy(col("o_custkey"), col("anchor"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT o_custkey,
+             |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders),
+             |r AS (SELECT o_custkey, o_orderdate,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+             |  FROM d),
+             |g AS (SELECT o_custkey, o_orderdate - CAST(rn AS INTEGER) AS anchor,
+             |        count(*) AS len
+             |      FROM r GROUP BY 1, 2)
+             |SELECT o_custkey, max(len) AS longest_streak,
+             |  count(*) AS n_streaks
+             |FROM g GROUP BY 1""".stripMargin),
+      "gaps-and-islands: longest consecutive-date run per customer via " +
+        "the date-minus-row_number anchor — one window pass, all " +
+        "shuffles customer-keyed"),
+
     // A sparse per-(type, day) revenue series is completed over a full
     // calendar spine, missing days forward-filled from the last
     // observation. Scale shape: the spine is types × days (tiny, built

@@ -326,5 +326,59 @@ object SqlSurface {
              |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
       "TPC-H Q21 shape: only-late-supplier of multi-supplier orders — " +
         "correlated EXISTS/NOT EXISTS collapsed into one order-keyed " +
-        "distinct-count aggregation (one fact shuffle, not three)"))
+        "distinct-count aggregation (one fact shuffle, not three)"),
+
+    // TPC-H Q2 shape: the cheapest regional supplier per part. The
+    // classic formulation correlates a scalar subquery (min cost for
+    // THIS part among THIS region's suppliers) against the same
+    // 4-dim join it came from; the Spark-first plan builds the offer
+    // set ONCE — part slice and the supplier→nation→region chain all
+    // broadcast, so the fact scan never shuffles into the join — and
+    // picks each part's winner with a part-partitioned row_number
+    // (WindowGroupLimit truncates map-side; full (cost, suppkey)
+    // tie-break keeps the winner unique). One fact pass, one
+    // part-keyed exchange, vs the correlated form's join-then-rejoin.
+    Q("join_min_cost_supplier",
+      (s, d) => {
+        val part = load(s, d, "part")
+          .filter(col("p_type") === "SMALL" && col("p_size") < 10)
+          .select(col("p_partkey"), col("p_brand"))
+        val dims = load(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .join(broadcast(load(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .join(broadcast(load(s, d, "region")
+              .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+              col("n_regionkey") === col("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+        val offers = load(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_partkey"))
+          .orderBy(col("unit_cost"), col("s_suppkey"))
+        offers.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("p_partkey"), col("p_brand"), col("s_name"),
+            col("n_name"), col("unit_cost"))
+      },
+      Some("""WITH offers AS (
+             |  SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, s.s_suppkey,
+             |    l.l_extendedprice / l.l_quantity AS unit_cost
+             |  FROM lineitem l
+             |  JOIN part p ON l.l_partkey = p.p_partkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey
+             |  WHERE p.p_type = 'SMALL' AND p.p_size < 10 AND r.r_name = 'EUROPE')
+             |SELECT p_partkey, p_brand, s_name, n_name, unit_cost FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+             |    ORDER BY unit_cost, s_suppkey) AS rk
+             |  FROM offers)
+             |WHERE rk = 1""".stripMargin),
+      "TPC-H Q2 shape: cheapest regional supplier per part — the " +
+        "correlated min-cost subquery re-planned as one broadcast-dim " +
+        "offer pass + part-partitioned WindowGroupLimit"))
 }

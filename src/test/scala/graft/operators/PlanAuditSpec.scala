@@ -172,6 +172,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("min-cost supplier (Q2 shape): part slice + dim chain broadcast, " +
+    "winner picked via map-side WindowGroupLimit, filters pushed") {
+    val p = plan("join_min_cost_supplier")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("EqualTo(p_type,SMALL)"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("market share (Q8 shape): selective dim filters pushed into " +
     "their scans, every dim arm broadcast, no nested-loop fallback") {
     val p = plan("join_market_share")

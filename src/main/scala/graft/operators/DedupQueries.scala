@@ -394,5 +394,43 @@ object DedupQueries {
              |WHERE jaccard >= 0.5""".stripMargin),
       "fuzzy decontamination: md5-MinHash LSH train⋈eval band join " +
         "(eval side broadcast) + exact-Jaccard confirm — whole pipeline " +
-        "value-checked in DuckDB, planted prefix-copy eval set"))
+        "value-checked in DuckDB, planted prefix-copy eval set"),
+
+    // Repeated-span detection — the n-gram-grain map of exact substring
+    // dedup (Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better"): any 10-token span appearing in 2+ DISTINCT
+    // documents is memorization fuel even when the documents as wholes
+    // are not near-duplicates. One explode + one hash aggregation; at
+    // 100 TB the group key would be the span's 8-byte xxhash64 (spans
+    // never shuffle as text) — here the span text itself is the key so
+    // DuckDB value-checks every emitted (span, n_docs, n_occurrences)
+    // row. The planted exact copies guarantee repeated spans exist on
+    // random data; a within-doc repeat alone must NOT surface
+    // (n_docs counts DISTINCT documents).
+    Q("dedup_common_spans",
+      (s, d) => plantedDocs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(array_distinct(wordShinglesFromTokens(col("w"), 10))).as("span"))
+        .groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2),
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, text FROM documents
+             |  WHERE $plantedPredicate),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 9, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+9], ' ')))) AS span
+             |  FROM corpus)
+             |SELECT span, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_occurrences
+             |FROM grams GROUP BY span
+             |HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
+      "repeated 10-token spans across distinct documents (substring-" +
+        "dedup signal at n-gram grain) — planted copies make it " +
+        "non-vacuous, every row value-checked"))
 }

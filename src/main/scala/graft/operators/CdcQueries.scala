@@ -652,5 +652,41 @@ object CdcQueries {
              |GROUP BY 1""".stripMargin),
       "consistent snapshot read: a torn batch (orders merged, customer " +
         "not, no snapshot) stays invisible — the reader gets the " +
-        "complete previous cut, value-checked against the original join"))
+        "complete previous cut, value-checked against the original join"),
+
+    // Point lookups against the log mirror — the OLTP-shaped read a
+    // replication target must serve without scanning: the base read
+    // prunes to the key's bucket partition (directory-level), deltas
+    // prune by row-group stats (segments are key-sorted), then the
+    // handful of surviving rows reconcile. Probes three key classes:
+    // an updated key (latest version wins), a deleted key (tombstone →
+    // no row), and a never-existed key. O(bucket + delta row groups)
+    // per probe, never O(table).
+    Q("cdc_point_lookup",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-lookup-q").toString
+        import graft.sinks.LogMirror
+        val all = unwrapped(s, d)
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            LogMirror.merge(s, root, all.filter(col("ts_ms") === ts),
+              Seq("id"), i.toLong, maxDeltas = 16, bucketCount = Some(8))
+        }
+        // id=6 → updated twice (U2 at ts3000); id=5 → deleted at ts4000
+        // (not re-inserted: 5 % 10 != 0); id=-1 → never existed
+        Seq(6L, 5L, -1L).map { k =>
+          LogMirror.lookup(s, root, Seq("id"), Seq(k))
+            .select(lit(k).as("probe"), col("id"),
+              col("o_orderstatus"), col("o_totalprice"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""WITH fin AS ($oracleFinalState),
+              |probes AS (SELECT * FROM (VALUES (CAST(6 AS BIGINT)),
+              |  (CAST(5 AS BIGINT)), (CAST(-1 AS BIGINT))) t(probe))
+              |SELECT p.probe, f.id, f.o_orderstatus, f.o_totalprice
+              |FROM probes p JOIN fin f ON f.id = p.probe""".stripMargin),
+      "bucket- and stats-pruned point lookups on the log mirror: " +
+        "updated key resolves to its latest version, deleted key to " +
+        "nothing, unknown key to nothing"))
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+
+/** Blocked fuzzy string matching — the entity-resolution kernel a
+  * training-data pipeline needs to reconcile near-identical names,
+  * titles, or URLs across sources (the reference reconciles entities
+  * only by exact key equality; this is the approximate counterpart).
+  *
+  * Architecture (the classic blocking-then-verify shape):
+  *   1. DISTINCT the value column first — edit distance is a property
+  *      of the string, not the row, so a 100 TB corpus with a 10^6
+  *      vocabulary compares 10^6 strings, not 10^11 rows.
+  *   2. Block by a cheap deterministic key (first token, prefix,
+  *      q-gram, phonetic code — caller-supplied Column function).
+  *      Candidates come from an EQUI-join on the block key, so the
+  *      candidate count is ∝ Σ(block size²) over blocks, never n².
+  *      Blocking bounds recall: a pair whose edit lands in the block
+  *      key is never compared — pick the key to match the error model
+  *      (e.g. suffix typos → prefix block).
+  *   3. Verify candidates with exact Levenshtein — Spark's codegen'd
+  *      `levenshtein` runs only on the blocked pairs.
+  *
+  * No UDFs, no cross join: the whole pipeline is Column algebra, and
+  * PlanAuditSpec pins the no-nested-loop plan shape.
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs of distinct `keyCol` values that share a block
+    * key and sit within `maxDist` edits: (name_a, name_b, dist). */
+  def selfPairs(df: DataFrame, keyCol: String, block: Column => Column,
+      maxDist: Int): DataFrame = {
+    val names = df.select(col(keyCol).cast("string").as("name")).distinct()
+    val a = names.select(col("name").as("name_a"), block(col("name")).as("blk"))
+    val b = names.select(col("name").as("name_b"), block(col("name")).as("blk"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
+  /** Two-sided variant: match each distinct left value to the distinct
+    * right values within `maxDist` of it (left join; unmatched left
+    * values keep a null right side, so coverage is inspectable). */
+  def leftMatch(left: DataFrame, leftCol: String, right: DataFrame,
+      rightCol: String, block: Column => Column, maxDist: Int): DataFrame = {
+    val l = left.select(col(leftCol).cast("string").as("name_l")).distinct()
+      .withColumn("blk", block(col("name_l")))
+    val r = right.select(col(rightCol).cast("string").as("name_r")).distinct()
+      .withColumn("blk", block(col("name_r")))
+    l.join(r, Seq("blk"), "left")
+      .withColumn("dist", levenshtein(col("name_l"), col("name_r")))
+      .filter(col("dist").isNull || col("dist") <= maxDist)
+      .select(col("name_l"), col("name_r"), col("dist"))
+  }
+
+  /** First whitespace token — the default block key for "noun phrase"
+    * style names where edits concentrate in later tokens. */
+  def firstTokenBlock(c: Column): Column = split(c, " ").getItem(0)
+
+  def queries: Seq[Q] = Seq(
+    Q("join_fuzzy_part_names",
+      (s, d) => selfPairs(load(s, d, "part"), "p_name",
+        firstTokenBlock, maxDist = 3),
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+             |a AS (SELECT p_name AS name_a,
+             |        split_part(p_name, ' ', 1) AS blk FROM n),
+             |b AS (SELECT p_name AS name_b,
+             |        split_part(p_name, ' ', 1) AS blk FROM n)
+             |SELECT name_a, name_b,
+             |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+             |FROM a JOIN b USING (blk)
+             |WHERE name_a < name_b
+             |  AND levenshtein(name_a, name_b) <= 3""".stripMargin),
+      "blocked fuzzy self-join on part names: distinct-first, " +
+        "first-token blocking equi-join, Levenshtein confirm on " +
+        "candidates only — no cross join"))
+}

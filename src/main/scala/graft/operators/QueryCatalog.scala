@@ -28,7 +28,8 @@ object QueryCatalog {
       Monitors.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       PipelineQueries.queries ++ RangeJoin.queries ++ CurationQueries.queries ++
-      SqlSurface.queries ++ LayoutQueries.queries ++ Expectations.queries
+      SqlSurface.queries ++ LayoutQueries.queries ++ Expectations.queries ++
+      FuzzyJoin.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -380,5 +380,179 @@ object SqlSurface {
              |WHERE rk = 1""".stripMargin),
       "TPC-H Q2 shape: cheapest regional supplier per part — the " +
         "correlated min-cost subquery re-planned as one broadcast-dim " +
-        "offer pass + part-partitioned WindowGroupLimit"))
+        "offer pass + part-partitioned WindowGroupLimit"),
+
+    // TPC-H Q17 shape: revenue from small-quantity lineitems, where
+    // "small" is relative to EACH part's own average quantity. The
+    // correlated `(SELECT avg(l_quantity) WHERE l2.l_partkey =
+    // p_partkey)` becomes ONE per-part aggregate (O(parts) rows)
+    // broadcast back onto the fact scan — the fact table is read once
+    // and never shuffled; the final rollup is O(brands).
+    // avg(l_quantity) is exact in any reduction order (integer-valued
+    // doubles, sum < 2^53), so the threshold needs no rounding.
+    Q("subquery_small_qty_revenue",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val pavg = li.groupBy(col("l_partkey").as("pk"))
+          .agg(avg(col("l_quantity")).as("qa"))
+        li.join(broadcast(pavg), col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.3) * col("qa"))
+          .join(broadcast(load(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""WITH pavg AS (
+             |  SELECT l_partkey AS pk, avg(l_quantity) AS qa
+             |  FROM lineitem GROUP BY 1)
+             |SELECT p_brand,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |JOIN pavg ON l_partkey = pk
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE l_quantity < 0.3 * qa
+             |GROUP BY 1""".stripMargin),
+      "TPC-H Q17 shape: below-per-part-average-quantity revenue — the " +
+        "correlated avg subquery re-planned as one O(parts) aggregate " +
+        "broadcast onto a single fact pass"),
+
+    // TPC-H Q18 shape: large-volume orders. The `o_orderkey IN (SELECT
+    // ... HAVING sum > T)` membership probe IS the data we must output,
+    // so it plans as one order-keyed aggregate whose HAVING filter
+    // shrinks it to the few qualifying orders — that tiny set broadcasts
+    // into the orders join; orders itself never shuffles.
+    Q("subquery_large_volume_orders",
+      (s, d) => {
+        val big = load(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        load(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty
+             |FROM orders JOIN (
+             |  SELECT l_orderkey,
+             |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING sum(l_quantity) > 300) t
+             |ON o_orderkey = l_orderkey""".stripMargin),
+      "TPC-H Q18 shape: orders above a total-quantity threshold — " +
+        "HAVING-filtered aggregate broadcast into the orders join"),
+
+    // TPC-H Q22 shape: rich customers with no urgent orders. The scalar
+    // avg-balance subquery is one 1-row aggregate cross-joined
+    // (broadcast) onto the scan; NOT EXISTS is a LeftAnti against the
+    // urgent-order keys. The threshold is derived from EXACT cents
+    // (long sum / long count), so the order-unstable double sum of raw
+    // balances never enters the comparison.
+    Q("agg_idle_rich_customers",
+      (s, d) => {
+        val cc = load(s, d, "customer")
+          .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        val thr = cc.filter(col("cents") > 0)
+          .agg((sum(col("cents")) / count(lit(1))).as("avg_cents"))
+        val urgent = load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        cc.crossJoin(broadcast(thr))
+          .filter(col("cents") > col("avg_cents"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("bal_cents"))
+      },
+      Some("""WITH cc AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer),
+             |a AS (
+             |  SELECT CAST(sum(cents) AS BIGINT) / CAST(count(*) AS DOUBLE)
+             |    AS avg_cents
+             |  FROM cc WHERE cents > 0)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+             |  CAST(sum(cents) AS BIGINT) AS bal_cents
+             |FROM cc, a
+             |WHERE cents > avg_cents AND NOT EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = cc.c_custkey
+             |    AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY 1""".stripMargin),
+      "TPC-H Q22 shape: above-average-balance customers with no urgent " +
+        "orders — 1-row broadcast threshold + LeftAnti, exact-cents avg"),
+
+    // Single-column NOT IN with a NULLABLE inner expression: three-valued
+    // logic says one inner NULL empties the result, so a plain anti join
+    // is wrong — Spark plans a null-aware anti join (broadcast hash join
+    // with isNullAwareAntiJoin), which checks the build side for nulls at
+    // O(1) per probe row instead of falling back to a nested-loop
+    // cross-product. The CASE keeps the inner column nullable to the
+    // planner even though this data never produces NULL, forcing the
+    // null-aware path — audited in PlanAuditSpec.
+    Q("join_not_in_null_aware",
+      (s, d) => {
+        load(s, d, "customer").createOrReplaceTempView("customer_naaj")
+        load(s, d, "orders").createOrReplaceTempView("orders_naaj")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer_naaj
+          |WHERE c_custkey NOT IN (
+          |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+          |  FROM orders_naaj WHERE o_orderstatus = 'F')""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey NOT IN (
+             |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+             |  FROM orders WHERE o_orderstatus = 'F')""".stripMargin),
+      "NOT IN over a nullable subquery column → null-aware anti join " +
+        "(broadcast, O(1) null check per probe row; no nested loop)"),
+
+    // TPC-H Q20 flavor re-shaped scale-robustly: each part's DOMINANT
+    // supplier (largest share of that part's shipped quantity). A
+    // threshold form ("share > x%") goes vacuous as supplier counts per
+    // part grow with scale; the argmax form always yields one row per
+    // part. One (part, supplier) rollup — map-side combine shrinks the
+    // fact rows to distinct pairs — then the per-part total and the
+    // winner come from windows over that SAME shuffled partitioning
+    // (one exchange total). share = exact-long / exact-long: bitwise
+    // deterministic, no rounding.
+    Q("join_dominant_supplier_share",
+      (s, d) => {
+        val bolts = load(s, d, "part")
+          .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))
+        val pq = load(s, d, "lineitem")
+          .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sq"))
+        val byPart = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+        pq.withColumn("tq", sum(col("sq")).over(byPart))
+          .withColumn("rk", row_number().over(
+            byPart.orderBy(col("sq").desc, col("l_suppkey"))))
+          .filter(col("rk") === 1)
+          .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
+            col("sq"), col("tq"), (col("sq") / col("tq")).as("share"))
+      },
+      Some("""WITH pq AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(sum(l_quantity) AS BIGINT) AS sq
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE '%bolt%'
+             |  GROUP BY 1, 2)
+             |SELECT l_partkey, l_suppkey AS top_suppkey, sq, tq,
+             |  sq / CAST(tq AS DOUBLE) AS share
+             |FROM (
+             |  SELECT *, CAST(sum(sq) OVER (PARTITION BY l_partkey) AS BIGINT)
+             |      AS tq,
+             |    row_number() OVER (PARTITION BY l_partkey
+             |      ORDER BY sq DESC, l_suppkey) AS rk
+             |  FROM pq)
+             |WHERE rk = 1""".stripMargin),
+      "dominant supplier per part (argmax share) — one (part,supplier) " +
+        "rollup, per-part total + winner from windows over the same " +
+        "exchange; exact-long share division"))
 }

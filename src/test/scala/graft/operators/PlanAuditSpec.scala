@@ -193,4 +193,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(800))
   }
+
+  test("NOT IN over a nullable subquery column plans the null-aware " +
+    "anti join, not a nested-loop fallback") {
+    val p = plan("join_not_in_null_aware")
+    // BroadcastHashJoinExec prints isNullAwareAntiJoin as the trailing
+    // boolean: "LeftAnti, BuildRight, true"
+    assert("LeftAnti, BuildRight(, [^,\\s]+)?, true".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("small-qty revenue (Q17 shape): the correlated per-part avg is " +
+    "ONE aggregate broadcast back — the fact table is scanned twice " +
+    "(avg + probe) but never shuffled into the join") {
+    val p = plan("subquery_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("large-volume orders (Q18 shape): the HAVING-filtered aggregate " +
+    "broadcasts into the orders join") {
+    val p = plan("subquery_large_volume_orders")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("dominant supplier share: per-part total and winner ride ONE " +
+    "exchange of the (part,supplier) rollup") {
+    val p = plan("join_dominant_supplier_share")
+    // exactly one single-key l_partkey exchange feeds BOTH the sum
+    // window and the row_number winner (the other hashpartitioning is
+    // the (part,supplier) rollup's own map-side-combined shuffle)
+    assert("hashpartitioning\\(l_partkey#\\d+L, \\d+\\)".r.findAllIn(p).size == 1,
+      p.take(2000))
+    // the winner is truncated by WindowGroupLimit, not a full sort+filter
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("fuzzy part-name join: candidates come from a block-key " +
+    "equi-join — no cross join anywhere") {
+    val p = plan("join_fuzzy_part_names")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Column-level Bloom-filter surface over Spark's native (codegen'd,
+  * Tungsten-buffered) bloom aggregate — the same machinery the
+  * optimizer injects for runtime join pruning (`RuntimeFilterSpec`),
+  * exposed here as a USER operator for explicit membership pre-filters.
+  *
+  * The 100 TB pattern this enables: when a membership set is too large
+  * to broadcast as a join build side, its bloom BITS (8 bits/item at
+  * ~3% fp) still broadcast. A map-side `bloom_might_contain` probe then
+  * prunes the big side BEFORE any shuffle, and only the surviving
+  * candidates (true hits + the fp tail) pay the exact confirm join.
+  * The final result is exactly the confirm join's — the bloom stage
+  * can only shrink work, never change answers.
+  */
+object BloomFunctions {
+
+  /** Aggregate: build a bloom filter over `c` (any type — hashed to
+    * long internally). Returns the filter as a binary column. */
+  def bloom_agg(c: Column, expectedItems: Long, numBits: Long): Column =
+    GraftColumnBridge.column(new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(c)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a bloom filter built by [[bloom_agg]].
+    * False positives at the configured rate; never false negatives. */
+  def bloom_might_contain(bloom: Column, v: Column): Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      GraftColumnBridge.expression(bloom),
+      GraftColumnBridge.expression(xxhash64(v))))
+}

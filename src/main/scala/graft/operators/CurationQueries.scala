@@ -372,5 +372,46 @@ object CurationQueries {
              |SELECT lang, n_docs, round(sqrt(n_docs) / z, 4) AS weight,
              |  round(sqrt(n_docs) / z * 10000, 1) AS expected_10k
              |FROM c CROSS JOIN z""".stripMargin),
-      "temperature (alpha=0.5) mixture reweighting across language groups"))
+      "temperature (alpha=0.5) mixture reweighting across language groups"),
+
+    // The scale path of decontamination, made concrete: when the eval
+    // gram set is too large to broadcast as a JOIN build side, its
+    // bloom BITS (8 bits/gram) still broadcast. The corpus is pruned
+    // MAP-SIDE by bloom_might_contain before anything shuffles; only
+    // the surviving candidates (true hits + the ~2% fp tail) pay the
+    // exact semi-join confirm, which removes every false positive — so
+    // the result is bit-identical to the exact formulation, which is
+    // precisely what the oracle computes.
+    Q("dedup_bloom_prefilter",
+      (s, d) => {
+        import graft.functions.BloomFunctions._
+        val g = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShinglesFromTokens(col("w"), 3))).as("gram"))
+        val evalG = g.filter(col("doc_id") % 50 === 0)
+        val trainG = g.filter(col("doc_id") % 50 =!= 0)
+        val bloom = evalG.agg(
+          bloom_agg(col("gram"), expectedItems = 50000L, numBits = 400000L)
+            .as("bf"))
+        val candidates = trainG.crossJoin(broadcast(bloom))
+          .filter(bloom_might_contain(col("bf"), col("gram")))
+          .select(col("doc_id"), col("gram"))
+        candidates
+          .join(evalG.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |      i -> array_to_string(w[i:i+2], ' '))) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             |e AS (SELECT unnest(g) AS gram FROM t WHERE doc_id % 50 = 0),
+             |tr AS (SELECT doc_id, unnest(g) AS gram FROM t WHERE doc_id % 50 != 0)
+             |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+             |FROM tr WHERE gram IN (SELECT gram FROM e)
+             |GROUP BY doc_id""".stripMargin),
+      "bloom-bits decontamination pre-filter: map-side might_contain " +
+        "prunes the corpus before any shuffle; exact confirm removes " +
+        "false positives — result identical to the exact join"))
 }

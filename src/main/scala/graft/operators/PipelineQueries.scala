@@ -485,5 +485,49 @@ object PipelineQueries {
              |thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS q25 FROM scored)
              |SELECT doc_id, q, q25 FROM scored, thr WHERE q > q25""".stripMargin),
       "global-quantile quality cutoff: exact p25 threshold broadcast " +
-        "back over the corpus — two passes, zero corpus shuffles"))
+        "back over the corpus — two passes, zero corpus shuffles"),
+
+    // Feature discretization: exact-quartile binning of a money column.
+    // Thresholds come from ONE exact-percentile aggregate (a 1-row
+    // frame broadcast back), bin assignment is a map-side CASE, and the
+    // per-bin rollup shuffles O(bins) partial rows — the table itself
+    // never shuffles, unlike an ntile() global-sort formulation.
+    // Exact-cents longs make the interpolated quartiles dyadic-exact;
+    // the 6 dp rounding on both sides absorbs any residual ulp.
+    Q("pipeline_quantile_bins",
+      (s, d) => {
+        val cents = load(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val thr = cents.agg(
+          round(percentile(col("cents"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("cents"), lit(0.5)), 6).as("q2"),
+          round(percentile(col("cents"), lit(0.75)), 6).as("q3"))
+        cents.crossJoin(broadcast(thr))
+          .select(col("cents"),
+            when(col("cents") <= col("q1"), 1)
+              .when(col("cents") <= col("q2"), 2)
+              .when(col("cents") <= col("q3"), 3)
+              .otherwise(4).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |thr AS (SELECT round(quantile_cont(cents, 0.25), 6) AS q1,
+             |               round(quantile_cont(cents, 0.5), 6) AS q2,
+             |               round(quantile_cont(cents, 0.75), 6) AS q3
+             |        FROM cents)
+             |SELECT CAST(CASE WHEN cents <= q1 THEN 1
+             |            WHEN cents <= q2 THEN 2
+             |            WHEN cents <= q3 THEN 3
+             |            ELSE 4 END AS INTEGER) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  min(cents) AS lo, max(cents) AS hi
+             |FROM cents, thr
+             |GROUP BY 1""".stripMargin),
+      "exact-quartile feature binning: 1-row threshold broadcast + " +
+        "map-side CASE + O(bins) rollup — no global sort, no table " +
+        "shuffle"))
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+
+/** Anti-entropy digests: find WHERE two 100 TB replicas diverge while
+  * moving O(buckets) rows, not O(rows). The reference reconciles tables
+  * by comparing full row counts and MAX(id) probes
+  * (dags/cdc_data_integrity_dynamic_dag.py:48-60) — count parity can't
+  * see content drift (an UPDATE leaves counts identical), and a full
+  * row-by-row diff at scale is a 100 TB shuffle. Bucket digests are the
+  * middle path every replication system ships (DynamoDB/Cassandra
+  * merkle trees): each side folds its rows into per-bucket
+  * order-independent digests (one map-side-combined aggregate, O(buckets)
+  * output), digests join on bucket id, and only DIVERGENT buckets —
+  * typically a handful — pay a row-level re-sync.
+  *
+  * The digest is a SUM of 32-bit row fingerprints (md5 prefix): addition
+  * commutes, so partition order never matters, and both engines compute
+  * the identical value (md5 is the one hash family Spark shares with
+  * the DuckDB oracle). A 32-bit fingerprint summed over a bucket leaves
+  * collision odds at ~n²/2³³ per bucket — size buckets accordingly
+  * (or widen to two digest columns) when a miss is unacceptable.
+  */
+object Reconcile {
+
+  /** Order-independent 32-bit row fingerprint: the first 8 md5 hex
+    * chars of the '|'-joined column values, as a long. Numeric columns
+    * must be pre-normalized to integer/string form (double formatting
+    * is engine-specific). */
+  def rowFingerprint(cols: Column*): Column =
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 8), 16, 10).cast("long")
+
+  /** Per-bucket (digest, row count) of `df` under the given bucket and
+    * fingerprint expressions. One aggregate, O(buckets) output rows. */
+  def bucketDigests(df: DataFrame, bucket: Column, fp: Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(sum(fp).as("digest"), count(lit(1)).as("n"))
+
+  /** Buckets where two replicas disagree (digest or count), with both
+    * sides' values — the re-sync worklist. Full outer on bucket id so
+    * a bucket emptied on one side still surfaces. */
+  def digestDiff(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("bucket"), col("digest").as("src_digest"),
+      col("n").as("src_n"))
+    val t = dst.select(col("bucket"), col("digest").as("dst_digest"),
+      col("n").as("dst_n"))
+    s.join(t, Seq("bucket"), "full_outer")
+      .filter(!(col("src_digest") <=> col("dst_digest")) ||
+        !(col("src_n") <=> col("dst_n")))
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Source = customer; replica = customer with planted drift (an
+    // UPDATE stripe and a DELETE stripe). The digest diff must surface
+    // exactly the buckets those stripes touch — and count parity alone
+    // would MISS the update stripe, which is the point of the digest.
+    Q("recon_bucket_digest",
+      (s, d) => {
+        val base = load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"),
+            col("c_mktsegment"))
+        val fp = rowFingerprint(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("cents"), col("c_mktsegment"))
+        val replica = base
+          .filter(col("c_custkey") % 101 =!= 5)
+          .withColumn("cents",
+            when(col("c_custkey") % 97 === 3, col("cents") + 100)
+              .otherwise(col("cents")))
+        digestDiff(
+          bucketDigests(base, col("c_custkey") % 32, fp),
+          bucketDigests(replica, col("c_custkey") % 32, fp))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_mktsegment
+             |  FROM customer),
+             |fp AS (
+             |  SELECT c_custkey % 32 AS bucket,
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', c_custkey,
+             |      c_name, c_nationkey, cents, c_mktsegment)), 1, 8))
+             |      AS UBIGINT) AS BIGINT) AS f
+             |  FROM base),
+             |rep AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 97 = 3 THEN cents + 100 ELSE cents END
+             |      AS cents,
+             |    c_mktsegment
+             |  FROM base WHERE c_custkey % 101 <> 5),
+             |rfp AS (
+             |  SELECT c_custkey % 32 AS bucket,
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', c_custkey,
+             |      c_name, c_nationkey, cents, c_mktsegment)), 1, 8))
+             |      AS UBIGINT) AS BIGINT) AS f
+             |  FROM rep),
+             |sd AS (SELECT bucket, CAST(sum(f) AS BIGINT) AS src_digest,
+             |         CAST(count(*) AS BIGINT) AS src_n FROM fp GROUP BY 1),
+             |td AS (SELECT bucket, CAST(sum(f) AS BIGINT) AS dst_digest,
+             |         CAST(count(*) AS BIGINT) AS dst_n FROM rfp GROUP BY 1)
+             |SELECT coalesce(sd.bucket, td.bucket) AS bucket,
+             |  src_digest, dst_digest, src_n, dst_n
+             |FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
+             |WHERE src_digest IS DISTINCT FROM dst_digest
+             |   OR src_n IS DISTINCT FROM dst_n""".stripMargin),
+      "anti-entropy bucket digests: order-independent md5-prefix sums " +
+        "per bucket, O(buckets) rows moved, divergent buckets surfaced " +
+        "— update drift that count parity cannot see"))
+}

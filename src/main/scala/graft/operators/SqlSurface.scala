@@ -554,5 +554,78 @@ object SqlSurface {
              |WHERE rk = 1""".stripMargin),
       "dominant supplier per part (argmax share) — one (part,supplier) " +
         "rollup, per-part total + winner from windows over the same " +
-        "exchange; exact-long share division"))
+        "exchange; exact-long share division"),
+
+    // TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders
+    // (excluding urgent ones). The textbook form left-joins customer to
+    // the RAW orders table and counts — at 100 TB that outer join
+    // carries every order row. Re-planned: aggregate orders down to
+    // (custkey, count) FIRST (map-side combine, shuffle ∝ distinct
+    // customers), then the outer join moves O(customers) rows, and the
+    // final distribution rollup is O(distinct counts).
+    Q("join_customer_order_distribution",
+      (s, d) => {
+        val perCust = load(s, d, "orders")
+          .filter(!col("o_orderpriority").like("%URGENT%"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("c_count"))
+        load(s, d, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+             |FROM (
+             |  SELECT CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey
+             |   AND o_orderpriority NOT LIKE '%URGENT%'
+             |  GROUP BY c_custkey)
+             |GROUP BY 1""".stripMargin),
+      "TPC-H Q13 shape: customer order-count distribution — orders " +
+        "pre-aggregated to (custkey, count) before the outer join, so " +
+        "the join moves O(customers) rows, never O(orders)"),
+
+    // TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    // both join sides. Catalyst does not factor per-side envelopes out
+    // of a cross-side disjunction, so we push them explicitly: the
+    // union of each branch's part constraint (brand IN ..., size ≤ 15)
+    // prunes the part scan, and the union of the lineitem constraints
+    // (quantity ≤ 30) prunes the fact scan — PlanAuditSpec asserts both
+    // reach PushedFilters. The exact disjunction then runs only on the
+    // envelope survivors after the broadcast join.
+    Q("join_disjunctive_pushdown",
+      (s, d) => {
+        val branch1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val branch2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val branch3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        val part = load(s, d, "part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size").between(1, 15))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        load(s, d, "lineitem")
+          .filter(col("l_quantity").between(1, 30))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .filter(branch1 || branch2 || branch3)
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      "TPC-H Q19 shape: OR-of-ANDs spanning both join sides — per-side " +
+        "envelopes explicitly pushed to both scans, exact disjunction " +
+        "on envelope survivors after the broadcast join"))
 }

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BloomFunctions._
+
+class BloomFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives; false positives bounded by the sizing") {
+    val members = (0 until 2000).map(i => s"member-$i").toDF("v")
+    val bits = members.agg(bloom_agg(col("v"), 2000L, 16000L).as("bf"))
+    val probes = ((0 until 2000).map(i => s"member-$i") ++
+      (0 until 2000).map(i => s"absent-$i")).toDF("p")
+    val hits = probes.crossJoin(broadcast(bits))
+      .filter(bloom_might_contain(col("bf"), col("p")))
+      .select("p").as[String].collect()
+    val (present, absent) = hits.partition(_.startsWith("member-"))
+    assert(present.length == 2000, "bloom filter dropped a member")
+    assert(absent.length < 200, s"fp rate too high: ${absent.length}/2000")
+  }
+
+  test("prefilter + exact confirm equals the exact join") {
+    val corpus = (0 until 5000).map(i => i.toLong -> s"g${i % 500}")
+      .toDF("id", "gram")
+    val eval = (0 until 100).map(i => s"g$i").toDF("gram")
+    val bits = eval.agg(bloom_agg(col("gram"), 100L, 800L).as("bf"))
+    val got = corpus.crossJoin(broadcast(bits))
+      .filter(bloom_might_contain(col("bf"), col("gram")))
+      .join(eval, Seq("gram"), "left_semi")
+      .select("id").as[Long].collect().sorted
+    val exact = corpus.join(eval, Seq("gram"), "left_semi")
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(exact))
+  }
+}

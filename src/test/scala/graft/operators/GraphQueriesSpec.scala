@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphQueriesSpec extends SparkSpec {
+
+  private def ranks: Map[Long, Double] =
+    QueryCatalog.byName("graph_pagerank_prior").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("every document gets a rank ≥ the damping floor; total mass ≤ 1") {
+    val r = ranks
+    val n = r.size
+    assert(n > 0)
+    val floor = 0.15 / n
+    // -1e-9: the floor itself was rounded to 8 dp in the output
+    assert(r.values.forall(_ >= floor - 1e-9), r.values.min)
+    // mass leaks (self-loops dropped), never inflates
+    assert(r.values.sum <= 1.0 + 1e-6, r.values.sum)
+  }
+
+  test("matches a local brute-force PageRank on the same derivation rule") {
+    val r = ranks
+    val n = r.size.toLong
+    val edges = (0L until n).flatMap { src =>
+      (1L to 3L).map(j => src -> ((src * 7 + j) % n)).filter(e => e._1 != e._2)
+    }
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var local = (0L until n).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => local(src) / outdeg(src) }.sum
+      }
+      local = (0L until n)
+        .map(id => id -> (0.15 / n + 0.85 * contrib.getOrElse(id, 0.0))).toMap
+    }
+    r.foreach { case (id, got) =>
+      assert(math.abs(got - local(id)) < 1e-6, s"doc $id: $got vs ${local(id)}")
+    }
+  }
+}

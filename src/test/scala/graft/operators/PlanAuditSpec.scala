@@ -240,4 +240,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("Q13 distribution: orders pre-aggregate to (custkey, count) " +
+    "BEFORE the outer join — the join never carries raw order rows") {
+    val p = plan("join_customer_order_distribution")
+    // the orders-side aggregate sits below the join: a partial_count
+    // keyed by o_custkey appears in the plan before any join node
+    val aggIdx = p.indexOf("partial_count")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"),
+      math.max(p.indexOf("BroadcastHashJoin"), p.indexOf("ShuffledHashJoin")))
+    assert(aggIdx >= 0 && joinIdx >= 0, p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("Q19 disjunctive predicates: both per-side envelopes reach the " +
+    "parquet scans as pushed filters") {
+    val p = plan("join_disjunctive_pushdown")
+    // part scan: brand IN-list + size upper bound pushed
+    assert("PushedFilters: \\[[^\\]]*In\\(p_brand".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    // fact scan: the quantity envelope pushed
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("quantile bins: the orders table is scanned, never shuffled — " +
+    "the only exchanges carry the 1-row thresholds and O(bins) partials") {
+    val p = plan("pipeline_quantile_bins")
+    // no exchange keyed by the raw cents value (no global sort / no
+    // row-level repartition); the bin rollup exchanges on `bin`
+    assert(!p.contains("rangepartitioning"), p.take(1200))
+    assert(!"hashpartitioning\\(cents".r.findFirstIn(p).isDefined, p.take(1200))
+  }
+
+  test("bloom prefilter: the corpus is probed map-side (might_contain " +
+    "below any exchange on the train side) before the confirm join") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(p.contains("might_contain"), p.take(1500))
+    // the bloom probe is a filter, not a join: exactly the confirm
+    // semi-join plus the 1-row bits broadcast appear as joins
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("bucket digest diff: both sides fold to O(buckets) rows before " +
+    "the full-outer compare — the join never carries raw customer rows") {
+    val p = plan("recon_bucket_digest")
+    // digests aggregate below the join (partial_sum of fingerprints)
+    val aggIdx = p.indexOf("partial_sum")
+    assert(aggIdx >= 0, p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }

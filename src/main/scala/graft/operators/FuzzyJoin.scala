@@ -52,9 +52,15 @@ object FuzzyJoin {
       .withColumn("blk", block(col("name_l")))
     val r = right.select(col(rightCol).cast("string").as("name_r")).distinct()
       .withColumn("blk", block(col("name_r")))
-    l.join(r, Seq("blk"), "left")
+    // Match first (inner join + dist bound), THEN left-join the match set
+    // back onto the left values: filtering dist on the left join itself
+    // would also delete the null-right row of a left value whose block
+    // has candidates but none within maxDist, losing the coverage signal.
+    val matches = l.join(r, Seq("blk"))
       .withColumn("dist", levenshtein(col("name_l"), col("name_r")))
-      .filter(col("dist").isNull || col("dist") <= maxDist)
+      .filter(col("dist") <= maxDist)
+      .select(col("name_l"), col("name_r"), col("dist"))
+    l.select(col("name_l")).join(matches, Seq("name_l"), "left")
       .select(col("name_l"), col("name_r"), col("dist"))
   }
 

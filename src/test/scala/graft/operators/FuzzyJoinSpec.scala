@@ -53,6 +53,18 @@ class FuzzyJoinSpec extends SparkSpec {
       ("purple gadget", None, None)))
   }
 
+  test("leftMatch keeps a null right side when the block has only " +
+    "too-far candidates") {
+    // "red dynamo" shares the block "red" with "red bolt" but sits at
+    // dist 5 > 1: the left value must still surface with a null right.
+    val left = Seq("red bolt").toDF("n")
+    val right = Seq("red dynamo").toDF("m")
+    val got = FuzzyJoin
+      .leftMatch(left, "n", right, "m", FuzzyJoin.firstTokenBlock, maxDist = 1)
+      .as[(String, Option[String], Option[Int])].collect().toSet
+    assert(got == Set(("red bolt", None, None)))
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Parquet table loader over the driver testdata layout (TESTDATA.md):
   * one parquet file per table under an sf-dir.
@@ -17,12 +18,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet timestamp[ns], which Spark only reads via the
-      // legacy nanos-as-long path; convert to micros with integral
-      // division (doubles would lose precision above 2^53 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.ts is parquet timestamp[ns]. Depending on the Spark
+      // build this reads either as BIGINT nanos (via the legacy
+      // nanos-as-long conf) or natively as TIMESTAMP_NTZ truncated to
+      // micros — branch on the actual read schema and normalize both
+      // to TimestampType micros (UTC session), the type every catalog
+      // query and oracle was written against. Integral `div` for the
+      // long path: doubles lose precision above 2^53 ns.
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () } // conf removed → native read
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case LongType => timestamp_micros(expr("ts div 1000"))
+        case _        => col("ts").cast(TimestampType)
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
 

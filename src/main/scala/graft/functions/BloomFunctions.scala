@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -27,8 +27,19 @@ object BloomFunctions {
       GraftColumnBridge.expression(xxhash64(c)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
 
-  /** Membership probe against a bloom filter built by [[bloom_agg]].
-    * False positives at the configured rate; never false negatives. */
+  /** The bloom bits of [[bloom_agg]] over `df`, delivered as a SCALAR
+    * SUBQUERY — the only non-foldable form `BloomFilterMightContain`
+    * accepts (a cross-joined attribute fails its type check at
+    * analysis). Spark plans the 1-row aggregate as a subquery whose
+    * result ships to every probe task, the same mechanism its own
+    * injected runtime filters use — the bits never ride a join. */
+  def bloom_build(df: DataFrame, c: Column,
+      expectedItems: Long, numBits: Long): Column =
+    df.agg(bloom_agg(c, expectedItems, numBits)).scalar()
+
+  /** Membership probe against bloom bits from [[bloom_build]] (or any
+    * foldable/scalar-subquery binary column). False positives at the
+    * configured rate; never false negatives. */
   def bloom_might_contain(bloom: Column, v: Column): Column =
     GraftColumnBridge.column(BloomFilterMightContain(
       GraftColumnBridge.expression(bloom),

@@ -391,11 +391,10 @@ object CurationQueries {
             explode(array_distinct(wordShinglesFromTokens(col("w"), 3))).as("gram"))
         val evalG = g.filter(col("doc_id") % 50 === 0)
         val trainG = g.filter(col("doc_id") % 50 =!= 0)
-        val bloom = evalG.agg(
-          bloom_agg(col("gram"), expectedItems = 50000L, numBits = 400000L)
-            .as("bf"))
-        val candidates = trainG.crossJoin(broadcast(bloom))
-          .filter(bloom_might_contain(col("bf"), col("gram")))
+        val bloom = bloom_build(evalG, col("gram"),
+          expectedItems = 50000L, numBits = 400000L)
+        val candidates = trainG
+          .filter(bloom_might_contain(bloom, col("gram")))
           .select(col("doc_id"), col("gram"))
         candidates
           .join(evalG.select(col("gram")).distinct(), Seq("gram"), "left_semi")

@@ -84,5 +84,31 @@ object FuzzyJoin {
              |  AND levenshtein(name_a, name_b) <= 3""".stripMargin),
       "blocked fuzzy self-join on part names: distinct-first, " +
         "first-token blocking equi-join, Levenshtein confirm on " +
-        "candidates only — no cross join"))
+        "candidates only — no cross join"),
+
+    // Pins the leftMatch coverage contract end-to-end: a left value
+    // whose block has candidates but none within maxDist must still
+    // surface with a null right side (the exact case the round-6
+    // review found dropped by the old filter-on-left-join shape).
+    // Moduli chosen so BOTH branches are populated at the sf0.001 and
+    // sf0.01 correctness gates (6 of 19 left names unmatched at
+    // sf0.01) — a parameterization where every left name matches
+    // would leave the null branch vacuously green.
+    Q("join_fuzzy_leftmatch",
+      (s, d) => leftMatch(
+        load(s, d, "part").filter(col("p_partkey") % 97 === 0), "p_name",
+        load(s, d, "part").filter(col("p_partkey") % 23 === 0), "p_name",
+        firstTokenBlock, maxDist = 1),
+      Some("""WITH lv AS (SELECT DISTINCT p_name AS name_l FROM part
+             |        WHERE p_partkey % 97 = 0),
+             |rv AS (SELECT DISTINCT p_name AS name_r FROM part
+             |        WHERE p_partkey % 23 = 0),
+             |m AS (SELECT name_l, name_r,
+             |        CAST(levenshtein(name_l, name_r) AS INTEGER) AS dist
+             |      FROM lv JOIN rv
+             |        ON split_part(name_l, ' ', 1) = split_part(name_r, ' ', 1)
+             |      WHERE levenshtein(name_l, name_r) <= 1)
+             |SELECT name_l, name_r, dist FROM lv LEFT JOIN m USING (name_l)""".stripMargin),
+      "two-sided blocked fuzzy match: inner match set left-joined back " +
+        "so unmatched left values keep their null-right coverage row"))
 }

@@ -126,6 +126,82 @@ object TextQueries {
              |FROM st""".stripMargin),
       "composite training-data pipeline: quality gate → exact dedup → chunk"),
 
+    // The first step of BPE tokenizer training: count adjacent token
+    // pairs over the corpus. The pair explode is a generator off the
+    // pre-projected token array (no re-tokenize per element), the count
+    // is one map-side-combined hash agg keyed by pair, and the top-k
+    // ends in TakeOrderedAndProject — at 100 TB the shuffle carries
+    // (pair, partial count), bounded by vocabulary², not corpus size.
+    Q("text_bpe_pairs",
+      (s, d) => load(s, d, "documents")
+        .select(tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> concat(w[i-1], ' ', w[i]))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(100),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             |        i -> w[i] || ' ' || w[i+1])) AS pair
+             |      FROM t WHERE len(w) >= 2)
+             |SELECT pair, count(*) AS n FROM p GROUP BY pair
+             |ORDER BY n DESC, pair LIMIT 100""".stripMargin),
+      "BPE training step: adjacent-pair frequency count, top-100 merges"),
+
+    // Content-defined chunking: a chunk boundary falls wherever the
+    // hash of the trailing 4-token window starts with a zero nibble
+    // (P=1/16 → ~16-token expected chunks). Unlike fixed-stride
+    // windows, an insertion early in a document shifts only the chunk
+    // it lands in — every later boundary re-synchronizes, so chunk
+    // hashes stay stable for dedup across near-identical revisions.
+    // The flag algebra runs per row inside the token array; the only
+    // shuffle is the per-document window prefix-sum + chunk rollup
+    // (both keyed by doc_id — parallel across documents). md5 is the
+    // cross-engine hash family (xxhash64 would be the in-engine pick).
+    Q("text_cdc_chunks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, size(w)), i -> named_struct(" +
+              "'i', i, 'tok', w[i-1], " +
+              "'b', CASE WHEN i >= 4 AND substring(md5(concat_ws(' ', " +
+              "slice(w, i-3, 4))), 1, 1) = '0' THEN 1 ELSE 0 END))")
+            .as("ps"))
+          .withColumn("p", explode(col("ps")))
+          .select(col("doc_id"), col("p.i").as("i"),
+            col("p.tok").as("tok"), col("p.b").as("b"))
+        val cid = sum(col("b"))
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("i"))) -
+          col("b")
+        p.withColumn("chunk_id", cid)
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(
+            min(col("i")).as("start_token"),
+            count(lit(1)).as("n_tokens"),
+            md5(concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)")))
+              .as("chunk_hash"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t),
+             |p AS (SELECT doc_id, i, w[i] AS tok,
+             |        CASE WHEN i >= 4 AND substring(md5(array_to_string(w[i-3:i], ' ')), 1, 1) = '0'
+             |             THEN 1 ELSE 0 END AS b
+             |      FROM pos),
+             |c AS (SELECT doc_id, i, tok,
+             |        CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY i) - b AS BIGINT) AS chunk_id
+             |      FROM p)
+             |SELECT doc_id, chunk_id, CAST(min(i) AS INTEGER) AS start_token,
+             |  count(*) AS n_tokens,
+             |  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+             |FROM c GROUP BY doc_id, chunk_id""".stripMargin),
+      "content-defined chunking: boundaries from a rolling 4-token " +
+        "window hash — chunk hashes survive edits for cross-revision dedup"),
+
     // The marker-count argmax IS SQL-expressible (list_filter + struct
     // sort), so the heuristic is fully oracle-checked: same scores, same
     // (score, lang) tie-break.

@@ -24,7 +24,9 @@ class QueryCatalogSpec extends SparkSpec {
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val aliases = "(?i)\\)\\s*([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-        val fromTargets = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
+        // (?<!distinct ) keeps "IS [NOT] DISTINCT FROM <column>" out of
+        // the table-reference matches
+        val fromTargets = "(?i)(?:(?<!distinct )from|join)\\s+([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         // "IS NOT DISTINCT FROM NULL" etc. match the from-regex; they
         // are keywords, not tables

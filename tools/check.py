@@ -5,6 +5,7 @@ library (driver-side tooling only).
 
 Usage: python3 tools/check.py <sfdir> <outdir>
 """
+import glob
 import hashlib
 import json
 import sys
@@ -34,6 +35,24 @@ def main(sfdir, outdir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Catalog completeness: every catalog query must have a result dir
+    # (a failed query writes a _verify_error sentinel; only a query
+    # that never ran is truly absent) and every oracled query must be
+    # in the catalog.
+    try:
+        catalog = json.load(open(f"{outdir}/catalog.json"))
+    except FileNotFoundError:
+        catalog = sorted(oracle)
+        print("WARN catalog.json missing; falling back to oracle keys")
+    for name in catalog:
+        if not glob.glob(f"{outdir}/{name}/*.parquet"):
+            print(f"FAIL {name}: catalog query has no result dir")
+            n_fail += 1
+    for name in sorted(set(oracle) - set(catalog)):
+        print(f"FAIL {name}: oracled but not in catalog")
+        n_fail += 1
+    for name in sorted(set(catalog) - set(oracle)):
+        print(f"WARN {name}: catalog query has no SQL oracle (rows-only)")
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -75,8 +94,9 @@ def main(sfdir, outdir):
             print(f"PASS {name} ({gn} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
-          f"{len(oracle)} oracled")
+          f"{len(oracle)} oracled, {len(catalog)} catalog")
+    return n_fail
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)

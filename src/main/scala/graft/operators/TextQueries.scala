@@ -156,36 +156,35 @@ object TextQueries {
     // windows, an insertion early in a document shifts only the chunk
     // it lands in — every later boundary re-synchronizes, so chunk
     // hashes stay stable for dedup across near-identical revisions.
-    // The flag algebra runs per row inside the token array; the only
-    // shuffle is the per-document window prefix-sum + chunk rollup
-    // (both keyed by doc_id — parallel across documents). md5 is the
-    // cross-engine hash family (xxhash64 would be the in-engine pick).
+    // ZERO-exchange plan: boundary positions, chunk spans, and chunk
+    // hashes are all computed INSIDE the per-row token array (filter /
+    // transform / slice), then exploded — no per-token window
+    // prefix-sum, no shuffle at any corpus size (PlanAuditSpec pins
+    // it). md5 is the cross-engine hash family (xxhash64 would be the
+    // in-engine pick). The oracle states the same semantics in the
+    // window-prefix-sum form DuckDB optimizes well.
     Q("text_cdc_chunks",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val p = load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
-          .select(col("doc_id"), expr(
-            "transform(sequence(1, size(w)), i -> named_struct(" +
-              "'i', i, 'tok', w[i-1], " +
-              "'b', CASE WHEN i >= 4 AND substring(md5(concat_ws(' ', " +
-              "slice(w, i-3, 4))), 1, 1) = '0' THEN 1 ELSE 0 END))")
-            .as("ps"))
-          .withColumn("p", explode(col("ps")))
-          .select(col("doc_id"), col("p.i").as("i"),
-            col("p.tok").as("tok"), col("p.b").as("b"))
-        val cid = sum(col("b"))
-          .over(Window.partitionBy(col("doc_id")).orderBy(col("i"))) -
-          col("b")
-        p.withColumn("chunk_id", cid)
-          .groupBy(col("doc_id"), col("chunk_id"))
-          .agg(
-            min(col("i")).as("start_token"),
-            count(lit(1)).as("n_tokens"),
-            md5(concat_ws(" ", expr(
-              "transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)")))
-              .as("chunk_hash"))
-      },
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), expr(
+          "filter(sequence(1, size(w)), i -> i >= 4 AND " +
+            "substring(md5(concat_ws(' ', slice(w, i-3, 4))), 1, 1) = '0')")
+          .as("bnd"))
+        // span bounds = 0 ++ boundaries ++ (len, unless already one)
+        .select(col("doc_id"), col("w"), expr(
+          "concat(array(0), bnd, IF(size(bnd) > 0 AND " +
+            "element_at(bnd, -1) = size(w), array(), array(size(w))))")
+          .as("bounds"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(bounds) - 1), k -> named_struct(" +
+            "'chunk_id', CAST(k - 1 AS BIGINT), " +
+            "'start_token', bounds[k-1] + 1, " +
+            "'n_tokens', CAST(bounds[k] - bounds[k-1] AS BIGINT), " +
+            "'chunk_hash', md5(concat_ws(' ', " +
+            "slice(w, bounds[k-1] + 1, bounds[k] - bounds[k-1])))))"))
+          .as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.start_token"),
+          col("c.n_tokens"), col("c.chunk_hash")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t),
              |p AS (SELECT doc_id, i, w[i] AS tok,

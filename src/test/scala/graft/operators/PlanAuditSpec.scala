@@ -284,6 +284,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("content-defined chunking is zero-exchange: boundaries, spans " +
+    "and hashes all compute inside the per-row token array") {
+    val p = plan("text_cdc_chunks")
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200)) // the chunk explode
+  }
+
   test("bucket digest diff: both sides fold to O(buckets) rows before " +
     "the full-outer compare — the join never carries raw customer rows") {
     val p = plan("recon_bucket_digest")

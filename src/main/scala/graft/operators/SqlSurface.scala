@@ -627,5 +627,185 @@ object SqlSurface {
              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
       "TPC-H Q19 shape: OR-of-ANDs spanning both join sides — per-side " +
         "envelopes explicitly pushed to both scans, exact disjunction " +
-        "on envelope survivors after the broadcast join"))
+        "on envelope survivors after the broadcast join"),
+
+    // TPC-H Q7 shape: shipping volume between two nations. The nation
+    // pair constraint is a cross-arm disjunction (supp=A∧cust=B ∨
+    // supp=B∧cust=A); each nation dim is pre-filtered to {A,B} — the
+    // per-arm envelope, same discipline as Q19 — so both dim joins
+    // shrink before the exact disjunction runs on survivors. Dims all
+    // broadcast; the only shuffles are lineitem⋈orders and the
+    // O(2×2×years) rollup. Exact-cents revenue: order-independent.
+    Q("join_nation_volume",
+      (s, d) => {
+        val pair = Seq("NATION_11", "NATION_12")
+        val li = load(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        val suppN = load(s, d, "supplier").join(
+          broadcast(load(s, d, "nation").filter(col("n_name").isin(pair: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val custN = load(s, d, "customer").join(
+          broadcast(load(s, d, "nation").filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("cn_key"),
+              col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")
+        li.join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_11" &&
+              col("cust_nation") === "NATION_12") ||
+            (col("supp_nation") === "NATION_12" &&
+              col("cust_nation") === "NATION_11"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(cents).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+             |  CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+             |  AND ((n2.n_name = 'NATION_11' AND n1.n_name = 'NATION_12')
+             |    OR (n2.n_name = 'NATION_12' AND n1.n_name = 'NATION_11'))
+             |GROUP BY 1, 2, 3""".stripMargin),
+      "TPC-H Q7 shape: two-nation shipping volume by year — nation dims " +
+        "envelope-filtered to the pair before broadcast, exact " +
+        "disjunction on survivors, one fact-fact shuffle"),
+
+    // TPC-H Q9 shape: product-family profit by (nation, year). The
+    // testdata has no partsupp, so supply cost is declared as 60% of
+    // the part's retail price — the POINT of the shape is unchanged:
+    // a LIKE-filtered part dim pruning the fact side via broadcast,
+    // and profit as a sum of exact per-row cents (revenue cents minus
+    // integer cost cents × integer-valued quantity) — no double
+    // accumulation anywhere, so no rounding is needed at any scale.
+    Q("join_product_profit",
+      (s, d) => {
+        val p = load(s, d, "part").filter(col("p_name").like("%an%"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 60).cast("long").as("cost_cents"))
+        val li = load(s, d, "lineitem")
+        val profit = (round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long") -
+          col("cost_cents") * col("l_quantity").cast("long")).as("profit_cents")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(load(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(load(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"), profit)
+          .groupBy(col("nation"), col("o_year"))
+          .agg(sum(col("profit_cents")).as("profit_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name AS nation,
+             |  CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)
+             |    - CAST(round(p_retailprice * 60) AS BIGINT)
+             |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%an%'
+             |GROUP BY 1, 2""".stripMargin),
+      "TPC-H Q9 shape: product-family profit by nation and year — " +
+        "LIKE-filtered part dim broadcast, profit summed in exact cents"),
+
+    // TPC-H Q10 shape: customers who returned goods, ranked by lost
+    // revenue over a quarter-year window. Both fact scans carry pushed
+    // filters (returnflag on lineitem, the date band on orders), the
+    // customer/nation dims broadcast AFTER the per-customer aggregate
+    // (the rollup shuffles (custkey, cents), never customer payload),
+    // and the top-20 is TakeOrderedAndProject with a unique tie-break.
+    Q("join_returned_items",
+      (s, d) => {
+        val li = load(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        val o = load(s, d, "orders")
+          .filter(col("o_orderdate").between("1996-01-01", "1996-06-30"))
+        val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")
+        val perCust = li
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_items"))
+        perCust
+          .join(broadcast(load(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+            col("c_acctbal"), col("revenue_cents"), col("n_items"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+             |  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+             |  CAST(n_items AS BIGINT) AS n_items
+             |FROM (
+             |  SELECT o_custkey,
+             |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS revenue_cents,
+             |    count(*) AS n_items
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+             |  GROUP BY o_custkey)
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin),
+      "TPC-H Q10 shape: top returned-revenue customers — per-customer " +
+        "rollup BEFORE the dim joins, top-20 via TakeOrderedAndProject"),
+
+    // TPC-H Q14 shape: promo revenue share for one month — a broadcast
+    // part join and ONE conditional-sum aggregate; the share divides
+    // two exact longs so only the final ratio is rounded.
+    Q("agg_promo_share",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")
+        load(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1996-03-01", "1996-03-31"))
+          .join(broadcast(load(s, d, "part")
+            .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+              .as("promo_cents"),
+            sum(cents).as("total_cents"))
+          .select(
+            round(col("promo_cents") * 100 / col("total_cents"), 6)
+              .as("promo_share_pct"),
+            col("promo_cents"), col("total_cents"))
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+             |      CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS promo_cents,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS total_cents
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31')
+             |SELECT round(promo_cents * 100 / total_cents, 6) AS promo_share_pct,
+             |  promo_cents, total_cents
+             |FROM m""".stripMargin),
+      "TPC-H Q14 shape: promo revenue share — broadcast part join, one " +
+        "conditional-sum aggregate, exact-cents ratio"))
 }

@@ -284,6 +284,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("returned-items ranking: per-customer rollup below the dim joins, " +
+    "top-20 via TakeOrderedAndProject") {
+    val p = plan("join_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // the rollup's partial agg must sit BELOW the customer join: the
+    // shuffle carries (custkey, cents), never raw lineitem rows
+    val aggIdx = p.indexOf("partial_sum")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && (joinIdx < 0 || p.indexOf("partial_sum", joinIdx) >= 0),
+      p.take(1500))
+  }
+
+  test("nation-volume and promo-share never fall back to a nested loop") {
+    for (q <- Seq("join_nation_volume", "agg_promo_share", "join_product_profit")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: ${p.take(800)}")
+    }
+  }
+
   test("content-defined chunking is zero-exchange: boundaries, spans " +
     "and hashes all compute inside the per-row token array") {
     val p = plan("text_cdc_chunks")

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data-skipping index — the Delta/Iceberg
+  * file-stats idea on plain parquet directories.
+  *
+  * Parquet already prunes ROW GROUPS by footer min/max, but at 100 TB
+  * the footer reads themselves are the cost: a selective point/range
+  * query over a million files pays a million footer round-trips before
+  * skipping anything. This index folds each file's column envelopes
+  * into ONE tiny sidecar table (O(#files) rows, built with one scan),
+  * so pruning is a metadata lookup and only surviving files are ever
+  * opened. Pairs with [[Layout.zorderWrite]]: clustered layouts make
+  * per-file envelopes tight, which is what makes skipping effective
+  * (see `ZOrderSpec` for the span measurements).
+  *
+  * Freshness contract (same design as the MV rewrite's fingerprint):
+  * the index records the exact file set it covered; if the directory's
+  * current listing differs, [[prunedRead]] falls back to the full scan
+  * — stale metadata can cost acceleration, never correctness.
+  */
+object StatsIndex {
+
+  /** Sidecar directory: sibling of the data dir, never inside it (a
+    * nested dir would pollute `spark.read.parquet(dataPath)`). */
+  def statsPath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "._stats"
+
+  /** Build the index over `cols` with one scan: per-file min/max per
+    * column keyed by `input_file_name()`. */
+  def build(spark: SparkSession, dataPath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "stats index needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(dataPath))
+  }
+
+  /** Files whose envelopes intersect EVERY `(col, lo, hi)` interval
+    * (inclusive). O(#files) metadata work on the driver — the same
+    * place Delta-style log replay does its pruning. */
+  def prunedFiles(spark: SparkSession, dataPath: String,
+      bounds: Seq[(String, Any, Any)]): Seq[String] = {
+    require(bounds.nonEmpty, "pruning needs at least one interval")
+    val cond = bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    spark.read.parquet(statsPath(dataPath))
+      .filter(cond).select("file")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** The interval scan: metadata-prune files, open only survivors,
+    * re-apply the exact predicate. Bit-identical to the full
+    * scan+filter — the envelope test can only discard files that
+    * provably contain no matching row. Falls back to the full scan
+    * when the index does not cover the directory's current file set. */
+  def prunedRead(spark: SparkSession, dataPath: String,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (!fresh(spark, dataPath))
+      return spark.read.parquet(dataPath).filter(pred)
+    val files = prunedFiles(spark, dataPath, bounds)
+    if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+
+  /** True iff the index covers exactly the data files present now. */
+  def fresh(spark: SparkSession, dataPath: String): Boolean = {
+    val sp = new Path(statsPath(dataPath))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return false
+    val indexed = spark.read.parquet(statsPath(dataPath))
+      .select("file").collect().map(_.getString(0)).toSet
+    val actual = fs.listStatus(new Path(dataPath)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSet
+    // compare by file NAME: input_file_name() returns fully-qualified
+    // URIs whose scheme/authority rendering can differ from listStatus
+    def names(s: Set[String]) = s.map(p => p.substring(p.lastIndexOf('/') + 1))
+    names(indexed) == names(actual)
+  }
+}

@@ -61,7 +61,11 @@ object Bench {
     "text_hybrid_rrf", "events_funnel_stages", "events_cohort_retention",
     // fourth-session families: the two heaviest optimizer shapes
     // (8-relation conditional-share join; Q21 collapsed to one shuffle)
-    "join_market_share", "join_only_late_supplier")
+    "join_market_share", "join_only_late_supplier",
+    // round-7 families: zero-exchange content-defined chunking and the
+    // Q10 rollup-before-dims top-k (Q7/Q9/Q14 cost classes are covered
+    // by join_market_share; line budget holds them out)
+    "text_cdc_chunks", "join_returned_items")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -807,5 +807,37 @@ object SqlSurface {
              |  promo_cents, total_cents
              |FROM m""".stripMargin),
       "TPC-H Q14 shape: promo revenue share — broadcast part join, one " +
-        "conditional-sum aggregate, exact-cents ratio"))
+        "conditional-sum aggregate, exact-cents ratio"),
+
+    // TPC-H Q15 shape: the top supplier(s) by quarterly revenue. The
+    // revenue view aggregates once (supplier-keyed shuffle, map-side
+    // combined), the global max is a 1-ROW aggregate broadcast back as
+    // the filter — never a global sort, never a second fact scan; ties
+    // all surface (exact-cents totals make the max deterministic).
+    Q("join_top_supplier",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")
+        val rev = load(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents).as("total_cents"))
+        val mx = rev.agg(max(col("total_cents")).as("mx"))
+        rev.join(broadcast(mx), col("total_cents") === col("mx"))
+          .join(broadcast(load(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS total_cents
+             |  FROM lineitem
+             |  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_cents
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin),
+      "TPC-H Q15 shape: top supplier by quarterly revenue — one keyed " +
+        "aggregate, 1-row max broadcast back as the filter, no global sort"))
 }

@@ -839,5 +839,65 @@ object SqlSurface {
              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
              |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin),
       "TPC-H Q15 shape: top supplier by quarterly revenue — one keyed " +
-        "aggregate, 1-row max broadcast back as the filter, no global sort"))
+        "aggregate, 1-row max broadcast back as the filter, no global sort"),
+
+    // TPC-H Q4 shape: order counts by priority where at least one line
+    // shipped late (the testdata has no commit/receipt dates, so late =
+    // shipped >30 days after order). EXISTS plans as a LeftSemi join —
+    // each order contributes at most once no matter how many late
+    // lines, and the quarter filter is pushed into the orders scan;
+    // the lag predicate rides the join condition, never a post-filter
+    // over an exploded join.
+    Q("agg_order_priority",
+      (s, d) => {
+        val o = load(s, d, "orders")
+          .filter(col("o_orderdate").between("1996-07-01", "1996-09-30"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders
+             |WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-09-30'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY 1""".stripMargin),
+      "TPC-H Q4 shape: late-order counts by priority — EXISTS as a " +
+        "LeftSemi join with the lag predicate in the join condition"),
+
+    // TPC-H Q16 shape: how many distinct suppliers serve each part
+    // attribute group, excluding a denylisted supplier set. Both dims
+    // broadcast; the exclusion is a broadcast ANTI join applied BEFORE
+    // the distinct aggregation (the fact side shrinks first), and the
+    // distinct count shuffles (brand, size, suppkey) triples — never
+    // raw lineitem rows.
+    Q("join_supplier_part_counts",
+      (s, d) => {
+        val p = load(s, d, "part")
+          .filter(col("p_type") =!= "PROMO" && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val excl = load(s, d, "supplier")
+          .filter(col("s_name").like("%7%")).select(col("s_suppkey"))
+        load(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_type <> 'PROMO' AND p_size <= 10
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |    WHERE s_name LIKE '%7%')
+             |GROUP BY 1, 2""".stripMargin),
+      "TPC-H Q16 shape: distinct suppliers per part attribute group — " +
+        "broadcast dims, anti-join exclusion before the distinct agg"))
 }

@@ -297,7 +297,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("nation-volume and promo-share never fall back to a nested loop") {
-    for (q <- Seq("join_nation_volume", "agg_promo_share", "join_product_profit")) {
+    for (q <- Seq("join_nation_volume", "agg_promo_share", "join_product_profit",
+        "join_top_supplier", "agg_order_priority", "join_supplier_part_counts")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q: ${p.take(800)}")

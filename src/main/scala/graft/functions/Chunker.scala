@@ -37,5 +37,48 @@ object Chunker {
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").as("n_tokens"))
 
+  /** Content-defined chunking: a boundary falls after token `i`
+    * wherever the hash of the trailing `window`-token run starts with
+    * `nibbles` zero hex digits (boundary probability 16^-nibbles →
+    * expected chunk length 16^nibbles tokens). Because each boundary
+    * test looks at only the trailing window, an edit perturbs chunk
+    * boundaries only until the next surviving boundary — all later
+    * chunk hashes are IDENTICAL across revisions, which is what makes
+    * chunk-grain dedup work on near-identical documents (fixed-stride
+    * windows shift every downstream chunk instead).
+    *
+    * ZERO-exchange: boundaries, spans, and hashes are array algebra
+    * inside each row; only the final explode generates output rows
+    * (`PlanAuditSpec` pins the no-Exchange shape on the catalog form).
+    * md5 is used as the hash so oracles replay in DuckDB; an
+    * in-engine-only deployment would use xxhash64.
+    *
+    * Output: (idCol, chunk_id, start_token, n_tokens, chunk_hash). */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, nibbles: Int = 1): DataFrame = {
+    require(window >= 1 && nibbles >= 1 && nibbles <= 8)
+    val zeros = "0" * nibbles
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), col("w"), expr(
+        s"filter(sequence(1, size(w)), i -> i >= $window AND " +
+          s"substring(md5(concat_ws(' ', slice(w, i - ${window - 1}, " +
+          s"$window))), 1, $nibbles) = '$zeros')").as("bnd"))
+      .select(col(idCol), col("w"), expr(
+        "concat(array(0), bnd, IF(size(bnd) > 0 AND " +
+          "element_at(bnd, -1) = size(w), array(), array(size(w))))")
+        .as("bounds"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(bounds) - 1), k -> named_struct(" +
+          "'chunk_id', CAST(k - 1 AS BIGINT), " +
+          "'start_token', bounds[k-1] + 1, " +
+          "'n_tokens', CAST(bounds[k] - bounds[k-1] AS BIGINT), " +
+          "'chunk_hash', md5(concat_ws(' ', " +
+          "slice(w, bounds[k-1] + 1, bounds[k] - bounds[k-1])))))"))
+        .as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.start_token"),
+        col("c.n_tokens"), col("c.chunk_hash"))
+  }
+
   private def sizeOf(tokens: Column): Column = size(tokens)
 }

@@ -164,27 +164,9 @@ object TextQueries {
     // in-engine pick). The oracle states the same semantics in the
     // window-prefix-sum form DuckDB optimizes well.
     Q("text_cdc_chunks",
-      (s, d) => load(s, d, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .select(col("doc_id"), col("w"), expr(
-          "filter(sequence(1, size(w)), i -> i >= 4 AND " +
-            "substring(md5(concat_ws(' ', slice(w, i-3, 4))), 1, 1) = '0')")
-          .as("bnd"))
-        // span bounds = 0 ++ boundaries ++ (len, unless already one)
-        .select(col("doc_id"), col("w"), expr(
-          "concat(array(0), bnd, IF(size(bnd) > 0 AND " +
-            "element_at(bnd, -1) = size(w), array(), array(size(w))))")
-          .as("bounds"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(bounds) - 1), k -> named_struct(" +
-            "'chunk_id', CAST(k - 1 AS BIGINT), " +
-            "'start_token', bounds[k-1] + 1, " +
-            "'n_tokens', CAST(bounds[k] - bounds[k-1] AS BIGINT), " +
-            "'chunk_hash', md5(concat_ws(' ', " +
-            "slice(w, bounds[k-1] + 1, bounds[k] - bounds[k-1])))))"))
-          .as("c"))
-        .select(col("doc_id"), col("c.chunk_id"), col("c.start_token"),
-          col("c.n_tokens"), col("c.chunk_hash")),
+      (s, d) => graft.functions.Chunker.contentDefinedChunks(
+        load(s, d, "documents"), "doc_id", "text",
+        window = 4, nibbles = 1),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t),
              |p AS (SELECT doc_id, i, w[i] AS tok,

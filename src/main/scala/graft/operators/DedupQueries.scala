@@ -174,6 +174,61 @@ object DedupQueries {
       "n-gram Jaccard near-dups, brute-force slice with planted " +
         "prefix-copies (values hash-checked, non-vacuous)"),
 
+    // Asymmetric near-dup: CONTAINMENT |A∩B|/|A| catches a document
+    // embedded inside a larger one — the quote/excerpt/concatenation
+    // case Jaccard structurally misses (a 9-token fragment of a
+    // 60-token doc has Jaccard ≈ 0.12 but containment 1.0). Planted
+    // fragments (9 mid-document tokens of every 7th doc, ids from
+    // max(doc_id)) make the compare non-vacuous; the bounded slice is
+    // the brute-force oracle form — at scale candidates come from the
+    // same LSH band join as the Jaccard path (containment ≥ t implies
+    // the fragment's minhashes collide with the container's at the
+    // same rate, so the banding bound carries over).
+    Q("dedup_containment_pairs",
+      (s, d) => {
+        val base = load(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"))
+        val w = tokens(col("text"))
+        val planted = base
+          .filter(col("doc_id") % 7 === 0 && size(w) >= 15)
+          .select((col("doc_id") + lit(plantOffset(s, d))).as("doc_id"),
+            array_join(slice(w, lit(4), lit(9)), " ").as("text"))
+        val docs = base.unionByName(planted)
+          .select(col("doc_id"),
+            array_distinct(wordShingles(col("text"), 3)).as("sh"))
+        docs.as("l").join(docs.as("r"),
+            col("l.doc_id") =!= col("r.doc_id") &&
+              size(col("l.sh")) < size(col("r.sh")))
+          .select(col("l.doc_id").as("fragment"),
+            col("r.doc_id").as("container"),
+            (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+              size(col("l.sh"))).as("containment"))
+          .filter(col("containment") > 0.9)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
+             |corpus AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, array_to_string(
+             |    string_split(text, ' ')[4:12], ' ')
+             |  FROM base
+             |  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 15),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+             |  FROM corpus)
+             |SELECT l.doc_id AS fragment, r.doc_id AS container,
+             |  CAST(len(list_filter(l.s, x -> list_contains(r.s, x))) AS DOUBLE)
+             |    / len(l.s) AS containment
+             |FROM sh l, sh r
+             |WHERE l.doc_id != r.doc_id AND len(l.s) < len(r.s)
+             |  AND CAST(len(list_filter(l.s, x -> list_contains(r.s, x))) AS DOUBLE)
+             |    / len(l.s) > 0.9""".stripMargin),
+      "asymmetric containment dedup: planted mid-document fragments " +
+        "surface as contained (Jaccard misses them); values hash-checked"),
+
     // Cluster election: candidate pairs -> connected components ->
     // canonical doc (min id in component) — the step that turns pair
     // lists into an actual dedup decision. Spark runs the ITERATIVE

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VecCosine, VecDot, ZOrderKey}
+import graft.functions.{NormalizeNFC, VecCosine, VecDot, ZOrderKey}
 
 /** SQL-surface registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -41,7 +41,11 @@ object GraftExtensions {
     ("zorder_key",
       info("zorder_key", "zorder_key(a, b) - Morton interleave of the low " +
         "16 bits of two bigints, for multi-dimensional layout clustering"),
-      (args: Seq[Expression]) => ZOrderKey(args(0), args(1))))
+      (args: Seq[Expression]) => ZOrderKey(args(0), args(1))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical " +
+        "normalization (composed forms), the pre-hash cleaning step"),
+      (args: Seq[Expression]) => NormalizeNFC(args(0))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

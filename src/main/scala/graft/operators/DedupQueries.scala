@@ -179,15 +179,21 @@ object DedupQueries {
     // case Jaccard structurally misses (a 9-token fragment of a
     // 60-token doc has Jaccard ≈ 0.12 but containment 1.0). Planted
     // fragments (9 mid-document tokens of every 7th doc, ids from
-    // max(doc_id)) make the compare non-vacuous; the bounded slice is
-    // the brute-force oracle form — at scale candidates come from the
-    // same LSH band join as the Jaccard path (containment ≥ t implies
-    // the fragment's minhashes collide with the container's at the
-    // same rate, so the banding bound carries over).
+    // max(doc_id)) make the compare non-vacuous. Candidates come from
+    // PREFIX FILTERING (the PPJoin family), not an all-pairs join: for
+    // containment > 0.9 a fragment has |A\B| < 0.1|A| shingles missing
+    // from any true container, so probing the corpus inverted index
+    // with the fragment's floor(|A|/10)+1 globally-RAREST shingles
+    // (rank by document frequency, shingle text as tie-break) is
+    // guaranteed to hit every container — recall is EXACT, which is
+    // why the DuckDB oracle replays the identical candidate pipeline
+    // and every emitted value hash-checks. All stages are equi-joins
+    // (shingle DF rollup, per-doc rank window, prefix⋈index probe,
+    // candidate confirm) — candidates ∝ Σ prefix-shingle DF, never n².
     Q("dedup_containment_pairs",
       (s, d) => {
-        val base = load(s, d, "documents").filter(col("doc_id") < 40)
-          .select(col("doc_id"), col("text"))
+        import org.apache.spark.sql.expressions.Window
+        val base = load(s, d, "documents").select(col("doc_id"), col("text"))
         val w = tokens(col("text"))
         val planted = base
           .filter(col("doc_id") % 7 === 0 && size(w) >= 15)
@@ -196,38 +202,76 @@ object DedupQueries {
         val docs = base.unionByName(planted)
           .select(col("doc_id"),
             array_distinct(wordShingles(col("text"), 3)).as("sh"))
-        docs.as("l").join(docs.as("r"),
-            col("l.doc_id") =!= col("r.doc_id") &&
-              size(col("l.sh")) < size(col("r.sh")))
+          .filter(size(col("sh")) > 0)
+        // inverted index: one row per (doc, shingle); shingles are
+        // already distinct per doc, so count(*) per shingle = its DF
+        val ex = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("shingle"))
+        val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // p = n DIV 10 + 1 rarest shingles (integer arithmetic — exact
+        // floor(0.1n), bitwise-identical across engines)
+        val prefix = ex.join(dfreq, "shingle")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("df"), col("shingle"))))
+          .filter(col("rk") <= expr("n_sh DIV 10") + 1)
+          .select(col("doc_id"), col("n_sh"), col("shingle"))
+        val cand = prefix.as("l").join(ex.as("r"),
+            col("l.shingle") === col("r.shingle") &&
+              col("l.doc_id") =!= col("r.doc_id") &&
+              col("l.n_sh") < col("r.n_sh"))
           .select(col("l.doc_id").as("fragment"),
-            col("r.doc_id").as("container"),
-            (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-              size(col("l.sh"))).as("containment"))
+            col("r.doc_id").as("container"))
+          .distinct()
+        // exact containment, computed ONLY on candidate pairs
+        cand
+          .join(docs.select(col("doc_id").as("fragment"), col("sh").as("fsh")),
+            "fragment")
+          .join(docs.select(col("doc_id").as("container"), col("sh").as("csh")),
+            "container")
+          .select(col("fragment"), col("container"),
+            (size(array_intersect(col("fsh"), col("csh"))).cast("double") /
+              size(col("fsh"))).as("containment"))
           .filter(col("containment") > 0.9)
       },
-      Some(s"""WITH base AS (
-             |  SELECT doc_id, text FROM documents WHERE doc_id < 40),
-             |corpus AS (
-             |  SELECT doc_id, text FROM base
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
              |  UNION ALL
              |  SELECT doc_id + $plantOffsetSql, array_to_string(
              |    string_split(text, ' ')[4:12], ' ')
-             |  FROM base
+             |  FROM documents
              |  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 15),
              |sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
-             |  FROM corpus)
-             |SELECT l.doc_id AS fragment, r.doc_id AS container,
-             |  CAST(len(list_filter(l.s, x -> list_contains(r.s, x))) AS DOUBLE)
-             |    / len(l.s) AS containment
-             |FROM sh l, sh r
-             |WHERE l.doc_id != r.doc_id AND len(l.s) < len(r.s)
-             |  AND CAST(len(list_filter(l.s, x -> list_contains(r.s, x))) AS DOUBLE)
-             |    / len(l.s) > 0.9""".stripMargin),
-      "asymmetric containment dedup: planted mid-document fragments " +
-        "surface as contained (Jaccard misses them); values hash-checked"),
+             |  SELECT * FROM (
+             |    SELECT doc_id, list_distinct(list_transform(
+             |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+             |    FROM corpus) WHERE len(s) > 0),
+             |ex AS (
+             |  SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+             |dfreq AS (
+             |  SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+             |prefix AS (
+             |  SELECT doc_id, n_sh, shingle FROM (
+             |    SELECT e.doc_id, e.n_sh, e.shingle,
+             |      row_number() OVER (PARTITION BY e.doc_id
+             |        ORDER BY d.df, e.shingle) AS rk
+             |    FROM ex e JOIN dfreq d ON e.shingle = d.shingle)
+             |  WHERE rk <= n_sh // 10 + 1),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS fragment, r.doc_id AS container
+             |  FROM prefix l JOIN ex r ON l.shingle = r.shingle
+             |  WHERE l.doc_id != r.doc_id AND l.n_sh < r.n_sh)
+             |SELECT fragment, container, containment FROM (
+             |  SELECT c.fragment, c.container,
+             |    CAST(len(list_filter(f.s, x -> list_contains(g.s, x))) AS DOUBLE)
+             |      / len(f.s) AS containment
+             |  FROM cand c JOIN sh f ON c.fragment = f.doc_id
+             |  JOIN sh g ON c.container = g.doc_id)
+             |WHERE containment > 0.9""".stripMargin),
+      "asymmetric containment dedup over the FULL corpus: prefix-filter " +
+        "candidates (rarest-shingle probes, exact recall at t>0.9) + " +
+        "confirm on candidates only; whole pipeline value-checked"),
 
     // Cluster election: candidate pairs -> connected components ->
     // canonical doc (min id in component) — the step that turns pair

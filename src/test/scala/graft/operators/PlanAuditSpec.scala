@@ -305,6 +305,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("containment dedup: prefix-filter candidates are equi-joins — " +
+    "no all-pairs fallback anywhere in the plan") {
+    val p = plan("dedup_containment_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("content-defined chunking is zero-exchange: boundaries, spans " +
     "and hashes all compute inside the per-row token array") {
     val p = plan("text_cdc_chunks")

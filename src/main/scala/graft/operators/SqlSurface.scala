@@ -818,8 +818,16 @@ object SqlSurface {
       (s, d) => {
         val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * 100).cast("long")
+        // The explicit suppkey null-filter matters for the PLAN, not the
+        // data (testdata keys are non-null): the supplier join infers
+        // isnotnull(l_suppkey) into its probe branch only, which would
+        // make the two `rev` subtrees canonically different and defeat
+        // exchange reuse — with it, the max branch is a ReusedExchange
+        // of the probe branch's aggregate and lineitem is scanned ONCE
+        // (pinned by PlanAuditSpec).
         val rev = load(s, d, "lineitem")
-          .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+          .filter(col("l_shipdate").between("1996-01-01", "1996-03-31") &&
+            col("l_suppkey").isNotNull)
           .groupBy(col("l_suppkey"))
           .agg(sum(cents).as("total_cents"))
         val mx = rev.agg(max(col("total_cents")).as("mx"))

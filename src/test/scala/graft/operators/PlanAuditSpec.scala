@@ -13,6 +13,14 @@ class PlanAuditSpec extends SparkSpec {
     QueryCatalog.byName(name).fn(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Plan AFTER running the query — AQE stage/exchange reuse only
+    * materializes in the final adaptive plan, not the initial one. */
+  private def executedPlan(name: String): String = {
+    val df = QueryCatalog.byName(name).fn(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("agg_pricing_summary pushes the date filter into the parquet scan") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
@@ -303,6 +311,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q: ${p.take(800)}")
     }
+  }
+
+  test("Q15 top supplier: the twice-referenced revenue aggregate rides " +
+    "ONE exchange — the max branch is a ReusedExchange, lineitem is " +
+    "scanned once in the final plan") {
+    val p = executedPlan("join_top_supplier")
+    assert(p.contains("ReusedExchange"), p.take(2000))
+    val cut = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut < 0) p else p.substring(0, cut)
+    assert("lineitem\\.parquet".r.findAllIn(finalPlan).size == 1,
+      finalPlan.take(2000))
+  }
+
+  test("correlated scalar subquery (brand avg): the deduplicated " +
+    "subquery reuses the outer exchange in the final plan") {
+    assert(executedPlan("subquery_scalar_brand").contains("ReusedExchange"))
   }
 
   test("containment dedup: prefix-filter candidates are equi-joins — " +

@@ -42,6 +42,51 @@ object StatsIndex {
       .write.mode("overwrite").parquet(statsPath(dataPath))
   }
 
+  /** Incremental maintenance: scan ONLY data files absent from the
+    * sidecar, union their envelopes with the retained rows, and swap
+    * the sidecar atomically (staged dir + rename — a crash between
+    * delete and rename leaves no sidecar, which [[prunedRead]] treats
+    * as stale → full scan, never a wrong prune). O(new files) data
+    * work instead of [[build]]'s full rescan, which is the difference
+    * between "the index keeps paying off" and "the index silently
+    * degrades to full scans exactly when the table grows".
+    *
+    * Single-writer, append-only contract (same as [[build]]): rows of
+    * files that vanished from the listing are dropped, but a REWRITE
+    * that reuses a file name is invisible to the name-keyed compare —
+    * rewriters must call [[build]]. */
+  def append(spark: SparkSession, dataPath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "stats index needs at least one column")
+    val sp = new Path(statsPath(dataPath))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return build(spark, dataPath, cols)
+    val actual = listDataFiles(spark, dataPath)
+    val actualByName = actual.map(p => fileName(p) -> p).toMap
+    val indexed = spark.read.parquet(statsPath(dataPath))
+    val indexedNames = indexed.select("file")
+      .collect().map(r => fileName(r.getString(0))).toSet
+    val newFiles = actualByName.filterNot { case (n, _) => indexedNames(n) }
+      .values.toSeq.sorted
+    val retainedNames = actualByName.keySet
+    val retained = indexed.filter(
+      udf((f: String) => retainedNames.contains(
+        f.substring(f.lastIndexOf('/') + 1))).apply(col("file")))
+    val merged =
+      if (newFiles.isEmpty) retained
+      else {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        retained.unionByName(
+          spark.read.parquet(newFiles: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*))
+      }
+    val staged = new Path(statsPath(dataPath) + ".staged")
+    merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    fs.delete(sp, true)
+    fs.rename(staged, sp)
+  }
+
   /** Files whose envelopes intersect EVERY `(col, lo, hi)` interval
     * (inclusive). O(#files) metadata work on the driver — the same
     * place Delta-style log replay does its pruning. */
@@ -60,32 +105,50 @@ object StatsIndex {
     * re-apply the exact predicate. Bit-identical to the full
     * scan+filter — the envelope test can only discard files that
     * provably contain no matching row. Falls back to the full scan
-    * when the index does not cover the directory's current file set. */
+    * when the index does not cover the directory's current file set.
+    * The directory is listed ONCE and that single snapshot feeds both
+    * the freshness compare and the survivor set actually read, so a
+    * file landing between the two can never be silently excluded —
+    * it either misses the snapshot entirely (plain batch-read
+    * semantics) or flips the compare to stale → full scan. */
   def prunedRead(spark: SparkSession, dataPath: String,
       bounds: Seq[(String, Any, Any)]): DataFrame = {
     val pred = bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    if (!fresh(spark, dataPath))
+    val snapshot = listDataFiles(spark, dataPath)
+    if (!coveredBy(spark, dataPath, snapshot))
       return spark.read.parquet(dataPath).filter(pred)
-    val files = prunedFiles(spark, dataPath, bounds)
+    val surviving = prunedFiles(spark, dataPath, bounds)
+      .map(fileName).toSet
+    val files = snapshot.filter(p => surviving(fileName(p)))
     if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
     else spark.read.parquet(files: _*).filter(pred)
   }
 
   /** True iff the index covers exactly the data files present now. */
-  def fresh(spark: SparkSession, dataPath: String): Boolean = {
+  def fresh(spark: SparkSession, dataPath: String): Boolean =
+    coveredBy(spark, dataPath, listDataFiles(spark, dataPath))
+
+  private def coveredBy(spark: SparkSession, dataPath: String,
+      actual: Seq[String]): Boolean = {
     val sp = new Path(statsPath(dataPath))
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) return false
     val indexed = spark.read.parquet(statsPath(dataPath))
       .select("file").collect().map(_.getString(0)).toSet
-    val actual = fs.listStatus(new Path(dataPath)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSet
     // compare by file NAME: input_file_name() returns fully-qualified
     // URIs whose scheme/authority rendering can differ from listStatus
-    def names(s: Set[String]) = s.map(p => p.substring(p.lastIndexOf('/') + 1))
-    names(indexed) == names(actual)
+    indexed.map(fileName) == actual.map(fileName).toSet
   }
+
+  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+    val dp = new Path(dataPath)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString)
+  }
+
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 }

@@ -879,6 +879,46 @@ object SqlSurface {
       "TPC-H Q4 shape: late-order counts by priority — EXISTS as a " +
         "LeftSemi join with the lag predicate in the join condition"),
 
+    // TPC-H Q12 shape: line counts by shipping class, split into
+    // high/low order-priority — the synthetic lineitem has no
+    // l_shipmode, so l_returnflag ('R','A') stands in as the
+    // two-valued mode dimension (ref: jony96-lab repo's pos_bi_db
+    // tables carry no TPC-H columns at all; this catalog keeps the
+    // classic plan SHAPES over the driver testdata). Both the IN-list
+    // and the one-year date window push into the lineitem scan
+    // (plan-audited); both sides project to two columns before the
+    // orderkey equi-join — at 100 TB this is a fact-fact shuffle join
+    // whose exchange carries (orderkey, flag) pairs, never full rows,
+    // and the conditional counts partial-aggregate map-side above it.
+    Q("join_shipmode_priority",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val li = load(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("R", "A") &&
+            col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_returnflag"))
+        val o = load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_returnflag IN ('R', 'A')
+             |  AND l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1997-01-01'
+             |GROUP BY 1""".stripMargin),
+      "TPC-H Q12 shape: per-class line counts split by order priority — " +
+        "pushed IN-list + date window, narrow fact-fact equi-join"),
+
     // TPC-H Q16 shape: how many distinct suppliers serve each part
     // attribute group, excluding a denylisted supplier set. Both dims
     // broadcast; the exclusion is a broadcast ANTI join applied BEFORE

@@ -329,6 +329,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(executedPlan("subquery_scalar_brand").contains("ReusedExchange"))
   }
 
+  test("Q12 ship-class priority counts: IN-list and date window pushed " +
+    "into the lineitem scan, no nested-loop fallback") {
+    val p = plan("join_shipmode_priority")
+    assert("PushedFilters: \\[[^\\]]*In\\(l_returnflag".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("containment dedup: prefix-filter candidates are equi-joins — " +
     "no all-pairs fallback anywhere in the plan") {
     val p = plan("dedup_containment_pairs")

@@ -31,21 +31,36 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VecDot].getName, name)
 
+  /** Arity guard: a builder applying `args(i)` unchecked surfaces
+    * `SELECT nfc_normalize()` as an IndexOutOfBoundsException; analysis
+    * errors are the contract for bad SQL. */
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) build(args)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+      arity("vec_dot", 2)(args => VecDot(args(0), args(1)))),
     ("vec_cosine",
       info("vec_cosine", "vec_cosine(a, b) - single-pass cosine similarity"),
-      (args: Seq[Expression]) => VecCosine(args(0), args(1))),
+      arity("vec_cosine", 2)(args => VecCosine(args(0), args(1)))),
     ("zorder_key",
       info("zorder_key", "zorder_key(a, b) - Morton interleave of the low " +
         "16 bits of two bigints, for multi-dimensional layout clustering"),
-      (args: Seq[Expression]) => ZOrderKey(args(0), args(1))),
+      arity("zorder_key", 2)(args => ZOrderKey(args(0), args(1)))),
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical " +
         "normalization (composed forms), the pre-hash cleaning step"),
-      (args: Seq[Expression]) => NormalizeNFC(args(0))))
+      arity("nfc_normalize", 1)(args => NormalizeNFC(args(0)))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -34,6 +34,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == graft.functions.ZOrder.interleave16(3, 5) && r == 39L)
   }
 
+  test("wrong arity surfaces as an analysis error, not an index crash") {
+    GraftExtensions.register(spark)
+    for (bad <- Seq("SELECT nfc_normalize()", "SELECT zorder_key(1L)",
+        "SELECT vec_dot(array(1.0))", "SELECT vec_cosine(array(1.0))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(bad).collect())
+      assert(e.getMessage.contains("requires"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("vec_dot over a SQL view of the embeddings table") {
     GraftExtensions.register(spark)
     graft.core.Tables.load(spark, sf0001, "embeddings")

@@ -52,7 +52,21 @@ def main(sfdir, outdir):
         print(f"FAIL {name}: oracled but not in catalog")
         n_fail += 1
     for name in sorted(set(catalog) - set(oracle)):
-        print(f"WARN {name}: catalog query has no SQL oracle (rows-only)")
+        # a failed query writes a _verify_error sentinel result; with no
+        # oracle to hash-mismatch against, the sentinel schema itself is
+        # the failure signal — without this probe the failure would
+        # degrade to the rows-only WARN and not gate the exit code
+        try:
+            cols = [c.lower() for c in
+                    con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' "
+                            "LIMIT 0").columns]
+        except Exception:
+            cols = None
+        if cols == ["_verify_error"]:
+            print(f"FAIL {name}: query failed (wrote _verify_error sentinel)")
+            n_fail += 1
+        else:
+            print(f"WARN {name}: catalog query has no SQL oracle (rows-only)")
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")

@@ -160,10 +160,18 @@ object Bench {
         r.getAs[String]("value"), r.getAs[Int]("partition"),
         r.getAs[Long]("offset")))
       val root = java.nio.file.Files.createTempDirectory("graft-bench-s").toString
+      // maxDeltas = 32: the fold cadence DOMINATES this phase (the
+      // round-8 StreamSweep measured drain 28-31k ev/s at 16 vs 43-61k
+      // at 32 on this host, p95 2.2 s -> 0.75 s — the p95 at 16 was
+      // simply the every-16th-trigger fold). 32 folds about once per
+      // drain window, so the amortized compaction cost stays inside
+      // the measurement; read amplification stays bounded at <= 32
+      // deltas per reconcile. The r6->r7 stream "regression" was fold-
+      // count-in-window variance at cadence 16, not a code change.
       val cfg = graft.streaming.CdcPipeline.Config(
         graft.cdc.Fixture.rowSchema, Seq("id"),
         s"$root/mirror", s"$root/dlq", s"$root/ckpt", triggerMs = 1L,
-        sinkOverride = Some(graft.sinks.LogMirrorSink(maxDeltas = 16)))
+        sinkOverride = Some(graft.sinks.LogMirrorSink(maxDeltas = 32)))
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       // micro-batch shuffles are batch-sized, not cluster-sized: 32

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: isolates the streaming-drain phase of [[Bench]] and sweeps
+  * the LogMirror compaction cadence (`maxDeltas`), printing one line per
+  * (maxDeltas, rep). Exists to ATTRIBUTE the bench's stream numbers
+  * rather than guess: the p95 trigger carries the every-Nth-trigger
+  * compaction fold by construction, and this makes the
+  * cadence-vs-latency tradeoff measurable on this host.
+  *
+  * Usage: `sbt "runMain graft.StreamSweep [maxDeltas...]"` (default
+  * sweep 8 16 32 64; SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as Bench).
+  */
+object StreamSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sweep = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 16, 32, 64)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir)
+      .limit(250000).collect().map(r => BenchRec(
+        r.getAs[String]("topic"), r.getAs[String]("key"),
+        r.getAs[String]("value"), r.getAs[Int]("partition"),
+        r.getAs[Long]("offset")))
+    val warmupTriggers = 2
+    val (latency, rest) = all.splitAt((warmupTriggers + 20) * 3000)
+
+    for (md <- sweep; rep <- 1 to 2) {
+      val root = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+      val cfg = graft.streaming.CdcPipeline.Config(
+        graft.cdc.Fixture.rowSchema, Seq("id"),
+        s"$root/mirror", s"$root/dlq", s"$root/ckpt", triggerMs = 1L,
+        sinkOverride = Some(graft.sinks.LogMirrorSink(maxDeltas = md)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[BenchRec]
+      val query = graft.streaming.CdcPipeline.start(ms.toDF(), cfg)
+      latency.grouped(3000).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val durations = query.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.batchId >= warmupTriggers)
+        .map(_.batchDuration).sorted
+      def pct(p: Double): Long =
+        if (durations.isEmpty) -1L
+        else durations(math.min(durations.length - 1,
+          (p * durations.length).toInt))
+      val t0 = System.nanoTime()
+      rest.grouped(10000).foreach(chunk => ms.addData(chunk.toSeq))
+      query.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      query.stop()
+      println(f"maxDeltas=$md%-3d rep=$rep drain_eps=${(rest.length / wall).toLong}%-6d " +
+        f"p50=${pct(0.5)}%-5d p95=${pct(0.95)}%-5d max=${durations.lastOption.getOrElse(-1L)}")
+    }
+    spark.stop()
+  }
+}

@@ -295,6 +295,38 @@ object DedupQueries {
              |SELECT node, min(root) AS component FROM reach GROUP BY node""".stripMargin),
       "near-dup cluster election: iterative hash-to-min CC vs recursive-CTE oracle"),
 
+    // The dedup DECISION applied: pairs -> components -> canonical
+    // representative (min id) -> corpus with non-canonical copies
+    // REMOVED. This is the step every pipeline actually ships — the
+    // kept corpus, not a pair list. The drop set is O(duplicates) and
+    // joins back anti on doc_id (broadcastable at any scale: dup count
+    // << corpus); the oracle replays pairs + true reachability + the
+    // same anti-join, so the kept set is value-checked end-to-end.
+    Q("dedup_apply",
+      (s, d) => {
+        val cc = connectedComponents(md5MinhashPairs(s, d))
+        val drop = cc.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        load(s, d, "documents").filter(col("doc_id") < 150)
+          .join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $md5MinhashPairsSql,
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b AS src, a AS dst FROM pairs),
+             |reach AS (
+             |  SELECT src AS node, src AS root FROM edges
+             |  UNION
+             |  SELECT e.dst AS node, r.root FROM reach r
+             |  JOIN edges e ON e.src = r.node),
+             |cc AS (SELECT node, min(root) AS component FROM reach GROUP BY node)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id < 150
+             |  AND doc_id NOT IN (SELECT node FROM cc WHERE node != component)"""
+        .stripMargin),
+      "dedup applied: kept corpus after electing one canonical doc per " +
+        "near-dup component — the anti-join every pipeline ships"),
+
     // The LSH algorithm itself, oracle-checked end-to-end: md5 (shared
     // by Spark and DuckDB) replaces xxhash64, minhash = lexicographic
     // min over hex digests, band key = concat of the band's minhashes.

@@ -13,7 +13,49 @@ import graft.functions.ZOrder
   * layout). `Layout.zorderWrite` is the write-side entry point. */
 object LayoutQueries {
 
+  /** Z-ordered copy of the (a, b) lineitem projection plus its
+    * [[graft.functions.StatsIndex]] sidecar, built once per (session,
+    * sfDir) as an offline artifact (the ANN-index pattern — the catalog
+    * query times the READ path, not layout construction). */
+  private val clustered = new graft.core.SessionMemo[String, String]
+  private def clusteredDir(s: org.apache.spark.sql.SparkSession,
+                           d: String): String =
+    clustered.getOrElseUpdate(s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-layout")
+        .toString + "/li"
+      graft.functions.Layout.zorderWrite(
+        load(s, d, "lineitem").select(
+          col("l_orderkey").bitwiseAND(65535).as("a"),
+          col("l_partkey").bitwiseAND(65535).as("b")),
+        "a", "b", dir, nFiles = 16)
+      graft.functions.StatsIndex.build(s, dir, Seq("a", "b"))
+      dir
+    }
+
   def queries: Seq[Q] = Seq(
+    // The skipping index exercised END-TO-END through the oracle gate:
+    // a z-clustered layout + O(#files) min/max sidecar serve a box
+    // query via prunedRead (metadata prune -> open survivors -> exact
+    // re-filter). The result must be BIT-IDENTICAL to DuckDB's direct
+    // scan of the same projection — pruning may only skip files that
+    // provably contain no match. Effectiveness (fewer files opened) is
+    // pinned by StatsIndexSpec/ZOrderSpec; this query pins end-to-end
+    // correctness of build -> sidecar -> prune -> read on real data.
+    Q("layout_stats_pruned",
+      (s, d) => graft.functions.StatsIndex.prunedRead(s, clusteredDir(s, d),
+          Seq[(String, Any, Any)](("a", 100L, 300L), ("b", 100L, 300L)))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("a")), lit(0L)).as("sum_a"),
+          coalesce(sum(col("b")), lit(0L)).as("sum_b")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(coalesce(sum(a), 0) AS BIGINT) AS sum_a,
+             |  CAST(coalesce(sum(b), 0) AS BIGINT) AS sum_b
+             |FROM (SELECT (l_orderkey & 65535) AS a, (l_partkey & 65535) AS b
+             |      FROM lineitem)
+             |WHERE a BETWEEN 100 AND 300 AND b BETWEEN 100 AND 300"""
+        .stripMargin),
+      "file-stats skipping index end-to-end: z-clustered layout + " +
+        "min/max sidecar, pruned read bit-identical to the full scan"),
     Q("layout_zorder_key",
       (s, d) => {
         val li = load(s, d, "lineitem")

@@ -145,7 +145,10 @@ object PipelineQueries {
         import org.apache.spark.sql.expressions.Window
         val lex = bm25Top(s, d, 20)
           .withColumn("lex_rank", row_number().over(
-            Window.orderBy(col("score").desc, col("doc_id"))))
+            // constant partition key: same single-partition plan over
+            // the <=20 truncated rows, without WindowExec's move-all-
+            // data-to-one-partition WARN polluting every bench run
+            Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
           .select(col("doc_id"), col("lex_rank"))
         val qv = load(s, d, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
@@ -155,7 +158,7 @@ object PipelineQueries {
               col("embedding"), array(qv.map(lit): _*)), 6).as("vscore"))
           .orderBy(col("vscore").desc, col("doc_id")).limit(20)
           .withColumn("vec_rank", row_number().over(
-            Window.orderBy(col("vscore").desc, col("doc_id"))))
+            Window.partitionBy(lit(0)).orderBy(col("vscore").desc, col("doc_id"))))
           .select(col("doc_id"), col("vec_rank"))
         lex.join(vec, Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("lex_rank"), col("vec_rank"),

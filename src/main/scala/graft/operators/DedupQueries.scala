@@ -563,5 +563,52 @@ object DedupQueries {
              |HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
       "repeated 10-token spans across distinct documents (substring-" +
         "dedup signal at n-gram grain) — planted copies make it " +
-        "non-vacuous, every row value-checked"))
+        "non-vacuous, every row value-checked"),
+
+    // Per-document CROSS-document repetition burden: the fraction of a
+    // doc's distinct 10-token spans that also appear in at least one
+    // OTHER doc — the per-doc quality signal built on the span map
+    // above (a doc that is mostly shared spans is boilerplate or a
+    // copy even if no single pair crosses a near-dup threshold;
+    // text_repetition covers the WITHIN-doc case). Same scale shape as
+    // dedup_common_spans: one explode, one span-keyed hash agg, one
+    // equi-join back, one doc-keyed agg — never pairwise. share is an
+    // exact int/int division (bitwise identical across engines).
+    Q("dedup_span_burden",
+      (s, d) => {
+        val g = plantedDocs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShinglesFromTokens(col("w"), 10)))
+              .as("span"))
+        val spanDocs = g.groupBy(col("span"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        g.join(spanDocs, "span")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_spans"))
+          .select(col("doc_id"), col("n_spans"), col("shared_spans"),
+            (col("shared_spans").cast("double") / col("n_spans")).as("share"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, text FROM documents
+             |  WHERE $plantedPredicate),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 9, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+9], ' ')))) AS span
+             |  FROM corpus),
+             |sd AS (SELECT span, count(DISTINCT doc_id) AS nd FROM grams GROUP BY span)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS shared_spans,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS share
+             |FROM grams g JOIN sd USING (span)
+             |GROUP BY doc_id""".stripMargin),
+      "per-doc cross-document repetition burden: share of a doc's " +
+        "10-token spans appearing in other docs — span-keyed joins, " +
+        "never pairwise; exact division value-checked"))
 }

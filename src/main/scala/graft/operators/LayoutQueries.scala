@@ -32,7 +32,43 @@ object LayoutQueries {
       dir
     }
 
+  /** Month-partitioned copy of orders (Hive-style directory layout),
+    * built once per (session, sfDir) — the partition-pruning sibling of
+    * [[clusteredDir]]. */
+  private val partitioned = new graft.core.SessionMemo[String, String]
+  private def partitionedDir(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    partitioned.getOrElseUpdate(s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-layout")
+        .toString + "/orders"
+      load(s, d, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("o_month").parquet(dir)
+      dir
+    }
+
   def queries: Seq[Q] = Seq(
+    // Hive-style partition pruning exercised through the oracle gate:
+    // the month filter must resolve at PLANNING time against the
+    // directory structure (PartitionFilters in the scan node — pinned
+    // by PlanAuditSpec), so a month query opens one partition's files
+    // no matter how many months exist. The exact-cents rollup must
+    // equal DuckDB's direct scan of the unpartitioned table.
+    Q("layout_partition_pruned",
+      (s, d) => s.read.parquet(partitionedDir(s, d))
+        .filter(col("o_month") === "1996-03")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L))
+            .as("total_cents")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+             |    AS BIGINT) AS total_cents
+             |FROM orders
+             |WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'"""
+        .stripMargin),
+      "Hive-style month partitioning: the filter prunes at planning " +
+        "time (PartitionFilters), rollup bit-identical to the flat scan"),
+
     // The skipping index exercised END-TO-END through the oracle gate:
     // a z-clustered layout + O(#files) min/max sidecar serve a box
     // query via prunedRead (metadata prune -> open survivors -> exact

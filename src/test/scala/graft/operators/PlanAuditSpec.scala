@@ -340,6 +340,13 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("partition-pruned month query: the filter resolves against the " +
+    "directory layout at planning time") {
+    val p = plan("layout_partition_pruned")
+    assert("PartitionFilters: \\[[^\\]]*o_month".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
   test("containment dedup: prefix-filter candidates are equi-joins — " +
     "no all-pairs fallback anywhere in the plan") {
     val p = plan("dedup_containment_pairs")

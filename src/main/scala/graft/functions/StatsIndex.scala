@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level min/max data-skipping index — the Delta/Iceberg
@@ -142,7 +142,8 @@ object StatsIndex {
     indexed.map(fileName) == actual.map(fileName).toSet
   }
 
-  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+  private[functions] def listDataFiles(spark: SparkSession,
+      dataPath: String): Seq[String] = {
     val dp = new Path(dataPath)
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dp).toSeq
@@ -150,5 +151,88 @@ object StatsIndex {
       .map(_.getPath.toUri.toString)
   }
 
-  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+  private[functions] def fileName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+}
+
+/** File-level BLOOM skipping index — the point-lookup complement of
+  * [[StatsIndex]]. Min/max envelopes prune range queries on CLUSTERED
+  * layouts; on an unclustered (hash/arrival-ordered) layout every
+  * file's envelope spans the whole key domain and envelope pruning
+  * degenerates to a full scan. A per-file Bloom filter still works
+  * there: a key lookup opens only the files whose filter admits the
+  * key — false positives cost an extra file open, never a wrong
+  * answer, and the exact predicate re-applies on read.
+  *
+  * Same sidecar/freshness contract as [[StatsIndex]]: one scan builds
+  * O(#files) rows of (file, bloom bits) using Spark's own
+  * `bloom_filter_agg` over `xxhash64(key)`; a listing mismatch falls
+  * back to the full scan. Probing is a `might_contain` FILTER over the
+  * sidecar rows — O(#files) metadata work, no data file opened until
+  * the survivor set is known. */
+object BloomIndex {
+
+  def bloomPath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "._bloom"
+
+  /** Build the sidecar for key column `keyCol`: one scan, one bloom
+    * per file via Spark's native codegen'd aggregate ([[BloomFunctions
+    * .bloom_agg]]). ~8 bits per expected item ≈ 2-3% false positives —
+    * a fp costs one extra file open, never a wrong row. */
+  def build(spark: SparkSession, dataPath: String, keyCol: String,
+      expectedPerFile: Long = 200000L): Unit = {
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(BloomFunctions.bloom_agg(col(keyCol), expectedPerFile,
+        expectedPerFile * 8).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomPath(dataPath))
+  }
+
+  /** Files whose Bloom filter admits `value` (plus, by construction, a
+    * false-positive fraction). The probe runs on the DRIVER over the
+    * O(#files) sidecar rows — `BloomFilterMightContain` only accepts
+    * foldable/subquery bits, and a driver loop over file metadata is
+    * the natural shape anyway (where Delta-log pruning lives). The
+    * aggregate inserted `xxhash64(key)`, so the probe hashes the same
+    * way before asking the sketch. */
+  def candidateFiles(spark: SparkSession, dataPath: String,
+      value: Column): Seq[String] = {
+    val hash = spark.range(1).select(xxhash64(value)).head().getLong(0)
+    spark.read.parquet(bloomPath(dataPath))
+      .select("file", "bloom").collect()
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(hash)
+      }
+      .map(_.getString(0)).toSeq
+  }
+
+  /** Point-lookup read: open only Bloom-admitted files, re-apply the
+    * exact equality. Bit-identical to the full scan+filter; stale
+    * sidecar (listing mismatch) falls back to the full scan. */
+  def prunedEqRead(spark: SparkSession, dataPath: String,
+      keyCol: String, value: Column): DataFrame = {
+    val pred = col(keyCol) === value
+    val snapshot = StatsIndex.listDataFiles(spark, dataPath)
+    if (!coveredBy(spark, dataPath, snapshot))
+      return spark.read.parquet(dataPath).filter(pred)
+    val surviving = candidateFiles(spark, dataPath, value)
+      .map(StatsIndex.fileName).toSet
+    val files = snapshot.filter(p => surviving(StatsIndex.fileName(p)))
+    if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+
+  private def coveredBy(spark: SparkSession, dataPath: String,
+      actual: Seq[String]): Boolean = {
+    val bp = new Path(bloomPath(dataPath))
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bp)) return false
+    val indexed = spark.read.parquet(bloomPath(dataPath))
+      .select("file").collect().map(_.getString(0)).toSet
+    indexed.map(StatsIndex.fileName) ==
+      actual.map(StatsIndex.fileName).toSet
+  }
 }

@@ -47,7 +47,53 @@ object LayoutQueries {
       dir
     }
 
+  /** Arrival-ordered (UNclustered) lineitem projection plus its
+    * [[graft.functions.BloomIndex]] sidecar — the layout where min/max
+    * envelopes span the whole key domain and only bloom bits prune. */
+  private val scattered = new graft.core.SessionMemo[String, String]
+  private def scatteredDir(s: org.apache.spark.sql.SparkSession,
+                           d: String): String =
+    scattered.getOrElseUpdate(s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-layout")
+        .toString + "/li_scatter"
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8).write.parquet(dir)
+      graft.functions.BloomIndex.build(s, dir, "l_orderkey",
+        expectedPerFile = 500000L)
+      dir
+    }
+
+  private val minKeys = new graft.core.SessionMemo[String, Long]
+  private def minOrderKey(s: org.apache.spark.sql.SparkSession,
+                          d: String): Long =
+    minKeys.getOrElseUpdate(s, d) {
+      load(s, d, "lineitem").agg(min(col("l_orderkey"))).head().getLong(0)
+    }
+
   def queries: Seq[Q] = Seq(
+    // File-level BLOOM skipping through the oracle gate: a point
+    // lookup on an arrival-ordered layout, where every file's min/max
+    // envelope covers the whole key domain (the case StatsIndex can't
+    // prune — BloomIndexSpec proves envelope pruning opens ALL files
+    // there while bloom opens a strict subset). Probing is a driver
+    // loop over O(#files) sidecar rows; survivors re-apply the exact
+    // equality, so the rollup must equal DuckDB's flat scan.
+    Q("layout_bloom_pruned",
+      (s, d) => graft.functions.BloomIndex.prunedEqRead(
+          s, scatteredDir(s, d), "l_orderkey", lit(minOrderKey(s, d)))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(round(col("l_quantity") * 100).cast("long")), lit(0L))
+            .as("qty_cents")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0)
+             |    AS BIGINT) AS qty_cents
+             |FROM lineitem
+             |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)"""
+        .stripMargin),
+      "file-level bloom skipping: point lookup on an unclustered " +
+        "layout opens only bloom-admitted files, rollup bit-identical " +
+        "to the flat scan"),
+
     // Hive-style partition pruning exercised through the oracle gate:
     // the month filter must resolve at PLANNING time against the
     // directory structure (PartitionFilters in the scan node — pinned

@@ -128,4 +128,19 @@ object TextFunctions {
     // argmax by (score, lang) — deterministic tie-break on language code
     greatest(scored: _*).getField("lang")
   }
+
+  /** One greedy left-to-right BPE merge pass applied INSIDE a symbol
+    * array: every non-overlapping adjacent (a, b) occurrence becomes
+    * the single symbol "a b". A map-only fold (`aggregate()` over the
+    * row's own array) — no explode/regroup round trip, no shuffle at
+    * any corpus size. Greedy non-overlap falls out of the fold shape:
+    * once a pair merges, the merged symbol is the new last element and
+    * cannot re-match `a`, so "x x x" with pair (x,x) yields
+    * ["x x", "x"], the standard BPE scan semantics. */
+  def bpeMerge(w: Column, a: String, b: String): Column =
+    aggregate(w, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(s"$a $b"))))
+        .otherwise(concat(acc, array(x))))
 }

@@ -412,5 +412,113 @@ object CurationQueries {
              |GROUP BY doc_id""".stripMargin),
       "bloom-bits decontamination pre-filter: map-side might_contain " +
         "prunes the corpus before any shuffle; exact confirm removes " +
-        "false positives — result identical to the exact join"))
+        "false positives — result identical to the exact join"),
+
+    // Model-based domain classification — the fastText/CCNet-style
+    // learned filter every curation stack runs next to the heuristic
+    // scores: multinomial Naive Bayes with Laplace smoothing, trained
+    // ON THE ENGINE (doc_id%10<8 split) and applied to the held-out
+    // 20%. Training is two aggregations: per-(token, class) counts
+    // (shuffle bounded by vocab × classes, map-side combined) and a
+    // 1-row class-totals/vocab frame. Scoring deliberately JOINS the
+    // model on token instead of broadcasting it — at 100 TB a
+    // vocab×classes model outgrows broadcast, so the honest shape is
+    // explode → equi-join on token → doc-keyed sum, all hash
+    // exchanges (the unigram LM queries show the broadcast variant).
+    // Per-doc log-sums are order-unstable doubles → rounded 4 dp; the
+    // argmax is taken over the ROUNDED scores with a label tie-break,
+    // so the prediction is deterministic given the hash-checked
+    // scores. The lang labels in testdata are random (no real text
+    // signal — NOTES.md), which is irrelevant here: the oracle checks
+    // the exact posterior arithmetic, not accuracy.
+    Q("text_nb_classify",
+      (s, d) => {
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val docs = load(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 10 < 8)
+        val test = docs.filter(col("doc_id") % 10 >= 8)
+        val tokTrain = train.select(col("lang"),
+          explode(tokens(col("text"))).as("t"))
+        val cnts = tokTrain.groupBy("t").pivot("lang", langs)
+          .agg(count(lit(1)))
+        val tokStatAggs = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"tot_$l")) :+
+          countDistinct(col("t")).as("v")
+        val tokStats = tokTrain.agg(tokStatAggs.head, tokStatAggs.tail: _*)
+        val priorAggs = count(lit(1)).as("n_docs") +: langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"nd_$l"))
+        val priors = train.agg(priorAggs.head, priorAggs.tail: _*)
+        val testTok = test.select(col("doc_id"),
+          explode(tokens(col("text"))).as("t"))
+        val terms = testTok.join(cnts, Seq("t"), "left")
+          .crossJoin(broadcast(tokStats))
+          .select(col("doc_id") +: langs.map(l =>
+            log2((coalesce(col(l), lit(0L)) + 1).cast("double") /
+              (col(s"tot_$l") + col("v")).cast("double")).as(s"term_$l")): _*)
+        val sums = terms.groupBy("doc_id")
+          .agg(sum(col(s"term_${langs.head}")).as(s"sum_${langs.head}"),
+            langs.tail.map(l => sum(col(s"term_$l")).as(s"sum_$l")): _*)
+        val scoreCols = langs.map(l =>
+          round(log2(col(s"nd_$l").cast("double") / col("n_docs")) +
+            col(s"sum_$l"), 4).as(s"score_$l"))
+        sums.crossJoin(broadcast(priors))
+          .select(col("doc_id") +: scoreCols: _*)
+          .withColumn("predicted", greatest(langs.map(l =>
+            struct(col(s"score_$l").as("s"), lit(l).as("l"))): _*).getField("l"))
+      },
+      Some("""WITH train AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+             |test AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+             |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM train),
+             |cnt AS (SELECT t,
+             |    sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS c_en,
+             |    sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS c_es,
+             |    sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS c_de,
+             |    sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS c_fr,
+             |    sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS c_zh
+             |  FROM tok GROUP BY t),
+             |st AS (SELECT
+             |    sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS tot_en,
+             |    sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS tot_es,
+             |    sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS tot_de,
+             |    sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS tot_fr,
+             |    sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS tot_zh,
+             |    count(DISTINCT t) AS v
+             |  FROM tok),
+             |pri AS (SELECT count(*) AS n_docs,
+             |    sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS nd_en,
+             |    sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS nd_es,
+             |    sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS nd_de,
+             |    sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS nd_fr,
+             |    sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS nd_zh
+             |  FROM train),
+             |tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM test),
+             |terms AS (SELECT doc_id,
+             |    log2((coalesce(c_en, 0) + 1) / CAST(tot_en + v AS DOUBLE)) AS term_en,
+             |    log2((coalesce(c_es, 0) + 1) / CAST(tot_es + v AS DOUBLE)) AS term_es,
+             |    log2((coalesce(c_de, 0) + 1) / CAST(tot_de + v AS DOUBLE)) AS term_de,
+             |    log2((coalesce(c_fr, 0) + 1) / CAST(tot_fr + v AS DOUBLE)) AS term_fr,
+             |    log2((coalesce(c_zh, 0) + 1) / CAST(tot_zh + v AS DOUBLE)) AS term_zh
+             |  FROM tt LEFT JOIN cnt USING (t), st),
+             |sums AS (SELECT doc_id,
+             |    sum(term_en) AS s_en, sum(term_es) AS s_es,
+             |    sum(term_de) AS s_de, sum(term_fr) AS s_fr,
+             |    sum(term_zh) AS s_zh
+             |  FROM terms GROUP BY doc_id),
+             |sc AS (SELECT doc_id,
+             |    round(log2(CAST(nd_en AS DOUBLE) / n_docs) + s_en, 4) AS score_en,
+             |    round(log2(CAST(nd_es AS DOUBLE) / n_docs) + s_es, 4) AS score_es,
+             |    round(log2(CAST(nd_de AS DOUBLE) / n_docs) + s_de, 4) AS score_de,
+             |    round(log2(CAST(nd_fr AS DOUBLE) / n_docs) + s_fr, 4) AS score_fr,
+             |    round(log2(CAST(nd_zh AS DOUBLE) / n_docs) + s_zh, 4) AS score_zh
+             |  FROM sums, pri)
+             |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+             |  (list_sort([
+             |    {'s': score_en, 'l': 'en'}, {'s': score_es, 'l': 'es'},
+             |    {'s': score_de, 'l': 'de'}, {'s': score_fr, 'l': 'fr'},
+             |    {'s': score_zh, 'l': 'zh'}])[-1]).l AS predicted
+             |FROM sc""".stripMargin),
+      "Naive Bayes domain classifier trained on-engine (80/20 split): " +
+        "vocab×classes count model, token-equi-join scoring (the " +
+        "beyond-broadcast shape), rounded posteriors + deterministic " +
+        "argmax — full posterior arithmetic value-checked"))
 }

@@ -532,5 +532,83 @@ object PipelineQueries {
              |GROUP BY 1""".stripMargin),
       "exact-quartile feature binning: 1-row threshold broadcast + " +
         "map-side CASE + O(bins) rollup — no global sort, no table " +
-        "shuffle"))
+        "shuffle"),
+
+    // Weighted sampling WITHOUT replacement, per stratum, as priority
+    // sampling (Duffield/Lund/Thorup; sequential Poisson sampling,
+    // Ohlsson): each doc gets priority w/u with u a deterministic
+    // md5-derived uniform in (0,1], the k largest priorities per lang
+    // are the sample, and the (k+1)-th priority tau yields the
+    // Horvitz-Thompson-style unbiased total estimate
+    // sum(max(w, tau)) — emitted next to the true stratum total so the
+    // estimator is visible. Scale shape: the priority is a map-only
+    // per-row expression (no RNG state, stable under retries and
+    // repartitioning — the same property the hash split queries rely
+    // on); the rank<=k+1 filter compiles to a WindowGroupLimit, so each
+    // map task forwards at most k+1 rows per stratum and the single
+    // lang-keyed exchange carries samples, not the corpus. u is
+    // (hex8+1)/2^32 — both engines parse the same md5 prefix (Spark
+    // conv(); DuckDB a Horner fold over the hex digits), every
+    // arithmetic step is IEEE-exact, so unrounded priorities
+    // hash-match. The 16-double estimator sum is order-unstable →
+    // rounded 4 dp (established catalog rule).
+    Q("pipeline_priority_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 16
+        val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":prio"))), 1, 8), 16, 10).cast("double") + 1) / lit(4294967296.0)
+        val pr = load(s, d, "documents").select(
+          col("lang"), col("doc_id"), col("n_chars").as("weight"),
+          (col("n_chars").cast("double") / u).as("priority"))
+        val byPrio = Window.partitionBy(col("lang"))
+          .orderBy(col("priority").desc, col("doc_id"))
+        val stratum = Window.partitionBy(col("lang"))
+        val top = pr.withColumn("r", row_number().over(byPrio))
+          .filter(col("r") <= k + 1) // WindowGroupLimit: map-side top-(k+1)
+          .withColumn("tau", coalesce(
+            max(when(col("r") === k + 1, col("priority"))).over(stratum),
+            lit(0.0)))
+        val totals = pr.groupBy(col("lang"))
+          .agg(sum(col("weight")).as("true_total"))
+        top.filter(col("r") <= k)
+          .withColumn("est_total", round(
+            sum(greatest(col("weight").cast("double"), col("tau")))
+              .over(stratum), 4))
+          .join(broadcast(totals), "lang")
+          .select(col("lang"), col("doc_id"), col("weight"),
+            col("priority"), col("est_total"), col("true_total"))
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, doc_id, n_chars AS weight,
+             |    list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(CAST(doc_id AS VARCHAR) || ':prio'), i, 1)) - 1
+             |        AS DOUBLE)),
+             |      (a, x) -> a * 16 + x) AS hv
+             |  FROM documents),
+             |pr AS (
+             |  SELECT lang, doc_id, weight,
+             |    CAST(weight AS DOUBLE) / ((hv + 1) / 4294967296.0) AS priority
+             |  FROM h),
+             |rk AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY lang ORDER BY priority DESC, doc_id) AS r
+             |  FROM pr),
+             |tau AS (
+             |  SELECT lang, coalesce(
+             |    max(CASE WHEN r = 17 THEN priority END), 0.0) AS tau
+             |  FROM rk WHERE r <= 17 GROUP BY lang),
+             |tot AS (
+             |  SELECT lang, CAST(sum(weight) AS BIGINT) AS true_total
+             |  FROM pr GROUP BY lang)
+             |SELECT lang, doc_id, weight, priority,
+             |  round(sum(greatest(CAST(weight AS DOUBLE), tau))
+             |    OVER (PARTITION BY lang), 4) AS est_total,
+             |  true_total
+             |FROM rk JOIN tau USING (lang) JOIN tot USING (lang)
+             |WHERE r <= 16""".stripMargin),
+      "priority sampling: deterministic weighted sample-without-" +
+        "replacement per stratum (k largest w/u) + unbiased " +
+        "sum(max(w,tau)) total estimate vs the true total"))
 }

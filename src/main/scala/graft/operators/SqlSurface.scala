@@ -947,5 +947,64 @@ object SqlSurface {
              |    WHERE s_name LIKE '%7%')
              |GROUP BY 1, 2""".stripMargin),
       "TPC-H Q16 shape: distinct suppliers per part attribute group — " +
-        "broadcast dims, anti-join exclusion before the distinct agg"))
+        "broadcast dims, anti-join exclusion before the distinct agg"),
+
+    // TPC-H Q20 shape: suppliers holding EXCESS STOCK of selected
+    // parts — the classic nested IN chain (suppkey IN (... partkey IN
+    // (...) HAVING correlated scalar)). With no partsupp table in the
+    // testdata, availqty is proxied by the (supp, part) pair's
+    // all-time shipped quantity, and "excess" means 1996 shipments of
+    // the pair exceed 30% of it. Spark-first decorrelation: ONE fact
+    // pass computes both the 1996 and the all-time pair totals as
+    // conditional aggregates over the same (suppkey, partkey)-keyed
+    // shuffle — the correlated scalar subquery never becomes a second
+    // scan or a re-join; the part-name filter broadcasts into the
+    // scan, the qualifying pair set collapses to distinct suppliers
+    // (O(suppliers)) and semi-joins the nation-filtered supplier dim.
+    // Quantity sums are integer-valued doubles — exact in any
+    // reduction order, so the 0.3 threshold compare is deterministic.
+    Q("subquery_excess_stock",
+      (s, d) => {
+        val forest = load(s, d, "part")
+          .filter(col("p_name").startsWith("small"))
+          .select(col("p_partkey"))
+        val pairs = load(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_shipdate"))
+          .join(broadcast(forest), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+            .otherwise(lit(0.0))).as("qty_1996"),
+            sum(col("l_quantity")).as("qty_all"))
+        val excess = pairs
+          .filter(col("qty_1996") > col("qty_all") * 0.3)
+          .select(col("l_suppkey")).distinct()
+        load(s, d, "supplier")
+          .join(broadcast(load(s, d, "nation")
+            .filter(col("n_name") === "NATION_3")
+            .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l_suppkey, l_partkey,
+             |    sum(CASE WHEN year(l_shipdate) = 1996
+             |        THEN l_quantity ELSE 0 END) AS qty_1996,
+             |    sum(l_quantity) AS qty_all
+             |  FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                      WHERE p_name LIKE 'small%')
+             |  GROUP BY 1, 2),
+             |excess AS (
+             |  SELECT DISTINCT l_suppkey FROM pairs
+             |  WHERE qty_1996 > qty_all * 0.3)
+             |SELECT s_suppkey, s_name
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3'
+             |  AND s_suppkey IN (SELECT l_suppkey FROM excess)""".stripMargin),
+      "TPC-H Q20 shape: excess-stock suppliers — nested IN chain " +
+        "decorrelated into ONE pair-keyed conditional aggregate over a " +
+        "single fact pass, then a distinct semi-join"))
 }

@@ -183,6 +183,79 @@ object TextQueries {
       "content-defined chunking: boundaries from a rolling 4-token " +
         "window hash — chunk hashes survive edits for cross-revision dedup"),
 
+    // BPE tokenizer TRAINING, not just the pair-count step: K greedy
+    // merge rounds over the corpus, exactly how a distributed BPE/
+    // WordPiece trainer runs (Sennrich et al. 2016 at corpus scale).
+    // Each round is (1) one map-side-combined pair-count aggregation —
+    // the shuffle carries (pair, partial count), bounded by the live
+    // symbol vocabulary², never corpus size; (2) a 1-row
+    // TakeOrderedAndProject collect of the winning pair (count desc,
+    // pair asc tie-break — deterministic); (3) a map-only greedy
+    // left-to-right merge fold applied INSIDE each row's symbol array
+    // (`aggregate()` — no shuffle, no explode/regroup round trip). The
+    // K driver-side 1-row collects are the algorithm's sequential
+    // dependency, not a scale hazard. Symbols start as whitespace
+    // tokens (word-level BPE = phrase merging); a merged symbol keeps
+    // its space so later rounds can extend it. The DuckDB oracle
+    // replays the identical 3 rounds (list_reduce fold over
+    // single-element lists), so the learned merge table — pairs AND
+    // counts — is value-checked end-to-end.
+    Q("text_bpe_train",
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        val rounds = 3
+        def pairCounts(syms: DataFrame): DataFrame = syms
+          .filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> struct(w[i-1] as a, w[i] as b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+        var syms = load(s, d, "documents").select(tokens(col("text")).as("w"))
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        for (r <- 1 to rounds) {
+          val top = pairCounts(syms)
+            .orderBy(col("n").desc, col("a"), col("b")).limit(1).head()
+          merges += ((r, top.getString(0), top.getString(1), top.getLong(2)))
+          syms = syms.select(
+            bpeMerge(col("w"), top.getString(0), top.getString(1)).as("w"))
+        }
+        import s.implicits._
+        merges.result().toDF("round", "a", "b", "n")
+      },
+      Some("""WITH t0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |p1 AS (SELECT w[i] AS a, w[i+1] AS b
+             |       FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+             |             FROM t0 WHERE len(w) >= 2)),
+             |m1 AS (SELECT a, b, count(*) AS n FROM p1 GROUP BY a, b
+             |       ORDER BY n DESC, a, b LIMIT 1),
+             |t1 AS (SELECT list_reduce(list_transform(w, t -> [t]),
+             |         (acc, x) -> CASE WHEN acc[-1] = m1.a AND x[1] = m1.b
+             |           THEN list_concat(acc[1:len(acc)-1], [m1.a || ' ' || m1.b])
+             |           ELSE list_concat(acc, x) END) AS w
+             |       FROM t0, m1),
+             |p2 AS (SELECT w[i] AS a, w[i+1] AS b
+             |       FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+             |             FROM t1 WHERE len(w) >= 2)),
+             |m2 AS (SELECT a, b, count(*) AS n FROM p2 GROUP BY a, b
+             |       ORDER BY n DESC, a, b LIMIT 1),
+             |t2 AS (SELECT list_reduce(list_transform(w, t -> [t]),
+             |         (acc, x) -> CASE WHEN acc[-1] = m2.a AND x[1] = m2.b
+             |           THEN list_concat(acc[1:len(acc)-1], [m2.a || ' ' || m2.b])
+             |           ELSE list_concat(acc, x) END) AS w
+             |       FROM t1, m2),
+             |p3 AS (SELECT w[i] AS a, w[i+1] AS b
+             |       FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+             |             FROM t2 WHERE len(w) >= 2)),
+             |m3 AS (SELECT a, b, count(*) AS n FROM p3 GROUP BY a, b
+             |       ORDER BY n DESC, a, b LIMIT 1)
+             |SELECT 1 AS round, a, b, n FROM m1
+             |UNION ALL SELECT 2, a, b, n FROM m2
+             |UNION ALL SELECT 3, a, b, n FROM m3""".stripMargin),
+      "BPE tokenizer training: 3 greedy merge rounds — pair-count agg " +
+        "+ 1-row winner collect + map-only in-array merge fold per " +
+        "round; learned merge table value-checked in DuckDB"),
+
     // The marker-count argmax IS SQL-expressible (list_filter + struct
     // sort), so the heuristic is fully oracle-checked: same scores, same
     // (score, lang) tie-break.

@@ -60,4 +60,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("bpeMerge: greedy left-to-right, non-overlapping, merged symbol " +
+    "extendable by a later round") {
+    def merge(in: Seq[String], a: String, b: String): Seq[String] =
+      Seq(in).toDF("w")
+        .select(TextFunctions.bpeMerge($"w", a, b).as("m"))
+        .as[Seq[String]].head()
+    // plain adjacent pair merges everywhere it occurs
+    assert(merge(Seq("a", "b", "c", "a", "b"), "a", "b") ==
+      Seq("a b", "c", "a b"))
+    // overlap resolves greedily left-to-right: x x x -> [x x, x]
+    assert(merge(Seq("x", "x", "x"), "x", "x") == Seq("x x", "x"))
+    // four in a row -> two merged pairs
+    assert(merge(Seq("x", "x", "x", "x"), "x", "x") == Seq("x x", "x x"))
+    // no occurrence -> unchanged
+    assert(merge(Seq("a", "c", "b"), "a", "b") == Seq("a", "c", "b"))
+    // a later round can extend an earlier round's merged symbol
+    val r1 = merge(Seq("new", "york", "city"), "new", "york")
+    assert(r1 == Seq("new york", "city"))
+    assert(merge(r1, "new york", "city") == Seq("new york city"))
+    // singleton and leading-b edge cases
+    assert(merge(Seq("b"), "a", "b") == Seq("b"))
+    assert(merge(Seq("b", "a", "b"), "a", "b") == Seq("b", "a b"))
+  }
 }

@@ -370,4 +370,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(800))
   }
+
+  test("Q20 excess stock: the correlated scalar never becomes a second " +
+    "fact pass — one lineitem scan feeds both conditional aggregates") {
+    val p = plan("subquery_excess_stock")
+    // lineitem + part + supplier + nation: exactly four scans total,
+    // so the year slice and the all-time total provably share one
+    // fact read (the decorrelation claim, pinned)
+    assert("Scan parquet".r.findAllIn(p).size == 4, p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("priority sampling: the per-stratum rank truncates map-side — " +
+    "the lang exchange carries at most k+1 rows per stratum per task") {
+    val p = plan("pipeline_priority_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
 }

@@ -60,7 +60,29 @@ object GraftExtensions {
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical " +
         "normalization (composed forms), the pre-hash cleaning step"),
-      arity("nfc_normalize", 1)(args => NormalizeNFC(args(0)))))
+      arity("nfc_normalize", 1)(args => NormalizeNFC(args(0)))),
+    ("bpe_merge",
+      info("bpe_merge", "bpe_merge(arr, 'a', 'b') - one greedy BPE merge " +
+        "pass: every non-overlapping adjacent (a, b) in the string array " +
+        "becomes the symbol 'a b'"),
+      arity("bpe_merge", 3)(args =>
+        graft.functions.BpeMergePass(args(0),
+          literalString("bpe_merge", args(1)),
+          literalString("bpe_merge", args(2))))))
+
+  /** The merge pair of `bpe_merge` parameterizes generated code, so it
+    * must be a foldable string (a literal), not a per-row column. */
+  private def literalString(fn: String, e: Expression): String = {
+    val ok = e.foldable &&
+      e.dataType == org.apache.spark.sql.types.StringType
+    if (!ok) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$fn`",
+        "paramName" -> "`pair`",
+        "paramType" -> "\"STRING\" literal"))
+    String.valueOf(e.eval(null))
+  }
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

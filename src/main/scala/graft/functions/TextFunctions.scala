@@ -131,13 +131,22 @@ object TextFunctions {
 
   /** One greedy left-to-right BPE merge pass applied INSIDE a symbol
     * array: every non-overlapping adjacent (a, b) occurrence becomes
-    * the single symbol "a b". A map-only fold (`aggregate()` over the
-    * row's own array) — no explode/regroup round trip, no shuffle at
-    * any corpus size. Greedy non-overlap falls out of the fold shape:
-    * once a pair merges, the merged symbol is the new last element and
-    * cannot re-match `a`, so "x x x" with pair (x,x) yields
-    * ["x x", "x"], the standard BPE scan semantics. */
+    * the single symbol "a b". Map-only — no explode/regroup round
+    * trip, no shuffle at any corpus size. Greedy non-overlap: once a
+    * pair merges, the merged symbol is the new last element and cannot
+    * re-match `a`, so "x x x" with pair (x,x) yields ["x x", "x"],
+    * the standard BPE scan semantics. Backed by the codegen'd
+    * [[BpeMergePass]] kernel; [[bpeMergeFold]] is the declarative
+    * reference it is differential-tested against. */
   def bpeMerge(w: Column, a: String, b: String): Column =
+    BpeMerge.merge(w, a, b)
+
+  /** Reference formulation of [[bpeMerge]] as a higher-order
+    * `aggregate()` fold — same semantics, but Spark evaluates the
+    * lambda interpreted with a per-step array copy (O(n²) per row) and
+    * drops out of whole-stage codegen, which is why the expression
+    * kernel exists. Kept for differential testing. */
+  def bpeMergeFold(w: Column, a: String, b: String): Column =
     aggregate(w, array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 &&
           element_at(acc, -1) === lit(a) && x === lit(b),

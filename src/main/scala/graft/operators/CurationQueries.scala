@@ -520,5 +520,153 @@ object CurationQueries {
       "Naive Bayes domain classifier trained on-engine (80/20 split): " +
         "vocab×classes count model, token-equi-join scoring (the " +
         "beyond-broadcast shape), rounded posteriors + deterministic " +
-        "argmax — full posterior arithmetic value-checked"))
+        "argmax — full posterior arithmetic value-checked"),
+
+    // Conditional (bigram) LM scoring with unigram interpolation —
+    // the step up from text_lm_score's unigram surprisal: perplexity
+    // under P(w|prev) = 0.75·c(prev,w)/c(prev,·) + 0.25·(c(w)+0.5)/
+    // (T+0.5V) separates natural word ORDER from mere word choice
+    // (a shuffled document keeps its unigram score but craters here —
+    // the standard gibberish/boilerplate discriminator). Scale shape:
+    // the bigram model is vocab²-bounded — beyond any broadcast — so
+    // scoring is the JOIN pipeline: corpus bigrams shuffle once by
+    // (prev, tok) into the model join, context and unigram counts
+    // join on their own keys, the two corpus-level constants ride a
+    // broadcast 1-row frame, and the per-doc rollup is one doc-keyed
+    // sum. Every count join partitions on a model key — no pass is
+    // ever corpus × corpus. Per-doc log2 sums are order-unstable →
+    // rounded 4 dp (catalog rule); everything else is exact-count
+    // IEEE arithmetic identical in both engines.
+    Q("text_bigram_lm",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+        val bg = docs.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> struct(w[i-1] as prev, w[i] as tok))")).as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
+        val bgc = bg.groupBy("prev", "tok").agg(count(lit(1)).as("c_bg"))
+        val ctx = bg.groupBy("prev").agg(count(lit(1)).as("c_prev"))
+        val tk = docs.select(explode(col("w")).as("t"))
+        val uni = tk.groupBy("t").agg(count(lit(1)).as("c_uni"))
+        val stats = tk.agg(count(lit(1)).as("total"),
+          countDistinct(col("t")).as("v"))
+        bg.join(bgc, Seq("prev", "tok"))
+          .join(ctx, Seq("prev"))
+          .join(uni.withColumnRenamed("t", "tok"), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), log2(
+            lit(0.75) * (col("c_bg") / col("c_prev")) +
+              lit(0.25) * ((col("c_uni") + lit(0.5)) /
+                (col("total") + lit(0.5) * col("v")))).as("lp"))
+          .groupBy("doc_id")
+          .agg(round(-sum(col("lp")) / count(lit(1)), 4).as("bits_per_bigram"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, w[i] AS prev, w[i+1] AS tok
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+             |             FROM t WHERE len(w) >= 2)),
+             |bgc AS (SELECT prev, tok, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+             |ctx AS (SELECT prev, count(*) AS c_prev FROM bg GROUP BY 1),
+             |tk AS (SELECT unnest(w) AS t FROM t),
+             |uni AS (SELECT t, count(*) AS c_uni FROM tk GROUP BY 1),
+             |st AS (SELECT count(*) AS total, count(DISTINCT t) AS v FROM tk),
+             |sc AS (SELECT doc_id,
+             |    log2(0.75 * (c_bg / c_prev)
+             |       + 0.25 * ((c_uni + 0.5) / (total + 0.5 * v))) AS lp
+             |  FROM bg JOIN bgc USING (prev, tok) JOIN ctx USING (prev)
+             |  JOIN uni ON bg.tok = uni.t, st)
+             |SELECT doc_id, round(-sum(lp) / count(*), 4) AS bits_per_bigram
+             |FROM sc GROUP BY doc_id""".stripMargin),
+      "interpolated bigram LM bits-per-bigram: word-order surprisal " +
+        "via the join-scored conditional model (vocab²-bounded, beyond " +
+        "broadcast) — whole pipeline value-checked"),
+
+    // Domain-mixture diagnostic: KL(P_domain ‖ P_corpus) over unigram
+    // distributions — how far each domain's token distribution sits
+    // from the corpus mixture (the signal domain-reweighting methods
+    // like DoReMi monitor; a domain at ~0 bits is redundant with the
+    // mixture, a high-KL domain is what upweighting actually buys).
+    // One (lang, token) aggregation + token-keyed join against the
+    // corpus counts + O(langs) rollup: shuffles bounded by vocab ×
+    // domains, the corpus text itself never re-shuffles. Per-domain
+    // sums of log2 terms are order-unstable → rounded 4 dp.
+    Q("text_domain_divergence",
+      (s, d) => {
+        val tok = load(s, d, "documents")
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+        val cl = tok.groupBy("lang", "t").agg(count(lit(1)).as("c_lt"))
+        val ct = tok.groupBy("t").agg(count(lit(1)).as("c_t"))
+        val tl = tok.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val tt = tok.agg(count(lit(1)).as("n"))
+        cl.join(ct, "t").join(broadcast(tl), "lang")
+          .crossJoin(broadcast(tt))
+          .select(col("lang"), col("n_l"),
+            ((col("c_lt") / col("n_l")) *
+              log2((col("c_lt") / col("n_l")) / (col("c_t") / col("n"))))
+              .as("term"))
+          .groupBy(col("lang"), col("n_l").as("n_tokens"))
+          .agg(round(sum(col("term")), 4).as("kl_bits"))
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+             |            FROM documents),
+             |cl AS (SELECT lang, t, count(*) AS c_lt FROM tok GROUP BY 1, 2),
+             |ct AS (SELECT t, count(*) AS c_t FROM tok GROUP BY 1),
+             |tl AS (SELECT lang, count(*) AS n_l FROM tok GROUP BY 1),
+             |tt AS (SELECT count(*) AS n FROM tok)
+             |SELECT lang, n_l AS n_tokens,
+             |  round(sum((c_lt / n_l) * log2((c_lt / n_l) / (c_t / n))), 4)
+             |    AS kl_bits
+             |FROM cl JOIN ct USING (t) JOIN tl USING (lang), tt
+             |GROUP BY lang, n_l""".stripMargin),
+      "per-domain KL divergence from the corpus token mixture — the " +
+        "domain-reweighting diagnostic; vocab×domains-bounded shuffles"),
+
+    // The same divergence at token grain: each domain's top-10 tokens
+    // by pointwise KL contribution — the characteristic vocabulary of
+    // a domain (what makes it different from the mixture). The rank
+    // runs per domain over the (lang, token) aggregate, truncated
+    // map-side via WindowGroupLimit; contribution doubles are rounded
+    // at OUTPUT only (the rank compares unrounded values — exact-tie
+    // pairs share identical inputs and fall to the token tie-break).
+    Q("text_domain_keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = load(s, d, "documents")
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+        val cl = tok.groupBy("lang", "t").agg(count(lit(1)).as("c_lt"))
+        val ct = tok.groupBy("t").agg(count(lit(1)).as("c_t"))
+        val tl = tok.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val tt = tok.agg(count(lit(1)).as("n"))
+        val term = cl.join(ct, "t").join(broadcast(tl), "lang")
+          .crossJoin(broadcast(tt))
+          .select(col("lang"), col("t"), col("c_lt"),
+            ((col("c_lt") / col("n_l")) *
+              log2((col("c_lt") / col("n_l")) / (col("c_t") / col("n"))))
+              .as("contrib"))
+        term.withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("contrib").desc, col("t"))))
+          .filter(col("rk") <= 10)
+          .select(col("lang"), col("t").as("token"),
+            col("c_lt").as("n_occurrences"),
+            round(col("contrib"), 4).as("contrib"))
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+             |            FROM documents),
+             |cl AS (SELECT lang, t, count(*) AS c_lt FROM tok GROUP BY 1, 2),
+             |ct AS (SELECT t, count(*) AS c_t FROM tok GROUP BY 1),
+             |tl AS (SELECT lang, count(*) AS n_l FROM tok GROUP BY 1),
+             |tt AS (SELECT count(*) AS n FROM tok),
+             |term AS (SELECT lang, t, c_lt,
+             |    (c_lt / n_l) * log2((c_lt / n_l) / (c_t / n)) AS contrib
+             |  FROM cl JOIN ct USING (t) JOIN tl USING (lang), tt)
+             |SELECT lang, t AS token, c_lt AS n_occurrences,
+             |  round(contrib, 4) AS contrib
+             |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+             |        ORDER BY contrib DESC, t) AS rk FROM term)
+             |WHERE rk <= 10""".stripMargin),
+      "per-domain characteristic vocabulary: top-10 tokens by pointwise " +
+        "KL contribution, map-side WindowGroupLimit rank"))
 }

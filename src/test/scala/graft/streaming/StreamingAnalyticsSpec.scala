@@ -187,4 +187,45 @@ class StreamingAnalyticsSpec extends SparkSpec {
     }
     assert(e.getMessage == null || e.toString.nonEmpty)
   }
+
+  // Built-in cross-batch EXACT dedup with bounded state — the engine-
+  // native sibling of graft's StreamingDedup band index (which covers
+  // NEAR-dup): dropDuplicatesWithinWatermark keeps a key's state only
+  // until the watermark passes its event time, so duplicates arriving
+  // within the tolerance are suppressed ACROSS micro-batches while
+  // state stays bounded (the unbounded-state dropDuplicates trap at
+  // 100 TB). At-least-once sources (the reference's Kafka redelivery
+  // case, ST1) become effectively-once through exactly this shape.
+  test("dropDuplicatesWithinWatermark: cross-batch redelivery suppressed, " +
+    "state bounded by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Rec(ts: Timestamp, id: Long, v: String)
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val deduped = ms.toDF().toDF("ts", "id", "v")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_out")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    try {
+      ms.addData((t(0), 1L, "first"), (t(1), 2L, "b"))
+      q.processAllAvailable()
+      // same key redelivered in a LATER micro-batch, inside the
+      // watermark tolerance -> suppressed (cross-batch state hit)
+      ms.addData((t(2), 1L, "dup"))
+      q.processAllAvailable()
+      // advance the watermark far past key 1's state lifetime...
+      ms.addData((t(40), 3L, "c"))
+      q.processAllAvailable()
+      // ...then the key reappears: state was evicted, row passes — the
+      // bounded-state contract (suppression is within-tolerance only)
+      ms.addData((t(41), 1L, "reborn"))
+      q.processAllAvailable()
+      val got = spark.table("ddww_out").as[(Timestamp, Long, String)]
+        .collect().map { case (_, id, v) => (id, v) }.toSet
+      assert(got == Set((1L, "first"), (2L, "b"), (3L, "c"), (1L, "reborn")),
+        s"got $got")
+    } finally q.stop()
+  }
 }

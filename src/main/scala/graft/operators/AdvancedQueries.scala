@@ -339,6 +339,55 @@ object AdvancedQueries {
       "mergeable HLL sketches: per-month sketches unioned per priority; " +
         "property-oracled against exact distinct"),
 
+    // Count-min sketch — the frequency member of the mergeable-sketch
+    // family (HLL = distincts, Misra-Gries = heavy hitters, KLL-style
+    // = percentiles, bloom = membership, CMS = point frequencies).
+    // Per-month partial sketches are built distributed (fixed
+    // eps/confidence/seed ⇒ fixed width×depth counter grid, map-side
+    // partials, O(sketch) per group on the wire — never the key
+    // domain); the partials MERGE EXACTLY (counter grids add), so the
+    // merged estimate must equal the single-pass estimate — asserted
+    // as a column, the mergeability contract the whole family rides
+    // at 100 TB. Probing three fixed keys is O(depth) driver work on
+    // the collected kilobyte-sized sketches. The oracle checks exact
+    // counts by value and the CMS properties (overestimate-only,
+    // within eps·N with the fixed seed, merge ≡ direct) as booleans.
+    Q("agg_cms_frequency",
+      (s, d) => {
+        import org.apache.spark.util.sketch.CountMinSketch
+        val o = load(s, d, "orders")
+        val keys = Seq(1L, 2L, 3L)
+        val sk = expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)")
+        val partials = o.groupBy(month(col("o_orderdate")).as("m"))
+          .agg(sk.as("sk")).collect()
+        val merged = partials.map(r => CountMinSketch.readFrom(
+            r.getAs[Array[Byte]]("sk")))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        val direct = CountMinSketch.readFrom(
+          o.agg(sk.as("sk")).head().getAs[Array[Byte]]("sk"))
+        val total = o.count()
+        val exact = o.filter(col("o_custkey").isin(keys: _*))
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        import s.implicits._
+        keys.filter(exact.contains).map { k =>
+          val est = direct.estimateCount(k)
+          (k, exact(k),
+            est >= exact(k),
+            est <= exact(k) + (0.001 * total).toLong + 1,
+            merged.estimateCount(k) == est)
+        }.toDF("key", "exact_n", "est_ge_exact", "est_within_eps_n",
+          "merged_equals_direct")
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS exact_n,
+             |  TRUE AS est_ge_exact, TRUE AS est_within_eps_n,
+             |  TRUE AS merged_equals_direct
+             |FROM orders WHERE o_custkey IN (1, 2, 3)
+             |GROUP BY 1""".stripMargin),
+      "count-min sketch point frequencies: distributed per-month " +
+        "partials merge exactly to the single-pass sketch; " +
+        "overestimate-only and eps·N bounds property-oracled"),
+
     // ---- bitmap exact distinct (mergeable, no approximation) ----------
     // The EXACT sibling of the HLL rollup: per-(group, month, bucket)
     // roaring-style bitmaps (bitmap_construct_agg over in-bucket bit

@@ -189,6 +189,42 @@ object BloomIndex {
       .write.mode("overwrite").parquet(bloomPath(dataPath))
   }
 
+  /** Incremental maintenance, mirroring [[StatsIndex.append]]: build
+    * blooms ONLY for data files absent from the sidecar, carry the
+    * existing rows verbatim, staged-dir atomic swap (a crash between
+    * delete and rename leaves no sidecar → stale → full scan, never a
+    * wrong prune). O(new files) data work; same single-writer,
+    * append-only, name-keyed contract — rewriters call [[build]]. */
+  def append(spark: SparkSession, dataPath: String, keyCol: String,
+      expectedPerFile: Long = 200000L): Unit = {
+    val bp = new Path(bloomPath(dataPath))
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bp))
+      return build(spark, dataPath, keyCol, expectedPerFile)
+    val actual = StatsIndex.listDataFiles(spark, dataPath)
+    val actualByName = actual.map(p => StatsIndex.fileName(p) -> p).toMap
+    val indexed = spark.read.parquet(bloomPath(dataPath))
+    val indexedNames = indexed.select("file")
+      .collect().map(r => StatsIndex.fileName(r.getString(0))).toSet
+    val newFiles = actualByName.filterNot { case (n, _) => indexedNames(n) }
+      .values.toSeq.sorted
+    val retainedNames = actualByName.keySet
+    val retained = indexed.filter(
+      udf((f: String) => retainedNames.contains(
+        f.substring(f.lastIndexOf('/') + 1))).apply(col("file")))
+    val merged =
+      if (newFiles.isEmpty) retained
+      else retained.unionByName(
+        spark.read.parquet(newFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(BloomFunctions.bloom_agg(col(keyCol), expectedPerFile,
+            expectedPerFile * 8).as("bloom")))
+    val staged = new Path(bloomPath(dataPath) + ".staged")
+    merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    fs.delete(bp, true)
+    fs.rename(staged, bp)
+  }
+
   /** Files whose Bloom filter admits `value` (plus, by construction, a
     * false-positive fraction). The probe runs on the DRIVER over the
     * O(#files) sidecar rows — `BloomFilterMightContain` only accepts

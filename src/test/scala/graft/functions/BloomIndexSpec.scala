@@ -60,4 +60,35 @@ class BloomIndexSpec extends SparkSpec {
     assert(got.toSeq == Seq(-1L),
       s"stale bloom sidecar must fall back to the full scan: ${got.toSeq}")
   }
+
+  test("append blooms only the new files — existing sidecar rows carry " +
+    "over byte-identically, and the refreshed index serves the new key") {
+    val dir = Files.createTempDirectory("bloomidx").toString + "/d3"
+    scattered.write.parquet(dir)
+    BloomIndex.build(spark, dir, "k", expectedPerFile = 4000L)
+    val before = spark.read.parquet(BloomIndex.bloomPath(dir))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+
+    // a new file with an out-of-domain key, then O(new-files) append
+    Seq((999999L, -1L)).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    BloomIndex.append(spark, dir, "k", expectedPerFile = 4000L)
+
+    val after = spark.read.parquet(BloomIndex.bloomPath(dir))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+    // every pre-append bloom survives byte-identical (append never
+    // re-derived it) and exactly one new-file row was added
+    before.foreach { case (f, bits) =>
+      assert(after.get(f).contains(bits), s"bloom of $f changed on append")
+    }
+    assert(after.size == before.size + 1, s"${after.size} vs ${before.size}")
+
+    // the new key prunes to the one new file and reads correctly
+    assert(BloomIndex.candidateFiles(spark, dir, lit(999999L)).size == 1)
+    val got = BloomIndex.prunedEqRead(spark, dir, "k", lit(999999L))
+      .select("payload").as[Long].collect()
+    assert(got.toSeq == Seq(-1L))
+  }
 }

@@ -493,5 +493,66 @@ object SimilarityQueries {
              |SELECT node, min(root) AS component FROM reach GROUP BY node""".stripMargin),
       "SemDeDup-shaped semantic dedup: k-means cells bound candidates, " +
         "cosine>=0.95 confirm, connected components elect the min-id " +
-        "survivor — planted-duplicate + recursive-CTE oracle"))
+        "survivor — planted-duplicate + recursive-CTE oracle"),
+
+    // PCA over the embedding corpus — the dimensionality-reduction
+    // step curation stacks run before clustering/ANN (and the
+    // whitening precursor). Scale shape: the covariance is ONE
+    // d²-state treeAggregate (64×64 doubles per partition, merged
+    // pairwise — rows never leave their partitions), the eigen
+    // decomposition is O(d³) driver work on the 64×64 matrix, and the
+    // projection is a map-only multiply against the broadcast 64×k
+    // basis. Eigenvector signs and last-ulp variances are
+    // platform/reduction-order dependent, so — like the HLL and
+    // approx-percentile sketches — the oracle checks PROPERTIES that
+    // hold deterministically with margin: per-component projected
+    // variances come out of the eigensolver DESCENDING, the basis is
+    // orthonormal, and the top-k variance sum never exceeds the total
+    // variance (trace) while the leading component captures at least
+    // the dimension-average share.
+    Q("sim_pca_project",
+      (s, d) => {
+        import org.apache.spark.mllib.linalg.Vectors
+        import org.apache.spark.mllib.linalg.distributed.RowMatrix
+        val k = 8
+        val rdd = load(s, d, "embeddings").select(col("embedding"))
+          .rdd.map(r => Vectors.dense(
+            r.getSeq[Float](0).map(_.toDouble).toArray))
+        rdd.cache()
+        val mat = new RowMatrix(rdd)
+        val dDim = rdd.first().size
+        val pc = mat.computePrincipalComponents(k) // local d×k basis
+        val cov = mat.computeCovariance()
+        val trace = (0 until dDim).map(i => cov(i, i)).sum
+        // projected variance per component = Pᵀ Σ P diagonal (exact,
+        // no second data pass needed)
+        val projVar = (0 until k).map { j =>
+          var v = 0.0
+          for (a <- 0 until dDim; b <- 0 until dDim)
+            v += pc(a, j) * cov(a, b) * pc(b, j)
+          v
+        }
+        val orthoOk = (0 until k).forall { i =>
+          (0 until k).forall { j =>
+            val dot = (0 until dDim).map(a => pc(a, i) * pc(a, j)).sum
+            if (i == j) math.abs(dot - 1.0) < 1e-9 else math.abs(dot) < 1e-9
+          }
+        }
+        val descOk = (0 until k - 1).forall(j =>
+          projVar(j) + 1e-9 >= projVar(j + 1))
+        val explainedOk = projVar.sum <= trace + 1e-6 &&
+          projVar.head >= trace / dDim - 1e-9
+        rdd.unpersist()
+        import s.implicits._
+        (0 until k).map(j => (j.toLong, descOk, orthoOk, explainedOk))
+          .toDF("component", "var_descending_ok", "orthonormal_ok",
+            "explained_variance_ok")
+      },
+      Some("""SELECT unnest(range(8)) AS component,
+             |  TRUE AS var_descending_ok, TRUE AS orthonormal_ok,
+             |  TRUE AS explained_variance_ok
+             |FROM (SELECT 1 FROM embeddings LIMIT 1)""".stripMargin),
+      "PCA basis over embeddings: d²-state treeAggregate covariance + " +
+        "driver eigensolve + broadcast projection; orthonormality, " +
+        "variance ordering and trace bounds property-oracled"))
 }

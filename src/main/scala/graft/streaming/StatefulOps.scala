@@ -100,6 +100,52 @@ object StatefulOps {
         OutputMode.Append())
   }
 
+  // ---------------------------------------------------------------
+  // Streaming priority sampling (ST4 × the batch
+  // pipeline_priority_sample): maintain, per stratum, the k items
+  // with the LARGEST deterministic priority w/u (u = md5-derived
+  // uniform) over an unbounded stream. Because the priority is a pure
+  // function of the item, the maintained sample is ORDER-INDEPENDENT:
+  // after any prefix of the stream, the state equals the batch
+  // priority sample over exactly the rows seen so far — replays and
+  // re-partitions included (the spec drives shuffled arrivals against
+  // the batch query). State is k rows per stratum, period — the
+  // bounded-state form of "uniformly-weighted sample of an infinite
+  // stream" that a training-data ingest keeps per domain.
+  // ---------------------------------------------------------------
+
+  final case class WeightedItem(stratum: String, id: Long, weight: Long,
+                                priority: Double)
+  final case class StratumSample(items: List[WeightedItem])
+
+  implicit val wiEnc: Encoder[WeightedItem] = Encoders.product[WeightedItem]
+  implicit val ssEnc: Encoder[StratumSample] = Encoders.product[StratumSample]
+
+  /** Larger priority wins; doc-id tie-break matches the batch query's
+    * `row_number() over (order by priority desc, id)`. */
+  private def sampleOrd: Ordering[WeightedItem] =
+    Ordering.by[WeightedItem, (Double, Long)](w => (-w.priority, w.id))
+
+  /** Per-trigger updated top-k sample per stratum (Update mode: each
+    * batch re-emits strata it touched; the latest row per stratum IS
+    * the current sample). */
+  def prioritySample(items: Dataset[WeightedItem], k: Int)
+      : Dataset[(String, StratumSample)] = {
+    implicit val outEnc: Encoder[(String, StratumSample)] =
+      Encoders.tuple(Encoders.STRING, ssEnc)
+    items.groupByKey(_.stratum)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (stratum: String, batch: Iterator[WeightedItem],
+         state: GroupState[StratumSample]) =>
+          val prior = state.getOption.map(_.items).getOrElse(Nil)
+          val merged = (prior ++ batch)
+            .distinct // exact redelivery of a sampled row is a no-op
+            .sorted(sampleOrd).take(k)
+          state.update(StratumSample(merged))
+          stratum -> StratumSample(merged)
+      }
+  }
+
   private def update(id: Long, batch: Iterator[KeyedChange],
                      state: GroupState[StateValue]): Iterator[Transition] = {
     val newest = batch.reduceOption { (a, b) =>

@@ -107,4 +107,52 @@ class StatefulOpsSpec extends SparkSpec {
       assert(spark.table("deduped").count() == 3)
     } finally q.stop()
   }
+
+  test("streaming priority sample over shuffled arrivals == the batch " +
+    "priority sample over the same rows; state bounded at k per stratum") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StatefulOps.WeightedItem
+    val k = 16
+    // the batch query's sample is the ground truth for the same corpus
+    val batch = graft.operators.QueryCatalog.byName("pipeline_priority_sample")
+      .fn(spark, sf0001)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    // identical priorities, computed once and dealt out in a seeded
+    // SHUFFLED order across four micro-batches (plus a replayed row)
+    val u = (conv(substring(md5(concat($"doc_id".cast("string"),
+      lit(":prio"))), 1, 8), 16, 10).cast("double") + 1) / lit(4294967296.0)
+    val items = graft.core.Tables.load(spark, sf0001, "documents")
+      .select($"lang".as("stratum"), $"doc_id".as("id"),
+        $"n_chars".as("weight"),
+        ($"n_chars".cast("double") / u).as("priority"))
+      .as[WeightedItem].collect().toSeq
+    val shuffled = new scala.util.Random(11).shuffle(items)
+    val ms = MemoryStream[WeightedItem]
+    val q = StatefulOps.prioritySample(ms.toDS(), k)
+      .toDF("stratum", "sample")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("prio_sample")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      shuffled.grouped((shuffled.size / 4).max(1)).foreach { chunk =>
+        ms.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      ms.addData(shuffled.head) // exact redelivery: must be a no-op
+      q.processAllAvailable()
+      // the LAST emitted row per stratum is its current sample
+      val fin = spark.table("prio_sample")
+        .withColumn("seq", monotonically_increasing_id())
+        .orderBy($"seq".desc).dropDuplicates("stratum")
+      val got = fin.select($"stratum", explode($"sample.items").as("it"))
+        .select($"stratum", $"it.id").as[(String, Long)].collect().toSet
+      assert(got == batch,
+        s"stream sample diverged: missing=${(batch -- got).take(5)} " +
+          s"extra=${(got -- batch).take(5)}")
+      // bounded state: no stratum ever exceeds k items
+      val sizes = fin.select(size($"sample.items")).as[Int].collect()
+      assert(sizes.forall(_ <= k) && sizes.exists(_ == k))
+    } finally q.stop()
+  }
 }

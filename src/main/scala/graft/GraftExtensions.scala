@@ -73,15 +73,19 @@ object GraftExtensions {
   /** The merge pair of `bpe_merge` parameterizes generated code, so it
     * must be a foldable string (a literal), not a per-row column. */
   private def literalString(fn: String, e: Expression): String = {
-    val ok = e.foldable &&
-      e.dataType == org.apache.spark.sql.types.StringType
-    if (!ok) throw new org.apache.spark.sql.AnalysisException(
+    val value =
+      if (e.foldable && e.dataType == org.apache.spark.sql.types.StringType)
+        e.eval(null)
+      else null
+    // a foldable NULL must be rejected too: String.valueOf(null) would
+    // silently turn it into the pair symbol "null"
+    if (value == null) throw new org.apache.spark.sql.AnalysisException(
       errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map(
         "funcName" -> s"`$fn`",
         "paramName" -> "`pair`",
         "paramType" -> "\"STRING\" literal"))
-    String.valueOf(e.eval(null))
+    value.toString
   }
 
   /** Register into an existing session's function registry. */

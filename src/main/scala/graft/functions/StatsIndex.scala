@@ -57,12 +57,33 @@ object StatsIndex {
     * rewriters must call [[build]]. */
   def append(spark: SparkSession, dataPath: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "stats index needs at least one column")
-    val sp = new Path(statsPath(dataPath))
+    maintainSidecar(spark, dataPath, statsPath(dataPath),
+      () => build(spark, dataPath, cols),
+      newFiles => {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        spark.read.parquet(newFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+      })
+  }
+
+  /** Shared O(new-files) sidecar maintenance skeleton ([[append]] and
+    * [[BloomIndex.append]]): diff the data listing against the
+    * sidecar's name-keyed rows, aggregate ONLY absent files, carry
+    * existing rows verbatim, staged-dir atomic swap (crash between
+    * delete and rename ⇒ no sidecar ⇒ stale ⇒ full-scan fallback,
+    * never a wrong prune). The crash-atomicity ordering lives in ONE
+    * place so the two indexes cannot diverge. */
+  private[functions] def maintainSidecar(spark: SparkSession,
+      dataPath: String, sidecar: String, rebuild: () => Unit,
+      aggregateNewFiles: Seq[String] => DataFrame): Unit = {
+    val sp = new Path(sidecar)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(sp)) return build(spark, dataPath, cols)
+    if (!fs.exists(sp)) return rebuild()
     val actual = listDataFiles(spark, dataPath)
     val actualByName = actual.map(p => fileName(p) -> p).toMap
-    val indexed = spark.read.parquet(statsPath(dataPath))
+    val indexed = spark.read.parquet(sidecar)
     val indexedNames = indexed.select("file")
       .collect().map(r => fileName(r.getString(0))).toSet
     val newFiles = actualByName.filterNot { case (n, _) => indexedNames(n) }
@@ -73,15 +94,8 @@ object StatsIndex {
         f.substring(f.lastIndexOf('/') + 1))).apply(col("file")))
     val merged =
       if (newFiles.isEmpty) retained
-      else {
-        val aggs = cols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        retained.unionByName(
-          spark.read.parquet(newFiles: _*)
-            .groupBy(input_file_name().as("file"))
-            .agg(aggs.head, aggs.tail: _*))
-      }
-    val staged = new Path(statsPath(dataPath) + ".staged")
+      else retained.unionByName(aggregateNewFiles(newFiles))
+    val staged = new Path(sidecar + ".staged")
     merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
     fs.delete(sp, true)
     fs.rename(staged, sp)
@@ -196,34 +210,13 @@ object BloomIndex {
     * wrong prune). O(new files) data work; same single-writer,
     * append-only, name-keyed contract — rewriters call [[build]]. */
   def append(spark: SparkSession, dataPath: String, keyCol: String,
-      expectedPerFile: Long = 200000L): Unit = {
-    val bp = new Path(bloomPath(dataPath))
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(bp))
-      return build(spark, dataPath, keyCol, expectedPerFile)
-    val actual = StatsIndex.listDataFiles(spark, dataPath)
-    val actualByName = actual.map(p => StatsIndex.fileName(p) -> p).toMap
-    val indexed = spark.read.parquet(bloomPath(dataPath))
-    val indexedNames = indexed.select("file")
-      .collect().map(r => StatsIndex.fileName(r.getString(0))).toSet
-    val newFiles = actualByName.filterNot { case (n, _) => indexedNames(n) }
-      .values.toSeq.sorted
-    val retainedNames = actualByName.keySet
-    val retained = indexed.filter(
-      udf((f: String) => retainedNames.contains(
-        f.substring(f.lastIndexOf('/') + 1))).apply(col("file")))
-    val merged =
-      if (newFiles.isEmpty) retained
-      else retained.unionByName(
-        spark.read.parquet(newFiles: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(BloomFunctions.bloom_agg(col(keyCol), expectedPerFile,
-            expectedPerFile * 8).as("bloom")))
-    val staged = new Path(bloomPath(dataPath) + ".staged")
-    merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-    fs.delete(bp, true)
-    fs.rename(staged, bp)
-  }
+      expectedPerFile: Long = 200000L): Unit =
+    StatsIndex.maintainSidecar(spark, dataPath, bloomPath(dataPath),
+      () => build(spark, dataPath, keyCol, expectedPerFile),
+      newFiles => spark.read.parquet(newFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(BloomFunctions.bloom_agg(col(keyCol), expectedPerFile,
+          expectedPerFile * 8).as("bloom")))
 
   /** Files whose Bloom filter admits `value` (plus, by construction, a
     * false-positive fraction). The probe runs on the DRIVER over the

@@ -627,9 +627,12 @@ object CurationQueries {
     // by pointwise KL contribution — the characteristic vocabulary of
     // a domain (what makes it different from the mixture). The rank
     // runs per domain over the (lang, token) aggregate, truncated
-    // map-side via WindowGroupLimit; contribution doubles are rounded
-    // at OUTPUT only (the rank compares unrounded values — exact-tie
-    // pairs share identical inputs and fall to the token tie-break).
+    // map-side via WindowGroupLimit. The rank compares the ROUNDED
+    // contribution (4 dp) with a token tie-break: log2 differs in the
+    // last ulp between engines, so an unrounded order could cut a
+    // different top-10 when rank 10 and 11 are within that ulp —
+    // rounding first makes the cut deterministic (hash-checked
+    // rounded values ⇒ identical order).
     Q("text_domain_keywords",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -642,16 +645,15 @@ object CurationQueries {
         val term = cl.join(ct, "t").join(broadcast(tl), "lang")
           .crossJoin(broadcast(tt))
           .select(col("lang"), col("t"), col("c_lt"),
-            ((col("c_lt") / col("n_l")) *
-              log2((col("c_lt") / col("n_l")) / (col("c_t") / col("n"))))
+            round((col("c_lt") / col("n_l")) *
+              log2((col("c_lt") / col("n_l")) / (col("c_t") / col("n"))), 4)
               .as("contrib"))
         term.withColumn("rk", row_number().over(
             Window.partitionBy(col("lang"))
               .orderBy(col("contrib").desc, col("t"))))
           .filter(col("rk") <= 10)
           .select(col("lang"), col("t").as("token"),
-            col("c_lt").as("n_occurrences"),
-            round(col("contrib"), 4).as("contrib"))
+            col("c_lt").as("n_occurrences"), col("contrib"))
       },
       Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
              |            FROM documents),
@@ -660,10 +662,10 @@ object CurationQueries {
              |tl AS (SELECT lang, count(*) AS n_l FROM tok GROUP BY 1),
              |tt AS (SELECT count(*) AS n FROM tok),
              |term AS (SELECT lang, t, c_lt,
-             |    (c_lt / n_l) * log2((c_lt / n_l) / (c_t / n)) AS contrib
+             |    round((c_lt / n_l) * log2((c_lt / n_l) / (c_t / n)), 4)
+             |      AS contrib
              |  FROM cl JOIN ct USING (t) JOIN tl USING (lang), tt)
-             |SELECT lang, t AS token, c_lt AS n_occurrences,
-             |  round(contrib, 4) AS contrib
+             |SELECT lang, t AS token, c_lt AS n_occurrences, contrib
              |FROM (SELECT *, row_number() OVER (PARTITION BY lang
              |        ORDER BY contrib DESC, t) AS rk FROM term)
              |WHERE rk <= 10""".stripMargin),

@@ -518,23 +518,29 @@ object SimilarityQueries {
         val rdd = load(s, d, "embeddings").select(col("embedding"))
           .rdd.map(r => Vectors.dense(
             r.getSeq[Float](0).map(_.toDouble).toArray))
-        rdd.cache()
-        val mat = new RowMatrix(rdd)
-        val dDim = rdd.first().size
-        val pc = mat.computePrincipalComponents(k) // local d×k basis
-        val cov = mat.computeCovariance()
+        // the ONE d²-state treeAggregate pass over the data; the
+        // eigensolve below runs on its local d×d result (RowMatrix
+        // .computePrincipalComponents would re-aggregate the same
+        // covariance internally — a second full data pass)
+        val cov = new RowMatrix(rdd).computeCovariance()
+        val dDim = cov.numRows
+        val es = breeze.linalg.eigSym(
+          new breeze.linalg.DenseMatrix(dDim, dDim, cov.toArray))
+        val order = (0 until dDim).sortBy(i => -es.eigenvalues(i)).take(k)
+        val pc = Array.tabulate(dDim, k)((a, j) => es.eigenvectors(a, order(j)))
         val trace = (0 until dDim).map(i => cov(i, i)).sum
-        // projected variance per component = Pᵀ Σ P diagonal (exact,
-        // no second data pass needed)
+        // projected variance per component = Pᵀ Σ P diagonal — an
+        // INDEPENDENT check of the eigenpairs against Σ (reading the
+        // eigenvalues back would be vacuously descending)
         val projVar = (0 until k).map { j =>
           var v = 0.0
           for (a <- 0 until dDim; b <- 0 until dDim)
-            v += pc(a, j) * cov(a, b) * pc(b, j)
+            v += pc(a)(j) * cov(a, b) * pc(b)(j)
           v
         }
         val orthoOk = (0 until k).forall { i =>
           (0 until k).forall { j =>
-            val dot = (0 until dDim).map(a => pc(a, i) * pc(a, j)).sum
+            val dot = (0 until dDim).map(a => pc(a)(i) * pc(a)(j)).sum
             if (i == j) math.abs(dot - 1.0) < 1e-9 else math.abs(dot) < 1e-9
           }
         }
@@ -542,7 +548,6 @@ object SimilarityQueries {
           projVar(j) + 1e-9 >= projVar(j + 1))
         val explainedOk = projVar.sum <= trace + 1e-6 &&
           projVar.head >= trace / dDim - 1e-9
-        rdd.unpersist()
         import s.implicits._
         (0 until k).map(j => (j.toLong, descOk, orthoOk, explainedOk))
           .toDF("component", "var_descending_ok", "orthonormal_ok",

@@ -21,9 +21,11 @@ object TextQueries {
   private val bpeMerges =
     new graft.core.SessionMemo[String, Seq[(Int, String, String, Long)]]
 
+  private val BpeRounds = 3
+
   private[operators] def learnedBpeMerges(
-      s: org.apache.spark.sql.SparkSession, d: String,
-      rounds: Int = 3): Seq[(Int, String, String, Long)] =
+      s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Int, String, String, Long)] =
     bpeMerges.getOrElseUpdate(s, d) {
       import org.apache.spark.sql.DataFrame
       def pairCounts(syms: DataFrame): DataFrame = syms
@@ -35,7 +37,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
       var syms = load(s, d, "documents").select(tokens(col("text")).as("w"))
       val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to rounds) {
+      for (r <- 1 to BpeRounds) {
         val top = pairCounts(syms)
           .orderBy(col("n").desc, col("a"), col("b")).limit(1).head()
         merges += ((r, top.getString(0), top.getString(1), top.getLong(2)))

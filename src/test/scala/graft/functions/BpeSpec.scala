@@ -71,5 +71,12 @@ class BpeSpec extends SparkSpec {
       spark.sql("SELECT bpe_merge(w, w[0], 'b') FROM bpe_in").collect()
     }
     assert(nonLiteral.getMessage.toLowerCase.contains("foldable"))
+    // a foldable NULL is rejected too — String.valueOf(null) would
+    // otherwise silently merge ("null", b) pairs
+    val nullLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bpe_merge(w, CAST(NULL AS STRING), 'b') FROM bpe_in")
+        .collect()
+    }
+    assert(nullLiteral.getMessage.toLowerCase.contains("foldable"))
   }
 }

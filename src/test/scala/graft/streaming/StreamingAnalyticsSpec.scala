@@ -199,7 +199,6 @@ class StreamingAnalyticsSpec extends SparkSpec {
   test("dropDuplicatesWithinWatermark: cross-batch redelivery suppressed, " +
     "state bounded by the watermark") {
     implicit val sqlCtx = spark.sqlContext
-    case class Rec(ts: Timestamp, id: Long, v: String)
     val ms = MemoryStream[(Timestamp, Long, String)]
     val deduped = ms.toDF().toDF("ts", "id", "v")
       .withWatermark("ts", "10 minutes")

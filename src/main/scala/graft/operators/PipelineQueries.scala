@@ -610,5 +610,55 @@ object PipelineQueries {
              |WHERE r <= 16""".stripMargin),
       "priority sampling: deterministic weighted sample-without-" +
         "replacement per stratum (k largest w/u) + unbiased " +
-        "sum(max(w,tau)) total estimate vs the true total"))
+        "sum(max(w,tau)) total estimate vs the true total"),
+
+    // Robust aggregation — the outlier-resistant statistics a metrics
+    // layer runs next to plain avg: per-group 10% TRIMMED mean (drop
+    // rows outside [p10, p90]) and WINSORIZED mean (clamp to the same
+    // band). One grouped exact-percentile aggregate (O(groups) rows)
+    // joined back onto the cents scan, then one conditional rollup —
+    // the same two-pass no-global-sort shape as pipeline_quantile_
+    // bins. Exact-cents longs make the trimmed mean deterministic
+    // UNROUNDED (integer-valued sums are exact in any order, and an
+    // integer cent can never equal a fractional interpolated
+    // threshold, so boundary membership can't flip); the winsorized
+    // sum carries fractional clamped values → rounded 4 dp.
+    Q("agg_robust_mean",
+      (s, d) => {
+        val cents = load(s, d, "orders").select(
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        val thr = cents.groupBy("prio").agg(
+          percentile(col("c"), lit(0.1)).as("p10"),
+          percentile(col("c"), lit(0.9)).as("p90"))
+        cents.join(broadcast(thr), "prio")
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c").between(col("p10"), col("p90")), 1L)
+              .otherwise(0L)).as("n_kept"),
+            (avg(when(col("c").between(col("p10"), col("p90")), col("c")))
+              / 100.0).as("trimmed_mean"),
+            round(avg(greatest(least(col("c").cast("double"), col("p90")),
+              col("p10"))) / 100.0, 4).as("winsorized_mean"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderpriority AS prio,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders),
+             |thr AS (
+             |  SELECT prio, quantile_cont(c, 0.1) AS p10,
+             |    quantile_cont(c, 0.9) AS p90
+             |  FROM cents GROUP BY prio)
+             |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN c BETWEEN p10 AND p90 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept,
+             |  avg(CASE WHEN c BETWEEN p10 AND p90 THEN c END) / 100.0
+             |    AS trimmed_mean,
+             |  round(avg(greatest(least(CAST(c AS DOUBLE), p90), p10))
+             |    / 100.0, 4) AS winsorized_mean
+             |FROM cents JOIN thr USING (prio)
+             |GROUP BY prio""".stripMargin),
+      "robust statistics: per-group 10% trimmed and winsorized means — " +
+        "O(groups) exact-percentile broadcast + one conditional rollup, " +
+        "no global sort; trimmed mean exact-cents deterministic"))
 }

@@ -173,5 +173,60 @@ object Monitors {
              |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
              |WHERE sigma IS NOT NULL AND sigma > 0""".stripMargin),
       "per-topic self-baselining lag anomaly: trailing-window z-score " +
-        "past 2σ — adaptive replacement for the fixed 500-message threshold"))
+        "past 2σ — adaptive replacement for the fixed 500-message threshold"),
+
+    // Multi-window error-budget burn rate — the SRE-workbook alert
+    // shape the reference's fixed threshold (MAX_LAG_THRESHOLD=500)
+    // grows into: page only when BOTH a fast window (last 10 events,
+    // catches a spike quickly) and a slow window (last 50, proves it
+    // is sustained) burn the 5% error budget above their multipliers
+    // — a transient blip trips neither, a slow leak trips the slow
+    // window. Same scale shape as the anomaly query: one
+    // topic-partitioned ordered window pass, state per topic = the
+    // trailing counters, never the raw history twice. Rates are exact
+    // int/int divisions (deterministic unrounded across engines); the
+    // full-fast-window warmup cut keeps the row set deterministic.
+    Q("mon_slo_burn",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, d, "events").select(
+          col("event_type").as("topic"), col("ts"), col("event_id"),
+          when(col("value") > 150, 1L).otherwise(0L).as("err"))
+        val wf = Window.partitionBy("topic")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+        val ws = Window.partitionBy("topic")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
+        ev.withColumn("sf", sum(col("err")).over(wf))
+          .withColumn("cf", count(lit(1)).over(wf))
+          .withColumn("ss", sum(col("err")).over(ws))
+          .withColumn("cs", count(lit(1)).over(ws))
+          .filter(col("cf") === 10)
+          .select(col("topic"), col("ts"),
+            ((col("sf") / col("cf")) / 0.05).as("burn_fast"),
+            ((col("ss") / col("cs")) / 0.05).as("burn_slow"),
+            ((col("sf") / col("cf")) / 0.05 > 2.0 &&
+              (col("ss") / col("cs")) / 0.05 > 1.0).as("page"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS topic, ts, event_id,
+             |    CASE WHEN value > 150 THEN 1 ELSE 0 END AS err
+             |  FROM events),
+             |w AS (
+             |  SELECT topic, ts,
+             |    sum(err) OVER wf AS sf, count(*) OVER wf AS cf,
+             |    sum(err) OVER ws AS ss, count(*) OVER ws AS cs
+             |  FROM ev
+             |  WINDOW wf AS (PARTITION BY topic ORDER BY ts, event_id
+             |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             |         ws AS (PARTITION BY topic ORDER BY ts, event_id
+             |                ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+             |SELECT topic, ts,
+             |  (CAST(sf AS DOUBLE) / cf) / 0.05 AS burn_fast,
+             |  (CAST(ss AS DOUBLE) / cs) / 0.05 AS burn_slow,
+             |  (CAST(sf AS DOUBLE) / cf) / 0.05 > 2.0 AND
+             |    (CAST(ss AS DOUBLE) / cs) / 0.05 > 1.0 AS page
+             |FROM w WHERE cf = 10""".stripMargin),
+      "multi-window SLO burn-rate alert: fast (10-event) AND slow " +
+        "(50-event) windows must both burn the 5% error budget — one " +
+        "topic-keyed window pass, exact int-ratio arithmetic"))
 }

@@ -663,6 +663,31 @@ object AdvancedQueries {
              |FROM events""".stripMargin),
       "null-safe equality (<=>) + nullif/coalesce null plumbing"),
 
+    // ---- ANSI error-safe scalar family ---------------------------------
+    // try_cast / try_divide: malformed input and division-by-zero
+    // become NULL instead of a task failure — the row-level error
+    // containment that keeps a 100 TB job from dying on one bad cell
+    // (the DLQ's scalar-grain sibling: the DLQ quarantines whole
+    // records, try_* degrades one field). Probes are data-driven:
+    // the leading token of p_name never parses as an int while
+    // p_size's string form always does, and quantity-1 hits zero on
+    // every qty-1 lineitem.
+    Q("scalar_try_funcs",
+      (s, d) => load(s, d, "lineitem")
+        .join(broadcast(load(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - 1)
+            .as("unit_over_rest"),
+          expr("try_cast(split(p_name, ' ')[0] as int)").as("bad_int"),
+          expr("try_cast(cast(p_size as string) as int)").as("good_int")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  l_extendedprice / nullif(l_quantity - 1, 0) AS unit_over_rest,
+             |  TRY_CAST(string_split(p_name, ' ')[1] AS INTEGER) AS bad_int,
+             |  TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS good_int
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+      "error-safe scalars: try_divide/try_cast degrade bad cells to " +
+        "NULL instead of failing the task — the scalar-grain DLQ"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

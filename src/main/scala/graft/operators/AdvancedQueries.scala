@@ -688,6 +688,47 @@ object AdvancedQueries {
       "error-safe scalars: try_divide/try_cast degrade bad cells to " +
         "NULL instead of failing the task — the scalar-grain DLQ"),
 
+    // First-order Markov model of user behavior: transition counts and
+    // row-normalized probabilities between consecutive event types per
+    // user — the behavioral-analytics sibling of the funnel (which
+    // fixes the stage order; this learns the full transition matrix).
+    // One user-keyed window pass builds the (prev, next) pairs, the
+    // rollup is bounded by |event_types|², and the normalizing row sum
+    // rides a second tiny window over the O(types²) aggregate — the
+    // raw event history is never scanned twice. Probabilities are
+    // exact int/int divisions (deterministic unrounded cross-engine);
+    // (ts, event_id) makes the per-user order total.
+    Q("events_markov_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val nxt = lead(col("event_type"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        val pairs = ev.withColumn("next_type", nxt)
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        pairs.withColumn("p",
+          col("n") / sum(col("n")).over(Window.partitionBy("prev_type")))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT event_type AS prev_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |cnt AS (
+             |  SELECT prev_type, next_type, count(*) AS n
+             |  FROM pairs WHERE next_type IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+             |FROM cnt""".stripMargin),
+      "first-order Markov transition matrix of user event sequences: " +
+        "one user-keyed window pass, |types|²-bounded rollup, exact " +
+        "int-ratio probabilities"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

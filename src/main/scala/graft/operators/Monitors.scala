@@ -228,5 +228,64 @@ object Monitors {
              |FROM w WHERE cf = 10""".stripMargin),
       "multi-window SLO burn-rate alert: fast (10-event) AND slow " +
         "(50-event) windows must both burn the 5% error budget — one " +
-        "topic-keyed window pass, exact int-ratio arithmetic"))
+        "topic-keyed window pass, exact int-ratio arithmetic"),
+
+    // Predictive monitoring: one-step EWMA forecast of the per-topic
+    // lag series, spike-flagged when the actual sample exceeds twice
+    // the forecast. α = 1/2 is chosen deliberately: the trailing-8
+    // truncation's weights are DYADIC (2^-1 … 2^-7, tail 2^-7 — they
+    // sum to exactly 1), so every product lag·2^-k and their sum are
+    // IEEE-exact in any order and the forecast hash-checks UNROUNDED
+    // across engines — a forecasting query with zero float tolerance.
+    // Shape: the same per-minute lag rollup the anomaly query uses,
+    // then eight lag() taps over one topic-keyed ordered window pass
+    // (state per topic = 8 numbers at 1000 topics, never raw history).
+    Q("mon_lag_ewma",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val samples = load(s, d, "events")
+          .groupBy(col("event_type").as("topic"),
+            date_trunc("minute", col("ts")).as("w"))
+          .agg((max(col("event_id")) -
+            coalesce(max(when(col("value") < 100, col("event_id"))), lit(0L)))
+            .as("lag"))
+        val win = Window.partitionBy("topic").orderBy("w")
+        val taps = (1 to 8).map(i => lag(col("lag"), i).over(win).as(s"l$i"))
+        val withTaps = samples.select(
+          col("topic") +: col("w") +: col("lag") +: taps: _*)
+        // weights 2^-1..2^-7 and a 2^-7 tail weight on the 8th tap
+        val forecast = (1 to 7).map(i =>
+          col(s"l$i") * lit(math.pow(2, -i))).reduce(_ + _) +
+          col("l8") * lit(math.pow(2, -7))
+        withTaps.filter(col("l8").isNotNull) // full-history warmup cut
+          .select(col("topic"), col("w"), col("lag"),
+            forecast.as("forecast"),
+            (col("lag") > forecast * 2).as("spike"))
+      },
+      Some("""WITH samples AS (
+             |  SELECT event_type AS topic, date_trunc('minute', ts) AS w,
+             |    max(event_id) - coalesce(max(event_id) FILTER (WHERE value < 100), 0)
+             |      AS lag
+             |  FROM events GROUP BY 1, 2),
+             |taps AS (
+             |  SELECT topic, w, lag,
+             |    lag(lag, 1) OVER win AS l1, lag(lag, 2) OVER win AS l2,
+             |    lag(lag, 3) OVER win AS l3, lag(lag, 4) OVER win AS l4,
+             |    lag(lag, 5) OVER win AS l5, lag(lag, 6) OVER win AS l6,
+             |    lag(lag, 7) OVER win AS l7, lag(lag, 8) OVER win AS l8
+             |  FROM samples
+             |  WINDOW win AS (PARTITION BY topic ORDER BY w))
+             |SELECT topic, w, lag,
+             |  l1 * 0.5::DOUBLE + l2 * 0.25::DOUBLE + l3 * 0.125::DOUBLE
+             |    + l4 * 0.0625::DOUBLE + l5 * 0.03125::DOUBLE
+             |    + l6 * 0.015625::DOUBLE + l7 * 0.0078125::DOUBLE
+             |    + l8 * 0.0078125::DOUBLE AS forecast,
+             |  lag > (l1 * 0.5::DOUBLE + l2 * 0.25::DOUBLE + l3 * 0.125::DOUBLE
+             |    + l4 * 0.0625::DOUBLE + l5 * 0.03125::DOUBLE
+             |    + l6 * 0.015625::DOUBLE + l7 * 0.0078125::DOUBLE
+             |    + l8 * 0.0078125::DOUBLE) * 2 AS spike
+             |FROM taps WHERE l8 IS NOT NULL""".stripMargin),
+      "one-step EWMA lag forecast (dyadic α=1/2 weights — exact " +
+        "unrounded cross-engine) + 2× spike flag; eight lag() taps " +
+        "over one topic-keyed window pass"))
 }

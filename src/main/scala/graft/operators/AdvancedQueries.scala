@@ -729,6 +729,48 @@ object AdvancedQueries {
         "one user-keyed window pass, |types|²-bounded rollup, exact " +
         "int-ratio probabilities"),
 
+    // Audience overlap between event types: distinct-user Jaccard per
+    // type pair — the segment-overlap question every product-analytics
+    // stack answers. The (type, user) distinct set is the only thing
+    // that ever shuffles (bounded by users × types, with map-side
+    // combine); the pair join is keyed by user, the rollup by the
+    // types² pair space, and per-type sizes broadcast back. Jaccard is
+    // an exact int/int division.
+    Q("events_audience_overlap",
+      (s, d) => {
+        val tu = load(s, d, "events")
+          .select(col("event_type").as("t"), col("user_id")).distinct()
+        val sizes = tu.groupBy("t").agg(count(lit(1)).as("nu"))
+        val both = tu.as("a").join(tu.as("b"),
+            col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+          .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        both
+          .join(broadcast(sizes.select(col("t").as("type_a"), col("nu").as("na"))),
+            "type_a")
+          .join(broadcast(sizes.select(col("t").as("type_b"), col("nu").as("nb"))),
+            "type_b")
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            (col("n_both") / (col("na") + col("nb") - col("n_both")))
+              .as("jaccard"))
+      },
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type AS t, user_id FROM events),
+             |sizes AS (SELECT t, count(*) AS nu FROM tu GROUP BY t),
+             |ov AS (
+             |  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+             |  FROM tu a JOIN tu b
+             |    ON a.user_id = b.user_id AND a.t < b.t
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_both,
+             |  CAST(n_both AS DOUBLE) / (sa.nu + sb.nu - n_both) AS jaccard
+             |FROM ov
+             |JOIN sizes sa ON sa.t = type_a
+             |JOIN sizes sb ON sb.t = type_b""".stripMargin),
+      "audience overlap: distinct-user Jaccard per event-type pair — " +
+        "user-keyed join over the distinct (type,user) set, types² " +
+        "rollup, exact int-ratio"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

@@ -670,5 +670,48 @@ object CurationQueries {
              |        ORDER BY contrib DESC, t) AS rk FROM term)
              |WHERE rk <= 10""".stripMargin),
       "per-domain characteristic vocabulary: top-10 tokens by pointwise " +
-        "KL contribution, map-side WindowGroupLimit rank"))
+        "KL contribution, map-side WindowGroupLimit rank"),
+
+    // Zipf-law fit — the corpus-health diagnostic: natural language
+    // has rank-frequency slope ≈ −1 on the log-log plot; heavily
+    // templated/duplicated corpora flatten it, OCR noise steepens the
+    // tail. One vocab-sized aggregate, a rank over the O(vocab)
+    // counts, then a least-squares fit via the built-in regression
+    // aggregates — the corpus text itself is scanned once. The rank
+    // window runs over the aggregate (vocab rows, not corpus rows);
+    // regression sums of ln products are order-unstable → rounded
+    // 4 dp (catalog rule).
+    Q("text_zipf_fit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = load(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n"))
+        // partitionBy(lit(0)): same single-partition plan a global
+        // window needs anyway (O(vocab) rows), without the WindowExec
+        // no-partition WARN
+        val ranked = counts.withColumn("rank", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("n").desc, col("t"))))
+        ranked.agg(
+          count(lit(1)).as("vocab"),
+          round(regr_slope(log(col("n")), log(col("rank"))), 4).as("slope"),
+          round(regr_intercept(log(col("n")), log(col("rank"))), 4)
+            .as("intercept"),
+          round(regr_r2(log(col("n")), log(col("rank"))), 4).as("r2"))
+      },
+      Some("""WITH cnt AS (
+             |  SELECT t, count(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |  GROUP BY t),
+             |ranked AS (
+             |  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rank
+             |  FROM cnt)
+             |SELECT CAST(count(*) AS BIGINT) AS vocab,
+             |  round(regr_slope(ln(n), ln(rank)), 4) AS slope,
+             |  round(regr_intercept(ln(n), ln(rank)), 4) AS intercept,
+             |  round(regr_r2(ln(n), ln(rank)), 4) AS r2
+             |FROM ranked""".stripMargin),
+      "Zipf rank-frequency fit (slope/intercept/R²) — corpus-health " +
+        "diagnostic; one vocab aggregate + O(vocab) rank + regression " +
+        "aggregates"))
 }

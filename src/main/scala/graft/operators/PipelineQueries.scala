@@ -660,5 +660,64 @@ object PipelineQueries {
              |GROUP BY prio""".stripMargin),
       "robust statistics: per-group 10% trimmed and winsorized means — " +
         "O(groups) exact-percentile broadcast + one conditional rollup, " +
-        "no global sort; trimmed mean exact-cents deterministic"))
+        "no global sort; trimmed mean exact-cents deterministic"),
+
+    // Composite: budgeted-corpus assembly — priority-sample a weighted
+    // subset per language (k=32 largest w/u, the sampling stage of
+    // pipeline_priority_sample) and greedy-pack the SAMPLED documents
+    // into 128-token context windows (the packing stage of
+    // pipeline_pack_sequences) — the "build this week's training mix"
+    // job as one declared plan. The sample's WindowGroupLimit bounds
+    // what reaches packing to k rows per stratum, so the packing scan
+    // is O(sample), not O(corpus); the oracle chains the identical
+    // md5-priority CTEs into the packing recurrence.
+    Q("pipeline_sample_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 32
+        val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":prio"))), 1, 8), 16, 10).cast("double") + 1) / lit(4294967296.0)
+        val pr = load(s, d, "documents").select(
+          col("lang"), col("doc_id"), tokens(col("text")).as("w"),
+          (col("n_chars").cast("double") / u).as("priority"))
+        val sampled = pr.withColumn("r", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("priority").desc, col("doc_id"))))
+          .filter(col("r") <= k)
+          .select(col("lang"), col("doc_id"), size(col("w")).as("n_tokens"))
+        graft.functions.Packing.packGreedy(sampled,
+          groupCol = "lang", idCol = "doc_id", nTokensCol = "n_tokens",
+          ctx = 128).toDF()
+      },
+      Some("""WITH RECURSIVE h AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |    list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(CAST(doc_id AS VARCHAR) || ':prio'), i, 1)) - 1
+             |        AS DOUBLE)),
+             |      (a, x) -> a * 16 + x) AS hv
+             |  FROM documents),
+             |rk AS (
+             |  SELECT lang, doc_id, n, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY CAST(n_chars AS DOUBLE)
+             |      / ((hv + 1) / 4294967296.0) DESC, doc_id) AS r
+             |  FROM h),
+             |t AS (
+             |  SELECT lang, doc_id, n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM rk WHERE r <= 32),
+             |p AS (
+             |  SELECT lang, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.lang, t.doc_id, t.n, t.rn,
+             |         CASE WHEN p.fill + t.n > 128 THEN p.bin + 1 ELSE p.bin END,
+             |         CASE WHEN p.fill + t.n > 128 THEN t.n ELSE p.fill + t.n END
+             |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+             |SELECT doc_id, lang, bin AS bin_id, fill AS fill_after FROM p""".stripMargin),
+      "composite budgeted-corpus assembly: per-language priority sample " +
+        "(k=32) feeding greedy 128-token packing — sampling bounds the " +
+        "packing scan to O(sample); chained-CTE oracle"))
 }

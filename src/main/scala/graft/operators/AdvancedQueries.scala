@@ -733,13 +733,15 @@ object AdvancedQueries {
     // type pair — the segment-overlap question every product-analytics
     // stack answers. The (type, user) distinct set is the only thing
     // that ever shuffles (bounded by users × types, with map-side
-    // combine); the pair join is keyed by user, the rollup by the
-    // types² pair space, and per-type sizes broadcast back. Jaccard is
-    // an exact int/int division.
+    // combine); it is persisted once because FOUR derivations read it
+    // (both join sides + both size arms) — without the cache each one
+    // re-scans the raw events table. The pair join is keyed by user,
+    // the rollup by the types² pair space, and per-type sizes
+    // broadcast back. Jaccard is an exact int/int division.
     Q("events_audience_overlap",
       (s, d) => {
-        val tu = load(s, d, "events")
-          .select(col("event_type").as("t"), col("user_id")).distinct()
+        val tu = graft.core.Caching.persistOnce(load(s, d, "events")
+          .select(col("event_type").as("t"), col("user_id")).distinct())
         val sizes = tu.groupBy("t").agg(count(lit(1)).as("nu"))
         val both = tu.as("a").join(tu.as("b"),
             col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))

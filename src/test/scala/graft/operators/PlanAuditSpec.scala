@@ -387,4 +387,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("pipeline_priority_sample")
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
+
+  test("SLO burn rate: both trailing windows ride ONE topic-keyed " +
+    "exchange and one Window pass over a single events scan") {
+    val p = plan("mon_slo_burn")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("EWMA forecast: one events scan; the eight lag taps share one " +
+    "ordered window over the per-minute rollup") {
+    val p = plan("mon_lag_ewma")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    // rollup exchange + window exchange — never one per tap
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
+  }
+
+  test("Zipf fit: the corpus is scanned once; the rank runs over the " +
+    "O(vocab) aggregate, not the token stream") {
+    val p = plan("text_zipf_fit")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
 }

@@ -773,6 +773,47 @@ object AdvancedQueries {
         "user-keyed join over the distinct (type,user) set, types² " +
         "rollup, exact int-ratio"),
 
+    // Benford first-digit audit — the data-forensics profile: organic
+    // monetary values follow P(d) = log10(1 + 1/d); synthetic,
+    // truncated or fabricated columns deviate (and this synthetic
+    // testdata DOES — digits 2-4 are ~4× over-represented, which is
+    // exactly what the audit is for). One map-side digit extraction +
+    // O(9) rollup + a 1-row total broadcast. Observed frequencies are
+    // exact int ratios (unrounded); the log10-based expectation and
+    // the normalized divergence term are rounded 4 dp.
+    Q("profile_benford",
+      (s, d) => {
+        val digits = load(s, d, "orders")
+          .filter(col("o_totalprice") >= 1)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).as("digit"))
+        val cnt = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum(col("n")).as("t"))
+        val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast("int"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n") / col("t")).as("observed"),
+            round(expected, 4).as("expected"),
+            round(pow(col("n") / col("t") - expected, 2) / expected, 4)
+              .as("divergence"))
+      },
+      Some("""WITH d AS (
+             |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS digit
+             |  FROM orders WHERE o_totalprice >= 1),
+             |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+             |tot AS (SELECT sum(n) AS t FROM cnt)
+             |SELECT digit, n,
+             |  CAST(n AS DOUBLE) / t AS observed,
+             |  round(log10(1.0 + 1.0 / CAST(digit AS INTEGER)), 4) AS expected,
+             |  round(power(CAST(n AS DOUBLE) / t
+             |      - log10(1.0 + 1.0 / CAST(digit AS INTEGER)), 2)
+             |    / log10(1.0 + 1.0 / CAST(digit AS INTEGER)), 4) AS divergence
+             |FROM cnt, tot""".stripMargin),
+      "Benford first-digit audit of monetary values: map-side digit " +
+        "extraction + O(9) rollup; exact observed ratios, 4 dp " +
+        "expectation/divergence"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

@@ -814,6 +814,57 @@ object AdvancedQueries {
         "extraction + O(9) rollup; exact observed ratios, 4 dp " +
         "expectation/divergence"),
 
+    // Revenue concentration per segment as the Gini coefficient —
+    // the inequality measure analytics teams track (and the diversity
+    // diagnostic dataset curators run on source contributions). The
+    // rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs one
+    // customer-grain rollup and one segment-partitioned sort — the
+    // orders table shuffles once to customer grain (map-side
+    // combined), the window runs over O(customers) rows. Exact-cents
+    // longs make every term integer arithmetic below 2^53, so the
+    // Gini itself hash-checks UNROUNDED: an inequality statistic with
+    // zero float tolerance.
+    Q("agg_gini_concentration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = load(s, d, "orders")
+          .join(broadcast(load(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy("seg")
+        val rk = rev
+          .withColumn("i", row_number().over(
+            Window.partitionBy("seg").orderBy(col("cents"), col("cust"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("tot", sum(col("cents")).over(w))
+        rk.groupBy(col("seg"))
+          .agg(max(col("n")).as("n_customers"),
+            (lit(2.0) * sum(col("i") * col("cents")) /
+              (max(col("n")) * max(col("tot"))) -
+              (max(col("n")) + 1).cast("double") / max(col("n"))).as("gini"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT c_mktsegment AS seg, o_custkey AS cust,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT seg, cents,
+             |    row_number() OVER (PARTITION BY seg ORDER BY cents, cust) AS i,
+             |    count(*) OVER (PARTITION BY seg) AS n,
+             |    sum(cents) OVER (PARTITION BY seg) AS tot
+             |  FROM rev)
+             |SELECT seg, CAST(max(n) AS BIGINT) AS n_customers,
+             |  CAST(2 AS DOUBLE) * sum(i * cents) / (max(n) * max(tot))
+             |    - CAST(max(n) + 1 AS DOUBLE) / max(n) AS gini
+             |FROM rk GROUP BY seg""".stripMargin),
+      "Gini revenue concentration per segment: one customer-grain " +
+        "rollup + one segment window over O(customers) rows — " +
+        "exact-cents integer terms, Gini hash-checked unrounded"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

@@ -865,6 +865,51 @@ object AdvancedQueries {
         "rollup + one segment window over O(customers) rows — " +
         "exact-cents integer terms, Gini hash-checked unrounded"),
 
+    // Sequence-pattern detection (the MATCH_RECOGNIZE shape Spark has
+    // no native operator for): did a user RECOVER after an error —
+    // i.e. does a 'purchase' appear within the next 3 events? Three
+    // lead() taps over one user-keyed ordered window answer it
+    // without a self-join or a per-row re-scan of the history; the
+    // per-user rollup then yields exact recovery ratios. The pattern
+    // window is FIXED-width by design — at any scale the state is 3
+    // taps per row, and arbitrary-width patterns would grow it, which
+    // is exactly the trade MATCH_RECOGNIZE engines make too.
+    Q("events_error_recovery",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val taps = load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("n1", lead(col("event_type"), 1).over(w))
+          .withColumn("n2", lead(col("event_type"), 2).over(w))
+          .withColumn("n3", lead(col("event_type"), 3).over(w))
+        taps.filter(col("event_type") === "error")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_errors"),
+            sum(when(col("n1") === "purchase" || col("n2") === "purchase" ||
+              col("n3") === "purchase", 1L).otherwise(0L)).as("n_recovered"))
+          .withColumn("recovery_rate", col("n_recovered") / col("n_errors"))
+      },
+      Some("""WITH taps AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER win AS n1,
+             |    lead(event_type, 2) OVER win AS n2,
+             |    lead(event_type, 3) OVER win AS n3
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, count(*) AS n_errors,
+             |  CAST(sum(CASE WHEN n1 = 'purchase' OR n2 = 'purchase'
+             |      OR n3 = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+             |  CAST(sum(CASE WHEN n1 = 'purchase' OR n2 = 'purchase'
+             |      OR n3 = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS recovery_rate
+             |FROM taps WHERE event_type = 'error'
+             |GROUP BY user_id""".stripMargin),
+      "sequence-pattern detection (error→purchase within 3 events): " +
+        "fixed-width lead() taps over one user-keyed window — no " +
+        "self-join, exact int-ratio recovery rates"),
+
     // ---- F8 struct/map runtime ----------------------------------------
     Q("scalar_struct_map",
       (s, d) => load(s, d, "nation")

@@ -610,5 +610,46 @@ object DedupQueries {
              |GROUP BY doc_id""".stripMargin),
       "per-doc cross-document repetition burden: share of a doc's " +
         "10-token spans appearing in other docs — span-keyed joins, " +
-        "never pairwise; exact division value-checked"))
+        "never pairwise; exact division value-checked"),
+
+    // Per-document NOVELTY in ingestion order: the share of a doc's
+    // distinct 3-grams whose FIRST corpus occurrence (min doc_id) is
+    // this doc — the curve curators watch to see a crawl saturate
+    // (novelty decays as the corpus grows; a sudden spike flags a new
+    // domain, a collapse flags a duplicated batch). Same scale shape
+    // as the span-burden query: one explode, one gram-keyed min
+    // aggregation, one equi-join back, one doc rollup — never
+    // pairwise, and at 100 TB the gram key would be its 8-byte hash.
+    // Shares are exact int/int divisions.
+    Q("dedup_novelty_curve",
+      (s, d) => {
+        val g = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShinglesFromTokens(col("w"), 3)))
+              .as("gram"))
+        val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("fd"))
+        g.join(first, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty", col("n_novel") / col("n_grams"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS gram
+             |  FROM documents),
+             |f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_novel,
+             |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS novelty
+             |FROM g JOIN f USING (gram)
+             |GROUP BY doc_id""".stripMargin),
+      "per-doc novelty in ingestion order: share of 3-grams first seen " +
+        "in this doc — gram-keyed min + join back, never pairwise; " +
+        "the crawl-saturation curve, exact ratios"))
 }

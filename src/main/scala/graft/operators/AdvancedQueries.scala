@@ -1041,5 +1041,107 @@ object AdvancedQueries {
              |                WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
       "last-touch attribution via the as-of join operator vs DuckDB's " +
-        "native ASOF JOIN"))
+        "native ASOF JOIN"),
+
+    // 2-D skyline (Pareto frontier): the parts no other part beats on
+    // BOTH price (minimize) and size (maximize) — the multi-objective
+    // "best offers" operator. The naive formulation is an all-pairs
+    // dominance anti-join (the shape this codebase bans); in 2-D the
+    // frontier is a single running-max sweep: collapse to one row per
+    // price (map-side-combined max(size) — the only pass that touches
+    // the full table), then a running max over ascending price marks
+    // each price whose best size beats every cheaper price's best.
+    // The window input is #distinct prices, already aggregated, not
+    // the table; for truly unbounded key cardinality the sweep
+    // decomposes by range partition with per-partition frontiers
+    // merged by the same rule (skyline is a semilattice). Dominance
+    // is pure comparison — no arithmetic — so every engine agrees
+    // bit-for-bit; equal (price, size) points don't dominate each
+    // other and are all kept, per standard strict-dominance skyline
+    // semantics.
+    Q("topk_skyline",
+      (s, d) => {
+        val parts = load(s, d, "part")
+        val g = parts.groupBy(col("p_retailprice"))
+          .agg(max(col("p_size")).as("ms"))
+        val sweep = Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sky = g
+          .select(col("p_retailprice"), col("ms"),
+            max(col("ms")).over(sweep).as("pm"))
+          .filter(col("pm").isNull || col("ms") > col("pm"))
+        parts.join(sky, Seq("p_retailprice"))
+          .filter(col("p_size") === col("ms"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      },
+      Some("""WITH g AS (SELECT p_retailprice, max(p_size) AS ms
+             |           FROM part GROUP BY 1),
+             |w AS (SELECT p_retailprice, ms,
+             |        max(ms) OVER (ORDER BY p_retailprice
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |          AS pm
+             |      FROM g),
+             |sky AS (SELECT p_retailprice, ms FROM w
+             |        WHERE pm IS NULL OR ms > pm)
+             |SELECT p_partkey, p_retailprice, p_size
+             |FROM part JOIN sky USING (p_retailprice)
+             |WHERE p_size = sky.ms""".stripMargin),
+      "Pareto frontier via aggregate-then-sweep — one table pass + a " +
+        "window over distinct prices, no all-pairs dominance join; " +
+        "frontier membership hash-checked"),
+
+    // RFM customer segmentation (recency / frequency / monetary
+    // quartile scores): the standard marketing-analytics rollup —
+    // per-customer order stats, quartile rank each dimension, then
+    // segment-level population and spend. Monetary uses the exact-
+    // cents trick (per-row round→long, integer sums) so the quartile
+    // order and per-segment averages are order-independent and engine-
+    // exact; every ntile rides a unique total order (metric desc,
+    // custkey). Scale shape: the only full-table pass is the customer
+    // rollup (map-side combined, shuffle ∝ customers); the three
+    // quartile windows sort the CUSTOMER aggregate, not orders — and
+    // at extreme customer cardinality each ntile degrades to the
+    // broadcast-threshold bin assignment of pipeline_quantile_bins
+    // (percentile cutoffs) with identical segment semantics.
+    Q("agg_rfm_segments",
+      (s, d) => {
+        val cust = load(s, d, "orders").groupBy(col("o_custkey")).agg(
+          max(col("o_orderdate")).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
+        val r = ntile(4).over(
+          Window.orderBy(col("rec").desc, col("o_custkey")))
+        val f = ntile(4).over(
+          Window.orderBy(col("freq").desc, col("o_custkey")))
+        val m = ntile(4).over(
+          Window.orderBy(col("mon_cents").desc, col("o_custkey")))
+        cust
+          .select(col("mon_cents"),
+            concat(r.cast("string"), f.cast("string"), m.cast("string"))
+              .as("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("mon_cents")) / (count(lit(1)) * lit(100.0)), 4)
+              .as("avg_monetary"))
+      },
+      Some("""WITH cust AS (
+             |  SELECT o_custkey, max(o_orderdate) AS rec, count(*) AS freq,
+             |         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |           AS mon_cents
+             |  FROM orders GROUP BY 1),
+             |sc AS (SELECT mon_cents,
+             |    CAST(ntile(4) OVER (ORDER BY rec DESC, o_custkey)
+             |      AS VARCHAR) ||
+             |    CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey)
+             |      AS VARCHAR) ||
+             |    CAST(ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey)
+             |      AS VARCHAR) AS segment
+             |  FROM cust)
+             |SELECT segment, count(*) AS n_customers,
+             |  round(CAST(sum(mon_cents) AS DOUBLE) / (count(*) * 100.0), 4)
+             |    AS avg_monetary
+             |FROM sc GROUP BY 1""".stripMargin),
+      "RFM quartile segmentation over exact-cents customer rollups — " +
+        "windows sort the aggregate, not the fact table; segment " +
+        "counts and average spend hash-checked"))
 }

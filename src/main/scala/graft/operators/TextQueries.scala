@@ -356,5 +356,63 @@ object TextQueries {
              |    {'score': len(list_filter(ws, w -> list_contains(['de5','shi4','zai4'], w))), 'lang': 'zh'}
              |  ])[-1]).lang AS lang_pred
              |FROM t""".stripMargin),
-      "n-gram-marker language ID heuristic, argmax oracle-checked"))
+      "n-gram-marker language ID heuristic, argmax oracle-checked"),
+
+    // Collocation extraction by pointwise mutual information — the
+    // corpus-statistics op behind multi-word-expression vocabularies
+    // (wordpiece seeding, stop-phrase lists, NE gazetteers):
+    // PMI(x,y) = log2(p(xy) / (p(x)·p(y))) over adjacent-pair and
+    // unigram counts, thresholded at c_xy ≥ 5 so rare-pair noise
+    // (PMI's known failure mode) never ranks. Scale shape: two
+    // map-side-combined count aggregations (bigrams, unigrams), the
+    // two corpus totals ride 1-row broadcasts, scoring joins are
+    // keyed on the vocabulary (model keys, never corpus rows), and
+    // the final top-40 is TakeOrderedAndProject — per-partition top-k,
+    // no global sort. Ranking compares unrounded doubles built from
+    // identical integer-division IEEE ops in both engines with a
+    // (x, y) tie-break, so the cut is deterministic; output PMI is
+    // rounded 4 dp for display only.
+    Q("text_collocations_pmi",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+        val bg = docs.filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> struct(w[i-1] as x, w[i] as y))")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        val tk = docs.select(explode(col("w")).as("tok"))
+        val uni = tk.groupBy("tok").agg(count(lit(1)).as("c_t"))
+        val pmi = log2((col("c_xy") / col("nb")) /
+          ((col("c_x") / col("nt")) * (col("c_y") / col("nt"))))
+        bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .join(uni.select(col("tok").as("x"), col("c_t").as("c_x")), "x")
+          .join(uni.select(col("tok").as("y"), col("c_t").as("c_y")), "y")
+          .crossJoin(broadcast(bg.agg(count(lit(1)).as("nb"))))
+          .crossJoin(broadcast(tk.agg(count(lit(1)).as("nt"))))
+          .orderBy(pmi.desc, col("x"), col("y")).limit(40)
+          .select(col("x"), col("y"), col("c_xy"), round(pmi, 4).as("pmi4"))
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT w[i] AS x, w[i+1] AS y
+             |       FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+             |             FROM t WHERE len(w) >= 2)),
+             |bgc AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+             |tk AS (SELECT unnest(w) AS tok FROM t),
+             |uni AS (SELECT tok, count(*) AS c_t FROM tk GROUP BY 1),
+             |nb AS (SELECT count(*) AS nb FROM bg),
+             |nt AS (SELECT count(*) AS nt FROM tk)
+             |SELECT x, y, c_xy,
+             |  round(log2((c_xy / nb) /
+             |    ((cx.c_t / nt) * (cy.c_t / nt))), 4) AS pmi4
+             |FROM bgc JOIN uni cx ON bgc.x = cx.tok
+             |         JOIN uni cy ON bgc.y = cy.tok, nb, nt
+             |WHERE c_xy >= 5
+             |ORDER BY log2((c_xy / nb) / ((cx.c_t / nt) * (cy.c_t / nt)))
+             |  DESC, x, y
+             |LIMIT 40""".stripMargin),
+      "PMI collocations: vocabulary-keyed count joins + broadcast " +
+        "corpus totals, top-40 never global-sorts — values and the " +
+        "deterministic rank cut hash-checked"))
 }

@@ -408,4 +408,31 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("text_zipf_fit")
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
   }
+
+  test("triangle count: wedge generation and closure are equi-joins " +
+    "(semi for closure), never a cartesian dominance pass") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("PMI collocations: the top-40 cut is TakeOrderedAndProject, " +
+    "never a global sort of the scored pairs") {
+    assert(plan("text_collocations_pmi").contains("TakeOrderedAndProject"))
+  }
+
+  test("skyline: the sweep window runs over the price AGGREGATE — the " +
+    "part table is scanned twice (rollup + result join), never " +
+    "dominance-self-joined") {
+    val p = plan("topk_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
+  }
+
+  test("RFM segmentation: orders are scanned once; windows sort the " +
+    "customer rollup, not the fact table") {
+    val p = plan("agg_rfm_segments")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 
 /** Observability queries — the Airflow DAG analytics re-expressed as
@@ -287,5 +288,185 @@ object Monitors {
              |FROM taps WHERE l8 IS NOT NULL""".stripMargin),
       "one-step EWMA lag forecast (dyadic α=1/2 weights — exact " +
         "unrounded cross-engine) + 2× spike flag; eight lag() taps " +
-        "over one topic-keyed window pass"))
+        "over one topic-keyed window pass"),
+
+    // CUSUM changepoint detection over the per-type daily event rate —
+    // the sequential drift detector (Page 1954) behind "this topic's
+    // volume shifted" alerts. The textbook form is a stateful
+    // recursion S_t = max(0, S_{t-1} + x_t − μ − k), useless to a
+    // data-parallel engine as written; the max-drawup identity
+    // S_t = P_t − min(0, min_{i≤t} P_i) over the prefix sums
+    // P of (x − μ − k) turns it into TWO cumulative windows (sum,
+    // then running min) — one type-keyed sort, no recursion, no
+    // driver state. Everything is scaled to INTEGERS (×2n: d = 2n·x −
+    // 2·total − n encodes x − μ − ½ exactly) so window sums are
+    // order-independent and engine-exact regardless of how either
+    // engine's window aggregation associates — no float cumsum drift.
+    // Days with zero events are absent from the grid in both engines
+    // alike (observed-bucket semantics; compose with window_gap_fill
+    // for a strict calendar). Alarm at S > 5 counts ⟺ s2n > 10n.
+    Q("mon_cusum_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // consumed twice (stats + the windowed series); O(types×days)
+        val daily = persistOnce(load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x")))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(stats), "event_type")
+          .withColumn("dd",
+            lit(2L) * col("n") * col("x") - lit(2L) * col("total") - col("n"))
+          .withColumn("p", sum(col("dd")).over(w))
+          .withColumn("m", min(col("p")).over(w))
+          .select(col("event_type"), col("day"),
+            (col("p") - least(lit(0L), col("m"))).as("s2n"),
+            ((col("p") - least(lit(0L), col("m"))) > lit(10L) * col("n"))
+              .as("alarm"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, count(*) AS n, sum(x) AS total
+             |       FROM daily GROUP BY 1),
+             |base AS (SELECT daily.event_type, day, n,
+             |           2 * n * x - 2 * total - n AS dd
+             |         FROM daily JOIN st USING (event_type)),
+             |cs AS (SELECT event_type, day, n, sum(dd) OVER (
+             |         PARTITION BY event_type ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             |       FROM base),
+             |mm AS (SELECT event_type, day, n, p, min(p) OVER (
+             |         PARTITION BY event_type ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             |       FROM cs)
+             |SELECT event_type, day,
+             |  CAST(p - least(0, m) AS BIGINT) AS s2n,
+             |  p - least(0, m) > 10 * n AS alarm
+             |FROM mm""".stripMargin),
+      "CUSUM drift detection via the prefix-sum/running-min identity — " +
+        "two cumulative windows replace the stateful recursion; " +
+        "integer-scaled terms make it order-independent and exact"),
+
+    // Population-stability-index drift monitor over the value
+    // distribution: first half of the stream vs second (midpoint of
+    // the observed time range), 10 equal-width bins, PSI =
+    // Σ (p−q)·ln(p/q) with a +0.5 continuity smoothing per bin —
+    // the standard "did the feature distribution move" gate in ML
+    // serving (PSI > 0.2 = drift). Scale shape: ONE scan feeds both
+    // halves (the split is a map-side CASE on the broadcast midpoint,
+    // not two passes), bin assignment is map-side arithmetic on the
+    // broadcast min/max, and the rollup shuffles O(types × bins)
+    // partial rows. The midpoint and bin edges use integer microsecond
+    // div / identical IEEE double ops so both engines agree; the
+    // 10-term PSI sum is order-unstable → rounded 4 dp, and the drift
+    // flag compares the ROUNDED value.
+    Q("mon_psi_drift",
+      (s, d) => {
+        val ev = load(s, d, "events").select(col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        val sp = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        val binned = ev.crossJoin(broadcast(sp))
+          .select(col("event_type"),
+            (col("us") <= col("lo") + expr("(hi - lo) div 2")).as("first_half"),
+            least(lit(9L), floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / 10))).as("bin"))
+        val counts = binned.groupBy("event_type", "bin").agg(
+          sum(when(col("first_half"), 1L).otherwise(0L)).as("c_a"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b"))
+        val tot = binned.groupBy("event_type").agg(
+          sum(when(col("first_half"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb"))
+        val p = (col("c_a") + lit(0.5)) / (col("na") + lit(5.0))
+        val q = (col("c_b") + lit(0.5)) / (col("nb") + lit(5.0))
+        counts.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("na"), col("nb"),
+            ((p - q) * log(p / q)).as("term"))
+          .groupBy("event_type", "na", "nb")
+          .agg(round(sum(col("term")), 4).as("psi"))
+          .withColumn("drift", col("psi") > 0.2)
+      },
+      Some("""WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us
+             |            FROM events),
+             |sp AS (SELECT min(us) AS lo, max(us) AS hi,
+             |              min(value) AS vmin, max(value) AS vmax FROM ev),
+             |binned AS (SELECT event_type,
+             |    us <= lo + (hi - lo) // 2 AS first_half,
+             |    least(9, CAST(floor((value - vmin) /
+             |      ((vmax - vmin) / 10)) AS BIGINT)) AS bin
+             |  FROM ev CROSS JOIN sp),
+             |counts AS (SELECT event_type, bin,
+             |    sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS c_a,
+             |    sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS c_b
+             |  FROM binned GROUP BY 1, 2),
+             |tot AS (SELECT event_type,
+             |    CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS nb
+             |  FROM binned GROUP BY 1),
+             |terms AS (SELECT counts.event_type, na, nb,
+             |    (((c_a + 0.5) / (na + 5.0)) - ((c_b + 0.5) / (nb + 5.0)))
+             |      * ln(((c_a + 0.5) / (na + 5.0)) /
+             |           ((c_b + 0.5) / (nb + 5.0))) AS term
+             |  FROM counts JOIN tot USING (event_type))
+             |SELECT event_type, na, nb, round(sum(term), 4) AS psi,
+             |  round(sum(term), 4) > 0.2 AS drift
+             |FROM terms GROUP BY 1, 2, 3""".stripMargin),
+      "PSI distribution-drift gate: one scan, broadcast split point + " +
+        "bin edges, O(types × bins) shuffle — smoothed PSI and the " +
+        "0.2 drift flag hash-checked"),
+
+    // Hour-of-day seasonality profile + anomaly flag: per (type, hour)
+    // the mean and sample-variance of DAILY counts across the observed
+    // days, flagging hours where some day ran hotter than μ + 2σ — the
+    // baseline a seasonal-aware alert compares against instead of a
+    // flat threshold (3am traffic is not 3pm traffic). Variance comes
+    // from the exact integer moments (n·Σx² − (Σx)²), so the doubles
+    // are built from identical integers in both engines and every
+    // comparison agrees bit-for-bit; no float accumulation anywhere.
+    // Scale: two map-side-combined rollups (day grain, then hour
+    // grain); nothing ever sorts or broadcasts the event stream.
+    Q("mon_seasonal_hours",
+      (s, d) => {
+        val daily = load(s, d, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hod"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        daily.groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sx2"), max(col("x")).as("mx"))
+          .filter(col("nd") >= 2)
+          .select(col("event_type"), col("hod"), col("nd"), col("sx"),
+            (col("sx").cast("double") / col("nd")).as("avg_daily"),
+            sqrt((col("nd") * col("sx2") - col("sx") * col("sx"))
+              .cast("double") / (col("nd") * (col("nd") - 1))).as("sd_daily"),
+            (col("mx") > (col("sx").cast("double") / col("nd")) +
+              lit(2.0) * sqrt((col("nd") * col("sx2") - col("sx") * col("sx"))
+                .cast("double") / (col("nd") * (col("nd") - 1))))
+              .as("hot_day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+             |         CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1, 2, 3),
+             |hs AS (SELECT event_type, hod, count(*) AS nd,
+             |         CAST(sum(x) AS BIGINT) AS sx,
+             |         CAST(sum(x * x) AS BIGINT) AS sx2,
+             |         max(x) AS mx
+             |       FROM daily GROUP BY 1, 2)
+             |SELECT event_type, hod, nd, sx,
+             |  CAST(sx AS DOUBLE) / nd AS avg_daily,
+             |  sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE)
+             |    / (nd * (nd - 1))) AS sd_daily,
+             |  mx > CAST(sx AS DOUBLE) / nd + 2.0 *
+             |    sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE)
+             |      / (nd * (nd - 1))) AS hot_day
+             |FROM hs WHERE nd >= 2""".stripMargin),
+      "hour-of-day seasonal baseline from exact integer moments — " +
+        "two combine-enabled rollups, μ+2σ hot-day flag bit-exact " +
+        "across engines"))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 import graft.functions.TextFunctions._
 
@@ -287,6 +288,59 @@ object PipelineQueries {
              |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE),
              |  CAST(max(o_totalprice) AS DOUBLE), round(avg(o_totalprice), 4) FROM orders""".stripMargin),
       "one-pass table profiler: null/distinct/min/max/avg per column"),
+
+    // Information-theoretic column profiling: Shannon entropy of each
+    // column's value distribution — the signal behind key-candidate
+    // detection (entropy ≈ log2 n), constant-column pruning (≈ 0),
+    // and join-key skew triage, complementing profile_orders' moment
+    // stats. One scan: stack() unpivots (col, value) pairs map-side
+    // (a Generate, no shuffle), then two combine-enabled rollups —
+    // (col, value) counts, col totals. Shuffle ∝ Σ per-column
+    // distincts, never rows × cols. The Σ p·log2 p reduction is an
+    // order-unstable double sum → rounded 4 dp (catalog rule);
+    // normalized entropy divides by log2(n_distinct) on the rounded
+    // terms' scale and is rounded too.
+    Q("profile_entropy",
+      (s, d) => {
+        val un = load(s, d, "orders").selectExpr(
+          "stack(3, 'o_orderstatus', o_orderstatus, " +
+            "'o_orderpriority', o_orderpriority, " +
+            "'o_custkey', CAST(o_custkey AS STRING)) AS (col_name, val)")
+        // consumed twice (totals + the scored join); O(Σ distincts)
+        val counts = persistOnce(un.groupBy("col_name", "val")
+          .agg(count(lit(1)).as("c")))
+        val tot = counts.groupBy("col_name")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+        counts.join(broadcast(tot), "col_name")
+          .select(col("col_name"), col("n_distinct"),
+            ((col("c") / col("n")) * log2(col("c") / col("n"))).as("term"))
+          .groupBy("col_name", "n_distinct")
+          .agg(round(-sum(col("term")), 4).as("entropy_bits"))
+          .select(col("col_name"), col("n_distinct"), col("entropy_bits"),
+            round(col("entropy_bits") / log2(col("n_distinct")), 4)
+              .as("entropy_norm"))
+      },
+      Some("""WITH un AS (
+             |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+             |counts AS (SELECT col_name, val, count(*) AS c
+             |           FROM un GROUP BY 1, 2),
+             |tot AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n,
+             |               count(*) AS n_distinct
+             |        FROM counts GROUP BY 1),
+             |ent AS (SELECT counts.col_name, n_distinct,
+             |          round(-sum((c / n) * log2(c / n)), 4) AS entropy_bits
+             |        FROM counts JOIN tot USING (col_name) GROUP BY 1, 2)
+             |SELECT col_name, n_distinct, entropy_bits,
+             |  round(entropy_bits / log2(n_distinct), 4) AS entropy_norm
+             |FROM ent""".stripMargin),
+      "per-column Shannon entropy from one stacked scan — shuffle ∝ " +
+        "distinct values; raw and log2(n)-normalized entropy " +
+        "hash-checked"),
 
     // Exact interpolated percentiles per group (Spark `percentile` and
     // DuckDB `quantile_cont` share the p*(n-1) lerp definition); the

@@ -435,4 +435,31 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("agg_rfm_segments")
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
   }
+
+  test("CUSUM drift: the recursion is two cumulative windows over the " +
+    "CACHED daily rollup, sharing ONE type-keyed sort") {
+    val p = plan("mon_cusum_drift")
+    // both consumers read the persisted rollup, not a re-scan
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    // the stacked sum + running-min windows share a single sort pass
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(1600))
+    assert("Sort \\[event_type".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("PSI drift: one event scan feeds both halves — the time split " +
+    "is a CASE on a broadcast midpoint, not two passes") {
+    val p = plan("mon_psi_drift")
+    // events + the two 1-row stat aggregates all reuse one file scan
+    // lineage; binned is derived once (counts + totals re-read it)
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("entropy profile: stack() unpivots map-side (Generate, no " +
+    "pre-rollup shuffle); totals and scoring share the cached counts") {
+    val p = plan("profile_entropy")
+    assert(p.contains("Generate"), p.take(1200))
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    // totals join the counts broadcast — never a sort-merge of values
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }

@@ -146,6 +146,72 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------------------------
+  // Streaming CUSUM (ST4 × the batch mon_cusum_drift): the batch
+  // catalog query rewrites Page's recursion S_t = max(0, S_{t-1} +
+  // x_t − μ − k) into two cumulative windows because a batch engine
+  // has no per-row state; a STREAM is the recursion's native home —
+  // S is one integer per key in the state store, updated as metric
+  // buckets arrive, alarms emitted inline. Parameters arrive
+  // pre-scaled ×2 so the arithmetic stays integer-exact (slack
+  // k = ½ ⟹ slack2 = 1), matching the batch query's ×2n scaling
+  // trick. Replayed or out-of-order buckets (seq ≤ last applied) are
+  // IGNORED — replay idempotence across micro-batch boundaries; a
+  // seq gap is processed as-is (observed-bucket semantics, exactly
+  // like the batch query's missing-day behavior). State is two longs
+  // per key, period — the smallest possible drift detector.
+  // ---------------------------------------------------------------
+
+  final case class MetricPoint(key: String, seq: Long, x: Long)
+  final case class CusumPoint(key: String, seq: Long, s2: Long,
+                              alarm: Boolean)
+  final case class CusumState(lastSeq: Long, s2: Long)
+
+  implicit val mpEnc: Encoder[MetricPoint] = Encoders.product[MetricPoint]
+  implicit val cpEnc: Encoder[CusumPoint] = Encoders.product[CusumPoint]
+  implicit val csEnc: Encoder[CusumState] = Encoders.product[CusumState]
+
+  private class CusumProcessor(mu2: Long, slack2: Long, h2: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, MetricPoint, CusumPoint] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum", csEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[MetricPoint],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CusumPoint] = {
+      var cur = if (st.exists()) st.get() else CusumState(Long.MinValue, 0L)
+      // a micro-batch may carry several buckets of one key — apply in
+      // seq order so batch-boundary placement can't change the fold
+      val out = rows.toVector.sortBy(_.seq).flatMap { p =>
+        if (p.seq <= cur.lastSeq) None // replay / stale: idempotent skip
+        else {
+          val s2 = math.max(0L, cur.s2 + 2 * p.x - mu2 - slack2)
+          cur = CusumState(p.seq, s2)
+          Some(CusumPoint(key, p.seq, s2, s2 > h2))
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Per-key CUSUM over a metric stream: S (×2-scaled) per bucket +
+    * alarm at S > h. μ, k, h are supplied ×2-scaled integers (the
+    * in-control mean is a KNOWN reference in the sequential setting —
+    * the batch catalog query estimates it from the full series
+    * instead). Requires the RocksDB state store provider. */
+  def cusum(points: Dataset[MetricPoint], mu2: Long, slack2: Long = 1L,
+            h2: Long = 10L): Dataset[CusumPoint] =
+    points.groupByKey(_.key)
+      .transformWithState(new CusumProcessor(mu2, slack2, h2),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+
   private def update(id: Long, batch: Iterator[KeyedChange],
                      state: GroupState[StateValue]): Iterator[Transition] = {
     val newest = batch.reduceOption { (a, b) =>

@@ -155,4 +155,56 @@ class StatefulOpsSpec extends SparkSpec {
       assert(sizes.forall(_ <= k) && sizes.exists(_ == k))
     } finally q.stop()
   }
+
+  test("streaming CUSUM (transformWithState) == the sequential reference " +
+    "fold; replays and stale buckets are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{CusumPoint, MetricPoint}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    // 'a' drifts upward after seq 4 (must alarm); 'b' stays in control
+    val xs = Map(
+      "a" -> Vector(5L, 4L, 6L, 5L, 5L, 9L, 10L, 11L, 12L, 12L),
+      "b" -> Vector(5L, 6L, 4L, 5L, 5L, 6L, 4L, 5L, 6L, 5L))
+    val (mu2, slack2, h2) = (10L, 1L, 10L)
+    def reference(key: String): Vector[CusumPoint] =
+      xs(key).zipWithIndex.scanLeft(CusumPoint(key, -1L, 0L, alarm = false)) {
+        case (prev, (x, i)) =>
+          val s2 = math.max(0L, prev.s2 + 2 * x - mu2 - slack2)
+          CusumPoint(key, i.toLong, s2, s2 > h2)
+      }.drop(1)
+
+    val points = for ((key, v) <- xs.toSeq; (x, i) <- v.zipWithIndex)
+      yield MetricPoint(key, i.toLong, x)
+    val ms = MemoryStream[MetricPoint]
+    val q = StatefulOps.cusum(ms.toDS(), mu2, slack2, h2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def got(): Seq[CusumPoint] =
+        spark.table("cusum_out").as[CusumPoint].collect().toSeq
+      // three uneven micro-batches, keys interleaved — the fold must
+      // not depend on batch-boundary placement
+      val (b1, rest) = points.splitAt(7)
+      val (b2, b3) = rest.splitAt(6)
+      Seq(b1, b2, b3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val expected = (reference("a") ++ reference("b")).toSet
+      assert(got().toSet == expected)
+      assert(got().size == 20) // append mode, no duplicates
+      assert(got().exists(p => p.key == "a" && p.alarm))
+      assert(!got().exists(p => p.key == "b" && p.alarm))
+      // replay of a whole earlier micro-batch: ignored
+      ms.addData(b2: _*); q.processAllAvailable()
+      assert(got().size == 20)
+      // stale out-of-order bucket with a wild value: ignored
+      ms.addData(MetricPoint("a", 3L, 100L)); q.processAllAvailable()
+      assert(got().toSet == expected)
+    } finally q.stop()
+  }
 }

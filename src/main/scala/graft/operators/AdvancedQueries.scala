@@ -1143,5 +1143,64 @@ object AdvancedQueries {
              |FROM sc GROUP BY 1""".stripMargin),
       "RFM quartile segmentation over exact-cents customer rollups — " +
         "windows sort the aggregate, not the fact table; segment " +
-        "counts and average spend hash-checked"))
+        "counts and average spend hash-checked"),
+
+    // Market-basket association mining: part pairs co-purchased in the
+    // same order, scored by LIFT = P(ab) / (P(a)·P(b)) over order
+    // baskets with a minimum-support floor — the frequent-itemset /
+    // recommender primer ("bought X, also bought Y"). The pair join is
+    // the textbook bounded self-join: baskets equi-join on ORDER KEY,
+    // so candidates ∝ Σ basket_size² (baskets are a handful of lines —
+    // bounded by data semantics, not table size), never lineitem².
+    // Item supports are one map-side-combined rollup of the
+    // deduplicated (order, part) set; the two corpus constants ride a
+    // 1-row broadcast; the top-25 is TakeOrderedAndProject on
+    // (unrounded-identical lift, pair) — deterministic cut, 4 dp
+    // display rounding.
+    Q("join_market_basket",
+      (s, d) => {
+        val li = graft.core.Caching.persistOnce(load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+        val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c_i"))
+        val no = li.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n"))
+        val lift = (col("c_ab") / col("n")) /
+          ((col("c_a") / col("n")) * (col("c_b") / col("n")))
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3)
+          .join(item.select(col("l_partkey").as("pa"), col("c_i").as("c_a")),
+            "pa")
+          .join(item.select(col("l_partkey").as("pb"), col("c_i").as("c_b")),
+            "pb")
+          .crossJoin(broadcast(no))
+          .orderBy(lift.desc, col("pa"), col("pb")).limit(25)
+          .select(col("pa"), col("pb"), col("c_ab"),
+            round(lift, 4).as("lift4"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+             |            FROM lineitem),
+             |item AS (SELECT l_partkey, count(*) AS c_i
+             |         FROM li GROUP BY 1),
+             |no AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             |            count(*) AS c_ab
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey
+             |           AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pa, pb, c_ab,
+             |  round((c_ab / n) / ((ia.c_i / n) * (ib.c_i / n)), 4) AS lift4
+             |FROM pairs
+             |JOIN item ia ON pairs.pa = ia.l_partkey
+             |JOIN item ib ON pairs.pb = ib.l_partkey, no
+             |ORDER BY (c_ab / n) / ((ia.c_i / n) * (ib.c_i / n)) DESC,
+             |  pa, pb
+             |LIMIT 25""".stripMargin),
+      "market-basket lift mining: order-keyed pair self-join bounded " +
+        "by basket size, broadcast supports, TakeOrdered top-25 — " +
+        "support counts and lift hash-checked"))
 }

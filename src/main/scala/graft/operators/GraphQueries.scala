@@ -181,5 +181,58 @@ object GraphQueries {
              |FROM tri, w2""".stripMargin),
       "degree-ordered triangle count + clustering coefficient: " +
         "orientation bounds wedge fan-out by O(√m) per node, all " +
-        "stages equi-joins — counts exact, full pipeline value-checked"))
+        "stages equi-joins — counts exact, full pipeline value-checked"),
+
+    // BFS link-distance layers from a seed document (4 hops): the
+    // "crawl frontier depth" / seed-proximity signal a link-curated
+    // corpus ranks by. Classic iterative-frontier BFS as data-parallel
+    // joins: each round expands ONLY the newest layer (min-d == i−1)
+    // through one src-keyed equi-join, then a min-distance hash-agg
+    // folds rediscoveries — per-round shuffle ∝ frontier out-edges,
+    // never nodes × edges, and rounds are bounded by the hop cap
+    // exactly like dedup_cluster_election bounds by diameter. Each
+    // round's frontier is persisted (it feeds both the filter and the
+    // union — without the persist the lineage re-derives 2^rounds
+    // times). The DuckDB oracle replays the walk as a recursive CTE
+    // (UNION set-semantics bounds it at nodes × hops pairs) + min
+    // rollup, so every (node, dist) value is hash-checked.
+    Q("graph_bfs_layers",
+      (s, d) => {
+        val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
+        val nodes = load(s, d, "documents")
+          .select(col("doc_id")).crossJoin(broadcast(nRow))
+        val edges = persistOnce(nodes
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
+          .select(col("src"),
+            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
+          .filter(col("src") =!= col("dst")))
+        var dist = nodes.filter(col("doc_id") === 0)
+          .select(col("doc_id").as("node"), lit(0).as("d"))
+        for (i <- 1 to 4) {
+          val cur = persistOnce(dist)
+          val nxt = cur.filter(col("d") === i - 1)
+            .join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), lit(i).as("d"))
+          dist = cur.unionByName(nxt)
+            .groupBy("node").agg(min(col("d")).as("d"))
+        }
+        dist.select(col("node").as("doc_id"), col("d").as("dist"))
+      },
+      Some("""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+             |nodes AS (SELECT doc_id FROM documents),
+             |edges AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
+             |          FROM nodes CROSS JOIN nn
+             |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
+             |          WHERE doc_id <> (doc_id * 7 + j) % n),
+             |walk AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+             |  UNION
+             |  SELECT dst, d + 1 FROM walk JOIN edges ON node = src
+             |  WHERE d < 4)
+             |SELECT node AS doc_id, min(d) AS dist
+             |FROM walk GROUP BY 1""".stripMargin),
+      "frontier BFS to 4 hops: one src-keyed equi-join + min-distance " +
+        "rollup per round, shuffle ∝ frontier edges — layer distances " +
+        "hash-checked against a recursive-CTE walk"))
 }

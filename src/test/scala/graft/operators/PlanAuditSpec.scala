@@ -454,6 +454,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("market basket: the pair join is keyed on ORDER KEY (bounded by " +
+    "basket size) and the top-25 is TakeOrderedAndProject") {
+    val p = plan("join_market_basket")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // the basket self-join reads the CACHED distinct (order, part)
+    // set on both sides, not two scans
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+  }
+
+  test("BFS layers: every round is an equi-join on src — no nested " +
+    "loop anywhere in the 4-round expansion") {
+    val p = plan("graph_bfs_layers")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("entropy profile: stack() unpivots map-side (Generate, no " +
     "pre-rollup shuffle); totals and scoring share the cached counts") {
     val p = plan("profile_entropy")

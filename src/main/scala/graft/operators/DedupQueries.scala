@@ -651,5 +651,52 @@ object DedupQueries {
              |GROUP BY doc_id""".stripMargin),
       "per-doc novelty in ingestion order: share of 3-grams first seen " +
         "in this doc — gram-keyed min + join back, never pairwise; " +
-        "the crawl-saturation curve, exact ratios"))
+        "the crawl-saturation curve, exact ratios"),
+
+    // Sorted-neighborhood dedup (Hernández–Stolfo SNM): the THIRD
+    // classic blocking family next to hash blocks (MinHash/SimHash
+    // bands) and cells (semantic clusters) — sort by a discriminating
+    // key, compare only records within a fixed window of the sort
+    // order. Candidates ∝ n × window (here 3), independent of how
+    // many records share a key value — SNM's edge over equality
+    // blocking when keys are noisy (typos land adjacent, not equal).
+    // The window compare is NOT a range self-join: each record
+    // explodes its next-3 rank probes and equi-joins the rank column.
+    // The rank is a global row_number here; at 100 TB the sort is a
+    // range partition (boundaries from sampled quantiles, as Spark's
+    // own RangePartitioner computes) and the window runs
+    // per-partition with a `window`-row boundary overlap shipped to
+    // the next partition — candidates unchanged. Edit distance is
+    // exact Levenshtein (identical definition both engines), so every
+    // candidate pair and distance hash-checks.
+    Q("dedup_sorted_neighborhood",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = graft.core.Caching.persistOnce(load(s, d, "part")
+          .select(col("p_partkey"), col("p_name"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("p_name"), col("p_partkey")))))
+        ranked
+          .select(col("p_partkey").as("a"), col("p_name").as("na"),
+            explode(expr("sequence(rk + 1, rk + 3)")).as("rk"))
+          .join(ranked.select(col("rk"), col("p_partkey").as("b"),
+            col("p_name").as("nb")), "rk")
+          .select(col("a"), col("b"),
+            levenshtein(col("na"), col("nb")).as("dist"))
+          .filter(col("dist") <= 4)
+      },
+      Some("""WITH ranked AS (
+             |  SELECT p_partkey, p_name,
+             |         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+             |  FROM part),
+             |probes AS (SELECT p_partkey AS a, p_name AS na, rk + i AS rk
+             |           FROM ranked
+             |           CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) ii)
+             |SELECT a, p_partkey AS b,
+             |  CAST(levenshtein(na, p_name) AS INTEGER) AS dist
+             |FROM probes JOIN ranked USING (rk)
+             |WHERE levenshtein(na, p_name) <= 4""".stripMargin),
+      "sorted-neighborhood candidate generation: rank-probe explode + " +
+        "rank equi-join (no range self-join), exact Levenshtein " +
+        "confirm — every pair and distance hash-checked"))
 }

@@ -454,6 +454,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("sorted-neighborhood dedup: the window compare is a rank " +
+    "equi-join on exploded probes, never a range self-join") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200)) // the probe explode
+  }
+
   test("market basket: the pair join is keyed on ORDER KEY (bounded by " +
     "basket size) and the top-25 is TakeOrderedAndProject") {
     val p = plan("join_market_basket")

@@ -141,7 +141,7 @@ object GraphQueries {
           .join(o.select(col("u"), col("v").as("w")), Seq("u", "w"),
             "left_semi")
           .agg(count(lit(1)).as("n_triangles"))
-        load(s, d, "documents").agg(count(lit(1)).as("n_nodes"))
+        nRow.select(col("nn").as("n_nodes"))
           .crossJoin(und.agg(count(lit(1)).as("n_edges")))
           .crossJoin(tri)
           .crossJoin(deg.agg(sum(col("dg") * (col("dg") - 1)).as("w2")))
@@ -226,7 +226,7 @@ object GraphQueries {
              |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
              |          WHERE doc_id <> (doc_id * 7 + j) % n),
              |walk AS (
-             |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+             |  SELECT doc_id AS node, 0 AS d FROM nodes WHERE doc_id = 0
              |  UNION
              |  SELECT dst, d + 1 FROM walk JOIN edges ON node = src
              |  WHERE d < 4)

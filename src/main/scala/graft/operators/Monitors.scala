@@ -355,14 +355,19 @@ object Monitors {
     // the observed time range), 10 equal-width bins, PSI =
     // Σ (p−q)·ln(p/q) with a +0.5 continuity smoothing per bin —
     // the standard "did the feature distribution move" gate in ML
-    // serving (PSI > 0.2 = drift). Scale shape: ONE scan feeds both
-    // halves (the split is a map-side CASE on the broadcast midpoint,
-    // not two passes), bin assignment is map-side arithmetic on the
-    // broadcast min/max, and the rollup shuffles O(types × bins)
-    // partial rows. The midpoint and bin edges use integer microsecond
-    // div / identical IEEE double ops so both engines agree; the
-    // 10-term PSI sum is order-unstable → rounded 4 dp, and the drift
-    // flag compares the ROUNDED value.
+    // serving (PSI > 0.2 = drift). The smoothed sum runs over the
+    // COMPLETE 10-bin grid (types × sequence(0,9), absent bins
+    // joined in as zero counts): a bin empty in both halves still
+    // contributes its smoothed term whenever na ≠ nb, and the +5
+    // denominators (10 bins × 0.5) are exact — dropping absent bins
+    // would bias PSI exactly when halves are unbalanced, i.e. when a
+    // drift monitor matters. Scale shape: two passes over events (the
+    // 1-row stats aggregate, then the binned rollup — split and bin
+    // assignment are map-side arithmetic on the broadcast stats);
+    // grid completion and totals derive from the CACHED O(types×bins)
+    // counts, never re-scanning the stream. The 10-term PSI sum is
+    // order-unstable → rounded 4 dp; the drift flag compares the
+    // ROUNDED value.
     Q("mon_psi_drift",
       (s, d) => {
         val ev = load(s, d, "events").select(col("event_type"),
@@ -374,12 +379,19 @@ object Monitors {
             (col("us") <= col("lo") + expr("(hi - lo) div 2")).as("first_half"),
             least(lit(9L), floor((col("value") - col("vmin")) /
               ((col("vmax") - col("vmin")) / 10))).as("bin"))
-        val counts = binned.groupBy("event_type", "bin").agg(
+        val observed = persistOnce(binned.groupBy("event_type", "bin").agg(
           sum(when(col("first_half"), 1L).otherwise(0L)).as("c_a"),
-          sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b"))
-        val tot = binned.groupBy("event_type").agg(
-          sum(when(col("first_half"), 1L).otherwise(0L)).as("na"),
-          sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb"))
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b")))
+        val grid = observed.select("event_type").distinct()
+          .select(col("event_type"), explode(expr(
+            "sequence(CAST(0 AS BIGINT), CAST(9 AS BIGINT))")).as("bin"))
+        val counts = grid
+          .join(observed, Seq("event_type", "bin"), "left")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("c_a"), lit(0L)).as("c_a"),
+            coalesce(col("c_b"), lit(0L)).as("c_b"))
+        val tot = counts.groupBy("event_type")
+          .agg(sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"))
         val p = (col("c_a") + lit(0.5)) / (col("na") + lit(5.0))
         val q = (col("c_b") + lit(0.5)) / (col("nb") + lit(5.0))
         counts.join(broadcast(tot), "event_type")
@@ -398,16 +410,21 @@ object Monitors {
              |    least(9, CAST(floor((value - vmin) /
              |      ((vmax - vmin) / 10)) AS BIGINT)) AS bin
              |  FROM ev CROSS JOIN sp),
-             |counts AS (SELECT event_type, bin,
+             |observed AS (SELECT event_type, bin,
              |    sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS c_a,
              |    sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS c_b
              |  FROM binned GROUP BY 1, 2),
-             |tot AS (SELECT event_type,
-             |    CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END)
-             |      AS BIGINT) AS na,
-             |    CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END)
-             |      AS BIGINT) AS nb
-             |  FROM binned GROUP BY 1),
+             |grid AS (SELECT event_type, j AS bin
+             |  FROM (SELECT DISTINCT event_type FROM observed)
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j)),
+             |counts AS (SELECT grid.event_type, grid.bin,
+             |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM grid LEFT JOIN observed
+             |    ON grid.event_type = observed.event_type
+             |   AND grid.bin = observed.bin),
+             |tot AS (SELECT event_type, CAST(sum(c_a) AS BIGINT) AS na,
+             |               CAST(sum(c_b) AS BIGINT) AS nb
+             |        FROM counts GROUP BY 1),
              |terms AS (SELECT counts.event_type, na, nb,
              |    (((c_a + 0.5) / (na + 5.0)) - ((c_b + 0.5) / (nb + 5.0)))
              |      * ln(((c_a + 0.5) / (na + 5.0)) /
@@ -416,8 +433,9 @@ object Monitors {
              |SELECT event_type, na, nb, round(sum(term), 4) AS psi,
              |  round(sum(term), 4) > 0.2 AS drift
              |FROM terms GROUP BY 1, 2, 3""".stripMargin),
-      "PSI distribution-drift gate: one scan, broadcast split point + " +
-        "bin edges, O(types × bins) shuffle — smoothed PSI and the " +
+      "PSI distribution-drift gate over the complete smoothed bin " +
+        "grid: broadcast split point + bin edges, O(types × bins) " +
+        "shuffle off cached counts — smoothed PSI and the " +
         "0.2 drift flag hash-checked"),
 
     // Hour-of-day seasonality profile + anomaly flag: per (type, hour)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 import graft.functions.TextFunctions._
 
@@ -363,34 +364,39 @@ object TextQueries {
     // (wordpiece seeding, stop-phrase lists, NE gazetteers):
     // PMI(x,y) = log2(p(xy) / (p(x)·p(y))) over adjacent-pair and
     // unigram counts, thresholded at c_xy ≥ 5 so rare-pair noise
-    // (PMI's known failure mode) never ranks. Scale shape: two
-    // map-side-combined count aggregations (bigrams, unigrams), the
-    // two corpus totals ride 1-row broadcasts, scoring joins are
-    // keyed on the vocabulary (model keys, never corpus rows), and
-    // the final top-40 is TakeOrderedAndProject — per-partition top-k,
-    // no global sort. Ranking compares unrounded doubles built from
-    // identical integer-division IEEE ops in both engines with a
-    // (x, y) tie-break, so the cut is deterministic; output PMI is
-    // rounded 4 dp for display only.
+    // (PMI's known failure mode) never ranks. Scale shape: the corpus
+    // is tokenized ONCE into a persisted frame (the text_tfidf_topk
+    // precedent) feeding both count aggregations — bigram and unigram
+    // counts are map-side-combined and themselves cached (vocab-sized
+    // model frames, each consumed by scoring AND its total); the two
+    // corpus totals derive from those cached counts (Σ c_xy, Σ c_t —
+    // identical to counting the streams, zero extra passes) and ride
+    // 1-row broadcasts; scoring joins are keyed on the vocabulary
+    // (model keys, never corpus rows); the final top-40 is
+    // TakeOrderedAndProject — per-partition top-k, no global sort.
+    // Ranking compares unrounded doubles built from identical
+    // integer-division IEEE ops in both engines with a (x, y)
+    // tie-break, so the cut is deterministic; output PMI is rounded
+    // 4 dp for display only.
     Q("text_collocations_pmi",
       (s, d) => {
-        val docs = load(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
-        val bg = docs.filter(size(col("w")) >= 2)
+        val docs = persistOnce(load(s, d, "documents")
+          .select(tokens(col("text")).as("w")))
+        val bgc = persistOnce(docs.filter(size(col("w")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, size(w) - 1), " +
               "i -> struct(w[i-1] as x, w[i] as y))")).as("p"))
           .select(col("p.x").as("x"), col("p.y").as("y"))
-        val tk = docs.select(explode(col("w")).as("tok"))
-        val uni = tk.groupBy("tok").agg(count(lit(1)).as("c_t"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy")))
+        val uni = persistOnce(docs.select(explode(col("w")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c_t")))
         val pmi = log2((col("c_xy") / col("nb")) /
           ((col("c_x") / col("nt")) * (col("c_y") / col("nt"))))
-        bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-          .filter(col("c_xy") >= 5)
+        bgc.filter(col("c_xy") >= 5)
           .join(uni.select(col("tok").as("x"), col("c_t").as("c_x")), "x")
           .join(uni.select(col("tok").as("y"), col("c_t").as("c_y")), "y")
-          .crossJoin(broadcast(bg.agg(count(lit(1)).as("nb"))))
-          .crossJoin(broadcast(tk.agg(count(lit(1)).as("nt"))))
+          .crossJoin(broadcast(bgc.agg(sum(col("c_xy")).as("nb"))))
+          .crossJoin(broadcast(uni.agg(sum(col("c_t")).as("nt"))))
           .orderBy(pmi.desc, col("x"), col("y")).limit(40)
           .select(col("x"), col("y"), col("c_xy"), round(pmi, 4).as("pmi4"))
       },
@@ -401,8 +407,8 @@ object TextQueries {
              |bgc AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
              |tk AS (SELECT unnest(w) AS tok FROM t),
              |uni AS (SELECT tok, count(*) AS c_t FROM tk GROUP BY 1),
-             |nb AS (SELECT count(*) AS nb FROM bg),
-             |nt AS (SELECT count(*) AS nt FROM tk)
+             |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM bgc),
+             |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS nt FROM uni)
              |SELECT x, y, c_xy,
              |  round(log2((c_xy / nb) /
              |    ((cx.c_t / nt) * (cy.c_t / nt))), 4) AS pmi4

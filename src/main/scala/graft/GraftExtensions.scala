@@ -68,7 +68,13 @@ object GraftExtensions {
       arity("bpe_merge", 3)(args =>
         graft.functions.BpeMergePass(args(0),
           literalString("bpe_merge", args(1)),
-          literalString("bpe_merge", args(2))))))
+          literalString("bpe_merge", args(2))))),
+    ("damerau_levenshtein",
+      info("damerau_levenshtein", "damerau_levenshtein(a, b) - " +
+        "unrestricted Damerau-Levenshtein edit distance (adjacent " +
+        "transposition costs 1; Lowrance-Wagner variant)"),
+      arity("damerau_levenshtein", 2)(args =>
+        graft.functions.DamerauLevenshtein(args(0), args(1)))))
 
   /** The merge pair of `bpe_merge` parameterizes generated code, so it
     * must be a foldable string (a literal), not a per-row column. */

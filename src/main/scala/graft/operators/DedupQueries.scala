@@ -698,5 +698,85 @@ object DedupQueries {
              |WHERE levenshtein(na, p_name) <= 4""".stripMargin),
       "sorted-neighborhood candidate generation: rank-probe explode + " +
         "rank equi-join (no range self-join), exact Levenshtein " +
-        "confirm — every pair and distance hash-checked"))
+        "confirm — every pair and distance hash-checked"),
+
+    // Transposition-tolerant typo dedup on the custom codegen'd
+    // DamerauLevenshtein expression (`functions/EditDistance.scala`):
+    // adjacent swaps — the dominant human typo class — cost 1 here vs
+    // 2 under plain Levenshtein, so a threshold-1 matcher catches the
+    // swapped-letter duplicates lev-1 structurally misses (every
+    // output row carries both distances to make that visible).
+    // Matching runs over the DISTINCT NAME VOCABULARY (each name keyed
+    // by its min part key), the standard entity-resolution shape: the
+    // vocabulary is orders of magnitude smaller than the table and —
+    // unlike id-level pairing, where every typo would match EVERY copy
+    // of its repeat-heavy source name — the output is ∝ vocabulary,
+    // not ∝ name multiplicity; resolved names then map back to rows by
+    // an ordinary equi-join (not part of this query). Ground truth is
+    // PLANTED: every 5th vocabulary entry re-enters with chars 3-4
+    // swapped at a max(id)-derived offset, so the match set is
+    // non-vacuous at any SF. Candidates come from an equi-join on the
+    // (first-2-chars, length, last-char) block key — all three
+    // invariant under the planted swap — never an all-pairs compare;
+    // block-key choice governs candidate volume at scale (compose
+    // with SNM or band blocks for finer control). DuckDB implements
+    // the same unrestricted Lowrance-Wagner variant (pinned by
+    // EditDistanceSpec's "CA"→"ABC" = 2 case), so every integer
+    // distance hash-checks cross-engine.
+    Q("dedup_typo_pairs",
+      (s, d) => {
+        val base = load(s, d, "part")
+          .groupBy(col("p_name").as("name"))
+          .agg(min(col("p_partkey")).as("id"))
+          .select(col("id"), col("name"))
+        val off = base.agg(((expr("max(id) div 1000") + 2) * 1000).as("off"))
+        val planted = base.crossJoin(broadcast(off))
+          .filter(col("id") % 5 === 0 && length(col("name")) >= 5)
+          .select((col("id") + col("off")).as("id"),
+            concat(substring(col("name"), 1, 2),
+              substring(col("name"), 4, 1),
+              substring(col("name"), 3, 1),
+              expr("substring(name, 5)")).as("name"))
+        val corpus = graft.core.Caching.persistOnce(
+          base.unionByName(planted).select(col("id"), col("name"),
+            substring(col("name"), 1, 2).as("blk"),
+            length(col("name")).as("len"),
+            expr("substring(name, length(name), 1)").as("lst")))
+        corpus.as("l").join(corpus.as("r"),
+            col("l.blk") === col("r.blk") && col("l.len") === col("r.len") &&
+              col("l.lst") === col("r.lst") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            graft.functions.EditDistance
+              .damerauLevenshtein(col("l.name"), col("r.name")).as("dl"),
+            levenshtein(col("l.name"), col("r.name")).as("lev"))
+          // dl=1 ∧ lev=2 = exactly the transposition-detected pairs —
+          // the class this operator exists for; dl=0 pairs are plain
+          // exact dupes (dedup_exact_groups' job) and repeat-heavy
+          // names would make them quadratic in the output
+          .filter(col("dl") === 1 && col("lev") === 2)
+      },
+      Some("""WITH base AS (SELECT min(p_partkey) AS id, p_name AS name
+             |              FROM part GROUP BY p_name),
+             |off AS (SELECT ((max(id) // 1000) + 2) * 1000 AS off
+             |        FROM base),
+             |planted AS (SELECT id + off AS id,
+             |    substr(name, 1, 2) || substr(name, 4, 1) ||
+             |      substr(name, 3, 1) || substr(name, 5) AS name
+             |  FROM base, off WHERE id % 5 = 0 AND length(name) >= 5),
+             |corpus AS (SELECT id, name, substr(name, 1, 2) AS blk,
+             |    length(name) AS len,
+             |    substr(name, length(name), 1) AS lst
+             |  FROM (SELECT * FROM base
+             |        UNION ALL SELECT * FROM planted) u)
+             |SELECT l.id AS a, r.id AS b,
+             |  CAST(damerau_levenshtein(l.name, r.name) AS INTEGER) AS dl,
+             |  CAST(levenshtein(l.name, r.name) AS INTEGER) AS lev
+             |FROM corpus l JOIN corpus r
+             |  ON l.blk = r.blk AND l.len = r.len AND l.lst = r.lst
+             | AND l.id < r.id
+             |WHERE damerau_levenshtein(l.name, r.name) = 1
+             |  AND levenshtein(l.name, r.name) = 2""".stripMargin),
+      "typo dedup on the codegen'd unrestricted Damerau-Levenshtein: " +
+        "planted char-swap duplicates, swap-invariant block equi-join " +
+        "candidates, both distances hash-checked cross-engine"))
 }

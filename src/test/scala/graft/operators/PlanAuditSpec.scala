@@ -454,6 +454,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("typo dedup: block-keyed equi-join candidates; the codegen'd " +
+    "DamerauLevenshtein stays inside whole-stage codegen") {
+    val p = plan("dedup_typo_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the PAIR join is hash-keyed on the block columns (the only
+    // nested loop anywhere is the 1-row offset broadcast inside the
+    // cached corpus build — the standard O(n) idiom)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[blk".r
+      .findFirstIn(p).isDefined, p.take(1200))
+    // the distance expression compiles into the generated stage —
+    // no BatchEvalPython/UDF fallback markers anywhere
+    assert(!p.contains("BatchEval"), p.take(1200))
+  }
+
   test("sorted-neighborhood dedup: the window compare is a rank " +
     "equi-join on exploded probes, never a range self-join") {
     val p = plan("dedup_sorted_neighborhood")

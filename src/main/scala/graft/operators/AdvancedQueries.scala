@@ -1202,5 +1202,114 @@ object AdvancedQueries {
              |LIMIT 25""".stripMargin),
       "market-basket lift mining: order-keyed pair self-join bounded " +
         "by basket size, broadcast supports, TakeOrdered top-25 — " +
-        "support counts and lift hash-checked"))
+        "support counts and lift hash-checked"),
+
+    // Sweep-line peak concurrency ("how many orders were open at
+    // once"): each order becomes a +1 boundary at o_orderdate and a
+    // −1 at close (7 days later, half-open so the close processes
+    // first at ties via the delta sort key), and the running boundary
+    // sum IS the number of open intervals. The textbook sweep is one
+    // global sort — this is the TWO-PHASE decomposition that scales:
+    // boundaries shuffle once by MONTH, the running sum is computed
+    // per month (a partitioned window), and each month's carry-in is
+    // the prefix sum of O(months) monthly totals (a tiny broadcast
+    // frame) — no global sort of the boundary stream ever happens.
+    // RANGE cumulative frames (both engines' default) give tied
+    // (ts, delta) rows one shared value, so the output is
+    // deterministic without a per-row tie-break. All integers.
+    Q("window_sweep_concurrency",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val deltas = o
+          .select(col("o_orderdate").as("ts"), lit(1).as("delta"))
+          .unionByName(o.select(
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("ts"),
+            lit(-1).as("delta")))
+          .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        val carry = deltas.groupBy("month")
+          .agg(sum(col("delta")).as("msum"))
+          .withColumn("carry", coalesce(
+            sum(col("msum")).over(Window.orderBy(col("month"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("month"), col("carry"))
+        val localW = Window.partitionBy(col("month"))
+          .orderBy(col("ts"), col("delta"))
+        deltas.join(broadcast(carry), "month")
+          .withColumn("run", col("carry") + sum(col("delta")).over(localW))
+          .groupBy(col("month"))
+          .agg(max(col("run")).as("peak_open"),
+            count(lit(1)).as("n_boundaries"))
+      },
+      Some("""WITH deltas AS (
+             |  SELECT o_orderdate AS ts, 1 AS delta,
+             |         strftime(o_orderdate, '%Y-%m') AS month
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderdate + INTERVAL 7 DAY, -1,
+             |         strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m')
+             |  FROM orders),
+             |mo AS (SELECT month, sum(delta) AS msum
+             |       FROM deltas GROUP BY 1),
+             |carry AS (SELECT month, coalesce(sum(msum) OVER (
+             |    ORDER BY month
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS carry
+             |  FROM mo),
+             |runs AS (SELECT deltas.month,
+             |    carry + sum(delta) OVER (PARTITION BY deltas.month
+             |      ORDER BY ts, delta) AS run
+             |  FROM deltas JOIN carry USING (month))
+             |SELECT month, CAST(max(run) AS BIGINT) AS peak_open,
+             |       count(*) AS n_boundaries
+             |FROM runs GROUP BY 1""".stripMargin),
+      "two-phase sweep-line: month-partitioned running sums + O(months) " +
+        "carry prefix — peak open-interval counts without a global " +
+        "sort; exact integers"),
+
+    // Robust outlier detection by MAD (median absolute deviation):
+    // the modified z-score 0.6745·|x−med|/MAD > 3.5 (Iglewicz-
+    // Hoaglin) — the dispersion-side sibling of agg_robust_mean;
+    // mean/σ rules break down exactly when outliers are present
+    // because the outliers inflate σ, while the breakdown point of
+    // median/MAD is 50%. Two broadcast-threshold passes (group
+    // medians, then deviation medians) + one counting pass — the
+    // orders table is never sorted or shuffled; interpolated medians
+    // over exact-cents integers are dyadic-exact, so both engines
+    // agree bit-for-bit and the flag comparisons are deterministic.
+    Q("agg_mad_outliers",
+      (s, d) => {
+        val cents = load(s, d, "orders").select(
+          col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        val med = cents.groupBy("grp")
+          .agg(round(percentile(col("c"), lit(0.5)), 6).as("med"))
+        val dev = cents.join(broadcast(med), "grp")
+          .select(col("grp"), col("med"), abs(col("c") - col("med")).as("ad"))
+        val mad = dev.groupBy("grp")
+          .agg(round(percentile(col("ad"), lit(0.5)), 6).as("mad"))
+        dev.join(broadcast(mad), "grp")
+          .select(col("grp"), col("med"), col("mad"),
+            (col("ad") > col("mad") * lit(3.5) / lit(0.6745)).as("out"))
+          .groupBy("grp", "med", "mad")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderpriority AS grp,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders),
+             |med AS (SELECT grp, round(quantile_cont(c, 0.5), 6) AS med
+             |        FROM cents GROUP BY 1),
+             |dev AS (SELECT cents.grp, med, abs(c - med) AS ad
+             |        FROM cents JOIN med USING (grp)),
+             |mad AS (SELECT grp, round(quantile_cont(ad, 0.5), 6) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT dev.grp, med, mad, count(*) AS n,
+             |  CAST(sum(CASE WHEN ad > mad * 3.5 / 0.6745
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (grp)
+             |GROUP BY 1, 2, 3""".stripMargin),
+      "MAD modified-z outlier counts per group: two broadcast-median " +
+        "passes + one rollup, dyadic-exact medians — no table sort, " +
+        "counts hash-checked"))
 }

@@ -454,6 +454,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("sweep concurrency: the boundary running sum is MONTH-partitioned " +
+    "(two-phase sweep) — the only unpartitioned window is the " +
+    "O(months) carry prefix") {
+    val p = plan("window_sweep_concurrency")
+    assert(p.contains("windowspecdefinition(month"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("MAD outliers: two broadcast-median passes — the orders table " +
+    "is never sorted or sort-merge-joined") {
+    val p = plan("agg_mad_outliers")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("typo dedup: block-keyed equi-join candidates; the codegen'd " +
     "DamerauLevenshtein stays inside whole-stage codegen") {
     val p = plan("dedup_typo_pairs")

@@ -212,6 +212,70 @@ object StatefulOps {
       .transformWithState(new CusumProcessor(mu2, slack2, h2),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
 
+  // ---------------------------------------------------------------
+  // Streaming alert throttle (ST9's delivery side): emit at most one
+  // alert per key per `minGap` ticks, carrying the count of alerts
+  // suppressed since the last emission (the "5 more occurrences"
+  // digest every paging system shows). A flapping monitor — the
+  // reference's health-check DAG firing each poll while a connector
+  // is down — becomes one page plus a suppression count instead of a
+  // page storm. State is three longs per key; replayed or
+  // out-of-order ticks (seq ≤ last seen) are ignored, so checkpoint
+  // replays can't double-page or double-count.
+  // ---------------------------------------------------------------
+
+  final case class AlertTick(key: String, seq: Long)
+  final case class ThrottledAlert(key: String, seq: Long, suppressed: Long)
+  final case class ThrottleState(lastEmit: Long, lastSeen: Long,
+                                 suppressed: Long)
+
+  implicit val atEnc: Encoder[AlertTick] = Encoders.product[AlertTick]
+  implicit val taEnc: Encoder[ThrottledAlert] = Encoders.product[ThrottledAlert]
+  implicit val tsEnc: Encoder[ThrottleState] = Encoders.product[ThrottleState]
+
+  private class ThrottleProcessor(minGap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, AlertTick, ThrottledAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[ThrottleState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ThrottleState]("throttle", tsEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[AlertTick],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ThrottledAlert] = {
+      var cur =
+        if (st.exists()) st.get()
+        else ThrottleState(Long.MinValue, Long.MinValue, 0L)
+      val out = rows.toVector.sortBy(_.seq).flatMap { t =>
+        if (t.seq <= cur.lastSeen) None // replay / stale: idempotent
+        else if (cur.lastEmit == Long.MinValue ||
+            t.seq >= cur.lastEmit + minGap) {
+          val emitted = ThrottledAlert(key, t.seq, cur.suppressed)
+          cur = ThrottleState(t.seq, t.seq, 0L)
+          Some(emitted)
+        } else {
+          cur = cur.copy(lastSeen = t.seq, suppressed = cur.suppressed + 1)
+          None
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** At most one alert per key per `minGap` ticks; each emission
+    * reports how many ticks it swallowed since the previous one.
+    * Requires the RocksDB state store provider. */
+  def throttleAlerts(ticks: Dataset[AlertTick], minGap: Long)
+      : Dataset[ThrottledAlert] =
+    ticks.groupByKey(_.key)
+      .transformWithState(new ThrottleProcessor(minGap),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+
   private def update(id: Long, batch: Iterator[KeyedChange],
                      state: GroupState[StateValue]): Iterator[Transition] = {
     val newest = batch.reduceOption { (a, b) =>

@@ -207,4 +207,45 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got().toSet == expected)
     } finally q.stop()
   }
+
+  test("throttleAlerts: one page per key per gap with suppressed " +
+    "counts; replays can't double-page") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{AlertTick, ThrottledAlert}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val ms = MemoryStream[AlertTick]
+    val q = StatefulOps.throttleAlerts(ms.toDS(), minGap = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("throttled")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def got(): Seq[(String, Long, Long)] = spark.table("throttled")
+        .as[ThrottledAlert].collect()
+        .map(t => (t.key, t.seq, t.suppressed)).toSeq
+
+      // burst within one gap: first tick pages, rest are swallowed
+      ms.addData(AlertTick("db", 0), AlertTick("db", 3), AlertTick("db", 7))
+      q.processAllAvailable()
+      assert(got() == Seq(("db", 0L, 0L)))
+      // next batch: a stale tick (2) is ignored, 9 is swallowed, 12
+      // crosses the gap and pages with the 3 swallowed ticks (3, 7, 9)
+      ms.addData(AlertTick("db", 9), AlertTick("db", 12), AlertTick("db", 2),
+        AlertTick("kafka", 5))
+      q.processAllAvailable()
+      assert(got().toSet == Set(("db", 0L, 0L), ("db", 12L, 3L),
+        ("kafka", 5L, 0L)))
+      // replay of already-seen ticks: no output, no count drift
+      ms.addData(AlertTick("db", 12), AlertTick("db", 3))
+      q.processAllAvailable()
+      assert(got().size == 3)
+      // quiet period then a single new alert: pages with count 0
+      ms.addData(AlertTick("db", 40))
+      q.processAllAvailable()
+      assert(got().toSet.contains(("db", 40L, 0L)))
+    } finally q.stop()
+  }
 }

@@ -1311,5 +1311,206 @@ object AdvancedQueries {
              |GROUP BY 1, 2, 3""".stripMargin),
       "MAD modified-z outlier counts per group: two broadcast-median " +
         "passes + one rollup, dyadic-exact medians — no table sort, " +
-        "counts hash-checked"))
+        "counts hash-checked"),
+
+    // Growth accounting (active-user lifecycle): every product-
+    // analytics dashboard's first panel — per period, how many
+    // active users are NEW (first period ever), RETAINED (also active
+    // the previous period), RESURRECTED (returning after a gap), and
+    // how many CHURN OUT after this period (no activity in the next).
+    // One distinct (user, period-index) rollup, then a single
+    // user-keyed window pass (lag + lead taps share one sort), then
+    // an O(periods) rollup — the event stream shuffles once to user
+    // grain and never again. The period is the integer epoch-DAY
+    // index (micros div 86400e6 — the fixture spans one calendar
+    // month, so daily grain is what makes retained/resurrected/churn
+    // non-degenerate); "previous period" is mi−1 in both engines and
+    // everything is exact counts. At monthly grain the same query
+    // runs on year×12+month.
+    Q("events_growth_accounting",
+      (s, d) => {
+        val ua = load(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("mi"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("mi"))
+        ua.withColumn("prev", lag(col("mi"), 1).over(w))
+          .withColumn("nxt", lead(col("mi"), 1).over(w))
+          .groupBy(col("mi"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("prev") === col("mi") - 1, 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("prev").isNotNull && col("prev") < col("mi") - 1,
+              1L).otherwise(0L)).as("n_resurrected"),
+            sum(when(col("nxt").isNull || col("nxt") > col("mi") + 1,
+              1L).otherwise(0L)).as("n_churn_after"))
+      },
+      Some("""WITH ua AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 86400000000 AS mi
+             |  FROM events),
+             |cl AS (SELECT mi,
+             |    lag(mi) OVER (PARTITION BY user_id ORDER BY mi) AS prev,
+             |    lead(mi) OVER (PARTITION BY user_id ORDER BY mi) AS nxt
+             |  FROM ua)
+             |SELECT mi, count(*) AS n_active,
+             |  CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_new,
+             |  CAST(sum(CASE WHEN prev = mi - 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_retained,
+             |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev < mi - 1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+             |  CAST(sum(CASE WHEN nxt IS NULL OR nxt > mi + 1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churn_after
+             |FROM cl GROUP BY 1""".stripMargin),
+      "new / retained / resurrected / churning actives per period: one " +
+        "user-grain shuffle, lag+lead on one window sort, exact counts"),
+
+    // Conversion rates with WILSON 95% score intervals per cohort —
+    // the statistically honest version of a conversion dashboard: the
+    // naive p ± z√(p(1−p)/n) Wald interval collapses to width 0 at
+    // p ∈ {0, 1} and undercovers at small n, exactly where product
+    // decisions get made; Wilson stays calibrated. One week-user
+    // rollup (bool_or of purchase; epoch-week index keeps the
+    // single-month fixture non-degenerate), one O(weeks) aggregate,
+    // then pure per-row arithmetic from exact integer counts —
+    // identical IEEE ops in both engines, rounded 6 dp at output only.
+    Q("agg_wilson_conversion",
+      (s, d) => {
+        val mu = load(s, d, "events")
+          .select(expr("unix_micros(ts) div 604800000000").as("mi"),
+            col("user_id"),
+            (col("event_type") === "purchase").as("pur"))
+          .groupBy(col("mi"), col("user_id"))
+          .agg(expr("bool_or(pur)").as("converted"))
+        val z = lit(1.96)
+        val p = col("k").cast("double") / col("n")
+        val z2n = z * z / col("n")
+        val half = z * sqrt(p * (lit(1.0) - p) / col("n") +
+          z * z / (lit(4.0) * col("n") * col("n")))
+        val centre = p + z2n / 2
+        mu.groupBy(col("mi"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("k"))
+          .select(col("mi"), col("n"), col("k"),
+            round(p, 6).as("p_hat"),
+            round((centre - half) / (lit(1.0) + z2n), 6).as("wilson_lo"),
+            round((centre + half) / (lit(1.0) + z2n), 6).as("wilson_hi"))
+      },
+      Some("""WITH mu AS (
+             |  SELECT epoch_us(ts) // 604800000000 AS mi,
+             |         user_id,
+             |         bool_or(event_type = 'purchase') AS converted
+             |  FROM events GROUP BY 1, 2),
+             |cnt AS (SELECT mi, count(*) AS n,
+             |          CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS k
+             |        FROM mu GROUP BY 1)
+             |SELECT mi, n, k,
+             |  round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+             |  round(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / n / 2)
+             |    - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+             |        * (1.0 - CAST(k AS DOUBLE) / n) / n
+             |      + 1.96 * 1.96 / (4.0 * n * n)))
+             |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+             |  round(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / n / 2)
+             |    + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+             |        * (1.0 - CAST(k AS DOUBLE) / n) / n
+             |      + 1.96 * 1.96 / (4.0 * n * n)))
+             |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+             |FROM cnt""".stripMargin),
+      "weekly conversion with Wilson 95% bounds: two rollups + exact-" +
+        "count per-row arithmetic — calibrated intervals hash-checked"),
+
+    // Time-weighted average (TWAP): the honest mean of an irregularly
+    // sampled series — each observation holds until the next one, so
+    // its weight is its HOLDING DURATION, not 1/n (a metric sampled
+    // 100×/s during an incident and 1×/min otherwise would otherwise
+    // report the incident as the norm). One lead() tap per key gives
+    // the duration (integer microseconds, exact); the last observation
+    // of each key holds to that key's stream end and drops out (no
+    // duration). Per-key products are per-row identical-IEEE doubles;
+    // the final weighted sum is order-unstable → rounded 4 dp. One
+    // (key)-sorted window pass + an O(keys) rollup.
+    Q("window_time_weighted_avg",
+      (s, d) => {
+        val ev = load(s, d, "events").select(col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("us"),
+          col("value"))
+        ev.withColumn("nxt", lead(col("us"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_type"),
+            (col("nxt") - col("us")).as("dur"), col("value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_held"),
+            round(sum(col("value") * col("dur")) / sum(col("dur")), 4)
+              .as("twap"),
+            round(avg(col("value")), 4).as("naive_avg"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us
+             |            FROM events),
+             |held AS (SELECT event_type, value,
+             |    lead(us) OVER (PARTITION BY event_type
+             |                   ORDER BY us, value) - us AS dur
+             |  FROM ev)
+             |SELECT event_type, count(*) AS n_held,
+             |  round(sum(value * dur) / sum(dur), 4) AS twap,
+             |  round(avg(value), 4) AS naive_avg
+             |FROM held WHERE dur IS NOT NULL
+             |GROUP BY 1""".stripMargin),
+      "duration-weighted series mean vs the naive mean: one lead() tap " +
+        "per key, exact integer durations, O(keys) output"),
+
+    // Multi-touch attribution with TIME-DECAY weights: each purchase's
+    // credit is split across the user's clicks in the preceding 7
+    // days, weighted 2^(-age_days) — recent touches earn more. The
+    // weights are DYADIC (powers of two of integer day-ages), so the
+    // per-purchase weight sums are EXACT in binary floating point and
+    // the normalized shares hash-check UNROUNDED cross-engine — the
+    // deliberate reason for base-2 decay over the usual e^(-λt).
+    // Candidates come from a user-keyed equi-join filtered to the
+    // window (pairs ∝ per-user activity, the same bound every
+    // user-session join has); the per-purchase normalizer is one
+    // purchase-keyed aggregation joined back on pid. Last-touch
+    // attribution (events_attribution_asof) is the 1-touch special
+    // case of this operator.
+    Q("events_multitouch_attribution",
+      (s, d) => {
+        val ev = load(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            unix_micros(col("ts")).as("pus"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("cid"),
+            unix_micros(col("ts")).as("cus"))
+        val day = lit(86400000000L)
+        val pairs = purchases.join(clicks, "user_id")
+          .filter(col("cus") <= col("pus") &&
+            col("cus") > col("pus") - lit(7L) * day)
+          .select(col("pid"), col("user_id"), col("cid"),
+            pow(lit(2.0),
+              -expr("(pus - cus) div 86400000000").cast("double")).as("wt"))
+        val norm = pairs.groupBy(col("pid")).agg(sum(col("wt")).as("tw"))
+        pairs.join(norm, "pid")
+          .select(col("pid"), col("user_id"), col("cid"),
+            (col("wt") / col("tw")).as("share"))
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id,
+             |             epoch_us(ts) AS pus
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cus
+             |      FROM events WHERE event_type = 'click'),
+             |pairs AS (SELECT pid, p.user_id AS user_id, cid,
+             |    pow(2.0, -CAST((pus - cus) // 86400000000 AS DOUBLE))
+             |      AS wt
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |  WHERE cus <= pus AND cus > pus - 7 * 86400000000),
+             |norm AS (SELECT pid, sum(wt) AS tw FROM pairs GROUP BY 1)
+             |SELECT pid, user_id, cid, wt / tw AS share
+             |FROM pairs JOIN norm USING (pid)""".stripMargin),
+      "time-decay multi-touch attribution: user-keyed candidate join, " +
+        "dyadic 2^-age weights make shares exact and unrounded — " +
+        "full credit assignment hash-checked"))
 }

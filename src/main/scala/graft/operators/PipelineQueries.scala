@@ -249,6 +249,50 @@ object PipelineQueries {
              |  CASE WHEN lang = 'en' THEN '1a' ELSE '80' END""".stripMargin),
       "deterministic stratified sample: 10% of en, 50% of other langs"),
 
+    // Neyman optimal allocation for a stratified sample: budget shares
+    // ∝ N_h·σ_h — the design that minimizes estimator variance for a
+    // fixed total budget, vs proportional allocation's N_h alone
+    // (high-variance strata earn extra budget; near-constant strata
+    // need almost none). σ_h comes from the exact integer moments
+    // (n·Σx² − (Σx)²) over document lengths, so the per-stratum
+    // doubles are built from identical integers in both engines; the
+    // allocation is left FRACTIONAL (rounded 4 dp) because the
+    // normalizing Σ N_h·σ_h is an order-unstable double sum —
+    // integerizing is the downstream largest-remainder step. One
+    // map-side-combined rollup + a 1-row broadcast normalizer; the
+    // corpus never shuffles.
+    Q("sample_neyman_allocation",
+      (s, d) => {
+        val st = load(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sx2"))
+          .select(col("lang"), col("nh"),
+            sqrt((col("nh") * col("sx2") - col("sx") * col("sx"))
+              .cast("double") / (col("nh") * (col("nh") - 1))).as("sd"))
+        val w = st.select(col("lang"), col("nh"), col("sd"),
+          (col("nh") * col("sd")).as("wt"))
+        w.crossJoin(broadcast(w.agg(sum(col("wt")).as("tot"))))
+          .select(col("lang"), col("nh"), round(col("sd"), 4).as("sd4"),
+            round(lit(1000) * col("wt") / col("tot"), 4).as("alloc4"))
+      },
+      Some("""WITH st AS (
+             |  SELECT lang, count(*) AS nh,
+             |         CAST(sum(n_chars) AS BIGINT) AS sx,
+             |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+             |  FROM documents GROUP BY 1),
+             |sd AS (SELECT lang, nh,
+             |         sqrt(CAST(nh * sx2 - sx * sx AS DOUBLE)
+             |           / (nh * (nh - 1))) AS sd
+             |       FROM st),
+             |w AS (SELECT lang, nh, sd, nh * sd AS wt FROM sd),
+             |tot AS (SELECT sum(wt) AS tot FROM w)
+             |SELECT lang, nh, round(sd, 4) AS sd4,
+             |  round(1000 * wt / tot, 4) AS alloc4
+             |FROM w, tot""".stripMargin),
+      "Neyman budget allocation from exact integer moments — variance-" +
+        "optimal stratified design, one rollup + broadcast normalizer"),
+
     // One-pass numeric profiler over orders: every column's null count,
     // distinct count, min/max/avg from a single scan (the distincts
     // share it via Expand). avg is rounded (order-unstable double sum).

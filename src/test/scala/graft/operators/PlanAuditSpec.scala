@@ -454,6 +454,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("growth accounting: lag and lead share ONE user-keyed window " +
+    "sort over the distinct user-month grain") {
+    val p = plan("events_growth_accounting")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(1600))
+    assert("Sort \\[user_id".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("Neyman allocation: one corpus rollup + a broadcast normalizer — " +
+    "the documents table is scanned once per consumer, never joined " +
+    "row-level") {
+    val p = plan("sample_neyman_allocation")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("sweep concurrency: the boundary running sum is MONTH-partitioned " +
     "(two-phase sweep) — the only unpartitioned window is the " +
     "O(months) carry prefix") {

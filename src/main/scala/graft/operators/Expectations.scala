@@ -128,5 +128,44 @@ object Expectations {
              |    AS viol_urgent_is_recent
              |FROM orders""".stripMargin),
       "row-level expectations: per-rule violation counts + clean total " +
-        "in one conditional-sum scan (DLT-style quality gate)"))
+        "in one conditional-sum scan (DLT-style quality gate)"),
+
+    // Sample-ratio-mismatch guardrail: every experimentation platform's
+    // first invalidity check — assign units to arms by deterministic
+    // hash (md5 first hex digit < '8' ⇒ 50/50, the same stable-under-
+    // retries assignment split_train_test uses), then χ² against the
+    // designed ratio; for two cells χ² collapses to (a−b)²/n. A
+    // failing SRM means the assignment or logging pipeline is biased
+    // and every downstream metric is untrustworthy — the check runs
+    // BEFORE any effect estimate. One conditional-count scan; the
+    // statistic is an exact-integer square over a count, flag at the
+    // α=0.05 critical value 3.841.
+    Q("quality_srm_check",
+      (s, d) => {
+        graft.core.Tables.load(s, d, "customer")
+          .select((substring(md5(concat(col("c_custkey").cast("string"),
+            lit(":ab"))), 1, 1) < "8").as("treat"))
+          .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("a"),
+            sum(when(!col("treat"), 1L).otherwise(0L)).as("b"))
+          .select(col("a"), col("b"),
+            round(((col("a") - col("b")) * (col("a") - col("b")))
+              .cast("double") / (col("a") + col("b")), 6).as("chi2"),
+            (((col("a") - col("b")) * (col("a") - col("b")))
+              .cast("double") / (col("a") + col("b")) > 3.841).as("srm"))
+      },
+      Some("""WITH t AS (SELECT substr(md5(CAST(c_custkey AS VARCHAR)
+             |             || ':ab'), 1, 1) < '8' AS treat
+             |           FROM customer),
+             |c AS (SELECT CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END)
+             |        AS BIGINT) AS a,
+             |        CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END)
+             |        AS BIGINT) AS b
+             |      FROM t)
+             |SELECT a, b,
+             |  round(CAST((a - b) * (a - b) AS DOUBLE) / (a + b), 6)
+             |    AS chi2,
+             |  CAST((a - b) * (a - b) AS DOUBLE) / (a + b) > 3.841 AS srm
+             |FROM c""".stripMargin),
+      "sample-ratio-mismatch χ² on a deterministic hash split — one " +
+        "conditional-count scan, exact-integer statistic"))
 }

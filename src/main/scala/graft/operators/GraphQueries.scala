@@ -234,5 +234,76 @@ object GraphQueries {
              |FROM walk GROUP BY 1""".stripMargin),
       "frontier BFS to 4 hops: one src-keyed equi-join + min-distance " +
         "rollup per round, shuffle ∝ frontier edges — layer distances " +
-        "hash-checked against a recursive-CTE walk"))
+        "hash-checked against a recursive-CTE walk"),
+
+    // 3-core peeling (fixed-round): the density filter link-graph
+    // curation runs before PageRank — nodes that can't sustain 3
+    // neighbors INSIDE the surviving subgraph are peeled, and peeling
+    // cascades (removing a leaf can strand its neighbor). Each round
+    // is two alive-membership equi-joins over the symmetric adjacency
+    // + a degree rollup — the dedup_cluster_election cost class, with
+    // the alive set only shrinking (broadcastable as it converges).
+    // Rounds are FIXED at 4 and the oracle unrolls the identical four
+    // rounds as CTEs (recursive SQL can't aggregate in the recursive
+    // term), so the output is exact whether or not the cascade has
+    // fully converged — on this graph it has (round 5 equals round 4,
+    // asserted in GraphQueriesSpec).
+    Q("graph_kcore_peel",
+      (s, d) => {
+        val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
+        val dir = load(s, d, "documents")
+          .select(col("doc_id")).crossJoin(broadcast(nRow))
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
+          .select(col("src"),
+            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val und = dir.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        val adj = persistOnce(und
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+        var alive = adj.select(col("src").as("v")).distinct()
+        for (_ <- 1 to 4) {
+          val av = persistOnce(alive)
+          alive = adj
+            .join(av.select(col("v").as("src")), "src")
+            .join(av.select(col("v").as("dst")), "dst")
+            .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select(col("src").as("v"))
+        }
+        val fin = persistOnce(alive)
+        adj.join(fin.select(col("v").as("src")), "src")
+          .join(fin.select(col("v").as("dst")), "dst")
+          .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+          .select(col("src").as("doc_id"), col("core_deg"))
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""r$i AS (
+             |  SELECT src AS v FROM adj
+             |  JOIN r${i - 1} x ON adj.src = x.v
+             |  JOIN r${i - 1} y ON adj.dst = y.v
+             |  GROUP BY src HAVING count(*) >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |nodes AS (SELECT doc_id FROM documents),
+           |dir AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
+           |        FROM nodes CROSS JOIN nn
+           |        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
+           |        WHERE doc_id <> (doc_id * 7 + j) % n),
+           |und AS (SELECT DISTINCT least(src, dst) AS a,
+           |               greatest(src, dst) AS b FROM dir),
+           |adj AS (SELECT a AS src, b AS dst FROM und
+           |        UNION ALL SELECT b, a FROM und),
+           |r0 AS (SELECT a AS v FROM und UNION SELECT b FROM und),
+           |$rounds
+           |SELECT adj.src AS doc_id, count(*) AS core_deg
+           |FROM adj JOIN r4 x ON adj.src = x.v
+           |         JOIN r4 y ON adj.dst = y.v
+           |GROUP BY 1""".stripMargin
+      },
+      "fixed-round 3-core peel: two membership equi-joins + a degree " +
+        "rollup per round over a shrinking alive set — core degrees " +
+        "hash-checked against four unrolled oracle rounds"))
 }

@@ -38,4 +38,34 @@ class GraphQueriesSpec extends SparkSpec {
       assert(math.abs(got - local(id)) < 1e-6, s"doc $id: $got vs ${local(id)}")
     }
   }
+
+  test("k-core peel has converged at the fixed 4 rounds (round 5 == " +
+    "round 4) and matches a local reference peel") {
+    val got = QueryCatalog.byName("graph_kcore_peel").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local reference: same derivation, peel to a FIXED POINT
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val und = (0L until n).flatMap { src =>
+      (1L to 3L).map(j => src -> ((src * 7 + j) % n)).filter(e => e._1 != e._2)
+    }.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = und ++ und.map { case (a, b) => (b, a) }
+    var alive = adj.map(_._1).distinct.toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = adj.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).collect { case (v, es) if es.size >= 3 => v }.toSet
+      changed = next != alive
+      alive = next
+      rounds += 1
+    }
+    // the fixed 4 query rounds must have reached the fixed point
+    assert(rounds <= 5, s"reference needed $rounds rounds — raise the " +
+      "query's unrolled round count")
+    val refDeg = adj.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    assert(got == refDeg,
+      s"missing=${(refDeg.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- refDeg.keySet).take(5)}")
+  }
 }

@@ -305,5 +305,63 @@ object GraphQueries {
       },
       "fixed-round 3-core peel: two membership equi-joins + a degree " +
         "rollup per round over a shrinking alive set — core degrees " +
-        "hash-checked against four unrolled oracle rounds"))
+        "hash-checked against four unrolled oracle rounds"),
+
+    // Degree assortativity (Newman's r): do high-degree nodes link to
+    // high-degree nodes? Positive r = hub-to-hub cores (social
+    // graphs), negative = hub-and-spoke (the web) — it decides whether
+    // hub-biased sampling starves the periphery. Over the SYMMETRIC
+    // edge list the x/y marginals are identical, so Pearson collapses
+    // to (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — a ratio of two exact
+    // BIGINT moments, one double division, hash-checked UNROUNDED.
+    // Two degree-annotation equi-joins + a 1-row moment aggregate;
+    // the only shuffles are the degree rollup and the joins.
+    Q("graph_assortativity",
+      (s, d) => {
+        val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
+        val dir = load(s, d, "documents")
+          .select(col("doc_id")).crossJoin(broadcast(nRow))
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
+          .select(col("src"),
+            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val und = dir.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        val adj = und.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = adj.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("dg"))
+        adj
+          .join(deg.select(col("v").as("src"), col("dg").as("dx")), "src")
+          .join(deg.select(col("v").as("dst"), col("dg").as("dy")), "dst")
+          .agg(count(lit(1)).as("m"), sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sx2"))
+          .select(col("m"),
+            ((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("m") * col("sx2") - col("sx") * col("sx")).cast("double"))
+              .as("assortativity"))
+      },
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |nodes AS (SELECT doc_id FROM documents),
+             |dir AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
+             |        FROM nodes CROSS JOIN nn
+             |        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
+             |        WHERE doc_id <> (doc_id * 7 + j) % n),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |               greatest(src, dst) AS b FROM dir),
+             |adj AS (SELECT a AS src, b AS dst FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT src AS v, count(*) AS dg FROM adj GROUP BY 1),
+             |mo AS (SELECT count(*) AS m,
+             |         CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy,
+             |         CAST(sum(dx.dg) AS BIGINT) AS sx,
+             |         CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sx2
+             |       FROM adj JOIN deg dx ON adj.src = dx.v
+             |                JOIN deg dy ON adj.dst = dy.v)
+             |SELECT m, CAST(m * sxy - sx * sx AS DOUBLE)
+             |  / CAST(m * sx2 - sx * sx AS DOUBLE) AS assortativity
+             |FROM mo""".stripMargin),
+      "Newman degree assortativity from exact integer moments — the " +
+        "symmetric-marginal collapse makes it one unrounded division"))
 }

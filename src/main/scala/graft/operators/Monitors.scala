@@ -438,6 +438,80 @@ object Monitors {
         "shuffle off cached counts — smoothed PSI and the " +
         "0.2 drift flag hash-checked"),
 
+    // Kolmogorov-Smirnov drift — PSI's nonparametric sibling: the max
+    // vertical gap between the two halves' empirical CDFs, computed
+    // EXACTLY (no binning, no smoothing) so it catches shape changes
+    // equal-width bins smear out. Per (type, distinct value): the two
+    // halves' counts; one type-keyed cumulative window over the
+    // O(distinct values) aggregate (never the event stream) turns
+    // counts into ECDFs; KS is the max |F1−F2|. Every ECDF value is
+    // an exact-integer ratio — identical IEEE division in both
+    // engines — so even the UNROUNDED statistic hash-checks; output
+    // rounds 6 dp for display. Reject at the asymptotic α=0.05 bound
+    // c(α)·√((na+nb)/(na·nb)), c = 1.358.
+    Q("mon_ks_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, d, "events").select(col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        val sp = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        val vc = ev.crossJoin(broadcast(sp))
+          .select(col("event_type"), col("value"),
+            (col("us") <= col("lo") + expr("(hi - lo) div 2"))
+              .as("first_half"))
+          .groupBy(col("event_type"), col("value")).agg(
+            sum(when(col("first_half"), 1L).otherwise(0L)).as("c_a"),
+            sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = vc.groupBy("event_type")
+          .agg(sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"))
+        vc.withColumn("f1", sum(col("c_a")).over(w))
+          .withColumn("f2", sum(col("c_b")).over(w))
+          .join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("na"), col("nb"),
+            abs(col("f1").cast("double") / col("na") -
+              col("f2").cast("double") / col("nb")).as("gap"))
+          .groupBy(col("event_type"), col("na"), col("nb"))
+          .agg(max(col("gap")).as("ks_raw"))
+          .select(col("event_type"), col("na"), col("nb"),
+            round(col("ks_raw"), 6).as("ks"),
+            (col("ks_raw") > lit(1.358) *
+              sqrt((col("na") + col("nb")).cast("double") /
+                (col("na") * col("nb")).cast("double"))).as("drift"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us
+             |            FROM events),
+             |sp AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+             |vc AS (SELECT event_type, value,
+             |    sum(CASE WHEN us <= lo + (hi - lo) // 2
+             |             THEN 1 ELSE 0 END) AS c_a,
+             |    sum(CASE WHEN us <= lo + (hi - lo) // 2
+             |             THEN 0 ELSE 1 END) AS c_b
+             |  FROM ev CROSS JOIN sp GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(c_a) AS BIGINT) AS na,
+             |               CAST(sum(c_b) AS BIGINT) AS nb
+             |        FROM vc GROUP BY 1),
+             |ec AS (SELECT event_type,
+             |    sum(c_a) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             |    sum(c_b) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+             |  FROM vc),
+             |gaps AS (SELECT ec.event_type, na, nb,
+             |    abs(CAST(f1 AS DOUBLE) / na - CAST(f2 AS DOUBLE) / nb)
+             |      AS gap
+             |  FROM ec JOIN tot USING (event_type)),
+             |ks AS (SELECT event_type, na, nb, max(gap) AS ks_raw
+             |       FROM gaps GROUP BY 1, 2, 3)
+             |SELECT event_type, na, nb, round(ks_raw, 6) AS ks,
+             |  ks_raw > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+             |    / CAST(na * nb AS DOUBLE)) AS drift
+             |FROM ks""".stripMargin),
+      "exact two-sample KS over ECDFs of the value distribution: " +
+        "cumulative windows on the distinct-value aggregate, " +
+        "integer-exact ratios — statistic and α=0.05 flag hash-checked"),
+
     // Hour-of-day seasonality profile + anomaly flag: per (type, hour)
     // the mean and sample-variance of DAILY counts across the observed
     // days, flagging hours where some day ran hotter than μ + 2σ — the

@@ -293,6 +293,70 @@ object PipelineQueries {
       "Neyman budget allocation from exact integer moments — variance-" +
         "optimal stratified design, one rollup + broadcast normalizer"),
 
+    // Quality-coverage curve: how much of the corpus (token-wise)
+    // survives each quality cut — the curve behind every "keep the
+    // top X%" curation decision (a steep curve means quality filtering
+    // is cheap; a flat one means it starves the token budget). Docs
+    // bin by score QUARTILE via the broadcast-threshold shape (exact
+    // percentiles to O(1) rows, map-side CASE — the corpus never
+    // sorts or shuffles, unlike an ntile formulation), then the
+    // cumulative token share descends from the best bin. Token counts
+    // are exact integers; shares are exact-int ratios rounded 6 dp;
+    // the cumulative window runs over FOUR rows.
+    Q("pipeline_quality_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = persistOnce(load(s, d, "documents")
+          .select(qualityScore(col("text")).as("q"),
+            size(tokens(col("text"))).cast("long").as("toks")))
+        val thr = scored.agg(
+          round(percentile(col("q"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("q"), lit(0.5)), 6).as("q2"),
+          round(percentile(col("q"), lit(0.75)), 6).as("q3"))
+        val b = scored.crossJoin(broadcast(thr))
+          .select(when(col("q") <= col("q1"), 1)
+            .when(col("q") <= col("q2"), 2)
+            .when(col("q") <= col("q3"), 3).otherwise(4).as("bin"),
+            col("toks"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok"))
+        val w = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.crossJoin(broadcast(b.agg(sum(col("tok")).as("tt"))))
+          .select(col("bin"), col("n_docs"),
+            round(col("tok").cast("double") / col("tt"), 6).as("tok_share"),
+            round(sum(col("tok")).over(w).cast("double") / col("tt"), 6)
+              .as("cum_share_from_best"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             |    + least((len(list_filter(string_split(text, ' '),
+             |        w -> w IN ('the','a','an','of','and','or','to','in','is','on')))
+             |      / len(string_split(text, ' '))) * 5.0, 1.0)
+             |    + greatest(0.0, 1.0 - (CAST(length(text) -
+             |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+             |        AS DOUBLE) / length(text)) * 10.0)) / 3.0 AS q,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS q1,
+             |               round(quantile_cont(q, 0.5), 6) AS q2,
+             |               round(quantile_cont(q, 0.75), 6) AS q3
+             |        FROM scored),
+             |b AS (SELECT CASE WHEN q <= q1 THEN 1 WHEN q <= q2 THEN 2
+             |             WHEN q <= q3 THEN 3 ELSE 4 END AS bin,
+             |        count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok
+             |      FROM scored, thr GROUP BY 1),
+             |t AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM b)
+             |SELECT bin, n_docs,
+             |  round(CAST(tok AS DOUBLE) / tt, 6) AS tok_share,
+             |  round(CAST(sum(tok) OVER (ORDER BY bin DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) / tt, 6) AS cum_share_from_best
+             |FROM b, t""".stripMargin),
+      "token-coverage curve by quality quartile: broadcast-threshold " +
+        "binning (no corpus sort), exact-integer shares, 4-row " +
+        "cumulative window"),
+
     // One-pass numeric profiler over orders: every column's null count,
     // distinct count, min/max/avg from a single scan (the distincts
     // share it via Expand). avg is rounded (order-unstable double sum).

@@ -37,12 +37,17 @@ object Bench {
     "agg_pricing_summary", "agg_latest_per_key", "agg_cube",
     "join_revenue_by_segment", "join_asof", "join_anti",
     "window_running_total", "window_topn_per_group", "window_session",
-    "setop_except_all", "scalar_arith_charge", "scalar_json_extract",
-    "scalar_time_window", "pivot_event_counts", "topk_orders",
-    "explode_tokens", "dedup_exact_groups", "dedup_minhash_lsh_pairs",
+    // scalar_arith_charge / scalar_time_window / topk_orders /
+    // explode_tokens / mm_frame_sample rotated out (sub-0.3 s map-only
+    // shapes — their cost class is covered by the remaining scalar and
+    // top-k entries): the driver keeps only the LAST 2000 chars of
+    // stdout and the JSON line was at 1748 — headroom over precision
+    "setop_except_all", "scalar_json_extract",
+    "pivot_event_counts",
+    "dedup_exact_groups", "dedup_minhash_lsh_pairs",
     "dedup_simhash_near_pairs", "sim_topk_bruteforce", "sim_topk_ivf",
     "text_quality_score", "text_pretoken_count", "pipeline_clean_chunks",
-    "cdc_merge_incremental", "mm_frame_sample", "join_range_point",
+    "cdc_merge_incremental", "join_range_point", "graph_triangle_count",
     "text_tfidf_topk", "dedup_cluster_election", "profile_orders",
     "text_repetition", "dedup_decontaminate", "pipeline_pack_sequences",
     "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf",

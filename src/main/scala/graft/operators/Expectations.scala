@@ -167,5 +167,114 @@ object Expectations {
              |  CAST((a - b) * (a - b) AS DOUBLE) / (a + b) > 3.841 AS srm
              |FROM c""".stripMargin),
       "sample-ratio-mismatch χ² on a deterministic hash split — one " +
-        "conditional-count scan, exact-integer statistic"))
+        "conditional-count scan, exact-integer statistic"),
+
+    // CUPED variance reduction (Deng et al.): adjust the experiment
+    // metric by its pre-period covariate, ŷ = y − θ(x − x̄), with
+    // θ = cov(x,y)/var(x) — the single highest-leverage trick in
+    // online experimentation (same effect estimate, tighter CI, often
+    // 30-50% variance off). Here y = a user's second-half purchase
+    // count, x = first-half (the stand-in pre-period), arms from the
+    // same deterministic md5 split the SRM check audits. θ collapses
+    // to the integer-moment ratio (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) —
+    // exact BIGINTs, one division; arm means are exact-count ratios;
+    // both the raw and CUPED effect estimates round 6 dp. Shape: one
+    // user-grain rollup (split/covariate are map-side on the
+    // broadcast midpoint), one O(1) pooled-moment aggregate, one
+    // O(arms) rollup.
+    Q("quality_cuped_effect",
+      (s, d) => {
+        val ev = graft.core.Tables.load(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            (col("event_type") === "purchase").as("pur"))
+        val sp = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        // consumed by pooled moments AND the arm rollup; O(users)
+        val user = graft.core.Caching.persistOnce(ev.crossJoin(broadcast(sp))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("pur") &&
+              col("us") <= col("lo") + expr("(hi - lo) div 2"), 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(col("pur") &&
+              col("us") > col("lo") + expr("(hi - lo) div 2"), 1L)
+              .otherwise(0L)).as("y"))
+          .select(col("x"), col("y"),
+            (substring(md5(concat(col("user_id").cast("string"),
+              lit(":ab"))), 1, 1) < "8").as("treat")))
+        val pooled = user.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"))
+        val theta = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+        val arms = user.groupBy(col("treat"))
+          .agg(count(lit(1)).as("na"), sum(col("x")).as("ax"),
+            sum(col("y")).as("ay"))
+        val wide = arms.groupBy()
+          .agg(
+            max(when(col("treat"), col("na"))).as("nt"),
+            max(when(col("treat"), col("ax"))).as("txs"),
+            max(when(col("treat"), col("ay"))).as("tys"),
+            max(when(!col("treat"), col("na"))).as("nc"),
+            max(when(!col("treat"), col("ax"))).as("cxs"),
+            max(when(!col("treat"), col("ay"))).as("cys"))
+        val xbar = col("sx").cast("double") / col("n")
+        val adjT = col("tys").cast("double") / col("nt") -
+          theta * (col("txs").cast("double") / col("nt") - xbar)
+        val adjC = col("cys").cast("double") / col("nc") -
+          theta * (col("cxs").cast("double") / col("nc") - xbar)
+        wide.crossJoin(broadcast(pooled))
+          .select(col("nt"), col("nc"), round(theta, 6).as("theta"),
+            round(col("tys").cast("double") / col("nt") -
+              col("cys").cast("double") / col("nc"), 6).as("raw_effect"),
+            round(adjT - adjC, 6).as("cuped_effect"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+             |             event_type = 'purchase' AS pur
+             |           FROM events),
+             |sp AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+             |u AS (SELECT user_id,
+             |    sum(CASE WHEN pur AND us <= lo + (hi - lo) // 2
+             |             THEN 1 ELSE 0 END) AS x,
+             |    sum(CASE WHEN pur AND us > lo + (hi - lo) // 2
+             |             THEN 1 ELSE 0 END) AS y
+             |  FROM ev CROSS JOIN sp GROUP BY 1),
+             |ua AS (SELECT x, y,
+             |    substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1)
+             |      < '8' AS treat
+             |  FROM u),
+             |pooled AS (SELECT count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sx2
+             |  FROM ua),
+             |arms AS (SELECT
+             |    max(CASE WHEN treat THEN na END) AS nt,
+             |    max(CASE WHEN treat THEN ax END) AS txs,
+             |    max(CASE WHEN treat THEN ay END) AS tys,
+             |    max(CASE WHEN NOT treat THEN na END) AS nc,
+             |    max(CASE WHEN NOT treat THEN ax END) AS cxs,
+             |    max(CASE WHEN NOT treat THEN ay END) AS cys
+             |  FROM (SELECT treat, count(*) AS na,
+             |          CAST(sum(x) AS BIGINT) AS ax,
+             |          CAST(sum(y) AS BIGINT) AS ay
+             |        FROM ua GROUP BY 1) g)
+             |SELECT nt, nc,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS theta,
+             |  round(CAST(tys AS DOUBLE) / nt - CAST(cys AS DOUBLE) / nc, 6)
+             |    AS raw_effect,
+             |  round((CAST(tys AS DOUBLE) / nt
+             |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / CAST(n * sx2 - sx * sx AS DOUBLE))
+             |        * (CAST(txs AS DOUBLE) / nt - CAST(sx AS DOUBLE) / n))
+             |    - (CAST(cys AS DOUBLE) / nc
+             |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / CAST(n * sx2 - sx * sx AS DOUBLE))
+             |        * (CAST(cxs AS DOUBLE) / nc - CAST(sx AS DOUBLE) / n)),
+             |    6) AS cuped_effect
+             |FROM arms, pooled""".stripMargin),
+      "CUPED-adjusted experiment effect from exact integer moments — " +
+        "θ, raw and adjusted estimates hash-checked; one user rollup, " +
+        "O(1) moment frames"))
 }

@@ -420,5 +420,52 @@ object TextQueries {
              |LIMIT 40""".stripMargin),
       "PMI collocations: vocabulary-keyed count joins + broadcast " +
         "corpus totals, top-40 never global-sorts — values and the " +
-        "deterministic rank cut hash-checked"))
+        "deterministic rank cut hash-checked"),
+
+    // Vocabulary-coverage curve: what share of corpus TOKENS a top-k
+    // vocabulary covers, at k ∈ {100, 1000, 10000} — the tokenizer-
+    // design complement of text_zipf_fit (the slope says how fast
+    // coverage accrues; this says exactly where the OOV budget lands
+    // for concrete vocab sizes). One token-count aggregation, then
+    // rank + cumulative sum over the O(vocab) AGGREGATE (the token
+    // stream itself never sorts), emit the three cutoff rows. Rank is
+    // total-ordered by (freq desc, token); shares are exact-integer
+    // ratios, identical IEEE division — unrounded.
+    Q("text_vocab_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uni = load(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("tok"))
+        val cum = Window.orderBy(col("c").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        uni
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cumc", sum(col("c")).over(cum))
+          .filter(col("rk").isin(100, 1000, 10000))
+          .crossJoin(broadcast(uni.agg(sum(col("c")).as("nt"))))
+          .select(col("rk").as("vocab_size"),
+            (col("cumc").cast("double") / col("nt")).as("coverage"),
+            (lit(1.0) - col("cumc").cast("double") / col("nt"))
+              .as("oov_rate"))
+      },
+      Some("""WITH uni AS (SELECT tok, count(*) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) t
+             |  GROUP BY 1),
+             |ranked AS (SELECT c,
+             |    row_number() OVER (ORDER BY c DESC, tok) AS rk,
+             |    sum(c) OVER (ORDER BY c DESC, tok
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumc
+             |  FROM uni),
+             |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni)
+             |SELECT CAST(rk AS INTEGER) AS vocab_size,
+             |  CAST(cumc AS DOUBLE) / nt AS coverage,
+             |  1.0 - CAST(cumc AS DOUBLE) / nt AS oov_rate
+             |FROM ranked, nt WHERE rk IN (100, 1000, 10000)""".stripMargin),
+      "top-k vocabulary token coverage at concrete cutoffs: rank + " +
+        "cumulative sum over the vocab aggregate, exact-integer " +
+        "shares unrounded"))
 }

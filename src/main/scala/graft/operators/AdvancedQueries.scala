@@ -1512,5 +1512,88 @@ object AdvancedQueries {
              |FROM pairs JOIN norm USING (pid)""".stripMargin),
       "time-decay multi-touch attribution: user-keyed candidate join, " +
         "dyadic 2^-age weights make shares exact and unrounded — " +
-        "full credit assignment hash-checked"))
+        "full credit assignment hash-checked"),
+
+    // Freshness-decayed popularity: the recsys/trending ranking score
+    // Σ 2^(-age_weeks) per item — an order last week counts double
+    // one from two weeks ago; a hit of any age always outranks
+    // silence. Decay is measured from the corpus max date (a 1-row
+    // broadcast); ages are INTEGER weeks CLAMPED at 40, so every
+    // weight is a multiple of 2^-40 and totals stay < 2^13 — all
+    // partial sums fit 53 mantissa bits, making the score EXACT in
+    // any summation order (an unclamped 7-year age span would exceed
+    // the mantissa and reintroduce order sensitivity); it hash-checks
+    // unrounded, same trick as the multi-touch attribution weights.
+    // One lineitem→orders equi-join (dates ride the order row), one
+    // map-side-combined rollup, TakeOrdered top-25, partkey
+    // tie-break.
+    Q("agg_decayed_popularity",
+      (s, d) => {
+        val o = load(s, d, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val mx = o.agg(max(col("od")).as("mx"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .crossJoin(broadcast(mx))
+          .select(col("l_partkey"),
+            pow(lit(2.0),
+              -least(expr("datediff(mx, od) div 7"), lit(40))
+                .cast("double")).as("wt"))
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_hits"), sum(col("wt")).as("score"))
+          .orderBy(col("score").desc, col("l_partkey")).limit(25)
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+             |             CAST(o_orderdate AS DATE) AS od
+             |           FROM orders),
+             |mx AS (SELECT max(od) AS mx FROM o),
+             |w AS (SELECT l_partkey,
+             |    pow(2.0, -CAST(least((mx - od) // 7, 40)
+             |      AS DOUBLE)) AS wt
+             |  FROM lineitem JOIN o ON l_orderkey = o_orderkey, mx)
+             |SELECT l_partkey, count(*) AS n_hits, sum(wt) AS score
+             |FROM w GROUP BY 1
+             |ORDER BY score DESC, l_partkey LIMIT 25""".stripMargin),
+      "dyadic 2^-age_weeks popularity: broadcast anchor date, one " +
+        "hash join + rollup, exact unrounded scores, TakeOrdered cut"),
+
+    // Calendar gap detector — the data-quality complement of
+    // window_gap_fill: instead of repairing holes it REPORTS them
+    // (an ingestion pipeline wants the alert before the imputation).
+    // The expected daily spine per event type is generated from the
+    // type's own [min, max] day range (sequence() — no calendar
+    // table), anti-joined against observed days; output is one row
+    // per missing day plus the per-type totals that make "3 of 30
+    // days missing" readable. Spine size ∝ types × days (metadata-
+    // scale), observed days come from one map-side-combined rollup;
+    // the anti join is hash-keyed. Exact integers and dates only.
+    Q("mon_calendar_gaps",
+      (s, d) => {
+        val obs = graft.core.Caching.persistOnce(load(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .distinct())
+        val rng = obs.groupBy("event_type")
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"),
+            count(lit(1)).as("n_observed"))
+        val spine = rng.select(col("event_type"), col("n_observed"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        spine.join(obs, Seq("event_type", "day"), "left_anti")
+          .select(col("event_type"), col("day").cast("date").as("missing_day"),
+            col("n_observed"))
+      },
+      Some("""WITH obs AS (SELECT DISTINCT event_type,
+             |               CAST(ts AS DATE) AS day FROM events),
+             |rng AS (SELECT event_type, min(day) AS lo, max(day) AS hi,
+             |               count(*) AS n_observed
+             |        FROM obs GROUP BY 1),
+             |spine AS (SELECT event_type, n_observed,
+             |            unnest(generate_series(lo, hi,
+             |              INTERVAL 1 DAY)) AS day
+             |          FROM rng)
+             |SELECT event_type, CAST(day AS DATE) AS missing_day,
+             |       n_observed
+             |FROM spine ANTI JOIN obs USING (event_type, day)""".stripMargin),
+      "missing-day report per type: self-derived daily spine anti-" +
+        "joined against observed days — metadata-scale spine, exact"))
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 
 /** Advanced relational surface (SURVEY §2.5/§2.7/§2.8 extensions):
@@ -1278,13 +1279,22 @@ object AdvancedQueries {
     // agree bit-for-bit and the flag comparisons are deterministic.
     Q("agg_mad_outliers",
       (s, d) => {
-        val cents = load(s, d, "orders").select(
+        val base = load(s, d, "orders").select(
           col("o_orderpriority").as("grp"),
-          round(col("o_totalprice") * 100).cast("long").as("c"))
+          round(col("o_totalprice") * 100).cast("long").as("c"),
+          col("o_orderkey"))
+        // PLANTED outliers: the fixture's totals never exceed the
+        // modified-z 3.5 fence in any group (review finding — the
+        // counting path was dead), so every 499th order re-enters at
+        // 25× its cents; both engines replay the plant, and
+        // n_outliers > 0 is what proves the fence fires
+        val cents = persistOnce(base.select(col("grp"), col("c"))
+          .unionByName(base.filter(col("o_orderkey") % 499 === 0)
+            .select(col("grp"), (col("c") * 25).as("c"))))
         val med = cents.groupBy("grp")
           .agg(round(percentile(col("c"), lit(0.5)), 6).as("med"))
-        val dev = cents.join(broadcast(med), "grp")
-          .select(col("grp"), col("med"), abs(col("c") - col("med")).as("ad"))
+        val dev = persistOnce(cents.join(broadcast(med), "grp")
+          .select(col("grp"), col("med"), abs(col("c") - col("med")).as("ad")))
         val mad = dev.groupBy("grp")
           .agg(round(percentile(col("ad"), lit(0.5)), 6).as("mad"))
         dev.join(broadcast(mad), "grp")
@@ -1297,7 +1307,11 @@ object AdvancedQueries {
       Some("""WITH cents AS (
              |  SELECT o_orderpriority AS grp,
              |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
-             |  FROM orders),
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderpriority,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) * 25
+             |  FROM orders WHERE o_orderkey % 499 = 0),
              |med AS (SELECT grp, round(quantile_cont(c, 0.5), 6) AS med
              |        FROM cents GROUP BY 1),
              |dev AS (SELECT cents.grp, med, abs(c - med) AS ad
@@ -1570,7 +1584,14 @@ object AdvancedQueries {
     // the anti join is hash-keyed. Exact integers and dates only.
     Q("mon_calendar_gaps",
       (s, d) => {
+        // PLANTED holes: the fixture has every type active every day
+        // (review finding — empty-to-empty oracle compares prove
+        // nothing), so 'error' events on multiple-of-5 days are
+        // dropped before observation; the detector must then emit
+        // exactly those days, and both engines replay the plant
         val obs = graft.core.Caching.persistOnce(load(s, d, "events")
+          .filter(!(col("event_type") === "error" &&
+            dayofmonth(col("ts")) % 5 === 0))
           .select(col("event_type"), to_date(col("ts")).as("day"))
           .distinct())
         val rng = obs.groupBy("event_type")
@@ -1583,7 +1604,9 @@ object AdvancedQueries {
             col("n_observed"))
       },
       Some("""WITH obs AS (SELECT DISTINCT event_type,
-             |               CAST(ts AS DATE) AS day FROM events),
+             |               CAST(ts AS DATE) AS day FROM events
+             |             WHERE NOT (event_type = 'error'
+             |               AND day(ts) % 5 = 0)),
              |rng AS (SELECT event_type, min(day) AS lo, max(day) AS hi,
              |               count(*) AS n_observed
              |        FROM obs GROUP BY 1),

@@ -36,7 +36,41 @@ import graft.core.Tables.load
   */
 object GraphQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
   private val Iterations = 5
+
+  /** The ONE copy of the deterministic link-graph derivation (three
+    * out-links per document at (7·id + j) mod N, self-loops dropped)
+    * shared by every graph query below; [[edgeSqlPrefix]] is its
+    * oracle-side mirror — change the rule in these two places only. */
+  private def derivedDir(s: SparkSession, d: String): DataFrame = {
+    val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
+    load(s, d, "documents")
+      .select(col("doc_id")).crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
+      .select(col("src"),
+        ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  private def derivedUnd(s: SparkSession, d: String): DataFrame =
+    derivedDir(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+
+  /** Oracle CTE prefix defining nn / nodes / dir / und — identical
+    * text in every graph oracle (an unused CTE is lazy in DuckDB). */
+  private val edgeSqlPrefix: String =
+    """nn AS (SELECT count(*) AS n FROM documents),
+      |nodes AS (SELECT doc_id FROM documents),
+      |dir AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
+      |        FROM nodes CROSS JOIN nn
+      |        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
+      |        WHERE doc_id <> (doc_id * 7 + j) % n),
+      |und AS (SELECT DISTINCT least(src, dst) AS a,
+      |               greatest(src, dst) AS b FROM dir)""".stripMargin
 
   /** The shared edge-derivation rule as SQL CTEs (Spark side mirrors
     * it in Column algebra). */
@@ -116,16 +150,7 @@ object GraphQueries {
     Q("graph_triangle_count",
       (s, d) => {
         val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
-        val dir = load(s, d, "documents")
-          .select(col("doc_id")).crossJoin(broadcast(nRow))
-          .select(col("doc_id").as("src"),
-            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
-          .select(col("src"),
-            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-        val und = persistOnce(dir
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b")).distinct())
+        val und = persistOnce(derivedUnd(s, d))
         val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("dg"))
         val lower = col("da") < col("db") ||
@@ -149,14 +174,7 @@ object GraphQueries {
             ((lit(6L) * col("n_triangles")).cast("double") /
               col("w2").cast("double")).as("clustering"))
       },
-      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
-             |nodes AS (SELECT doc_id FROM documents),
-             |dir AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
-             |        FROM nodes CROSS JOIN nn
-             |        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
-             |        WHERE doc_id <> (doc_id * 7 + j) % n),
-             |und AS (SELECT DISTINCT least(src, dst) AS a,
-             |               greatest(src, dst) AS b FROM dir),
+      Some(s"""WITH $edgeSqlPrefix,
              |deg AS (SELECT v, count(*) AS dg FROM (
              |          SELECT a AS v FROM und
              |          UNION ALL SELECT b AS v FROM und) e GROUP BY 1),
@@ -198,16 +216,8 @@ object GraphQueries {
     // rollup, so every (node, dist) value is hash-checked.
     Q("graph_bfs_layers",
       (s, d) => {
-        val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
-        val nodes = load(s, d, "documents")
-          .select(col("doc_id")).crossJoin(broadcast(nRow))
-        val edges = persistOnce(nodes
-          .select(col("doc_id").as("src"),
-            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
-          .select(col("src"),
-            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
-          .filter(col("src") =!= col("dst")))
-        var dist = nodes.filter(col("doc_id") === 0)
+        val edges = persistOnce(derivedDir(s, d))
+        var dist = load(s, d, "documents").filter(col("doc_id") === 0)
           .select(col("doc_id").as("node"), lit(0).as("d"))
         for (i <- 1 to 4) {
           val cur = persistOnce(dist)
@@ -219,16 +229,11 @@ object GraphQueries {
         }
         dist.select(col("node").as("doc_id"), col("d").as("dist"))
       },
-      Some("""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
-             |nodes AS (SELECT doc_id FROM documents),
-             |edges AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
-             |          FROM nodes CROSS JOIN nn
-             |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
-             |          WHERE doc_id <> (doc_id * 7 + j) % n),
+      Some(s"""WITH RECURSIVE $edgeSqlPrefix,
              |walk AS (
              |  SELECT doc_id AS node, 0 AS d FROM nodes WHERE doc_id = 0
              |  UNION
-             |  SELECT dst, d + 1 FROM walk JOIN edges ON node = src
+             |  SELECT dst, d + 1 FROM walk JOIN dir ON node = src
              |  WHERE d < 4)
              |SELECT node AS doc_id, min(d) AS dist
              |FROM walk GROUP BY 1""".stripMargin),
@@ -236,30 +241,25 @@ object GraphQueries {
         "rollup per round, shuffle ∝ frontier edges — layer distances " +
         "hash-checked against a recursive-CTE walk"),
 
-    // 3-core peeling (fixed-round): the density filter link-graph
-    // curation runs before PageRank — nodes that can't sustain 3
+    // 5-core peeling (fixed-round): the density filter link-graph
+    // curation runs before PageRank — nodes that can't sustain 5
     // neighbors INSIDE the surviving subgraph are peeled, and peeling
-    // cascades (removing a leaf can strand its neighbor). Each round
-    // is two alive-membership equi-joins over the symmetric adjacency
-    // + a degree rollup — the dedup_cluster_election cost class, with
-    // the alive set only shrinking (broadcastable as it converges).
-    // Rounds are FIXED at 4 and the oracle unrolls the identical four
-    // rounds as CTEs (recursive SQL can't aggregate in the recursive
-    // term), so the output is exact whether or not the cascade has
-    // fully converged — on this graph it has (round 5 equals round 4,
-    // asserted in GraphQueriesSpec).
+    // cascades (removing a node can strand its neighbors). k = 5
+    // because the derived graph's MINIMUM degree is 4: a k ≤ 4 peel
+    // would remove nothing and the whole cascade would be dead code
+    // under both the oracle and the spec (found by review — the
+    // planted-ground-truth rule applies to graph shape too). Each
+    // round is two alive-membership equi-joins over the symmetric
+    // adjacency + a degree rollup — the dedup_cluster_election cost
+    // class, with the alive set only shrinking (broadcastable as it
+    // converges). Rounds are FIXED at 4 and the oracle unrolls the
+    // identical four rounds as CTEs (recursive SQL can't aggregate in
+    // the recursive term), so the output is exact whether or not the
+    // cascade has fully converged — on this graph it has (the fixed
+    // point is reached and non-trivial, asserted in GraphQueriesSpec).
     Q("graph_kcore_peel",
       (s, d) => {
-        val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
-        val dir = load(s, d, "documents")
-          .select(col("doc_id")).crossJoin(broadcast(nRow))
-          .select(col("doc_id").as("src"),
-            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
-          .select(col("src"),
-            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-        val und = dir.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
+        val und = derivedUnd(s, d)
         val adj = persistOnce(und
           .select(col("a").as("src"), col("b").as("dst"))
           .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
@@ -270,7 +270,7 @@ object GraphQueries {
             .join(av.select(col("v").as("src")), "src")
             .join(av.select(col("v").as("dst")), "dst")
             .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 3).select(col("src").as("v"))
+            .filter(col("deg") >= 5).select(col("src").as("v"))
         }
         val fin = persistOnce(alive)
         adj.join(fin.select(col("v").as("src")), "src")
@@ -284,16 +284,9 @@ object GraphQueries {
              |  SELECT src AS v FROM adj
              |  JOIN r${i - 1} x ON adj.src = x.v
              |  JOIN r${i - 1} y ON adj.dst = y.v
-             |  GROUP BY src HAVING count(*) >= 3)""".stripMargin
+             |  GROUP BY src HAVING count(*) >= 5)""".stripMargin
         }.mkString(",\n")
-        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-           |nodes AS (SELECT doc_id FROM documents),
-           |dir AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
-           |        FROM nodes CROSS JOIN nn
-           |        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
-           |        WHERE doc_id <> (doc_id * 7 + j) % n),
-           |und AS (SELECT DISTINCT least(src, dst) AS a,
-           |               greatest(src, dst) AS b FROM dir),
+        s"""WITH $edgeSqlPrefix,
            |adj AS (SELECT a AS src, b AS dst FROM und
            |        UNION ALL SELECT b, a FROM und),
            |r0 AS (SELECT a AS v FROM und UNION SELECT b FROM und),
@@ -303,7 +296,7 @@ object GraphQueries {
            |         JOIN r4 y ON adj.dst = y.v
            |GROUP BY 1""".stripMargin
       },
-      "fixed-round 3-core peel: two membership equi-joins + a degree " +
+      "fixed-round 5-core peel: two membership equi-joins + a degree " +
         "rollup per round over a shrinking alive set — core degrees " +
         "hash-checked against four unrolled oracle rounds"),
 
@@ -318,20 +311,14 @@ object GraphQueries {
     // the only shuffles are the degree rollup and the joins.
     Q("graph_assortativity",
       (s, d) => {
-        val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
-        val dir = load(s, d, "documents")
-          .select(col("doc_id")).crossJoin(broadcast(nRow))
-          .select(col("doc_id").as("src"),
-            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("nn"))
-          .select(col("src"),
-            ((col("src") * 7 + col("j")) % col("nn")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-        val und = dir.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        val adj = und.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        val deg = adj.groupBy(col("src").as("v"))
-          .agg(count(lit(1)).as("dg"))
+        val und = derivedUnd(s, d)
+        // adj feeds the degree rollup AND the twice-annotated moment
+        // pass; deg joins in twice (dx, dy) — persist both
+        val adj = persistOnce(und
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = persistOnce(adj.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("dg")))
         adj
           .join(deg.select(col("v").as("src"), col("dg").as("dx")), "src")
           .join(deg.select(col("v").as("dst"), col("dg").as("dy")), "dst")
@@ -342,14 +329,7 @@ object GraphQueries {
               (col("m") * col("sx2") - col("sx") * col("sx")).cast("double"))
               .as("assortativity"))
       },
-      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
-             |nodes AS (SELECT doc_id FROM documents),
-             |dir AS (SELECT doc_id AS src, (doc_id * 7 + j) % n AS dst
-             |        FROM nodes CROSS JOIN nn
-             |        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
-             |        WHERE doc_id <> (doc_id * 7 + j) % n),
-             |und AS (SELECT DISTINCT least(src, dst) AS a,
-             |               greatest(src, dst) AS b FROM dir),
+      Some(s"""WITH $edgeSqlPrefix,
              |adj AS (SELECT a AS src, b AS dst FROM und
              |        UNION ALL SELECT b, a FROM und),
              |deg AS (SELECT src AS v, count(*) AS dg FROM adj GROUP BY 1),

@@ -455,13 +455,14 @@ object Monitors {
         val ev = load(s, d, "events").select(col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
         val sp = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
-        val vc = ev.crossJoin(broadcast(sp))
+        // consumed by the totals AND the ECDF windows; O(distinct values)
+        val vc = persistOnce(ev.crossJoin(broadcast(sp))
           .select(col("event_type"), col("value"),
             (col("us") <= col("lo") + expr("(hi - lo) div 2"))
               .as("first_half"))
           .groupBy(col("event_type"), col("value")).agg(
             sum(when(col("first_half"), 1L).otherwise(0L)).as("c_a"),
-            sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b"))
+            sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b")))
         val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = vc.groupBy("event_type")

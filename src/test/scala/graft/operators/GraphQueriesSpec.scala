@@ -39,8 +39,8 @@ class GraphQueriesSpec extends SparkSpec {
     }
   }
 
-  test("k-core peel has converged at the fixed 4 rounds (round 5 == " +
-    "round 4) and matches a local reference peel") {
+  test("5-core peel has converged at the fixed 4 rounds, actually " +
+    "peels nodes, and matches a local reference peel") {
     val got = QueryCatalog.byName("graph_kcore_peel").fn(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // local reference: same derivation, peel to a FIXED POINT
@@ -49,12 +49,13 @@ class GraphQueriesSpec extends SparkSpec {
       (1L to 3L).map(j => src -> ((src * 7 + j) % n)).filter(e => e._1 != e._2)
     }.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
     val adj = und ++ und.map { case (a, b) => (b, a) }
-    var alive = adj.map(_._1).distinct.toSet
+    val all = adj.map(_._1).distinct.toSet
+    var alive = all
     var rounds = 0
     var changed = true
     while (changed) {
       val next = adj.filter(e => alive(e._1) && alive(e._2))
-        .groupBy(_._1).collect { case (v, es) if es.size >= 3 => v }.toSet
+        .groupBy(_._1).collect { case (v, es) if es.size >= 5 => v }.toSet
       changed = next != alive
       alive = next
       rounds += 1
@@ -62,6 +63,11 @@ class GraphQueriesSpec extends SparkSpec {
     // the fixed 4 query rounds must have reached the fixed point
     assert(rounds <= 5, s"reference needed $rounds rounds — raise the " +
       "query's unrolled round count")
+    // NON-VACUOUS: at k=5 the peel must actually remove nodes (the
+    // graph's min degree is 4, so k≤4 would peel nothing) yet not
+    // annihilate the core
+    assert(alive.size < all.size, "peel removed nothing — k too low")
+    assert(alive.nonEmpty, "peel annihilated the graph — k too high")
     val refDeg = adj.filter(e => alive(e._1) && alive(e._2))
       .groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
     assert(got == refDeg,

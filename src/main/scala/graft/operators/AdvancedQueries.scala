@@ -1618,5 +1618,90 @@ object AdvancedQueries {
              |       n_observed
              |FROM spine ANTI JOIN obs USING (event_type, day)""".stripMargin),
       "missing-day report per type: self-derived daily spine anti-" +
-        "joined against observed days — metadata-scale spine, exact"))
+        "joined against observed days — metadata-scale spine, exact"),
+
+    // Join-cardinality prediction: |A ⋈ B| = Σ_k cA(k)·cB(k) computed
+    // from the per-key count VECTORS — the estimate a cost-based
+    // optimizer wants and the skew forecast an engineer wants BEFORE
+    // paying for the join (the top product terms name the keys that
+    // will dominate the shuffle; join_salted_skew is the cure this
+    // diagnoses for). Two map-side-combined count rollups + one
+    // key-keyed join of the O(keys) vectors — never the tables
+    // themselves; everything exact integers. Output: the exact
+    // predicted row count + the top-5 contributing keys with their
+    // share of the join.
+    Q("profile_join_cardinality",
+      (s, d) => {
+        val ca = load(s, d, "orders").groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("c_a"))
+        val cb = load(s, d, "events").groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("c_b"))
+        val prod = persistOnce(ca.join(cb, "k")
+          .select(col("k"), (col("c_a") * col("c_b")).as("rows_k")))
+        val tot = prod.agg(sum(col("rows_k")).as("join_rows"))
+        prod.crossJoin(broadcast(tot))
+          .orderBy(col("rows_k").desc, col("k")).limit(5)
+          .select(col("k").as("hot_key"), col("rows_k"), col("join_rows"),
+            round(col("rows_k").cast("double") / col("join_rows"), 6)
+              .as("share"))
+      },
+      Some("""WITH ca AS (SELECT o_custkey AS k, count(*) AS c_a
+             |            FROM orders GROUP BY 1),
+             |cb AS (SELECT user_id AS k, count(*) AS c_b
+             |       FROM events GROUP BY 1),
+             |prod AS (SELECT k, c_a * c_b AS rows_k
+             |         FROM ca JOIN cb USING (k)),
+             |tot AS (SELECT CAST(sum(rows_k) AS BIGINT) AS join_rows
+             |        FROM prod)
+             |SELECT k AS hot_key, rows_k, join_rows,
+             |  round(CAST(rows_k AS DOUBLE) / join_rows, 6) AS share
+             |FROM prod, tot
+             |ORDER BY rows_k DESC, k LIMIT 5""".stripMargin),
+      "exact join-size prediction + top-5 skew keys from O(keys) " +
+        "count vectors — the pre-join shuffle forecast, never " +
+        "touching the fact rows"),
+
+    // DAU / WAU / stickiness: the product-health triple — daily
+    // actives, trailing-7-day actives, and their ratio (what share of
+    // the weekly audience shows up on a given day). Rolling DISTINCT
+    // doesn't slide like a sum, so each (user, day) activity row
+    // EXPLODES into the 7 trailing days it covers and WAU is a plain
+    // count-distinct per covered day — shuffle ∝ activity × 7,
+    // never users × days, and the window never recomputes. Days are
+    // integer epoch-day indices; the first 6 days are emitted too
+    // (partial trailing window, consistent in both engines);
+    // stickiness is an exact-count ratio, identical IEEE division.
+    Q("events_dau_wau_stickiness",
+      (s, d) => {
+        val ua = persistOnce(load(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct())
+        val dau = ua.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = ua
+          .select(col("user_id"),
+            explode(expr("sequence(day, day + 6)")).as("day"))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6)
+              .as("stickiness"))
+      },
+      Some("""WITH ua AS (SELECT DISTINCT user_id,
+             |              epoch_us(ts) // 86400000000 AS day
+             |            FROM events),
+             |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+             |        FROM ua GROUP BY 1),
+             |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+             |        FROM (SELECT user_id,
+             |                unnest(generate_series(day, day + 6)) AS day
+             |              FROM ua) e
+             |        GROUP BY 1)
+             |SELECT day, dau, wau,
+             |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+             |FROM dau JOIN wau USING (day)""".stripMargin),
+      "DAU/WAU/stickiness via the explode-7 trailing-distinct trick — " +
+        "shuffle ∝ activity × 7, exact counts and ratios"))
 }

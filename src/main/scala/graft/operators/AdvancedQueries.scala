@@ -1703,5 +1703,57 @@ object AdvancedQueries {
              |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
              |FROM dau JOIN wau USING (day)""".stripMargin),
       "DAU/WAU/stickiness via the explode-7 trailing-distinct trick — " +
-        "shuffle ∝ activity × 7, exact counts and ratios"))
+        "shuffle ∝ activity × 7, exact counts and ratios"),
+
+    // Percent-of-parent hierarchical shares: every BI drill-down's
+    // contribution column — each nation's revenue as a share of its
+    // REGION, and each region's as a share of the TOTAL, in one
+    // result. The fact table rolls up to nation grain ONCE (exact
+    // cents), then the two ratio levels are windows over the
+    // O(nations) aggregate — partition-by-region for the local share,
+    // unpartitioned over ~25 rows for the region level; the fact
+    // scan never repeats per level (the naive formulation re-
+    // aggregates per hierarchy level). Shares are exact-integer
+    // ratios rounded 6 dp.
+    Q("join_percent_of_parent",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = load(s, d, "orders")
+          .join(load(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(load(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        val wr = Window.partitionBy(col("r_name"))
+        val wt = Window.partitionBy()
+        rev.select(col("r_name"), col("n_name"),
+            round(col("cents") / 100.0, 2).as("revenue"),
+            round(col("cents").cast("double") /
+              sum(col("cents")).over(wr), 6).as("share_of_region"),
+            round(sum(col("cents")).over(wr).cast("double") /
+              sum(col("cents")).over(wt), 6).as("region_share_of_total"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT r_name, n_name,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2)
+             |SELECT r_name, n_name,
+             |  round(cents / 100.0, 2) AS revenue,
+             |  round(CAST(cents AS DOUBLE) /
+             |    sum(cents) OVER (PARTITION BY r_name), 6)
+             |    AS share_of_region,
+             |  round(CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+             |    / sum(cents) OVER (), 6) AS region_share_of_total
+             |FROM rev""".stripMargin),
+      "two-level percent-of-parent from ONE nation-grain rollup — " +
+        "ratio windows over the aggregate, exact-cents shares"))
 }

@@ -561,5 +561,90 @@ object Monitors {
              |FROM hs WHERE nd >= 2""".stripMargin),
       "hour-of-day seasonal baseline from exact integer moments — " +
         "two combine-enabled rollups, μ+2σ hot-day flag bit-exact " +
-        "across engines"))
+        "across engines"),
+
+    // Bollinger bands over the daily event rate: trailing-7 mean ±2σ
+    // envelope + breakout flag — the uniform-window sibling of
+    // mon_lag_ewma's exponential smoothing (a level shift moves the
+    // EWMA immediately; the uniform band resists until the window
+    // rolls, which is why dashboards show both). The trailing moments
+    // are WINDOW SUMS OF INTEGERS (Σx, Σx² over ROWS 6 PRECEDING), so
+    // they're exact under any evaluation order and the derived
+    // mean/σ/flag are identical IEEE doubles in both engines — same
+    // ×integer-moments discipline as mon_seasonal_hours. One
+    // type-keyed sort; warm-up rows (fewer than 7 days of history)
+    // are emitted with their partial-window stats, flag compares use
+    // the population σ over the actual window length.
+    Q("mon_bollinger_bands",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, Window.currentRow)
+        val n = count(lit(1)).over(w)
+        val sx = sum(col("x")).over(w)
+        val sx2 = sum(col("x") * col("x")).over(w)
+        daily
+          .select(col("event_type"), col("day"), col("x"),
+            n.as("wn"), sx.as("wsx"), sx2.as("wsx2"))
+          .select(col("event_type"), col("day"), col("x"),
+            (col("wsx").cast("double") / col("wn")).as("mean7"),
+            sqrt((col("wn") * col("wsx2") - col("wsx") * col("wsx"))
+              .cast("double") / (col("wn") * col("wn"))).as("sd7"),
+            (abs(col("x") - col("wsx").cast("double") / col("wn")) >
+              lit(2.0) * sqrt((col("wn") * col("wsx2") -
+                col("wsx") * col("wsx")).cast("double") /
+                (col("wn") * col("wn")))).as("breakout"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |win AS (SELECT event_type, day, x,
+             |    count(*) OVER w AS wn,
+             |    sum(x) OVER w AS wsx,
+             |    sum(x * x) OVER w AS wsx2
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, x,
+             |  CAST(wsx AS DOUBLE) / wn AS mean7,
+             |  sqrt(CAST(wn * wsx2 - wsx * wsx AS DOUBLE)
+             |    / (wn * wn)) AS sd7,
+             |  abs(x - CAST(wsx AS DOUBLE) / wn) > 2.0 *
+             |    sqrt(CAST(wn * wsx2 - wsx * wsx AS DOUBLE)
+             |      / (wn * wn)) AS breakout
+             |FROM win""".stripMargin),
+      "trailing-7 Bollinger envelope from exact integer window " +
+        "moments — one type-keyed sort, bit-exact mean/σ/flag"),
+
+    // Velocity limit (fraud/abuse rate rule): events per user in the
+    // TRAILING HOUR at each event, flag past 5 — the numeric RANGE
+    // frame (microsecond order key, value-based bounds) that neither
+    // a tumbling window (boundary-straddling bursts split) nor a ROWS
+    // frame (ignores time) expresses. Shuffle is one user-keyed sort;
+    // the frame is evaluated per row over value offsets. Counts are
+    // exact integers.
+    Q("mon_velocity_limit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+        val hour = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3599999999L, 0)
+        ev.select(col("user_id"), col("event_id"),
+            count(lit(1)).over(hour).as("n_hour"))
+          .filter(col("n_hour") >= 3)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+             |            FROM events)
+             |SELECT user_id, event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY us
+             |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+             |    AS n_hour
+             |FROM ev QUALIFY n_hour >= 3""".stripMargin),
+      "trailing-hour per-user event velocity via a numeric RANGE " +
+        "frame over microseconds — burst rows past the limit, exact"))
 }

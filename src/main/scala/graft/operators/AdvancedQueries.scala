@@ -1755,5 +1755,58 @@ object AdvancedQueries {
              |    / sum(cents) OVER (), 6) AS region_share_of_total
              |FROM rev""".stripMargin),
       "two-level percent-of-parent from ONE nation-grain rollup — " +
-        "ratio windows over the aggregate, exact-cents shares"))
+        "ratio windows over the aggregate, exact-cents shares"),
+
+    // Empirical survival / hazard curve of user engagement: S(t) =
+    // share of users still active ≥ t days after their first event,
+    // h(t) = the share of day-(t−1) survivors who stop exactly there —
+    // retention's principled cousin (Kaplan-Meier). The fixture
+    // observes every user to the horizon (no censoring), so KM
+    // collapses EXACTLY to the empirical survival function — ratios
+    // of integer counts, no cumulative float product anywhere (the
+    // censored general case needs Π(1−h) and belongs to a numeric
+    // library, not an exactness-gated oracle). One user-grain rollup
+    // to lifetimes, one O(days) descending-cumulative window over the
+    // lifetime HISTOGRAM, exact divisions rounded 6 dp.
+    Q("events_survival_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val life = load(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("user_id"))
+          .agg((max(col("day")) - min(col("day"))).as("lifetime"))
+        val hist = life.groupBy(col("lifetime"))
+          .agg(count(lit(1)).as("ends_here"))
+        val w = Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("at_risk", sum(col("ends_here")).over(w))
+          .crossJoin(broadcast(life.agg(count(lit(1)).as("n"))))
+          .select(col("lifetime"), col("ends_here"), col("at_risk"),
+            round(col("at_risk").cast("double") / col("n"), 6)
+              .as("survival"),
+            round(col("ends_here").cast("double") / col("at_risk"), 6)
+              .as("hazard"))
+      },
+      Some("""WITH life AS (
+             |  SELECT user_id,
+             |    max(epoch_us(ts) // 86400000000)
+             |      - min(epoch_us(ts) // 86400000000) AS lifetime
+             |  FROM events GROUP BY 1),
+             |hist AS (SELECT lifetime, count(*) AS ends_here
+             |         FROM life GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM life),
+             |ar AS (SELECT lifetime, ends_here, sum(ends_here) OVER (
+             |         ORDER BY lifetime DESC
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS at_risk
+             |       FROM hist)
+             |SELECT lifetime, ends_here, CAST(at_risk AS BIGINT) AS at_risk,
+             |  round(CAST(at_risk AS DOUBLE) / n, 6) AS survival,
+             |  round(CAST(ends_here AS DOUBLE) / at_risk, 6) AS hazard
+             |FROM ar, n""".stripMargin),
+      "survival and hazard by engagement lifetime: user rollup + one " +
+        "descending cumulative window over the O(days) histogram — " +
+        "exact-count KM under full observation"))
 }

@@ -357,6 +357,56 @@ object PipelineQueries {
         "binning (no corpus sort), exact-integer shares, 4-row " +
         "cumulative window"),
 
+    // Class-balanced downsampling: every stratum cut to the MINORITY
+    // class's size — the classifier-training prep that stops a 90/10
+    // imbalance from teaching the majority prior. Selection is by
+    // md5-hash rank within each stratum (deterministic, stable under
+    // retries/re-partitioning — the sample_stratified_hash discipline
+    // applied to exact-count balancing): rank ≤ min-class-count keeps
+    // a uniform, reproducible subset. The rank is a per-stratum
+    // window over (hash, id); at extreme stratum cardinality the same
+    // selection degrades to a per-stratum hash THRESHOLD (quantile of
+    // the hash space ≈ minCount/count) with only approximate counts —
+    // the exact-rank form is the correctness baseline. Output: per
+    // stratum, the kept count (all equal) and the kept ids' checksum
+    // — scalar columns so the driver compare stays happy.
+    Q("sample_balanced_classes",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(concat(col("doc_id").cast("string"), lit(":bal")))
+              .as("h"))
+        val minN = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("min_n"))
+        val ranked = docs.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        ranked.crossJoin(broadcast(minN))
+          .filter(col("rk") <= col("min_n"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("id_sum"),
+            min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang,
+             |    md5(CAST(doc_id AS VARCHAR) || ':bal') AS h
+             |  FROM documents),
+             |mn AS (SELECT min(n) AS min_n FROM (
+             |         SELECT lang, count(*) AS n FROM docs GROUP BY 1) g),
+             |ranked AS (SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang
+             |                       ORDER BY h, doc_id) AS rk
+             |  FROM docs)
+             |SELECT lang, count(*) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  min(doc_id) AS id_min, max(doc_id) AS id_max
+             |FROM ranked, mn WHERE rk <= min_n
+             |GROUP BY 1""".stripMargin),
+      "minority-size class balancing by deterministic hash rank — " +
+        "per-stratum windows over (hash, id), kept-set checksums " +
+        "hash-checked"),
+
     // One-pass numeric profiler over orders: every column's null count,
     // distinct count, min/max/avg from a single scan (the distincts
     // share it via Expand). avg is rounded (order-unstable double sum).

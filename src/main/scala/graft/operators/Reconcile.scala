@@ -108,5 +108,79 @@ object Reconcile {
              |   OR src_n IS DISTINCT FROM dst_n""".stripMargin),
       "anti-entropy bucket digests: order-independent md5-prefix sums " +
         "per bucket, O(buckets) rows moved, divergent buckets surfaced " +
-        "— update drift that count parity cannot see"))
+        "— update drift that count parity cannot see"),
+
+    // Row-level diff with COLUMN attribution — the re-sync step after
+    // recon_bucket_digest localizes divergence (same planted replica
+    // drift: every 97≡3 custkey's balance is off by a dollar, every
+    // 101≡5 row is missing), and the standalone "data diff" tool in
+    // its own right: each divergent key is classified added / removed
+    // / changed, and changed rows name exactly WHICH columns moved
+    // (concat_ws skips the null markers of equal columns — same
+    // semantics both engines). One key-keyed full-outer join; every
+    // column compare is map-side null-safe equality; output ∝
+    // divergent rows only. In production this runs per divergent
+    // BUCKET from the digest query, so the join touches a sliver of
+    // the table — here it runs on the whole (small) fixture.
+    Q("recon_row_diff",
+      (s, d) => {
+        val base = load(s, d, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"),
+          col("c_mktsegment"))
+        val rep = base.filter(col("c_custkey") % 101 =!= 5)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            when(col("c_custkey") % 97 === 3, col("cents") + 100)
+              .otherwise(col("cents")).as("cents"),
+            col("c_mktsegment"))
+        val s_ = base.columns.foldLeft(base)((df, c) =>
+          df.withColumnRenamed(c, s"s_$c"))
+        val r_ = rep.columns.foldLeft(rep)((df, c) =>
+          df.withColumnRenamed(c, s"r_$c"))
+        def diffCol(c: String): Column =
+          when(!(col(s"s_$c") <=> col(s"r_$c")), lit(c))
+        s_.join(r_, col("s_c_custkey") === col("r_c_custkey"), "full_outer")
+          .select(
+            coalesce(col("s_c_custkey"), col("r_c_custkey")).as("key"),
+            when(col("r_c_custkey").isNull, "removed")
+              .when(col("s_c_custkey").isNull, "added")
+              .otherwise("changed").as("status"),
+            concat_ws(",", diffCol("c_name"), diffCol("c_nationkey"),
+              diffCol("cents"), diffCol("c_mktsegment")).as("changed_cols"))
+          .filter(col("status") =!= "changed" || col("changed_cols") =!= "")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_mktsegment
+             |  FROM customer),
+             |rep AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 97 = 3 THEN cents + 100
+             |         ELSE cents END AS cents,
+             |    c_mktsegment
+             |  FROM base WHERE c_custkey % 101 <> 5)
+             |SELECT coalesce(s.c_custkey, r.c_custkey) AS key,
+             |  CASE WHEN r.c_custkey IS NULL THEN 'removed'
+             |       WHEN s.c_custkey IS NULL THEN 'added'
+             |       ELSE 'changed' END AS status,
+             |  concat_ws(',',
+             |    CASE WHEN s.c_name IS DISTINCT FROM r.c_name
+             |         THEN 'c_name' END,
+             |    CASE WHEN s.c_nationkey IS DISTINCT FROM r.c_nationkey
+             |         THEN 'c_nationkey' END,
+             |    CASE WHEN s.cents IS DISTINCT FROM r.cents
+             |         THEN 'cents' END,
+             |    CASE WHEN s.c_mktsegment IS DISTINCT FROM r.c_mktsegment
+             |         THEN 'c_mktsegment' END) AS changed_cols
+             |FROM base s FULL OUTER JOIN rep r
+             |  ON s.c_custkey = r.c_custkey
+             |WHERE r.c_custkey IS NULL OR s.c_custkey IS NULL
+             |   OR s.c_name IS DISTINCT FROM r.c_name
+             |   OR s.c_nationkey IS DISTINCT FROM r.c_nationkey
+             |   OR s.cents IS DISTINCT FROM r.cents
+             |   OR s.c_mktsegment IS DISTINCT FROM r.c_mktsegment""".stripMargin),
+      "row-level data diff with changed-column attribution: one " +
+        "key-keyed full-outer join, null-safe map-side compares, " +
+        "output ∝ divergent rows — the digest query's re-sync step"))
 }

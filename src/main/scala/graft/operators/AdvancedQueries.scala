@@ -1808,5 +1808,62 @@ object AdvancedQueries {
              |FROM ar, n""".stripMargin),
       "survival and hazard by engagement lifetime: user rollup + one " +
         "descending cumulative window over the O(days) histogram — " +
-        "exact-count KM under full observation"))
+        "exact-count KM under full observation"),
+
+    // Behavioral bot scoring: humans are BURSTY, scripts are REGULAR —
+    // the inter-arrival coefficient of variation (σ/μ of the gaps)
+    // separates them better than volume alone (a Poisson-ish human
+    // sits near CV≈1; a cron-driven client near 0). Gaps come from one
+    // lag() tap per user over integer microseconds; their moments
+    // (n, Σg, Σg²) are exact BIGINTs, so CV² = n·(n·Σg² − (Σg)²) /
+    // ((n−1)·(Σg)²) is a pure integer-ratio double, identical in both
+    // engines and flag-stable. Flag: CV² < 0.25 (σ < μ/2) with ≥ 20
+    // gaps. Gaps are MINUTE-grain integers: at microsecond grain the
+    // n·(n·Σg² − (Σg)²) numerator overflows BIGINT for month-long
+    // spans (Σg ~ 2.6e12 µs squared is 6.7e24), while minute-grain
+    // worst cases stay below 2^56 — the grain is part of the moment
+    // discipline, not a convenience. One user-keyed sort + rollup.
+    Q("events_bot_score",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val gaps = load(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 60000000").as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+        gaps.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+            sum(col("gap") * col("gap")).as("sg2"))
+          .filter(col("n_gaps") >= 20 && col("sg") > 0)
+          .select(col("user_id"), col("n_gaps"),
+            round((col("n_gaps") * (col("n_gaps") * col("sg2") -
+              col("sg") * col("sg"))).cast("double") /
+              ((col("n_gaps") - 1) * col("sg") * col("sg")).cast("double"),
+              6).as("cv2"),
+            ((col("n_gaps") * (col("n_gaps") * col("sg2") -
+              col("sg") * col("sg"))).cast("double") /
+              ((col("n_gaps") - 1) * col("sg") * col("sg")).cast("double")
+              < 0.25).as("bot_like"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |              epoch_us(ts) // 60000000 AS us FROM events),
+             |gaps AS (SELECT user_id,
+             |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+             |      AS gap
+             |  FROM ev),
+             |mo AS (SELECT user_id, count(*) AS n_gaps,
+             |         CAST(sum(gap) AS BIGINT) AS sg,
+             |         CAST(sum(gap * gap) AS BIGINT) AS sg2
+             |       FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_gaps,
+             |  round(CAST(n_gaps * (n_gaps * sg2 - sg * sg) AS DOUBLE)
+             |    / CAST((n_gaps - 1) * sg * sg AS DOUBLE), 6) AS cv2,
+             |  CAST(n_gaps * (n_gaps * sg2 - sg * sg) AS DOUBLE)
+             |    / CAST((n_gaps - 1) * sg * sg AS DOUBLE) < 0.25
+             |    AS bot_like
+             |FROM mo WHERE n_gaps >= 20 AND sg > 0""".stripMargin),
+      "inter-arrival regularity (CV² of gaps) from exact integer " +
+        "moments — one lag tap per user, script-vs-human flag " +
+        "bit-exact"))
 }

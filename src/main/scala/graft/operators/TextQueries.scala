@@ -467,5 +467,50 @@ object TextQueries {
              |FROM ranked, nt WHERE rk IN (100, 1000, 10000)""".stripMargin),
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
-        "shares unrounded"))
+        "shares unrounded")) :+ shingleProfile
+
+  // Duplication-rate profile by shingle width (1..4-gram): how
+  // repetitive the corpus is at each granularity — the curve that
+  // tells a dedup pipeline WHICH operator to reach for (high unigram
+  // dup = vocabulary concentration, normal; high 4-gram dup =
+  // copied PASSAGES, the exact/near-dup operators' territory). The
+  // corpus tokenizes once (persisted); each width is an explode +
+  // count pair over that frame; output is one row per width with
+  // exact total/distinct counts and their ratio. Shuffle ∝ distinct
+  // shingles per width.
+  private val shingleProfile: Q =
+    Q("text_shingle_dup_profile",
+      (s, d) => {
+        val docs = persistOnce(load(s, d, "documents")
+          .select(tokens(col("text")).as("w")))
+        (1 to 4).map { n =>
+          docs.select(lit(n).as("n"),
+            explode(wordShinglesFromTokens(col("w"), n)).as("g"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("n"))
+          .agg(count(lit(1)).as("total"),
+            countDistinct(col("g")).as("n_distinct"))
+          .select(col("n"), col("total"), col("n_distinct"),
+            round(lit(1.0) -
+              col("n_distinct").cast("double") / col("total"), 6)
+              .as("dup_rate"))
+      },
+      Some {
+        val grams = (1 to 4).map { n =>
+          s"""SELECT $n AS n, unnest(list_transform(
+             |  range(1, greatest(len(w) - ${n - 1}, 0) + 1),
+             |  i -> array_to_string(w[i:i+${n - 1}], ' '))) AS g
+             |FROM t""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |u AS (
+           |$grams)
+           |SELECT n, count(*) AS total,
+           |  count(DISTINCT g) AS n_distinct,
+           |  round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+           |    AS dup_rate
+           |FROM u GROUP BY 1""".stripMargin
+      },
+      "corpus duplication rate per shingle width — the which-dedup-" +
+        "operator diagnostic; one tokenize pass, exact counts")
 }

@@ -423,10 +423,13 @@ object TextQueries {
         "deterministic rank cut hash-checked"),
 
     // Vocabulary-coverage curve: what share of corpus TOKENS a top-k
-    // vocabulary covers, at k ∈ {100, 1000, 10000} — the tokenizer-
-    // design complement of text_zipf_fit (the slope says how fast
-    // coverage accrues; this says exactly where the OOV budget lands
-    // for concrete vocab sizes). One token-count aggregation, then
+    // vocabulary covers, at k ∈ {5, 10, 20} — the tokenizer-design
+    // complement of text_zipf_fit (the slope says how fast coverage
+    // accrues; this says exactly where the OOV budget lands for
+    // concrete vocab sizes). Cutoffs are sized to the synthetic
+    // corpus's 31-token vocabulary (real cutoffs would be 100/1k/10k
+    // — a cutoff past the vocab emits nothing, which the t1 smoke
+    // gate rejects). One token-count aggregation, then
     // rank + cumulative sum over the O(vocab) AGGREGATE (the token
     // stream itself never sorts), emit the three cutoff rows. Rank is
     // total-ordered by (freq desc, token); shares are exact-integer
@@ -443,7 +446,7 @@ object TextQueries {
         uni
           .withColumn("rk", row_number().over(w))
           .withColumn("cumc", sum(col("c")).over(cum))
-          .filter(col("rk").isin(100, 1000, 10000))
+          .filter(col("rk").isin(5, 10, 20))
           .crossJoin(broadcast(uni.agg(sum(col("c")).as("nt"))))
           .select(col("rk").as("vocab_size"),
             (col("cumc").cast("double") / col("nt")).as("coverage"),
@@ -464,7 +467,7 @@ object TextQueries {
              |SELECT CAST(rk AS INTEGER) AS vocab_size,
              |  CAST(cumc AS DOUBLE) / nt AS coverage,
              |  1.0 - CAST(cumc AS DOUBLE) / nt AS oov_rate
-             |FROM ranked, nt WHERE rk IN (100, 1000, 10000)""".stripMargin),
+             |FROM ranked, nt WHERE rk IN (5, 10, 20)""".stripMargin),
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
         "shares unrounded")) :+ shingleProfile

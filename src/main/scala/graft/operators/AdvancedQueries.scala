@@ -1865,5 +1865,98 @@ object AdvancedQueries {
              |FROM mo WHERE n_gaps >= 20 AND sg > 0""".stripMargin),
       "inter-arrival regularity (CV² of gaps) from exact integer " +
         "moments — one lag tap per user, script-vs-human flag " +
-        "bit-exact"))
+        "bit-exact"),
+
+    // Reciprocal best match: supplier-part pairs where each is the
+    // OTHER's top by shipped quantity — the mutual-preference filter
+    // behind dedupe-free entity matching, account pairing, and
+    // "primary vendor" designation (one-directional top-1 is noisy:
+    // a tiny part's best supplier is usually some giant that barely
+    // notices it; reciprocity is the signal). One (supplier, part)
+    // rollup, two rank windows OVER THE AGGREGATE (per part, per
+    // supplier — deterministic total order with quantity desc, key
+    // tie-breaks), one equi-join of the two top-1 sets. Exact
+    // integers everywhere.
+    Q("join_reciprocal_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sp = persistOnce(load(s, d, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("qty")))
+        val byPart = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("qty").desc, col("l_suppkey"))
+        val bySupp = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("qty").desc, col("l_partkey"))
+        val topForPart = sp
+          .withColumn("rk", row_number().over(byPart))
+          .filter(col("rk") === 1)
+          .select(col("l_partkey"), col("l_suppkey"), col("qty"))
+        val topForSupp = sp
+          .withColumn("rk", row_number().over(bySupp))
+          .filter(col("rk") === 1)
+          .select(col("l_suppkey").as("s2"), col("l_partkey").as("p2"))
+        topForPart.join(topForSupp,
+            col("l_suppkey") === col("s2") && col("l_partkey") === col("p2"))
+          .select(col("l_partkey"), col("l_suppkey"), col("qty"))
+      },
+      Some("""WITH sp AS (SELECT l_suppkey, l_partkey,
+             |             sum(l_quantity) AS qty
+             |           FROM lineitem GROUP BY 1, 2),
+             |tp AS (SELECT l_partkey, l_suppkey, qty FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY l_partkey
+             |           ORDER BY qty DESC, l_suppkey) AS rk FROM sp) r
+             |       WHERE rk = 1),
+             |ts AS (SELECT l_suppkey AS s2, l_partkey AS p2 FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY l_suppkey
+             |           ORDER BY qty DESC, l_partkey) AS rk FROM sp) r
+             |       WHERE rk = 1)
+             |SELECT l_partkey, l_suppkey, qty
+             |FROM tp JOIN ts ON l_suppkey = s2 AND l_partkey = p2""".stripMargin),
+      "mutual top-1 supplier-part pairs: two rank windows over one " +
+        "rollup + an equi-join of the top sets — exact quantities"),
+
+    // Top conversion paths: the ordered event-type sequences that
+    // precede a purchase, ranked by how many converting users walked
+    // them — the funnel's free-form cousin (funnels test a HYPOTHESIS
+    // path; this REPORTS the observed ones, including the weird
+    // detours worth investigating). Per converting user: events up to
+    // and including the FIRST purchase, sorted into a path string by
+    // (ts, event_id) — sort AFTER collect_list, because collect order
+    // is partition-nondeterministic (list aggregation + list_sort on
+    // the DuckDB side, same contract). Paths cap at the first
+    // purchase so they're bounded by per-user pre-conversion
+    // activity; top-10 with a path tie-break.
+    Q("events_top_paths",
+      (s, d) => {
+        val ev = load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val firstPur = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("pus"))
+        val path = ev.join(firstPur, "user_id")
+          .filter(col("us") <= col("pus"))
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type").as("t")))),
+            e => e.getField("t")), ">").as("path"))
+        path.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path")).limit(10)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+             |              epoch_us(ts) AS us FROM events),
+             |fp AS (SELECT user_id, min(us) AS pus FROM ev
+             |       WHERE event_type = 'purchase' GROUP BY 1),
+             |path AS (SELECT user_id, array_to_string(list_transform(
+             |    list_sort(list({'us': us, 'eid': event_id,
+             |                    't': event_type})),
+             |    e -> e.t), '>') AS path
+             |  FROM ev JOIN fp USING (user_id)
+             |  WHERE us <= pus GROUP BY 1)
+             |SELECT path, count(*) AS n_users
+             |FROM path GROUP BY 1
+             |ORDER BY n_users DESC, path LIMIT 10""".stripMargin),
+      "observed pre-conversion paths ranked by walkers: bounded per-" +
+        "user collect + deterministic in-array sort, top-10 exact"))
 }

@@ -1958,5 +1958,66 @@ object AdvancedQueries {
              |FROM path GROUP BY 1
              |ORDER BY n_users DESC, path LIMIT 10""".stripMargin),
       "observed pre-conversion paths ranked by walkers: bounded per-" +
-        "user collect + deterministic in-array sort, top-10 exact"))
+        "user collect + deterministic in-array sort, top-10 exact"),
+
+    // Rank-biased overlap (Webber et al.) between two part rankings —
+    // "did the ranking change where it matters": top-weighted list
+    // similarity between rank-by-quantity and rank-by-revenue, the
+    // metric for comparing a new ranker against the incumbent without
+    // pretending depth-1000 swaps matter as much as depth-1 swaps.
+    // p = ½ makes the depth weights dyadic; overlap-at-depth comes
+    // from the max(rank_a, rank_b) histogram (an item is inside both
+    // top-d lists iff its WORSE rank ≤ d), cumulated over a dense
+    // depth grid d = 1..20 — one O(depths) frame, never a per-depth
+    // self-join. Truncated at depth 20 without the extrapolation
+    // term (this is RBO_MIN at p=½, where the tail weight 2^-20 is
+    // already negligible). The 20-term sum is order-unstable →
+    // rounded 6 dp; everything upstream is exact integers.
+    Q("eval_rank_rbo",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val items = load(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("cents"))
+        val ranked = persistOnce(items
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("qty").desc, col("l_partkey"))))
+          .withColumn("rb", row_number().over(
+            Window.orderBy(col("cents").desc, col("l_partkey"))))
+          .select(greatest(col("ra"), col("rb")).as("md"))
+          // only items inside SOME top-20 can contribute — the theta
+          // join below is then ≤ 20 × 20 pairs, not 20 × items
+          .filter(col("md") <= 20))
+        val grid = ranked.sparkSession.range(1, 21)
+          .select(col("id").cast("int").as("dd"))
+        val overlap = grid.join(ranked, col("md") <= col("dd"), "left")
+          .groupBy(col("dd"))
+          .agg(count(col("md")).as("ov"))
+        overlap
+          .select((pow(lit(2.0), -(col("dd") - 1).cast("double")) *
+            col("ov") / col("dd")).as("term"))
+          .agg(round(sum(col("term")) * 0.5, 6).as("rbo_min"))
+      },
+      Some("""WITH items AS (SELECT l_partkey, sum(l_quantity) AS qty,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS cents
+             |  FROM lineitem GROUP BY 1),
+             |ranked AS (SELECT md FROM (
+             |  SELECT greatest(
+             |    row_number() OVER (ORDER BY qty DESC, l_partkey),
+             |    row_number() OVER (ORDER BY cents DESC, l_partkey))
+             |    AS md
+             |  FROM items) r WHERE md <= 20),
+             |grid AS (SELECT CAST(unnest(generate_series(1, 20))
+             |           AS INTEGER) AS dd),
+             |overlap AS (SELECT dd, count(md) AS ov
+             |  FROM grid LEFT JOIN ranked ON md <= dd GROUP BY 1)
+             |SELECT round(sum(pow(2.0, -CAST(dd - 1 AS DOUBLE))
+             |  * ov / dd) * 0.5, 6) AS rbo_min
+             |FROM overlap""".stripMargin),
+      "top-weighted ranking agreement (RBO, p=1/2): worse-rank " +
+        "histogram cumulated over a 20-depth grid — no per-depth " +
+        "self-joins, dyadic weights, 6 dp"))
 }

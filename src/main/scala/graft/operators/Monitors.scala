@@ -646,5 +646,73 @@ object Monitors {
              |    AS n_hour
              |FROM ev QUALIFY n_hour >= 3""".stripMargin),
       "trailing-hour per-user event velocity via a numeric RANGE " +
-        "frame over microseconds — burst rows past the limit, exact"))
+        "frame over microseconds — burst rows past the limit, exact"),
+
+    // Autocorrelation of the daily rate at lags 1-3: the seasonality/
+    // momentum fingerprint — high ACF(1) means yesterday predicts
+    // today (smooth drifts: use CUSUM/EWMA), ACF(7) would expose
+    // weekly cycles (use the seasonal baseline), all-zero means white
+    // noise (thresholds suffice). Three lag() taps share ONE
+    // type-keyed window sort; the per-(type, lag) Pearson comes from
+    // exact integer moments, with the variance product cast to double
+    // BEFORE multiplying (BIGINT² overflows past ~sf1 — the same
+    // discipline as graph_assortativity). Output rounds 6 dp.
+    Q("mon_autocorrelation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val taps = daily.select(col("event_type"), col("x"),
+          lag(col("x"), 1).over(w).as("y1"),
+          lag(col("x"), 2).over(w).as("y2"),
+          lag(col("x"), 3).over(w).as("y3"))
+        val pairs = (1 to 3).map { k =>
+          taps.filter(col(s"y$k").isNotNull)
+            .select(col("event_type"), lit(k).as("lag_k"),
+              col("x"), col(s"y$k").as("y"))
+        }.reduce(_ unionByName _)
+        pairs.groupBy(col("event_type"), col("lag_k"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"))
+          .select(col("event_type"), col("lag_k"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("sy2") - col("sy") * col("sy"))
+                  .cast("double")), 6).as("acf"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |taps AS (SELECT event_type, x,
+             |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+             |    lag(x, 3) OVER w AS y3
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |pairs AS (
+             |  SELECT event_type, 1 AS lag_k, x, y1 AS y FROM taps
+             |  WHERE y1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT event_type, 2, x, y2 FROM taps WHERE y2 IS NOT NULL
+             |  UNION ALL
+             |  SELECT event_type, 3, x, y3 FROM taps WHERE y3 IS NOT NULL),
+             |mo AS (SELECT event_type, lag_k, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sx2,
+             |    CAST(sum(y * y) AS BIGINT) AS sy2
+             |  FROM pairs GROUP BY 1, 2)
+             |SELECT event_type, lag_k, n,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+             |       * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS acf
+             |FROM mo""".stripMargin),
+      "lag-1..3 autocorrelation of daily rates from exact integer " +
+        "moments — three lag taps on one window sort, 6 dp"))
 }

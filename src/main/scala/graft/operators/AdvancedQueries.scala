@@ -2019,5 +2019,56 @@ object AdvancedQueries {
              |FROM overlap""".stripMargin),
       "top-weighted ranking agreement (RBO, p=1/2): worse-rank " +
         "histogram cumulated over a 20-depth grid — no per-depth " +
-        "self-joins, dyadic weights, 6 dp"))
+        "self-joins, dyadic weights, 6 dp"),
+
+    // Drill-across (Kimball): combine TWO fact tables at a conformed
+    // grain — orders revenue and event activity meet at the customer
+    // key, then roll up by segment splitting engaged (has events)
+    // from silent customers. The load-bearing rule: each fact
+    // aggregates to the conformed grain FIRST and the facts meet in a
+    // full-outer join of the two O(customers) rollups — joining fact
+    // rows directly would fan out revenue by event count and corrupt
+    // every sum (the classic drill-across bug). Exact cents + counts;
+    // segment averages are exact-integer ratios rounded 4 dp.
+    Q("join_drill_across",
+      (s, d) => {
+        val rev = load(s, d, "orders").groupBy(col("o_custkey").as("ck"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents"), count(lit(1)).as("n_orders"))
+        val act = load(s, d, "events")
+          .groupBy(col("user_id").as("ck"))
+          .agg(count(lit(1)).as("n_events"))
+        val conformed = rev.join(act, Seq("ck"), "full_outer")
+        load(s, d, "customer")
+          .join(conformed, col("c_custkey") === col("ck"), "left")
+          .groupBy(col("c_mktsegment"),
+            coalesce(col("n_events"), lit(0L)).>(0).as("engaged"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(coalesce(col("n_orders"), lit(0L))).as("orders"),
+            round(sum(coalesce(col("cents"), lit(0L)))
+              .cast("double") / (count(lit(1)) * 100.0), 4)
+              .as("avg_revenue"),
+            sum(coalesce(col("n_events"), lit(0L))).as("events"))
+      },
+      Some("""WITH rev AS (SELECT o_custkey AS ck,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents,
+             |    count(*) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |act AS (SELECT user_id AS ck, count(*) AS n_events
+             |        FROM events GROUP BY 1),
+             |conformed AS (SELECT coalesce(rev.ck, act.ck) AS ck,
+             |    cents, n_orders, n_events
+             |  FROM rev FULL OUTER JOIN act ON rev.ck = act.ck)
+             |SELECT c_mktsegment, coalesce(n_events, 0) > 0 AS engaged,
+             |  count(*) AS n_customers,
+             |  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS orders,
+             |  round(CAST(sum(coalesce(cents, 0)) AS DOUBLE)
+             |    / (count(*) * 100.0), 4) AS avg_revenue,
+             |  CAST(sum(coalesce(n_events, 0)) AS BIGINT) AS events
+             |FROM customer LEFT JOIN conformed ON c_custkey = ck
+             |GROUP BY 1, 2""".stripMargin),
+      "two-fact drill-across at the conformed customer grain: each " +
+        "fact rolls up BEFORE the facts meet (no fan-out revenue " +
+        "corruption), segment × engagement rollup exact"))
 }

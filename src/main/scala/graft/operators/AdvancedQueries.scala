@@ -2070,5 +2070,124 @@ object AdvancedQueries {
              |GROUP BY 1, 2""".stripMargin),
       "two-fact drill-across at the conformed customer grain: each " +
         "fact rolls up BEFORE the facts meet (no fan-out revenue " +
-        "corruption), segment × engagement rollup exact"))
+        "corruption), segment × engagement rollup exact"),
+
+    // URL parsing + per-domain rollup: the first thing a web-crawl
+    // pipeline does with every record — split scheme/host/path/query,
+    // then aggregate by REGISTRABLE DOMAIN (crawl budgets, robots
+    // caches, per-site quality priors all key on it). URLs are
+    // derived deterministically from the documents table (no URL
+    // column in the fixture); parsing is pure RE2-safe regex identical
+    // in both engines — no lookarounds, no engine URL builtins (DuckDB
+    // has none, so builtins couldn't oracle anyway). Map-only parse +
+    // one domain-keyed rollup.
+    Q("scalar_url_parse",
+      (s, d) => {
+        val docs = load(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".example.com"),
+            lit("/"), col("lang"), lit("/doc-"), col("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("?ref=feed&page=2"))
+              .otherwise(lit(""))).as("url"))
+        val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+        docs.select(col("doc_id"), col("url"), host.as("host"),
+            regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1)
+              .as("path"),
+            regexp_extract(col("url"), "\\?(.*)$", 1).as("query"),
+            regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(when(col("query") =!= "", 1L).otherwise(0L))
+              .as("n_with_query"),
+            countDistinct(col("path")).as("n_paths"))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |    'https://www.' || source || '.example.com' || '/' ||
+             |    lang || '/doc-' || doc_id ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '?ref=feed&page=2'
+             |         ELSE '' END AS url
+             |  FROM documents),
+             |parsed AS (SELECT doc_id, url,
+             |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             |    regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1)
+             |      AS path,
+             |    regexp_extract(url, '\?(.*)$', 1) AS query,
+             |    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+             |      '([^.]+\.[^.]+)$', 1) AS domain
+             |  FROM docs)
+             |SELECT domain, count(*) AS n_urls,
+             |  CAST(sum(CASE WHEN query <> '' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_query,
+             |  count(DISTINCT path) AS n_paths
+             |FROM parsed GROUP BY 1""".stripMargin),
+      "scheme/host/path/query/registrable-domain extraction with " +
+        "RE2-safe regex (identical both engines) + per-domain crawl " +
+        "rollup"),
+
+    // URL canonicalization dedup — the prerequisite every URL-keyed
+    // dedup/frontier needs: the same resource arrives as HTTP vs
+    // HTTPS, mixed-case host, trailing slash, and tracking params;
+    // byte-equality sees four URLs, canonical form sees one. Rules
+    // (each a pure regex/lower step, identical both engines): force
+    // https, lowercase the HOST only, strip utm_* params then a
+    // dangling '?', strip one trailing slash. Variants are PLANTED
+    // deterministically (doc_id mod 4 picks the corruption), so the
+    // canonical groups are known: every group must collapse to
+    // exactly the plant multiplicity — value-checked, non-vacuous.
+    Q("dedup_url_canonical",
+      (s, d) => {
+        // stem keys on doc_id mod 20 (≥2 docs per group at EVERY SF —
+        // a source/lang-keyed stem only collided past 5k docs and the
+        // query was vacuous below sf0.1); the corruption branch keys
+        // on doc_id div 20 so each group mixes different corruptions
+        val base = load(s, d, "documents").select(col("doc_id"),
+          concat(lit("www.site"), (col("doc_id") % 20),
+            lit(".example.com/page")).as("stem"))
+        val branch = expr("(doc_id div 20) % 4")
+        val raw = base.select(col("doc_id"),
+          when(branch === 0,
+            concat(lit("http://"), col("stem")))
+          .when(branch === 1,
+            concat(lit("https://WWW."), regexp_replace(col("stem"),
+              "^www\\.", ""), lit("/")))
+          .when(branch === 2,
+            concat(lit("https://"), col("stem"),
+              lit("?utm_source=x&utm_campaign=y")))
+          .otherwise(concat(lit("https://"), col("stem"))).as("url"))
+        val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+        val rest = regexp_extract(col("url"), "^https?://[^/]+(.*)$", 1)
+        val canon = regexp_replace(regexp_replace(regexp_replace(
+          concat(lit("https://"), lower(host), rest),
+          "[?&]utm_[^&]*", ""), "\\?$", ""), "/$", "")
+        raw.select(col("doc_id"), canon.as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_variants"),
+            min(col("doc_id")).as("keeper"))
+          .filter(col("n_variants") >= 2)
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    'www.site' || (doc_id % 20) || '.example.com/page'
+             |      AS stem
+             |  FROM documents),
+             |raw AS (SELECT doc_id,
+             |    CASE WHEN (doc_id // 20) % 4 = 0 THEN 'http://' || stem
+             |         WHEN (doc_id // 20) % 4 = 1 THEN 'https://WWW.' ||
+             |           regexp_replace(stem, '^www\.', '') || '/'
+             |         WHEN (doc_id // 20) % 4 = 2 THEN 'https://' || stem
+             |           || '?utm_source=x&utm_campaign=y'
+             |         ELSE 'https://' || stem END AS url
+             |  FROM base),
+             |canon AS (SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      'https://' ||
+             |      lower(regexp_extract(url, '^https?://([^/]+)', 1)) ||
+             |      regexp_extract(url, '^https?://[^/]+(.*)$', 1),
+             |      '[?&]utm_[^&]*', '', 'g'), '\?$', ''), '/$', '')
+             |      AS canonical
+             |  FROM raw)
+             |SELECT canonical, count(*) AS n_variants,
+             |       min(doc_id) AS keeper
+             |FROM canon GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+      "URL canonicalization (scheme/case/tracking/slash rules as " +
+        "identical regex steps) collapsing planted variants — " +
+        "canonical groups value-checked"))
 }

@@ -2189,5 +2189,88 @@ object AdvancedQueries {
              |FROM canon GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
       "URL canonicalization (scheme/case/tracking/slash rules as " +
         "identical regex steps) collapsing planted variants — " +
-        "canonical groups value-checked"))
+        "canonical groups value-checked"),
+
+    // The three Pythagorean means per group — each is THE right mean
+    // for a different question (arithmetic: totals; geometric: growth
+    // rates and multiplicative effects, robust to right-skew;
+    // harmonic: rates like price-per-unit where the naive mean
+    // overweights big denominators; AM ≥ GM ≥ HM always). Arithmetic
+    // rides exact cents; geometric = exp(mean(ln x)) and harmonic =
+    // n / Σ(1/x) are order-unstable double sums → rounded 4 dp
+    // (catalog rule). One combine-enabled rollup.
+    Q("agg_pythagorean_means",
+      (s, d) => {
+        val o = load(s, d, "orders").select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("x"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        o.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("cents")).cast("double") /
+              (count(lit(1)) * 100.0), 4).as("mean_arith"),
+            round(exp(avg(log(col("x")))), 4).as("mean_geo"),
+            round(count(lit(1)) / sum(lit(1.0) / col("x")), 4)
+              .as("mean_harm"))
+      },
+      Some("""SELECT o_orderpriority AS grp, count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS DOUBLE) / (count(*) * 100.0), 4) AS mean_arith,
+             |  round(exp(avg(ln(o_totalprice))), 4) AS mean_geo,
+             |  round(count(*) / sum(1.0 / o_totalprice), 4) AS mean_harm
+             |FROM orders GROUP BY 1""".stripMargin),
+      "arithmetic / geometric / harmonic means per group — exact " +
+        "cents, log-mean and reciprocal-sum forms, one rollup"),
+
+    // Exact WEIGHTED median: the unit-price level at which half the
+    // shipped QUANTITY sits below — percentile() weights every row
+    // equally, which answers a different question when rows carry
+    // different volumes (one 50-unit line ≠ fifty 1-unit lines). Per
+    // return flag: per-price quantity rollup (map-side combined), one
+    // cumulative window over the O(distinct prices) aggregate, pick
+    // the first price whose cumulative weight reaches half the total
+    // (lower weighted median — pure integer compares, no
+    // interpolation, engine-exact). The fact table never sorts.
+    Q("agg_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = load(s, d, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          col("l_quantity").cast("long").as("w"))
+        val pw = li.groupBy(col("l_returnflag"), col("price_c"))
+          .agg(sum(col("w")).as("wsum"))
+        val cw = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("price_c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = pw.groupBy(col("l_returnflag"))
+          .agg(sum(col("wsum")).as("wtot"))
+        pw.withColumn("cum", sum(col("wsum")).over(cw))
+          .join(broadcast(tot), "l_returnflag")
+          .filter(col("cum") * 2 >= col("wtot"))
+          .groupBy(col("l_returnflag"), col("wtot"))
+          .agg(min(col("price_c")).as("wmedian_cents"))
+          .select(col("l_returnflag"), col("wtot").as("total_qty"),
+            round(col("wmedian_cents") / 100.0, 2).as("wmedian_price"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             |    CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem),
+             |pw AS (SELECT l_returnflag, price_c, CAST(sum(w) AS BIGINT)
+             |         AS wsum
+             |       FROM li GROUP BY 1, 2),
+             |tot AS (SELECT l_returnflag, CAST(sum(wsum) AS BIGINT) AS wtot
+             |        FROM pw GROUP BY 1),
+             |cum AS (SELECT l_returnflag, price_c, sum(wsum) OVER (
+             |          PARTITION BY l_returnflag ORDER BY price_c
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS cum
+             |        FROM pw)
+             |SELECT cum.l_returnflag, wtot AS total_qty,
+             |  round(min(price_c) / 100.0, 2) AS wmedian_price
+             |FROM cum JOIN tot USING (l_returnflag)
+             |WHERE cum * 2 >= wtot
+             |GROUP BY 1, 2""".stripMargin),
+      "lower weighted median by shipped quantity: cumulative window " +
+        "over the per-price rollup, integer compares only — the fact " +
+        "table never sorts"))
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2272,5 +2273,114 @@ object AdvancedQueries {
              |GROUP BY 1, 2""".stripMargin),
       "lower weighted median by shipped quantity: cumulative window " +
         "over the per-price rollup, integer compares only — the fact " +
-        "table never sorts"))
+        "table never sorts"),
+
+    // Semi-additive rollup: BALANCE-like measures sum across entities
+    // but take LAST over time — summing a user's readings across days
+    // double-counts, summing the day's last reading across users is
+    // the number the dashboard wants (the classic account-balance
+    // fact-table trap). Per (user, day): the LAST event value by
+    // (timestamp, event_id) — max_by with a deterministic tie-break,
+    // one combine-enabled aggregation, no window sort of the stream;
+    // then the additive dimension (users) sums per day. Cents-exact
+    // via per-row round→long before the cross-user sum.
+    Q("agg_semi_additive",
+      (s, d) => {
+        val ev = load(s, d, "events").select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val last = ev.groupBy(col("user_id"), col("day"))
+          .agg(max_by(col("cents"),
+            struct(col("us"), col("event_id"))).as("last_cents"))
+        last.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("last_cents")).cast("double") / 100.0, 2)
+              .as("total_last_value"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    epoch_us(ts) AS us, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |last AS (SELECT user_id, day,
+             |    (list_sort(list({'us': us, 'eid': event_id,
+             |                     'c': cents}))[-1]).c AS last_cents
+             |  FROM ev GROUP BY 1, 2)
+             |SELECT day, count(*) AS n_users,
+             |  round(CAST(sum(last_cents) AS DOUBLE) / 100.0, 2)
+             |    AS total_last_value
+             |FROM last GROUP BY 1""".stripMargin),
+      "semi-additive balance rollup: LAST over time (max_by with a " +
+        "deterministic tie-break) then SUM across users — exact " +
+        "cents, no stream-wide window sort"),
+
+    // Referential-integrity audit over every FK edge of the star
+    // schema — the load-bearing data-quality check before any join is
+    // trusted (an orphaned FK silently drops rows from inner joins
+    // and inflates null groups in outer ones). One row per
+    // relationship with child cardinality and orphan count; each edge
+    // is a distinct-keys projection anti-joined against its parent's
+    // key set (broadcastable — parents' KEYS are small even when
+    // parents aren't), unioned into one report. All exact counts.
+    Q("quality_referential_integrity",
+      (s, d) => {
+        def edge(name: String, child: DataFrame, key: String,
+                 parent: DataFrame, pkey: String) = {
+          val keys = child.select(col(key).as("k")).filter(col("k").isNotNull)
+          val orphans = keys.join(
+            broadcast(parent.select(col(pkey).as("k")).distinct()),
+            Seq("k"), "left_anti")
+          keys.agg(count(lit(1)).as("n_children"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(name).as("fk_edge"), col("n_children"),
+              col("n_orphans"))
+        }
+        val o = load(s, d, "orders"); val li = load(s, d, "lineitem")
+        val c = load(s, d, "customer"); val n = load(s, d, "nation")
+        Seq(
+          edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+          edge("lineitem->part", li, "l_partkey",
+            load(s, d, "part"), "p_partkey"),
+          edge("lineitem->supplier", li, "l_suppkey",
+            load(s, d, "supplier"), "s_suppkey"),
+          edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+          edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+          edge("nation->region", n, "n_regionkey",
+            load(s, d, "region"), "r_regionkey"))
+          .reduce(_ unionByName _)
+      },
+      Some("""SELECT 'lineitem->orders' AS fk_edge,
+             |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+             |    AS n_children,
+             |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |    AS n_orphans
+             |UNION ALL
+             |SELECT 'lineitem->part',
+             |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+             |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+             |     AND l_partkey NOT IN (SELECT p_partkey FROM part))
+             |UNION ALL
+             |SELECT 'lineitem->supplier',
+             |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+             |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+             |     AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+             |UNION ALL
+             |SELECT 'orders->customer',
+             |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+             |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+             |     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |UNION ALL
+             |SELECT 'customer->nation',
+             |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL),
+             |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+             |     AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             |UNION ALL
+             |SELECT 'nation->region',
+             |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL),
+             |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
+             |     AND n_regionkey NOT IN (SELECT r_regionkey FROM region))""".stripMargin),
+      "orphaned-FK audit across all six star-schema edges: distinct " +
+        "parent-key anti-joins, one report row per edge, exact counts"))
 }

@@ -2382,5 +2382,53 @@ object AdvancedQueries {
              |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
              |     AND n_regionkey NOT IN (SELECT r_regionkey FROM region))""".stripMargin),
       "orphaned-FK audit across all six star-schema edges: distinct " +
-        "parent-key anti-joins, one report row per edge, exact counts"))
+        "parent-key anti-joins, one report row per edge, exact counts"),
+
+    // Ratio-of-sums vs average-of-ratios — the rate-aggregation trap:
+    // "average purchase rate" can mean Σpurchases/Σevents (every
+    // EVENT weighted equally) or avg(user rate) (every USER weighted
+    // equally), and heavy users drag the two apart; dashboards that
+    // silently switch between them "move" metrics without any data
+    // changing. Both forms per event-type cohort from ONE user-grain
+    // rollup: ratio-of-sums is exact-integer division; the per-user
+    // ratios are identical IEEE divisions whose mean is an
+    // order-unstable sum → rounded 4 dp; the gap column makes the
+    // divergence visible.
+    Q("agg_rate_aggregation_bias",
+      (s, d) => {
+        val u = load(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_pur"))
+        u.agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("tot_ev"),
+            sum(col("n_pur")).as("tot_pur"),
+            round(avg(col("n_pur").cast("double") / col("n_ev")), 4)
+              .as("avg_of_ratios"))
+          .select(col("n_users"),
+            round(col("tot_pur").cast("double") / col("tot_ev"), 4)
+              .as("ratio_of_sums"),
+            col("avg_of_ratios"),
+            round(col("avg_of_ratios") -
+              round(col("tot_pur").cast("double") / col("tot_ev"), 4), 4)
+              .as("gap"))
+      },
+      Some("""WITH u AS (SELECT user_id, count(*) AS n_ev,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS n_pur
+             |  FROM events GROUP BY 1),
+             |agg AS (SELECT count(*) AS n_users,
+             |    CAST(sum(n_ev) AS BIGINT) AS tot_ev,
+             |    CAST(sum(n_pur) AS BIGINT) AS tot_pur,
+             |    round(avg(CAST(n_pur AS DOUBLE) / n_ev), 4)
+             |      AS avg_of_ratios
+             |  FROM u)
+             |SELECT n_users,
+             |  round(CAST(tot_pur AS DOUBLE) / tot_ev, 4) AS ratio_of_sums,
+             |  avg_of_ratios,
+             |  round(avg_of_ratios -
+             |    round(CAST(tot_pur AS DOUBLE) / tot_ev, 4), 4) AS gap
+             |FROM agg""".stripMargin),
+      "event-weighted vs user-weighted purchase rate from one user " +
+        "rollup — the silent-metric-switch audit, gap surfaced"))
 }

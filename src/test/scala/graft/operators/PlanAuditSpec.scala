@@ -468,6 +468,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("weighted median: the cumulative window is PARTITIONED by the " +
+    "group key over the per-price rollup — no global sort, no " +
+    "sort-merge join") {
+    val p = plan("agg_weighted_median")
+    assert(p.contains("windowspecdefinition(l_returnflag"), p.take(1600))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("drill-across: the two facts meet in a FULL OUTER join of their " +
+    "ROLLUPS (aggregates below the join, no fan-out)") {
+    val p = plan("join_drill_across")
+    assert(p.contains("FullOuter"), p.take(1600))
+    // both inputs to the conformed join are aggregated first
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1600))
+  }
+
+  test("referential integrity: every edge probes broadcast parent keys " +
+    "with an anti join") {
+    val p = plan("quality_referential_integrity")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("sweep concurrency: the boundary running sum is MONTH-partitioned " +
     "(two-phase sweep) — the only unpartitioned window is the " +
     "O(months) carry prefix") {

@@ -2430,5 +2430,80 @@ object AdvancedQueries {
              |    round(CAST(tot_pur AS DOUBLE) / tot_ev, 4), 4) AS gap
              |FROM agg""".stripMargin),
       "event-weighted vs user-weighted purchase rate from one user " +
-        "rollup — the silent-metric-switch audit, gap surfaced"))
+        "rollup — the silent-metric-switch audit, gap surfaced"),
+
+    // Pearson correlation matrix over the fact table's numeric columns
+    // in ONE aggregation pass: 15 exact integer moments (4 sums, 4
+    // sums-of-squares, 6 cross products, 1 count) reduce the whole
+    // scan to a single row, and every pairwise r is then scalar
+    // arithmetic on that row — the profiling shape that never rescans
+    // per pair (the naive corr-per-pair formulation reads the fact
+    // table C(k,2) times). Moments accumulate as decimal(38,0) —
+    // Σ(price_cents²) ≈ 6e19 at sf0.1 overflows BIGINT but integer
+    // decimal sums stay exact in any order; the exact moments convert
+    // to double once (correct rounding in both engines) and the final
+    // ratios round 4 dp. Output unpivots to (col_a, col_b) rows.
+    Q("profile_correlation_matrix",
+      (s, d) => {
+        val vars = Seq(
+          "qty" -> round(col("l_quantity"), 0),
+          "price" -> round(col("l_extendedprice") * 100, 0),
+          "disc" -> round(col("l_discount") * 100, 0),
+          "tax" -> round(col("l_tax") * 100, 0))
+        def i38(c: Column) = c.cast("decimal(18,0)")
+        val pairs = for {
+          i <- vars.indices; j <- vars.indices if i < j
+        } yield (vars(i), vars(j))
+        val moments =
+          vars.map { case (n, c) => sum(i38(c)).as(s"s_$n") } ++
+          vars.map { case (n, c) => sum(i38(c) * i38(c)).as(s"ss_$n") } ++
+          pairs.map { case ((a, ca), (b, cb)) =>
+            sum(i38(ca) * i38(cb)).as(s"sx_${a}_$b") }
+        val m = load(s, d, "lineitem")
+          .agg(count(lit(1)).as("n"), moments: _*)
+        def dbl(n: String) = col(n).cast("double")
+        def corrOf(a: String, b: String) =
+          round((dbl("n") * dbl(s"sx_${a}_$b") - dbl(s"s_$a") * dbl(s"s_$b")) /
+            sqrt((dbl("n") * dbl(s"ss_$a") - dbl(s"s_$a") * dbl(s"s_$a")) *
+                 (dbl("n") * dbl(s"ss_$b") - dbl(s"s_$b") * dbl(s"s_$b"))), 4)
+        val withR = m.select(col("n").as("n_rows") +:
+          pairs.map { case ((a, _), (b, _)) =>
+            corrOf(a, b).as(s"r_${a}_$b") }: _*)
+        val stackExpr = s"stack(${pairs.size}, " + pairs.map {
+          case ((a, _), (b, _)) => s"'$a', '$b', r_${a}_$b"
+        }.mkString(", ") + ") AS (col_a, col_b, corr_r)"
+        withR.select(expr(stackExpr), col("n_rows"))
+          .select("col_a", "col_b", "corr_r", "n_rows")
+      },
+      Some {
+        val defs = Seq("qty" -> "round(l_quantity)",
+          "price" -> "round(l_extendedprice*100)",
+          "disc" -> "round(l_discount*100)",
+          "tax" -> "round(l_tax*100)")
+        val pairs = for {
+          i <- defs.indices; j <- defs.indices if i < j
+        } yield (defs(i), defs(j))
+        val moments =
+          defs.map { case (n, e) => s"sum(CAST($e AS HUGEINT)) AS s_$n" } ++
+          defs.map { case (n, e) =>
+            s"sum(CAST($e AS HUGEINT) * CAST($e AS HUGEINT)) AS ss_$n" } ++
+          pairs.map { case ((a, ea), (b, eb)) =>
+            s"sum(CAST($ea AS HUGEINT) * CAST($eb AS HUGEINT)) AS sx_${a}_$b" }
+        def dbl(n: String) = s"CAST($n AS DOUBLE)"
+        val rows = pairs.map { case ((a, _), (b, _)) =>
+          val r = s"round((${dbl("n")} * ${dbl(s"sx_${a}_$b")} - " +
+            s"${dbl(s"s_$a")} * ${dbl(s"s_$b")}) / " +
+            s"sqrt((${dbl("n")} * ${dbl(s"ss_$a")} - " +
+            s"${dbl(s"s_$a")} * ${dbl(s"s_$a")}) * " +
+            s"(${dbl("n")} * ${dbl(s"ss_$b")} - " +
+            s"${dbl(s"s_$b")} * ${dbl(s"s_$b")})), 4)"
+          s"SELECT '$a' AS col_a, '$b' AS col_b, $r AS corr_r, " +
+            s"CAST(n AS BIGINT) AS n_rows FROM m"
+        }
+        s"""WITH m AS (SELECT count(*) AS n, ${moments.mkString(", ")}
+           |  FROM lineitem)
+           |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+      },
+      "full correlation matrix from one scan: 15 exact decimal moments " +
+        "→ 1 row → scalar pairwise ratios, unpivoted"))
 }

@@ -714,5 +714,57 @@ object Monitors {
              |       * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS acf
              |FROM mo""".stripMargin),
       "lag-1..3 autocorrelation of daily rates from exact integer " +
-        "moments — three lag taps on one window sort, 6 dp"))
+        "moments — three lag taps on one window sort, 6 dp"),
+
+    // Maximum drawdown of the daily value series per event type: the
+    // deepest peak-to-trough drop a monitor would page on (revenue dip,
+    // volume collapse). The series rolls up to exact day-grain cents
+    // first, then the running peak is a day-ordered cumulative-max
+    // window and the reported row is the deepest (peak − value) gap —
+    // both windows share one event_type partition exchange, so the
+    // whole detector costs one shuffle ∝ types × days past the rollup.
+    // All arithmetic is exact integer cents; the trough day tie-breaks
+    // ascending, so the FIRST deepest trough wins in both engines.
+    Q("mon_max_drawdown",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = load(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("v_cents"))
+        val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dd = daily
+          .withColumn("peak_cents", max(col("v_cents")).over(cum))
+          .withColumn("drawdown_cents", col("peak_cents") - col("v_cents"))
+        val deepest = Window.partitionBy(col("event_type"))
+          .orderBy(col("drawdown_cents").desc, col("day"))
+        dd.withColumn("rk", row_number().over(deepest))
+          .where(col("rk") === 1)
+          .select(col("event_type"), col("day").as("trough_day"),
+            col("peak_cents"), col("v_cents").as("trough_cents"),
+            col("drawdown_cents"),
+            round(col("drawdown_cents").cast("double") /
+              col("peak_cents"), 6).as("dd_ratio"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             |      AS v_cents
+             |  FROM events GROUP BY 1, 2),
+             |dd AS (
+             |  SELECT event_type, day, v_cents,
+             |    max(v_cents) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS peak_cents
+             |  FROM daily)
+             |SELECT event_type, day AS trough_day, peak_cents,
+             |  v_cents AS trough_cents,
+             |  peak_cents - v_cents AS drawdown_cents,
+             |  round(CAST(peak_cents - v_cents AS DOUBLE) / peak_cents, 6)
+             |    AS dd_ratio
+             |FROM dd
+             |QUALIFY row_number() OVER (PARTITION BY event_type
+             |  ORDER BY peak_cents - v_cents DESC, day) = 1""".stripMargin),
+      "max drawdown per type: day-grain cents rollup, cumulative-max " +
+        "window, deepest-gap pick — one exchange past the rollup"))
 }

@@ -470,7 +470,7 @@ object TextQueries {
              |FROM ranked, nt WHERE rk IN (5, 10, 20)""".stripMargin),
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
-        "shares unrounded")) :+ shingleProfile
+        "shares unrounded")) :+ shingleProfile :+ autocompleteTopk
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -516,4 +516,51 @@ object TextQueries {
       },
       "corpus duplication rate per shingle width — the which-dedup-" +
         "operator diagnostic; one tokenize pass, exact counts")
+
+  // Autocomplete / type-ahead index: top-3 completions by frequency
+  // for every word prefix up to 4 chars — the search-box suggestion
+  // table. The scale discipline is aggregate-then-explode: the
+  // corpus collapses to its O(vocab) word-frequency table FIRST and
+  // only those rows fan out ×4 into prefixes, so the corpus scan
+  // pays one word-keyed exchange and the prefix window ranks a
+  // vocab-sized frame (WindowGroupLimit truncates map-side). Ties
+  // break lexicographically — a unique total order per prefix.
+  private val autocompleteTopk: Q =
+    Q("text_autocomplete_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = load(s, d, "part")
+          .select(explode(split(col("p_name"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val pref = counts.select(
+          explode(expr(
+            "transform(sequence(1, least(4, length(w))), " +
+              "i -> substring(w, 1, i))")).as("prefix"),
+          col("w").as("suggestion"), col("cnt"))
+        val byPrefix = Window.partitionBy(col("prefix"))
+          .orderBy(col("cnt").desc, col("suggestion"))
+        pref.withColumn("rk", row_number().over(byPrefix))
+          .where(col("rk") <= 3)
+          .select(col("prefix"), col("rk"), col("suggestion"), col("cnt"))
+      },
+      Some("""WITH words AS (
+             |  SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+             |counts AS (
+             |  SELECT w, count(*) AS cnt FROM words
+             |  WHERE length(w) > 0 GROUP BY 1),
+             |pref AS (
+             |  SELECT substr(w, 1, i) AS prefix, w AS suggestion, cnt
+             |  FROM (SELECT w, cnt,
+             |          unnest(range(1, least(4, length(w)) + 1)) AS i
+             |        FROM counts) t)
+             |SELECT prefix,
+             |  CAST(row_number() OVER (PARTITION BY prefix
+             |    ORDER BY cnt DESC, suggestion) AS INT) AS rk,
+             |  suggestion, cnt
+             |FROM pref
+             |QUALIFY row_number() OVER (PARTITION BY prefix
+             |  ORDER BY cnt DESC, suggestion) <= 3""".stripMargin),
+      "type-ahead top-3 per prefix — aggregate to O(vocab) first, " +
+        "then explode ×4 and rank; corpus pays one exchange")
 }

@@ -931,5 +931,174 @@ object PipelineQueries {
              |SELECT doc_id, lang, bin AS bin_id, fill AS fill_after FROM p""".stripMargin),
       "composite budgeted-corpus assembly: per-language priority sample " +
         "(k=32) feeding greedy 128-token packing — sampling bounds the " +
-        "packing scan to O(sample); chained-CTE oracle"))
+        "packing scan to O(sample); chained-CTE oracle"),
+
+    // Poisson bootstrap confidence interval for the mean — the
+    // distributed bootstrap (each row draws an independent Poisson(1)
+    // multiplicity per replicate, so no resample pass ever
+    // materializes). 64 replicates ride ONE explode×64 + a 64-group
+    // map-side-combined aggregation — shuffle is 64 rows per map
+    // task, never the table; the CI is the 2nd/63rd order statistic
+    // of the replicate means. Everything is deterministic: the
+    // Poisson draw inverts a shared md5-uniform against hard-coded
+    // CDF literals, weighted sums are exact integer cents, and the
+    // replicate means are exact-int ratios (IEEE-identical), so the
+    // whole interval hash-matches.
+    Q("sample_bootstrap_ci",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = load(s, d, "orders").select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("cents"))
+        val rep = base.select(col("o_orderkey"), col("cents"),
+          explode(expr("sequence(0, 63)")).as("b"))
+        val u = (conv(substring(md5(concat(
+          col("o_orderkey").cast("string"), lit(":boot:"),
+          col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("double") + 1) / lit(4294967296.0)
+        val w = when(u <= 0.36787944117144233, 0L)
+          .when(u <= 0.7357588823428847, 1L)
+          .when(u <= 0.9196986029286058, 2L)
+          .when(u <= 0.9810118431238463, 3L)
+          .when(u <= 0.9963401531726563, 4L)
+          .when(u <= 0.9994058151824183, 5L)
+          .otherwise(6L)
+        val means = rep
+          .select(col("b"), (w * col("cents")).as("wx"), w.as("w"))
+          .groupBy(col("b"))
+          .agg(sum(col("wx")).as("swx"), sum(col("w")).as("sw"))
+          .select(col("b"), (col("swx").cast("double") / col("sw") /
+            lit(100.0)).as("mean_b"))
+        val rk = Window.partitionBy(lit(0))
+          .orderBy(col("mean_b"), col("b"))
+        val ci = means.withColumn("rk", row_number().over(rk))
+          .agg(max(when(col("rk") === 2, col("mean_b"))).as("lo"),
+               max(when(col("rk") === 63, col("mean_b"))).as("hi"))
+        val pt = base.agg(count(lit(1)).as("n_orders"),
+          (sum(col("cents")).cast("double") / count(lit(1)) /
+            lit(100.0)).as("pm"))
+        pt.crossJoin(ci).select(col("n_orders"),
+          round(col("pm"), 4).as("point_mean"),
+          round(col("lo"), 4).as("ci_lo"),
+          round(col("hi"), 4).as("ci_hi"),
+          lit(64L).as("b_reps"))
+      },
+      Some("""WITH rep AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+             |    unnest(range(0, 64)) AS b
+             |  FROM orders),
+             |h AS (
+             |  SELECT b, cents,
+             |    (list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(CAST(o_orderkey AS VARCHAR) || ':boot:'
+             |          || CAST(b AS VARCHAR)), i, 1)) - 1 AS DOUBLE)),
+             |      (a, x) -> a * 16 + x) + 1) / 4294967296.0 AS u
+             |  FROM rep),
+             |wt AS (
+             |  SELECT b, cents,
+             |    CASE WHEN u <= 0.36787944117144233 THEN 0
+             |         WHEN u <= 0.7357588823428847 THEN 1
+             |         WHEN u <= 0.9196986029286058 THEN 2
+             |         WHEN u <= 0.9810118431238463 THEN 3
+             |         WHEN u <= 0.9963401531726563 THEN 4
+             |         WHEN u <= 0.9994058151824183 THEN 5
+             |         ELSE 6 END AS w
+             |  FROM h),
+             |means AS (
+             |  SELECT b, CAST(sum(w * cents) AS DOUBLE)
+             |    / CAST(sum(w) AS BIGINT) / 100.0 AS mean_b
+             |  FROM wt GROUP BY 1),
+             |ci AS (
+             |  SELECT max(CASE WHEN rk = 2 THEN mean_b END) AS lo,
+             |         max(CASE WHEN rk = 63 THEN mean_b END) AS hi
+             |  FROM (SELECT b, mean_b,
+             |          row_number() OVER (ORDER BY mean_b, b) AS rk
+             |        FROM means)),
+             |pt AS (
+             |  SELECT count(*) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+             |      AS DOUBLE) / count(*) / 100.0 AS pm
+             |  FROM orders)
+             |SELECT n_orders, round(pm, 4) AS point_mean,
+             |  round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi,
+             |  CAST(64 AS BIGINT) AS b_reps
+             |FROM pt, ci""".stripMargin),
+      "Poisson bootstrap CI of the mean: 64 replicates in one " +
+        "explode + 64-group agg, md5-inverted Poisson(1) weights, " +
+        "order-statistic interval — all exact-integer deterministic"),
+
+    // Columnar-encoding advisor: the layout profiler that tells a
+    // writer which parquet encoding each column wants — run-length
+    // (consecutive-duplicate runs in the table's key order), distinct
+    // cardinality, and average width per column, folded into an
+    // RLE / DICT / PLAIN recommendation. Columns unpivot via stack
+    // (×5 fan-out, same discipline as the shingle profile) and runs
+    // come from one lag window per column partition; values compare
+    // as strings (ints render identically cross-engine; the money
+    // column is profiled at exact cents). The key-prefix bucket
+    // column is the clustered-layout case RLE exists for.
+    Q("profile_encoding_advisor",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = load(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_custkey").cast("string").as("ck"),
+          expr("CAST(CAST(round(o_totalprice*100) AS BIGINT) AS STRING)")
+            .as("ct"),
+          expr("CAST(o_orderkey div 1000 AS STRING)").as("kb"))
+        val long = base.select(col("o_orderkey"), expr(
+          "stack(5, 'o_orderstatus', o_orderstatus, " +
+            "'o_orderpriority', o_orderpriority, 'o_custkey', ck, " +
+            "'o_totalprice_cents', ct, 'orderkey_bucket', kb) " +
+            "AS (col_name, val)"))
+        val byKey = Window.partitionBy(col("col_name"))
+          .orderBy(col("o_orderkey"))
+        val prev = lag(col("val"), 1).over(byKey)
+        val runs = long.withColumn("is_new_run",
+          when(prev.isNull || prev =!= col("val"), 1L).otherwise(0L))
+        runs.groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("val")).as("n_distinct"),
+            sum(col("is_new_run")).as("n_runs"),
+            round(avg(length(col("val"))), 4).as("avg_width"))
+          .withColumn("encoding",
+            when(col("n_runs") * 10 <= col("n_rows"), "RLE")
+              .when(col("n_distinct") * 10 <= col("n_rows"), "DICT")
+              .otherwise("PLAIN"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             |    CAST(o_custkey AS VARCHAR) AS ck,
+             |    CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+             |      AS ct,
+             |    CAST(o_orderkey // 1000 AS VARCHAR) AS kb
+             |  FROM orders),
+             |long AS (
+             |  SELECT o_orderkey, 'o_orderstatus' AS col_name,
+             |    o_orderstatus AS val FROM base
+             |  UNION ALL SELECT o_orderkey, 'o_orderpriority',
+             |    o_orderpriority FROM base
+             |  UNION ALL SELECT o_orderkey, 'o_custkey', ck FROM base
+             |  UNION ALL SELECT o_orderkey, 'o_totalprice_cents', ct
+             |    FROM base
+             |  UNION ALL SELECT o_orderkey, 'orderkey_bucket', kb
+             |    FROM base),
+             |runs AS (
+             |  SELECT col_name, val,
+             |    CASE WHEN lag(val) OVER w IS NULL
+             |           OR lag(val) OVER w <> val
+             |         THEN 1 ELSE 0 END AS is_new_run
+             |  FROM long
+             |  WINDOW w AS (PARTITION BY col_name ORDER BY o_orderkey))
+             |SELECT col_name, count(*) AS n_rows,
+             |  count(DISTINCT val) AS n_distinct,
+             |  CAST(sum(is_new_run) AS BIGINT) AS n_runs,
+             |  round(avg(length(val)), 4) AS avg_width,
+             |  CASE WHEN sum(is_new_run) * 10 <= count(*) THEN 'RLE'
+             |       WHEN count(DISTINCT val) * 10 <= count(*) THEN 'DICT'
+             |       ELSE 'PLAIN' END AS encoding
+             |FROM runs GROUP BY 1""".stripMargin),
+      "per-column run/cardinality/width profile → RLE/DICT/PLAIN " +
+        "advice; ×5 stack fan-out, one lag window per column"))
 }

@@ -559,5 +559,69 @@ object SimilarityQueries {
              |FROM (SELECT 1 FROM embeddings LIMIT 1)""".stripMargin),
       "PCA basis over embeddings: d²-state treeAggregate covariance + " +
         "driver eigensolve + broadcast projection; orthonormality, " +
-        "variance ordering and trace bounds property-oracled"))
+        "variance ordering and trace bounds property-oracled"),
+
+    // k-NN classification: majority label among the 7 nearest corpus
+    // neighbors, the label-propagation workhorse for weak labeling /
+    // eval slicing. Every query vector's top-7 comes from the same
+    // rank-limited window shape as sim_knn_join (WindowGroupLimit
+    // truncates map-side); the vote is a (qid,label)-keyed count with
+    // a (votes desc, label asc) pick — unique total order, so the
+    // prediction is deterministic. The bounded theta join IS the
+    // reference classifier; at corpus scale the candidate set comes
+    // from the IVF cell routing (sim_knn_join_ivf) instead — only the
+    // neighbor source changes, the vote is identical.
+    Q("sim_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+            col("label").as("nlabel"))
+        val scored = q.join(corpus, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), col("nlabel"),
+            round(cosine(col("qv"), col("nv")), 6).as("score"))
+        val byScore = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("nid"))
+        val top = scored.withColumn("rk", row_number().over(byScore))
+          .filter(col("rk") <= 7)
+        val votes = top.groupBy(col("qid"), col("nlabel"))
+          .agg(count(lit(1)).as("votes"),
+            max(col("score")).as("best_score"))
+        val byVotes = Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("nlabel"))
+        votes.withColumn("vr", row_number().over(byVotes))
+          .filter(col("vr") === 1)
+          .select(col("qid"), col("nlabel").as("predicted_label"),
+            col("votes"), col("best_score"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid,
+             |    CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |c AS (SELECT vec_id AS nid, label AS nlabel,
+             |    CAST(embedding AS DOUBLE[]) AS nv
+             |  FROM embeddings WHERE vec_id % 25 <> 0),
+             |scored AS (
+             |  SELECT qid, nid, nlabel,
+             |    round(list_dot_product(qv, nv)
+             |      / (sqrt(list_dot_product(qv, qv))
+             |         * sqrt(list_dot_product(nv, nv))), 6) AS score
+             |  FROM q JOIN c ON qid <> nid),
+             |top AS (
+             |  SELECT qid, nlabel, score FROM (
+             |    SELECT qid, nlabel, score, row_number() OVER (
+             |      PARTITION BY qid ORDER BY score DESC, nid) AS rk
+             |    FROM scored) WHERE rk <= 7),
+             |votes AS (
+             |  SELECT qid, nlabel, count(*) AS votes,
+             |    max(score) AS best_score
+             |  FROM top GROUP BY 1, 2)
+             |SELECT qid, nlabel AS predicted_label, votes, best_score
+             |FROM votes
+             |QUALIFY row_number() OVER (PARTITION BY qid
+             |  ORDER BY votes DESC, nlabel) = 1""".stripMargin),
+      "7-NN majority-vote classification — rank-limited neighbor " +
+        "window + deterministic vote; IVF routing swaps in at scale"))
 }

@@ -2505,5 +2505,77 @@ object AdvancedQueries {
            |${rows.mkString("\nUNION ALL\n")}""".stripMargin
       },
       "full correlation matrix from one scan: 15 exact decimal moments " +
-        "→ 1 row → scalar pairwise ratios, unpivoted"))
+        "→ 1 row → scalar pairwise ratios, unpivoted"),
+
+    // Price-volume-mix bridge: decompose each brand's year-over-year
+    // revenue delta into a VOLUME effect (quantity change at last
+    // year's average unit price) and a PRICE effect (unit-price change
+    // at this year's quantity) — the Laspeyres-volume / Paasche-price
+    // convention, under which the two effects sum to ΔR exactly with
+    // no residual cross term: q₂p₂ − q₁p₁ = (q₂−q₁)p₁ + q₂(p₂−p₁).
+    // The revenue-bridge ("waterfall") readout every BI layer builds
+    // over a fact table. Scale shape: ONE lineitem pass with the
+    // two-year predicate pushed to the parquet scan, a broadcast part
+    // join for the brand attribute, and a single brand-keyed hash
+    // aggregate of conditional integer sums (map-side combined); the
+    // decomposition arithmetic runs on O(brands) rows. Determinism:
+    // quantities and cents are exact BIGINTs (order-independent sums);
+    // each effect is a short chain of single IEEE ops on those exact
+    // integers — identical expression trees in both engines, so the
+    // doubles hash-match UNROUNDED (established per-row rule).
+    Q("agg_pvm_bridge",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("l_partkey"), year(col("l_shipdate")).as("y"),
+            col("l_quantity").cast("long").as("q"),
+            round(col("l_extendedprice") * 100).cast("long").as("c"))
+        val brands = load(s, d, "part")
+          .select(col("p_partkey"), col("p_brand").as("brand"))
+        val g = li.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("brand"))
+          .agg(sum(when(col("y") === 2000, col("q")).otherwise(0L)).as("qty_prev"),
+            sum(when(col("y") === 2001, col("q")).otherwise(0L)).as("qty_curr"),
+            sum(when(col("y") === 2000, col("c")).otherwise(0L)).as("rev_prev_c"),
+            sum(when(col("y") === 2001, col("c")).otherwise(0L)).as("rev_curr_c"))
+          .filter(col("qty_prev") > 0 && col("qty_curr") > 0)
+        def dbl(n: String) = col(n).cast("double")
+        g.select(col("brand"), col("qty_prev"), col("qty_curr"),
+          col("rev_prev_c"), col("rev_curr_c"),
+          (col("rev_curr_c") - col("rev_prev_c")).as("delta_rev_c"),
+          ((dbl("qty_curr") - dbl("qty_prev")) *
+            (dbl("rev_prev_c") / 100.0 / dbl("qty_prev"))).as("volume_effect"),
+          ((dbl("rev_curr_c") / 100.0 / dbl("qty_curr") -
+            dbl("rev_prev_c") / 100.0 / dbl("qty_prev")) *
+            dbl("qty_curr")).as("price_effect"))
+      },
+      Some("""WITH li AS (
+             |  SELECT p_brand AS brand, year(l_shipdate) AS y,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
+             |g AS (
+             |  SELECT brand,
+             |    CAST(sum(CASE WHEN y = 2000 THEN q ELSE 0 END) AS BIGINT)
+             |      AS qty_prev,
+             |    CAST(sum(CASE WHEN y = 2001 THEN q ELSE 0 END) AS BIGINT)
+             |      AS qty_curr,
+             |    CAST(sum(CASE WHEN y = 2000 THEN c ELSE 0 END) AS BIGINT)
+             |      AS rev_prev_c,
+             |    CAST(sum(CASE WHEN y = 2001 THEN c ELSE 0 END) AS BIGINT)
+             |      AS rev_curr_c
+             |  FROM li GROUP BY brand)
+             |SELECT brand, qty_prev, qty_curr, rev_prev_c, rev_curr_c,
+             |  rev_curr_c - rev_prev_c AS delta_rev_c,
+             |  (CAST(qty_curr AS DOUBLE) - CAST(qty_prev AS DOUBLE)) *
+             |    (CAST(rev_prev_c AS DOUBLE) / 100.0 / CAST(qty_prev AS DOUBLE))
+             |    AS volume_effect,
+             |  (CAST(rev_curr_c AS DOUBLE) / 100.0 / CAST(qty_curr AS DOUBLE) -
+             |   CAST(rev_prev_c AS DOUBLE) / 100.0 / CAST(qty_prev AS DOUBLE)) *
+             |    CAST(qty_curr AS DOUBLE) AS price_effect
+             |FROM g WHERE qty_prev > 0 AND qty_curr > 0""".stripMargin),
+      "YoY revenue bridge per brand: exact conditional integer sums " +
+        "from one pushed-filter fact pass, Laspeyres/Paasche split " +
+        "with zero residual"))
 }

@@ -117,5 +117,79 @@ object RangeJoin {
              |  ON a.lo <= b.hi AND b.lo <= a.hi
              |WHERE a.k < 1000 AND b.k >= 1000 AND b.k < 2000
              |GROUP BY a.k""".stripMargin),
-      "bucketed interval-overlap join, exactly-once per pair, vs naive oracle"))
+      "bucketed interval-overlap join, exactly-once per pair, vs naive oracle"),
+
+    // 2-D neighbor join — the spatial variant of the same bucketing
+    // idea: "all pairs of points within distance ε" is a cross join to
+    // a naive planner, but snapping points to an ε-sized grid turns it
+    // into an equi-join on the cell key. Each point probes its 3×3
+    // neighborhood (a 9-row explode on the LEFT side only); any pair
+    // closer than ε must share or neighbor a cell (cell width = ε), so
+    // recall is exact, and each pair surfaces exactly once because the
+    // right side keeps its single home cell and `a < b` orients the
+    // pair. Candidates ∝ 9 · n · (points per cell) — per-cell density,
+    // never n². Dense cells are the spatial analogue of join skew:
+    // at real scale a hot cell gets salted or subdivided (quadtree
+    // refinement), same cure as join_salted_skew. Coordinates are
+    // derived deterministically from md5(c_custkey) (testdata carries
+    // no geo columns; both engines parse the same hex prefix), cells
+    // from INTEGER division of the 0.1-granular coordinate — no float
+    // floor at a cell boundary. Distances are single-op IEEE chains on
+    // exact tenths → hash-match unrounded.
+    Q("join_grid_neighbors",
+      (s, d) => {
+        import graft.core.Caching.persistOnce
+        def axis(salt: String) =
+          conv(substring(md5(concat(col("c_custkey").cast("string"),
+            lit(salt))), 1, 8), 16, 10).cast("long") % 1000
+        val pts = persistOnce(load(s, d, "customer")
+          .select(col("c_custkey").as("id"), axis(":gx").as("xi"),
+            axis(":gy").as("yi"))
+          .select(col("id"),
+            (col("xi").cast("double") / 10.0).as("x"),
+            (col("yi").cast("double") / 10.0).as("y"),
+            (col("xi") / 20).cast("long").as("cx"),
+            (col("yi") / 20).cast("long").as("cy")))
+        val probe = pts
+          .select(col("id"), col("x"), col("y"), col("cx"), col("cy"),
+            explode(array(lit(-1L), lit(0L), lit(1L))).as("ox"))
+          .select(col("id"), col("x"), col("y"),
+            (col("cx") + col("ox")).as("pcx"), col("cy"),
+            explode(array(lit(-1L), lit(0L), lit(1L))).as("oy"))
+          .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+            col("pcx"), (col("cy") + col("oy")).as("pcy"))
+        val home = pts.select(col("id").as("b"), col("x").as("bx"),
+          col("y").as("by"), col("cx"), col("cy"))
+        probe.join(home,
+            col("pcx") === col("cx") && col("pcy") === col("cy") &&
+              col("a") < col("b"))
+          .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by")) < 4.0)
+          .select(col("a"), col("b"),
+            sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+              (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist"))
+      },
+      Some("""WITH h AS (
+             |  SELECT c_custkey AS id,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef', substr(
+             |        md5(CAST(c_custkey AS VARCHAR) || ':gx'), i, 1)) - 1
+             |        AS DOUBLE)), (a, x) -> a * 16 + x) AS BIGINT) % 1000 AS xi,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef', substr(
+             |        md5(CAST(c_custkey AS VARCHAR) || ':gy'), i, 1)) - 1
+             |        AS DOUBLE)), (a, x) -> a * 16 + x) AS BIGINT) % 1000 AS yi
+             |  FROM customer),
+             |p AS (
+             |  SELECT id, CAST(xi AS DOUBLE) / 10.0 AS x,
+             |    CAST(yi AS DOUBLE) / 10.0 AS y
+             |  FROM h)
+             |SELECT a.id AS a, b.id AS b,
+             |  sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+             |    AS dist
+             |FROM p a JOIN p b ON a.id < b.id
+             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |  < 4.0""".stripMargin),
+      "ε-grid neighbor join: 3×3 cell probe equi-join vs the naive " +
+        "all-pairs oracle — spatial ball queries without a cross product"))
 }

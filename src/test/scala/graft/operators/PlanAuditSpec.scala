@@ -552,4 +552,23 @@ class PlanAuditSpec extends SparkSpec {
     // totals join the counts broadcast — never a sort-merge of values
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("PVM bridge: two-year window pushed into the lineitem scan, " +
+    "brand dim broadcast, one fact aggregation") {
+    val p = plan("agg_pvm_bridge")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // one lineitem + one part scan feed the whole bridge
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
+  }
+
+  test("grid neighbor join: cell-keyed equi-join — never a cross " +
+    "product; the point set is cached, not re-derived per side") {
+    val p = plan("join_grid_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200)) // the 3×3 probe explode
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+  }
 }

@@ -2577,5 +2577,112 @@ object AdvancedQueries {
              |FROM g WHERE qty_prev > 0 AND qty_curr > 0""".stripMargin),
       "YoY revenue bridge per brand: exact conditional integer sums " +
         "from one pushed-filter fact pass, Laspeyres/Paasche split " +
-        "with zero residual"))
+        "with zero residual"),
+
+    // Cohort LTV curve — the revenue companion of events_cohort_
+    // retention: cumulative purchase revenue per cohort member as the
+    // cohort ages, the payback/LTV readout growth teams plot against
+    // acquisition cost. Same weekly grain and first-activity cohort
+    // rule as the retention matrix so the two queries share a mental
+    // model. Scale shape: the purchase stream rolls up to (user, week)
+    // cents FIRST (one user-keyed exchange; the per-user cohort min is
+    // a second aggregate over the same shuffled grain), the curve then
+    // lives on O(cohorts × weeks) rows — the cumulative window and the
+    // broadcast cohort-size join never touch event grain. The (user,
+    // week) rollup is cached once and feeds both the cohort min and
+    // the curve (one events scan, plan-audited). Exact
+    // integer cents throughout; the only division is the final
+    // per-user LTV (single IEEE op chain on exact ints, unrounded).
+    Q("events_cohort_ltv",
+      (s, d) => {
+        val pu = load(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("datediff(to_date(ts), date '2024-01-01') div 7")
+              .cast("long").as("wk"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val uw = persistOnce(pu.groupBy(col("user_id"), col("wk"))
+          .agg(sum(col("cents")).as("c")))
+        val coh = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        val sizes = coh.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+        val cell = uw.join(coh, "user_id")
+          .groupBy(col("cw").as("cohort_week"),
+            (col("wk") - col("cw")).as("week_offset"))
+          .agg(sum(col("c")).as("rev_c"))
+        val w = Window.partitionBy(col("cohort_week"))
+          .orderBy(col("week_offset"))
+        cell.withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+          .join(broadcast(sizes), col("cohort_week") === col("cw"))
+          .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+            col("rev_c"), col("cum_rev_c"),
+            (col("cum_rev_c").cast("double") / 100.0 /
+              col("cohort_size").cast("double")).as("ltv_per_user"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             |         // 7 AS BIGINT) AS wk,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |uw AS (SELECT user_id, wk, CAST(sum(cents) AS BIGINT) AS c
+             |  FROM pu GROUP BY 1, 2),
+             |coh AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+             |sizes AS (SELECT cw, count(*) AS cohort_size FROM coh GROUP BY 1),
+             |cell AS (
+             |  SELECT cw AS cohort_week, wk - cw AS week_offset,
+             |    CAST(sum(c) AS BIGINT) AS rev_c
+             |  FROM uw JOIN coh USING (user_id) GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT *, CAST(sum(rev_c) OVER (PARTITION BY cohort_week
+             |    ORDER BY week_offset) AS BIGINT) AS cum_rev_c
+             |  FROM cell)
+             |SELECT cohort_week, week_offset, cohort_size, rev_c, cum_rev_c,
+             |  CAST(cum_rev_c AS DOUBLE) / 100.0 / CAST(cohort_size AS DOUBLE)
+             |    AS ltv_per_user
+             |FROM cum JOIN sizes ON cohort_week = cw""".stripMargin),
+      "cohort LTV curve: exact-cents cumulative revenue per cohort " +
+        "member by age week — event grain collapses before any window"),
+
+    // OHLC bars: the tick-to-candlestick compaction every time-series
+    // store runs — per (series, day) open/high/low/close/volume. Open
+    // and close need a UNIQUE chronological order (a same-microsecond
+    // tie must not flip the bar between engines), but a (ts, id)
+    // STRUCT ordering key demotes the whole aggregate to SortAggregate
+    // (struct agg buffers aren't UnsafeRow-mutable — measured, not
+    // guessed). So the tie-broken order PACKS into one 63-bit long:
+    // micros-within-day (<2³⁷; the day is already in the group key)
+    // ×2²⁶ + event_id mod 2²⁶ — unique while ids stay under 67M per
+    // same-microsecond cohort, and min_by/max_by on a LONG key keeps
+    // the whole bar ONE map-side-combined HashAggregate (plan-
+    // audited): no per-group sort, no window over ticks, state bounded
+    // by series × days regardless of tick volume. Exact integer cents;
+    // high/low/volume are order-independent integer aggregates.
+    Q("events_ohlc_bars",
+      (s, d) => {
+        val ev = load(s, d, "events").select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          ((unix_micros(col("ts")) % 86400000000L) * 67108864L +
+            pmod(col("event_id"), lit(67108864L))).as("ord"),
+          round(col("value") * 100).cast("long").as("c"))
+        ev.groupBy(col("event_type"), col("day"))
+          .agg(min_by(col("c"), col("ord")).as("open_c"),
+            max(col("c")).as("high_c"), min(col("c")).as("low_c"),
+            max_by(col("c"), col("ord")).as("close_c"),
+            count(lit(1)).as("n_ticks"), sum(col("c")).as("vol_c"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    (epoch_us(ts) % 86400000000) * 67108864
+             |      + event_id % 67108864 AS ord,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events)
+             |SELECT event_type, day,
+             |  arg_min(c, ord) AS open_c,
+             |  CAST(max(c) AS BIGINT) AS high_c,
+             |  CAST(min(c) AS BIGINT) AS low_c,
+             |  arg_max(c, ord) AS close_c,
+             |  count(*) AS n_ticks, CAST(sum(c) AS BIGINT) AS vol_c
+             |FROM ev GROUP BY 1, 2""".stripMargin),
+      "tick→OHLC candlestick bars in one hash aggregate: packed-long " +
+        "tie-broken open/close, no per-group sort"))
 }

@@ -563,6 +563,24 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
   }
 
+  test("OHLC bars: one hash aggregate over the tick stream — no " +
+    "window and no per-group sort anywhere in the plan") {
+    val p = plan("events_ohlc_bars")
+    // the packed long ordering key keeps min_by/max_by hash-aggregable;
+    // a struct key would demote the whole bar to SortAggregate
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("Window ") && !p.contains("SortAggregate"),
+      p.take(1200))
+  }
+
+  test("cohort LTV: the cached (user, week) rollup feeds both cohort " +
+    "min and the curve — no second events pass") {
+    val p = plan("events_cohort_ltv")
+    // every reader of the rollup hits the cache (the embedded
+    // InMemoryRelation plan text re-prints the one real FileScan)
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+  }
+
   test("grid neighbor join: cell-keyed equi-join — never a cross " +
     "product; the point set is cached, not re-derived per side") {
     val p = plan("join_grid_neighbors")

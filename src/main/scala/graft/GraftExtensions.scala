@@ -74,7 +74,13 @@ object GraftExtensions {
         "unrestricted Damerau-Levenshtein edit distance (adjacent " +
         "transposition costs 1; Lowrance-Wagner variant)"),
       arity("damerau_levenshtein", 2)(args =>
-        graft.functions.DamerauLevenshtein(args(0), args(1)))))
+        graft.functions.DamerauLevenshtein(args(0), args(1)))),
+    ("jaro_winkler",
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler " +
+        "similarity in [0,1] (prefix-weighted, DuckDB-compatible: " +
+        "no boost threshold, prefix <= 4, scaling 0.1)"),
+      arity("jaro_winkler", 2)(args =>
+        graft.functions.JaroWinkler(args(0), args(1)))))
 
   /** The merge pair of `bpe_merge` parameterizes generated code, so it
     * must be a foldable string (a literal), not a per-row column. */

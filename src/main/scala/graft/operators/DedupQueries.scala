@@ -778,5 +778,61 @@ object DedupQueries {
              |  AND levenshtein(l.name, r.name) = 2""".stripMargin),
       "typo dedup on the codegen'd unrestricted Damerau-Levenshtein: " +
         "planted char-swap duplicates, swap-invariant block equi-join " +
-        "candidates, both distances hash-checked cross-engine"))
+        "candidates, both distances hash-checked cross-engine"),
+
+    // Name linkage on the codegen'd Jaro-Winkler kernel — the
+    // PREFIX-WEIGHTED similarity record linkage scores person/product
+    // names with: suffix damage (truncation, trailing typos) barely
+    // dents the score while early-character damage tanks it, the
+    // opposite bias of edit distance and exactly why Winkler built it
+    // for census name matching. Planted suffix-truncated variants
+    // (last two chars dropped from every third name) are the dupe
+    // class Damerau-1 structurally misses (2 deletions) and JW
+    // catches. Candidates come from a 4-char-prefix block equi-join
+    // (JW ≥ 0.93 pairs share early characters by construction of the
+    // metric; the oracle replays the identical blocking, so recall is
+    // defined identically cross-engine) — candidates ∝ block sizes,
+    // never vocabulary². Over the DISTINCT name vocabulary, not id
+    // rows (the dedup_typo_pairs scaling rule). Scores rounded 6 dp —
+    // the established cross-implementation float-kernel rule.
+    Q("dedup_jw_names",
+      (s, d) => {
+        val base = load(s, d, "part")
+          .groupBy(col("p_name").as("name"))
+          .agg(min(col("p_partkey")).as("id"))
+          .select(col("id"), col("name"))
+        val off = base.agg(((expr("max(id) div 1000") + 2) * 1000).as("off"))
+        val planted = base.crossJoin(broadcast(off))
+          .filter(col("id") % 3 === 0 && length(col("name")) >= 8)
+          .select((col("id") + col("off")).as("id"),
+            expr("substring(name, 1, length(name) - 2)").as("name"))
+        val corpus = graft.core.Caching.persistOnce(
+          base.unionByName(planted).select(col("id"), col("name"),
+            substring(col("name"), 1, 4).as("blk")))
+        corpus.as("l").join(corpus.as("r"),
+            col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            round(graft.functions.EditDistance
+              .jaroWinklerSim(col("l.name"), col("r.name")), 6).as("jw"))
+          .filter(col("jw") >= 0.93)
+      },
+      Some("""WITH base AS (SELECT min(p_partkey) AS id, p_name AS name
+             |              FROM part GROUP BY p_name),
+             |off AS (SELECT ((max(id) // 1000) + 2) * 1000 AS off
+             |        FROM base),
+             |planted AS (SELECT id + off AS id,
+             |    substr(name, 1, length(name) - 2) AS name
+             |  FROM base, off WHERE id % 3 = 0 AND length(name) >= 8),
+             |corpus AS (SELECT id, name, substr(name, 1, 4) AS blk
+             |  FROM (SELECT * FROM base
+             |        UNION ALL SELECT * FROM planted) u)
+             |SELECT l.id AS a, r.id AS b,
+             |  round(jaro_winkler_similarity(l.name, r.name), 6) AS jw
+             |FROM corpus l JOIN corpus r
+             |  ON l.blk = r.blk AND l.id < r.id
+             |WHERE round(jaro_winkler_similarity(l.name, r.name), 6)
+             |  >= 0.93""".stripMargin),
+      "name linkage on the codegen'd Jaro-Winkler kernel: planted " +
+        "suffix truncations (the class edit-distance-1 misses), " +
+        "prefix-block candidates, scores hash-checked cross-engine"))
 }

@@ -2684,5 +2684,52 @@ object AdvancedQueries {
              |  count(*) AS n_ticks, CAST(sum(c) AS BIGINT) AS vol_c
              |FROM ev GROUP BY 1, 2""".stripMargin),
       "tick→OHLC candlestick bars in one hash aggregate: packed-long " +
-        "tie-broken open/close, no per-group sort"))
+        "tie-broken open/close, no per-group sort"),
+
+    // UCB1 bandit readout — the exploration/exploitation score an
+    // adaptive experimenter assigns each arm from logged history:
+    // ucb = mean reward + √(2·ln N / n). The arm stats are one
+    // map-side-combined aggregate (exact integer cents and counts);
+    // the global pull count N rides along as a broadcast 1-row cross
+    // join, and the score arithmetic is a single-op IEEE chain on
+    // exact integers — unrounded cross-engine, the per-row rule. The
+    // deterministic batch complement of online bandit serving: at
+    // 100 TB the same rollup feeds the policy store, and the shuffle
+    // carries O(arms) rows.
+    Q("events_ucb_arms",
+      (s, d) => {
+        val ev = load(s, d, "events").select(col("event_type").as("arm"),
+          round(col("value") * 100).cast("long").as("c"))
+        val arms = ev.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_pulls"), sum(col("c")).as("rew_c"))
+        val total = arms.agg(sum(col("n_pulls")).as("n_total"))
+        arms.crossJoin(broadcast(total))
+          .select(col("arm"), col("n_pulls"), col("n_total"),
+            (col("rew_c").cast("double") / 100.0 /
+              col("n_pulls").cast("double")).as("mean_reward"),
+            sqrt(lit(2.0) * log(col("n_total").cast("double")) /
+              col("n_pulls").cast("double")).as("bonus"),
+            (col("rew_c").cast("double") / 100.0 /
+              col("n_pulls").cast("double") +
+              sqrt(lit(2.0) * log(col("n_total").cast("double")) /
+                col("n_pulls").cast("double"))).as("ucb"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS arm,
+             |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |arms AS (SELECT arm, count(*) AS n_pulls,
+             |    CAST(sum(c) AS BIGINT) AS rew_c
+             |  FROM ev GROUP BY 1),
+             |total AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n_total
+             |  FROM arms)
+             |SELECT arm, n_pulls, n_total,
+             |  CAST(rew_c AS DOUBLE) / 100.0 / CAST(n_pulls AS DOUBLE)
+             |    AS mean_reward,
+             |  sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+             |    / CAST(n_pulls AS DOUBLE)) AS bonus,
+             |  CAST(rew_c AS DOUBLE) / 100.0 / CAST(n_pulls AS DOUBLE)
+             |    + sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+             |        / CAST(n_pulls AS DOUBLE)) AS ucb
+             |FROM arms, total""".stripMargin),
+      "UCB1 arm scores from logged pulls: exact arm moments + " +
+        "broadcast global count, single-op IEEE score chain unrounded"))
 }

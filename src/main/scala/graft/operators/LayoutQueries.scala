@@ -192,5 +192,59 @@ object LayoutQueries {
               |  CAST(min(c) AS BIGINT) AS c_min, CAST(max(c) AS BIGINT) AS c_max
               |FROM z GROUP BY 1""".stripMargin),
       "true 3-D Morton key (bit i of dim j → position 3i+j): cubes in " +
-        "(a,b,c) space — the ZORDER BY (a,b,c) layout primitive"))
+        "(a,b,c) space — the ZORDER BY (a,b,c) layout primitive"),
+
+    // Rendezvous (highest-random-weight) sharding — the stateless
+    // assignment rule shard systems use when modulo hashing is too
+    // brittle: key k lives on argmax_s hash(k, s). Its defining
+    // property is MINIMAL movement under resharding: growing 8 → 9
+    // shards moves exactly the keys whose new shard's score beats all
+    // old ones — i.e. every moved key moves INTO the new shard (old
+    // shards only ever lose), ~1/9 of keys in expectation, vs modulo
+    // resharding which relocates ~8/9 of everything. The query
+    // computes both assignments PER ROW from one deterministic md5
+    // score vector (map-only — sharding must never need a shuffle;
+    // the only exchange is the final O(shards) rollup) and audits the
+    // movement: n_moved lands entirely on shard 8. Scores compare as
+    // exact integers; argmax ties break by shard id via the
+    // (score, shard) struct order, though a 32-bit md5 tie across 9
+    // salts is practically absent.
+    Q("layout_rendezvous_shards",
+      (s, d) => {
+        val scored = load(s, d, "customer").select(col("c_custkey").as("id"),
+          expr("""transform(sequence(0, 8), i -> struct(
+                 |  cast(conv(substring(md5(concat(cast(c_custkey as string),
+                 |    ':', cast(i as string))), 1, 8), 16, 10) as bigint)
+                 |    as sc, cast(i as bigint) as sh))""".stripMargin)
+            .as("arr"))
+        val assigned = scored.select(col("id"),
+          expr("array_max(slice(arr, 1, 8)).sh").as("old_shard"),
+          expr("array_max(arr).sh").as("new_shard"))
+        assigned.groupBy(col("new_shard"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("old_shard") =!= col("new_shard"), 1L)
+              .otherwise(0L)).as("n_moved"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT c_custkey AS id,
+             |    list_transform(range(0, 9), i -> {
+             |      'sc': CAST(list_reduce(list_transform(range(1, 9),
+             |        p -> CAST(strpos('0123456789abcdef', substr(
+             |          md5(CAST(c_custkey AS VARCHAR) || ':' ||
+             |            CAST(i AS VARCHAR)), p, 1)) - 1 AS DOUBLE)),
+             |        (a, x) -> a * 16 + x) AS BIGINT),
+             |      'sh': CAST(i AS BIGINT)}) AS arr
+             |  FROM customer),
+             |assigned AS (
+             |  SELECT id,
+             |    (list_sort(arr[1:8])[-1]).sh AS old_shard,
+             |    (list_sort(arr)[-1]).sh AS new_shard
+             |  FROM scored)
+             |SELECT new_shard, count(*) AS n_keys,
+             |  CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_moved
+             |FROM assigned GROUP BY 1""".stripMargin),
+      "rendezvous sharding 8→9 reshard audit: map-only argmax " +
+        "assignment, movement lands only on the new shard (~1/9), " +
+        "never a reshuffle of survivors"))
 }

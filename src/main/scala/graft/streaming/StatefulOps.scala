@@ -276,6 +276,76 @@ object StatefulOps {
       .transformWithState(new ThrottleProcessor(minGap),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
 
+  // ---------------------------------------------------------------
+  // Streaming OHLC bar maintenance — the incremental form of the
+  // batch `events_ohlc_bars` catalog query: per (series, day) key the
+  // running candlestick folds in 7 longs of keyed state, and each
+  // micro-batch that touches a key emits that key's UPDATED bar (an
+  // IVM changefeed of the bar table; the latest row per key IS the
+  // batch answer, which the parity spec asserts as set-equality).
+  // Delivery contract mirrors [[cusum]]: per-key ordered arrival with
+  // possible replays — a micro-batch is folded in `ord` order so
+  // batch-boundary placement can't change the bar, and ticks at
+  // ord ≤ the high-water mark are idempotently skipped, so a
+  // checkpoint replay neither double-counts volume nor re-emits.
+  // State ∝ live (series, day) keys, never stream length.
+  // ---------------------------------------------------------------
+
+  final case class Tick(key: String, ord: Long, c: Long)
+  final case class Bar(key: String, open_c: Long, high_c: Long,
+                       low_c: Long, close_c: Long, n_ticks: Long,
+                       vol_c: Long)
+  final case class BarState(lastOrd: Long, openC: Long, highC: Long,
+                            lowC: Long, closeC: Long, n: Long, volC: Long)
+
+  implicit val tickEnc: Encoder[Tick] = Encoders.product[Tick]
+  implicit val barEnc: Encoder[Bar] = Encoders.product[Bar]
+  implicit val barStEnc: Encoder[BarState] = Encoders.product[BarState]
+
+  private class OhlcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Tick, Bar] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[BarState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[BarState]("ohlc", barStEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Tick],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Bar] = {
+      var cur = if (st.exists()) st.get()
+        else BarState(Long.MinValue, 0L, Long.MinValue, Long.MaxValue,
+          0L, 0L, 0L)
+      var changed = false
+      rows.toVector.sortBy(_.ord).foreach { t =>
+        if (t.ord > cur.lastOrd) { // replay / stale: idempotent skip
+          cur = BarState(t.ord,
+            if (cur.n == 0L) t.c else cur.openC,
+            math.max(cur.highC, t.c), math.min(cur.lowC, t.c),
+            t.c, cur.n + 1L, cur.volC + t.c)
+          changed = true
+        }
+      }
+      if (!changed) Iterator.empty
+      else {
+        st.update(cur)
+        Iterator.single(Bar(key, cur.openC, cur.highC, cur.lowC,
+          cur.closeC, cur.n, cur.volC))
+      }
+    }
+  }
+
+  /** Per-key running OHLC bars over a tick stream; emits the updated
+    * bar for every key a micro-batch touches. Requires the RocksDB
+    * state store provider. */
+  def ohlcBars(ticks: Dataset[Tick]): Dataset[Bar] =
+    ticks.groupByKey(_.key)
+      .transformWithState(new OhlcProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+
   private def update(id: Long, batch: Iterator[KeyedChange],
                      state: GroupState[StateValue]): Iterator[Transition] = {
     val newest = batch.reduceOption { (a, b) =>

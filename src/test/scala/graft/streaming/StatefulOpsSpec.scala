@@ -248,4 +248,50 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got().toSet.contains(("db", 40L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming OHLC bars (transformWithState) == the batch catalog " +
+    "bars over the real events table; replays change nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{Bar, Tick}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    // the IDENTICAL projection the batch catalog query runs, delivered
+    // per-key in ord order (the operator's documented contract)
+    val ticks = graft.core.Tables.load(spark, sf0001, "events")
+      .selectExpr(
+        "concat(event_type, ':', cast(to_date(ts) as string)) AS key",
+        "(unix_micros(ts) % 86400000000) * 67108864" +
+          " + pmod(event_id, 67108864) AS ord",
+        "cast(round(value * 100) as long) AS c")
+      .as[Tick].collect().sortBy(t => (t.key, t.ord)).toSeq
+    val ms = MemoryStream[Tick]
+    val q = StatefulOps.ohlcBars(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bars")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def got(): Seq[Bar] = spark.table("bars").as[Bar].collect().toSeq
+      // four uneven micro-batches
+      val batches = Seq(ticks.take(500), ticks.slice(500, 2700),
+        ticks.slice(2700, 2800), ticks.drop(2800))
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // the newest emission per key (max tick count) IS the final bar
+      val finalBars = got().groupBy(_.key).values
+        .map(_.maxBy(_.n_ticks)).toSet
+      val expected = graft.operators.QueryCatalog
+        .byName("events_ohlc_bars").fn(spark, sf0001)
+        .selectExpr("concat(event_type, ':', cast(day as string)) AS key",
+          "open_c", "high_c", "low_c", "close_c", "n_ticks", "vol_c")
+        .as[Bar].collect().toSet
+      assert(expected.nonEmpty)
+      assert(finalBars == expected)
+      // whole-micro-batch replay: idempotent, not even a re-emission
+      val before = got().size
+      ms.addData(batches(1): _*); q.processAllAvailable()
+      assert(got().size == before)
+    } finally q.stop()
+  }
 }

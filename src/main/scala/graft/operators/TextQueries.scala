@@ -470,7 +470,8 @@ object TextQueries {
              |FROM ranked, nt WHERE rk IN (5, 10, 20)""".stripMargin),
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
-        "shares unrounded")) :+ shingleProfile :+ autocompleteTopk
+        "shares unrounded")) :+ shingleProfile :+ autocompleteTopk :+
+    rakeKeyphrases
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -563,4 +564,95 @@ object TextQueries {
              |  ORDER BY cnt DESC, suggestion) <= 3""".stripMargin),
       "type-ahead top-3 per prefix — aggregate to O(vocab) first, " +
         "then explode ×4 and rank; corpus pays one exchange")
+
+  // RAKE keyphrase extraction (Rose et al.) — the unsupervised
+  // keyword miner curation pipelines run where TF-IDF's unigram bias
+  // fails: candidate phrases are maximal stopword-free token runs,
+  // each word scores deg/freq (deg = Σ lengths of phrases containing
+  // it — co-occurrence reach; freq = its phrase occurrences), and a
+  // phrase scores the sum of its member words. Scale shape: phrase
+  // segmentation is ONE per-doc window (cumulative stopword count as
+  // the run id — sort bounded by document length); word stats and
+  // scoring are vocabulary-bounded aggregates + an equi-join on word;
+  // the final top-25 is TakeOrderedAndProject under a unique
+  // (rounded score, phrase) order. The ≤6-word candidate cap is the
+  // standard RAKE practice and bounds the phrase alphabet. Word
+  // scores are exact-int ratios; the per-phrase sum of ≤6 doubles is
+  // order-unstable → rounded 4 dp (catalog rule).
+  private val rakeKeyphrases: Q =
+    Q("text_rake_phrases",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for")
+        val tok = load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .withColumn("is_stop",
+            col("word").isInCollection(stop) || length(col("word")) === 0)
+        val grouped = tok.withColumn("grp",
+            sum(when(col("is_stop"), 1L).otherwise(0L))
+              .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .filter(!col("is_stop"))
+        val ph = grouped.groupBy(col("doc_id"), col("grp"))
+          .agg(expr("array_join(transform(array_sort(" +
+              "collect_list(struct(pos, word))), x -> x.word), ' ')")
+              .as("phrase"),
+            count(lit(1)).as("len"))
+          .filter(col("len") <= 6)
+        val wstats = ph
+          .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        val occ = ph.groupBy(col("phrase"), col("len"))
+          .agg(count(lit(1)).as("n_occ"))
+        occ.select(col("phrase"), col("len"), col("n_occ"),
+            explode(split(col("phrase"), " ")).as("w"))
+          .join(wstats, "w")
+          .groupBy(col("phrase"), col("len"), col("n_occ"))
+          .agg(round(sum(col("deg").cast("double") /
+            col("freq").cast("double")), 4).as("score"))
+          .orderBy(col("score").desc, col("phrase")).limit(25)
+          .select(col("phrase"), col("len").as("n_words"), col("n_occ"),
+            col("score"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+             |    i -> {'pos': i, 'word': w[i]})) AS t
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |        FROM documents)),
+             |flags AS (
+             |  SELECT doc_id, t.pos AS pos, t.word AS word,
+             |    CASE WHEN t.word IN ('the','a','and','of','to','in',
+             |                         'is','on','for')
+             |         OR length(t.word) = 0 THEN 1 ELSE 0 END AS is_stop
+             |  FROM tok),
+             |grps AS (
+             |  SELECT doc_id, pos, word, is_stop,
+             |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM flags),
+             |ph AS (
+             |  SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos)
+             |      AS phrase,
+             |    count(*) AS len
+             |  FROM grps WHERE is_stop = 0 GROUP BY 1, 2
+             |  HAVING count(*) <= 6),
+             |wstats AS (
+             |  SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+             |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+             |        FROM ph)
+             |  GROUP BY 1),
+             |occ AS (SELECT phrase, len, count(*) AS n_occ
+             |        FROM ph GROUP BY 1, 2),
+             |pw AS (SELECT phrase, len, n_occ,
+             |         unnest(string_split(phrase, ' ')) AS w
+             |       FROM occ)
+             |SELECT phrase, len AS n_words, n_occ,
+             |  round(sum(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)), 4)
+             |    AS score
+             |FROM pw JOIN wstats USING (w)
+             |GROUP BY phrase, len, n_occ
+             |ORDER BY score DESC, phrase LIMIT 25""".stripMargin),
+      "RAKE keyphrases: stopword-run segmentation via one per-doc " +
+        "window, vocab-bounded deg/freq stats, top-25 under a unique " +
+        "order")
 }

@@ -276,5 +276,97 @@ object Expectations {
              |FROM arms, pooled""".stripMargin),
       "CUPED-adjusted experiment effect from exact integer moments — " +
         "θ, raw and adjusted estimates hash-checked; one user rollup, " +
-        "O(1) moment frames"))
+        "O(1) moment frames"),
+
+    // Inverse-propensity weighting — the OBSERVATIONAL causal
+    // estimator (CUPED's sibling for when assignment was NOT uniform):
+    // treatment here deliberately confounds with the customer segment
+    // (hash-assigned at ~3/4 for two segments, ~1/4 for the rest), so
+    // the naive treated-vs-control difference mixes segment effects;
+    // IPW reweights each user by 1/p̂(stratum) to recover the
+    // population estimand. Propensities are ESTIMATED per stratum as
+    // exact count ratios; strata violating POSITIVITY (no treated or
+    // no control) are excluded by the inner join — the textbook
+    // support condition, applied identically by the oracle. Scale
+    // shape: one user rollup (user-keyed exchange), stratum stats are
+    // O(strata) rows broadcast back, one final 1-row aggregate. The
+    // weighted sums are order-unstable doubles → rounded 2 dp before
+    // the (deterministic) final arithmetic; naive means are exact
+    // int-ratio divisions, unrounded.
+    Q("quality_ipw_effect",
+      (s, d) => {
+        val y = graft.core.Tables.load(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y_c"))
+        val seg = graft.core.Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").isin("AUTOMOBILE", "BUILDING").as("hi"))
+        val base = y.join(broadcast(seg), "user_id")
+          .withColumn("t", (substring(md5(concat(
+            col("user_id").cast("string"), lit(":ipw"))), 1, 2) <
+            when(col("hi"), "c0").otherwise("40")).cast("long"))
+        val strata = base.groupBy(col("hi"))
+          .agg(count(lit(1)).as("n_s"), sum(col("t")).as("nt_s"))
+          .filter(col("nt_s") > 0 && col("nt_s") < col("n_s")) // positivity
+        val w = base.join(broadcast(strata), "hi")
+          .withColumn("p", col("nt_s").cast("double") /
+            col("n_s").cast("double"))
+        val m = w.agg(count(lit(1)).as("n_users"),
+          sum(col("t")).as("n_treated"),
+          sum(when(col("t") === 1, col("y_c"))).as("yt_c"),
+          sum(when(col("t") === 0, col("y_c"))).as("yc_c"),
+          round(sum(col("y_c").cast("double") / 100.0 *
+            col("t").cast("double") / col("p")), 2).as("s1"),
+          round(sum(col("y_c").cast("double") / 100.0 *
+            (lit(1.0) - col("t").cast("double")) /
+            (lit(1.0) - col("p"))), 2).as("s0"))
+        m.select(col("n_users"), col("n_treated"),
+          (col("yt_c").cast("double") / 100.0 /
+            col("n_treated").cast("double") -
+            col("yc_c").cast("double") / 100.0 /
+            (col("n_users") - col("n_treated")).cast("double"))
+            .as("naive_diff"),
+          round((col("s1") - col("s0")) /
+            col("n_users").cast("double"), 6).as("ipw_ate"))
+      },
+      Some("""WITH y AS (
+             |  SELECT user_id,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y_c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |base AS (
+             |  SELECT y.user_id, y.y_c,
+             |    c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AS hi,
+             |    CASE WHEN substr(md5(CAST(y.user_id AS VARCHAR) || ':ipw'),
+             |        1, 2) < (CASE WHEN c.c_mktsegment IN
+             |          ('AUTOMOBILE', 'BUILDING') THEN 'c0' ELSE '40' END)
+             |      THEN 1 ELSE 0 END AS t
+             |  FROM y JOIN customer c ON y.user_id = c.c_custkey),
+             |strata AS (
+             |  SELECT hi, count(*) AS n_s, CAST(sum(t) AS BIGINT) AS nt_s
+             |  FROM base GROUP BY 1
+             |  HAVING sum(t) > 0 AND sum(t) < count(*)),
+             |w AS (
+             |  SELECT b.*, CAST(nt_s AS DOUBLE) / CAST(n_s AS DOUBLE) AS p
+             |  FROM base b JOIN strata USING (hi)),
+             |m AS (
+             |  SELECT count(*) AS n_users, CAST(sum(t) AS BIGINT)
+             |      AS n_treated,
+             |    CAST(sum(CASE WHEN t = 1 THEN y_c END) AS BIGINT) AS yt_c,
+             |    CAST(sum(CASE WHEN t = 0 THEN y_c END) AS BIGINT) AS yc_c,
+             |    round(sum(CAST(y_c AS DOUBLE) / 100.0 * CAST(t AS DOUBLE)
+             |      / p), 2) AS s1,
+             |    round(sum(CAST(y_c AS DOUBLE) / 100.0
+             |      * (1.0 - CAST(t AS DOUBLE)) / (1.0 - p)), 2) AS s0
+             |  FROM w)
+             |SELECT n_users, n_treated,
+             |  CAST(yt_c AS DOUBLE) / 100.0 / CAST(n_treated AS DOUBLE)
+             |    - CAST(yc_c AS DOUBLE) / 100.0
+             |      / CAST(n_users - n_treated AS DOUBLE) AS naive_diff,
+             |  round((s1 - s0) / CAST(n_users AS DOUBLE), 6) AS ipw_ate
+             |FROM m""".stripMargin),
+      "IPW causal effect under confounded hash assignment: stratum " +
+        "propensities as exact count ratios, positivity-violating " +
+        "strata excluded, naive vs reweighted estimates side by side"))
 }

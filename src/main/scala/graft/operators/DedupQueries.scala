@@ -834,5 +834,53 @@ object DedupQueries {
              |  >= 0.93""".stripMargin),
       "name linkage on the codegen'd Jaro-Winkler kernel: planted " +
         "suffix truncations (the class edit-distance-1 misses), " +
-        "prefix-block candidates, scores hash-checked cross-engine"))
+        "prefix-block candidates, scores hash-checked cross-engine"),
+
+    // Survivorship / golden-record merge: the record-linkage step
+    // AFTER pair finding and component election — each near-dup
+    // cluster collapses to ONE canonical row, column by column, under
+    // explicit survivorship rules (min id as the stable key, the
+    // source of the LONGEST member as best_source, char rollups).
+    // Singletons survive as their own golden record via left join +
+    // coalesce, so the output is the full entity table a pipeline
+    // would actually publish. One groupBy over the cluster-annotated
+    // slice; the max_by priority is a single integer (n_chars·1e7 +
+    // doc_id, unique per row) because struct-keyed arg_max is not
+    // portable cross-engine and composite integer keys are.
+    Q("dedup_golden_record",
+      (s, d) => {
+        val cc = connectedComponents(md5MinhashPairs(s, d))
+        val docs = load(s, d, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        docs.join(cc, docs("doc_id") === cc("node"), "left")
+          .select(coalesce(col("component"), col("doc_id")).as("cluster"),
+            col("doc_id"), col("source"), col("n_chars"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("doc_id")).as("canonical_id"),
+            max_by(col("source"),
+              col("n_chars") * 10000000L + col("doc_id")).as("best_source"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some(s"""WITH RECURSIVE $md5MinhashPairsSql,
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b AS src, a AS dst FROM pairs),
+             |reach AS (
+             |  SELECT src AS node, src AS root FROM edges
+             |  UNION
+             |  SELECT e.dst AS node, r.root FROM reach r
+             |  JOIN edges e ON e.src = r.node),
+             |cc AS (SELECT node, min(root) AS component FROM reach GROUP BY node)
+             |SELECT coalesce(component, doc_id) AS cluster,
+             |  CAST(count(*) AS BIGINT) AS n_members,
+             |  min(doc_id) AS canonical_id,
+             |  arg_max(source, n_chars * 10000000 + doc_id) AS best_source,
+             |  max(n_chars) AS max_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents LEFT JOIN cc ON doc_id = node
+             |WHERE doc_id < 150
+             |GROUP BY 1""".stripMargin),
+      "golden-record survivorship: one canonical merged row per " +
+        "near-dup cluster (integer-keyed max_by rules), singletons kept"))
 }

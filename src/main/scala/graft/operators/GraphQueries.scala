@@ -343,5 +343,53 @@ object GraphQueries {
              |  / CAST(m * sx2 - sx * sx AS DOUBLE) AS assortativity
              |FROM mo""".stripMargin),
       "Newman degree assortativity from exact integer moments — the " +
-        "symmetric-marginal collapse makes it one unrounded division"))
+        "symmetric-marginal collapse makes it one unrounded division"),
+
+    // Link prediction by neighborhood overlap: score non-adjacent node
+    // pairs by common-neighbor count and Adamic-Adar (Σ 1/ln deg(w)
+    // over shared neighbors w) — the "which documents should cite each
+    // other" / recommendation prior. Shape that survives 100 TB: the
+    // candidate set is generated by the WEDGE equi-join (pairs sharing
+    // a neighbor, ∝ Σ deg² — never all pairs), existing edges drop out
+    // via an equi-keyed anti join, and scoring is one hash aggregate.
+    // A wedge center always has degree ≥ 2, so ln(deg) never hits
+    // ln(1)=0 and the AA terms are finite; per-term 1/ln is bitwise
+    // cross-engine, the order-unstable sum is rounded 6 dp.
+    Q("graph_link_prediction",
+      (s, d) => {
+        val und = persistOnce(derivedUnd(s, d))
+        val nb = persistOnce(und
+          .select(col("a").as("u"), col("b").as("v"))
+          .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
+        val deg = nb.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+          .select(col("u").as("w"), col("dg"))
+        val wedges = nb.as("n1").join(nb.as("n2"),
+            col("n1.v") === col("n2.v") && col("n1.u") < col("n2.u"))
+          .select(col("n1.u").as("x"), col("n2.u").as("y"),
+            col("n1.v").as("w"))
+        val cand = wedges.join(und,
+          wedges("x") === und("a") && wedges("y") === und("b"), "left_anti")
+        cand.join(deg, "w")
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("cn"),
+            round(sum(lit(1.0) / log(col("dg").cast("double"))), 6).as("aa"))
+          .filter(col("cn") >= 2)
+      },
+      Some(s"""WITH $edgeSqlPrefix,
+             |nb AS (SELECT a AS u, b AS v FROM und
+             |       UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT u AS w, count(*) AS dg FROM nb GROUP BY 1),
+             |wedge AS (
+             |  SELECT n1.u AS x, n2.u AS y, n1.v AS w
+             |  FROM nb n1 JOIN nb n2 ON n1.v = n2.v AND n1.u < n2.u),
+             |cand AS (
+             |  SELECT x, y, w FROM wedge
+             |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = x AND b = y))
+             |SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+             |  round(sum(1.0 / ln(CAST(dg AS DOUBLE))), 6) AS aa
+             |FROM cand JOIN deg USING (w)
+             |GROUP BY x, y
+             |HAVING count(*) >= 2""".stripMargin),
+      "link prediction: common-neighbor + Adamic-Adar scores over " +
+        "wedge-join candidates — never all pairs, edges drop via anti join"))
 }

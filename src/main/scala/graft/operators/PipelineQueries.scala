@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Caching.persistOnce
@@ -1100,5 +1101,66 @@ object PipelineQueries {
              |       ELSE 'PLAIN' END AS encoding
              |FROM runs GROUP BY 1""".stripMargin),
       "per-column run/cardinality/width profile → RLE/DICT/PLAIN " +
-        "advice; ×5 stack fan-out, one lag window per column"))
+        "advice; ×5 stack fan-out, one lag window per column"),
+
+    // Functional-dependency discovery (profiling): does determinant →
+    // dependent hold, and how badly is it violated? The signal behind
+    // key detection, normalization advice, and silent-corruption
+    // audits (a mirror where o_orderkey → o_orderstatus stops holding
+    // has torn rows). Per candidate pair: one determinant-keyed
+    // distinct aggregate → O(groups) stats (violating groups, extra
+    // distinct values). Exact count_distinct shuffles each pair once;
+    // at 100 TB a profiler sweeps the candidate lattice with HLL
+    // sketches first (one pass, mergeable) and pays the exact pass
+    // only on near-FDs — the per-pair shape below is that exact pass.
+    Q("profile_functional_deps",
+      (s, d) => {
+        def fd(df: DataFrame, det: String, dep: String): DataFrame =
+          df.groupBy(col(det))
+            .agg(countDistinct(col(dep)).as("nd"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("nd") > 1, 1L).otherwise(0L))
+                .as("violating_groups"),
+              sum(col("nd") - 1).as("extra_values"))
+            .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+              col("n_groups"), col("violating_groups"), col("extra_values"),
+              (col("violating_groups") === 0).as("holds"))
+        val li = load(s, d, "lineitem")
+        val o = load(s, d, "orders")
+        fd(li, "l_orderkey", "l_suppkey")
+          .unionByName(fd(li, "l_partkey", "l_quantity"))
+          .unionByName(fd(o, "o_custkey", "o_orderpriority"))
+          .unionByName(fd(o, "o_orderkey", "o_orderstatus"))
+      },
+      Some("""SELECT 'l_orderkey' AS determinant, 'l_suppkey' AS dependent,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violating_groups,
+             |  CAST(sum(nd - 1) AS BIGINT) AS extra_values,
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+             |      FROM lineitem GROUP BY 1) g1
+             |UNION ALL
+             |SELECT 'l_partkey', 'l_quantity', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(nd - 1) AS BIGINT),
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+             |FROM (SELECT l_partkey, count(DISTINCT l_quantity) AS nd
+             |      FROM lineitem GROUP BY 1) g2
+             |UNION ALL
+             |SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(nd - 1) AS BIGINT),
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+             |FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+             |      FROM orders GROUP BY 1) g3
+             |UNION ALL
+             |SELECT 'o_orderkey', 'o_orderstatus', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(nd - 1) AS BIGINT),
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+             |FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd
+             |      FROM orders GROUP BY 1) g4""".stripMargin),
+      "approximate-FD audit per candidate pair: violating groups and " +
+        "extra distinct values from one keyed distinct agg per pair"))
 }

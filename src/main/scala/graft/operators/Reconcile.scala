@@ -182,5 +182,77 @@ object Reconcile {
              |   OR s.c_mktsegment IS DISTINCT FROM r.c_mktsegment""".stripMargin),
       "row-level data diff with changed-column attribution: one " +
         "key-keyed full-outer join, null-safe map-side compares, " +
-        "output ∝ divergent rows — the digest query's re-sync step"))
+        "output ∝ divergent rows — the digest query's re-sync step"),
+
+    // Merkle digest TREE over the same fingerprint family: 64 leaf
+    // buckets fold into 8 level-1 nodes fold into one root — the
+    // Cassandra/DynamoDB anti-entropy structure. Two replicas compare
+    // ROOTS first (one row each); only on mismatch do they walk down
+    // level by level, so a clean comparison moves O(1) rows and a
+    // divergent one O(log · fanout). Every level is an
+    // order-independent SUM of md5-prefix fingerprints (leaf: row
+    // fingerprints; upper: fingerprints of (child idx, child digest)),
+    // so partition order never matters and DuckDB reproduces each
+    // node exactly. Output = the full tree (level, idx, digest,
+    // n_rows) — 73 rows regardless of table size.
+    Q("recon_merkle_root",
+      (s, d) => {
+        val base = load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"),
+            col("c_mktsegment"))
+        val fp = rowFingerprint(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("cents"), col("c_mktsegment"))
+        val leaf = base.groupBy((col("c_custkey") % 64).as("idx"))
+          .agg(sum(fp).as("digest"), count(lit(1)).as("n_rows"))
+        val l1 = leaf
+          .select(floor(col("idx") / 8).cast("long").as("pidx"),
+            rowFingerprint(col("idx"), col("digest")).as("f"), col("n_rows"))
+          .groupBy(col("pidx").as("idx"))
+          .agg(sum(col("f")).as("digest"), sum(col("n_rows")).as("n_rows"))
+        val root = l1
+          .select(rowFingerprint(col("idx"), col("digest")).as("f"),
+            col("n_rows"))
+          .agg(sum(col("f")).as("digest"), sum(col("n_rows")).as("n_rows"))
+          .select(lit(2).as("level"), lit(0L).as("idx"), col("digest"),
+            col("n_rows"))
+        leaf
+          .select(lit(0).as("level"), col("idx"), col("digest"),
+            col("n_rows"))
+          .unionByName(l1.select(lit(1).as("level"), col("idx"),
+            col("digest"), col("n_rows")))
+          .unionByName(root)
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_mktsegment
+             |  FROM customer),
+             |fp AS (
+             |  SELECT c_custkey % 64 AS idx,
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', c_custkey,
+             |      c_name, c_nationkey, cents, c_mktsegment)), 1, 8))
+             |      AS UBIGINT) AS BIGINT) AS f
+             |  FROM base),
+             |leaf AS (SELECT idx, CAST(sum(f) AS BIGINT) AS digest,
+             |    CAST(count(*) AS BIGINT) AS n_rows FROM fp GROUP BY 1),
+             |m1 AS (SELECT idx // 8 AS pidx,
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', idx,
+             |      digest)), 1, 8)) AS UBIGINT) AS BIGINT) AS f, n_rows
+             |  FROM leaf),
+             |l1 AS (SELECT pidx AS idx, CAST(sum(f) AS BIGINT) AS digest,
+             |    CAST(sum(n_rows) AS BIGINT) AS n_rows FROM m1 GROUP BY 1),
+             |m2 AS (SELECT
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', idx,
+             |      digest)), 1, 8)) AS UBIGINT) AS BIGINT) AS f, n_rows
+             |  FROM l1),
+             |rt AS (SELECT 2 AS level, CAST(0 AS BIGINT) AS idx,
+             |    CAST(sum(f) AS BIGINT) AS digest,
+             |    CAST(sum(n_rows) AS BIGINT) AS n_rows FROM m2)
+             |SELECT 0 AS level, idx, digest, n_rows FROM leaf
+             |UNION ALL SELECT 1, idx, digest, n_rows FROM l1
+             |UNION ALL SELECT level, idx, digest, n_rows FROM rt"""
+        .stripMargin),
+      "anti-entropy Merkle tree: 64→8→1 order-independent fingerprint " +
+        "sums — clean replicas compare O(1) rows, divergence walks down"))
 }

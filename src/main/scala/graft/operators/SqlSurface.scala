@@ -1006,5 +1006,36 @@ object SqlSurface {
              |  AND s_suppkey IN (SELECT l_suppkey FROM excess)""".stripMargin),
       "TPC-H Q20 shape: excess-stock suppliers — nested IN chain " +
         "decorrelated into ONE pair-keyed conditional aggregate over a " +
-        "single fact pass, then a distinct semi-join"))
+        "single fact pass, then a distinct semi-join"),
+
+    // TPC-H Q6 shape: the forecast-revenue-change probe — one fact
+    // scan, zero joins, with every predicate (date range, discount
+    // band, quantity cap) pushed into the parquet reader; the
+    // canonical filter-pushdown benchmark. At 100 TB this is the query
+    // whose cost is decided entirely by scan pruning: date-partitioned
+    // or stats-indexed layouts reduce it to the matching files, and
+    // the aggregate is one partial+final hash agg with no exchange of
+    // row data. Revenue is exact fixed-point (extendedprice has 2
+    // decimals, discount 2, so the product is exact at 4 decimals and
+    // round(x*10000) is an integer) — order-independent, unrounded.
+    Q("agg_forecast_revenue",
+      (s, d) =>
+        load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1995-01-01" &&
+            col("l_shipdate") < "1996-01-01" &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+              .cast("long")).as("revenue_x10k"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+             |    AS BIGINT)) AS BIGINT) AS revenue_x10k,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1995-01-01'
+             |  AND l_shipdate < DATE '1996-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      "TPC-H Q6 shape: single-scan predicate-pushdown aggregate — " +
+        "exact fixed-point revenue delta under a discount-policy probe"))
 }

@@ -2731,5 +2731,147 @@ object AdvancedQueries {
              |        / CAST(n_pulls AS DOUBLE)) AS ucb
              |FROM arms, total""".stripMargin),
       "UCB1 arm scores from logged pulls: exact arm moments + " +
-        "broadcast global count, single-op IEEE score chain unrounded"))
+        "broadcast global count, single-op IEEE score chain unrounded"),
+
+    // ---- KMV (bottom-k) distinct sketch -------------------------------
+    // The DETERMINISTIC member of the distinct-sketch family: the
+    // sketch is a pure function of the key set and the md5 fingerprint,
+    // so unlike HLL/CMS (property-oracled above) the ESTIMATE itself
+    // hash-matches cross-engine — DuckDB replays the bottom-64 pipeline
+    // and reproduces (k-1)*2^32/h_k bitwise. The Spark side runs the
+    // mergeable typed Aggregator (functions/KmvSketch.scala): O(k)
+    // state per group per map partition, partials merge associatively
+    // — never a per-group shuffle of the whole key domain. All five
+    // groups exceed k=64 distinct keys at every SF, so the estimating
+    // branch (not the exact small-set branch) is what's checked.
+    Q("sketch_kmv_distinct",
+      (s, d) => {
+        val k = 64
+        val o = load(s, d, "orders")
+          .select(col("o_orderpriority"),
+            Reconcile.rowFingerprint(col("o_custkey")).as("h"),
+            col("o_custkey"))
+        o.groupBy(col("o_orderpriority"))
+          .agg(graft.functions.KmvSketch.kmv(k)(col("h"), col("o_custkey"))
+              .as("sk"),
+            countDistinct(col("o_custkey")).as("exact_customers"))
+          .select(col("o_orderpriority"), col("exact_customers"),
+            size(col("sk")).as("n_sketch"),
+            when(size(col("sk")) < k, size(col("sk")).cast("double"))
+              .otherwise(lit((k - 1) * 4294967296.0) /
+                element_at(col("sk"), k).getField("h"))
+              .as("est_customers"))
+      },
+      Some("""WITH dk AS (
+             |  SELECT DISTINCT o_orderpriority, o_custkey,
+             |    CAST(CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+             |      1, 8)) AS UBIGINT) AS BIGINT) AS h
+             |  FROM orders),
+             |rk AS (
+             |  SELECT o_orderpriority, h,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY h, o_custkey) AS r,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS nd
+             |  FROM dk)
+             |SELECT o_orderpriority, CAST(max(nd) AS BIGINT) AS exact_customers,
+             |  CAST(least(max(nd), 64) AS INTEGER) AS n_sketch,
+             |  CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+             |       ELSE 63 * 4294967296.0 / max(CASE WHEN r = 64 THEN h END)
+             |  END AS est_customers
+             |FROM rk GROUP BY 1""".stripMargin),
+      "KMV bottom-64 distinct sketch per group: mergeable O(k) typed " +
+        "Aggregator, estimate (k-1)*2^32/h_k hash-matched bitwise — the " +
+        "deterministic sibling of the HLL rollup"),
+
+    // KMV set algebra (Beyer et al., SIGMOD 2007): union and
+    // intersection cardinalities of two audiences from their sketches
+    // alone. Union sketch = bottom-k of the concatenated sketches; any
+    // union-sketch element belonging to a member set hashes below that
+    // member's own threshold, so membership of union-sketch elements in
+    // the member SKETCHES is an exact test and (c/k)*est(A∪B)
+    // estimates the intersection. k=8 keeps the estimating branch live
+    // at sf0.001 (15 distinct users per audience) — accuracy is not
+    // the point here, determinism of the whole algebra is; the exact
+    // counts sit alongside for calibration. Sketch-only rollups are
+    // the 100 TB win: audience overlap across N segments needs N
+    // sketches, not N² distinct-count joins.
+    Q("sketch_kmv_setops",
+      (s, d) => {
+        val k = 8
+        val kmv = graft.functions.KmvSketch.kmv(k)
+        val ev = persistOnce(load(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            Reconcile.rowFingerprint(col("user_id")).as("h"),
+            col("user_id")))
+        def sket(f: DataFrame): DataFrame =
+          f.agg(kmv(col("h"), col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("exact"))
+        val a = sket(ev.filter(col("event_type") === "click"))
+          .select(col("sk").as("a_sk"), col("exact").as("exact_a"))
+        val b = sket(ev.filter(col("event_type") === "purchase"))
+          .select(col("sk").as("b_sk"), col("exact").as("exact_b"))
+        val u = sket(ev)
+          .select(col("sk").as("u_sk"), col("exact").as("exact_union"))
+        val inter = ev.groupBy(col("user_id"))
+          .agg(countDistinct(col("event_type")).as("nt"))
+          .filter(col("nt") === 2)
+          .agg(count(lit(1)).as("exact_inter"))
+        def est(sk: Column): Column =
+          when(size(sk) < k, size(sk).cast("double"))
+            .otherwise(lit((k - 1) * 4294967296.0) /
+              element_at(sk, k).getField("h"))
+        a.crossJoin(b).crossJoin(u).crossJoin(inter)
+          .select(col("exact_a"), col("exact_b"), col("exact_union"),
+            col("exact_inter"),
+            est(col("a_sk")).as("est_a"), est(col("b_sk")).as("est_b"),
+            est(col("u_sk")).as("est_union"),
+            round(
+              size(expr("filter(u_sk, e -> exists(a_sk, x -> x.key = e.key)" +
+                " AND exists(b_sk, y -> y.key = e.key))")).cast("double") *
+                est(col("u_sk")) / k, 4).as("est_inter"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT event_type, user_id,
+             |    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+             |      1, 8)) AS UBIGINT) AS BIGINT) AS h
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |ska AS (SELECT user_id, h, row_number() OVER (ORDER BY h, user_id)
+             |    AS r, count(*) OVER () AS nd
+             |  FROM ev WHERE event_type = 'click'),
+             |skb AS (SELECT user_id, h, row_number() OVER (ORDER BY h, user_id)
+             |    AS r, count(*) OVER () AS nd
+             |  FROM ev WHERE event_type = 'purchase'),
+             |sku AS (SELECT user_id, h, row_number() OVER (ORDER BY h, user_id)
+             |    AS r, count(*) OVER () AS nd
+             |  FROM (SELECT DISTINCT user_id, h FROM ev)),
+             |est AS (
+             |  SELECT
+             |    (SELECT CAST(max(nd) AS BIGINT) FROM ska) AS exact_a,
+             |    (SELECT CAST(max(nd) AS BIGINT) FROM skb) AS exact_b,
+             |    (SELECT CAST(max(nd) AS BIGINT) FROM sku) AS exact_union,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM (
+             |       SELECT user_id FROM ev GROUP BY 1
+             |       HAVING count(DISTINCT event_type) = 2)) AS exact_inter,
+             |    (SELECT CASE WHEN max(nd) < 8 THEN CAST(max(nd) AS DOUBLE)
+             |       ELSE 7 * 4294967296.0 / max(CASE WHEN r = 8 THEN h END) END
+             |     FROM ska) AS est_a,
+             |    (SELECT CASE WHEN max(nd) < 8 THEN CAST(max(nd) AS DOUBLE)
+             |       ELSE 7 * 4294967296.0 / max(CASE WHEN r = 8 THEN h END) END
+             |     FROM skb) AS est_b,
+             |    (SELECT CASE WHEN max(nd) < 8 THEN CAST(max(nd) AS DOUBLE)
+             |       ELSE 7 * 4294967296.0 / max(CASE WHEN r = 8 THEN h END) END
+             |     FROM sku) AS est_union,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sku
+             |     WHERE r <= 8
+             |       AND user_id IN (SELECT user_id FROM ska WHERE r <= 8)
+             |       AND user_id IN (SELECT user_id FROM skb WHERE r <= 8))
+             |      AS c_inter)
+             |SELECT exact_a, exact_b, exact_union, exact_inter,
+             |  est_a, est_b, est_union,
+             |  round(CAST(c_inter AS DOUBLE) * est_union / 8, 4) AS est_inter
+             |FROM est""".stripMargin),
+      "KMV set algebra: union sketch from member sketches, theta-style " +
+        "intersection via exact membership of union elements — audience " +
+        "overlap from O(k) sketches, no pairwise distinct joins"))
 }

@@ -2873,5 +2873,45 @@ object AdvancedQueries {
              |FROM est""".stripMargin),
       "KMV set algebra: union sketch from member sketches, theta-style " +
         "intersection via exact membership of union elements — audience " +
-        "overlap from O(k) sketches, no pairwise distinct joins"))
+        "overlap from O(k) sketches, no pairwise distinct joins"),
+
+    // M4 time-series downsampling (Jugel et al., VLDB 2014): per pixel
+    // bucket keep min, max, first and last — the four points that make
+    // a line chart of the bucket RENDER IDENTICALLY to the full series.
+    // This is the visualization-grade reduction for 100 TB telemetry:
+    // one hash aggregate (min/max are plain aggs; first/last are
+    // min_by/max_by under the total (ts, event_id) order), map-side
+    // combined, shuffle ∝ series × buckets, no window sort of raw rows
+    // — unlike LTTB, whose chosen point depends sequentially on the
+    // previous bucket's choice and therefore can't map-side-combine.
+    // Buckets are fixed hour multiples of epoch micros (no pre-scan
+    // for the time span). All outputs are selections of stored values
+    // or integer counts — exact, unrounded.
+    Q("events_m4_downsample",
+      (s, d) => load(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("bucket"),
+          col("ts"), col("event_id"), col("value"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"),
+          min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("v_first"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("v_last")),
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+             |    epoch_us(ts) AS us, event_id, value
+             |  FROM events)
+             |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             |  min(value) AS v_min, max(value) AS v_max,
+             |  (list_sort(list({'us': us, 'eid': event_id, 'v': value}))[1]).v
+             |    AS v_first,
+             |  (list_sort(list({'us': us, 'eid': event_id, 'v': value}))[-1]).v
+             |    AS v_last
+             |FROM ev GROUP BY 1, 2""".stripMargin),
+      "M4 chart downsampling: min/max/first/last per (series, hour " +
+        "bucket) in ONE map-side-combined hash aggregate — " +
+        "pixel-faithful reduction without sorting raw rows"))
 }

@@ -246,5 +246,62 @@ object LayoutQueries {
              |FROM assigned GROUP BY 1""".stripMargin),
       "rendezvous sharding 8→9 reshard audit: map-only argmax " +
         "assignment, movement lands only on the new shard (~1/9), " +
-        "never a reshuffle of survivors"))
+        "never a reshuffle of survivors"),
+
+    // Compaction planner (the small-files problem): given a file
+    // listing at metadata grain, assign files to target-sized output
+    // bins the way Delta/Iceberg OPTIMIZE bin-packing does — WITHIN a
+    // partition (packing across event_type would destroy partition
+    // pruning), in cluster order (day), closing a bin at each multiple
+    // of the target so locality survives the rewrite. The whole plan
+    // is one window over O(#files) METADATA rows — the data itself is
+    // never read; at 100 TB this is the planner a table service runs
+    // per partition before scheduling rewrite tasks. The fixture
+    // listing derives deterministically from events ((event_type, day)
+    // grain, bytes = payload+overhead sums); bin id = the target
+    // multiple the file's first byte lands in (running sum EXCLUSIVE
+    // of the file), so bins can overshoot by at most one file — the
+    // standard sorted-fill contract. Output: per-bin file count,
+    // bytes, small-file count and day span — all exact integers.
+    Q("layout_compaction_plan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 4096L
+        val files = load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(length(col("props"))) + count(lit(1)) * 64L).as("bytes"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        files
+          .withColumn("start_byte",
+            coalesce(sum(col("bytes")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bin", (col("start_byte") / target).cast("long"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("bytes")).as("bytes"),
+            sum(when(col("bytes") < target / 4, 1L).otherwise(0L))
+              .as("n_small_files"),
+            min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"))
+      },
+      Some("""WITH files AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(length(props)) + count(*) * 64 AS BIGINT) AS bytes
+             |  FROM events GROUP BY 1, 2),
+             |placed AS (
+             |  SELECT event_type, day, bytes,
+             |    coalesce(sum(bytes) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS start_byte
+             |  FROM files)
+             |SELECT event_type, CAST(start_byte // 4096 AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS bytes,
+             |  CAST(sum(CASE WHEN bytes < 1024 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_small_files,
+             |  min(day) AS first_day, max(day) AS last_day
+             |FROM placed GROUP BY 1, 2""".stripMargin),
+      "OPTIMIZE-style compaction plan: per-partition sorted fill into " +
+        "target-sized bins over O(#files) metadata — cluster order and " +
+        "partition pruning survive the rewrite"))
 }

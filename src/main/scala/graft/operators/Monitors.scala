@@ -766,5 +766,71 @@ object Monitors {
              |QUALIFY row_number() OVER (PARTITION BY event_type
              |  ORDER BY peak_cents - v_cents DESC, day) = 1""".stripMargin),
       "max drawdown per type: day-grain cents rollup, cumulative-max " +
-        "window, deepest-gap pick — one exchange past the rollup"))
+        "window, deepest-gap pick — one exchange past the rollup"),
+
+    // Watermark sizing: how far behind the max-seen event time may an
+    // event arrive, per stream? THE number every watermarked streaming
+    // aggregation needs (too small drops events, too large balloons
+    // state). The fixture's events arrive in perfect event-time order
+    // (lateness identically 0 — a vacuous audit), so arrival is
+    // PLANTED deterministically: each event is delayed by
+    // (md5(event_id) mod 7200) seconds, the replayable stand-in for
+    // network/producer skew. The audit then replays arrival order per
+    // stream (one window sort per event_type — the per-Kafka-partition
+    // analogy) and measures lateness = running-max(event time) − own
+    // event time at arrival. Output per stream: exact counts beyond
+    // 10 min / 1 h thresholds and the max — the required watermark.
+    // All integer microsecond math, order-pinned by (arrival, id).
+    Q("mon_required_watermark",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"),
+            (Reconcile.rowFingerprint(col("event_id")) % 7200)
+              .as("delay_s"))
+          .withColumn("arr_us", col("us") + col("delay_s") * 1000000L)
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("arr_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("late_us", greatest(max(col("us")).over(w) - col("us"),
+            lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+            sum(when(col("late_us") > 600L * 1000000L, 1L).otherwise(0L))
+              .as("n_late_over_10m"),
+            sum(when(col("late_us") > 3600L * 1000000L, 1L).otherwise(0L))
+              .as("n_late_over_1h"),
+            (max(col("late_us")) / 1000000L).cast("long")
+              .as("required_watermark_s"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id, epoch_us(ts) AS us,
+             |    CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+             |      1, 8)) AS UBIGINT) AS BIGINT) % 7200 AS delay_s
+             |  FROM events),
+             |arr AS (
+             |  SELECT event_type, event_id, us,
+             |    us + delay_s * 1000000 AS arr_us FROM ev),
+             |late AS (
+             |  SELECT event_type,
+             |    greatest(max(us) OVER (PARTITION BY event_type
+             |      ORDER BY arr_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us, 0)
+             |      AS late_us
+             |  FROM arr)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_late,
+             |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_late_over_10m,
+             |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_late_over_1h,
+             |  CAST(max(late_us) // 1000000 AS BIGINT)
+             |    AS required_watermark_s
+             |FROM late GROUP BY 1""".stripMargin),
+      "watermark sizing from planted deterministic arrival skew: " +
+        "per-stream lateness vs the running event-time max, threshold " +
+        "counts + the max lateness a watermark must cover"))
 }

@@ -1162,5 +1162,50 @@ object PipelineQueries {
              |FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd
              |      FROM orders GROUP BY 1) g4""".stripMargin),
       "approximate-FD audit per candidate pair: violating groups and " +
-        "extra distinct values from one keyed distinct agg per pair"))
+        "extra distinct values from one keyed distinct agg per pair"),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    // each row gets key = ln(u)/w with u = (h+1)/2^32 from the md5
+    // fingerprint and w its weight; the top-k keys ARE an exact
+    // w-weighted sample without replacement. The property that makes
+    // it THE distributed weighted sampler: the key is a pure per-row
+    // function, so top-k per stratum is one bounded selection — no
+    // sequential reservoir state, partials merge (any k-element
+    // top-k union re-truncates correctly), replays are idempotent,
+    // and a 100 TB corpus samples in a single pass. Hash-derived u
+    // replaces the RNG deterministically (the repo-wide planted-
+    // randomness rule), so DuckDB replays the identical sample:
+    // per-source top-4 documents weighted by n_chars. The ln chain is
+    // correctly-rounded single ops in both engines; the displayed key
+    // rounds 8 dp, ordering uses the unrounded (bitwise-identical)
+    // value with doc_id tie-break.
+    Q("pipeline_weighted_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            (log((Reconcile.rowFingerprint(col("doc_id")) + 1L) /
+              lit(4294967296.0)) / col("n_chars")).as("es_key"))
+        docs.withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("es_key").desc, col("doc_id"))))
+          .filter(col("rk") <= 4)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+            round(col("es_key"), 8).as("es_key"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT source, doc_id, n_chars,
+             |    ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS
+             |      VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) + 1)
+             |      / 4294967296.0) / n_chars AS es_key
+             |  FROM documents)
+             |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+             |  round(es_key, 8) AS es_key
+             |FROM (SELECT *, row_number() OVER (PARTITION BY source
+             |        ORDER BY es_key DESC, doc_id) AS rk
+             |      FROM keyed)
+             |WHERE rk <= 4""".stripMargin),
+      "Efraimidis-Spirakis weighted sampling without replacement: " +
+        "pure per-row keys from the hash RNG, per-stratum top-4 — " +
+        "single-pass, mergeable, no reservoir state"))
 }

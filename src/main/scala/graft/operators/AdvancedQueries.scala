@@ -2913,5 +2913,55 @@ object AdvancedQueries {
              |FROM ev GROUP BY 1, 2""".stripMargin),
       "M4 chart downsampling: min/max/first/last per (series, hour " +
         "bucket) in ONE map-side-combined hash aggregate — " +
-        "pixel-faithful reduction without sorting raw rows"))
+        "pixel-faithful reduction without sorting raw rows"),
+
+    // Nearest as-of join with tolerance (pandas merge_asof parity —
+    // directions beyond the classic backward lookup): every error
+    // event attaches the CLOSEST purchase of the same user within 24h,
+    // before OR after, ties preferring backward. The operator stays
+    // one key shuffle + two window passes over the same partitioning
+    // (AsofJoin direction="nearest") — never a per-row scan of the
+    // right side. The oracle is an INDEPENDENT formulation: DuckDB
+    // LATERAL picks argmin |Δt| under the same tie rules, so the
+    // union+window trick is value-checked against a direct nearest-
+    // neighbor definition, not replayed. ~half the errors have no
+    // purchase within tolerance at sf0.001 — both the matched and the
+    // null branch are live.
+    Q("join_asof_nearest",
+      (s, d) => {
+        val ev = persistOnce(load(s, d, "events"))
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        AsofJoin(err, pur,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          rightPayload = Seq("purchase_id", "p_ts"),
+          direction = "nearest", toleranceSec = Some(86400L))
+          .select(col("error_id"), col("user_id"), col("purchase_id"),
+            (abs(unix_micros(col("ts")) - unix_micros(col("p_ts"))) /
+              1000000L).cast("long").as("gap_s"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id AS error_id, user_id, ts FROM events
+             |  WHERE event_type = 'error'),
+             |pv AS (
+             |  SELECT user_id, ts, max(event_id) AS purchase_id
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT e.error_id, e.user_id, m.purchase_id, m.gap_s
+             |FROM err e LEFT JOIN LATERAL (
+             |  SELECT p.purchase_id,
+             |    CAST(abs(epoch_us(p.ts) - epoch_us(e.ts)) // 1000000
+             |      AS BIGINT) AS gap_s
+             |  FROM pv p
+             |  WHERE p.user_id = e.user_id
+             |    AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 86400000000
+             |  ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+             |    (p.ts > e.ts), p.purchase_id
+             |  LIMIT 1) m ON TRUE""".stripMargin),
+      "nearest-direction as-of join with 24h tolerance: one shuffle + " +
+        "two windows, checked against an independent LATERAL argmin " +
+        "formulation with identical tie rules"))
 }

@@ -43,4 +43,42 @@ class AsofJoinSpec extends SparkSpec {
       .as[(Long, Option[Double], Option[String])].collect()
     assert(out.toSeq == Seq((1L, Some(2.0), None)))
   }
+
+  private def runDir(dir: String, tol: Option[Long] = None) =
+    AsofJoin(trades, quotes, "sym", "sym", "t", "qt", Seq("px"),
+      direction = dir, toleranceSec = tol)
+      .select($"trade_id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+
+  test("forward picks earliest right row at-or-after left time") {
+    val m = runDir("forward")
+    assert(m(1L).contains(2.0)) // t=10 matches quote at exactly 10 (>=)
+    assert(m(2L).isEmpty)       // no A quote after 25
+    assert(m(3L).contains(1.0)) // t=5 -> quote at 8
+    assert(m(4L).contains(9.9)) // t=50 -> quote at 60
+  }
+
+  test("nearest picks the closer side and prefers backward on ties") {
+    val m = runDir("nearest")
+    assert(m(2L).contains(3.0)) // only backward exists (20)
+    assert(m(3L).contains(1.0)) // only forward exists (8)
+    assert(m(4L).contains(9.9)) // only forward exists (60)
+    // t=15 is equidistant from qt=10 and qt=20 -> backward wins
+    val tie = Seq((9L, "A", 15L)).toDF("trade_id", "sym", "t")
+    val out = AsofJoin(tie, quotes, "sym", "sym", "t", "qt", Seq("px"),
+      direction = "nearest")
+      .select($"px").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(2.0)))
+  }
+
+  test("tolerance nulls matches beyond the bound but keeps the row") {
+    val back = runDir("backward", tol = Some(3L))
+    assert(back(1L).contains(2.0)) // gap 0 <= 3
+    assert(back(2L).isEmpty)       // gap 5 > 3 -> dropped
+    val near = runDir("nearest", tol = Some(5L))
+    assert(near(2L).contains(3.0)) // gap 5 <= 5
+    assert(near(3L).contains(1.0)) // forward gap 3 <= 5
+    assert(near(4L).isEmpty)       // forward gap 10 > 5
+    assert(near.size == 5, "tolerance must not drop left rows")
+  }
 }

@@ -445,5 +445,65 @@ object Expectations {
              |FROM a JOIN b USING (feature) JOIN c USING (feature)"""
         .stripMargin),
       "decision-stump information gain per candidate feature from one " +
-        "(feature,value,label) count cube — shuffle ∝ cells, not rows"))
+        "(feature,value,label) count cube — shuffle ∝ cells, not rows"),
+
+    // Chi-square independence audit (the categorical sibling of
+    // [[quality_info_gain]]'s entropy view): is o_orderpriority
+    // independent of o_orderstatus? One (r × c) count cube — shuffle ∝
+    // cells — then O(cells) driver-free math: expected E = R·C/N, the
+    // statistic Σ(O−E)²/E, and Cramér's V = sqrt(χ²/(N·min(r−1,c−1)))
+    // as the [0,1] effect size a profiler thresholds on (χ² alone
+    // grows with N, so at 100 TB EVERYTHING is "significant" — V is
+    // the scale-free signal). Integer-only cube; the per-cell term is
+    // a fixed IEEE chain, the ~15-term sum is order-unstable → χ²
+    // rounds 4 dp before V derives from it.
+    Q("quality_chi_square",
+      (s, d) => {
+        val cube = persistOnce(load(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("r"),
+            col("o_orderstatus").as("c"))
+          .agg(count(lit(1)).as("o")))
+        val rt = cube.groupBy("r").agg(sum(col("o")).as("rn"))
+        val ct = cube.groupBy("c").agg(sum(col("o")).as("cn"))
+        val tot = cube.agg(sum(col("o")).as("n"),
+          countDistinct(col("r")).as("nr"),
+          countDistinct(col("c")).as("nc"))
+        cube.join(rt, "r").join(ct, "c").crossJoin(tot)
+          .select(col("n"), col("nr"), col("nc"),
+            (col("o") - col("rn") * col("cn") / col("n").cast("double"))
+              .as("dev"),
+            (col("rn") * col("cn") / col("n").cast("double")).as("e"))
+          .groupBy(col("n"), col("nr"), col("nc"))
+          .agg(round(sum(col("dev") * col("dev") / col("e")), 4).as("chi2"))
+          .select(col("n"), col("nr"), col("nc"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            col("chi2"),
+            round(sqrt(col("chi2") /
+              (col("n") * least(col("nr") - 1, col("nc") - 1))), 6)
+              .as("cramers_v"))
+      },
+      Some("""WITH cube AS (
+             |  SELECT o_orderpriority AS r, o_orderstatus AS c,
+             |    count(*) AS o
+             |  FROM orders GROUP BY 1, 2),
+             |rt AS (SELECT r, sum(o) AS rn FROM cube GROUP BY 1),
+             |ct AS (SELECT c, sum(o) AS cn FROM cube GROUP BY 1),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             |    CAST(count(DISTINCT c) AS BIGINT) AS nc
+             |  FROM cube),
+             |chi AS (
+             |  SELECT n, nr, nc,
+             |    round(sum((o - rn * cn / CAST(n AS DOUBLE))
+             |      * (o - rn * cn / CAST(n AS DOUBLE))
+             |      / (rn * cn / CAST(n AS DOUBLE))), 4) AS chi2
+             |  FROM cube JOIN rt USING (r) JOIN ct USING (c), tot
+             |  GROUP BY 1, 2, 3)
+             |SELECT n, nr, nc, (nr - 1) * (nc - 1) AS dof, chi2,
+             |  round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6)
+             |    AS cramers_v
+             |FROM chi""".stripMargin),
+      "chi-square independence + Cramér's V from one count cube — the " +
+        "scale-free categorical-association audit (χ² inflates with N; " +
+        "V is what a 100 TB profiler thresholds)"))
 }

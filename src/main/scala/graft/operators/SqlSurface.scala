@@ -1037,5 +1037,83 @@ object SqlSurface {
              |  AND l_discount BETWEEN 0.05 AND 0.07
              |  AND l_quantity < 24""".stripMargin),
       "TPC-H Q6 shape: single-scan predicate-pushdown aggregate — " +
-        "exact fixed-point revenue delta under a discount-policy probe"))
+        "exact fixed-point revenue delta under a discount-policy probe"),
+
+    // Penny allocation (largest-remainder / Hamilton method): spread an
+    // order-level rebate across its lineitems proportionally so the
+    // allocated CENTS sum exactly to the rebate — the invariant every
+    // billing/revenue-recognition pipeline must hold (floor division
+    // alone under-allocates; naive rounding over- or under-shoots).
+    // All integer arithmetic: share_i = floor(rebate*price_i/total),
+    // remainders compared CROSS-MULTIPLIED (rebate*price_i −
+    // share_i*total ∈ [0, total)), and the rebate − Σfloor leftover
+    // cents go to the largest remainders (linenumber tie-break). One
+    // (orderkey)-keyed window per order — group-bounded sorts, shuffle
+    // ∝ rows, exact at any scale (products ≤ 5e14 « 2^63). Output is
+    // the per-order proof: allocated sum ≡ rebate, spread between max
+    // and min item allocation, and the top-up count = leftover cents.
+    Q("agg_penny_allocation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        val wo = Window.partitionBy(col("l_orderkey"))
+        val base = li
+          .withColumn("total_c", sum(col("price_c")).over(wo))
+          .withColumn("rebate_c", expr("total_c div 10"))
+          .withColumn("share_c",
+            expr("(rebate_c * price_c) div total_c"))
+          .withColumn("rem",
+            col("rebate_c") * col("price_c") - col("share_c") * col("total_c"))
+          .withColumn("rrk", row_number().over(
+            wo.orderBy(col("rem").desc, col("l_linenumber"))))
+          .withColumn("leftover",
+            col("rebate_c") - sum(col("share_c")).over(wo))
+          .withColumn("alloc_c",
+            col("share_c") + when(col("rrk") <= col("leftover"), 1L)
+              .otherwise(0L))
+        base.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            max(col("rebate_c")).as("rebate_c"),
+            sum(col("alloc_c")).as("allocated_c"),
+            max(col("alloc_c")).as("max_item_c"),
+            min(col("alloc_c")).as("min_item_c"),
+            max(col("leftover")).as("topped_up_items"))
+          .filter(col("n_items") >= 4)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+             |  FROM lineitem),
+             |base AS (
+             |  SELECT l_orderkey, l_linenumber, price_c,
+             |    sum(price_c) OVER (PARTITION BY l_orderkey) AS total_c
+             |  FROM li),
+             |shares AS (
+             |  SELECT *, total_c // 10 AS rebate_c,
+             |    ((total_c // 10) * price_c) // total_c AS share_c,
+             |    (total_c // 10) * price_c
+             |      - (((total_c // 10) * price_c) // total_c) * total_c AS rem
+             |  FROM base),
+             |ranked AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY rem DESC, l_linenumber) AS rrk,
+             |    rebate_c - sum(share_c) OVER (PARTITION BY l_orderkey)
+             |      AS leftover
+             |  FROM shares)
+             |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(max(rebate_c) AS BIGINT) AS rebate_c,
+             |  CAST(sum(share_c + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS allocated_c,
+             |  CAST(max(share_c + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS max_item_c,
+             |  CAST(min(share_c + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS min_item_c,
+             |  CAST(max(leftover) AS BIGINT) AS topped_up_items
+             |FROM ranked GROUP BY 1 HAVING count(*) >= 4""".stripMargin),
+      "largest-remainder penny allocation: integer cross-multiplied " +
+        "remainders, leftover cents to the largest — allocated sum " +
+        "equals the rebate exactly, per-order windows only"))
 }

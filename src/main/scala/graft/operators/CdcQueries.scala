@@ -1,6 +1,9 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
 
 import graft.cdc.{Envelope, Fixture, Materialize}
 
@@ -688,5 +691,99 @@ object CdcQueries {
               |FROM probes p JOIN fin f ON f.id = p.probe""".stripMargin),
       "bucket- and stats-pruned point lookups on the log mirror: " +
         "updated key resolves to its latest version, deleted key to " +
-        "nothing, unknown key to nothing"))
+        "nothing, unknown key to nothing"),
+
+    // SCD2 history COMPACTION — the maintenance op every type-2
+    // dimension eventually needs: upstream CDC emits version rows for
+    // updates that didn't change any TRACKED column (untracked-column
+    // churn, connector re-snapshots), and each no-op version bloats
+    // the history and splits validity intervals that should be one.
+    // Compaction is gaps-and-islands: per key in valid_from order,
+    // flag payload changes (null-safe vs lag), running-sum flags into
+    // island ids, collapse each island to [min(valid_from), last
+    // valid_to] — an interval stays OPEN (null) if any member was
+    // open. One (key)-keyed window + one (key, island) aggregate —
+    // shuffle ∝ versions, group-bounded sorts, no self-join. The
+    // version fixture plants both no-op churn (25% re-emit at t=2000,
+    // 12.5% at t=4000) and real changes (50% repriced at t=3000), so
+    // merged AND unmerged islands are live; n_merged counts the
+    // collapsed rows.
+    Q("cdc_scd2_compact",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        def v(vf: Long, f: DataFrame): DataFrame =
+          f.withColumn("valid_from", lit(vf))
+        val versions = v(1000L, base)
+          .unionByName(v(2000L, base.filter(col("id") % 4 === 0)))
+          .unionByName(v(3000L, base.filter(col("id") % 2 === 0)
+            .withColumn("price_c", expr("price_c * 11 div 10"))))
+          .unionByName(v(4000L, base.filter(col("id") % 8 === 0)
+            .withColumn("price_c",
+              when(col("id") % 2 === 0, expr("price_c * 11 div 10"))
+                .otherwise(col("price_c")))))
+        val wk = Window.partitionBy(col("id")).orderBy(col("valid_from"))
+        versions
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+          .withColumn("chg",
+            when(row_number().over(wk) === 1, 1L)
+              .otherwise(when(col("status") =!= lag(col("status"), 1).over(wk)
+                || col("price_c") =!= lag(col("price_c"), 1).over(wk), 1L)
+                .otherwise(0L)))
+          .withColumn("island", sum(col("chg")).over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("id"), col("island"))
+          .agg(max(col("status")).as("status"),
+            max(col("price_c")).as("price_c"),
+            min(col("valid_from")).as("valid_from"),
+            when(max(col("valid_to").isNull.cast("int")) === 1, lit(null))
+              .otherwise(max(col("valid_to"))).cast("long").as("valid_to"),
+            (count(lit(1)) - 1).as("n_merged"))
+          .select(col("id"), col("status"), col("price_c"),
+            col("valid_from"), col("valid_to"), col("n_merged"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS id, o_orderstatus AS status,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders),
+             |versions AS (
+             |  SELECT id, status, price_c, CAST(1000 AS BIGINT) AS valid_from
+             |    FROM base
+             |  UNION ALL
+             |  SELECT id, status, price_c, 2000 FROM base WHERE id % 4 = 0
+             |  UNION ALL
+             |  SELECT id, status, price_c * 11 // 10, 3000 FROM base
+             |    WHERE id % 2 = 0
+             |  UNION ALL
+             |  SELECT id, status,
+             |    CASE WHEN id % 2 = 0 THEN price_c * 11 // 10
+             |         ELSE price_c END, 4000
+             |    FROM base WHERE id % 8 = 0),
+             |seq AS (
+             |  SELECT *,
+             |    lead(valid_from) OVER w AS valid_to,
+             |    CASE WHEN row_number() OVER w = 1 THEN 1
+             |         WHEN status <> lag(status) OVER w
+             |           OR price_c <> lag(price_c) OVER w THEN 1
+             |         ELSE 0 END AS chg
+             |  FROM versions
+             |  WINDOW w AS (PARTITION BY id ORDER BY valid_from)),
+             |isl AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY id ORDER BY valid_from
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM seq)
+             |SELECT id, max(status) AS status,
+             |  CAST(max(price_c) AS BIGINT) AS price_c,
+             |  CAST(min(valid_from) AS BIGINT) AS valid_from,
+             |  CAST(CASE WHEN max(CASE WHEN valid_to IS NULL THEN 1 ELSE 0
+             |    END) = 1 THEN NULL ELSE max(valid_to) END AS BIGINT)
+             |    AS valid_to,
+             |  CAST(count(*) - 1 AS BIGINT) AS n_merged
+             |FROM isl GROUP BY id, island""".stripMargin),
+      "SCD2 history compaction: gaps-and-islands collapse of no-op " +
+        "version churn — one keyed window + one aggregate, open " +
+        "intervals stay open, n_merged counts removed bloat"))
 }

@@ -2880,36 +2880,40 @@ object AdvancedQueries {
     // a line chart of the bucket RENDER IDENTICALLY to the full series.
     // This is the visualization-grade reduction for 100 TB telemetry:
     // one hash aggregate (min/max are plain aggs; first/last are
-    // min_by/max_by under the total (ts, event_id) order), map-side
-    // combined, shuffle ∝ series × buckets, no window sort of raw rows
-    // — unlike LTTB, whose chosen point depends sequentially on the
-    // previous bucket's choice and therefore can't map-side-combine.
-    // Buckets are fixed hour multiples of epoch micros (no pre-scan
-    // for the time span). All outputs are selections of stored values
-    // or integer counts — exact, unrounded.
+    // min_by/max_by under a total order), map-side combined, shuffle ∝
+    // series × buckets, no window sort of raw rows — unlike LTTB,
+    // whose chosen point depends sequentially on the previous bucket's
+    // choice and therefore can't map-side-combine. The tie-broken
+    // order PACKS into one long (the events_ohlc_bars rule: a STRUCT
+    // key demotes the aggregate to SortAggregate): micros-within-hour
+    // (<2³²; the hour is already in the group key) ×2²⁶ + event_id mod
+    // 2²⁶ — min_by/max_by on a LONG key keep the whole thing ONE
+    // HashAggregate, plan-audited. Buckets are fixed hour multiples of
+    // epoch micros (no pre-scan for the time span). All outputs are
+    // selections of stored values or integer counts — exact, unrounded.
     Q("events_m4_downsample",
       (s, d) => load(s, d, "events")
         .select(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("bucket"),
-          col("ts"), col("event_id"), col("value"))
+          ((unix_micros(col("ts")) % 3600000000L) * 67108864L +
+            pmod(col("event_id"), lit(67108864L))).as("ord"),
+          col("value"))
         .groupBy(col("event_type"), col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("v_min"),
           max(col("value")).as("v_max"),
-          min_by(col("value"), struct(col("ts"), col("event_id")))
-            .as("v_first"),
-          max_by(col("value"), struct(col("ts"), col("event_id")))
-            .as("v_last")),
+          min_by(col("value"), col("ord")).as("v_first"),
+          max_by(col("value"), col("ord")).as("v_last")),
       Some("""WITH ev AS (
              |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
-             |    epoch_us(ts) AS us, event_id, value
+             |    (epoch_us(ts) % 3600000000) * 67108864
+             |      + event_id % 67108864 AS ord,
+             |    value
              |  FROM events)
              |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
              |  min(value) AS v_min, max(value) AS v_max,
-             |  (list_sort(list({'us': us, 'eid': event_id, 'v': value}))[1]).v
-             |    AS v_first,
-             |  (list_sort(list({'us': us, 'eid': event_id, 'v': value}))[-1]).v
-             |    AS v_last
+             |  arg_min(value, ord) AS v_first,
+             |  arg_max(value, ord) AS v_last
              |FROM ev GROUP BY 1, 2""".stripMargin),
       "M4 chart downsampling: min/max/first/last per (series, hour " +
         "bucket) in ONE map-side-combined hash aggregate — " +

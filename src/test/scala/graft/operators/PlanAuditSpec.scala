@@ -589,4 +589,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(1200)) // the 3×3 probe explode
     assert(p.contains("InMemoryTableScan"), p.take(1200))
   }
+
+  test("M4 downsampling: one hash aggregate, no window and no sort — " +
+    "min_by/max_by under the (ts, event_id) struct stay hash-aggregable") {
+    val p = plan("events_m4_downsample")
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("Window ") && !p.contains("SortAggregate") &&
+      !p.contains("Sort "), p.take(1200))
+  }
+
+  test("KMV sketch: the typed aggregator partial-aggregates map-side — " +
+    "only O(k) sketch buffers per group travel, never the key domain") {
+    val p = plan("sketch_kmv_distinct")
+    // partial_kmvaggregator below the exchange = map-side combine; the
+    // second exchange belongs to the EXACT countDistinct calibration
+    // column (expand+dedup phases), not the sketch
+    assert(p.contains("partial_kmvaggregator"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      p.take(1500))
+  }
+
+  test("penny allocation: every window and the final rollup ride ONE " +
+    "orderkey exchange; no partition-less window anywhere") {
+    val p = plan("agg_penny_allocation")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(1500))
+    assert(!p.contains("Window [") ||
+      "Window \\[.*windowspecdefinition\\(\\)".r.findFirstIn(p).isEmpty,
+      p.take(1500))
+  }
+
+  test("SCD2 compaction: the island windows and the collapse aggregate " +
+    "share the per-key partitioning — one exchange past the union") {
+    val p = plan("cdc_scd2_compact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("nearest as-of join: both direction windows ride the SAME key " +
+    "exchange — one hashpartitioning on the union, no join operator") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the _k exchange appears once; the two window sorts reuse it
+    assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
+      p.take(1500))
+  }
 }

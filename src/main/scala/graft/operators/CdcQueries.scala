@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 
 import graft.cdc.{Envelope, Fixture, Materialize}
@@ -711,10 +712,11 @@ object CdcQueries {
     Q("cdc_scd2_compact",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val base = load(s, d, "orders")
+        // the four version branches each re-read base — persist once
+        val base = persistOnce(load(s, d, "orders")
           .select(col("o_orderkey").as("id"),
             col("o_orderstatus").as("status"),
-            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+            round(col("o_totalprice") * 100).cast("long").as("price_c")))
         def v(vf: Long, f: DataFrame): DataFrame =
           f.withColumn("valid_from", lit(vf))
         val versions = v(1000L, base)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.KmvSketch
+
+/** The mergeability contract under INCREMENTAL execution: an algebraic
+  * aggregate that map-side-combines in batch must also fold correctly
+  * across micro-batches in complete-mode streaming — same algebra,
+  * different merge order. Proven for the two round-8 additions:
+  *   - the KMV bottom-k sketch (arbitrary batch splits may deliver a
+  *     key's rows in any order / multiple times across partials);
+  *   - the M4 min/max/min_by/max_by reduction (the packed-long order
+  *     key must survive out-of-order micro-batches).
+  * Parity target: the one-shot batch aggregation over the concatenated
+  * input. */
+case class MergeRow(grp: String, h: Long, key: Long, ord: Long, v: Double)
+
+class MergeableAggStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type R = MergeRow
+  private val R = MergeRow
+
+  // deterministic pseudo-hash (mixes well enough for a parity test;
+  // the REAL queries use the md5 fingerprint — parity only needs both
+  // sides to see the same h)
+  private def mk(grp: String, key: Long): R =
+    R(grp, (key * 2654435761L) & 0xffffffffL, key,
+      (key * 48271L) % 100000L, (key % 97).toDouble)
+
+  private val rows: Seq[R] =
+    (1L to 300L).map(k => mk(if (k % 3 == 0) "a" else "b", k)) ++
+      (1L to 50L).map(k => mk("a", k * 3)) // replayed duplicates
+
+  private def kmvAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"grp")
+      .agg(KmvSketch.kmv(8)($"h", $"key").as("sk"))
+      .select($"grp", $"sk")
+
+  private def m4Agg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), min($"v").as("v_min"),
+        max($"v").as("v_max"),
+        min_by($"v", $"ord").as("v_first"),
+        max_by($"v", $"ord").as("v_last"))
+
+  private def streamed(
+      agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[R]
+    val q = agg(ms.toDF()).writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      // three uneven out-of-order micro-batches incl. replays
+      ms.addData(rows.drop(200): _*)
+      q.processAllAvailable()
+      ms.addData(rows.slice(50, 200): _*)
+      q.processAllAvailable()
+      ms.addData(rows.take(50): _*)
+      q.processAllAvailable()
+      spark.table(name).cache()
+    } finally q.stop()
+  }
+
+  test("KMV sketch: three uneven replayed micro-batches == one batch") {
+    val batch = kmvAgg(rows.toDF()).collect().map(r =>
+      r.getString(0) -> r.getSeq[Any](1)).toMap
+    val stream = streamed(kmvAgg, "kmv_stream").collect().map(r =>
+      r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(stream == batch)
+    assert(batch("a").size == 8 && batch("b").size == 8)
+  }
+
+  test("M4 reduction: min/max/first/last agree with the one-shot batch") {
+    val batch = m4Agg(rows.toDF()).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val stream = streamed(m4Agg, "m4_stream").collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(stream == batch)
+  }
+}

@@ -78,7 +78,12 @@ object Bench {
     // Bayes classifier (Q20 / priority-sample cost classes are covered
     // by join_market_share and window_topn_per_group; line budget
     // holds them out)
-    "text_bpe_apply", "text_nb_classify")
+    "text_bpe_apply", "text_nb_classify",
+    // round-8 continuation: the M4 single-hash-agg reduction and the
+    // heaviest new window shape (per-order largest-remainder
+    // allocation). KMV/chi-square/compaction are sub-0.3 s cost
+    // classes already represented; line budget holds them out.
+    "events_m4_downsample", "agg_penny_allocation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,44 @@ object AdvancedQueries {
       "as-of join composed from union + last_value-ignoreNulls over one " +
         "(key,time) sort — one shuffle, no range explosion"),
 
+    // The same as-of contract through the NATIVE operator path
+    // (plans/AsofJoinNative.scala: custom LogicalPlan + SparkStrategy +
+    // SparkPlan with declared distribution/ordering requirements — the
+    // SURVEY §2.10 preference-(c) route). One forward merge pass per
+    // co-partitioned sorted partition, O(1) state, no union padding and
+    // no window; EnsureRequirements plans the two key exchanges exactly
+    // as it does for SortMergeJoin, and AQE coalesces both sides
+    // consistently (partition-parity pinned in AsofJoinNativeSpec).
+    // Identical oracle to join_asof — DuckDB's ASOF LEFT JOIN is the
+    // independent formulation both implementations must match.
+    Q("join_asof_native",
+      (s, d) => {
+        val events = load(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val versions = load(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("asof_orderkey"),
+            max_by(col("o_totalprice"), col("o_orderkey")).as("asof_total"))
+          .select(col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("vt"),
+            col("asof_orderkey"), col("asof_total"))
+        graft.plans.AsofJoinNative(events, versions,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "vt",
+          rightPayload = Seq("asof_orderkey", "asof_total"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         max(o_orderkey) AS asof_orderkey,
+             |         arg_max(o_totalprice, o_orderkey) AS asof_total
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts, r.asof_orderkey, r.asof_total
+             |FROM events e ASOF LEFT JOIN r
+             |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin),
+      "native sort-merge as-of exec (LogicalPlan+Strategy+SparkPlan): " +
+        "one merge pass over co-partitioned sorted sides — same oracle " +
+        "as the composed form, checked independently via DuckDB ASOF"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

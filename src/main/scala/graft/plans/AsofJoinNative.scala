@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native sort-merge AS-OF join — the SURVEY §2.10 preference-(c) path
+  * exercised end-to-end: a custom `LogicalPlan` node, a
+  * `SparkStrategy`, and a `SparkPlan` with declared distribution +
+  * ordering requirements, registered through
+  * `SparkSessionExtensions` / `experimental.extraStrategies`.
+  *
+  * Semantics (backward as-of): for every left row, attach the newest
+  * right row with the same key whose time is <= the left time — the
+  * contract of [[graft.operators.AsofJoin]]'s union+window
+  * composition, which stays the repo's default. This operator exists
+  * because the composition has one structural cost the planner cannot
+  * remove: the right side's payload travels through the union and the
+  * window sort as NULL-padded columns on every LEFT row too. The
+  * native exec instead declares
+  *   - `requiredChildDistribution` = clustered by key on each side
+  *     (EnsureRequirements co-partitions both shuffles, exactly as it
+  *     does for SortMergeJoin), and
+  *   - `requiredChildOrdering` = (key, time) ascending per side,
+  * then streams BOTH sorted iterators through a single forward merge
+  * pass per partition: O(|L| + |R|) time, O(1) state (one buffered
+  * right row per key), zero unioned null padding, and the sorts are
+  * per-side so each sorts narrower rows. Same exchange count as the
+  * composition; strictly less sorted volume.
+  *
+  * Null semantics: null left keys/times never match; null right
+  * keys/times are skipped (they can match nothing) — both asserted in
+  * `AsofJoinNativeSpec`, which also pins parity with the composed
+  * operator on the real fixture under multiple partitionings.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val rWidth = rOut.size
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val lp = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rp = UnsafeProjection.create(Seq(rk, rt), rOut)
+      // right-side refs FORCED nullable: binding the output attrs
+      // against the (non-nullable) child attrs would read the null
+      // payload row as zeros — the classic outer-join pitfall
+      val outProj = UnsafeProjection.create(
+        (lOut.map(a => (a.dataType, a.nullable)) ++
+          rOut.map(a => (a.dataType, true))).zipWithIndex.map {
+          case ((dt, nullable), i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, dt, nullable)
+        })
+      val nullRight = new GenericInternalRow(rWidth)
+      val joined = new JoinedRow
+      // one buffered right row (the next not-yet-consumed one) + the
+      // newest right row already passed for the CURRENT key
+      var rRow: InternalRow = null
+      var rKey: Any = null
+      var rTime: Any = null
+      def advanceR(): Unit = {
+        rRow = null
+        while (rRow == null && ri.hasNext) {
+          val raw = ri.next()
+          val kv = rp(raw).copy() // stable copy of (key, time)
+          val k = kv.get(0, keyType)
+          val t = kv.get(1, timeType)
+          if (k != null && t != null) { // null right keys/times match nothing
+            rRow = raw.copy(); rKey = k; rTime = t
+          }
+        }
+      }
+      advanceR()
+      var lastMatch: InternalRow = null
+      var lastMatchKey: Any = null
+      li.map { lRaw =>
+        val lkv = lp(lRaw)
+        val lKey = lkv.get(0, keyType)
+        val lTime = lkv.get(1, timeType)
+        if (lKey == null || lTime == null) {
+          joined(lRaw, nullRight)
+        } else {
+          // consume right rows at-or-before (lKey, lTime); remember the
+          // newest one PER KEY (an older key's match must not leak)
+          var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+          while (rRow != null && (cmp < 0 ||
+              (cmp == 0 && timeOrd.compare(rTime, lTime) <= 0))) {
+            if (cmp == 0) { lastMatch = rRow; lastMatchKey = rKey }
+            advanceR()
+            cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+          }
+          val hit = lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0
+          joined(lRaw, if (hit) lastMatch else nullRight)
+        }
+        outProj(joined)
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point; registers the strategy on the session
+  * (idempotent) so plain sessions work without a rebuild. */
+object AsofJoinNative {
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, rightKey: String,
+            leftTime: String, rightTime: String,
+            rightPayload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"$side column '$n' not in ${p.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"))
+    val (lt, rt) = (attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"))
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time types differ: ${lt.dataType} vs ${rt.dataType} — cast first")
+    val node = AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt)
+    // select by resolved attribute (exprId), not by name — the raw
+    // output keeps the whole right row and may repeat left names
+    val keep = lPlan.output ++
+      rightPayload.map(n => attr(rPlan, n, "payload").withNullability(true))
+    GraftPlanBridge.ofRows(spark, node)
+      .select(keep.map(a =>
+        org.apache.spark.sql.GraftColumnBridge.column(a)): _*)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables.load
+import graft.operators.AsofJoin
+
+/** The native sort-merge as-of exec vs the union+window composition:
+  * same contract, so they must agree row-for-row on real data under
+  * any partitioning; plus the null semantics and the plan shape. */
+class AsofJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes = Seq(
+    ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 20L, 3.0), ("B", 60L, 9.9))
+    .toDF("sym", "qt", "px")
+  private def trades = Seq(
+    (1L, "A", 10L), (2L, "A", 25L), (3L, "A", 5L), (4L, "B", 50L),
+    (5L, "C", 9L))
+    .toDF("trade_id", "sym", "t")
+
+  test("unit semantics match the composed operator's documented cases") {
+    val m = AsofJoinNative(trades, quotes, "sym", "sym", "t", "qt", Seq("px"))
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).contains(2.0)) // at-or-before includes equal time
+    assert(m(2L).contains(3.0))
+    assert(m(3L).isEmpty && m(4L).isEmpty && m(5L).isEmpty)
+  }
+
+  test("null left keys/times and null right keys/times never match") {
+    val q = Seq((Some("A"), Some(5L), 1.0), (None, Some(6L), 7.0),
+      (Some("A"), None, 8.0)).toDF("sym", "qt", "px")
+    val t = Seq((1L, Some("A"), Some(9L)), (2L, None, Some(9L)),
+      (3L, Some("A"), None)).toDF("trade_id", "sym", "t")
+    val m = AsofJoinNative(t, q, "sym", "sym", "t", "qt", Seq("px"))
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).contains(1.0)) // the null-key/time right rows are skipped
+    assert(m(2L).isEmpty && m(3L).isEmpty)
+  }
+
+  test("parity with the composed AsofJoin on the fixture, several " +
+    "partitionings — same rows, same payloads") {
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val versions = load(spark, sf0001, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .as("vt"), col("asof_orderkey"))
+    val composed = AsofJoin(events, versions,
+      "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"))
+      .select(col("event_id"), col("asof_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val native = AsofJoinNative(
+        events.repartition(parts), versions.repartition(parts + 1),
+        "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"))
+        .select(col("event_id"), col("asof_orderkey"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(native == composed, s"parts=$parts: diverged")
+    }
+  }
+
+  test("plan: AsofJoinExec with one exchange per side, no union, no " +
+    "window, no nested loop") {
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val versions = load(spark, sf0001, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .as("vt"), col("asof_orderkey"))
+    val df = AsofJoinNative(events, versions,
+      "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"))
+    df.collect()
+    // AQE reprints the pre-adaptive plan under "Initial Plan" — audit
+    // only the final executed section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("AsofJoin "), p.take(1200)) // the exec node
+    assert(!p.contains("Union") && !p.contains("Window ") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // three exchanges total: the operator's two required-distribution
+    // shuffles + the version-collapse groupBy's — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      p.take(1200))
+  }
+}

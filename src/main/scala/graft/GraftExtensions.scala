@@ -57,6 +57,12 @@ object GraftExtensions {
       info("zorder_key", "zorder_key(a, b) - Morton interleave of the low " +
         "16 bits of two bigints, for multi-dimensional layout clustering"),
       arity("zorder_key", 2)(args => ZOrderKey(args(0), args(1)))),
+    ("hilbert_key",
+      info("hilbert_key", "hilbert_key(a, b) - Hilbert-curve distance of " +
+        "two bigints on the 2^16 square grid, the locality-stronger " +
+        "clustering key (no diagonal jumps, unlike zorder_key)"),
+      arity("hilbert_key", 2)(args =>
+        graft.functions.HilbertKey(args(0), args(1), 16))),
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical " +
         "normalization (composed forms), the pre-hash cleaning step"),

@@ -163,6 +163,43 @@ object LayoutQueries {
       "codegen'd Morton interleave vs a bit-by-bit integer-sum oracle; " +
         "per-z-bucket dim ranges show the rectangles parquet stats prune on"),
 
+    // Hilbert cluster key — the locality-STRONGER curve (what modern
+    // table services cluster by): no diagonal jumps, so a contiguous
+    // key range is always an edge-connected region and per-file
+    // min/max envelopes stay tighter than Morton's on both dims.
+    // Every key is value-checked: the DuckDB oracle replays the exact
+    // xy2d recurrence as a recursive CTE over the ≤1024 distinct grid
+    // cells (state ∝ cells × 5 levels — metadata-sized), then joins
+    // back to the row set. HilbertSpec proves the curve itself
+    // (permutation + consecutive-keys-adjacent, which Morton fails).
+    Q("layout_hilbert_key",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+          .select(
+            col("l_orderkey").bitwiseAND(31).as("a"),
+            col("l_partkey").bitwiseAND(31).as("b"))
+          .withColumn("hkey",
+            graft.functions.Hilbert.hkey(5, col("a"), col("b")))
+        li.groupBy(expr("hkey div 64").as("hbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+            min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+      },
+      Some(s"""WITH RECURSIVE ${graft.functions.Hilbert.hkeyOracleSql(5,
+               "SELECT DISTINCT (l_orderkey & 31) AS a, " +
+                 "(l_partkey & 31) AS b FROM lineitem")},
+              |k AS (
+              |  SELECT (l_orderkey & 31) AS a, (l_partkey & 31) AS b
+              |  FROM lineitem)
+              |SELECT CAST(hkey // 64 AS BIGINT) AS hbucket,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+              |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+              |FROM k JOIN hfin USING (a, b) GROUP BY 1""".stripMargin),
+      "codegen'd Hilbert key vs a recursive-CTE replay of the same " +
+        "xy2d recurrence; per-bucket dim ranges stay edge-connected " +
+        "rectangles — the no-diagonal-jump advantage over Morton"),
+
     Q("layout_zorder3_key",
       (s, d) => {
         val li = load(s, d, "lineitem")

@@ -34,9 +34,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == graft.functions.ZOrder.interleave16(3, 5) && r == 39L)
   }
 
+  test("hilbert_key callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT hilbert_key(3L, 5L) AS h").head().getLong(0)
+    assert(r == graft.functions.Hilbert.xy2d(16, 3, 5))
+  }
+
   test("wrong arity surfaces as an analysis error, not an index crash") {
     GraftExtensions.register(spark)
     for (bad <- Seq("SELECT nfc_normalize()", "SELECT zorder_key(1L)",
+        "SELECT hilbert_key(1L)",
         "SELECT vec_dot(array(1.0))", "SELECT vec_cosine(array(1.0))")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](
         spark.sql(bad).collect())

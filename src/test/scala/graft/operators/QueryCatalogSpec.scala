@@ -26,11 +26,15 @@ class QueryCatalogSpec extends SparkSpec {
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         // (?<!distinct ) keeps "IS [NOT] DISTINCT FROM <column>" out of
         // the table-reference matches
-        val fromTargets = "(?i)(?:(?<!distinct )from|join)\\s+([a-z_][a-z0-9_]*)".r
+        // (?<![a-z_]) keeps column names ending in "from"/"join"
+        // (valid_from ROWS ...) from matching as keywords
+        val fromTargets = "(?i)(?:(?<!distinct )(?<![a-z_])from|(?<![a-z_])join)\\s+([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         // "IS NOT DISTINCT FROM NULL" etc. match the from-regex; they
         // are keywords, not tables
-        val keywords = Set("null", "unnest", "generate_series", "values")
+        // "lateral" precedes a subquery in JOIN LATERAL (...)
+        val keywords = Set("null", "unnest", "generate_series", "values",
+          "lateral")
         val unknown = fromTargets -- known -- ctes -- aliases -- keywords
         assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
         // pure-literal oracles (VALUES fixtures, e.g. probe bodies) read

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 import graft.functions.DedupFunctions._
 import graft.functions.TextFunctions._
@@ -882,5 +883,118 @@ object DedupQueries {
              |WHERE doc_id < 150
              |GROUP BY 1""".stripMargin),
       "golden-record survivorship: one canonical merged row per " +
-        "near-dup cluster (integer-keyed max_by rules), singletons kept"))
+        "near-dup cluster (integer-keyed max_by rules), singletons kept"),
+
+    // Blocking-quality evaluation (the standard entity-resolution
+    // audit, Christen 2012): how good is the LSH blocking scheme,
+    // measured as PAIR COMPLETENESS (what fraction of true near-dup
+    // pairs the bands surface) and REDUCTION RATIO (what fraction of
+    // the n² comparison space the bands eliminate)? Ground truth needs
+    // exhaustive Jaccard, so the audit runs on a bounded sample slice
+    // (+ planted exact copies so truth is non-empty at every SF) —
+    // exactly how production ER systems estimate recall: sample,
+    // brute-force the sample, extrapolate. The per-pair Jaccard and
+    // the band keys replay bitwise in DuckDB, so both metrics are
+    // value-checked, not asserted.
+    Q("dedup_blocking_quality",
+      (s, d) => {
+        val off = plantOffset(s, d)
+        val slice = plantedDocs(s, d)
+          .filter(col("doc_id") < 150 ||
+            (col("doc_id") >= off && col("doc_id") < off + 150))
+          .select(col("doc_id"),
+            array_distinct(wordShingles(col("text"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val docs = persistOnce(slice)
+        val truth = persistOnce(docs.as("l")
+          .join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+            (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+              size(array_union(col("l.sh"), col("r.sh")))).as("j"))
+          .filter(col("j") >= 0.5)
+          .select(col("a"), col("b")))
+        val sigs = docs.select(col("doc_id"),
+          array((0 until 8).map(seed =>
+            array_min(transform(col("sh"),
+              x => md5(concat(lit(s"$seed|"), x))))): _*).as("sig"))
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              concat(element_at(col("sig"), 2 * b + 1),
+                element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
+        val cand = persistOnce(bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .distinct())
+        val nDocs = docs.agg(count(lit(1)).as("n"))
+        val nTruth = truth.agg(count(lit(1)).as("truth_pairs"))
+        val nCand = cand.agg(count(lit(1)).as("candidate_pairs"))
+        val nCaught = cand.join(truth, Seq("a", "b"))
+          .agg(count(lit(1)).as("caught_pairs"))
+        nDocs.crossJoin(nTruth).crossJoin(nCand).crossJoin(nCaught)
+          .select(col("n").as("n_docs"), col("truth_pairs"),
+            col("candidate_pairs"), col("caught_pairs"),
+            round(col("caught_pairs") /
+              col("truth_pairs").cast("double"), 6).as("pair_completeness"),
+            round(lit(1.0) - col("candidate_pairs") /
+              (col("n") * (col("n") - 1) / 2).cast("double"), 6)
+              .as("reduction_ratio"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, text FROM documents
+             |  WHERE doc_id % 25 = 0 AND doc_id < 150
+             |    AND len(string_split(text, ' ')) >= 5),
+             |docs AS (
+             |  SELECT * FROM (
+             |    SELECT doc_id, list_distinct(list_transform(
+             |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+             |      AS sh
+             |    FROM corpus) WHERE len(sh) > 0),
+             |truth AS (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM docs l JOIN docs r ON l.doc_id < r.doc_id
+             |  WHERE CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x)))
+             |      AS DOUBLE)
+             |    / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+             |sig AS (
+             |  SELECT doc_id, [
+             |    list_min(list_transform(sh, x -> md5('0|' || x))),
+             |    list_min(list_transform(sh, x -> md5('1|' || x))),
+             |    list_min(list_transform(sh, x -> md5('2|' || x))),
+             |    list_min(list_transform(sh, x -> md5('3|' || x))),
+             |    list_min(list_transform(sh, x -> md5('4|' || x))),
+             |    list_min(list_transform(sh, x -> md5('5|' || x))),
+             |    list_min(list_transform(sh, x -> md5('6|' || x))),
+             |    list_min(list_transform(sh, x -> md5('7|' || x)))] AS sig
+             |  FROM docs),
+             |bands AS (
+             |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+             |  FROM sig, (SELECT unnest(range(4)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM bands l JOIN bands r
+             |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+             |m AS (
+             |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n_docs,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cand)
+             |      AS candidate_pairs,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cand
+             |     WHERE (a, b) IN (SELECT (a, b) FROM truth)) AS caught_pairs)
+             |SELECT n_docs, truth_pairs, candidate_pairs, caught_pairs,
+             |  round(caught_pairs / CAST(truth_pairs AS DOUBLE), 6)
+             |    AS pair_completeness,
+             |  round(1.0 - candidate_pairs
+             |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+             |    AS reduction_ratio
+             |FROM m""".stripMargin),
+      "blocking-quality audit on a bounded sample: pair completeness " +
+        "and reduction ratio of the LSH bands vs brute-force truth — " +
+        "the ER-evaluation pair every dedup deployment tracks"))
 }

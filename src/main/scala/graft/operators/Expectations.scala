@@ -505,5 +505,71 @@ object Expectations {
              |FROM chi""".stripMargin),
       "chi-square independence + Cramér's V from one count cube — the " +
         "scale-free categorical-association audit (χ² inflates with N; " +
-        "V is what a 100 TB profiler thresholds)"))
+        "V is what a 100 TB profiler thresholds)"),
+
+    // Welch's unequal-variance t-test between two segments — the
+    // default two-sample comparison (Student's pooled test silently
+    // assumes equal variances; Welch is what experimentation platforms
+    // actually run). One map-side-combined aggregate per segment
+    // yields the exact integer moments (n, Σx, Σx²) in whole DOLLARS —
+    // overflow-audited at worst case: n·max² ≤ 3e4·2.5e11 ≈ 7.5e15 at
+    // sf0.1, « 2⁶³; beyond ~3.7e7 rows the sums move to DECIMAL(38).
+    // The t statistic and the Welch–Satterthwaite df derive from the
+    // moments in a fixed single-op IEEE chain (identical expression
+    // trees both engines), rounded 6/4 dp only at the end.
+    Q("quality_welch_ttest",
+      (s, d) => {
+        val o = load(s, d, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(col("o_orderpriority").as("seg"),
+            round(col("o_totalprice")).cast("long").as("x"))
+        val m = o.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("seg"), col("n"), col("sx"), col("sxx"),
+            (col("sx") / col("n").cast("double")).as("mean"),
+            ((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+              (col("n") - 1).cast("double")).as("v"))
+        val a = m.filter(col("seg") === "1-URGENT")
+          .select(col("n").as("n1"), col("mean").as("m1"), col("v").as("v1"))
+        val b = m.filter(col("seg") === "5-LOW")
+          .select(col("n").as("n2"), col("mean").as("m2"), col("v").as("v2"))
+        a.crossJoin(b)
+          .select(col("n1"), col("n2"),
+            round(col("m1") - col("m2"), 4).as("mean_diff"),
+            round((col("m1") - col("m2")) /
+              sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6)
+              .as("t_stat"),
+            round(
+              pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+                (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+                  pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 4)
+              .as("df_welch"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS seg,
+             |    CAST(round(o_totalprice) AS BIGINT) AS x
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |m AS (
+             |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x) AS sx, sum(x * x) AS sxx
+             |  FROM o GROUP BY 1),
+             |mm AS (
+             |  SELECT seg, n, sx / CAST(n AS DOUBLE) AS mean,
+             |    (sxx - sx * sx / CAST(n AS DOUBLE))
+             |      / CAST(n - 1 AS DOUBLE) AS v
+             |  FROM m),
+             |a AS (SELECT n AS n1, mean AS m1, v AS v1 FROM mm
+             |      WHERE seg = '1-URGENT'),
+             |b AS (SELECT n AS n2, mean AS m2, v AS v2 FROM mm
+             |      WHERE seg = '5-LOW')
+             |SELECT n1, n2, round(m1 - m2, 4) AS mean_diff,
+             |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+             |  round(pow(v1 / n1 + v2 / n2, 2)
+             |    / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+             |    4) AS df_welch
+             |FROM a, b""".stripMargin),
+      "Welch unequal-variance t-test from exact integer moments — one " +
+        "map-side aggregate per segment, fixed IEEE chain for t and " +
+        "the Satterthwaite df"))
 }

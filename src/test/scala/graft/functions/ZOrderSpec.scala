@@ -105,6 +105,14 @@ class ZOrderSpec extends SparkSpec {
       // clear of the sampling noise (observed z/hash ratios 0.55-0.61).
       assert(zA < hA * 0.75, s"ka span z=$zA hash=$hA")
       assert(zB < hB * 0.75, s"kb span z=$zB hash=$hB")
+      // the Hilbert layout must deliver the same class of payoff
+      // (tighter-than-hash rectangles on BOTH dims, same recipe)
+      Layout.hilbertWrite(src, "ka", "kb", s"$dir/hc", 8)
+      val (cA, cn) = spans(s"$dir/hc", "ka")
+      val (cB, _) = spans(s"$dir/hc", "kb")
+      assert(cn == hn, "row preservation (hilbert)")
+      assert(cA < hA * 0.75, s"ka span hilbert=$cA hash=$hA")
+      assert(cB < hB * 0.75, s"kb span hilbert=$cB hash=$hB")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -79,11 +79,13 @@ object Bench {
     // by join_market_share and window_topn_per_group; line budget
     // holds them out)
     "text_bpe_apply", "text_nb_classify",
-    // round-8 continuation: the M4 single-hash-agg reduction and the
+    // round-8 continuation: the M4 single-hash-agg reduction, the
     // heaviest new window shape (per-order largest-remainder
-    // allocation). KMV/chi-square/compaction are sub-0.3 s cost
-    // classes already represented; line budget holds them out.
-    "events_m4_downsample", "agg_penny_allocation")
+    // allocation), and the native as-of exec NEXT TO the composed
+    // join_asof so the merge-vs-union+window cost gap stays measured.
+    // KMV/chi-square/compaction are sub-0.3 s cost classes already
+    // represented; line budget holds them out.
+    "events_m4_downsample", "agg_penny_allocation", "join_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

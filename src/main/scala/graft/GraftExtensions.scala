@@ -123,5 +123,11 @@ object GraftExtensions {
         new graft.functions.TopK.TopKAggregator(10),
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[graft.functions.TopK.ScoredId]()))
+    // mergeable KMV distinct sketch, callable as kmv_sketch(hash, key)
+    spark.udf.register("kmv_sketch",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.KmvSketch.KmvAggregator(64),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[graft.functions.KmvSketch.HashedKey]()))
   }
 }

@@ -34,6 +34,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == graft.functions.ZOrder.interleave16(3, 5) && r == 39L)
   }
 
+  test("kmv_sketch UDAF callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val sk = spark.sql(
+      """SELECT kmv_sketch(
+        |  CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)
+        |    AS BIGINT), id) AS sk
+        |FROM range(500)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(sk.size == 64)
+    assert(sk.map(_.getLong(0)) == sk.map(_.getLong(0)).sorted)
+  }
+
   test("hilbert_key callable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT hilbert_key(3L, 5L) AS h").head().getLong(0)

@@ -787,5 +787,79 @@ object CdcQueries {
              |FROM isl GROUP BY id, island""".stripMargin),
       "SCD2 history compaction: gaps-and-islands collapse of no-op " +
         "version churn — one keyed window + one aggregate, open " +
-        "intervals stay open, n_merged counts removed bloat"))
+        "intervals stay open, n_merged counts removed bloat"),
+
+    // Temporal ALIGNMENT of two version histories (the Snodgrass
+    // temporal join): attribute A (status) and attribute B (price)
+    // version independently; reporting needs ONE history whose
+    // segments hold both values — the operation behind "join two SCD2
+    // dimensions" and bitemporal reconstruction. Algorithm that
+    // survives scale: per key, segment starts = the union of both
+    // sides' valid_from boundaries (distinct + lead window), then each
+    // side attaches by a backward AS-OF lookup — three key-partitioned
+    // passes, no interval×interval theta join, output ∝ segments.
+    // B's history STARTS LATER than A's (t=2000 vs 1000), so the
+    // leading segments carry a null price — the null branch is live,
+    // not an accident. Oracle: DuckDB's own ASOF LEFT JOINs — an
+    // independent formulation of the same contract.
+    Q("cdc_temporal_align",
+      (s, d) => {
+        val base = persistOnce(load(s, d, "orders")
+          .select(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c")))
+        val histA = base.select(col("id"), col("status"),
+            lit(1000L).as("vf"))
+          .unionByName(base.filter(col("id") % 3 === 0)
+            .select(col("id"), concat(lit("S2-"), col("status")).as("status"),
+              lit(2500L).as("vf")))
+        val histB = base.select(col("id"), col("price_c"),
+            lit(2000L).as("vf"))
+          .unionByName(base.filter(col("id") % 2 === 0)
+            .select(col("id"), expr("price_c * 11 div 10").as("price_c"),
+              lit(3000L).as("vf")))
+        val bounds = histA.select(col("id"), col("vf"))
+          .unionByName(histB.select(col("id"), col("vf")))
+          .distinct()
+        val segs = bounds.withColumn("seg_to",
+          lead(col("vf"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(col("vf"))))
+          .select(col("id"), col("vf").as("seg_from"), col("seg_to"))
+        val withA = AsofJoin(segs, histA.select(col("id").as("a_id"),
+            col("vf").as("a_vf"), col("status")),
+          "id", "a_id", "seg_from", "a_vf", Seq("status"))
+        AsofJoin(withA, histB.select(col("id").as("b_id"),
+            col("vf").as("b_vf"), col("price_c")),
+          "id", "b_id", "seg_from", "b_vf", Seq("price_c"))
+          .select(col("id"), col("seg_from"), col("seg_to"),
+            col("status"), col("price_c"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS id, o_orderstatus AS status,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders),
+             |ha AS (
+             |  SELECT id, status, CAST(1000 AS BIGINT) AS vf FROM base
+             |  UNION ALL
+             |  SELECT id, 'S2-' || status, 2500 FROM base WHERE id % 3 = 0),
+             |hb AS (
+             |  SELECT id, price_c, CAST(2000 AS BIGINT) AS vf FROM base
+             |  UNION ALL
+             |  SELECT id, price_c * 11 // 10, 3000 FROM base
+             |  WHERE id % 2 = 0),
+             |seg AS (
+             |  SELECT id, vf AS seg_from,
+             |    lead(vf) OVER (PARTITION BY id ORDER BY vf) AS seg_to
+             |  FROM (SELECT DISTINCT id, vf FROM (
+             |    SELECT id, vf FROM ha UNION ALL SELECT id, vf FROM hb))),
+             |wa AS (
+             |  SELECT s.id, s.seg_from, s.seg_to, a.status
+             |  FROM seg s ASOF LEFT JOIN ha a
+             |    ON s.id = a.id AND s.seg_from >= a.vf)
+             |SELECT w.id, w.seg_from, w.seg_to, w.status, b.price_c
+             |FROM wa w ASOF LEFT JOIN hb b
+             |  ON w.id = b.id AND w.seg_from >= b.vf""".stripMargin),
+      "temporal alignment of two SCD2 histories: boundary union + two " +
+        "backward as-of lookups — segments ∝ version count, no " +
+        "interval theta join; DuckDB ASOF is the independent oracle"))
 }

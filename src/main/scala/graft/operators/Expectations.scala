@@ -571,5 +571,59 @@ object Expectations {
              |FROM a, b""".stripMargin),
       "Welch unequal-variance t-test from exact integer moments — one " +
         "map-side aggregate per segment, fixed IEEE chain for t and " +
-        "the Satterthwaite df"))
+        "the Satterthwaite df"),
+
+    // k-anonymity / l-diversity release audit (Sweeney; Machanavajjhala
+    // et al.): before publishing a grouped extract, every
+    // quasi-identifier group must hold ≥ k individuals (re-identification
+    // bound) AND ≥ l distinct sensitive values (homogeneity-attack
+    // bound). One (QI, sensitive)-cube pass — shuffle ∝ cells — then
+    // O(groups) math: group size, sensitive diversity, both flags, and
+    // the released count NULLED for violating groups (suppression, the
+    // standard first remedy). QI = (id band, segment) where the band is
+    // the sqrt bucket — an age-band-like coarsening whose group-size
+    // distribution spans small AND large groups at EVERY SF (sizes grow
+    // ~2j+1 with band index), so the release and suppression branches
+    // are both live at every gate; sensitive = balance-sign bucket.
+    Q("quality_kanon_release",
+      (s, d) => {
+        val k = 4L
+        val l = 2L
+        val cube = persistOnce(load(s, d, "customer")
+          .select(floor(sqrt(col("c_custkey"))).cast("long").as("band"),
+            col("c_mktsegment").as("segment"),
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 4500, "mid")
+              .otherwise("high").as("bal_bucket"))
+          .groupBy(col("band"), col("segment"), col("bal_bucket"))
+          .agg(count(lit(1)).as("n")))
+        cube.groupBy(col("band"), col("segment"))
+          .agg(sum(col("n")).as("group_n"),
+            count(lit(1)).as("l_diversity"))
+          .select(col("band"), col("segment"), col("group_n"),
+            col("l_diversity"),
+            (col("group_n") >= k).as("k_anonymous"),
+            (col("l_diversity") >= l).as("l_diverse"),
+            when(col("group_n") >= k && col("l_diversity") >= l,
+              col("group_n")).cast("long").as("released_n"))
+      },
+      Some("""WITH cube AS (
+             |  SELECT CAST(floor(sqrt(c_custkey)) AS BIGINT) AS band,
+             |    c_mktsegment AS segment,
+             |    CASE WHEN c_acctbal < 0 THEN 'neg'
+             |         WHEN c_acctbal < 4500 THEN 'mid'
+             |         ELSE 'high' END AS bal_bucket,
+             |    count(*) AS n
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT band, segment,
+             |  CAST(sum(n) AS BIGINT) AS group_n,
+             |  CAST(count(*) AS BIGINT) AS l_diversity,
+             |  sum(n) >= 4 AS k_anonymous,
+             |  count(*) >= 2 AS l_diverse,
+             |  CAST(CASE WHEN sum(n) >= 4 AND count(*) >= 2
+             |       THEN sum(n) END AS BIGINT) AS released_n
+             |FROM cube GROUP BY 1, 2""".stripMargin),
+      "k-anonymity + l-diversity release audit from one QI×sensitive " +
+        "cube: group sizes, diversity, and the suppressed release — " +
+        "both pass and suppress branches live at every SF"))
 }

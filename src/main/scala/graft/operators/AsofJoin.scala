@@ -72,6 +72,10 @@ object AsofJoin {
       .withColumn("_side", lit(0))
       .withColumn("_p", struct(
         us(col(rightTime)).as("_mt") +: rightPayload.map(col): _*))
+      // a right row with a null key or time can match nothing — and
+      // left in, its null `_t` would sort NULLS FIRST and its non-null
+      // payload struct would backfill every unmatched left row
+      .filter(col("_k").isNotNull && col("_t").isNotNull)
       .select(Seq(col("_k"), col("_t"), col("_side"), col("_p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = l
@@ -116,7 +120,10 @@ object AsofJoin {
     }
     withCands
       .filter(col("_side") === 1)
-      .withColumn("_sel", chosen)
+      // a null left time matches nothing in any direction (in the
+      // descending forward traversal it would otherwise sort NULLS
+      // LAST and absorb the whole partition's payload)
+      .withColumn("_sel", when(col("_t").isNotNull, chosen))
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"_sel.$c").as(c)): _*)
   }

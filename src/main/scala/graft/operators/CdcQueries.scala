@@ -723,17 +723,20 @@ object CdcQueries {
           .unionByName(v(2000L, base.filter(col("id") % 4 === 0)))
           .unionByName(v(3000L, base.filter(col("id") % 2 === 0)
             .withColumn("price_c", expr("price_c * 11 div 10"))))
+          // id%8==0 implies id%2==0, so every t=4000 row repeats the
+          // t=3000 repricing — pure no-op churn by construction
           .unionByName(v(4000L, base.filter(col("id") % 8 === 0)
-            .withColumn("price_c",
-              when(col("id") % 2 === 0, expr("price_c * 11 div 10"))
-                .otherwise(col("price_c")))))
+            .withColumn("price_c", expr("price_c * 11 div 10"))))
         val wk = Window.partitionBy(col("id")).orderBy(col("valid_from"))
         versions
           .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
           .withColumn("chg",
             when(row_number().over(wk) === 1, 1L)
-              .otherwise(when(col("status") =!= lag(col("status"), 1).over(wk)
-                || col("price_c") =!= lag(col("price_c"), 1).over(wk), 1L)
+              // null-safe compares: a tracked column transitioning
+              // to/from NULL is a real change, not a merge
+              .otherwise(when(
+                not(col("status") <=> lag(col("status"), 1).over(wk)) ||
+                  not(col("price_c") <=> lag(col("price_c"), 1).over(wk)), 1L)
                 .otherwise(0L)))
           .withColumn("island", sum(col("chg")).over(
             wk.rowsBetween(Window.unboundedPreceding, 0)))
@@ -760,16 +763,15 @@ object CdcQueries {
              |  SELECT id, status, price_c * 11 // 10, 3000 FROM base
              |    WHERE id % 2 = 0
              |  UNION ALL
-             |  SELECT id, status,
-             |    CASE WHEN id % 2 = 0 THEN price_c * 11 // 10
-             |         ELSE price_c END, 4000
+             |  SELECT id, status, price_c * 11 // 10, 4000
              |    FROM base WHERE id % 8 = 0),
              |seq AS (
              |  SELECT *,
              |    lead(valid_from) OVER w AS valid_to,
              |    CASE WHEN row_number() OVER w = 1 THEN 1
-             |         WHEN status <> lag(status) OVER w
-             |           OR price_c <> lag(price_c) OVER w THEN 1
+             |         WHEN status IS DISTINCT FROM lag(status) OVER w
+             |           OR price_c IS DISTINCT FROM lag(price_c) OVER w
+             |           THEN 1
              |         ELSE 0 END AS chg
              |  FROM versions
              |  WINDOW w AS (PARTITION BY id ORDER BY valid_from)),

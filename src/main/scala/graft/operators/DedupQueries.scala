@@ -59,6 +59,39 @@ object DedupQueries {
         .select((col("doc_id") + lit(plantOffset(s, d))).as("doc_id"), col("text")))
   }
 
+  /** THE md5-family banding scheme (8 seeded MinHash mins → 4 two-hash
+    * band keys) over a `(doc_id, sh)` frame — one definition shared by
+    * every query that bands with it ([[md5MinhashPairs]] and the
+    * blocking-quality audit), so scheme changes can't silently diverge
+    * between the pipeline and its own evaluation. */
+  private[operators] def md5BandKeys(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      array((0 until 8).map(seed =>
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
+        .as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            concat(element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** DuckDB CTEs `sig` + `bands` replaying [[md5BandKeys]] over CTE
+    * `src(doc_id, <shCol>)` — the oracle half of the shared scheme. */
+  private def md5BandsSql(src: String, shCol: String): String = {
+    val mins = (0 until 8).map(i =>
+      s"    list_min(list_transform($shCol, x -> md5('$i|' || x)))")
+      .mkString(",\n|")
+    s"""sig AS (
+       |  SELECT doc_id, [
+       |$mins] AS sig
+       |  FROM $src WHERE len($shCol) > 0),
+       |bands AS (
+       |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
+       |  FROM sig, (SELECT unnest(range(4)) AS b))""".stripMargin
+  }
+
   /** Deterministic (md5-family) MinHash-LSH candidate pairs on a doc
     * slice — shared by the pairs query and the cluster-election query,
     * and replicated verbatim in DuckDB via [[md5MinhashPairsSql]]. */
@@ -68,17 +101,7 @@ object DedupQueries {
       val docs = load(s, d, "documents").filter(col("doc_id") < 150)
         .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
-      val sigs = docs.select(col("doc_id"),
-        array((0 until 8).map(seed =>
-          array_min(transform(col("sh"), x => md5(concat(lit(s"$seed|"), x))))): _*)
-          .as("sig"))
-      val bands = sigs.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            concat(element_at(col("sig"), 2 * b + 1),
-              element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        .persist()
+      val bands = md5BandKeys(docs).persist()
       val pairs = bands.as("l").join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
             col("l.doc_id") < col("r.doc_id"))
@@ -92,25 +115,12 @@ object DedupQueries {
 
   /** DuckDB CTE chain producing the same `pairs(a, b)` relation. */
   private val md5MinhashPairsSql: String =
-    """sh AS (
+    s"""sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
       |  FROM documents WHERE doc_id < 150),
-      |sig AS (
-      |  SELECT doc_id, [
-      |    list_min(list_transform(s, x -> md5('0|' || x))),
-      |    list_min(list_transform(s, x -> md5('1|' || x))),
-      |    list_min(list_transform(s, x -> md5('2|' || x))),
-      |    list_min(list_transform(s, x -> md5('3|' || x))),
-      |    list_min(list_transform(s, x -> md5('4|' || x))),
-      |    list_min(list_transform(s, x -> md5('5|' || x))),
-      |    list_min(list_transform(s, x -> md5('6|' || x))),
-      |    list_min(list_transform(s, x -> md5('7|' || x)))] AS sig
-      |  FROM sh WHERE len(s) > 0),
-      |bands AS (
-      |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
-      |  FROM sig, (SELECT unnest(range(4)) AS b)),
+      |${md5BandsSql("sh", "s")},
       |pairs AS (
       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       |  FROM bands l JOIN bands r
@@ -913,17 +923,7 @@ object DedupQueries {
               size(array_union(col("l.sh"), col("r.sh")))).as("j"))
           .filter(col("j") >= 0.5)
           .select(col("a"), col("b")))
-        val sigs = docs.select(col("doc_id"),
-          array((0 until 8).map(seed =>
-            array_min(transform(col("sh"),
-              x => md5(concat(lit(s"$seed|"), x))))): _*).as("sig"))
-        val bands = sigs.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              concat(element_at(col("sig"), 2 * b + 1),
-                element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"),
-            col("bk.key").as("key"))
+        val bands = md5BandKeys(docs) // the pipeline's own scheme
         val cand = persistOnce(bands.as("l").join(bands.as("r"),
             col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
               col("l.doc_id") < col("r.doc_id"))
@@ -962,20 +962,7 @@ object DedupQueries {
              |  WHERE CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x)))
              |      AS DOUBLE)
              |    / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
-             |sig AS (
-             |  SELECT doc_id, [
-             |    list_min(list_transform(sh, x -> md5('0|' || x))),
-             |    list_min(list_transform(sh, x -> md5('1|' || x))),
-             |    list_min(list_transform(sh, x -> md5('2|' || x))),
-             |    list_min(list_transform(sh, x -> md5('3|' || x))),
-             |    list_min(list_transform(sh, x -> md5('4|' || x))),
-             |    list_min(list_transform(sh, x -> md5('5|' || x))),
-             |    list_min(list_transform(sh, x -> md5('6|' || x))),
-             |    list_min(list_transform(sh, x -> md5('7|' || x)))] AS sig
-             |  FROM docs),
-             |bands AS (
-             |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS key
-             |  FROM sig, (SELECT unnest(range(4)) AS b)),
+             |${md5BandsSql("docs", "sh")},
              |cand AS (
              |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
              |  FROM bands l JOIN bands r

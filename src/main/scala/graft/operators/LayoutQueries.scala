@@ -312,7 +312,10 @@ object LayoutQueries {
           .withColumn("start_byte",
             coalesce(sum(col("bytes")).over(
               w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("bin", (col("start_byte") / target).cast("long"))
+          // integer div, not double division: a 100 TB partition's
+          // running byte total passes 2^53 and double rounding would
+          // misassign boundary files (the oracle's // is exact)
+          .withColumn("bin", expr(s"start_byte div $target"))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(lit(1)).as("n_files"),
             sum(col("bytes")).as("bytes"),

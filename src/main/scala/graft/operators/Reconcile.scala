@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 
 /** Anti-entropy digests: find WHERE two 100 TB replicas diverge while
@@ -203,13 +204,16 @@ object Reconcile {
             col("c_mktsegment"))
         val fp = rowFingerprint(col("c_custkey"), col("c_name"),
           col("c_nationkey"), col("cents"), col("c_mktsegment"))
-        val leaf = base.groupBy((col("c_custkey") % 64).as("idx"))
-          .agg(sum(fp).as("digest"), count(lit(1)).as("n_rows"))
-        val l1 = leaf
+        // leaf (a full scan + md5 per row) feeds three output branches
+        // (itself, l1, root) — persist so customer is scanned once
+        val leaf = persistOnce(base
+          .groupBy((col("c_custkey") % 64).as("idx"))
+          .agg(sum(fp).as("digest"), count(lit(1)).as("n_rows")))
+        val l1 = persistOnce(leaf
           .select(floor(col("idx") / 8).cast("long").as("pidx"),
             rowFingerprint(col("idx"), col("digest")).as("f"), col("n_rows"))
           .groupBy(col("pidx").as("idx"))
-          .agg(sum(col("f")).as("digest"), sum(col("n_rows")).as("n_rows"))
+          .agg(sum(col("f")).as("digest"), sum(col("n_rows")).as("n_rows")))
         val root = l1
           .select(rowFingerprint(col("idx"), col("digest")).as("f"),
             col("n_rows"))

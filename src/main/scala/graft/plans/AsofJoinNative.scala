@@ -178,6 +178,15 @@ object AsofJoinNative {
       s"key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"time types differ: ${lt.dataType} vs ${rt.dataType} — cast first")
+    // two slices of the SAME DataFrame share attribute exprIds; the
+    // node output would then contain duplicates and the payload select
+    // would silently resolve to the LEFT side's column — reject and
+    // tell the caller to break the lineage
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(shared.isEmpty,
+      s"left and right share attribute ids (${shared.mkString(", ")}) — " +
+        "re-alias one side (e.g. .select(cols.map(c => col(c).as(c)))) " +
+        "or use toDF to break shared lineage")
     val node = AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt)
     // select by resolved attribute (exprId), not by name — the raw
     // output keeps the whole right row and may repeat left names

@@ -44,6 +44,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some(2.0), None)))
   }
 
+  test("null right keys/times never match or backfill; null left " +
+    "keys/times get a null payload") {
+    val q = Seq((Some("A"), Some(5L), 1.0), (None, Some(6L), 7.0),
+      (Some("A"), None, 8.0)).toDF("sym", "qt", "px")
+    val t = Seq((1L, Some("A"), Some(9L)), (2L, None, Some(9L)),
+      (3L, Some("A"), None)).toDF("trade_id", "sym", "t")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val m = AsofJoin(t, q, "sym", "sym", "t", "qt", Seq("px"),
+        direction = dir)
+        .select($"trade_id", $"px").as[(Long, Option[Double])]
+        .collect().toMap
+      if (dir != "forward") assert(m(1L).contains(1.0), dir)
+      assert(m(2L).isEmpty && m(3L).isEmpty, dir)
+    }
+  }
+
   private def runDir(dir: String, tol: Option[Long] = None) =
     AsofJoin(trades, quotes, "sym", "sym", "t", "qt", Seq("px"),
       direction = dir, toleranceSec = tol)

@@ -258,5 +258,61 @@ object Reconcile {
              |UNION ALL SELECT level, idx, digest, n_rows FROM rt"""
         .stripMargin),
       "anti-entropy Merkle tree: 64→8→1 order-independent fingerprint " +
-        "sums — clean replicas compare O(1) rows, divergence walks down"))
+        "sums — clean replicas compare O(1) rows, divergence walks down"),
+
+    // IBLT set reconciliation (Eppstein et al., SIGCOMM 2011) — the
+    // step BEYOND digests: bucket digests say WHICH BUCKETS diverge,
+    // the subtracted invertible-Bloom table decodes WHICH ROWS, while
+    // each replica still ships only O(cells) state (three algebraic
+    // aggregates, map-side combined — never the key domain). Elements
+    // are (key, content-fingerprint) packed longs, so a modified row
+    // surfaces as TWO recovered elements (its old version A-side, new
+    // version B-side) and a deleted row as one. The planted replica-B
+    // drops every 97th customer and retouches every 89th balance; the
+    // 1024-cell table is sized for the gate-SF diff (the IBLT
+    // contract: provision for the expected diff bound d̂, decode
+    // failure is DETECTED — checksum-guarded peeling can return
+    // incomplete, never wrong — and falls back to digest+re-sync).
+    // The oracle is fully independent: DuckDB derives the true
+    // symmetric difference from the plant definitions directly.
+    Q("recon_iblt_diff",
+      (s, d) => {
+        import graft.functions.Iblt
+        val cells = 1024
+        val src = persistOnce(load(s, d, "customer")
+          .select(col("c_custkey").as("ck"),
+            round(col("c_acctbal") * 100).cast("long").as("cents")))
+        def elem(df: DataFrame): Column =
+          col("ck") * 4294967296L +
+            rowFingerprint(col("ck"), col("cents"))
+        val a = src
+        val b = src.filter(col("ck") % 97 =!= 0)
+          .withColumn("cents",
+            when(col("ck") % 89 === 0, col("cents") + 500L)
+              .otherwise(col("cents")))
+        val diff = Iblt.subtract(
+          Iblt.cellTable(Iblt.cellRows(a, elem(a), cells)),
+          Iblt.cellTable(Iblt.cellRows(b, elem(b), cells)))
+        val raw = diff.collect().map(r =>
+          (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        val (recovered, decoded) = Iblt.peel(raw, cells)
+        require(decoded, s"IBLT decode failed: diff exceeds the " +
+          s"$cells-cell capacity — fall back to bucket-digest re-sync")
+        import s.implicits._
+        recovered.map { case (v, side) => (v / 4294967296L, side) }
+          .toDF("custkey", "side")
+      },
+      Some("""SELECT c_custkey AS custkey, 1 AS side FROM customer
+             |WHERE c_custkey % 97 = 0
+             |UNION ALL
+             |SELECT c_custkey, 1 FROM customer
+             |WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0
+             |UNION ALL
+             |SELECT c_custkey, -1 FROM customer
+             |WHERE c_custkey % 89 = 0 AND c_custkey % 97 <> 0""".stripMargin),
+      "IBLT set reconciliation: O(cells) mergeable sketches per " +
+        "replica, cell-wise subtraction, checksum-guarded peeling " +
+        "recovers the EXACT row diff — oracle is the true symmetric " +
+        "difference, derived independently"))
 }

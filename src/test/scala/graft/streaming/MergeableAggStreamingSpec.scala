@@ -82,4 +82,33 @@ class MergeableAggStreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.toSeq.tail).toMap
     assert(stream == batch)
   }
+
+  // The IBLT cell table is count/xor/xor per cell — algebraic, so a
+  // replica's reconciliation sketch can be MAINTAINED as a streaming
+  // aggregation instead of rebuilt per comparison. CAVEAT the spec
+  // encodes: xor is self-inverse, so this holds for exactly-once
+  // element streams (e.g. a changefeed of inserts); at-least-once
+  // redelivery cancels elements out of the sketch — pair with the
+  // dedup ledger upstream.
+  private def ibltAgg(df: org.apache.spark.sql.DataFrame) =
+    graft.functions.Iblt.cellTable(
+      graft.functions.Iblt.cellRows(df.select($"key"), $"key", 32))
+
+  test("IBLT cells: streaming fold across micro-batches == batch table") {
+    val distinctRows = rows.map(_.key).distinct.map(k => MergeRow("x", k, k, k, 0))
+    val batch = ibltAgg(distinctRows.toDF()).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[MergeRow]
+    val q = ibltAgg(ms.toDF()).writeStream.outputMode("complete")
+      .format("memory").queryName("iblt_stream").start()
+    try {
+      distinctRows.grouped(97).foreach { chunk =>
+        ms.addData(chunk: _*); q.processAllAvailable()
+      }
+      val stream = spark.table("iblt_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(stream == batch)
+    } finally q.stop()
+  }
 }

@@ -983,5 +983,89 @@ object DedupQueries {
              |FROM m""".stripMargin),
       "blocking-quality audit on a bounded sample: pair completeness " +
         "and reduction ratio of the LSH bands vs brute-force truth — " +
-        "the ER-evaluation pair every dedup deployment tracks"))
+        "the ER-evaluation pair every dedup deployment tracks"),
+
+    // b-bit MinHash (Li & König, WWW 2010): keep only the LOWEST BIT of
+    // each of 63 MinHash values — the signature drops from 63 hashes to
+    // ONE packed long (8 bytes/doc at any corpus size), and Jaccard is
+    // re-estimated from bit agreement: for b=1, E[agree/63] = J +
+    // (1−J)/2, so Ĵ = 2·(agree/63) − 1. This is the storage form for
+    // planetary-scale near-dup indexes (63 bits in one signed long — the 64th bit would overflow DuckDB's checked shift; 64× smaller state, XOR+popcount
+    // compare). Pairs are the planted prefix-copies (varied true J
+    // well above 0.5); per-pair agree counts, the dyadic-exact
+    // estimate, and the exact Jaccard are all value-checked — the
+    // signature pipeline (64 seeded mins → bit extract → packed long)
+    // replays bitwise in DuckDB via data-driven lambdas over range(64).
+    Q("dedup_bbit_minhash",
+      (s, d) => {
+        val off = plantOffset(s, d)
+        val base = load(s, d, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("text"))
+        val w = tokens(col("text"))
+        val planted = base
+          .filter(col("doc_id") % 5 === 0 && size(w) >= 10)
+          .select((col("doc_id") + lit(off)).as("doc_id"),
+            array_join(slice(w, lit(1), size(w) - 2), " ").as("text"))
+        val docs = persistOnce(base.unionByName(planted)
+          .select(col("doc_id"),
+            array_distinct(wordShingles(col("text"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("packed", expr(
+            """aggregate(transform(sequence(0, 62), i ->
+              |  shiftleft(cast(conv(substring(array_min(transform(sh,
+              |    x -> md5(concat(cast(i as string), '|', x)))), 1, 8),
+              |    16, 10) as bigint) % 2, i)),
+              |  0L, (acc, b) -> acc + b)""".stripMargin)))
+        val l = docs.select(col("doc_id").as("a"), col("sh").as("sha"),
+          col("packed").as("pa"))
+        val r = docs.select(col("doc_id").as("b"), col("sh").as("shb"),
+          col("packed").as("pb"))
+        l.join(r, col("b") === col("a") + off)
+          .select(col("a"), col("b"),
+            (lit(63) - bit_count(col("pa").bitwiseXOR(col("pb"))))
+              .as("agree_bits"),
+            (lit(2.0) * (lit(63) - bit_count(col("pa")
+              .bitwiseXOR(col("pb")))) / 63.0 - 1.0).as("est_jaccard"),
+            (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb"))))
+              .as("exact_jaccard"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 150),
+             |corpus AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, array_to_string(
+             |    string_split(text, ' ')[1:len(string_split(text, ' ')) - 2],
+             |    ' ')
+             |  FROM base
+             |  WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 10),
+             |docs AS (
+             |  SELECT * FROM (
+             |    SELECT doc_id, list_distinct(list_transform(
+             |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+             |      AS sh
+             |    FROM corpus) WHERE len(sh) > 0),
+             |packed AS (
+             |  SELECT doc_id, sh,
+             |    list_sum(list_transform(range(0, 63), i ->
+             |      (CAST(CAST(concat('0x', substr(list_min(list_transform(sh,
+             |        x -> md5(CAST(i AS VARCHAR) || '|' || x))), 1, 8))
+             |        AS UBIGINT) AS BIGINT) % 2) << i)) AS packed
+             |  FROM docs)
+             |SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(63 - bit_count(xor(l.packed, r.packed)) AS INTEGER)
+             |    AS agree_bits,
+             |  2.0 * (63 - bit_count(xor(l.packed, r.packed))) / 63.0 - 1.0
+             |    AS est_jaccard,
+             |  CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x)))
+             |    AS DOUBLE)
+             |    / len(list_distinct(list_concat(l.sh, r.sh)))
+             |    AS exact_jaccard
+             |FROM packed l JOIN packed r
+             |  ON r.doc_id = l.doc_id + $plantOffsetSql""".stripMargin),
+      "b-bit MinHash: 63 minhashes compressed to ONE packed long per " +
+        "doc (8-byte signatures, XOR+popcount compare), Jaccard " +
+        "re-estimated from bit agreement next to the exact value"))
 }

@@ -587,5 +587,63 @@ object Relational {
              |len(list_filter(string_split(text, ' '), w -> length(w) > 0))
              |  = len(string_split(text, ' ')) AS all_nonempty
              |FROM documents""".stripMargin),
-      "F7 array ops: split/size/element_at/forall (tasks[] iteration analog)"))
+      "F7 array ops: split/size/element_at/forall (tasks[] iteration analog)"),
+
+    // Business-day arithmetic — the SLA calendar every ops report
+    // needs ("shipped within 5 business days?"), computed CLOSED-FORM
+    // with no calendar table: f(d) = business days in [Mon 1970-01-05,
+    // d) = 5·(k div 7) + least(k mod 7, 5) with k = days since that
+    // Monday, so bdays in [d1, d2) = f(d2) − f(d1) — pure per-row
+    // integer arithmetic, no join, no generator, identical in both
+    // engines (day-of-week numbering differences are sidestepped by
+    // deriving dow = k mod 7 directly: 0=Mon .. 6=Sun). First ship
+    // date per order is one keyed rollup; the final frame is a
+    // per-order map. Weekend-started orders and the business-vs-
+    // calendar gap are both live everywhere (dates span 1992-1998).
+    Q("scalar_business_days",
+      (s, d) => {
+        def k(c: org.apache.spark.sql.Column) =
+          datediff(c, lit("1970-01-05"))
+        val firstShip = load(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(min(col("l_shipdate")).as("first_ship"))
+        def bdaysTo(c: org.apache.spark.sql.Column) = {
+          val kk = datediff(c, lit("1970-01-05"))
+          lit(5) * (kk / 7).cast("int").cast("long") +
+            least(kk % 7, lit(5)).cast("long")
+        }
+        load(s, d, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"),
+            (k(col("o_orderdate")) % 7).as("order_dow"),
+            datediff(col("first_ship"), col("o_orderdate"))
+              .as("calendar_days"),
+            (bdaysTo(col("first_ship")) - bdaysTo(col("o_orderdate")))
+              .as("business_days"),
+            (k(col("o_orderdate")) % 7 >= 5).as("ordered_on_weekend"),
+            (bdaysTo(col("first_ship")) - bdaysTo(col("o_orderdate")) <= 5)
+              .as("within_5_bdays"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT l_orderkey, min(l_shipdate) AS first_ship
+             |  FROM lineitem GROUP BY 1),
+             |j AS (
+             |  SELECT o_orderkey, o_orderdate, first_ship,
+             |    datediff('day', DATE '1970-01-05', o_orderdate) AS k1,
+             |    datediff('day', DATE '1970-01-05', first_ship) AS k2
+             |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+             |SELECT o_orderkey,
+             |  CAST(k1 % 7 AS INTEGER) AS order_dow,
+             |  CAST(datediff('day', o_orderdate, first_ship) AS INTEGER)
+             |    AS calendar_days,
+             |  CAST((5 * (k2 // 7) + least(k2 % 7, 5))
+             |    - (5 * (k1 // 7) + least(k1 % 7, 5)) AS BIGINT)
+             |    AS business_days,
+             |  k1 % 7 >= 5 AS ordered_on_weekend,
+             |  (5 * (k2 // 7) + least(k2 % 7, 5))
+             |    - (5 * (k1 // 7) + least(k1 % 7, 5)) <= 5 AS within_5_bdays
+             |FROM j""".stripMargin),
+      "closed-form business-day arithmetic (no calendar table): " +
+        "epoch-Monday anchored f(d), per-row integer math — the SLA " +
+        "calendar for shipped-within-N-business-days reporting"))
 }

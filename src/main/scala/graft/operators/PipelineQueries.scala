@@ -1207,5 +1207,53 @@ object PipelineQueries {
              |WHERE rk <= 4""".stripMargin),
       "Efraimidis-Spirakis weighted sampling without replacement: " +
         "pure per-row keys from the hash RNG, per-stratum top-4 — " +
-        "single-pass, mergeable, no reservoir state"))
+        "single-pass, mergeable, no reservoir state"),
+
+    // Length bucketing for batched inference: padding a batch to its
+    // longest member wastes compute ∝ Σ(max_len − len), so serving
+    // stacks bucket by length first. Equi-DEPTH buckets (ntile over
+    // n_chars) adapt boundaries to the actual length distribution —
+    // the comparison this query quantifies: per-bucket padding waste
+    // plus each bucket's share of the single-bucket (no-bucketing)
+    // waste, all exact integers. One window pass to assign buckets
+    // (rank by (n_chars, doc_id) — deterministic under ties), one
+    // rollup, one 1-row broadcast of the global max. At 100 TB the
+    // ntile sort is replaced by approx-quantile boundaries (two
+    // passes, no sort) with identical downstream math.
+    Q("pipeline_length_buckets",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = persistOnce(load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("bucket", ntile(8).over(
+            Window.orderBy(col("n_chars"), col("doc_id")))))
+        val globalMax = docs.agg(max(col("n_chars")).as("gmax"))
+        docs.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("len_min"),
+            max(col("n_chars")).as("len_max"),
+            sum(col("n_chars")).as("payload_chars"))
+          .crossJoin(globalMax)
+          .select(col("bucket"), col("n_docs"), col("len_min"),
+            col("len_max"),
+            (col("len_max") * col("n_docs") - col("payload_chars"))
+              .as("padding_waste"),
+            (col("gmax") * col("n_docs") - col("payload_chars"))
+              .as("unbucketed_waste"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, n_chars,
+             |    ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+             |  FROM documents),
+             |g AS (SELECT max(n_chars) AS gmax FROM documents)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(n_chars) AS len_min, max(n_chars) AS len_max,
+             |  CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+             |    AS padding_waste,
+             |  CAST(gmax * count(*) - sum(n_chars) AS BIGINT)
+             |    AS unbucketed_waste
+             |FROM docs, g GROUP BY bucket, gmax""".stripMargin),
+      "equi-depth length bucketing for batched inference: per-bucket " +
+        "padding waste vs the no-bucketing baseline, exact integers — " +
+        "the compute-efficiency knob of serving stacks"))
 }

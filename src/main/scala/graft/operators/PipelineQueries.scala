@@ -1246,7 +1246,8 @@ object PipelineQueries {
              |    ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
              |  FROM documents),
              |g AS (SELECT max(n_chars) AS gmax FROM documents)
-             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |SELECT CAST(bucket AS INTEGER) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
              |  min(n_chars) AS len_min, max(n_chars) AS len_max,
              |  CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
              |    AS padding_waste,

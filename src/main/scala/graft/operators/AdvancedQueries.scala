@@ -2913,6 +2913,207 @@ object AdvancedQueries {
         "intersection via exact membership of union elements — audience " +
         "overlap from O(k) sketches, no pairwise distinct joins"),
 
+    // DDSketch relative-error quantiles (Masson et al., VLDB 2019):
+    // the quantile member of the mergeable-sketch family. Bucketing is
+    // a PURE PER-ROW function — i = ceil(ln x / ln γ) with
+    // γ = (1+α)/(1-α), α = 1% — so the sketch is literally a
+    // (group, bucket) COUNT aggregate: map-side combined, mergeable by
+    // construction (partials sum), O(buckets·groups) state — ~800
+    // buckets span nine decades, vs the full value domain an exact
+    // quantile needs. Unlike rank-error sketches (KLL/t-digest) the
+    // answer is DETERMINISTIC — a pure function of the multiset — so
+    // the whole pipeline value-checks against DuckDB replaying the
+    // identical bucket/extract arithmetic (ln/pow are correctly
+    // rounded in both engines — the events_ucb_arms precedent). The
+    // exact lower order statistics ride alongside on a distinct-cents
+    // rollup (integer compares), and the α-guarantee
+    // |est − x_q| ≤ α·x_q is emitted as a value-checked column, not a
+    // property assertion. Cents stay integers end-to-end; only the
+    // final bucket-midpoint estimate is floating (rounded 4 dp).
+    Q("sketch_dd_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gamma = 101.0 / 99.0 // (1+α)/(1-α) at α = 0.01
+        val li = persistOnce(load(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("c")))
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        val sk = li
+          .select(col("l_returnflag"),
+            ceil(log(col("c").cast("double")) / log(lit(gamma)))
+              .cast("int").as("i"))
+          .groupBy(col("l_returnflag"), col("i"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .withColumn("cum", sum(col("cnt")).over(wAll.orderBy(col("i"))))
+        def bq(q: Double) =
+          min(when(col("cum") >= ceil(lit(q) * col("n")), col("i")))
+        val est = sk.groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n"), bq(0.5).as("i50"), bq(0.9).as("i90"),
+            bq(0.99).as("i99"))
+        val ex = li.groupBy(col("l_returnflag"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .withColumn("cum", sum(col("cnt")).over(wAll.orderBy(col("c"))))
+        def xq(q: Double) =
+          min(when(col("cum") >= ceil(lit(q) * col("n")), col("c")))
+        val exact = ex.groupBy(col("l_returnflag"))
+          .agg(xq(0.5).as("x50"), xq(0.9).as("x90"), xq(0.99).as("x99"))
+        def estv(i: Column) =
+          lit(2.0) * pow(lit(gamma), i.cast("double")) / lit(gamma + 1.0)
+        def out(i: Column, x: Column, p: String) = Seq(
+          round(estv(i) / 100.0, 4).as(s"p${p}_est"),
+          (x.cast("double") / 100.0).as(s"p${p}_exact"),
+          (abs(estv(i) - x.cast("double")) <= lit(0.01) * x.cast("double"))
+            .as(s"p${p}_ok"))
+        est.join(exact, "l_returnflag")
+          .select(col("l_returnflag") +: col("n") +:
+            (out(col("i50"), col("x50"), "50") ++
+              out(col("i90"), col("x90"), "90") ++
+              out(col("i99"), col("x99"), "99")): _*)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |sk AS (
+             |  SELECT l_returnflag,
+             |    CAST(ceil(ln(CAST(c AS DOUBLE)) / ln(101.0/99.0)) AS INTEGER)
+             |      AS i,
+             |    count(*) AS cnt
+             |  FROM li GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT l_returnflag, i, cnt,
+             |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n,
+             |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY i) AS cum
+             |  FROM sk),
+             |est AS (
+             |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+             |    min(CASE WHEN cum >= ceil(0.5 * n) THEN i END) AS i50,
+             |    min(CASE WHEN cum >= ceil(0.9 * n) THEN i END) AS i90,
+             |    min(CASE WHEN cum >= ceil(0.99 * n) THEN i END) AS i99
+             |  FROM sc GROUP BY 1),
+             |ec AS (
+             |  SELECT l_returnflag, c, count(*) AS cnt FROM li GROUP BY 1, 2),
+             |e2 AS (
+             |  SELECT l_returnflag, c,
+             |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n,
+             |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum
+             |  FROM ec),
+             |exact AS (
+             |  SELECT l_returnflag,
+             |    min(CASE WHEN cum >= ceil(0.5 * n) THEN c END) AS x50,
+             |    min(CASE WHEN cum >= ceil(0.9 * n) THEN c END) AS x90,
+             |    min(CASE WHEN cum >= ceil(0.99 * n) THEN c END) AS x99
+             |  FROM e2 GROUP BY 1)
+             |SELECT e.l_returnflag, n,
+             |  round(2.0 * power(101.0/99.0, CAST(i50 AS DOUBLE))
+             |    / (101.0/99.0 + 1.0) / 100.0, 4) AS p50_est,
+             |  CAST(x50 AS DOUBLE) / 100.0 AS p50_exact,
+             |  abs(2.0 * power(101.0/99.0, CAST(i50 AS DOUBLE))
+             |      / (101.0/99.0 + 1.0) - CAST(x50 AS DOUBLE))
+             |    <= 0.01 * CAST(x50 AS DOUBLE) AS p50_ok,
+             |  round(2.0 * power(101.0/99.0, CAST(i90 AS DOUBLE))
+             |    / (101.0/99.0 + 1.0) / 100.0, 4) AS p90_est,
+             |  CAST(x90 AS DOUBLE) / 100.0 AS p90_exact,
+             |  abs(2.0 * power(101.0/99.0, CAST(i90 AS DOUBLE))
+             |      / (101.0/99.0 + 1.0) - CAST(x90 AS DOUBLE))
+             |    <= 0.01 * CAST(x90 AS DOUBLE) AS p90_ok,
+             |  round(2.0 * power(101.0/99.0, CAST(i99 AS DOUBLE))
+             |    / (101.0/99.0 + 1.0) / 100.0, 4) AS p99_est,
+             |  CAST(x99 AS DOUBLE) / 100.0 AS p99_exact,
+             |  abs(2.0 * power(101.0/99.0, CAST(i99 AS DOUBLE))
+             |      / (101.0/99.0 + 1.0) - CAST(x99 AS DOUBLE))
+             |    <= 0.01 * CAST(x99 AS DOUBLE) AS p99_ok
+             |FROM est e JOIN exact x USING (l_returnflag)""".stripMargin),
+      "DDSketch relative-error quantiles: per-row log-γ bucketing makes " +
+        "the sketch a plain (group, bucket) count aggregate — mergeable " +
+        "by construction, deterministic, α-guarantee value-checked " +
+        "against the exact order statistics"),
+
+    // AMS tug-of-war join-size estimation (Alon-Matias-Szegedy, STOC
+    // 1996): |R ⋈ S| = Σ_k f_R(k)·f_S(k) estimated from ONE O(seeds)
+    // vector per relation — X_j = Σ_rows s_j(key) under ±1 md5 sign
+    // functions, E[X_R·X_S] = join size. Each sketch is a single
+    // map-side-combined aggregate over its relation; the relations are
+    // NEVER joined, co-shuffled, or even read together — the
+    // cardinality-estimation primitive a cost-based optimizer needs
+    // BEFORE committing to a join strategy at 100 TB (pick
+    // broadcast/shuffle/skew handling from 12 longs, not a dry run).
+    // Median-of-means over 3 groups × 4 seeds bounds the variance; all
+    // arithmetic is integer until the final /4.0 (exact: power of
+    // two), so the estimate hash-matches unrounded. The exact join
+    // size rides alongside from the distinct-key frequency rollup —
+    // candidates ∝ distinct keys, the join itself never materialized.
+    Q("sketch_ams_joinsize",
+      (s, d) => {
+        def signed(df: DataFrame, key: Column, out: String) = df
+          .select(key.as("k"))
+          .select(col("k"), explode(sequence(lit(1), lit(12))).as("j"))
+          .select(col("j"),
+            (lit(1) - lit(2) * (conv(substring(md5(concat(
+              col("j").cast("string"), lit("|"), col("k").cast("string"))),
+              1, 1), 16, 10).cast("int") % 2)).as("s"))
+          .groupBy(col("j")).agg(sum(col("s")).as(out))
+        val li = persistOnce(load(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_returnflag")))
+        val r = signed(li, col("l_partkey"), "x")
+        val t = signed(li.filter(col("l_returnflag") === "R"),
+          col("l_partkey"), "y")
+        val med = r.join(t, "j")
+          .select(expr("(j - 1) DIV 4").as("g"),
+            (col("x") * col("y")).as("p"))
+          .groupBy(col("g")).agg(sum(col("p")).as("gs"))
+          .agg((sum(col("gs")) - max(col("gs")) - min(col("gs"))).as("m"))
+        val fa = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("fa"))
+        val fb = li.filter(col("l_returnflag") === "R")
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("fb"))
+        val exact = fa.join(fb, "l_partkey")
+          .agg(sum(col("fa") * col("fb")).as("exact_join_size"))
+        med.crossJoin(exact)
+          .select(col("exact_join_size"),
+            (col("m").cast("double") / 4.0).as("est_join_size"),
+            ((col("m").cast("double") / 4.0 -
+              col("exact_join_size").cast("double")) /
+              col("exact_join_size").cast("double")).as("rel_err"))
+      },
+      Some("""WITH seeds AS (SELECT unnest(range(1, 13)) AS j),
+             |r AS (
+             |  SELECT j, CAST(sum(1 - 2 * (CAST(concat('0x',
+             |      substr(md5(concat(CAST(j AS VARCHAR), '|',
+             |        CAST(l_partkey AS VARCHAR))), 1, 1)) AS INTEGER) % 2))
+             |    AS BIGINT) AS x
+             |  FROM lineitem CROSS JOIN seeds GROUP BY j),
+             |t AS (
+             |  SELECT j, CAST(sum(1 - 2 * (CAST(concat('0x',
+             |      substr(md5(concat(CAST(j AS VARCHAR), '|',
+             |        CAST(l_partkey AS VARCHAR))), 1, 1)) AS INTEGER) % 2))
+             |    AS BIGINT) AS y
+             |  FROM lineitem CROSS JOIN seeds
+             |  WHERE l_returnflag = 'R' GROUP BY j),
+             |grp AS (
+             |  SELECT (j - 1) // 4 AS g, CAST(sum(x * y) AS BIGINT) AS gs
+             |  FROM r JOIN t USING (j) GROUP BY 1),
+             |med AS (
+             |  SELECT CAST(sum(gs) - max(gs) - min(gs) AS BIGINT) AS m
+             |  FROM grp),
+             |exact AS (
+             |  SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_join_size FROM
+             |    (SELECT l_partkey, count(*) AS fa
+             |     FROM lineitem GROUP BY 1) a
+             |    JOIN (SELECT l_partkey, count(*) AS fb
+             |          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1) b
+             |    USING (l_partkey))
+             |SELECT exact_join_size,
+             |  CAST(m AS DOUBLE) / 4.0 AS est_join_size,
+             |  (CAST(m AS DOUBLE) / 4.0 - CAST(exact_join_size AS DOUBLE))
+             |    / CAST(exact_join_size AS DOUBLE) AS rel_err
+             |FROM med CROSS JOIN exact""".stripMargin),
+      "AMS tug-of-war join-size estimate: 12 signed sums per relation " +
+        "(one map-side-combined pass each, relations never joined), " +
+        "median-of-means extract — the optimizer's cardinality " +
+        "primitive; exact join size from the frequency rollup alongside"),
+
     // M4 time-series downsampling (Jugel et al., VLDB 2014): per pixel
     // bucket keep min, max, first and last — the four points that make
     // a line chart of the bucket RENDER IDENTICALLY to the full series.

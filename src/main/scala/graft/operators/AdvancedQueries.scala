@@ -102,6 +102,97 @@ object AdvancedQueries {
              |FROM g GROUP BY user_id, sid""".stripMargin),
       "ST5 session windows; oracle via gaps-and-islands SQL"),
 
+    // ---- MATCH_RECOGNIZE emulation (row-pattern matching) ------------
+    // The SQL:2016 / Flink / Oracle MATCH_RECOGNIZE feature Spark
+    // lacks: detect pattern DOWN{2,} UP{2,} (a V-shaped dip-and-
+    // recover) in each user's metric sequence. Instead of an NFA over
+    // rows, the pattern compiles to gaps-and-islands algebra: per-row
+    // direction vs lag → run ids from direction changes → one rollup
+    // to O(runs) rows → adjacent-run pairing via lead. Every window
+    // and the rollup share the single user_id exchange (runs of a user
+    // can't span partitions), state is bounded by runs not rows, and
+    // a flat or missing step breaks adjacency exactly as the strict
+    // DOWN/UP pattern semantics require. depth/recovery are single
+    // subtractions (unrounded per the determinism contract).
+    Q("window_match_recognize",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val dir0 = load(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("pv", lag(col("value"), 1).over(wOrd))
+          .withColumn("dir",
+            when(col("pv").isNull, lit(9))
+              .when(col("value") > col("pv"), lit(1))
+              .when(col("value") < col("pv"), lit(-1))
+              .otherwise(lit(0)))
+        val runs = dir0
+          .withColumn("chg",
+            when(lag(col("dir"), 1).over(wOrd).isNull ||
+              lag(col("dir"), 1).over(wOrd) =!= col("dir"), 1).otherwise(0))
+          .withColumn("rid", sum(col("chg")).over(wOrd))
+          .groupBy(col("user_id"), col("rid"))
+          .agg(max(col("dir")).as("dir"), count(lit(1)).as("n"),
+            min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+            max(col("value")).as("maxv"), min(col("value")).as("minv"))
+        val wRun = Window.partitionBy(col("user_id")).orderBy(col("rid"))
+        runs
+          .withColumn("next_dir", lead(col("dir"), 1).over(wRun))
+          .withColumn("next_n", lead(col("n"), 1).over(wRun))
+          .withColumn("next_maxv", lead(col("maxv"), 1).over(wRun))
+          .withColumn("next_minv", lead(col("minv"), 1).over(wRun))
+          .withColumn("next_end", lead(col("end_ts"), 1).over(wRun))
+          .filter(col("dir") === -1 && col("n") >= 2 &&
+            col("next_dir") === 1 && col("next_n") >= 2)
+          .select(col("user_id"), col("start_ts").as("down_start"),
+            col("next_end").as("up_end"),
+            col("n").cast("int").as("down_n"),
+            col("next_n").cast("int").as("up_n"),
+            (col("maxv") - col("minv")).as("depth"),
+            (col("next_maxv") - col("next_minv")).as("recovery"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, value
+             |  FROM events WHERE value IS NOT NULL),
+             |d1 AS (
+             |  SELECT *, CASE WHEN lag(value) OVER w IS NULL THEN 9
+             |    WHEN value > lag(value) OVER w THEN 1
+             |    WHEN value < lag(value) OVER w THEN -1
+             |    ELSE 0 END AS dir
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |d2 AS (
+             |  SELECT *, CASE WHEN lag(dir) OVER w IS NULL
+             |      OR lag(dir) OVER w <> dir THEN 1 ELSE 0 END AS chg
+             |  FROM d1
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |d3 AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS rid
+             |  FROM d2),
+             |runs AS (
+             |  SELECT user_id, rid, max(dir) AS dir, count(*) AS n,
+             |    min(ts) AS start_ts, max(ts) AS end_ts,
+             |    max(value) AS maxv, min(value) AS minv
+             |  FROM d3 GROUP BY 1, 2),
+             |nxt AS (
+             |  SELECT *, lead(dir) OVER w AS next_dir,
+             |    lead(n) OVER w AS next_n,
+             |    lead(maxv) OVER w AS next_maxv,
+             |    lead(minv) OVER w AS next_minv,
+             |    lead(end_ts) OVER w AS next_end
+             |  FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY rid))
+             |SELECT user_id, start_ts AS down_start, next_end AS up_end,
+             |  CAST(n AS INTEGER) AS down_n, CAST(next_n AS INTEGER) AS up_n,
+             |  maxv - minv AS depth, next_maxv - next_minv AS recovery
+             |FROM nxt
+             |WHERE dir = -1 AND n >= 2 AND next_dir = 1 AND next_n >= 2"""
+        .stripMargin),
+      "MATCH_RECOGNIZE emulation: DOWN{2,} UP{2,} row-pattern compiled " +
+        "to gaps-and-islands runs + adjacent-run pairing — one user " +
+        "exchange, state ∝ runs, strict pattern semantics preserved"),
+
     // ---- time-series gap fill (LOCF) ---------------------------------
     // Gaps-and-islands: longest run of CONSECUTIVE order dates per
     // customer. The islands form via the anchor trick — date minus

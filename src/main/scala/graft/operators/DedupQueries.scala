@@ -284,6 +284,90 @@ object DedupQueries {
         "candidates (rarest-shingle probes, exact recall at t>0.9) + " +
         "confirm on candidates only; whole pipeline value-checked"),
 
+    // Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    // SIGMOD 2003 — the MOSS plagiarism-detection algorithm): hash
+    // every k=5 word-shingle, slide a w=4 window over the hash
+    // sequence, keep each window's RIGHTMOST MINIMUM. The selected set
+    // is ~2/(w+1) of all shingles yet GUARANTEES a shared fingerprint
+    // for any common token run of length ≥ w+k−1 = 8 — the
+    // density/guarantee trade-off no fixed-stride sampling offers.
+    // Rightmost-min selection is ONE window min over a packed
+    // (hash, −pos) long (min hash, ties to the larger position —
+    // integer arithmetic, no struct ordering, stays hash-aggregable);
+    // matching is an equi-join on the selected hash with a document-
+    // frequency cap (df ≤ 32 — the MOSS "ignore overly common" rule)
+    // bounding candidate pairs by Σ min(df,32)², never n². Planted
+    // 12-token fragments (every 6th doc) exercise the guarantee at
+    // every SF; the oracle replays selection, cap and join exactly.
+    Q("dedup_winnow_matches",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = load(s, d, "documents").select(col("doc_id"), col("text"))
+        val w = tokens(col("text"))
+        val planted = base
+          .filter(col("doc_id") % 6 === 0 && size(w) >= 20)
+          .select((col("doc_id") + lit(plantOffset(s, d))).as("doc_id"),
+            array_join(slice(w, lit(5), lit(12)), " ").as("text"))
+        val sh = base.unionByName(planted)
+          .select(col("doc_id"), posexplode(wordShingles(col("text"), 5)))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            (conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long") *
+              1048576L + (lit(1048575) - (col("pos") + 1))).as("packed"))
+        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-3, 0)
+        val fp = sh
+          .withColumn("sel", min(col("packed")).over(win))
+          .filter(col("pos") >= 4)
+          .select(col("doc_id"), expr("sel DIV 1048576").as("h"))
+          .distinct()
+        val kept = fp.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("df") <= 32)
+        kept.as("l").join(kept.as("r"),
+            col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+          .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + $plantOffsetSql, array_to_string(
+             |    string_split(text, ' ')[5:16], ' ')
+             |  FROM documents
+             |  WHERE doc_id % 6 = 0 AND len(string_split(text, ' ')) >= 20),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+             |sh AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS pos,
+             |    unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+             |      i -> array_to_string(tk[i:i+4], ' '))) AS g
+             |  FROM tk),
+             |pk AS (
+             |  SELECT doc_id, pos,
+             |    CAST(CAST(concat('0x', substr(md5(g), 1, 10)) AS UBIGINT)
+             |      AS BIGINT) * 1048576 + (1048575 - pos) AS packed
+             |  FROM sh),
+             |sel AS (
+             |  SELECT doc_id, pos,
+             |    min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+             |  FROM pk),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, s // 1048576 AS h
+             |  FROM sel WHERE pos >= 4),
+             |kept AS (
+             |  SELECT doc_id, h FROM (
+             |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+             |    FROM fp) WHERE df <= 32)
+             |SELECT l.doc_id AS a, r.doc_id AS b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM kept l JOIN kept r ON l.h = r.h AND l.doc_id < r.doc_id
+             |GROUP BY 1, 2""".stripMargin),
+      "winnowing (MOSS) fingerprints: rightmost-window-min selection " +
+        "via one packed-long window min, df-capped fingerprint " +
+        "equi-join — guaranteed detection of ≥8-token overlaps at " +
+        "~2/(w+1) index density"),
+
     // Cluster election: candidate pairs -> connected components ->
     // canonical doc (min id in component) — the step that turns pair
     // lists into an actual dedup decision. Spark runs the ITERATIVE

@@ -2151,6 +2151,121 @@ object AdvancedQueries {
         "histogram cumulated over a 20-depth grid — no per-depth " +
         "self-joins, dyadic weights, 6 dp"),
 
+    // ---- scored-classifier evaluation (AUC + Brier) ------------------
+    // The ranking-eval companion of eval_ndcg/eval_rank_rbo for
+    // CLASSIFIER scores (quality filters, toxicity/spam gates — the
+    // models a curation pipeline thresholds at 100 TB). Labels and
+    // milli-scores are planted from the md5 hash RNG with real signal
+    // (positives shift +0.4), so both metrics are non-degenerate at
+    // every SF. AUC is the Mann-Whitney rank statistic computed on the
+    // DISTINCT-SCORE rollup (≤1000 rows — the global rank window runs
+    // there, never on raw rows) with exact mid-rank tie handling kept
+    // in integers (rank2 = 2·midrank); Brier stays integer too —
+    // Σ(s−1000·l)² in milli-units — so both final divisions are the
+    // only floating ops and the result hash-matches unrounded. One
+    // map-side-combined rollup + O(scores) window; no per-pair
+    // comparisons (the naive AUC is n_pos·n_neg pairs).
+    Q("eval_auc_brier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, d, "events")
+          .select(col("event_id").cast("string").as("k"))
+          .select(
+            (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
+              16, 10).cast("int") % 2).as("l"),
+            (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
+              16, 10).cast("int") % 1000).as("u"))
+          .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+        val g = ev.groupBy(col("s"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l")).as("pos"))
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("s"))))
+          .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        g.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("pos") * col("rank2")).as("num2"),
+            sum(col("pos") * (col("s") - 1000) * (col("s") - 1000) +
+              (col("cnt") - col("pos")) * col("s") * col("s")).as("ssq"))
+          .select(col("n"), col("n_pos"),
+            ((col("num2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2.0) * col("n_pos") * (col("n") - col("n_pos"))))
+              .as("auc"),
+            (col("ssq").cast("double") / (col("n") * lit(1000000.0)))
+              .as("brier"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(concat('0x', substr(md5(concat('lbl|',
+             |      CAST(event_id AS VARCHAR))), 1, 1)) AS INTEGER) % 2 AS l,
+             |    CAST(concat('0x', substr(md5(concat('scr|',
+             |      CAST(event_id AS VARCHAR))), 1, 3)) AS INTEGER) % 1000 AS u
+             |  FROM events),
+             |sc AS (SELECT l, (u * 6) // 10 + l * 400 AS s FROM ev),
+             |g AS (
+             |  SELECT s, count(*) AS cnt, sum(l) AS pos FROM sc GROUP BY 1),
+             |r AS (
+             |  SELECT s, cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum
+             |  FROM g),
+             |f AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(pos * (cum * 2 - cnt + 1)) AS BIGINT) AS num2,
+             |    CAST(sum(pos * (s - 1000) * (s - 1000)
+             |      + (cnt - pos) * s * s) AS BIGINT) AS ssq
+             |  FROM r)
+             |SELECT n, n_pos,
+             |  CAST(num2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |    / (2.0 * n_pos * (n - n_pos)) AS auc,
+             |  CAST(ssq AS DOUBLE) / (n * 1000000.0) AS brier
+             |FROM f""".stripMargin),
+      "classifier eval: Mann-Whitney AUC with exact mid-rank ties + " +
+        "Brier score over planted-signal milli-scores — distinct-score " +
+        "rollup, integers end-to-end, no n_pos×n_neg pair compare"),
+
+    // Calibration companion: reliability-diagram bins over the same
+    // planted scores. O(bins) output; mean predicted vs observed
+    // positive rate per decile plus the per-bin gap — all integer
+    // ratios (single exact divisions), the ECE ingredients without an
+    // order-unstable weighted sum.
+    Q("eval_calibration_bins",
+      (s, d) => {
+        val ev = load(s, d, "events")
+          .select(col("event_id").cast("string").as("k"))
+          .select(
+            (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
+              16, 10).cast("int") % 2).as("l"),
+            (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
+              16, 10).cast("int") % 1000).as("u"))
+          .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+        ev.groupBy(expr("s DIV 100").cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).as("ssum"),
+            sum(col("l")).as("pos"))
+          .select(col("bin"), col("n"),
+            (col("ssum").cast("double") / (col("n") * lit(1000.0)))
+              .as("mean_pred"),
+            (col("pos").cast("double") / col("n")).as("frac_pos"),
+            abs(col("ssum").cast("double") / (col("n") * lit(1000.0)) -
+              col("pos").cast("double") / col("n")).as("gap"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(concat('0x', substr(md5(concat('lbl|',
+             |      CAST(event_id AS VARCHAR))), 1, 1)) AS INTEGER) % 2 AS l,
+             |    CAST(concat('0x', substr(md5(concat('scr|',
+             |      CAST(event_id AS VARCHAR))), 1, 3)) AS INTEGER) % 1000 AS u
+             |  FROM events),
+             |sc AS (SELECT l, (u * 6) // 10 + l * 400 AS s FROM ev),
+             |g AS (
+             |  SELECT CAST(s // 100 AS INTEGER) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(s) AS BIGINT) AS ssum,
+             |    CAST(sum(l) AS BIGINT) AS pos
+             |  FROM sc GROUP BY 1)
+             |SELECT bin, n,
+             |  CAST(ssum AS DOUBLE) / (n * 1000.0) AS mean_pred,
+             |  CAST(pos AS DOUBLE) / n AS frac_pos,
+             |  abs(CAST(ssum AS DOUBLE) / (n * 1000.0)
+             |    - CAST(pos AS DOUBLE) / n) AS gap
+             |FROM g""".stripMargin),
+      "reliability-diagram calibration bins over the planted scores: " +
+        "decile rollup, integer ratios, O(bins) output"),
+
     // Drill-across (Kimball): combine TWO fact tables at a conformed
     // grain — orders revenue and event activity meet at the customer
     // key, then roll up by segment splitting engaged (has events)

@@ -391,5 +391,64 @@ object GraphQueries {
              |GROUP BY x, y
              |HAVING count(*) >= 2""".stripMargin),
       "link prediction: common-neighbor + Adamic-Adar scores over " +
-        "wedge-join candidates — never all pairs, edges drop via anti join"))
+        "wedge-join candidates — never all pairs, edges drop via anti join"),
+
+    // Label propagation communities (Raghavan et al. 2007), SYNCHRONOUS
+    // variant with a total tie order so the fixpoint is deterministic:
+    // every node adopts its neighborhood's most frequent label (count
+    // desc, label asc) each round, 3 rounds. The argmax is ONE packed-
+    // long min — (2³¹−count)·2³¹+label — so each round is exactly two
+    // hash aggregates and one edge-keyed equi-join (the same
+    // per-iteration shuffle shape as PageRank; struct-ordered min_by
+    // would demote to SortAggregate). Labels are doc_ids (< 2³¹ by the
+    // fixture's dense id space); isolated nodes keep their label via
+    // the left join. The oracle replays all three rounds including the
+    // packed arithmetic, so the full fixpoint trajectory value-checks.
+    Q("graph_label_propagation",
+      (s, d) => {
+        val und = persistOnce(derivedUnd(s, d))
+        val nb = persistOnce(und
+          .select(col("a").as("u"), col("b").as("v"))
+          .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
+        val two31 = 2147483648L
+        var labels = load(s, d, "documents")
+          .select(col("doc_id").as("node"), col("doc_id").as("label"))
+        for (_ <- 1 to 3) {
+          val chosen = nb
+            .join(labels.select(col("node").as("v"), col("label")), "v")
+            .groupBy(col("u"), col("label"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("u"))
+            .agg(min((lit(two31) - col("c")) * two31 + col("label"))
+              .as("pk"))
+            .select(col("u"), (col("pk") % two31).as("nl"))
+          labels = labels.join(chosen, col("node") === col("u"), "left")
+            .select(col("node"),
+              coalesce(col("nl"), col("label")).as("label"))
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("community"))
+      },
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""l$i AS (
+             |  SELECT p.node, coalesce(ch.nl, p.label) AS label
+             |  FROM l${i - 1} p LEFT JOIN (
+             |    SELECT u, CAST(min((2147483648 - c) * 2147483648 + label)
+             |      % 2147483648 AS BIGINT) AS nl
+             |    FROM (SELECT e.u, l.label, count(*) AS c
+             |          FROM nb e JOIN l${i - 1} l ON e.v = l.node
+             |          GROUP BY 1, 2) t
+             |    GROUP BY u) ch ON p.node = ch.u)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeSqlPrefix,
+           |nb AS (SELECT a AS u, b AS v FROM und
+           |       UNION ALL SELECT b, a FROM und),
+           |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+           |$iters
+           |SELECT node AS doc_id, label AS community FROM l3""".stripMargin
+      },
+      "synchronous label-propagation communities: per round one " +
+        "edge-keyed join + two hash aggregates, packed-long argmax " +
+        "(count desc, label asc) keeps the mode hash-aggregable; " +
+        "3-round fixpoint trajectory value-checked"))
 }

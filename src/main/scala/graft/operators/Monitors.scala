@@ -832,5 +832,85 @@ object Monitors {
              |FROM late GROUP BY 1""".stripMargin),
       "watermark sizing from planted deterministic arrival skew: " +
         "per-stream lateness vs the running event-time max, threshold " +
-        "counts + the max lateness a watermark must cover"))
+        "counts + the max lateness a watermark must cover"),
+
+    // Theil-Sen robust trend (median of pairwise slopes): the
+    // outlier-proof slope a monitoring stack wants when one bad day
+    // would swing least-squares (breakdown point 29% vs 0%). The
+    // quadratic pair enumeration happens ONLY on the per-(type, day)
+    // rollup — O(days²) ≤ a few thousand pairs per stream, the
+    // aggregate-first-then-quadratic-on-tiny-grain discipline — never
+    // on raw events. Each slope is one exact division of integer
+    // cents/days; the median is the LOWER median under a total order
+    // (slope, x1, x2) so selection is deterministic; the classic OLS
+    // slope from exact integer moments rides alongside for the
+    // robust-vs-classic comparison. Output O(streams).
+    Q("mon_theil_sen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = persistOnce(load(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+          .withColumn("x", datediff(col("day"),
+            min(col("day")).over(Window.partitionBy(col("event_type"))))
+            .cast("long")))
+        val wp = Window.partitionBy(col("event_type"))
+        val ts = daily.as("p").join(daily.as("q"),
+            col("p.event_type") === col("q.event_type") &&
+              col("p.x") < col("q.x"))
+          .select(col("p.event_type").as("event_type"),
+            col("p.x").as("x1"), col("q.x").as("x2"),
+            ((col("q.y") - col("p.y")).cast("double") /
+              (col("q.x") - col("p.x")).cast("double")).as("slope"))
+          .withColumn("np", count(lit(1)).over(wp))
+          .withColumn("rn", row_number().over(
+            wp.orderBy(col("slope"), col("x1"), col("x2"))))
+          .filter(col("rn") === expr("(np + 1) DIV 2"))
+          .select(col("event_type"), col("slope").as("ts_slope"))
+        val ols = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n_days"),
+            ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("ols_slope"))
+        ols.join(ts, "event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |dd AS (
+             |  SELECT event_type, y,
+             |    CAST(day - min(day) OVER (PARTITION BY event_type)
+             |      AS BIGINT) AS x
+             |  FROM daily),
+             |pairs AS (
+             |  SELECT p.event_type, p.x AS x1, q.x AS x2,
+             |    CAST(q.y - p.y AS DOUBLE) / CAST(q.x - p.x AS DOUBLE)
+             |      AS slope
+             |  FROM dd p JOIN dd q
+             |    ON p.event_type = q.event_type AND p.x < q.x),
+             |med AS (
+             |  SELECT event_type, slope AS ts_slope FROM (
+             |    SELECT event_type, slope,
+             |      count(*) OVER (PARTITION BY event_type) AS np,
+             |      row_number() OVER (PARTITION BY event_type
+             |        ORDER BY slope, x1, x2) AS rn
+             |    FROM pairs) WHERE rn = (np + 1) // 2),
+             |ols AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             |      / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+             |      AS ols_slope
+             |  FROM dd GROUP BY 1)
+             |SELECT event_type, n_days, ols_slope, ts_slope
+             |FROM ols JOIN med USING (event_type)""".stripMargin),
+      "Theil-Sen robust trend per stream: pairwise slopes on the daily " +
+        "rollup only (O(days²), never raw events), deterministic lower " +
+        "median, exact-integer OLS slope alongside"))
 }

@@ -1256,5 +1256,67 @@ object PipelineQueries {
              |FROM docs, g GROUP BY bucket, gmax""".stripMargin),
       "equi-depth length bucketing for batched inference: per-bucket " +
         "padding waste vs the no-bucketing baseline, exact integers — " +
-        "the compute-efficiency knob of serving stacks"))
+        "the compute-efficiency knob of serving stacks"),
+
+    // Leakage-free target encoding (the CatBoost/feature-pipeline
+    // standard): encode a category by the smoothed mean of the target
+    // over rows OUTSIDE the row's own fold, so the feature never sees
+    // its own label. The out-of-fold mean needs NO second data pass —
+    // (Σ_cat − Σ_cat,fold)/(n_cat − n_cat,fold) derives from ONE
+    // (category, fold) rollup (map-side combined) plus its own
+    // O(cats×folds) re-aggregation and a 1-row global prior; applying
+    // the encoding back to rows is then a broadcast map join. Folds
+    // come from the md5 hash RNG (replay-stable across epochs —
+    // the split_train_test discipline); target kept in exact cents so
+    // the only floating ops are the final smoothing chain (single-op
+    // IEEE, unrounded hash-match).
+    Q("pipeline_target_encoding",
+      (s, d) => {
+        val o = load(s, d, "orders").select(
+          col("o_orderpriority").as("category"),
+          round(col("o_totalprice") * 100).cast("long").as("t"),
+          (conv(substring(md5(concat(lit("fold|"),
+            col("o_orderkey").cast("string"))), 1, 2), 16, 10)
+            .cast("int") % 5).as("fold"))
+        val cf = o.groupBy(col("category"), col("fold"))
+          .agg(count(lit(1)).as("cnt"), sum(col("t")).as("tsum"))
+        val c = cf.groupBy(col("category"))
+          .agg(sum(col("cnt")).as("ccnt"), sum(col("tsum")).as("csum"))
+        val g = cf.agg(sum(col("cnt")).as("gn"), sum(col("tsum")).as("gsum"))
+        cf.join(c, "category").crossJoin(broadcast(g))
+          .select(col("category"), col("fold"),
+            (col("ccnt") - col("cnt")).as("n_oof"),
+            (((col("csum") - col("tsum")).cast("double") +
+              lit(20.0) * (col("gsum").cast("double") /
+                col("gn").cast("double"))) /
+              ((col("ccnt") - col("cnt")).cast("double") + lit(20.0)))
+              .as("encoded_cents"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS category,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS t,
+             |    CAST(concat('0x', substr(md5(concat('fold|',
+             |      CAST(o_orderkey AS VARCHAR))), 1, 2)) AS INTEGER) % 5
+             |      AS fold
+             |  FROM orders),
+             |cf AS (
+             |  SELECT category, fold, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(t) AS BIGINT) AS tsum
+             |  FROM o GROUP BY 1, 2),
+             |c AS (
+             |  SELECT category, CAST(sum(cnt) AS BIGINT) AS ccnt,
+             |    CAST(sum(tsum) AS BIGINT) AS csum
+             |  FROM cf GROUP BY 1),
+             |g AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS gn,
+             |    CAST(sum(tsum) AS BIGINT) AS gsum
+             |  FROM cf)
+             |SELECT category, fold, ccnt - cnt AS n_oof,
+             |  (CAST(csum - tsum AS DOUBLE)
+             |    + 20.0 * (CAST(gsum AS DOUBLE) / CAST(gn AS DOUBLE)))
+             |  / (CAST(ccnt - cnt AS DOUBLE) + 20.0) AS encoded_cents
+             |FROM cf JOIN c USING (category) CROSS JOIN g""".stripMargin),
+      "out-of-fold target encoding with smoothing prior: one " +
+        "(category, fold) rollup + O(cats×folds) re-agg + 1-row global " +
+        "prior — no second data pass, md5 folds, exact-cents target"))
 }

@@ -69,7 +69,9 @@ object SimilarityQueries {
       |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
       |FROM c, q ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
-  def queries: Seq[Q] = Seq(
+  def queries: Seq[Q] = baseQueries :+ jlQuery
+
+  private def baseQueries: Seq[Q] = Seq(
     Q("sim_topk_bruteforce",
       (s, d) => bruteForceTopK(load(s, d, "embeddings"), queryVec(s, d), 10),
       Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
@@ -624,4 +626,92 @@ object SimilarityQueries {
              |  ORDER BY votes DESC, nlabel) = 1""".stripMargin),
       "7-NN majority-vote classification — rank-limited neighbor " +
         "window + deterministic vote; IVF routing swaps in at scale"))
+
+  /** Johnson-Lindenstrauss ±1 sign from the md5 hash RNG for matrix
+    * cell (i, j) — identical text in the Spark expr and the oracle. */
+  private def jlSgn =
+    "(1 - 2 * (CAST(conv(substring(md5(concat('jl|', " +
+      "CAST(i AS STRING), '|', CAST(j AS STRING))), 1, 1), 16, 10) " +
+      "AS INT) % 2))"
+
+  /** JL projection: 16 signed sums over the 64 dims, folded in index
+    * order (init 0.0) so the float chain is bitwise-reproducible. */
+  private def jlProj(v: String) =
+    s"transform(sequence(1, 16), j -> aggregate(sequence(1, 64), 0D, " +
+      s"(acc, i) -> acc + CAST(element_at($v, i) AS DOUBLE) * $jlSgn) " +
+      "/ 4.0)"
+
+  private def jlD2(a: String, b: String, n: Int) =
+    s"aggregate(sequence(1, $n), 0D, (acc, i) -> acc + " +
+      s"(CAST(element_at($a, i) AS DOUBLE) - " +
+      s"CAST(element_at($b, i) AS DOUBLE)) * " +
+      s"(CAST(element_at($a, i) AS DOUBLE) - " +
+      s"CAST(element_at($b, i) AS DOUBLE)))"
+
+  // Johnson-Lindenstrauss random projection (Achlioptas ±1 variant):
+  // 64 → 16 dims through a deterministic md5-derived sign matrix —
+  // the cheap distance-preserving prefilter for ANN/dedup at 100 TB
+  // (project once, compare at 1/4 width, re-rank survivors at full
+  // width; database-friendly because the "matrix" is a pure per-cell
+  // hash — no sidecar artifact to ship). The audit projects planted
+  // neighbor pairs and emits squared distances before/after plus the
+  // distortion ratio; ±1 entries over 1/√k scaling keep every
+  // floating op a fixed-order fold (init 0.0 both engines, /4 exact),
+  // so values hash-match at 6 dp. The pair set is O(n/10) — the
+  // corpus-wide projection is one map-only pass of the same exprs.
+  private val jlQuery =
+    Q("sim_jl_projection",
+      (s, d) => {
+        val e = load(s, d, "embeddings")
+        val a = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+        val b = e.select((col("vec_id") - 1).as("a_id"),
+          col("embedding").as("vb"))
+        a.join(b, "a_id")
+          .withColumn("pa", expr(jlProj("va")))
+          .withColumn("pb", expr(jlProj("vb")))
+          .withColumn("d2o", expr(jlD2("va", "vb", 64)))
+          .withColumn("d2p", expr(jlD2("pa", "pb", 16)))
+          .select(col("a_id"), round(col("d2o"), 6).as("d2_orig"),
+            round(col("d2p"), 6).as("d2_proj"),
+            round(col("d2p") / col("d2o"), 6).as("ratio"))
+      },
+      Some("""WITH a AS (
+             |  SELECT vec_id AS a_id, embedding AS va
+             |  FROM embeddings WHERE vec_id % 10 = 0),
+             |b AS (
+             |  SELECT vec_id - 1 AS a_id, embedding AS vb FROM embeddings),
+             |pr AS (
+             |  SELECT a_id, va, vb,
+             |    list_transform(range(1, 17), j ->
+             |      list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65), i ->
+             |          CAST(va[i] AS DOUBLE) * (1 - 2 * (CAST(concat('0x',
+             |            substr(md5(concat('jl|', CAST(i AS VARCHAR), '|',
+             |            CAST(j AS VARCHAR))), 1, 1)) AS INTEGER) % 2)))),
+             |        (x, y) -> x + y) / 4.0) AS pa,
+             |    list_transform(range(1, 17), j ->
+             |      list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65), i ->
+             |          CAST(vb[i] AS DOUBLE) * (1 - 2 * (CAST(concat('0x',
+             |            substr(md5(concat('jl|', CAST(i AS VARCHAR), '|',
+             |            CAST(j AS VARCHAR))), 1, 1)) AS INTEGER) % 2)))),
+             |        (x, y) -> x + y) / 4.0) AS pb
+             |  FROM a JOIN b USING (a_id)),
+             |d AS (
+             |  SELECT a_id,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      i -> (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE))
+             |        * (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)))),
+             |      (x, y) -> x + y) AS d2o,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+             |      i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))),
+             |      (x, y) -> x + y) AS d2p
+             |  FROM pr)
+             |SELECT a_id, round(d2o, 6) AS d2_orig,
+             |  round(d2p, 6) AS d2_proj, round(d2p / d2o, 6) AS ratio
+             |FROM d""".stripMargin),
+      "JL ±1 random projection 64→16 from the md5 hash RNG (no matrix " +
+        "artifact): fixed-order float folds hash-match at 6 dp; " +
+        "distance distortion audited on adjacent-id pairs")
 }

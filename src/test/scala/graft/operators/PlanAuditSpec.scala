@@ -636,4 +636,73 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
       p.take(1500))
   }
+
+  test("winnowing match: fingerprint pairing is an equi-join on the " +
+    "selected hash, never a nested loop; selection windows are " +
+    "per-document, never partition-less") {
+    val p = plan("dedup_winnow_matches")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+  }
+
+  test("DDSketch: the (group, bucket) sketch partial-aggregates " +
+    "map-side below its exchange; no SortAggregate anywhere") {
+    val p = plan("sketch_dd_quantiles")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("SortAggregate"), p.take(1500))
+  }
+
+  test("AMS sketch: both relation sketches partial-aggregate map-side " +
+    "(12 longs per map task on the wire), and the raw relations are " +
+    "never equi-joined — only the O(seeds) sketch rows and the " +
+    "O(distinct-keys) frequency rollups meet") {
+    val p = plan("sketch_ams_joinsize")
+    assert(p.contains("partial_sum"), p.take(1500))
+    // the only nested loop allowed is the 1-row × 1-row Cross gluing
+    // the two scalar aggregates; no cartesian on real inputs
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("BroadcastNestedLoopJoin(?![^\\n]*Cross)".r.findAllIn(p).isEmpty,
+      p.take(1500))
+  }
+
+  test("MATCH_RECOGNIZE emulation: direction/run windows, the run " +
+    "rollup and the adjacent-run pairing all share ONE user_id " +
+    "exchange — partitioning on user_id satisfies the (user_id, rid) " +
+    "clusterings downstream") {
+    val p = plan("window_match_recognize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(1500))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+  }
+
+  test("label propagation: every round is equi-join + hash aggregates " +
+    "— no nested loop, and the packed-long argmax never demotes a " +
+    "round to SortAggregate") {
+    val p = plan("graph_label_propagation")
+    // the only nested loop allowed is the 1-row broadcast of the node
+    // count N into the edge derivation (the PageRank shape)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("BroadcastNestedLoopJoin(?![^\\n]*Cross)".r.findAllIn(p).isEmpty,
+      p.take(1500))
+    assert(!p.contains("SortAggregate"), p.take(1500))
+  }
+
+  test("AUC: the global rank window runs on the distinct-score rollup " +
+    "(bounded domain), never on raw event rows — the partial count " +
+    "sits below the single-partition window's exchange") {
+    val p = plan("eval_auc_brier")
+    val aggIdx = p.indexOf("partial_count")
+    val spIdx = p.indexOf("SinglePartition")
+    assert(aggIdx >= 0 && spIdx >= 0 && spIdx < aggIdx, p.take(1500))
+  }
+
+  test("Theil-Sen: the pair enumeration joins the DAILY rollups — " +
+    "partial aggregation sits below the self-join on both sides") {
+    val p = plan("mon_theil_sen")
+    val aggIdx = p.indexOf("partial_sum")
+    assert(aggIdx >= 0, p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching.persistOnce
 import graft.core.Tables.load
 import graft.functions.ZOrder
 
@@ -343,5 +344,145 @@ object LayoutQueries {
              |FROM placed GROUP BY 1, 2""".stripMargin),
       "OPTIMIZE-style compaction plan: per-partition sorted fill into " +
         "target-sized bins over O(#files) metadata — cluster order and " +
-        "partition pruning survive the rewrite"))
+        "partition pruning survive the rewrite"),
+
+    // Partition-strategy advisor: the decision every 100 TB table gets
+    // wrong once — which column(s) to partition by. Four candidate
+    // schemes are scored from the SAME cached row-grain projection
+    // (type / day / 64 user buckets / type×day): partition count,
+    // byte skew (max·n/total — exact integer mult before the single
+    // division, no avg-of-doubles), and the small/oversized partition
+    // counts against the compaction target. Each candidate is one
+    // map-side-combined rollup re-aggregated to ONE row; the advisor's
+    // whole output is 4 rows of exact metadata — the skew column is
+    // what rules out user-bucket partitioning before a single write.
+    Q("layout_partition_advisor",
+      (s, d) => {
+        val target = 4096L
+        val base = persistOnce(load(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            (col("user_id") % 64).as("ub"),
+            (coalesce(length(col("props")), lit(0)) + lit(64L)).as("b")))
+        def cand(name: String, keys: Seq[String]) = base
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("b")).as("bytes"))
+          .agg(count(lit(1)).as("n_partitions"),
+            sum(col("bytes")).as("total_bytes"),
+            max(col("bytes")).as("max_bytes"),
+            sum(when(col("bytes") < target / 4, 1L).otherwise(0L))
+              .as("n_small"),
+            sum(when(col("bytes") > target * 4, 1L).otherwise(0L))
+              .as("n_oversized"))
+          .select(lit(name).as("candidate"), col("n_partitions"),
+            col("total_bytes"), col("max_bytes"),
+            ((col("max_bytes") * col("n_partitions")).cast("double") /
+              col("total_bytes").cast("double")).as("skew"),
+            col("n_small"), col("n_oversized"))
+        cand("by_type", Seq("event_type"))
+          .unionByName(cand("by_day", Seq("day")))
+          .unionByName(cand("by_user_bucket", Seq("ub")))
+          .unionByName(cand("by_type_day", Seq("event_type", "day")))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    user_id % 64 AS ub,
+             |    coalesce(length(props), 0) + 64 AS b
+             |  FROM events),
+             |c1 AS (SELECT event_type AS k, CAST(sum(b) AS BIGINT) AS bytes
+             |       FROM base GROUP BY 1),
+             |c2 AS (SELECT CAST(day AS VARCHAR) AS k,
+             |         CAST(sum(b) AS BIGINT) AS bytes FROM base GROUP BY 1),
+             |c3 AS (SELECT CAST(ub AS VARCHAR) AS k,
+             |         CAST(sum(b) AS BIGINT) AS bytes FROM base GROUP BY 1),
+             |c4 AS (SELECT concat(event_type, '|', CAST(day AS VARCHAR))
+             |         AS k, CAST(sum(b) AS BIGINT) AS bytes
+             |       FROM base GROUP BY 1),
+             |u AS (
+             |  SELECT 'by_type' AS candidate, bytes FROM c1
+             |  UNION ALL SELECT 'by_day', bytes FROM c2
+             |  UNION ALL SELECT 'by_user_bucket', bytes FROM c3
+             |  UNION ALL SELECT 'by_type_day', bytes FROM c4)
+             |SELECT candidate, CAST(count(*) AS BIGINT) AS n_partitions,
+             |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             |  CAST(max(bytes) AS BIGINT) AS max_bytes,
+             |  CAST(max(bytes) * count(*) AS DOUBLE)
+             |    / CAST(sum(bytes) AS DOUBLE) AS skew,
+             |  CAST(sum(CASE WHEN bytes < 1024 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_small,
+             |  CAST(sum(CASE WHEN bytes > 16384 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oversized
+             |FROM u GROUP BY 1""".stripMargin),
+      "partition-strategy advisor: four candidate schemes scored from " +
+        "one cached projection — partition count, exact-integer byte " +
+        "skew, small/oversized counts vs the compaction target"),
+
+    // VACUUM planner (Delta/Iceberg retention semantics): which file
+    // versions are safe to delete given the snapshot-retention window.
+    // File versions derive deterministically from the metadata grain
+    // (a (type, day) file has 1 + day%3 versions; version k is removed
+    // by the k+1 rewrite, the last one is live); with current version
+    // 4 and the last 2 snapshots retained, a removed version is
+    // DELETABLE only if its removal predates every retained snapshot —
+    // removed_at ≤ 2 — else it must stay for time travel. The whole
+    // decision is one metadata rollup + an O(versions) explode —
+    // bytes_deletable is the number a storage bill actually moves on.
+    Q("layout_vacuum_plan",
+      (s, d) => {
+        val files = load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(coalesce(length(col("props")), lit(0))) +
+            count(lit(1)) * 64L).as("bytes"))
+          .withColumn("nv", lit(1) + dayofmonth(col("day")) % 3)
+        files
+          .select(col("event_type"), col("bytes"), col("nv"),
+            explode(sequence(lit(1), col("nv"))).as("v"))
+          .withColumn("status",
+            when(col("v") === col("nv"), "live")
+              .when(col("v") + 1 <= 2, "deletable")
+              .otherwise("time_travel"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("status") === "live", 1L).otherwise(0L))
+              .as("n_live"),
+            sum(when(col("status") === "deletable", 1L).otherwise(0L))
+              .as("n_deletable"),
+            sum(when(col("status") === "time_travel", 1L).otherwise(0L))
+              .as("n_time_travel"),
+            sum(when(col("status") === "live", col("bytes"))
+              .otherwise(0L)).as("bytes_live"),
+            sum(when(col("status") === "deletable", col("bytes"))
+              .otherwise(0L)).as("bytes_deletable"))
+      },
+      Some("""WITH files AS (
+             |  SELECT event_type, day, bytes, 1 + day(day) % 3 AS nv
+             |  FROM (
+             |    SELECT event_type, CAST(ts AS DATE) AS day,
+             |      CAST(sum(coalesce(length(props), 0)) + count(*) * 64
+             |        AS BIGINT) AS bytes
+             |    FROM events GROUP BY 1, 2)),
+             |vers AS (
+             |  SELECT event_type, bytes, nv,
+             |    unnest(range(1, nv + 1)) AS v
+             |  FROM files),
+             |st AS (
+             |  SELECT event_type, bytes,
+             |    CASE WHEN v = nv THEN 'live'
+             |         WHEN v + 1 <= 2 THEN 'deletable'
+             |         ELSE 'time_travel' END AS status
+             |  FROM vers)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_versions,
+             |  CAST(sum(CASE WHEN status = 'live' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_live,
+             |  CAST(sum(CASE WHEN status = 'deletable' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_deletable,
+             |  CAST(sum(CASE WHEN status = 'time_travel' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_time_travel,
+             |  CAST(sum(CASE WHEN status = 'live' THEN bytes ELSE 0 END)
+             |    AS BIGINT) AS bytes_live,
+             |  CAST(sum(CASE WHEN status = 'deletable' THEN bytes ELSE 0
+             |    END) AS BIGINT) AS bytes_deletable
+             |FROM st GROUP BY 1""".stripMargin),
+      "VACUUM planner: snapshot-retention reachability over O(files) " +
+        "metadata — deletable vs time-travel-retained version counts " +
+        "and the reclaimable bytes, one rollup + O(versions) explode"))
 }

@@ -471,7 +471,7 @@ object TextQueries {
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
         "shares unrounded")) :+ shingleProfile :+ autocompleteTopk :+
-    rakeKeyphrases
+    rakeKeyphrases :+ goodTuring
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -655,4 +655,53 @@ object TextQueries {
       "RAKE keyphrases: stopword-run segmentation via one per-doc " +
         "window, vocab-bounded deg/freq stats, top-25 under a unique " +
         "order")
+
+  // Good-Turing frequency re-estimation (the LM-smoothing classic) at
+  // 5-gram grain — the MISSING-MASS estimate P₀ = N₁/N is the number a
+  // corpus team actually consults: how much probability lives in
+  // n-grams the corpus has never seen (coverage planning for LM
+  // training data). 5-grams make the frequency-of-frequencies curve
+  // non-degenerate on this fixture (r ∈ 1..4 with large N_r; unigrams
+  // would collapse onto the 31-token vocab, all N_r = 1). Two rollups:
+  // gram counts (map-side combined, shuffle ∝ distinct grams) then the
+  // O(distinct r) frequency-of-frequencies; the r* = (r+1)·N_{r+1}/N_r
+  // re-estimates and P₀ are single exact integer divisions (unrounded
+  // per the catalog contract), null r* where N_{r+1} is absent.
+  private val goodTuring: Q =
+    Q("text_good_turing",
+      (s, d) => {
+        val fof = load(s, d, "documents")
+          .select(explode(wordShingles(col("text"), 5)).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("r"))
+          .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        val tot = fof.agg(sum(col("r") * col("n_r")).as("big_n"),
+          sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+        fof
+          .join(fof.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+            Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_r"),
+            ((col("r") + 1) * col("n_next") / col("n_r")).as("r_star"),
+            (col("n1").cast("double") / col("big_n")).as("p0"))
+      },
+      Some("""WITH g AS (
+             |  SELECT unnest(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+             |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+             |    AS g
+             |  FROM documents),
+             |counts AS (SELECT g, CAST(count(*) AS BIGINT) AS r
+             |           FROM g GROUP BY 1),
+             |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+             |        FROM counts GROUP BY 1),
+             |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS big_n,
+             |  CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+             |    AS n1 FROM fof)
+             |SELECT f.r, f.n_r, (f.r + 1) * nx.n_r / f.n_r AS r_star,
+             |  CAST(n1 AS DOUBLE) / big_n AS p0
+             |FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1
+             |CROSS JOIN tot""".stripMargin),
+      "Good-Turing 5-gram re-estimation + missing-mass P0 = N1/N: two " +
+        "rollups (grams, then frequency-of-frequencies), exact integer " +
+        "divisions — the unseen-n-gram coverage number for LM corpora")
 }

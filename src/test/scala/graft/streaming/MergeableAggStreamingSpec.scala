@@ -111,4 +111,37 @@ class MergeableAggStreamingSpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  // DDSketch is a (group, bucket) COUNT — the bucketing is a pure
+  // per-row function, so the sketch must maintain under complete-mode
+  // streaming with NO custom state: micro-batch replays/splits fold in
+  // state exactly like map-side partials fold in batch.
+  private val gamma = 101.0 / 99.0
+  private def ddAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"grp",
+        ceil(log($"v" + 1.0) / log(lit(gamma))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  test("DDSketch buckets: streaming fold == batch sketch, and the " +
+    "quantile extracted from the streamed state honors the α-guarantee") {
+    val batch = ddAgg(rows.toDF()).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val stream = streamed(ddAgg, "dd_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(stream == batch)
+    // p50 per group from the streamed sketch vs the exact lower median
+    for (g <- Seq("a", "b")) {
+      val sk = stream.collect { case ((`g`, b), c) => b -> c }.toSeq.sortBy(_._1)
+      val n = sk.map(_._2).sum
+      val target = math.ceil(0.5 * n).toLong
+      val (bq, _) = sk.scanLeft((0, 0L)) { case ((_, cum), (b, c)) =>
+        (b, cum + c)
+      }.drop(1).find(_._2 >= target).get
+      val est = 2.0 * math.pow(gamma, bq) / (gamma + 1)
+      val exact = rows.filter(_.grp == g).map(_.v + 1.0).sorted
+        .apply((target - 1).toInt)
+      assert(math.abs(est - exact) <= 0.011 * exact,
+        s"$g: est=$est exact=$exact")
+    }
+  }
 }

@@ -346,6 +346,75 @@ object StatefulOps {
       .transformWithState(new OhlcProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
 
+  // ---------------------------------------------------------------
+  // Streaming MATCH_RECOGNIZE — the incremental (Flink-CEP-shaped)
+  // form of the batch `window_match_recognize` catalog query
+  // (DOWN{2,} UP{2,}): the whole NFA collapses to O(1) keyed state —
+  // the previous value, the last COMPLETED run and the current run —
+  // because the pattern is a function of adjacent runs only. A match
+  // is emitted at the moment its up-run is CLOSED by the next
+  // direction change: the earliest point a streaming matcher can know
+  // the run is complete (the batch query also scores a user's final,
+  // still-open run — the parity spec closes tails explicitly).
+  // Delivery contract mirrors [[ohlcBars]]: per-key ordered arrival
+  // with replays — a micro-batch folds in ord order and rows at
+  // ord ≤ the high-water mark are idempotently skipped, so batch
+  // boundaries and checkpoint replays can't split, duplicate or lose
+  // a match. State ∝ live keys, never stream length.
+  // ---------------------------------------------------------------
+
+  final case class Obs(key: String, ord: Long, v: Double)
+  final case class VMatch(key: String, down_start: Long, up_end: Long,
+                          down_n: Long, up_n: Long, depth: Double,
+                          recovery: Double)
+  /** cN == 0 marks empty state; dir 9 = the first row's own run. */
+  final case class RunState(
+      lastOrd: Long, lastV: Double,
+      pDir: Int, pN: Long, pMin: Double, pMax: Double, pStart: Long,
+      cDir: Int, cN: Long, cMin: Double, cMax: Double, cStart: Long,
+      cEnd: Long)
+
+  implicit val obsEnc: Encoder[Obs] = Encoders.product[Obs]
+  implicit val vmEnc: Encoder[VMatch] = Encoders.product[VMatch]
+  implicit val runStEnc: Encoder[RunState] = Encoders.product[RunState]
+
+  /** Per-key streaming V-pattern (DOWN{2,} UP{2,}) matcher. */
+  def matchVPattern(obs: Dataset[Obs]): Dataset[VMatch] =
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(vUpdate)
+
+  private def vUpdate(key: String, batch: Iterator[Obs],
+                      state: GroupState[RunState]): Iterator[VMatch] = {
+    var s = state.getOption.getOrElse(RunState(Long.MinValue, 0.0,
+      0, 0L, 0.0, 0.0, 0L, 0, 0L, 0.0, 0.0, 0L, 0L))
+    val out = Vector.newBuilder[VMatch]
+    batch.toVector.sortBy(_.ord).foreach { o =>
+      if (o.ord > s.lastOrd) { // replay / stale: idempotent skip
+        if (s.cN == 0L)
+          s = RunState(o.ord, o.v, 0, 0L, 0.0, 0.0, 0L,
+            9, 1L, o.v, o.v, o.ord, o.ord)
+        else {
+          val dir = if (o.v > s.lastV) 1 else if (o.v < s.lastV) -1 else 0
+          if (dir == s.cDir)
+            s = s.copy(lastOrd = o.ord, lastV = o.v, cN = s.cN + 1,
+              cMin = math.min(s.cMin, o.v), cMax = math.max(s.cMax, o.v),
+              cEnd = o.ord)
+          else {
+            if (s.pDir == -1 && s.pN >= 2 && s.cDir == 1 && s.cN >= 2)
+              out += VMatch(key, s.pStart, s.cEnd, s.pN, s.cN,
+                s.pMax - s.pMin, s.cMax - s.cMin)
+            s = RunState(o.ord, o.v,
+              s.cDir, s.cN, s.cMin, s.cMax, s.cStart,
+              dir, 1L, o.v, o.v, o.ord, o.ord)
+          }
+        }
+      }
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
   private def update(id: Long, batch: Iterator[KeyedChange],
                      state: GroupState[StateValue]): Iterator[Transition] = {
     val newest = batch.reduceOption { (a, b) =>

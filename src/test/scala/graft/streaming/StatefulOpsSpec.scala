@@ -294,4 +294,56 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got().size == before)
     } finally q.stop()
   }
+
+  test("streaming MATCH_RECOGNIZE (V-pattern) == the batch catalog " +
+    "query over the real events table once tails are closed; " +
+    "micro-batch replays change nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{Obs, VMatch}
+    // per-user (ts, event_id) order packed into one long: micros are
+    // rebased so the packing stays < 2^63
+    val base = graft.core.Tables.load(spark, sf0001, "events")
+      .selectExpr("min(unix_micros(ts))").head().getLong(0)
+    val obs = graft.core.Tables.load(spark, sf0001, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("cast(user_id as string) AS key",
+        s"(unix_micros(ts) - ${base}L) * 1048576" +
+          " + pmod(event_id, 1048576) AS ord",
+        "value AS v")
+      .as[Obs].collect().sortBy(o => (o.key, o.ord)).toSeq
+    val ms = MemoryStream[Obs]
+    val q = StatefulOps.matchVPattern(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vmatches")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def got(): Seq[VMatch] =
+        spark.table("vmatches").as[VMatch].collect().toSeq
+      val batches = Seq(obs.take(700), obs.slice(700, 2900), obs.drop(2900))
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // a user's final run is still open — close every tail with one
+      // synthetic dir-0 row (never extends a matchable up-run)
+      val closers = obs.groupBy(_.key).values
+        .map(v => v.maxBy(_.ord))
+        .map(last => Obs(last.key, last.ord + 1, last.v)).toSeq
+      ms.addData(closers: _*); q.processAllAvailable()
+      val streamed = got().map(m => (m.key,
+        base + (m.down_start >> 20), base + (m.up_end >> 20),
+        m.down_n, m.up_n, m.depth, m.recovery)).toSet
+      val expected = graft.operators.QueryCatalog
+        .byName("window_match_recognize").fn(spark, sf0001)
+        .selectExpr("cast(user_id as string)",
+          "unix_micros(down_start)", "unix_micros(up_end)",
+          "cast(down_n as long)", "cast(up_n as long)",
+          "depth", "recovery")
+        .as[(String, Long, Long, Long, Long, Double, Double)]
+        .collect().toSet
+      assert(expected.nonEmpty)
+      assert(streamed == expected)
+      // whole-micro-batch replay: idempotent, no re-emission
+      val before = got().size
+      ms.addData(batches(1): _*); q.processAllAvailable()
+      assert(got().size == before)
+    } finally q.stop()
+  }
 }

@@ -46,7 +46,9 @@ object Bench {
     "pivot_event_counts",
     "dedup_exact_groups", "dedup_minhash_lsh_pairs",
     "dedup_simhash_near_pairs", "sim_topk_bruteforce", "sim_topk_ivf",
-    "text_quality_score", "text_pretoken_count", "pipeline_clean_chunks",
+    // text_pretoken_count rotated out for dedup_winnow_matches (the
+    // map-only scalar cost class stays covered by text_quality_score)
+    "text_quality_score", "dedup_winnow_matches", "pipeline_clean_chunks",
     "cdc_merge_incremental", "join_range_point", "graph_triangle_count",
     "text_tfidf_topk", "dedup_cluster_election", "profile_orders",
     "text_repetition", "dedup_decontaminate", "pipeline_pack_sequences",

@@ -391,6 +391,103 @@ object CdcQueries {
         "window pass per key; deletes close intervals, current rows " +
         "stay open"),
 
+    // BITEMPORAL as-of read (Snodgrass): two independent time axes —
+    // TRANSACTION time (when the warehouse learned it) and VALID time
+    // (when it was true in the world) — so a retroactive correction
+    // recorded at tx 3 changes what "valid at 1500" returns AS OF tx 3
+    // without rewriting what AS OF tx 2 returned: the reproducibility
+    // contract audit trails and ML feature stores need (train at tx 2,
+    // explain later at tx 3, both answers stay derivable). The read is
+    // NOT an interval theta join: per (T, V) probe the winner is
+    // max(tx) among versions visible on both axes — packed with its
+    // payload cents into ONE long so the argmax stays a plain
+    // hash-aggregable max (the struct-ordering trap avoided); shuffle
+    // keys on (T, V, id), output O(probes). Version derivation is
+    // deterministic from orders (v1 everywhere; v2 supersedes on the
+    // valid axis for id%3=0; v3 is a RETROACTIVE correction of v1's
+    // interval recorded at tx 3 for id%4=0), cents stay integer via
+    // DIV-10 scaling, so every probe value-checks.
+    Q("cdc_bitemporal_asof",
+      (s, d) => {
+        val base = load(s, d, "orders").select(
+          col("o_orderkey").as("id"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        // (tx_from, tx_to, valid_from, valid_to, cents)
+        val v1 = base.select(col("id"), lit(1L).as("tx_from"),
+          when(col("id") % 4 === 0, 3L).as("tx_to"),
+          lit(1000L).as("valid_from"),
+          when(col("id") % 3 === 0, 2000L).as("valid_to"), col("c"))
+        val v2 = base.filter(col("id") % 3 === 0)
+          .select(col("id"), lit(2L).as("tx_from"),
+            lit(null).cast("long").as("tx_to"),
+            lit(2000L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+            expr("(c * 11) DIV 10").as("c"))
+        val v3 = base.filter(col("id") % 4 === 0)
+          .select(col("id"), lit(3L).as("tx_from"),
+            lit(null).cast("long").as("tx_to"),
+            lit(1000L).as("valid_from"),
+            when(col("id") % 3 === 0, 2000L).as("valid_to"),
+            expr("(c * 9) DIV 10").as("c"))
+        val versions = v1.unionByName(v2).unionByName(v3)
+        val probes = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(2L, 1500L),
+            org.apache.spark.sql.Row(3L, 1500L),
+            org.apache.spark.sql.Row(3L, 2500L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("t",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType))))
+        versions.crossJoin(broadcast(probes))
+          .filter(col("tx_from") <= col("t") &&
+            (col("tx_to").isNull || col("t") < col("tx_to")) &&
+            col("valid_from") <= col("v") &&
+            (col("valid_to").isNull || col("v") < col("valid_to")))
+          .groupBy(col("t"), col("v"), col("id"))
+          .agg(max(col("tx_from") * 4294967296L + col("c")).as("pk"))
+          .groupBy(col("t"), col("v"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pk") % 4294967296L).as("total_cents"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS id,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders),
+             |versions AS (
+             |  SELECT id, CAST(1 AS BIGINT) AS tx_from,
+             |    CASE WHEN id % 4 = 0 THEN CAST(3 AS BIGINT) END AS tx_to,
+             |    CAST(1000 AS BIGINT) AS valid_from,
+             |    CASE WHEN id % 3 = 0 THEN CAST(2000 AS BIGINT) END
+             |      AS valid_to,
+             |    c FROM base
+             |  UNION ALL
+             |  SELECT id, 2, NULL, 2000, NULL, (c * 11) // 10
+             |  FROM base WHERE id % 3 = 0
+             |  UNION ALL
+             |  SELECT id, 3, NULL, 1000,
+             |    CASE WHEN id % 3 = 0 THEN CAST(2000 AS BIGINT) END,
+             |    (c * 9) // 10
+             |  FROM base WHERE id % 4 = 0),
+             |probes AS (
+             |  SELECT 2 AS t, 1500 AS v
+             |  UNION ALL SELECT 3, 1500 UNION ALL SELECT 3, 2500),
+             |winners AS (
+             |  SELECT t, v, id,
+             |    max(tx_from * 4294967296 + c) AS pk
+             |  FROM versions CROSS JOIN probes
+             |  WHERE tx_from <= t AND (tx_to IS NULL OR t < tx_to)
+             |    AND valid_from <= v AND (valid_to IS NULL OR v < valid_to)
+             |  GROUP BY 1, 2, 3)
+             |SELECT CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(pk % 4294967296) AS BIGINT) AS total_cents
+             |FROM winners GROUP BY 1, 2""".stripMargin),
+      "bitemporal as-of: transaction-time × valid-time probes with a " +
+        "packed-long max(tx) winner per entity — retroactive " +
+        "corrections change later transaction views only; hash-agg, " +
+        "no interval theta join"),
+
     // Point-in-time training-set assembly — the feature-store join: for
     // every (entity, label_ts) example, attach the feature row that was
     // CURRENT at label_ts, never a later one (leakage) and never an

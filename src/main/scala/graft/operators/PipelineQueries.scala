@@ -1318,5 +1318,121 @@ object PipelineQueries {
              |FROM cf JOIN c USING (category) CROSS JOIN g""".stripMargin),
       "out-of-fold target encoding with smoothing prior: one " +
         "(category, fold) rollup + O(cats×folds) re-agg + 1-row global " +
-        "prior — no second data pass, md5 folds, exact-cents target"))
+        "prior — no second data pass, md5 folds, exact-cents target"),
+
+    // V-optimal histogram (Jagadish et al., VLDB 1998): the
+    // minimum-SSE bucketing an optimizer's selectivity estimator
+    // wants, vs the equi-width/equi-depth heuristics elsewhere in the
+    // catalog. The data pass is ONE map-side-combined 64-bin moment
+    // rollup (n, Σv, Σv² per pre-bin — integer dollars so Σv² stays
+    // < 2⁶³ at any SF); the O(B·bins²) dynamic program then runs on
+    // that 64-row METADATA, driver-side (the compaction-planner/
+    // stats-index grain — never row data). Every SSE and dp cost is
+    // the identical IEEE chain in Scala and in the oracle's eight
+    // unrolled dp CTEs (ties broken by smallest split point in both),
+    // so the chosen boundaries AND their costs hash-match unrounded.
+    Q("profile_vopt_histogram",
+      (s, d) => {
+        import s.implicits._
+        val nb = 64
+        val bmax = 8
+        val vals = load(s, d, "orders").select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100").as("v"))
+        val mmr = vals.agg(min(col("v")), max(col("v"))).head()
+        val (lo, hi) = (mmr.getLong(0), mmr.getLong(1))
+        val cells = vals
+          .select(expr(s"((v - ${lo}L) * $nb) DIV ${hi - lo + 1}L").as("b"),
+            col("v"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+            sum(col("v") * col("v")).as("s2"))
+          .collect()
+          .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2),
+            r.getLong(3))).toMap
+        val pn = new Array[Long](nb + 1)
+        val p1 = new Array[Long](nb + 1)
+        val p2 = new Array[Long](nb + 1)
+        for (i <- 1 to nb) {
+          val (cn, c1, c2) = cells.getOrElse(i - 1, (0L, 0L, 0L))
+          pn(i) = pn(i - 1) + cn; p1(i) = p1(i - 1) + c1
+          p2(i) = p2(i - 1) + c2
+        }
+        def sse(j: Int, i: Int): Double = {
+          val nn = pn(i) - pn(j)
+          if (nn == 0L) 0.0
+          else {
+            val s1d = (p1(i) - p1(j)).toDouble
+            (p2(i) - p2(j)).toDouble - s1d * s1d / nn
+          }
+        }
+        val inf = Double.MaxValue
+        val dp = Array.fill(bmax + 1, nb + 1)(inf)
+        val arg = Array.fill(bmax + 1, nb + 1)(-1)
+        dp(0)(0) = 0.0
+        for (b <- 1 to bmax; i <- b to nb; j <- (b - 1) until i)
+          if (dp(b - 1)(j) != inf) {
+            val c = dp(b - 1)(j) + sse(j, i)
+            if (c < dp(b)(i)) { dp(b)(i) = c; arg(b)(i) = j }
+          }
+        var i = nb
+        val segs = (bmax to 1 by -1).map { b =>
+          val j = arg(b)(i); val seg = (b, j, i - 1); i = j; seg
+        }.reverse
+        segs.map { case (b, jLo, iHi) =>
+          (b, jLo, iHi, pn(iHi + 1) - pn(jLo), sse(jLo, iHi + 1))
+        }.toDF("bucket", "bin_lo", "bin_hi", "n", "sse")
+      },
+      Some {
+        val dps = (2 to 8).map { b =>
+          s"""dp$b AS (SELECT i, cost, path FROM (
+             |  SELECT s.i, d.cost + s.sse AS cost,
+             |    d.path || ',' || CAST(s.j AS VARCHAR) AS path,
+             |    row_number() OVER (PARTITION BY s.i
+             |      ORDER BY d.cost + s.sse, s.j) AS rn
+             |  FROM dp${b - 1} d JOIN seg s ON s.j = d.i) WHERE rn = 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (
+           |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+           |  FROM orders),
+           |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+           |cells AS (
+           |  SELECT ((v - lo) * 64) // (hi - lo + 1) AS b,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(v) AS BIGINT) AS s1,
+           |    CAST(sum(v * v) AS BIGINT) AS s2
+           |  FROM v CROSS JOIN mm GROUP BY 1),
+           |grid AS (SELECT unnest(range(0, 65)) AS i),
+           |pref AS (
+           |  SELECT g.i, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS pn,
+           |    CAST(coalesce(sum(c.s1), 0) AS BIGINT) AS p1,
+           |    CAST(coalesce(sum(c.s2), 0) AS BIGINT) AS p2
+           |  FROM grid g LEFT JOIN cells c ON c.b < g.i GROUP BY g.i),
+           |seg AS (
+           |  SELECT j.i AS j, i.i AS i, i.pn - j.pn AS n,
+           |    CASE WHEN i.pn - j.pn = 0 THEN 0.0
+           |         ELSE CAST(i.p2 - j.p2 AS DOUBLE)
+           |           - CAST(i.p1 - j.p1 AS DOUBLE)
+           |             * CAST(i.p1 - j.p1 AS DOUBLE) / (i.pn - j.pn)
+           |    END AS sse
+           |  FROM pref j JOIN pref i ON j.i < i.i),
+           |dp1 AS (SELECT i, sse AS cost, '0' AS path FROM seg WHERE j = 0),
+           |$dps,
+           |bnds AS (
+           |  SELECT list_append(list_transform(string_split(path, ','),
+           |    x -> CAST(x AS INTEGER)), 64) AS l
+           |  FROM dp8 WHERE i = 64),
+           |out AS (SELECT unnest(range(1, 9)) AS bucket, l FROM bnds)
+           |SELECT CAST(bucket AS INTEGER) AS bucket,
+           |  CAST(l[bucket] AS INTEGER) AS bin_lo,
+           |  CAST(l[bucket + 1] - 1 AS INTEGER) AS bin_hi,
+           |  s.n, s.sse
+           |FROM out JOIN seg s
+           |  ON s.j = l[out.bucket] AND s.i = l[out.bucket + 1]"""
+          .stripMargin
+      },
+      "V-optimal histogram: one 64-bin integer-moment rollup (the only " +
+        "data pass) + an O(B·bins²) dp on driver-side metadata — " +
+        "boundaries and SSE costs match the oracle's unrolled dp CTEs " +
+        "bitwise"))
 }

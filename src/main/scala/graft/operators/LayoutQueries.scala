@@ -484,5 +484,48 @@ object LayoutQueries {
              |FROM st GROUP BY 1""".stripMargin),
       "VACUUM planner: snapshot-retention reachability over O(files) " +
         "metadata — deletable vs time-travel-retained version counts " +
-        "and the reclaimable bytes, one rollup + O(versions) explode"))
+        "and the reclaimable bytes, one rollup + O(versions) explode"),
+
+    // DYNAMIC partition pruning exercised through the oracle gate: the
+    // months worth reading are only known after aggregating the dim
+    // side (top-2 revenue months), so static planning cannot prune —
+    // Spark's DPP rule reuses the broadcast result as a runtime
+    // partition filter on the Hive-layout fact scan
+    // (dynamicpruningexpression in PartitionFilters — pinned by
+    // PlanAuditSpec). At 100 TB this is the difference between
+    // scanning 2 months and scanning all of them whenever the
+    // partition predicate comes from a JOIN rather than a literal.
+    // The exact-cents rollup must equal DuckDB's flat-scan replay of
+    // the same top-2 selection (unique (rev desc, month) order).
+    Q("layout_dynamic_pruning",
+      (s, d) => {
+        val fact = s.read.parquet(partitionedDir(s, d))
+        val dim = load(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+          .orderBy(col("rev").desc, col("o_month")).limit(2)
+          .filter(col("rev") > 0)
+        fact.join(broadcast(dim), "o_month")
+          .groupBy(col("o_month"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("total_cents"))
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1
+             |  ORDER BY rev DESC, o_month LIMIT 2)
+             |SELECT o.o_month, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS total_cents
+             |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             |        o_totalprice FROM orders) o
+             |JOIN (SELECT o_month FROM m WHERE rev > 0) mm USING (o_month)
+             |GROUP BY 1""".stripMargin),
+      "dynamic partition pruning: the partition predicate comes from a " +
+        "broadcast join result (top-2 revenue months), so pruning " +
+        "happens at RUNTIME — dynamicpruningexpression plan-audited, " +
+        "rollup bit-identical to the flat scan"))
 }

@@ -697,6 +697,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdx >= 0 && spIdx >= 0 && spIdx < aggIdx, p.take(1500))
   }
 
+  test("dynamic partition pruning: the month predicate from the " +
+    "broadcast dim result reaches the Hive-layout scan as a runtime " +
+    "PartitionFilter") {
+    val p = plan("layout_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(2000))
+  }
+
   test("Theil-Sen: the pair enumeration joins the DAILY rollups — " +
     "partial aggregation sits below the self-join on both sides") {
     val p = plan("mon_theil_sen")

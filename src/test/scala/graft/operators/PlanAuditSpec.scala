@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Physical-plan regression guard: the scale-critical plan shapes
@@ -695,6 +697,47 @@ class PlanAuditSpec extends SparkSpec {
     val aggIdx = p.indexOf("partial_count")
     val spIdx = p.indexOf("SinglePartition")
     assert(aggIdx >= 0 && spIdx >= 0 && spIdx < aggIdx, p.take(1500))
+  }
+
+  test("runtime bloom-filter join: a selective build side injects a " +
+    "might_contain probe ahead of the big-side shuffle, and the " +
+    "filtered result is bit-identical to the unfiltered join") {
+    // thresholds floored so the injection triggers at test SF — at
+    // real scale the defaults (10 MB build / 10 GB probe) gate it
+    // applicationSideScanSizeThreshold is a MINIMUM (probe side must
+    // be big enough to be worth filtering — 10 GB default) → floored
+    // to 0 for test SF; creationSideThreshold is a MAXIMUM (build
+    // side must be cheap) and the filtered orders side already fits.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    def q() = {
+      val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = graft.core.Tables.load(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qc"))
+    }
+    val plain = q().collect().toSeq
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = q()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p.take(2000))
+      assert(df.collect().toSeq == plain)
+    } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("map-only text scoring stays inside whole-stage codegen — no " +
+    "interpreted fallback in the hot path") {
+    for (q <- Seq("text_quality_score", "text_langid", "scalar_arith_charge")) {
+      val p = plan(q)
+      assert(p.contains("*("), s"$q has no WholeStageCodegen span: ${p.take(600)}")
+    }
   }
 
   test("dynamic partition pruning: the month predicate from the " +

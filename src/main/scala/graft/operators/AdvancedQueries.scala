@@ -2266,6 +2266,77 @@ object AdvancedQueries {
       "reliability-diagram calibration bins over the planted scores: " +
         "decile rollup, integer ratios, O(bins) output"),
 
+    // Isotonic calibration (PAV) in CLOSED FORM: the monotone fit is
+    // fitted(i) = max_{j≤i} min_{k≥i} weightedMean(bin j..k) — the
+    // minimax characterization of pool-adjacent-violators — so the
+    // whole regression is algebra over the O(bins²) interval means of
+    // the 10-bin reliability rollup: no iterative pooling, no driver
+    // loop, and the oracle replays it exactly. Interval means are
+    // single exact divisions of integer prefix sums; the max-min
+    // selection compares identical doubles in both engines. The
+    // monotone flag is emitted as a value-checked column — isotonic
+    // output must be non-decreasing by construction.
+    Q("eval_isotonic_calibration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bins = persistOnce(load(s, d, "events")
+          .select(col("event_id").cast("string").as("k"))
+          .select(
+            (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
+              16, 10).cast("int") % 2).as("l"),
+            (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
+              16, 10).cast("int") % 1000).as("u"))
+          .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+          .groupBy(expr("s DIV 100").cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("l")).as("pos")))
+        val pairs = bins.select(col("bin").as("j"))
+          .join(bins.select(col("bin").as("k")), col("j") <= col("k"))
+        val ivm = pairs.join(bins, col("bin").between(col("j"), col("k")))
+          .groupBy(col("j"), col("k"))
+          .agg((sum(col("pos")).cast("double") / sum(col("n"))).as("m"))
+        val fitted = bins.select(col("bin"))
+          .join(ivm, col("j") <= col("bin") && col("bin") <= col("k"))
+          .groupBy(col("bin"), col("j")).agg(min(col("m")).as("mn"))
+          .groupBy(col("bin")).agg(max(col("mn")).as("fitted"))
+        val out = bins.join(fitted, "bin")
+          .select(col("bin"), col("n"),
+            (col("pos").cast("double") / col("n")).as("frac_pos"),
+            col("fitted"))
+        out.withColumn("monotone",
+          col("fitted") >= coalesce(lag(col("fitted"), 1)
+            .over(Window.orderBy(col("bin"))), lit(0.0)))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(concat('0x', substr(md5(concat('lbl|',
+             |      CAST(event_id AS VARCHAR))), 1, 1)) AS INTEGER) % 2 AS l,
+             |    CAST(concat('0x', substr(md5(concat('scr|',
+             |      CAST(event_id AS VARCHAR))), 1, 3)) AS INTEGER) % 1000 AS u
+             |  FROM events),
+             |sc AS (SELECT l, (u * 6) // 10 + l * 400 AS s FROM ev),
+             |bins AS (
+             |  SELECT CAST(s // 100 AS INTEGER) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(l) AS BIGINT) AS pos
+             |  FROM sc GROUP BY 1),
+             |ivm AS (
+             |  SELECT j.bin AS j, k.bin AS k,
+             |    CAST(sum(b.pos) AS DOUBLE) / sum(b.n) AS m
+             |  FROM bins j JOIN bins k ON j.bin <= k.bin
+             |  JOIN bins b ON b.bin BETWEEN j.bin AND k.bin
+             |  GROUP BY 1, 2),
+             |fit AS (
+             |  SELECT bin, max(mn) AS fitted FROM (
+             |    SELECT i.bin, ivm.j, min(m) AS mn
+             |    FROM bins i JOIN ivm ON ivm.j <= i.bin AND i.bin <= ivm.k
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT bin, n, CAST(pos AS DOUBLE) / n AS frac_pos, fitted,
+             |  fitted >= coalesce(lag(fitted) OVER (ORDER BY bin), 0.0)
+             |    AS monotone
+             |FROM bins JOIN fit USING (bin)""".stripMargin),
+      "isotonic calibration via the minimax PAV closed form: " +
+        "max-min over O(bins²) exact interval means — no iterative " +
+        "pooling; monotonicity emitted as a value-checked column"),
+
     // Drill-across (Kimball): combine TWO fact tables at a conformed
     // grain — orders revenue and event activity meet at the customer
     // key, then roll up by segment splitting engaged (has events)

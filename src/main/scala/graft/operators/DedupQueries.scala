@@ -308,18 +308,8 @@ object DedupQueries {
           .filter(col("doc_id") % 6 === 0 && size(w) >= 20)
           .select((col("doc_id") + lit(plantOffset(s, d))).as("doc_id"),
             array_join(slice(w, lit(5), lit(12)), " ").as("text"))
-        val sh = base.unionByName(planted)
-          .select(col("doc_id"), posexplode(wordShingles(col("text"), 5)))
-          .select(col("doc_id"), (col("pos") + 1).as("pos"),
-            (conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long") *
-              1048576L + (lit(1048575) - (col("pos") + 1))).as("packed"))
-        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(-3, 0)
-        val fp = sh
-          .withColumn("sel", min(col("packed")).over(win))
-          .filter(col("pos") >= 4)
-          .select(col("doc_id"), expr("sel DIV 1048576").as("h"))
-          .distinct()
+        val fp = winnowedFingerprints(base.unionByName(planted),
+          "doc_id", "text", k = 5, w = 4)
         val kept = fp.withColumn("df",
             count(lit(1)).over(Window.partitionBy(col("h"))))
           .filter(col("df") <= 32)

@@ -2337,6 +2337,129 @@ object AdvancedQueries {
         "max-min over O(bins²) exact interval means — no iterative " +
         "pooling; monotonicity emitted as a value-checked column"),
 
+    // Empirical-Bayes (James-Stein) shrinkage of group means — the
+    // partial-pooling estimator experimentation platforms apply to
+    // per-segment metrics with uneven n: each group mean moves toward
+    // the grand mean by B_g = τ²/(τ² + σ²/n_g), with σ² the pooled
+    // within-group variance and τ² the method-of-moments between-group
+    // variance (floored at 0). Group moments are exact integer-dollar
+    // sums (map-side combined — Σv² stays < 2⁶³ at dollar grain, the
+    // overflow-at-worst-case rule); every CROSS-GROUP reduction of
+    // derived doubles folds in ONE deterministic order (cumulative
+    // window over the category-ordered 5-row rollup, last row taken),
+    // so the whole estimator chain hash-matches unrounded.
+    Q("agg_eb_shrinkage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = load(s, d, "orders")
+          .select(col("o_orderpriority").as("category"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")
+              .as("v"))
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+            sum(col("v") * col("v")).as("s2"))
+        val tot = g.agg(sum(col("n")).as("bn"), sum(col("s1")).as("bs1"),
+          count(lit(1)).as("ng"))
+        val gg = g.crossJoin(broadcast(tot))
+          .withColumn("gm",
+            col("bs1").cast("double") / col("bn").cast("double"))
+          .withColumn("m", col("s1").cast("double") / col("n").cast("double"))
+          .withColumn("ssw",
+            col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") /
+                col("n").cast("double"))
+          .withColumn("ssb",
+            col("n").cast("double") * ((col("m") - col("gm")) *
+              (col("m") - col("gm"))))
+          .withColumn("n2", col("n") * col("n"))
+        val wOrd = Window.orderBy(col("category"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val folded = gg
+          .withColumn("cssw", sum(col("ssw")).over(wOrd))
+          .withColumn("cssb", sum(col("ssb")).over(wOrd))
+          .withColumn("cn2", sum(col("n2")).over(wOrd))
+          .withColumn("rk", row_number().over(Window.orderBy(col("category"))))
+        val last = folded.filter(col("rk") === col("ng"))
+          .select(col("cssw"), col("cssb"), col("cn2"))
+        gg.crossJoin(broadcast(last))
+          .withColumn("sigma2",
+            col("cssw") / (col("bn") - col("ng")).cast("double"))
+          .withColumn("msb",
+            col("cssb") / (col("ng") - 1).cast("double"))
+          .withColumn("nbar",
+            (col("bn").cast("double") -
+              col("cn2").cast("double") / col("bn").cast("double")) /
+              (col("ng") - 1).cast("double"))
+          .withColumn("tau2",
+            greatest((col("msb") - col("sigma2")) / col("nbar"), lit(0.0)))
+          .withColumn("b",
+            col("tau2") / (col("tau2") + col("sigma2") /
+              col("n").cast("double")))
+          .select(col("category"), col("n"), col("m").as("raw_mean"),
+            (col("gm") + col("b") * (col("m") - col("gm")))
+              .as("shrunk_mean"),
+            col("b").as("shrink_weight"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS category,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+             |      AS BIGINT) AS s1,
+             |    CAST(sum((CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+             |      * (CAST(round(o_totalprice * 100) AS BIGINT) // 100))
+             |      AS BIGINT) AS s2
+             |  FROM orders GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS bn,
+             |    CAST(sum(s1) AS BIGINT) AS bs1,
+             |    CAST(count(*) AS BIGINT) AS ng
+             |  FROM g),
+             |gg AS (
+             |  SELECT category, n, s1, s2, bn, bs1, ng,
+             |    CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE) AS gm,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             |    CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |      / CAST(n AS DOUBLE) AS ssw,
+             |    CAST(n AS DOUBLE)
+             |      * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+             |          - CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE))
+             |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+             |          - CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE))) AS ssb,
+             |    n * n AS n2
+             |  FROM g CROSS JOIN tot),
+             |folded AS (
+             |  SELECT *,
+             |    sum(ssw) OVER (ORDER BY category
+             |      ROWS UNBOUNDED PRECEDING) AS cssw,
+             |    sum(ssb) OVER (ORDER BY category
+             |      ROWS UNBOUNDED PRECEDING) AS cssb,
+             |    sum(n2) OVER (ORDER BY category
+             |      ROWS UNBOUNDED PRECEDING) AS cn2,
+             |    row_number() OVER (ORDER BY category) AS rk
+             |  FROM gg),
+             |last AS (
+             |  SELECT cssw, cssb, CAST(cn2 AS BIGINT) AS cn2
+             |  FROM folded WHERE rk = ng),
+             |sc AS (
+             |  SELECT *,
+             |    cssw / CAST(bn - ng AS DOUBLE) AS sigma2,
+             |    cssb / CAST(ng - 1 AS DOUBLE) AS msb,
+             |    (CAST(bn AS DOUBLE) - CAST(cn2 AS DOUBLE)
+             |      / CAST(bn AS DOUBLE)) / CAST(ng - 1 AS DOUBLE) AS nbar
+             |  FROM gg, last)
+             |SELECT category, n, m AS raw_mean,
+             |  gm + (greatest((msb - sigma2) / nbar, 0.0)
+             |    / (greatest((msb - sigma2) / nbar, 0.0)
+             |      + sigma2 / CAST(n AS DOUBLE))) * (m - gm) AS shrunk_mean,
+             |  greatest((msb - sigma2) / nbar, 0.0)
+             |    / (greatest((msb - sigma2) / nbar, 0.0)
+             |      + sigma2 / CAST(n AS DOUBLE)) AS shrink_weight
+             |FROM sc""".stripMargin),
+      "Empirical-Bayes (James-Stein) partial pooling of group means: " +
+        "exact integer-dollar moments, cross-group double reductions " +
+        "folded in ONE deterministic category order — estimator chain " +
+        "hash-matches unrounded"),
+
     // Drill-across (Kimball): combine TWO fact tables at a conformed
     // grain — orders revenue and event activity meet at the customer
     // key, then roll up by segment splitting engaged (has events)

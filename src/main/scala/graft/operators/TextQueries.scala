@@ -471,7 +471,7 @@ object TextQueries {
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
         "shares unrounded")) :+ shingleProfile :+ autocompleteTopk :+
-    rakeKeyphrases :+ goodTuring
+    rakeKeyphrases :+ goodTuring :+ textrankKeywords
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -704,4 +704,88 @@ object TextQueries {
       "Good-Turing 5-gram re-estimation + missing-mass P0 = N1/N: two " +
         "rollups (grams, then frequency-of-frequencies), exact integer " +
         "divisions — the unseen-n-gram coverage number for LM corpora")
+
+  // TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004): weighted
+  // PageRank over the word co-occurrence graph (adjacent-token edges,
+  // undirected, weight = adjacency count). The graph lives at
+  // VOCABULARY grain — corpus-size-independent once the one bigram
+  // rollup is done — and each of the 4 iterations is one edge-keyed
+  // join + a weighted dst aggregate, the graph_pagerank_prior shuffle
+  // shape. Ranks are rounded only at the final output (8 dp, far
+  // above ulp noise — the PageRank precedent); the oracle replays all
+  // four weighted iterations via unrolled CTEs.
+  private val textrankKeywords: Q =
+    Q("text_textrank_keywords",
+      (s, d) => {
+        val toks = persistOnce(load(s, d, "documents")
+          .select(tokens(col("text")).as("w")))
+        val nodes = persistOnce(toks
+          .select(explode(col("w")).as("word")).distinct())
+        val nRow = nodes.agg(count(lit(1)).as("nn"))
+        val und = toks
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+          .filter(col("p.a") =!= col("p.b"))
+          .select(least(col("p.a"), col("p.b")).as("a"),
+            greatest(col("p.a"), col("p.b")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+        val ed = persistOnce(und
+          .select(col("a").as("u"), col("b").as("v"), col("wt"))
+          .unionByName(und.select(col("b").as("u"), col("a").as("v"),
+            col("wt"))))
+        val wdeg = ed.groupBy(col("u")).agg(sum(col("wt")).as("wd"))
+        val edw = persistOnce(ed.join(wdeg, "u"))
+        var ranks = nodes.crossJoin(broadcast(nRow))
+          .select(col("word"), (lit(1.0) / col("nn")).as("r"))
+        for (_ <- 1 to 4) {
+          val contrib = ranks.join(edw, col("word") === col("u"))
+            .groupBy(col("v"))
+            .agg(sum(col("r") * col("wt") / col("wd")).as("c"))
+          ranks = nodes.crossJoin(broadcast(nRow))
+            .join(contrib, col("word") === col("v"), "left")
+            .select(col("word"),
+              (lit(0.15) / col("nn") +
+                lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+        }
+        ranks.select(col("word"), round(col("r"), 8).as("rank8"))
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""r$i AS (
+             |  SELECT nodes.word, 0.15 / nn.n + 0.85 * coalesce(t.c, 0.0)
+             |    AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN (
+             |    SELECT e.v, sum(p.r * e.wt / e.wd) AS c
+             |    FROM r${i - 1} p JOIN edw e ON p.word = e.u GROUP BY 1) t
+             |  ON nodes.word = t.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (
+           |  SELECT string_split(text, ' ') AS w FROM documents),
+           |nodes AS (
+           |  SELECT DISTINCT unnest(w) AS word FROM toks),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |big AS (
+           |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0)
+           |      + 1), i -> struct_pack(a := w[i], b := w[i + 1]))) AS p
+           |  FROM toks),
+           |und AS (
+           |  SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b,
+           |    CAST(count(*) AS BIGINT) AS wt
+           |  FROM big WHERE p.a <> p.b GROUP BY 1, 2),
+           |ed AS (
+           |  SELECT a AS u, b AS v, wt FROM und
+           |  UNION ALL SELECT b, a, wt FROM und),
+           |wdeg AS (SELECT u, CAST(sum(wt) AS BIGINT) AS wd
+           |         FROM ed GROUP BY 1),
+           |edw AS (SELECT ed.u, ed.v, ed.wt, wdeg.wd
+           |        FROM ed JOIN wdeg USING (u)),
+           |r0 AS (
+           |  SELECT word, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+           |$iters
+           |SELECT word, round(r, 8) AS rank8 FROM r4""".stripMargin
+      },
+      "TextRank keywords: weighted PageRank on the word co-occurrence " +
+        "graph — vocabulary-grain after one bigram rollup, one " +
+        "edge-keyed shuffle per iteration, 4 iterations value-checked")
 }

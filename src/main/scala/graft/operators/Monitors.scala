@@ -912,5 +912,67 @@ object Monitors {
              |FROM ols JOIN med USING (event_type)""".stripMargin),
       "Theil-Sen robust trend per stream: pairwise slopes on the daily " +
         "rollup only (O(days²), never raw events), deterministic lower " +
-        "median, exact-integer OLS slope alongside"))
+        "median, exact-integer OLS slope alongside"),
+
+    // Mann-Kendall trend test — the nonparametric significance
+    // companion of mon_theil_sen (same pair enumeration over the same
+    // daily rollup; a monitoring stack reports the MK direction/
+    // strength next to the TS slope): S = Σ sign(y_j − y_i) over
+    // ordered pairs, normalized to Kendall's τ = S / (n(n−1)/2).
+    // EVERYTHING except τ is exact integers — S, the pair count, the
+    // tie-corrected variance Var(S) = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))
+    // / 18 stays in integer arithmetic ×18 — so the only floating ops
+    // are the two final single divisions (unrounded hash-match).
+    Q("mon_mann_kendall",
+      (s, d) => {
+        val daily = persistOnce(load(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y")))
+        val pairs = daily.as("p").join(daily.as("q"),
+            col("p.event_type") === col("q.event_type") &&
+              col("p.day") < col("q.day"))
+          .groupBy(col("p.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(signum(col("q.y") - col("p.y")).cast("long")).as("s"))
+        val ties = daily.groupBy(col("event_type"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+            sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+              .as("tie_term"))
+        pairs.join(ties, "event_type")
+          .select(col("event_type"), col("n").cast("long").as("n_days"),
+            col("s"),
+            (col("s").cast("double") / col("n_pairs").cast("double"))
+              .as("kendall_tau"),
+            ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+              col("tie_term")).cast("double") / 18.0).as("var_s"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT p.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(sign(q.y - p.y)) AS BIGINT) AS s
+             |  FROM daily p JOIN daily q
+             |    ON p.event_type = q.event_type AND p.day < q.day
+             |  GROUP BY 1),
+             |ties AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct,
+             |    CAST(sum(t) AS BIGINT) AS n,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+             |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+             |        FROM daily GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT event_type, n AS n_days, s,
+             |  CAST(s AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS kendall_tau,
+             |  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+             |    AS var_s
+             |FROM pairs JOIN ties USING (event_type)""".stripMargin),
+      "Mann-Kendall trend test: integer S and tie-corrected Var(S) " +
+        "from the same daily-rollup pair enumeration as Theil-Sen; " +
+        "only the final two divisions are floating"))
 }

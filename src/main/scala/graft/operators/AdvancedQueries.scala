@@ -12,6 +12,23 @@ import graft.core.Tables.load
   * pivot, generators, and the remaining scalar-function families. */
 object AdvancedQueries {
 
+  /** Planted classifier labels/milli-scores from the md5 hash RNG —
+    * the ONE copy of the derivation shared by eval_auc_brier /
+    * eval_calibration_bins / eval_isotonic_calibration (their oracles
+    * replay the identical text): l = md5 parity, s = 0.6·u + 0.4·l·1000
+    * in integer milli-units, so positives shift +0.4 and both metrics
+    * stay non-degenerate at every SF. */
+  private def plantedScores(s: org.apache.spark.sql.SparkSession,
+                            d: String): DataFrame =
+    load(s, d, "events")
+      .select(col("event_id").cast("string").as("k"))
+      .select(
+        (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
+          16, 10).cast("int") % 2).as("l"),
+        (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
+          16, 10).cast("int") % 1000).as("u"))
+      .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+
   def queries: Seq[Q] = Seq(
     // ---- as-of join (temporal lookup) --------------------------------
     Q("join_asof",
@@ -2168,14 +2185,7 @@ object AdvancedQueries {
     Q("eval_auc_brier",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = load(s, d, "events")
-          .select(col("event_id").cast("string").as("k"))
-          .select(
-            (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
-              16, 10).cast("int") % 2).as("l"),
-            (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
-              16, 10).cast("int") % 1000).as("u"))
-          .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+        val ev = plantedScores(s, d)
         val g = ev.groupBy(col("s"))
           .agg(count(lit(1)).as("cnt"), sum(col("l")).as("pos"))
           .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("s"))))
@@ -2226,14 +2236,7 @@ object AdvancedQueries {
     // order-unstable weighted sum.
     Q("eval_calibration_bins",
       (s, d) => {
-        val ev = load(s, d, "events")
-          .select(col("event_id").cast("string").as("k"))
-          .select(
-            (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
-              16, 10).cast("int") % 2).as("l"),
-            (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
-              16, 10).cast("int") % 1000).as("u"))
-          .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+        val ev = plantedScores(s, d)
         ev.groupBy(expr("s DIV 100").cast("int").as("bin"))
           .agg(count(lit(1)).as("n"), sum(col("s")).as("ssum"),
             sum(col("l")).as("pos"))
@@ -2279,14 +2282,7 @@ object AdvancedQueries {
     Q("eval_isotonic_calibration",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val bins = persistOnce(load(s, d, "events")
-          .select(col("event_id").cast("string").as("k"))
-          .select(
-            (conv(substring(md5(concat(lit("lbl|"), col("k"))), 1, 1),
-              16, 10).cast("int") % 2).as("l"),
-            (conv(substring(md5(concat(lit("scr|"), col("k"))), 1, 3),
-              16, 10).cast("int") % 1000).as("u"))
-          .select(col("l"), (expr("(u * 6) DIV 10") + col("l") * 400).as("s"))
+        val bins = persistOnce(plantedScores(s, d)
           .groupBy(expr("s DIV 100").cast("int").as("bin"))
           .agg(count(lit(1)).as("n"), sum(col("l")).as("pos")))
         val pairs = bins.select(col("bin").as("j"))

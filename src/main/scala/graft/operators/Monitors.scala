@@ -12,6 +12,21 @@ import graft.core.Tables.load
   */
 object Monitors {
 
+  /** Per-(stream, day) exact-cents totals — the ONE copy of the daily
+    * rollup shared by mon_theil_sen and mon_mann_kendall (both oracles
+    * replay the identical text); memoized per (session, dir) since
+    * Verify/Bench invoke both queries. */
+  private val dailyMemo =
+    new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
+  private def dailyTotals(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    dailyMemo.getOrElseUpdate(s, d) {
+      persistOnce(load(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y")))
+    }
+
   def queries: Seq[Q] = Seq(
     // J2: consumer-lag = latest offset − committed offset, per topic.
     // `events` stands in for the offset log: value<100 marks "consumed".
@@ -848,10 +863,7 @@ object Monitors {
     Q("mon_theil_sen",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val daily = persistOnce(load(s, d, "events")
-          .filter(col("value").isNotNull)
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val daily = persistOnce(dailyTotals(s, d)
           .withColumn("x", datediff(col("day"),
             min(col("day")).over(Window.partitionBy(col("event_type"))))
             .cast("long")))
@@ -925,10 +937,7 @@ object Monitors {
     // are the two final single divisions (unrounded hash-match).
     Q("mon_mann_kendall",
       (s, d) => {
-        val daily = persistOnce(load(s, d, "events")
-          .filter(col("value").isNotNull)
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("y")))
+        val daily = dailyTotals(s, d)
         val pairs = daily.as("p").join(daily.as("q"),
             col("p.event_type") === col("q.event_type") &&
               col("p.day") < col("q.day"))

@@ -110,4 +110,26 @@ object Materialize {
       mirrorAsChanges.unionByName(batchUnwrapped, allowMissingColumns = true),
       keyCols)
   }
+
+  /** BITEMPORAL as-of winners (Snodgrass): for every probe (t, v) and
+    * entity, the version visible on BOTH axes with the greatest
+    * transaction time — `tx_from ≤ t < tx_to` (null tx_to = still
+    * current) and `valid_from ≤ v < valid_to` (null = open interval).
+    * The argmax is a packed `tx_from·2³² + c` long so the read is ONE
+    * hash aggregate keyed (t, v, id) — never an interval theta join;
+    * probes broadcast. Contract: `c` (the payload) in [0, 2³²), ties
+    * on tx_from resolve to the larger payload (lexicographic
+    * (tx_from, c) max — `BitemporalPropertySpec` pins the rule).
+    * Input: versions(id, tx_from, tx_to, valid_from, valid_to, c),
+    * probes(t, v). Output: (t, v, id, c). */
+  def bitemporalAsOf(versions: DataFrame, probes: DataFrame): DataFrame =
+    versions.crossJoin(broadcast(probes))
+      .filter(col("tx_from") <= col("t") &&
+        (col("tx_to").isNull || col("t") < col("tx_to")) &&
+        col("valid_from") <= col("v") &&
+        (col("valid_to").isNull || col("v") < col("valid_to")))
+      .groupBy(col("t"), col("v"), col("id"))
+      .agg(max(col("tx_from") * 4294967296L + col("c")).as("pk"))
+      .select(col("t"), col("v"), col("id"),
+        (col("pk") % 4294967296L).as("c"))
 }

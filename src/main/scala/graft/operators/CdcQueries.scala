@@ -439,16 +439,9 @@ object CdcQueries {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("v",
               org.apache.spark.sql.types.LongType))))
-        versions.crossJoin(broadcast(probes))
-          .filter(col("tx_from") <= col("t") &&
-            (col("tx_to").isNull || col("t") < col("tx_to")) &&
-            col("valid_from") <= col("v") &&
-            (col("valid_to").isNull || col("v") < col("valid_to")))
-          .groupBy(col("t"), col("v"), col("id"))
-          .agg(max(col("tx_from") * 4294967296L + col("c")).as("pk"))
+        graft.cdc.Materialize.bitemporalAsOf(versions, probes)
           .groupBy(col("t"), col("v"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("pk") % 4294967296L).as("total_cents"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("total_cents"))
       },
       Some("""WITH base AS (
              |  SELECT o_orderkey AS id,

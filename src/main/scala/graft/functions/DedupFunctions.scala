@@ -190,14 +190,20 @@ object DedupFunctions {
   /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
     * SIGMOD 2003): hash every k-word-shingle, slide a w-window over
     * the hash sequence, keep each window's RIGHTMOST MINIMUM — one
-    * per-document window min over a packed (40-bit hash)·2²⁰ +
-    * (2²⁰−1−pos) long (min hash; position ties resolve to the larger
-    * pos), so selection is integer arithmetic with no struct
-    * ordering. Density ~2/(w+1) of all shingles; any common token run
-    * of length ≥ w+k−1 is GUARANTEED to contribute at least one
-    * shared selected hash (`WinnowingSpec` checks the guarantee on
-    * randomized planted overlaps). Documents shorter than w shingles
-    * yield no fingerprints. Returns distinct (`idCol`, h). */
+    * per-document window min over a packed (40-bit hash)·2²³ +
+    * (2²³−1−min(pos, 2²³−1)) long (min hash; position ties resolve to
+    * the larger pos), so selection is integer arithmetic with no
+    * struct ordering. The position term is CLAMPED at 2²³−1 so the
+    * packing can never underflow on book-length documents: past 8.4M
+    * shingles the rightmost-tie refinement degrades to an arbitrary-
+    * but-deterministic tie (equal packed values), while the SELECTED
+    * HASH — the only thing extracted and matched on — stays exact at
+    * any document length. Density ~2/(w+1) of all shingles; any
+    * common token run of length ≥ w+k−1 is GUARANTEED to contribute
+    * at least one shared selected hash (`WinnowingSpec` checks the
+    * guarantee on randomized planted overlaps). Documents shorter
+    * than w shingles yield no fingerprints. Returns distinct
+    * (`idCol`, h). */
   def winnowedFingerprints(docs: DataFrame, idCol: String,
                            textCol: String, k: Int = 5,
                            w: Int = 4): DataFrame = {
@@ -208,12 +214,14 @@ object DedupFunctions {
           .wordShingles(col(textCol), k)))
       .select(col(idCol), (col("pos") + 1).as("pos"),
         (conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long") *
-          1048576L + (lit(1048575) - (col("pos") + 1))).as("packed"))
+          8388608L +
+          (lit(8388607L) - least(col("pos") + 1, lit(8388607L))))
+          .as("packed"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     sh.withColumn("sel", min(col("packed")).over(win))
       .filter(col("pos") >= w)
-      .select(col(idCol), expr("sel DIV 1048576").as("h"))
+      .select(col(idCol), expr("sel DIV 8388608").as("h"))
       .distinct()
   }
 }

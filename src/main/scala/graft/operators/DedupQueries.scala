@@ -310,9 +310,9 @@ object DedupQueries {
             array_join(slice(w, lit(5), lit(12)), " ").as("text"))
         val fp = winnowedFingerprints(base.unionByName(planted),
           "doc_id", "text", k = 5, w = 4)
-        val kept = fp.withColumn("df",
+        val kept = persistOnce(fp.withColumn("df",
             count(lit(1)).over(Window.partitionBy(col("h"))))
-          .filter(col("df") <= 32)
+          .filter(col("df") <= 32))
         kept.as("l").join(kept.as("r"),
             col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
           .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -335,7 +335,8 @@ object DedupQueries {
              |pk AS (
              |  SELECT doc_id, pos,
              |    CAST(CAST(concat('0x', substr(md5(g), 1, 10)) AS UBIGINT)
-             |      AS BIGINT) * 1048576 + (1048575 - pos) AS packed
+             |      AS BIGINT) * 8388608
+             |      + (8388607 - least(pos, 8388607)) AS packed
              |  FROM sh),
              |sel AS (
              |  SELECT doc_id, pos,
@@ -343,7 +344,7 @@ object DedupQueries {
              |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
              |  FROM pk),
              |fp AS (
-             |  SELECT DISTINCT doc_id, s // 1048576 AS h
+             |  SELECT DISTINCT doc_id, s // 8388608 AS h
              |  FROM sel WHERE pos >= 4),
              |kept AS (
              |  SELECT doc_id, h FROM (

@@ -947,7 +947,7 @@ object Monitors {
         val ties = daily.groupBy(col("event_type"), col("y"))
           .agg(count(lit(1)).as("t"))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+          .agg(sum(col("t")).as("n"),
             sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
               .as("tie_term"))
         pairs.join(ties, "event_type")
@@ -970,8 +970,7 @@ object Monitors {
              |    ON p.event_type = q.event_type AND p.day < q.day
              |  GROUP BY 1),
              |ties AS (
-             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct,
-             |    CAST(sum(t) AS BIGINT) AS n,
+             |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
              |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
              |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
              |        FROM daily GROUP BY 1, 2)

@@ -1336,8 +1336,8 @@ object PipelineQueries {
         import s.implicits._
         val nb = 64
         val bmax = 8
-        val vals = load(s, d, "orders").select(
-          expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100").as("v"))
+        val vals = persistOnce(load(s, d, "orders").select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100").as("v")))
         val mmr = vals.agg(min(col("v")), max(col("v"))).head()
         val (lo, hi) = (mmr.getLong(0), mmr.getLong(1))
         val cells = vals

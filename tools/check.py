@@ -29,6 +29,49 @@ def canon(rows, cols):
     return h.hexdigest(), len(out)
 
 
+def compare_one(con, outdir, name, sql):
+    """Hash-compare one dumped result dir against its oracle SQL,
+    printing PASS/FAIL/WARN lines exactly as the full gate does.
+    Shared by the full catalog loop and tools/checkq.py (the dev-loop
+    subset checker) so the two can never drift. Returns True on PASS."""
+    try:
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        grows, gcols = got.fetchall(), [c.lower() for c in got.columns]
+        exp = con.sql(sql)
+        erows, ecols = exp.fetchall(), [c.lower() for c in exp.columns]
+    except Exception as e:
+        print(f"FAIL {name}: exception {e}")
+        return False
+    if sorted(gcols) != sorted(ecols):
+        print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
+        return False
+    # dtype audit (warning only - value hash is the gate, but a
+    # strict driver comparator may also hash types)
+    gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
+    etypes = {c.lower(): str(t) for c, t in zip(exp.columns, exp.types)}
+    tmis = {c: (gtypes[c], etypes[c]) for c in gtypes
+            if gtypes[c] != etypes[c]}
+    if tmis:
+        print(f"WARN {name}: dtype mismatch {tmis}")
+    gh, gn = canon(grows, gcols)
+    eh, en = canon(erows, ecols)
+    if gn != en:
+        print(f"FAIL {name}: rowcount spark={gn} oracle={en}")
+        return False
+    if gh != eh:
+        print(f"FAIL {name}: hash mismatch ({gn} rows)")
+        # show a small diff
+        gs = set(map(tuple, (tuple(map(repr, r)) for r in grows)))
+        es = set(map(tuple, (tuple(map(repr, r)) for r in erows)))
+        for r in list(gs - es)[:3]:
+            print(f"  spark-only: {r}")
+        for r in list(es - gs)[:3]:
+            print(f"  oracle-only: {r}")
+        return False
+    print(f"PASS {name} ({gn} rows)")
+    return True
+
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -68,45 +111,10 @@ def main(sfdir, outdir):
         else:
             print(f"WARN {name}: catalog query has no SQL oracle (rows-only)")
     for name, sql in sorted(oracle.items()):
-        try:
-            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            grows, gcols = got.fetchall(), [c.lower() for c in got.columns]
-            exp = con.sql(sql)
-            erows, ecols = exp.fetchall(), [c.lower() for c in exp.columns]
-        except Exception as e:
-            print(f"FAIL {name}: exception {e}")
-            n_fail += 1
-            continue
-        if sorted(gcols) != sorted(ecols):
-            print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
-            n_fail += 1
-            continue
-        # dtype audit (warning only - value hash is the gate, but a
-        # strict driver comparator may also hash types)
-        gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
-        etypes = {c.lower(): str(t) for c, t in zip(exp.columns, exp.types)}
-        tmis = {c: (gtypes[c], etypes[c]) for c in gtypes
-                if gtypes[c] != etypes[c]}
-        if tmis:
-            print(f"WARN {name}: dtype mismatch {tmis}")
-        gh, gn = canon(grows, gcols)
-        eh, en = canon(erows, ecols)
-        if gn != en:
-            print(f"FAIL {name}: rowcount spark={gn} oracle={en}")
-            n_fail += 1
-        elif gh != eh:
-            print(f"FAIL {name}: hash mismatch ({gn} rows)")
-            # show a small diff
-            gs = set(map(tuple, (tuple(map(repr, r)) for r in grows)))
-            es = set(map(tuple, (tuple(map(repr, r)) for r in erows)))
-            for r in list(gs - es)[:3]:
-                print(f"  spark-only: {r}")
-            for r in list(es - gs)[:3]:
-                print(f"  oracle-only: {r}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({gn} rows)")
+        if compare_one(con, outdir, name, sql):
             n_pass += 1
+        else:
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(oracle)} oracled, {len(catalog)} catalog")
     return n_fail

@@ -14,7 +14,7 @@ import sys
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check import TABLES, canon  # noqa: E402
+from check import TABLES, compare_one  # noqa: E402
 
 
 def main(sfdir, outdir, names):
@@ -39,40 +39,8 @@ def main(sfdir, outdir, names):
                 print(f"FAIL {name}: {e}")
                 n_fail += 1
             continue
-        try:
-            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            grows, gcols = got.fetchall(), [c.lower() for c in got.columns]
-            exp = con.sql(oracle[name])
-            erows, ecols = exp.fetchall(), [c.lower() for c in exp.columns]
-        except Exception as e:
-            print(f"FAIL {name}: exception {e}")
+        if not compare_one(con, outdir, name, oracle[name]):
             n_fail += 1
-            continue
-        if sorted(gcols) != sorted(ecols):
-            print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
-            n_fail += 1
-            continue
-        gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
-        etypes = {c.lower(): str(t) for c, t in zip(exp.columns, exp.types)}
-        tmis = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes[c]}
-        if tmis:
-            print(f"WARN {name}: dtype mismatch {tmis}")
-        gh, gn = canon(grows, gcols)
-        eh, en = canon(erows, ecols)
-        if gn != en:
-            print(f"FAIL {name}: rowcount spark={gn} oracle={en}")
-            n_fail += 1
-        elif gh != eh:
-            print(f"FAIL {name}: hash mismatch ({gn} rows)")
-            gs = set(tuple(map(repr, r)) for r in grows)
-            es = set(tuple(map(repr, r)) for r in erows)
-            for r in list(gs - es)[:3]:
-                print(f"  spark-only: {r}")
-            for r in list(es - gs)[:3]:
-                print(f"  oracle-only: {r}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({gn} rows)")
     sys.exit(1 if n_fail else 0)
 
 

@@ -471,7 +471,7 @@ object TextQueries {
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
         "shares unrounded")) :+ shingleProfile :+ autocompleteTopk :+
-    rakeKeyphrases :+ goodTuring :+ textrankKeywords
+    rakeKeyphrases :+ goodTuring :+ textrankKeywords :+ heapsLaw
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -788,4 +788,89 @@ object TextQueries {
       "TextRank keywords: weighted PageRank on the word co-occurrence " +
         "graph — vocabulary-grain after one bigram rollup, one " +
         "edge-keyed shuffle per iteration, 4 iterations value-checked")
+
+  // Heaps'-law vocabulary growth at 5-gram grain — the corpus-growth
+  // planning curve Good-Turing's missing mass is the endpoint of: how
+  // many NEW distinct grams each additional slice of corpus
+  // contributes (sublinear growth ⇒ diminishing new content ⇒ the
+  // marginal value of more same-distribution data). Slices are doc-id
+  // deciles computed ARITHMETICALLY from the dense id space (no
+  // global rank window); a gram's first appearance is min(doc_id) —
+  // one gram-keyed rollup — and both cumulative curves fold over the
+  // 10-row decile table. The local Heaps exponent β between adjacent
+  // deciles is a ratio of single-op ln differences (unrounded).
+  private val heapsLaw: Q =
+    Q("text_heaps_law",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = persistOnce(load(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).as("nt"),
+            wordShingles(col("text"), 5).as("g")))
+        val nRow = docs.agg(count(lit(1)).as("nd"))
+        val toks = docs.crossJoin(broadcast(nRow))
+          .groupBy(expr("(doc_id * 10) DIV nd").cast("int").as("decile"))
+          .agg(sum(col("nt")).as("tokens"))
+        val news = docs.select(col("doc_id"), explode(col("g")).as("gram"))
+          .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(nRow))
+          .groupBy(expr("(first_doc * 10) DIV nd").cast("int").as("decile"))
+          .agg(count(lit(1)).as("new_grams"))
+        val w = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        toks.join(news, Seq("decile"), "left")
+          .withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .withColumn("cum_grams",
+            sum(coalesce(col("new_grams"), lit(0L))).over(w))
+          .withColumn("beta",
+            (log(col("cum_grams").cast("double")) -
+              log(lag(col("cum_grams"), 1).over(Window.orderBy(col("decile")))
+                .cast("double"))) /
+              (log(col("cum_tokens").cast("double")) -
+                log(lag(col("cum_tokens"), 1)
+                  .over(Window.orderBy(col("decile"))).cast("double"))))
+          .select(col("decile"), col("cum_tokens"), col("cum_grams"),
+            col("beta"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+             |    list_transform(range(1,
+             |      greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))
+             |      AS g
+             |  FROM documents),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs),
+             |toks AS (
+             |  SELECT CAST((doc_id * 10) // nd AS INTEGER) AS decile,
+             |    CAST(sum(nt) AS BIGINT) AS tokens
+             |  FROM docs CROSS JOIN nn GROUP BY 1),
+             |news AS (
+             |  SELECT CAST((first_doc * 10) // nd AS INTEGER) AS decile,
+             |    CAST(count(*) AS BIGINT) AS new_grams
+             |  FROM (
+             |    SELECT gram, min(doc_id) AS first_doc
+             |    FROM (SELECT doc_id, unnest(g) AS gram FROM docs)
+             |    GROUP BY 1) f
+             |  CROSS JOIN nn GROUP BY 1),
+             |j AS (
+             |  SELECT t.decile, t.tokens,
+             |    coalesce(n.new_grams, 0) AS new_grams
+             |  FROM toks t LEFT JOIN news n USING (decile)),
+             |c AS (
+             |  SELECT decile,
+             |    CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT)
+             |      AS cum_tokens,
+             |    CAST(sum(new_grams) OVER (ORDER BY decile) AS BIGINT)
+             |      AS cum_grams
+             |  FROM j)
+             |SELECT decile, cum_tokens, cum_grams,
+             |  (ln(CAST(cum_grams AS DOUBLE))
+             |    - ln(CAST(lag(cum_grams) OVER (ORDER BY decile)
+             |        AS DOUBLE)))
+             |  / (ln(CAST(cum_tokens AS DOUBLE))
+             |    - ln(CAST(lag(cum_tokens) OVER (ORDER BY decile)
+             |        AS DOUBLE))) AS beta
+             |FROM c""".stripMargin),
+      "Heaps-law 5-gram vocabulary growth by doc-id decile: arithmetic " +
+        "slicing (no global rank), one gram-keyed first-seen rollup, " +
+        "cumulative curves + local beta exponents over 10 rows")
 }

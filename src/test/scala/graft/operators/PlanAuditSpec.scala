@@ -732,6 +732,23 @@ class PlanAuditSpec extends SparkSpec {
     } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("join strategy hints are honored: SHUFFLE_HASH builds a " +
+    "ShuffledHashJoin, MERGE a SortMergeJoin — the per-join overrides " +
+    "a tuner reaches for when statistics mislead the planner") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+        .select(col("l_orderkey"))
+      val o = graft.core.Tables.load(spark, sf0001, "orders")
+        .select(col("o_orderkey"))
+      def planWith(hint: String) =
+        li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+      assert(planWith("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+      assert(planWith("MERGE").contains("SortMergeJoin"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("map-only text scoring stays inside whole-stage codegen — no " +
     "interpreted fallback in the hot path") {
     for (q <- Seq("text_quality_score", "text_langid", "scalar_arith_charge")) {

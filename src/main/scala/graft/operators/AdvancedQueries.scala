@@ -2456,6 +2456,85 @@ object AdvancedQueries {
         "folded in ONE deterministic category order — estimator chain " +
         "hash-matches unrounded"),
 
+    // Interval COALESCE (union of overlapping intervals) — the
+    // companion of window_sweep_concurrency: that query counts
+    // concurrent intervals, this one merges them, the dedup every
+    // uptime/billing/coverage metric needs (raw durations double-count
+    // overlap). Gaps-and-islands: per key, an interval starts a new
+    // island iff its start exceeds the running max end of every
+    // earlier interval — ONE user-keyed window pass (running max over
+    // the start-ordered frame EXCLUSIVE of the current row), island
+    // ids from the flag's running sum, two keyed rollups. All
+    // arithmetic is integer micros: covered time per island =
+    // max(end) − min(start) exactly, so the union length is exact and
+    // the double-counting delta (raw − covered) is value-checked.
+    Q("window_interval_coalesce",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = load(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("st"),
+            (unix_micros(col("ts")) +
+              (round(col("value")).cast("long") + 1) * 60000000L).as("en"),
+            col("event_id"))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+        val flagged = iv
+          .withColumn("prev_max_end",
+            max(col("en")).over(wOrd.rowsBetween(
+              Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_end").isNull ||
+              col("st") > col("prev_max_end"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wOrd))
+        flagged.groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+            count(lit(1)).as("n"), sum(col("en") - col("st")).as("raw"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("n")).as("n_intervals"),
+            sum(col("ien") - col("ist")).as("cov_us"),
+            (sum(col("raw")) - sum(col("ien") - col("ist"))).as("ov_us"))
+          .select(col("user_id"), col("n_islands"), col("n_intervals"),
+            expr("cov_us DIV 60000000").as("covered_min"),
+            expr("ov_us DIV 60000000").as("overlap_min"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(ts) AS st,
+             |    epoch_us(ts) + (CAST(round(value) AS BIGINT) + 1)
+             |      * 60000000 AS en
+             |  FROM events WHERE value IS NOT NULL),
+             |f AS (
+             |  SELECT *,
+             |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_max_end
+             |  FROM iv),
+             |fl AS (
+             |  SELECT *, CASE WHEN prev_max_end IS NULL
+             |      OR st > prev_max_end THEN 1 ELSE 0 END AS new_island
+             |  FROM f),
+             |isl AS (
+             |  SELECT *, sum(new_island) OVER (PARTITION BY user_id
+             |    ORDER BY st, event_id) AS island
+             |  FROM fl),
+             |g AS (
+             |  SELECT user_id, island, min(st) AS ist, max(en) AS ien,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(en - st) AS BIGINT) AS raw
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             |  CAST(sum(n) AS BIGINT) AS n_intervals,
+             |  CAST(sum(ien - ist) AS BIGINT) // 60000000 AS covered_min,
+             |  CAST(sum(raw) - sum(ien - ist) AS BIGINT) // 60000000
+             |    AS overlap_min
+             |FROM g GROUP BY 1""".stripMargin),
+      "interval union via gaps-and-islands: one user-keyed window pass " +
+        "(running max end, exclusive frame), exact integer-micro " +
+        "coverage and overlap — the dedup every uptime/billing metric " +
+        "needs"),
+
     // Drill-across (Kimball): combine TWO fact tables at a conformed
     // grain — orders revenue and event activity meet at the customer
     // key, then roll up by segment splitting engaged (has events)

@@ -359,6 +359,69 @@ object DedupQueries {
         "equi-join — guaranteed detection of ≥8-token overlaps at " +
         "~2/(w+1) index density"),
 
+    // LSH parameter planner — the tuning step BEFORE any banding run:
+    // for a 64-hash budget, every (bands, rows) split has collision
+    // probability p(s) = 1 − (1 − s^r)^b (the S-curve); the planner
+    // scores each config's false-positive area below the target
+    // threshold t₀ = 0.7 and false-negative area above it on a 19-point
+    // similarity grid and flags the minimizer — the (b, r) the
+    // dedup_minhash_lsh_pairs family should run with. Pure math over a
+    // 7×19 literal grid (no data scan at all — the planner is O(1) in
+    // corpus size); pow chains are identical IEEE in both engines and
+    // the 19-term area sums round at 6 dp (float-kernel rule), so
+    // even the chosen flag's tie behavior matches.
+    Q("dedup_lsh_planner",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val configs = (0 to 6).map(i => (64 >> i, 1 << i))
+        val cfg = s.createDataFrame(configs).toDF("b", "r")
+        val scored = cfg
+          .select(col("b"), col("r"),
+            explode(sequence(lit(1), lit(19))).as("i"))
+          .select(col("b"), col("r"),
+            (col("i").cast("double") / 20.0).as("sv"))
+          .withColumn("p",
+            lit(1.0) - pow(lit(1.0) -
+              pow(col("sv"), col("r").cast("double")),
+              col("b").cast("double")))
+          .groupBy(col("b"), col("r"))
+          .agg(
+            round(sum(when(col("sv") < 0.7, col("p") * 0.05)
+              .otherwise(0.0)), 6).as("fp_area"),
+            round(sum(when(col("sv") >= 0.7,
+              (lit(1.0) - col("p")) * 0.05).otherwise(0.0)), 6)
+              .as("fn_area"))
+          .withColumn("total", col("fp_area") + col("fn_area"))
+        scored.withColumn("chosen",
+          row_number().over(Window.orderBy(col("total"), col("b"))) === 1)
+      },
+      Some("""WITH cfg AS (
+             |  SELECT * FROM (VALUES (64, 1), (32, 2), (16, 4), (8, 8),
+             |    (4, 16), (2, 32), (1, 64)) t(b, r)),
+             |grid AS (
+             |  SELECT b, r, CAST(i AS DOUBLE) / 20.0 AS sv
+             |  FROM cfg CROSS JOIN (SELECT unnest(range(1, 20)) AS i) g),
+             |scored AS (
+             |  SELECT b, r, sv,
+             |    1.0 - pow(1.0 - pow(sv, CAST(r AS DOUBLE)),
+             |      CAST(b AS DOUBLE)) AS p
+             |  FROM grid),
+             |areas AS (
+             |  SELECT CAST(b AS INTEGER) AS b, CAST(r AS INTEGER) AS r,
+             |    round(sum(CASE WHEN sv < 0.7 THEN p * 0.05
+             |      ELSE 0.0 END), 6) AS fp_area,
+             |    round(sum(CASE WHEN sv >= 0.7 THEN (1.0 - p) * 0.05
+             |      ELSE 0.0 END), 6) AS fn_area
+             |  FROM scored GROUP BY 1, 2)
+             |SELECT b, r, fp_area, fn_area,
+             |  fp_area + fn_area AS total,
+             |  row_number() OVER (ORDER BY fp_area + fn_area, b) = 1
+             |    AS chosen
+             |FROM areas""".stripMargin),
+      "LSH (bands, rows) planner for a 64-hash budget: S-curve FP/FN " +
+        "areas against the 0.7 target on a literal grid — O(1) in " +
+        "corpus size, the tuning input of the banding dedup family"),
+
     // Cluster election: candidate pairs -> connected components ->
     // canonical doc (min id in component) — the step that turns pair
     // lists into an actual dedup decision. Spark runs the ITERATIVE

@@ -982,5 +982,65 @@ object Monitors {
              |FROM pairs JOIN ties USING (event_type)""".stripMargin),
       "Mann-Kendall trend test: integer S and tie-corrected Var(S) " +
         "from the same daily-rollup pair enumeration as Theil-Sen; " +
-        "only the final two divisions are floating"))
+        "only the final two divisions are floating"),
+
+    // Power analysis / sample-size planning — the question every A/B
+    // review asks BEFORE launch and the missing front half of the
+    // quality_welch_ttest / quality_srm_check / quality_cuped_effect
+    // toolkit: how many users per arm to detect a 2% lift at α = 5%
+    // (two-sided) with 80% power. n = 2(z_{α/2}+z_β)²σ²/δ² from ONE
+    // map-side-combined exact-integer moment rollup per stream; the z
+    // constants are literals summed identically in both engines, every
+    // derived value is a single-op IEEE chain (the EB-shrinkage
+    // discipline), so the whole planner hash-matches unrounded.
+    Q("quality_power_sample_size",
+      (s, d) => {
+        val g = load(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+        g.withColumn("mean_cents",
+            col("s1").cast("double") / col("n").cast("double"))
+          .withColumn("var_cents",
+            (col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") /
+                col("n").cast("double")) /
+              (col("n") - 1).cast("double"))
+          .withColumn("mde_cents", lit(0.02) * col("mean_cents"))
+          .withColumn("n_required_per_arm",
+            ceil(lit(2.0) * ((lit(1.959963985) + lit(0.8416212336)) *
+              (lit(1.959963985) + lit(0.8416212336))) * col("var_cents") /
+              (col("mde_cents") * col("mde_cents"))))
+          .select(col("event_type"), col("n"), col("mean_cents"),
+            col("var_cents"), col("mde_cents"),
+            col("n_required_per_arm"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS s1,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+             |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n,
+             |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+             |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_cents,
+             |  0.02 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_cents,
+             |  CAST(ceil(2.0 * ((1.959963985 + 0.8416212336)
+             |      * (1.959963985 + 0.8416212336))
+             |    * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             |        * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(n - 1 AS DOUBLE))
+             |    / ((0.02 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      * (0.02 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |    AS BIGINT) AS n_required_per_arm
+             |FROM g""".stripMargin),
+      "power analysis: users per arm to detect a 2% lift at 80% power " +
+        "— one exact-integer moment rollup per stream, single-op IEEE " +
+        "chains, unrounded hash-match; the front half of the A/B " +
+        "toolkit"))
 }

@@ -1434,5 +1434,96 @@ object PipelineQueries {
       "V-optimal histogram: one 64-bin integer-moment rollup (the only " +
         "data pass) + an O(B·bins²) dp on driver-side metadata — " +
         "boundaries and SSE costs match the oracle's unrolled dp CTEs " +
-        "bitwise"))
+        "bitwise"),
+
+    // Iterative proportional fitting (raking) — the 2-D generalization
+    // of pipeline_domain_mix's single-dimension reweighting: calibrate
+    // a subpopulation's cell weights so BOTH marginal distributions
+    // (priority × customer segment) match the full population, the
+    // survey-statistics standard for dataset reweighting when only
+    // marginals are trusted. Everything runs at CELL grain — the data
+    // pass is two count rollups; the 3 IPF rounds are joins over the
+    // ≤25-row cell table. Each margin total folds through a
+    // cumulative window in one deterministic order (max of a
+    // nonneg-cumsum = the ordered total — the EB-shrinkage
+    // discipline), so the multiplicative weight chain hash-matches
+    // unrounded; the residual row-margin ratio is emitted per cell to
+    // show convergence.
+    Q("pipeline_raking_weights",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = load(s, d, "orders").select(
+          col("o_orderpriority").as("p"), (col("o_custkey") % 5).as("g"),
+          col("o_orderstatus").as("st"))
+        val full = persistOnce(o.groupBy(col("p"), col("g"))
+          .agg(count(lit(1)).as("t")))
+        val tp = full.groupBy(col("p")).agg(sum(col("t")).as("tp"))
+        val tg = full.groupBy(col("g")).agg(sum(col("t")).as("tg"))
+        var w = o.filter(col("st") === "F").groupBy(col("p"), col("g"))
+          .agg(count(lit(1)).as("n")).withColumn("w", lit(1.0))
+        def marginOf(df: DataFrame, key: String, ord: String) = df
+          .withColumn("nw", col("n") * col("w"))
+          .withColumn("cum", sum(col("nw")).over(
+            Window.partitionBy(col(key)).orderBy(col(ord))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col(key)).agg(max(col("cum")).as("m"))
+        for (_ <- 1 to 3) {
+          w = w.join(marginOf(w, "p", "g"), "p").join(tp, "p")
+            .withColumn("w",
+              col("w") * (col("tp").cast("double") / col("m")))
+            .select(col("p"), col("g"), col("n"), col("w"))
+          w = w.join(marginOf(w, "g", "p"), "g").join(tg, "g")
+            .withColumn("w",
+              col("w") * (col("tg").cast("double") / col("m")))
+            .select(col("p"), col("g"), col("n"), col("w"))
+        }
+        w.join(marginOf(w, "p", "g"), "p").join(tp, "p")
+          .select(col("p"), col("g"), col("n"), col("w").as("weight"),
+            (col("m") / col("tp").cast("double")).as("row_margin_ratio"))
+      },
+      Some {
+        def margin(src: String, key: String, ord: String, out: String) =
+          s"""$out AS (
+             |  SELECT $key, max(cum) AS m FROM (
+             |    SELECT $key, sum(n * w) OVER (PARTITION BY $key
+             |      ORDER BY $ord ROWS UNBOUNDED PRECEDING) AS cum
+             |    FROM $src) GROUP BY 1)""".stripMargin
+        val iters = (1 to 3).map { i =>
+          margin(s"w${i - 1}", "p", "g", s"rm$i") + ",\n" +
+            s"""wr$i AS (
+               |  SELECT x.p, x.g, x.n,
+               |    x.w * (CAST(tp.tp AS DOUBLE) / rm$i.m) AS w
+               |  FROM w${i - 1} x JOIN rm$i USING (p) JOIN tp USING (p)),
+               |""".stripMargin +
+            margin(s"wr$i", "g", "p", s"cm$i") + ",\n" +
+            s"""w$i AS (
+               |  SELECT x.p, x.g, x.n,
+               |    x.w * (CAST(tg.tg AS DOUBLE) / cm$i.m) AS w
+               |  FROM wr$i x JOIN cm$i USING (g) JOIN tg USING (g))"""
+              .stripMargin
+        }.mkString(",\n")
+        s"""WITH o AS (
+           |  SELECT o_orderpriority AS p, o_custkey % 5 AS g,
+           |    o_orderstatus AS st
+           |  FROM orders),
+           |full_pop AS (
+           |  SELECT p, g, CAST(count(*) AS BIGINT) AS t
+           |  FROM o GROUP BY 1, 2),
+           |tp AS (SELECT p, CAST(sum(t) AS BIGINT) AS tp
+           |       FROM full_pop GROUP BY 1),
+           |tg AS (SELECT g, CAST(sum(t) AS BIGINT) AS tg
+           |       FROM full_pop GROUP BY 1),
+           |w0 AS (
+           |  SELECT p, g, CAST(count(*) AS BIGINT) AS n, 1.0 AS w
+           |  FROM o WHERE st = 'F' GROUP BY 1, 2),
+           |$iters,
+           |${margin("w3", "p", "g", "rmf")}
+           |SELECT x.p, x.g, x.n, x.w AS weight,
+           |  rmf.m / CAST(tp.tp AS DOUBLE) AS row_margin_ratio
+           |FROM w3 x JOIN rmf USING (p) JOIN tp USING (p)""".stripMargin
+      },
+      "IPF raking to two marginal distributions: cell-grain iterations " +
+        "(≤25 rows) after two count rollups; ordered-fold margins keep " +
+        "the multiplicative weight chain deterministic — the " +
+        "survey-calibration reweighting operator"))
 }

@@ -625,5 +625,59 @@ object Expectations {
              |FROM cube GROUP BY 1, 2""".stripMargin),
       "k-anonymity + l-diversity release audit from one QI×sensitive " +
         "cube: group sizes, diversity, and the suppressed release — " +
-        "both pass and suppress branches live at every SF"))
+        "both pass and suppress branches live at every SF"),
+
+    // Difference-in-differences — the causal-inference family member
+    // between CUPED (variance reduction) and IPW (confounding
+    // adjustment): when treatment wasn't randomized but a PRE period
+    // exists, the effect estimate is (post_T − pre_T) − (post_C −
+    // pre_C), differencing out both the group baseline and the common
+    // time trend. Four cell means from ONE map-side-combined
+    // (treated, post) rollup over exact cents; every output is an
+    // integer-ratio mean or a single subtraction chain — unrounded
+    // hash-match. Cohorts and the period cutoff are deterministic
+    // (customer-key parity, 1998 cutoff), so all four cells are
+    // populated at every SF.
+    Q("quality_did_effect",
+      (s, d) => {
+        val cells = load(s, d, "orders")
+          .select((col("o_custkey") % 2 === 0).as("treated"),
+            (year(col("o_orderdate")) >= 1998).as("post"),
+            round(col("o_totalprice") * 100).cast("long").as("c"))
+          .groupBy(col("treated"), col("post"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+          .withColumn("m", col("s1").cast("double") / col("n").cast("double"))
+        val w = cells.groupBy()
+          .pivot(concat(when(col("treated"), lit("t")).otherwise(lit("c")),
+            when(col("post"), lit("_post")).otherwise(lit("_pre"))),
+            Seq("t_pre", "t_post", "c_pre", "c_post"))
+          .agg(first(col("m")))
+        w.select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+          ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+            .as("did_cents"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT (o_custkey % 2 = 0) AS treated,
+             |    (year(o_orderdate) >= 1998) AS post,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS s1
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (
+             |  SELECT treated, post,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+             |  FROM cells)
+             |SELECT
+             |  (SELECT m FROM m WHERE treated AND NOT post) AS t_pre,
+             |  (SELECT m FROM m WHERE treated AND post) AS t_post,
+             |  (SELECT m FROM m WHERE NOT treated AND NOT post) AS c_pre,
+             |  (SELECT m FROM m WHERE NOT treated AND post) AS c_post,
+             |  ((SELECT m FROM m WHERE treated AND post)
+             |    - (SELECT m FROM m WHERE treated AND NOT post))
+             |  - ((SELECT m FROM m WHERE NOT treated AND post)
+             |    - (SELECT m FROM m WHERE NOT treated AND NOT post))
+             |    AS did_cents""".stripMargin),
+      "difference-in-differences from one (treated, post) rollup: four " +
+        "exact-cents cell means, the common time trend differenced out " +
+        "— single-op chains, unrounded"))
 }

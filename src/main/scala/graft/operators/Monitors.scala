@@ -1042,5 +1042,61 @@ object Monitors {
       "power analysis: users per arm to detect a 2% lift at 80% power " +
         "— one exact-integer moment rollup per stream, single-op IEEE " +
         "chains, unrounded hash-match; the front half of the A/B " +
-        "toolkit"))
+        "toolkit"),
+
+    // Forecast backtest (MASE, Hyndman & Koehler): score the
+    // seasonal-naive forecast y(d−7) against the one-step naive
+    // y(d−1) — the scale-free accuracy ratio that makes forecast
+    // errors comparable across streams of different magnitude, and
+    // the GATE a monitoring stack applies before trusting any
+    // fancier model (MASE ≥ 1 ⇒ the season adds nothing). Both error
+    // series are integer |cent diffs| off the SAME shared daily
+    // rollup (one lag window pass, two ROWS offsets); MASE is
+    // computed as (Σ|e₇|·n₁)/(n₇·Σ|e₁|) — integer cross-multiply,
+    // ONE final division — so everything hash-matches unrounded.
+    Q("mon_forecast_mase",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val e = dailyTotals(s, d)
+          .withColumn("e7", abs(col("y") - lag(col("y"), 7).over(wOrd)))
+          .withColumn("e1", abs(col("y") - lag(col("y"), 1).over(wOrd)))
+        e.groupBy(col("event_type"))
+          .agg(count(col("e7")).as("n7"), sum(col("e7")).as("s7"),
+            count(col("e1")).as("n1"), sum(col("e1")).as("s1"))
+          .select(col("event_type"), col("n7").as("n_scored"),
+            (col("s7").cast("double") / col("n7").cast("double"))
+              .as("mae_seasonal_cents"),
+            (col("s1").cast("double") / col("n1").cast("double"))
+              .as("mae_naive_cents"),
+            ((col("s7") * col("n1")).cast("double") /
+              (col("n7") * col("s1")).cast("double")).as("mase"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |e AS (
+             |  SELECT event_type,
+             |    abs(y - lag(y, 7) OVER w) AS e7,
+             |    abs(y - lag(y, 1) OVER w) AS e1
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |g AS (
+             |  SELECT event_type,
+             |    CAST(count(e7) AS BIGINT) AS n7,
+             |    CAST(sum(e7) AS BIGINT) AS s7,
+             |    CAST(count(e1) AS BIGINT) AS n1,
+             |    CAST(sum(e1) AS BIGINT) AS s1
+             |  FROM e GROUP BY 1)
+             |SELECT event_type, n7 AS n_scored,
+             |  CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)
+             |    AS mae_seasonal_cents,
+             |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mae_naive_cents,
+             |  CAST(s7 * n1 AS DOUBLE) / CAST(n7 * s1 AS DOUBLE) AS mase
+             |FROM g""".stripMargin),
+      "MASE forecast backtest: seasonal-naive vs one-step-naive error " +
+        "off the shared daily rollup — integer cross-multiplied ratio, " +
+        "one final division, scale-free across streams"))
 }

@@ -2535,6 +2535,96 @@ object AdvancedQueries {
         "coverage and overlap — the dedup every uptime/billing metric " +
         "needs"),
 
+    // Floor-clamped running balance (inventory that cannot go
+    // negative) — the textbook "window functions can't do recursion"
+    // computation: balance_t = max(0, balance_{t-1} + delta_t) looks
+    // sequentially dependent, but the one-sided clamp has an exact
+    // closed form over plain prefix aggregates:
+    //   clamped_t = prefix_t − min(0, running_min(prefix)_t)
+    // (the floor absorbs exactly the deepest sub-zero excursion so
+    // far). So the whole per-supplier stock simulation — receipts on
+    // returned lines, issues on shipped lines — is TWO stacked windows
+    // over ONE supplier-keyed exchange plus a rollup, where the naive
+    // reading would reach for mapPartitions or a UDAF and serialize
+    // per key. Lost demand (units the floor swallowed), final and
+    // peak stock, and stockout events all fall out of the same pass.
+    // Every quantity is integer units; identical duplicate movement
+    // rows commute inside the order (same delta ⇒ permutation-
+    // invariant prefix multiset), so the hash compare is exact. The
+    // two-sided clamp (finite capacity) has NO such closed form —
+    // that one genuinely needs keyed state (StatefulOps.tokenBucket).
+    Q("window_clamped_balance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val mv = load(s, d, "lineitem").select(col("l_suppkey"),
+          when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(-col("l_quantity")).cast("long").as("delta"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), col("delta"))
+        val run = mv
+          .withColumn("prefix", sum(col("delta")).over(w))
+          .withColumn("runmin", min(col("prefix")).over(w))
+          .withColumn("stock",
+            col("prefix") - least(lit(0L), col("runmin")))
+        run.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_moves"),
+            sum(when(col("delta") > 0, col("delta")).otherwise(0L))
+              .as("received"),
+            sum(when(col("delta") < 0, -col("delta")).otherwise(0L))
+              .as("demanded"),
+            max(col("stock")).as("peak_stock"),
+            (sum(col("delta")) - least(lit(0L), min(col("prefix"))))
+              .as("final_stock"),
+            (-least(lit(0L), min(col("prefix")))).as("lost_units"),
+            sum(when(col("delta") < 0 && col("stock") === 0, 1L)
+              .otherwise(0L)).as("stockout_moves"))
+          .select(col("l_suppkey"), col("n_moves"), col("received"),
+            col("demanded"), col("peak_stock"), col("final_stock"),
+            col("lost_units"), col("stockout_moves"))
+      },
+      Some("""WITH mv AS (
+             |  SELECT l_suppkey,
+             |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+             |              ELSE -l_quantity END AS BIGINT) AS delta,
+             |    l_shipdate, l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |pre AS (
+             |  SELECT l_suppkey, delta, l_shipdate, l_orderkey,
+             |    l_linenumber,
+             |    CAST(sum(delta) OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS prefix
+             |  FROM mv),
+             |run AS (
+             |  SELECT l_suppkey, delta, prefix,
+             |    min(prefix) OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS runmin
+             |  FROM pre),
+             |st AS (
+             |  SELECT *, prefix - least(0, runmin) AS stock FROM run)
+             |SELECT l_suppkey,
+             |  CAST(count(*) AS BIGINT) AS n_moves,
+             |  CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+             |    AS BIGINT) AS received,
+             |  CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+             |    AS BIGINT) AS demanded,
+             |  CAST(max(stock) AS BIGINT) AS peak_stock,
+             |  CAST(sum(delta) - least(0, min(prefix)) AS BIGINT)
+             |    AS final_stock,
+             |  CAST(-least(0, min(prefix)) AS BIGINT) AS lost_units,
+             |  CAST(sum(CASE WHEN delta < 0 AND stock = 0 THEN 1 ELSE 0
+             |    END) AS BIGINT) AS stockout_moves
+             |FROM st GROUP BY 1""".stripMargin),
+      "floor-clamped inventory balance via the closed form " +
+        "prefix − min(0, runmin): two stacked windows on ONE " +
+        "supplier-keyed exchange replace a per-key sequential fold — " +
+        "lost demand, peak/final stock, stockouts all integer-exact"),
+
     // Drill-across (Kimball): combine TWO fact tables at a conformed
     // grain — orders revenue and event activity meet at the customer
     // key, then roll up by segment splitting engaged (has events)

@@ -627,6 +627,65 @@ object Expectations {
         "cube: group sizes, diversity, and the suppressed release — " +
         "both pass and suppress branches live at every SF"),
 
+    // Differential-privacy count release (Dwork's ε-DP Laplace
+    // mechanism) — the formal-privacy sibling of the k-anonymity
+    // audit above: each per-nation customer count is released as
+    // n + Laplace(Δ/ε) with sensitivity Δ = 1 (one individual moves
+    // one count by one), ε = 0.5. The noise draw inverts the Laplace
+    // CDF against the engine's deterministic md5-uniform (the same
+    // hash-RNG every sampling query uses — no RNG state, stable under
+    // retries/repartitioning, and REPLAYABLE in the oracle, which is
+    // exactly what a production privacy layer wants for audit:
+    // per-release seeds, not ambient randomness). u = (2·hv+1)/2³³ is
+    // a dyadic rational strictly inside (0,1) that can never equal ½,
+    // so sign and log stay well-defined; |noise| ≤ (1/ε)·ln 2³² ≈ 44.
+    // One map-side count rollup, O(groups) noise math; noised values
+    // rounded 4 dp (ln drifts ~1 ulp cross-engine), the ε ledger and
+    // the realized absolute error emitted beside the release.
+    Q("quality_dp_release",
+      (s, d) => {
+        val eps = 0.5
+        val hv = conv(substring(md5(concat(col("c_nationkey").cast("string"),
+          lit(":dp"))), 1, 8), 16, 10).cast("double")
+        val u = (hv * 2 + 1) / lit(8589934592.0)
+        val noise = (-lit(1.0) / eps) * signum(u - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+        load(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("c_nationkey"), col("n"),
+            round(col("n") + noise, 4).as("released_n"),
+            round(abs(noise), 4).as("abs_err"),
+            lit(eps).as("epsilon_spent"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1),
+             |h AS (
+             |  SELECT *, list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(CAST(c_nationkey AS VARCHAR) || ':dp'),
+             |          i, 1)) - 1 AS DOUBLE)),
+             |      (a, x) -> a * 16 + x) AS hv
+             |  FROM g),
+             |z AS (
+             |  SELECT c_nationkey, n, (hv * 2 + 1) / 8589934592.0 AS u
+             |  FROM h),
+             |nz AS (
+             |  SELECT c_nationkey, n,
+             |    (-1.0 / 0.5) * sign(u - 0.5)
+             |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+             |  FROM z)
+             |SELECT c_nationkey, n,
+             |  round(n + noise, 4) AS released_n,
+             |  round(abs(noise), 4) AS abs_err,
+             |  CAST(0.5 AS DOUBLE) AS epsilon_spent
+             |FROM nz""".stripMargin),
+      "ε-differential-privacy count release: Laplace(1/ε) noise " +
+        "inverted from the deterministic md5-uniform — replayable " +
+        "draws, O(groups) noise math on one map-side rollup, ε ledger " +
+        "and realized error beside the release"),
+
     // Difference-in-differences — the causal-inference family member
     // between CUPED (variance reduction) and IPW (confounding
     // adjustment): when treatment wasn't randomized but a PRE period

@@ -450,5 +450,75 @@ object GraphQueries {
       "synchronous label-propagation communities: per round one " +
         "edge-keyed join + two hash aggregates, packed-long argmax " +
         "(count desc, label asc) keeps the mode hash-aggregable; " +
-        "3-round fixpoint trajectory value-checked"))
+        "3-round fixpoint trajectory value-checked"),
+
+    // Weighted shortest paths from a seed document, hop-bounded: the
+    // WEIGHTED companion of graph_bfs_layers (link distance where
+    // links cost different amounts — crawl cost, latency, toll).
+    // Semantics are the exact-h-edges DP, not mixed-state
+    // Bellman-Ford: layer h holds D[v][h] = cheapest path using
+    // EXACTLY h edges (one src-keyed equi-join + min hash-agg per
+    // round — shuffle ∝ layer out-edges, the BFS cost class), and the
+    // answer folds min over h ≤ 5 packed as dist·8+hops so a distance
+    // tie resolves to the FEWEST hops deterministically (the packed
+    // lexicographic-min idiom; hops ≤ 5 < 8, dist ≤ 35 — no overflow).
+    // Mixed-state BF would be one frame instead of six but its
+    // intermediate values depend on relaxation order when a hop cap
+    // is the spec; the layered DP is exact and each layer is
+    // independently correct, so the oracle replays it as six chained
+    // CTEs and every (node, dist, hops) value hash-checks. Edge
+    // weights w = 1 + (src+dst) mod 7 derive from the same shared
+    // link rule — integer arithmetic end to end, nothing rounded.
+    Q("graph_shortest_paths",
+      (s, d) => {
+        val ew = persistOnce(derivedDir(s, d)
+          .select(col("src"), col("dst"),
+            (lit(1L) + (col("src") + col("dst")) % 7).as("w")))
+        var layer = load(s, d, "documents").filter(col("doc_id") === 0)
+          .select(col("doc_id").as("node"), lit(0L).as("dist"))
+        val layers = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        layers += layer.select(col("node"), col("dist"), lit(0L).as("h"))
+        for (i <- 1 to 5) {
+          layer = persistOnce(layer
+            .join(ew, col("node") === col("src"))
+            .groupBy(col("dst"))
+            .agg(min(col("dist") + col("w")).as("dist"))
+            .select(col("dst").as("node"), col("dist")))
+          layers += layer.select(col("node"), col("dist"), lit(i.toLong).as("h"))
+        }
+        layers.result().reduce(_ unionByName _)
+          .groupBy(col("node"))
+          .agg(min(col("dist") * 8 + col("h")).as("pk"))
+          .select(col("node").as("doc_id"),
+            expr("pk DIV 8").as("dist"),
+            (col("pk") % 8).as("hops"))
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""d$i AS (
+             |  SELECT dst AS node, min(p.dist + w) AS dist
+             |  FROM d${i - 1} p JOIN ew ON p.node = ew.src GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgeSqlPrefix,
+           |ew AS (SELECT src, dst,
+           |         CAST(1 + (src + dst) % 7 AS BIGINT) AS w FROM dir),
+           |d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+           |       FROM nodes WHERE doc_id = 0),
+           |$iters,
+           |united AS (
+           |  SELECT node, dist, 0 AS h FROM d0
+           |  UNION ALL SELECT node, dist, 1 FROM d1
+           |  UNION ALL SELECT node, dist, 2 FROM d2
+           |  UNION ALL SELECT node, dist, 3 FROM d3
+           |  UNION ALL SELECT node, dist, 4 FROM d4
+           |  UNION ALL SELECT node, dist, 5 FROM d5)
+           |SELECT node AS doc_id,
+           |       min(dist * 8 + h) // 8 AS dist,
+           |       CAST(min(dist * 8 + h) % 8 AS BIGINT) AS hops
+           |FROM united GROUP BY 1""".stripMargin
+      },
+      "hop-bounded weighted shortest paths (exact-h layered DP): one " +
+        "src-keyed equi-join + min hash-agg per layer, packed " +
+        "(dist, hops) lexicographic-min fold — integer-exact, all six " +
+        "layers value-checked against chained CTEs"))
 }

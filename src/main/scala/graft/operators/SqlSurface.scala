@@ -66,6 +66,57 @@ object SqlSurface {
       "WITH RECURSIVE month spine (UnionLoop) + one fact join after the " +
         "loop — depth bounded by calendar range, not data size"),
 
+    // Bill-of-materials explosion — recursion that AGGREGATES along
+    // the path, not mere reachability (cte_recursive_months walks a
+    // spine, graph_bfs_layers walks edges; here the per-edge unit
+    // quantity MULTIPLIES down the chain, the classic parts-explosion
+    // query MRP systems run). The assembly forest derives
+    // deterministically from the dense part id space: parent(p) =
+    // p DIV 10, so depth is log₁₀(parts) (≤ 5 at sf0.1) and the
+    // recursion touches O(parts × depth) rows total — each loop round
+    // is one equi-join by construction, never a frontier blowup.
+    // Extended quantity of a part inside its root assembly = product
+    // of (1 + node mod 4) up the chain: bounded by 4^depth ≤ 1024,
+    // integer-exact. Rollup per root: component count, total extended
+    // units, deepest level — every row value-checked (DuckDB runs the
+    // identical WITH RECURSIVE).
+    Q("cte_bom_explosion",
+      (s, d) => {
+        load(s, d, "part").createOrReplaceTempView("part_bom")
+        s.sql("""WITH RECURSIVE walk(part, anc, qty, lvl) AS (
+          |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT),
+          |         CAST(1 AS BIGINT), 0
+          |  FROM part_bom
+          |  UNION ALL
+          |  SELECT part, anc DIV 10, qty * (1 + anc % 4), lvl + 1
+          |  FROM walk WHERE anc >= 10)
+          |SELECT anc AS root_assembly,
+          |       count(CASE WHEN part <> anc THEN 1 END) AS n_components,
+          |       sum(CASE WHEN part <> anc THEN qty ELSE 0 END)
+          |         AS total_units,
+          |       max(lvl) AS max_depth
+          |FROM walk WHERE anc < 10
+          |GROUP BY 1""".stripMargin)
+      },
+      Some("""WITH RECURSIVE walk(part, anc, qty, lvl) AS (
+             |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT),
+             |         CAST(1 AS BIGINT), 0
+             |  FROM part
+             |  UNION ALL
+             |  SELECT part, anc // 10, qty * (1 + anc % 4), lvl + 1
+             |  FROM walk WHERE anc >= 10)
+             |SELECT anc AS root_assembly,
+             |  CAST(count(CASE WHEN part <> anc THEN 1 END) AS BIGINT)
+             |    AS n_components,
+             |  CAST(sum(CASE WHEN part <> anc THEN qty ELSE 0 END)
+             |    AS BIGINT) AS total_units,
+             |  CAST(max(lvl) AS INTEGER) AS max_depth
+             |FROM walk WHERE anc < 10
+             |GROUP BY 1""".stripMargin),
+      "recursive BOM explosion: per-edge quantities multiply down the " +
+        "derived assembly forest (depth = log₁₀ parts), O(parts × " +
+        "depth) loop rows, integer-exact extended units per root"),
+
     Q("subquery_exists",
       (s, d) => {
         load(s, d, "customer").createOrReplaceTempView("customer_sq")

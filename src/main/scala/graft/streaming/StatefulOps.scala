@@ -378,6 +378,59 @@ object StatefulOps {
   implicit val vmEnc: Encoder[VMatch] = Encoders.product[VMatch]
   implicit val runStEnc: Encoder[RunState] = Encoders.product[RunState]
 
+  // ---------------------------------------------------------------
+  // Token-bucket admission control (per-tenant rate limiting at the
+  // ingest edge). This is the computation the batch catalog's
+  // window_clamped_balance closed form CANNOT express: an admission
+  // DECISION feeds back into the balance (rejected events consume
+  // nothing), so the fold is non-associative for real and needs keyed
+  // state — O(2 longs) per tenant, the canonical ST4 shape. Within a
+  // batch events are sorted by `ord`; `ord` is also the replay
+  // high-water mark (redelivered or stale events emit nothing and
+  // leave state untouched, the same idempotence convention as cusum /
+  // matchVPattern). All arithmetic is integer token units: refill =
+  // Δord · ratePerOrd capped at capacity, so parity with a sequential
+  // reference fold is exact, not approximate.
+  // ---------------------------------------------------------------
+
+  final case class RateEvent(key: String, ord: Long, cost: Long)
+  final case class BucketState(lastOrd: Long, tokens: Long)
+  final case class Admission(key: String, ord: Long, cost: Long,
+                             admitted: Boolean, tokensAfter: Long)
+
+  implicit val rateEnc: Encoder[RateEvent] = Encoders.product[RateEvent]
+  implicit val bucketEnc: Encoder[BucketState] = Encoders.product[BucketState]
+  implicit val admEnc: Encoder[Admission] = Encoders.product[Admission]
+
+  /** Per-key token bucket: starts full at `capacity`, refills
+    * `ratePerOrd` tokens per unit of `ord` elapsed (capped), admits an
+    * event iff the bucket covers its cost. Emits one Admission per
+    * first-seen event; replays/stale events are no-ops. */
+  def tokenBucket(events: Dataset[RateEvent], capacity: Long,
+                  ratePerOrd: Long): Dataset[Admission] =
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[RateEvent],
+         state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(Long.MinValue, capacity))
+          val out = Vector.newBuilder[Admission]
+          batch.toVector.sortBy(_.ord).foreach { e =>
+            if (e.ord > s.lastOrd) { // replay / stale: idempotent skip
+              val refilled =
+                if (s.lastOrd == Long.MinValue) capacity
+                else math.min(capacity,
+                  s.tokens + (e.ord - s.lastOrd) * ratePerOrd)
+              val admitted = refilled >= e.cost
+              val left = if (admitted) refilled - e.cost else refilled
+              out += Admission(key, e.ord, e.cost, admitted, left)
+              s = BucketState(e.ord, left)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+
   /** Per-key streaming V-pattern (DOWN{2,} UP{2,}) matcher. */
   def matchVPattern(obs: Dataset[Obs]): Dataset[VMatch] =
     obs.groupByKey(_.key)

@@ -346,4 +346,63 @@ class StatefulOpsSpec extends SparkSpec {
       assert(got().size == before)
     } finally q.stop()
   }
+
+  test("tokenBucket == the sequential reference fold regardless of " +
+    "batch boundaries; replays and stale events are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{Admission, RateEvent}
+    val (capacity, rate) = (10L, 2L) // 10-token bucket, 2 tokens/tick
+    // 'a' bursts (costs exceed refill → rejections); 'b' stays under
+    val xs = Map(
+      "a" -> Vector((1L, 6L), (2L, 6L), (3L, 6L), (10L, 6L), (11L, 9L),
+        (12L, 1L), (20L, 10L), (21L, 10L)),
+      "b" -> Vector((1L, 1L), (5L, 2L), (9L, 3L), (13L, 4L)))
+    def reference(key: String): Vector[Admission] = {
+      var (lastOrd, tokens) = (Long.MinValue, capacity)
+      xs(key).map { case (ord, cost) =>
+        val refilled =
+          if (lastOrd == Long.MinValue) capacity
+          else math.min(capacity, tokens + (ord - lastOrd) * rate)
+        val admitted = refilled >= cost
+        val left = if (admitted) refilled - cost else refilled
+        lastOrd = ord; tokens = left
+        Admission(key, ord, cost, admitted, left)
+      }
+    }
+    // the scenario must exercise both decision branches per key class
+    assert(reference("a").count(!_.admitted) >= 2)
+    assert(reference("b").forall(_.admitted))
+
+    val events = for ((key, v) <- xs.toSeq; (ord, cost) <- v)
+      yield RateEvent(key, ord, cost)
+    val ms = MemoryStream[RateEvent]
+    val q = StatefulOps.tokenBucket(ms.toDS(), capacity, rate)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bucket_out")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    try {
+      def got(): Seq[Admission] =
+        spark.table("bucket_out").as[Admission].collect().toSeq
+      // three uneven micro-batches cut on ord (cross-batch per-key
+      // order holds — the stream contract), WITHIN-batch order
+      // shuffled — decisions must depend on neither
+      val ordered = events.sortBy(_.ord)
+      val (p1, rest) = ordered.splitAt(5)
+      val (p2, p3) = rest.splitAt(4)
+      val Seq(b1, b2, b3) = Seq(p1, p2, p3)
+        .map(_.sortBy(e => ((e.ord * 7 + e.cost) % 5, e.key)))
+      Seq(b1, b2, b3).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val expected = (reference("a") ++ reference("b")).toSet
+      assert(got().toSet == expected)
+      assert(got().size == expected.size) // append mode, no duplicates
+      // whole-batch replay: no state change, no re-emission
+      ms.addData(b2: _*); q.processAllAvailable()
+      assert(got().size == expected.size)
+      // stale out-of-order event with a wild cost: ignored
+      ms.addData(RateEvent("a", 2L, 100L)); q.processAllAvailable()
+      assert(got().toSet == expected)
+    } finally q.stop()
+  }
 }

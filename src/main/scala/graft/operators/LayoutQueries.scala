@@ -346,6 +346,108 @@ object LayoutQueries {
         "target-sized bins over O(#files) metadata — cluster order and " +
         "partition pruning survive the rewrite"),
 
+    // Clustering-quality audit (overlap depth) — the number Delta's
+    // OPTIMIZE ZORDER exists to drive down: how many file min/max
+    // envelopes cover any given key point, i.e. how many files a
+    // point lookup must open AFTER stats pruning. Two layouts of the
+    // same events table are modeled as deterministic file metadata
+    // (the layout-family convention): ingest order (file = type×day —
+    // user envelopes span the whole domain, depth ≈ n_files) vs
+    // key-clustered (file = type×16-wide user bucket — envelopes
+    // disjoint by construction, depth 1). Depth comes from the
+    // interval SWEEP over O(#files) metadata (net +1/−1 at envelope
+    // edges, one running sum per (layout, type) — the
+    // window_sweep_concurrency shape applied to the catalog, never to
+    // rows), yielding max depth and the span-weighted average depth
+    // exactly: integer Σ depth·segment over an integer span, one
+    // final division. The pair of rows per type IS the before/after
+    // OPTIMIZE report.
+    Q("layout_overlap_depth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = persistOnce(load(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id")))
+        val byDay = ev.groupBy(col("event_type"), col("day"))
+          .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+          .select(lit("ingest_order").as("layout"), col("event_type"),
+            col("lo"), col("hi"))
+        val byKey = ev.groupBy(col("event_type"),
+            expr("user_id DIV 16").as("ub"))
+          .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+          .select(lit("key_clustered").as("layout"), col("event_type"),
+            col("lo"), col("hi"))
+        val files = persistOnce(byDay.unionByName(byKey))
+        val nf = files.groupBy(col("layout"), col("event_type"))
+          .agg(count(lit(1)).as("n_files"))
+        val pts = files
+          .select(col("layout"), col("event_type"),
+            explode(array(struct(col("lo").as("p"), lit(1L).as("dl")),
+              struct((col("hi") + 1).as("p"), lit(-1L).as("dl"))))
+              .as("e"))
+          .groupBy(col("layout"), col("event_type"), col("e.p").as("p"))
+          .agg(sum(col("e.dl")).as("net"))
+        val w = Window.partitionBy(col("layout"), col("event_type"))
+          .orderBy(col("p"))
+        val seg = pts
+          .withColumn("depth", sum(col("net")).over(w))
+          .withColumn("len", lead(col("p"), 1).over(w) - col("p"))
+          .filter(col("len").isNotNull)
+        seg.groupBy(col("layout"), col("event_type"))
+          .agg(max(col("depth")).as("max_depth"),
+            sum(col("depth") * col("len")).as("wsum"),
+            sum(col("len")).as("span"))
+          .join(nf, Seq("layout", "event_type"))
+          .select(col("layout"), col("event_type"), col("n_files"),
+            col("max_depth"),
+            (col("wsum").cast("double") / col("span").cast("double"))
+              .as("avg_depth"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |files AS (
+             |  SELECT 'ingest_order' AS layout, event_type,
+             |    min(user_id) AS lo, max(user_id) AS hi
+             |  FROM ev GROUP BY event_type, day
+             |  UNION ALL
+             |  SELECT 'key_clustered' AS layout, event_type,
+             |    min(user_id) AS lo, max(user_id) AS hi
+             |  FROM ev GROUP BY event_type, user_id // 16),
+             |nf AS (
+             |  SELECT layout, event_type, CAST(count(*) AS BIGINT)
+             |    AS n_files
+             |  FROM files GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT layout, event_type, p, CAST(sum(dl) AS BIGINT)
+             |    AS net
+             |  FROM (
+             |    SELECT layout, event_type, lo AS p, 1 AS dl FROM files
+             |    UNION ALL
+             |    SELECT layout, event_type, hi + 1 AS p, -1 AS dl
+             |    FROM files) e
+             |  GROUP BY 1, 2, 3),
+             |seg AS (
+             |  SELECT layout, event_type,
+             |    CAST(sum(net) OVER w AS BIGINT) AS depth,
+             |    lead(p, 1) OVER w - p AS len
+             |  FROM pts
+             |  WINDOW w AS (PARTITION BY layout, event_type ORDER BY p
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |agg AS (
+             |  SELECT layout, event_type,
+             |    CAST(max(depth) AS BIGINT) AS max_depth,
+             |    CAST(sum(depth * len) AS BIGINT) AS wsum,
+             |    CAST(sum(len) AS BIGINT) AS span
+             |  FROM seg WHERE len IS NOT NULL GROUP BY 1, 2)
+             |SELECT layout, event_type, n_files, max_depth,
+             |  CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE) AS avg_depth
+             |FROM agg JOIN nf USING (layout, event_type)""".stripMargin),
+      "file-envelope overlap depth (clustering quality): interval " +
+        "sweep over O(#files) metadata per layout — max and " +
+        "span-weighted average envelopes covering a key point; the " +
+        "before/after-OPTIMIZE report, integer-exact"),
+
     // Partition-strategy advisor: the decision every 100 TB table gets
     // wrong once — which column(s) to partition by. Four candidate
     // schemes are scored from the SAME cached row-grain projection

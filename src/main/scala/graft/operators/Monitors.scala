@@ -305,6 +305,67 @@ object Monitors {
         "unrounded cross-engine) + 2× spike flag; eight lag() taps " +
         "over one topic-keyed window pass"),
 
+    // Holt's linear-trend forecast (double exponential smoothing) —
+    // what EWMA cannot do: a level-only smoother lags any trending
+    // series by construction, Holt carries an explicit trend term
+    //   l_t = ½y_t + ½(l_{t-1}+b_{t-1});  b_t = ½(l_t−l_{t-1}) + ½b_{t-1}
+    // and extrapolates l+h·b. The COUPLED recursion has no fixed-tap
+    // truncation (the weights are 2×2 matrix powers, not a geometric
+    // series), so this is the sequential-fold family member: each
+    // topic's bounded daily series (O(days) per topic, rolled up
+    // first — the aggregate-first discipline) folds through one
+    // higher-order aggregate() with (l, b) struct state. Both engines
+    // replay the IDENTICAL operation sequence in the identical order
+    // (DuckDB list_reduce over an init-prepended list of singletons —
+    // the established fold-replay recipe), so the chain is bitwise
+    // deterministic and stays UNROUNDED. Collected structs are
+    // array_sort'ed before the fold (collect order is partition-
+    // nondeterministic), and day indexes make the sort key unique.
+    Q("mon_holt_forecast",
+      (s, d) => {
+        val daily = load(s, d, "events")
+          .groupBy(col("event_type").as("topic"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        daily.groupBy(col("topic"))
+          .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+            .as("srt"))
+          .select(col("topic"),
+            expr("transform(srt, t -> CAST(t.x AS DOUBLE))").as("ys"))
+          .select(col("topic"), size(col("ys")).cast("long").as("n_days"),
+            expr("""aggregate(slice(ys, 2, size(ys) - 1),
+              named_struct('l', element_at(ys, 1), 'b', CAST(0 AS DOUBLE)),
+              (a, y) -> named_struct(
+                'l', y * 0.5D + (a.l + a.b) * 0.5D,
+                'b', (y * 0.5D + (a.l + a.b) * 0.5D - a.l) * 0.5D
+                  + a.b * 0.5D))""").as("st"))
+          .select(col("topic"), col("n_days"),
+            col("st.l").as("level"), col("st.b").as("trend"),
+            (col("st.l") + lit(3.0) * col("st.b")).as("forecast_3"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type AS topic, CAST(ts AS DATE) AS day,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |arr AS (
+             |  SELECT topic, list(CAST(x AS DOUBLE) ORDER BY day) AS ys
+             |  FROM daily GROUP BY 1),
+             |fold AS (
+             |  SELECT topic, CAST(len(ys) AS BIGINT) AS n_days,
+             |    list_reduce(list_prepend([ys[1], CAST(0 AS DOUBLE)],
+             |      list_transform(ys[2:], y -> [y])),
+             |      (a, x) -> [x[1] * 0.5 + (a[1] + a[2]) * 0.5,
+             |        (x[1] * 0.5 + (a[1] + a[2]) * 0.5 - a[1]) * 0.5
+             |          + a[2] * 0.5]) AS st
+             |  FROM arr)
+             |SELECT topic, n_days, st[1] AS level, st[2] AS trend,
+             |  st[1] + 3.0 * st[2] AS forecast_3
+             |FROM fold""".stripMargin),
+      "Holt linear-trend forecast: the coupled (level, trend) " +
+        "recursion as a sequential higher-order fold over per-topic " +
+        "daily rollups — identical op sequence both engines, " +
+        "unrounded; h=3 extrapolation beside the state"),
+
     // CUSUM changepoint detection over the per-type daily event rate —
     // the sequential drift detector (Page 1954) behind "this topic's
     // volume shifted" alerts. The textbook form is a stateful

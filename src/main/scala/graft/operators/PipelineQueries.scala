@@ -1525,5 +1525,81 @@ object PipelineQueries {
       "IPF raking to two marginal distributions: cell-grain iterations " +
         "(≤25 rows) after two count rollups; ordered-fold margins keep " +
         "the multiplicative weight chain deterministic — the " +
-        "survey-calibration reweighting operator"))
+        "survey-calibration reweighting operator"),
+
+    // Quantile normalization — the batch-effect correction ML
+    // preprocessing applies when per-source score scales drift (one
+    // crawl's length distribution vs another's): each doc's
+    // WITHIN-LANG percentile is mapped back through the GLOBAL
+    // inverse ECDF, so every language's scores land on one common
+    // scale while preserving within-lang order. Nothing touches a
+    // global per-row sort: the reference distribution is built
+    // aggregate-first (distinct-score rollup → one cumulative window
+    // over O(score domain) rows → a 101-point inverse-ECDF grid by
+    // rank arithmetic), per-doc percentiles are integer round-half-up
+    // arithmetic over (rank, group size) from one lang-keyed window
+    // — ((rk−1)·200 + (nl−1)) DIV (2(nl−1)) — no float rounding at
+    // the bucket edge (Spark HALF_UP vs DuckDB rounding on a .5
+    // double would diverge), and the grid joins back broadcast.
+    // Type-1 (no-interpolation) quantiles keep every value an
+    // integer actually present in the corpus — exact hash compare.
+    Q("pipeline_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = persistOnce(load(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").as("score")))
+        val nRow = docs.agg(count(lit(1)).as("n"))
+        val byLang = Window.partitionBy(col("lang"))
+        val ranked = docs
+          .withColumn("rk",
+            row_number().over(byLang.orderBy(col("score"), col("doc_id")))
+              .cast("long"))
+          .withColumn("nl", count(lit(1)).over(byLang))
+          .withColumn("j", when(col("nl") === 1, lit(0L))
+            .otherwise(expr("((rk - 1) * 200 + (nl - 1)) DIV (2 * (nl - 1))")))
+        val cum = docs.groupBy(col("score")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(lit(0)).orderBy(col("score"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val grid = nRow
+          .select(explode(sequence(lit(0L), lit(100L))).as("j"), col("n"))
+          .join(cum, col("cum") >= expr("j * (n - 1) DIV 100 + 1"))
+          .groupBy(col("j")).agg(min(col("score")).as("normalized"))
+        ranked.join(broadcast(grid), "j")
+          .select(col("lang"), col("doc_id"), col("score"),
+            col("j").as("pct_bucket"), col("normalized"))
+      },
+      Some("""WITH s AS (
+             |  SELECT lang, doc_id, n_chars AS score FROM documents),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |ranked AS (
+             |  SELECT lang, doc_id, score,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY score, doc_id) AS BIGINT) AS rk,
+             |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+             |  FROM s),
+             |j AS (
+             |  SELECT lang, doc_id, score,
+             |    CASE WHEN nl = 1 THEN CAST(0 AS BIGINT)
+             |         ELSE ((rk - 1) * 200 + (nl - 1)) // (2 * (nl - 1))
+             |    END AS j
+             |  FROM ranked),
+             |dv AS (SELECT score, count(*) AS c FROM s GROUP BY 1),
+             |cumv AS (
+             |  SELECT score, CAST(sum(c) OVER (ORDER BY score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum
+             |  FROM dv),
+             |grid AS (
+             |  SELECT g.j, min(score) AS normalized
+             |  FROM (SELECT unnest(range(0, 101)) AS j) g
+             |  CROSS JOIN nn
+             |  JOIN cumv ON cum >= g.j * (n - 1) // 100 + 1
+             |  GROUP BY 1)
+             |SELECT lang, doc_id, score, j.j AS pct_bucket, normalized
+             |FROM j JOIN grid ON j.j = grid.j""".stripMargin),
+      "quantile normalization onto the global scale: within-lang " +
+        "integer percentile arithmetic (one lang-keyed window) mapped " +
+        "through a 101-point inverse-ECDF grid built aggregate-first " +
+        "— no global row sort, type-1 values exact"))
 }

@@ -185,6 +185,106 @@ object Reconcile {
         "key-keyed full-outer join, null-safe map-side compares, " +
         "output ∝ divergent rows — the digest query's re-sync step"),
 
+    // Majority-vote read repair across THREE replicas — what a
+    // quorum store (Cassandra/Dynamo R+W>N) does on every read, as a
+    // batch reconciliation: per key, the version held by ≥2 replicas
+    // is authoritative; a 2-of-3 majority repairs the minority copy,
+    // no majority (or a single surviving copy) is a quorum loss that
+    // needs operator eyes. Replica faults are planted on residue
+    // classes of key mod 60 so EVERY verdict is live at every SF
+    // (the dense custkey space covers all residues even at sf0.001):
+    // r7 → one corrupt copy (repaired), r13 → dropped from two
+    // replicas (quorum lost), r21 → corrupted DIFFERENTLY in two
+    // replicas (three-way split, quorum lost), r33 → dropped from one
+    // (under-replicated but agreeing), r45 → one corrupt segment
+    // (repair on a non-numeric column). Shape: one union, votes = one
+    // (key, row-fingerprint) hash-agg, winner = max_by over the
+    // CONCATENATED (votes, fp) string key — single-digit vote counts
+    // make string order = (votes, fp) lexicographic order, and fp is
+    // unique within the key group, so both engines' argmax agree
+    // without struct-ordered aggregates (which demote to
+    // SortAggregate). Cost: two key-grain hash-aggs over 3n rows —
+    // never a 3-way join.
+    Q("recon_majority_vote",
+      (s, d) => {
+        val base = load(s, d, "customer").select(col("c_custkey").as("key"),
+          col("c_name").as("name"), col("c_nationkey").as("nation"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"),
+          col("c_mktsegment").as("seg"))
+        val r = col("key") % 60
+        val r1 = base.filter(r =!= 13)
+          .withColumn("cents",
+            when(r === 7 || r === 21, col("cents") + 100)
+              .otherwise(col("cents")))
+        val r2 = base.filter(r =!= 13)
+          .withColumn("cents", when(r === 21, col("cents") + 200)
+            .otherwise(col("cents")))
+        val r3 = base.filter(r =!= 33)
+          .withColumn("seg", when(r === 45, lit("CORRUPT"))
+            .otherwise(col("seg")))
+        val u = r1.unionByName(r2).unionByName(r3)
+          .withColumn("fp", md5(concat_ws("|", col("name"),
+            col("nation"), col("cents"), col("seg"))))
+        val votes = u.groupBy(col("key"), col("fp"))
+          .agg(count(lit(1)).as("votes"), max(col("cents")).as("vcents"))
+        val pk = concat(col("votes").cast("string"), col("fp"))
+        votes.groupBy(col("key"))
+          .agg(sum(col("votes")).as("n_present"),
+            max_by(col("votes"), pk).as("win_votes"),
+            max_by(col("vcents"), pk).as("cents"))
+          .select(col("key"), col("n_present"), col("win_votes"),
+            when(col("win_votes") >= 3, "healthy")
+              .when(col("win_votes") === 2 && col("n_present") === 3,
+                "repaired")
+              .when(col("win_votes") === 2, "under_replicated")
+              .otherwise("quorum_lost").as("status"),
+            col("cents"))
+          .filter(col("status") =!= "healthy")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey AS key, c_name AS name,
+             |    c_nationkey AS nation,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             |    c_mktsegment AS seg
+             |  FROM customer),
+             |r1 AS (SELECT key, name, nation,
+             |    CASE WHEN key % 60 IN (7, 21) THEN cents + 100
+             |         ELSE cents END AS cents, seg
+             |  FROM base WHERE key % 60 <> 13),
+             |r2 AS (SELECT key, name, nation,
+             |    CASE WHEN key % 60 = 21 THEN cents + 200 ELSE cents END
+             |      AS cents, seg
+             |  FROM base WHERE key % 60 <> 13),
+             |r3 AS (SELECT key, name, nation, cents,
+             |    CASE WHEN key % 60 = 45 THEN 'CORRUPT' ELSE seg END AS seg
+             |  FROM base WHERE key % 60 <> 33),
+             |u AS (
+             |  SELECT *, md5(name || '|' || CAST(nation AS VARCHAR)
+             |    || '|' || CAST(cents AS VARCHAR) || '|' || seg) AS fp
+             |  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |        UNION ALL SELECT * FROM r3) z),
+             |v AS (
+             |  SELECT key, fp, CAST(count(*) AS BIGINT) AS votes,
+             |    max(cents) AS vcents
+             |  FROM u GROUP BY 1, 2),
+             |w AS (
+             |  SELECT key, CAST(sum(votes) AS BIGINT) AS n_present,
+             |    arg_max(votes, CAST(votes AS VARCHAR) || fp) AS win_votes,
+             |    arg_max(vcents, CAST(votes AS VARCHAR) || fp) AS cents
+             |  FROM v GROUP BY 1)
+             |SELECT key, n_present, win_votes,
+             |  CASE WHEN win_votes >= 3 THEN 'healthy'
+             |       WHEN win_votes = 2 AND n_present = 3 THEN 'repaired'
+             |       WHEN win_votes = 2 THEN 'under_replicated'
+             |       ELSE 'quorum_lost' END AS status,
+             |  cents
+             |FROM w
+             |WHERE win_votes < 3""".stripMargin),
+      "3-replica majority-vote read repair: one union + two key-grain " +
+        "hash-aggs (never a 3-way join), concatenated-string argmax " +
+        "keeps the winner hash-aggregable — repairs and quorum losses " +
+        "flagged with the authoritative value"),
+
     // Merkle digest TREE over the same fingerprint family: 64 leaf
     // buckets fold into 8 level-1 nodes fold into one root — the
     // Cassandra/DynamoDB anti-entropy structure. Two replicas compare

@@ -1166,5 +1166,62 @@ object SqlSurface {
              |FROM ranked GROUP BY 1 HAVING count(*) >= 4""".stripMargin),
       "largest-remainder penny allocation: integer cross-multiplied " +
         "remainders, leftover cents to the largest — allocated sum " +
-        "equals the rebate exactly, per-order windows only"))
+        "equals the rebate exactly, per-order windows only"),
+
+    // Progressive-bracket rating (tiered billing) — the penny
+    // allocation's sibling on the charging side: every usage-billed
+    // platform (cloud egress, payment processing, progressive tax)
+    // charges each order's value through MARGINAL brackets — first
+    // $1,000 free, $1,000–$5,000 at 2.5%, the excess at 7.5% — not a
+    // flat rate on the whole amount (the classic rating bug this
+    // query's shape prevents: a cliff at each bracket edge). The
+    // bracket split is pure per-row clamp algebra over exact cents
+    // (least/greatest — no join against a bracket table needed for
+    // fixed tiers), fees accumulate in integer basis-point-cents so
+    // the rollup is order-independent and exact, and the final
+    // conversion to cents is ONE integer division. Per priority
+    // class: revenue, fee, the marginal-bracket volumes, and the
+    // effective realized rate (single IEEE division, unrounded).
+    Q("agg_tiered_billing",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val t1 = lit(100000L)  // $1,000 in cents
+        val t2 = lit(500000L)  // $5,000
+        val b1 = greatest(lit(0L), least(cents, t2) - t1)
+        val b2 = greatest(lit(0L), cents - t2)
+        load(s, d, "orders")
+          .select(col("o_orderpriority"), cents.as("c"),
+            b1.as("b1"), b2.as("b2"),
+            (b1 * 250 + b2 * 750).as("fee_bpc"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("c")).as("revenue_c"),
+            sum(col("b1")).as("tier1_c"),
+            sum(col("b2")).as("tier2_c"),
+            expr("sum(fee_bpc) DIV 10000").as("fee_c"),
+            (sum(col("fee_bpc")).cast("double") /
+              (sum(col("c")) * 10000).cast("double")).as("eff_rate"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders),
+             |b AS (
+             |  SELECT o_orderpriority, c,
+             |    greatest(0, least(c, 500000) - 100000) AS b1,
+             |    greatest(0, c - 500000) AS b2
+             |  FROM o)
+             |SELECT o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(c) AS BIGINT) AS revenue_c,
+             |  CAST(sum(b1) AS BIGINT) AS tier1_c,
+             |  CAST(sum(b2) AS BIGINT) AS tier2_c,
+             |  CAST(sum(b1 * 250 + b2 * 750) AS BIGINT) // 10000 AS fee_c,
+             |  CAST(sum(b1 * 250 + b2 * 750) AS DOUBLE)
+             |    / CAST(sum(c) * 10000 AS DOUBLE) AS eff_rate
+             |FROM b GROUP BY 1""".stripMargin),
+      "marginal-bracket rating: per-row clamp algebra splits exact " +
+        "cents across tiers, fees roll up in integer basis-point-" +
+        "cents — no bracket-edge cliffs, one integer division at the " +
+        "end"))
 }

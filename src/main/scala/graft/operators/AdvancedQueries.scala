@@ -1240,58 +1240,130 @@ object AdvancedQueries {
 
     // RFM customer segmentation (recency / frequency / monetary
     // quartile scores): the standard marketing-analytics rollup —
-    // per-customer order stats, quartile rank each dimension, then
+    // per-customer order stats, quartile-score each dimension, then
     // segment-level population and spend. Monetary uses the exact-
     // cents trick (per-row round→long, integer sums) so the quartile
     // order and per-segment averages are order-independent and engine-
-    // exact; every ntile rides a unique total order (metric desc,
-    // custkey). Scale shape: the only full-table pass is the customer
-    // rollup (map-side combined, shuffle ∝ customers); the three
-    // quartile windows sort the CUSTOMER aggregate, not orders — and
-    // at extreme customer cardinality each ntile degrades to the
-    // broadcast-threshold bin assignment of pipeline_quantile_bins
-    // (percentile cutoffs) with identical segment semantics.
+    // exact. Quartiles are VALUE-ATOMIC percentile cutoffs, not a
+    // global ntile over the customer aggregate: per dimension, a
+    // value-grain rollup + cumulative window over the VALUE DOMAIN
+    // yields q(v) = 1 + 4·(#customers strictly above v) DIV n, whose
+    // three boundary values (min v with q ≤ k) collapse to ONE 9-cut
+    // broadcast row — customers then get their segment from pure
+    // map-side comparisons. No window ever sees customer grain; the
+    // only full-table pass is the customer rollup (map-side combined,
+    // shuffle ∝ customers).
     Q("agg_rfm_segments",
       (s, d) => {
-        val cust = load(s, d, "orders").groupBy(col("o_custkey")).agg(
-          max(col("o_orderdate")).as("rec"),
-          count(lit(1)).as("freq"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
-        val r = ntile(4).over(
-          Window.orderBy(col("rec").desc, col("o_custkey")))
-        val f = ntile(4).over(
-          Window.orderBy(col("freq").desc, col("o_custkey")))
-        val m = ntile(4).over(
-          Window.orderBy(col("mon_cents").desc, col("o_custkey")))
-        cust
+        val cust = persistOnce(load(s, d, "orders")
+          .groupBy(col("o_custkey")).agg(
+            max(col("o_orderdate")).as("rec"),
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("mon_cents")))
+        val nRow = cust.agg(count(lit(1)).as("n"))
+        // two-level distributed prefix count over each dimension's
+        // VALUE DOMAIN (same discipline as pipeline_length_buckets):
+        // within-block cumulative under a PARTITIONED window + prior-
+        // block offsets from a triangular join on the tiny block
+        // rollup — no unpartitioned window at any scale. Block keys
+        // are order-preserving coarsenings (year / v>>4 / v>>24).
+        def cuts(dim: String, blkOf: Column => Column): DataFrame = {
+          val vals = persistOnce(cust
+            .groupBy(col(dim).as("v")).agg(count(lit(1)).as("cnt"))
+            .withColumn("blk", blkOf(col("v"))))
+          val wIn = Window.partitionBy(col("blk")).orderBy(col("v").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val blkTot = vals.groupBy(col("blk")).agg(sum(col("cnt")).as("btot"))
+          val prior = blkTot.as("a")
+            .join(broadcast(blkTot.as("b")), col("b.blk") > col("a.blk"),
+              "left")
+            .groupBy(col("a.blk").as("blk"))
+            .agg(coalesce(sum(col("b.btot")), lit(0L)).as("prior"))
+          vals.withColumn("cumin", sum(col("cnt")).over(wIn))
+            .join(broadcast(prior), "blk").crossJoin(nRow)
+            .withColumn("q", expr("1 + (4 * (cumin + prior - cnt)) div n"))
+            .agg(min(when(col("q") <= 1, col("v"))).as(s"${dim}_t1"),
+              min(when(col("q") <= 2, col("v"))).as(s"${dim}_t2"),
+              min(when(col("q") <= 3, col("v"))).as(s"${dim}_t3"))
+        }
+        val cut = cuts("rec", year)
+          .crossJoin(cuts("freq", v => shiftright(v, 4)))
+          .crossJoin(cuts("mon_cents", v => shiftright(v, 24)))
+        def score(c: String): Column = (lit(4)
+          - (col(c) >= col(s"${c}_t1")).cast("int")
+          - (col(c) >= col(s"${c}_t2")).cast("int")
+          - (col(c) >= col(s"${c}_t3")).cast("int")).cast("string")
+        cust.crossJoin(broadcast(cut))
           .select(col("mon_cents"),
-            concat(r.cast("string"), f.cast("string"), m.cast("string"))
+            concat(score("rec"), score("freq"), score("mon_cents"))
               .as("segment"))
           .groupBy(col("segment"))
           .agg(count(lit(1)).as("n_customers"),
-            round(sum(col("mon_cents")) / (count(lit(1)) * lit(100.0)), 4)
-              .as("avg_monetary"))
+            sum(col("mon_cents")).as("sc"))
+          // 4-dp half-up rounding in INTEGER space ((2a+b) div 2b) —
+          // a float round() here lands on .xxxx5 boundaries where
+          // Spark's HALF_UP and DuckDB's double rounding diverge
+          .select(col("segment"), col("n_customers"),
+            (expr("(sc * 200 + n_customers) div (2 * n_customers)")
+              / lit(10000.0)).as("avg_monetary"))
       },
       Some("""WITH cust AS (
              |  SELECT o_custkey, max(o_orderdate) AS rec, count(*) AS freq,
              |         sum(CAST(round(o_totalprice * 100) AS BIGINT))
              |           AS mon_cents
              |  FROM orders GROUP BY 1),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+             |rcut AS (SELECT
+             |    min(CASE WHEN q <= 1 THEN v END) AS rec_t1,
+             |    min(CASE WHEN q <= 2 THEN v END) AS rec_t2,
+             |    min(CASE WHEN q <= 3 THEN v END) AS rec_t3
+             |  FROM (SELECT v, 1 + (4 * (cum - cnt)) // n AS q
+             |    FROM (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) AS cum
+             |      FROM (SELECT rec AS v, count(*) AS cnt
+             |            FROM cust GROUP BY 1)) CROSS JOIN nn)),
+             |fcut AS (SELECT
+             |    min(CASE WHEN q <= 1 THEN v END) AS freq_t1,
+             |    min(CASE WHEN q <= 2 THEN v END) AS freq_t2,
+             |    min(CASE WHEN q <= 3 THEN v END) AS freq_t3
+             |  FROM (SELECT v, 1 + (4 * (cum - cnt)) // n AS q
+             |    FROM (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) AS cum
+             |      FROM (SELECT freq AS v, count(*) AS cnt
+             |            FROM cust GROUP BY 1)) CROSS JOIN nn)),
+             |mcut AS (SELECT
+             |    min(CASE WHEN q <= 1 THEN v END) AS mon_t1,
+             |    min(CASE WHEN q <= 2 THEN v END) AS mon_t2,
+             |    min(CASE WHEN q <= 3 THEN v END) AS mon_t3
+             |  FROM (SELECT v, 1 + (4 * (cum - cnt)) // n AS q
+             |    FROM (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) AS cum
+             |      FROM (SELECT mon_cents AS v, count(*) AS cnt
+             |            FROM cust GROUP BY 1)) CROSS JOIN nn)),
              |sc AS (SELECT mon_cents,
-             |    CAST(ntile(4) OVER (ORDER BY rec DESC, o_custkey)
-             |      AS VARCHAR) ||
-             |    CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey)
-             |      AS VARCHAR) ||
-             |    CAST(ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey)
-             |      AS VARCHAR) AS segment
-             |  FROM cust)
+             |    CAST(4 - CAST(rec >= rec_t1 AS INT)
+             |           - CAST(rec >= rec_t2 AS INT)
+             |           - CAST(rec >= rec_t3 AS INT) AS VARCHAR) ||
+             |    CAST(4 - CAST(freq >= freq_t1 AS INT)
+             |           - CAST(freq >= freq_t2 AS INT)
+             |           - CAST(freq >= freq_t3 AS INT) AS VARCHAR) ||
+             |    CAST(4 - CAST(mon_cents >= mon_t1 AS INT)
+             |           - CAST(mon_cents >= mon_t2 AS INT)
+             |           - CAST(mon_cents >= mon_t3 AS INT) AS VARCHAR)
+             |      AS segment
+             |  FROM cust CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut)
              |SELECT segment, count(*) AS n_customers,
-             |  round(CAST(sum(mon_cents) AS DOUBLE) / (count(*) * 100.0), 4)
-             |    AS avg_monetary
+             |  CAST((sum(mon_cents) * 200 + count(*)) // (2 * count(*))
+             |    AS BIGINT) / 10000.0 AS avg_monetary
              |FROM sc GROUP BY 1""".stripMargin),
-      "RFM quartile segmentation over exact-cents customer rollups — " +
-        "windows sort the aggregate, not the fact table; segment " +
-        "counts and average spend hash-checked"),
+      "RFM value-atomic quartile segmentation over exact-cents " +
+        "customer rollups — 9 percentile cutoffs from value-domain " +
+        "rollups broadcast as one row, map-side segment assignment; " +
+        "no window over customer grain"),
 
     // Market-basket association mining: part pairs co-purchased in the
     // same order, scored by LIFT = P(ab) / (P(a)·P(b)) over order

@@ -811,20 +811,35 @@ object DedupQueries {
     // blocking when keys are noisy (typos land adjacent, not equal).
     // The window compare is NOT a range self-join: each record
     // explodes its next-3 rank probes and equi-joins the rank column.
-    // The rank is a global row_number here; at 100 TB the sort is a
-    // range partition (boundaries from sampled quantiles, as Spark's
-    // own RangePartitioner computes) and the window runs
-    // per-partition with a `window`-row boundary overlap shipped to
-    // the next partition — candidates unchanged. Edit distance is
-    // exact Levenshtein (identical definition both engines), so every
-    // candidate pair and distance hash-checks.
+    // The global rank itself is DISTRIBUTED: the sort key's own
+    // 2-char prefix range-partitions the table (order-preserving
+    // blocks), row_number runs per block under a PARTITIONED window,
+    // and prior-block offsets come from a cumulative window over the
+    // tiny BLOCK ROLLUP (aggregate grain, ≤ #prefixes rows) — a
+    // two-level prefix sum, so no single-partition sort ever sees row
+    // grain and the rank values are identical to a global
+    // row_number. Edit distance is exact Levenshtein (identical
+    // definition both engines), so every candidate pair and distance
+    // hash-checks.
     Q("dedup_sorted_neighborhood",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val ranked = graft.core.Caching.persistOnce(load(s, d, "part")
+        val base = graft.core.Caching.persistOnce(load(s, d, "part")
           .select(col("p_partkey"), col("p_name"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("p_name"), col("p_partkey")))))
+          .withColumn("blk", substring(col("p_name"), 1, 2)))
+        val blkTot = base.groupBy(col("blk")).agg(count(lit(1)).as("btot"))
+        val prior = blkTot
+          .withColumn("prior", coalesce(sum(col("btot")).over(
+            Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("blk"), col("prior"))
+        val ranked = graft.core.Caching.persistOnce(base
+          .withColumn("rin", row_number().over(
+            Window.partitionBy(col("blk"))
+              .orderBy(col("p_name"), col("p_partkey"))))
+          .join(broadcast(prior), "blk")
+          .select(col("p_partkey"), col("p_name"),
+            (col("rin") + col("prior")).as("rk")))
         ranked
           .select(col("p_partkey").as("a"), col("p_name").as("na"),
             explode(expr("sequence(rk + 1, rk + 3)")).as("rk"))

@@ -1211,29 +1211,47 @@ object PipelineQueries {
 
     // Length bucketing for batched inference: padding a batch to its
     // longest member wastes compute ∝ Σ(max_len − len), so serving
-    // stacks bucket by length first. Equi-DEPTH buckets (ntile over
-    // n_chars) adapt boundaries to the actual length distribution —
-    // the comparison this query quantifies: per-bucket padding waste
-    // plus each bucket's share of the single-bucket (no-bucketing)
-    // waste, all exact integers. One window pass to assign buckets
-    // (rank by (n_chars, doc_id) — deterministic under ties), one
-    // rollup, one 1-row broadcast of the global max. At 100 TB the
-    // ntile sort is replaced by approx-quantile boundaries (two
-    // passes, no sort) with identical downstream math.
+    // stacks bucket by length first. Equi-DEPTH buckets adapt
+    // boundaries to the actual length distribution — the comparison
+    // this query quantifies: per-bucket padding waste plus each
+    // bucket's share of the single-bucket (no-bucketing) waste, all
+    // exact integers. Buckets are VALUE-ATOMIC (every doc of one
+    // length shares a bucket — the property a serving stack needs
+    // anyway, since the bucket map must be a pure function of length)
+    // and the whole computation runs on the value-grain rollup: one
+    // map-side-combined shuffle ∝ distinct lengths, then a two-level
+    // distributed prefix sum over it — within-block cumulative counts
+    // under a PARTITIONED window (block = length DIV 256) plus prior-
+    // block offsets from a triangular join on the block rollup (≤
+    // (max_len/256)² cheap pairs at aggregate grain) — so no
+    // unpartitioned window and no per-row sort exists anywhere in the
+    // plan at any scale. bucket(v) = 1 + 8·(#docs shorter than v) DIV
+    // total, exact integer arithmetic end to end.
     Q("pipeline_length_buckets",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = persistOnce(load(s, d, "documents")
-          .select(col("doc_id"), col("n_chars"))
-          .withColumn("bucket", ntile(8).over(
-            Window.orderBy(col("n_chars"), col("doc_id")))))
-        val globalMax = docs.agg(max(col("n_chars")).as("gmax"))
-        docs.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
+        val lens = persistOnce(load(s, d, "documents")
+          .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", expr("n_chars div 256")))
+        val wBlk = Window.partitionBy(col("blk")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlk = lens.withColumn("cumin", sum(col("cnt")).over(wBlk))
+        val blkTot = lens.groupBy(col("blk")).agg(sum(col("cnt")).as("btot"))
+        val prior = blkTot.as("a")
+          .join(broadcast(blkTot.as("b")), col("b.blk") < col("a.blk"), "left")
+          .groupBy(col("a.blk").as("blk"))
+          .agg(coalesce(sum(col("b.btot")), lit(0L)).as("prior"))
+        val totals = lens.agg(sum(col("cnt")).as("total"),
+          max(col("n_chars")).as("gmax"))
+        inBlk.join(broadcast(prior), "blk").crossJoin(totals)
+          .withColumn("bucket", (lit(1) +
+            expr("(8 * (cumin + prior - cnt)) div total")).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("cnt")).as("n_docs"),
             min(col("n_chars")).as("len_min"),
             max(col("n_chars")).as("len_max"),
-            sum(col("n_chars")).as("payload_chars"))
-          .crossJoin(globalMax)
+            sum(col("n_chars") * col("cnt")).as("payload_chars"),
+            max(col("gmax")).as("gmax"))
           .select(col("bucket"), col("n_docs"), col("len_min"),
             col("len_max"),
             (col("len_max") * col("n_docs") - col("payload_chars"))
@@ -1241,22 +1259,35 @@ object PipelineQueries {
             (col("gmax") * col("n_docs") - col("payload_chars"))
               .as("unbucketed_waste"))
       },
-      Some("""WITH docs AS (
-             |  SELECT doc_id, n_chars,
-             |    ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
-             |  FROM documents),
-             |g AS (SELECT max(n_chars) AS gmax FROM documents)
-             |SELECT CAST(bucket AS INTEGER) AS bucket,
-             |  CAST(count(*) AS BIGINT) AS n_docs,
+      Some("""WITH lens AS (
+             |  SELECT n_chars, count(*) AS cnt, n_chars // 256 AS blk
+             |  FROM documents GROUP BY 1),
+             |inb AS (SELECT n_chars, cnt, blk,
+             |    CAST(sum(cnt) OVER (PARTITION BY blk ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cumin
+             |  FROM lens),
+             |bt AS (SELECT blk, sum(cnt) AS btot FROM lens GROUP BY 1),
+             |pr AS (SELECT a.blk, CAST(coalesce(sum(b.btot), 0) AS BIGINT)
+             |      AS prior
+             |  FROM bt a LEFT JOIN bt b ON b.blk < a.blk GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             |    max(n_chars) AS gmax FROM documents),
+             |bkt AS (SELECT n_chars, cnt, gmax,
+             |    CAST(1 + (8 * (cumin + prior - cnt)) // total AS INTEGER)
+             |      AS bucket
+             |  FROM inb JOIN pr USING (blk) CROSS JOIN tot)
+             |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
              |  min(n_chars) AS len_min, max(n_chars) AS len_max,
-             |  CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+             |  CAST(max(n_chars) * sum(cnt) - sum(n_chars * cnt) AS BIGINT)
              |    AS padding_waste,
-             |  CAST(gmax * count(*) - sum(n_chars) AS BIGINT)
+             |  CAST(gmax * sum(cnt) - sum(n_chars * cnt) AS BIGINT)
              |    AS unbucketed_waste
-             |FROM docs, g GROUP BY bucket, gmax""".stripMargin),
-      "equi-depth length bucketing for batched inference: per-bucket " +
-        "padding waste vs the no-bucketing baseline, exact integers — " +
-        "the compute-efficiency knob of serving stacks"),
+             |FROM bkt GROUP BY bucket, gmax""".stripMargin),
+      "equi-depth value-atomic length bucketing for batched inference " +
+        "via a two-level distributed prefix sum on the length rollup — " +
+        "partitioned windows only, per-bucket padding waste vs the " +
+        "no-bucketing baseline in exact integers"),
 
     // Leakage-free target encoding (the CatBoost/feature-pipeline
     // standard): encode a category by the smoothed mean of the target

@@ -104,7 +104,8 @@ object CdcPipeline {
         Map.empty,
       quarantineDir: Option[String] = None,
       tableExpectations: Map[String, TableExpectation] = Map.empty,
-      consistentSnapshots: Boolean = false) {
+      consistentSnapshots: Boolean = false,
+      stageTimer: Option[StageTimings => Unit] = None) {
     require(!consistentSnapshots ||
       sinkOverride.exists(_.isInstanceOf[graft.sinks.LogMirrorSink]),
       "consistentSnapshots pin LogMirror versions (readAsOf) — they " +
@@ -124,6 +125,18 @@ object CdcPipeline {
       if (incrementalMirror) graft.sinks.BucketedMirrorSink(bucketCount.get)
       else graft.sinks.SwapMirror(bucketCount)
     }
+  }
+
+  /** Per-stage wall seconds for one processBatch call, reported through
+    * [[Config.stageTimer]]. When the timer is set, the parse stage is
+    * force-materialized (one count per cached schema frame) so `merge`
+    * measures merging alone — attribution mode costs one extra cached
+    * pass and is OFF on the production path (timer unset = zero
+    * overhead, no extra jobs). */
+  final case class StageTimings(
+      route: Double, parse: Double, merge: Double, views: Double,
+      snapshot: Double, dlq: Double) {
+    def total: Double = route + parse + merge + views + snapshot + dlq
   }
 
   private def bucketCol(spec: TableSpec, n: Int) =
@@ -155,6 +168,8 @@ object CdcPipeline {
     * every record exactly once regardless of fan-out. */
   def processBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val spark = batch.sparkSession
+    val t0 = System.nanoTime()
+    def secsSince(t: Long) = (System.nanoTime() - t) / 1e9
     val routed = batch
       .withColumn("table_name", Envelope.route(col("topic")))
       .persist()
@@ -162,12 +177,17 @@ object CdcPipeline {
       val tables = routed.filter(col("table_name") =!= "")
         .select("table_name").distinct()
         .collect().map(_.getString(0))
+      val tRoute = secsSince(t0)
 
       val bySchema = tables.toSeq.groupBy(t => cfg.specFor(t).rowSchema)
       val parsedBySchema = bySchema.map { case (schema, ts) =>
         val sub = routed.filter(col("table_name").isin(ts: _*))
         schema -> Envelope.parse(sub, schema).persist()
       }
+      // attribution mode only: materialize the parse caches now so the
+      // merge stage below times merging, not the first cache fill
+      if (cfg.stageTimer.isDefined) parsedBySchema.values.foreach(_.count())
+      val tParse = secsSince(t0)
       try {
         // Merges are submitted concurrently: each is an independent Spark
         // job, so many small per-table batches don't serialize on the
@@ -274,7 +294,10 @@ object CdcPipeline {
                 checkTableExpectations(spark, name, v, te, batchId, cfg))
             }
         }
-        (jobs ++ viewJobs).foreach(Await.result(_, Duration.Inf))
+        jobs.foreach(Await.result(_, Duration.Inf))
+        val tMerge = secsSince(t0)
+        viewJobs.foreach(Await.result(_, Duration.Inf))
+        val tViews = secsSince(t0)
 
         // Cross-table consistency cut: AFTER every table's merge landed,
         // pin the batch as one atomic snapshot (SnapshotCatalog) —
@@ -285,6 +308,7 @@ object CdcPipeline {
         if (cfg.consistentSnapshots)
           graft.sinks.SnapshotCatalog.commit(spark, cfg.mirrorRoot, batchId,
             tables.toSeq)
+        val tSnap = secsSince(t0)
 
         // consolidated DLQ append: malformed envelopes from every table
         // + records whose topic routes nowhere (register-dlq-sink.json:16-17).
@@ -297,6 +321,10 @@ object CdcPipeline {
         val dlqAll = parsedBySchema.values.map(Envelope.dlq)
           .foldLeft(unroutable)(_ unionByName _)
         if (!dlqAll.isEmpty) dlqAll.write.mode("append").parquet(cfg.dlqDir)
+        cfg.stageTimer.foreach(f => f(StageTimings(
+          route = tRoute, parse = tParse - tRoute, merge = tMerge - tParse,
+          views = tViews - tMerge, snapshot = tSnap - tViews,
+          dlq = secsSince(t0) - tSnap)))
       } finally parsedBySchema.values.foreach(_.unpersist())
     } finally routed.unpersist()
   }

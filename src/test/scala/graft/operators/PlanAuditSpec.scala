@@ -432,10 +432,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
   }
 
-  test("RFM segmentation: orders are scanned once; windows sort the " +
-    "customer rollup, not the fact table") {
+  test("RFM segmentation: orders roll up ONCE into a cached customer " +
+    "frame; quartiles are broadcast value-domain cutoffs, never a " +
+    "global ntile over the customer aggregate") {
     val p = plan("agg_rfm_segments")
-    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    // the customer rollup is CACHED — the three cutoff passes and the
+    // final segment assignment all read the cache (the FileScan lines
+    // in the printout sit inside the cached-relation subplan = the
+    // one-time fill); quartile windows are blk-PARTITIONED over value
+    // rollups, never an ntile over customer grain
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert(!p.contains("ntile"), p.take(1200))
+    assert(!"windowspecdefinition\\(v#".r.findFirstIn(p).isDefined &&
+      p.contains("windowspecdefinition(blk"), p.take(1500))
   }
 
   test("CUSUM drift: the recursion is two cumulative windows over the " +
@@ -771,5 +780,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdx >= 0, p.take(1500))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("catalog-wide: no unpartitioned window over a non-aggregated " +
+    "input — a global single-partition sort is only ever allowed on a " +
+    "grain-reduced frame (an aggregate / value-domain rollup / driver-" +
+    "local list), never on raw row grain, in EVERY catalog query") {
+    import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // tree walk that sees THROUGH caches, reuse markers and AQE
+    // wrappers — a persistOnce'd rollup must still count as aggregated
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
+    // grain-reduced = every path from here down hits an aggregation or
+    // a driver-local leaf before any file scan; joins/explodes OVER
+    // such frames stay bounded by rollup-domain products, which is the
+    // accepted aggregate-grain window regime
+    def grainReduced(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: LocalTableScanExec => true
+      case _: RDDScanExec => true
+      // a GLOBAL limit bounds the frame to k rows at any scale (local
+      // limits don't — they're per-partition and partitions ∝ data)
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case other =>
+        val c = kids(other); c.nonEmpty && c.forall(grainReduced)
+    }
+    val offending = QueryCatalog.all.flatMap { q =>
+      try {
+        nodes(q.fn(spark, sf0001).queryExecution.sparkPlan).collectFirst {
+          case w: WindowExec
+            if w.partitionSpec.isEmpty && !w.children.forall(grainReduced) =>
+            q.name
+        }
+      } catch {
+        case e: Throwable =>
+          Some(s"${q.name} (plan build failed: ${e.getClass.getSimpleName})")
+      }
+    }
+    assert(offending.isEmpty,
+      s"row-grain global windows in: ${offending.mkString(", ")}")
   }
 }

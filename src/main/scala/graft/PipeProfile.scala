@@ -16,16 +16,44 @@ object PipeProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val stagesOnly = args.contains("stages") // fast attribution loop
     val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir)
-    println(s"[pipeprofile] events=${raw.count()}")
-    (1 to 3).foreach { i =>
+    val nEvents = raw.count()
+    println(s"[pipeprofile] events=$nEvents")
+    def loadavg() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+    (1 to (if (stagesOnly) 0 else 3)).foreach { i =>
       val root = java.nio.file.Files.createTempDirectory("graft-prof").toString
       val cfg = graft.streaming.CdcPipeline.Config(
         graft.cdc.Fixture.rowSchema, Seq("id"),
         s"$root/mirror", s"$root/dlq", s"$root/ckpt")
       val t0 = System.nanoTime()
       graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
-      println(f"[pipeprofile] run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[pipeprofile] run$i $s%.2f s  (${(nEvents / s).toLong}%d ev/s, loadavg ${loadavg()}%s)")
+    }
+    // Per-stage attribution (VERDICT r8 item 1): profiled runs of the
+    // plain and with-views pipelines — stageTimer force-materializes
+    // the parse cache so `merge` times merging alone.
+    Seq(false, true).foreach { withViews =>
+      (1 to 3).foreach { i =>
+        val root = java.nio.file.Files.createTempDirectory("graft-profS").toString
+        val views =
+          if (!withViews) Map.empty[String, graft.streaming.CdcPipeline.AggView]
+          else Map("by_status" -> graft.streaming.CdcPipeline.AggView(
+            "orders_t0", graft.streaming.IncrementalAgg.Spec(
+              Seq("o_orderstatus"), Seq("o_totalprice"))))
+        var st: Option[graft.streaming.CdcPipeline.StageTimings] = None
+        val cfg = graft.streaming.CdcPipeline.Config(
+          graft.cdc.Fixture.rowSchema, Seq("id"),
+          s"$root/mirror", s"$root/dlq", s"$root/ckpt", aggViews = views,
+          stageTimer = Some(t => st = Some(t)))
+        graft.streaming.CdcPipeline.processBatch(raw, 0L, cfg)
+        st.foreach(t => println(
+          f"[pipeprofile] stages(views=$withViews%b) run$i route=${t.route}%.2f " +
+            f"parse=${t.parse}%.2f merge=${t.merge}%.2f views=${t.views}%.2f " +
+            f"snap=${t.snapshot}%.2f dlq=${t.dlq}%.2f total=${t.total}%.2f"))
+      }
     }
 
     // Steady-state merge cost: a big mirror absorbing a SMALL batch —
@@ -36,6 +64,7 @@ object PipeProfile {
     // buckets here; at 100 TB the same ratio is a 20k-event batch vs a
     // 100k-bucket mirror.
     import org.apache.spark.sql.functions._
+    if (stagesOnly) { spark.stop(); return }
     def smallBatch = raw.filter(col("offset") < 200) // ids < 20, all ops
     Seq(false, true).foreach { inc =>
       val root = java.nio.file.Files.createTempDirectory("graft-prof2").toString

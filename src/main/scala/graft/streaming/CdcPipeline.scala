@@ -174,15 +174,25 @@ object CdcPipeline {
       .withColumn("table_name", Envelope.route(col("topic")))
       .persist()
     try {
-      val tables = routed.filter(col("table_name") =!= "")
-        .select("table_name").distinct()
-        .collect().map(_.getString(0))
+      // one pass fills the route cache AND yields the table list plus
+      // the unroutable flag — the DLQ stage below then never has to
+      // rescan `routed` to learn whether any topic routed nowhere
+      val tstats = routed.groupBy(col("table_name")).count().collect()
+      val tables = tstats.map(_.getString(0)).filter(_ != "")
+      val hasUnroutable = tstats.exists(_.getString(0) == "")
       val tRoute = secsSince(t0)
 
       val bySchema = tables.toSeq.groupBy(t => cfg.specFor(t).rowSchema)
       val parsedBySchema = bySchema.map { case (schema, ts) =>
         val sub = routed.filter(col("table_name").isin(ts: _*))
-        schema -> Envelope.parse(sub, schema).persist()
+        // the well-formed bit is materialized INTO the cache: the
+        // clean-batch DLQ probe below then skips every cached batch
+        // via the boolean's min/max batch stats instead of
+        // decompressing value+env for all rows to find nothing
+        // (measured ~30% of batch wall before), and the merge filters
+        // read one boolean instead of re-evaluating the predicate
+        schema -> Envelope.parse(sub, schema)
+          .withColumn("_wf", Envelope.isWellFormed.cast("int")).persist()
       }
       // attribution mode only: materialize the parse caches now so the
       // merge stage below times merging, not the first cache fill
@@ -246,7 +256,8 @@ object CdcPipeline {
         def perTableJob(parsed: DataFrame, t: String): Future[Unit] = Future {
           val spec = cfg.specFor(t)
           val sub = parsed.filter(col("table_name") === t).drop("table_name")
-          val unwrapped = Envelope.unwrap(Envelope.wellFormed(sub), spec.keyCols)
+          val unwrapped = Envelope.unwrap(sub.filter(col("_wf") === 1),
+            spec.keyCols)
           cfg.expectations.get(t).filter(_.nonEmpty) match {
             case None => cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
               unwrapped, spec.keyCols, batchId)
@@ -312,15 +323,28 @@ object CdcPipeline {
 
         // consolidated DLQ append: malformed envelopes from every table
         // + records whose topic routes nowhere (register-dlq-sink.json:16-17).
-        // Clean batches skip the write entirely — the emptiness probe is
-        // one cheap scan of the already-cached frames, vs a parquet
-        // commit (files + _SUCCESS) per trigger polluting the DLQ dir
-        // forever on a long-running stream.
-        val unroutable = routed.filter(col("table_name") === "")
-          .select(col("value").cast("string").as("payload_json"))
-        val dlqAll = parsedBySchema.values.map(Envelope.dlq)
-          .foldLeft(unroutable)(_ unionByName _)
-        if (!dlqAll.isEmpty) dlqAll.write.mode("append").parquet(cfg.dlqDir)
+        // Clean batches skip the write entirely — the emptiness probe
+        // touches ONLY the cached _wf ints (the unroutable side was
+        // answered by the route-stage rollup above), so the big `value`
+        // strings are never decompressed to find nothing; a parquet
+        // commit (files + _SUCCESS) per trigger would pollute the DLQ
+        // dir forever on a long-running stream.
+        val hasMalformed = hasUnroutable || parsedBySchema.values
+          .map(p => p.filter(col("_wf") === 0).select(lit(1).as("x")))
+          .reduce(_ unionByName _).take(1).nonEmpty
+        if (hasMalformed) {
+          val unroutable = routed.filter(col("table_name") === "")
+            .select(col("value").cast("string").as("payload_json"))
+          val dlqAll = parsedBySchema.values
+            .map(p => p.filter(col("_wf") === 0)
+              .select(col("value").cast("string").as("payload_json")))
+            .foldLeft(unroutable)(_ unionByName _)
+          // poison records are a trickle by contract (errors.tolerance=
+          // all quarantines stragglers, not the firehose): one writer
+          // task per batch instead of #cache-partitions near-empty
+          // files — bounded by the trigger's own batch cap
+          dlqAll.repartition(1).write.mode("append").parquet(cfg.dlqDir)
+        }
         cfg.stageTimer.foreach(f => f(StageTimings(
           route = tRoute, parse = tParse - tRoute, merge = tMerge - tParse,
           views = tViews - tMerge, snapshot = tSnap - tViews,
@@ -346,7 +370,7 @@ object CdcPipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     ts.foreach(t => recoverMirror(fs, s"${cfg.mirrorRoot}/$t"))
     val changes = Envelope.unwrap(
-      Envelope.wellFormed(parsed.filter(col("table_name").isin(ts: _*))),
+      parsed.filter(col("table_name").isin(ts: _*) && col("_wf") === 1),
       spec.keyCols)
       .withColumn("table_name", Envelope.route(col("topic")))
     val existing = ts.flatMap { t =>
@@ -399,7 +423,7 @@ object CdcPipeline {
                                        batchId: Long): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
     val changes = Envelope.unwrap(
-      Envelope.wellFormed(parsed.filter(col("table_name").isin(ts: _*))),
+      parsed.filter(col("table_name").isin(ts: _*) && col("_wf") === 1),
       spec.keyCols)
       .withColumn("table_name", Envelope.route(col("topic")))
     graft.sinks.LogMirror.mergeGroup(spark, cfg.mirrorRoot, changes, ts,

@@ -11,12 +11,39 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: `sbt "runMain graft.StreamSweep [maxDeltas...]"` (default
   * sweep 8 16 32 64; SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as Bench).
+  * `runMain graft.StreamSweep views [counts...]` sweeps the number of
+  * maintained agg views (default 0 1 2 4) at maxDeltas=32 instead —
+  * the VERDICT r8 item-5 serialization question: each view job chains
+  * on its table's merge future but runs CONCURRENTLY with sibling
+  * views (independent futures on the merge pool), so the sweep
+  * measures how much of the per-view cost the overlap absorbs.
   */
 object StreamSweep {
+
+  /** Distinct maintained views over the fixture schema: the deployed
+    * mix (status rollup + the reference's MAX(id) integrity probe +
+    * min/full variants). Views 2-4 carry extrema, so their batches can
+    * trigger dirty-group recomputes — the expensive view path. */
+  private def viewCatalog: Seq[(String, graft.streaming.CdcPipeline.AggView)] = Seq(
+    "by_status" -> graft.streaming.CdcPipeline.AggView("orders_t0",
+      graft.streaming.IncrementalAgg.Spec(Seq("o_orderstatus"), Seq("o_totalprice"))),
+    "max_id" -> graft.streaming.CdcPipeline.AggView("orders_t0",
+      graft.streaming.IncrementalAgg.Spec(Seq("o_orderstatus"), Nil, maxCols = Seq("id"))),
+    "min_id" -> graft.streaming.CdcPipeline.AggView("orders_t0",
+      graft.streaming.IncrementalAgg.Spec(Seq("o_orderstatus"), Nil, minCols = Seq("id"))),
+    "full" -> graft.streaming.CdcPipeline.AggView("orders_t0",
+      graft.streaming.IncrementalAgg.Spec(Seq("o_orderstatus"),
+        Seq("o_totalprice"), maxCols = Seq("id"))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val sweep = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 16, 32, 64)
+    val viewMode = args.headOption.contains("views")
+    val sweep =
+      if (viewMode)
+        (if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(0, 1, 2, 4))
+      else if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(8, 16, 32, 64)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -34,11 +61,13 @@ object StreamSweep {
     val warmupTriggers = 2
     val (latency, rest) = all.splitAt((warmupTriggers + 20) * 3000)
 
-    for (md <- sweep; rep <- 1 to 2) {
+    for (p <- sweep; rep <- 1 to 2) {
       val root = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+      val (md, nViews) = if (viewMode) (32, p) else (p, 0)
       val cfg = graft.streaming.CdcPipeline.Config(
         graft.cdc.Fixture.rowSchema, Seq("id"),
         s"$root/mirror", s"$root/dlq", s"$root/ckpt", triggerMs = 1L,
+        aggViews = viewCatalog.take(nViews).toMap,
         sinkOverride = Some(graft.sinks.LogMirrorSink(maxDeltas = md)))
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[BenchRec]
@@ -59,7 +88,8 @@ object StreamSweep {
       query.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       query.stop()
-      println(f"maxDeltas=$md%-3d rep=$rep drain_eps=${(rest.length / wall).toLong}%-6d " +
+      val label = if (viewMode) f"views=$nViews%-2d" else f"maxDeltas=$md%-3d"
+      println(f"$label rep=$rep drain_eps=${(rest.length / wall).toLong}%-6d " +
         f"p50=${pct(0.5)}%-5d p95=${pct(0.95)}%-5d max=${durations.lastOption.getOrElse(-1L)}")
     }
     spark.stop()

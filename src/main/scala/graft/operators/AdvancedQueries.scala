@@ -3798,15 +3798,18 @@ object AdvancedQueries {
     // Nearest as-of join with tolerance (pandas merge_asof parity —
     // directions beyond the classic backward lookup): every error
     // event attaches the CLOSEST purchase of the same user within 24h,
-    // before OR after, ties preferring backward. The operator stays
-    // one key shuffle + two window passes over the same partitioning
-    // (AsofJoin direction="nearest") — never a per-row scan of the
-    // right side. The oracle is an INDEPENDENT formulation: DuckDB
-    // LATERAL picks argmin |Δt| under the same tie rules, so the
-    // union+window trick is value-checked against a direct nearest-
-    // neighbor definition, not replayed. ~half the errors have no
-    // purchase within tolerance at sf0.001 — both the matched and the
-    // null branch are live.
+    // before OR after, ties preferring backward. Served by the NATIVE
+    // exec (plans/AsofJoinNative.scala): in the single merge pass the
+    // backward candidate is the per-key newest consumed right row and
+    // the forward candidate is the next buffered one, so nearest+
+    // tolerance cost NOTHING beyond the backward scan — where the
+    // composed AsofJoin needs a second descending window
+    // (AsofJoinNativeSpec pins parity between the two on this exact
+    // shape). The oracle is an INDEPENDENT formulation: DuckDB LATERAL
+    // picks argmin |Δt| under the same tie rules, so the merge pass is
+    // value-checked against a direct nearest-neighbor definition, not
+    // replayed. ~half the errors have no purchase within tolerance at
+    // sf0.001 — both the matched and the null branch are live.
     Q("join_asof_nearest",
       (s, d) => {
         val ev = persistOnce(load(s, d, "events"))
@@ -3815,7 +3818,7 @@ object AdvancedQueries {
         val pur = ev.filter(col("event_type") === "purchase")
           .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
           .agg(max(col("event_id")).as("purchase_id"))
-        AsofJoin(err, pur,
+        graft.plans.AsofJoinNative(err, pur,
           leftKey = "user_id", rightKey = "p_user",
           leftTime = "ts", rightTime = "p_ts",
           rightPayload = Seq("purchase_id", "p_ts"),

@@ -15,10 +15,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * ordering requirements, registered through
   * `SparkSessionExtensions` / `experimental.extraStrategies`.
   *
-  * Semantics (backward as-of): for every left row, attach the newest
-  * right row with the same key whose time is <= the left time — the
-  * contract of [[graft.operators.AsofJoin]]'s union+window
-  * composition, which stays the repo's default. This operator exists
+  * Semantics: for every left row, attach the right row with the same
+  * key nearest in time under `direction` — `backward` (newest right
+  * <= left time, the default), `forward` (earliest right >= left
+  * time) or `nearest` (closer of the two, distance ties preferring
+  * backward — pandas merge_asof contract), each under an optional
+  * `tolerance` — the full contract of
+  * [[graft.operators.AsofJoin]]'s union+window composition, served by
+  * the SAME single merge pass: the backward candidate is the per-key
+  * newest consumed right row, the forward candidate is simply the
+  * next BUFFERED right row, so directions cost nothing extra (the
+  * composition needs a second descending window for `nearest`). The
+  * composition stays the repo's default. This operator exists
   * because the composition has one structural cost the planner cannot
   * remove: the right side's payload travels through the union and the
   * window sort as NULL-padded columns on every LEFT row too. The
@@ -41,7 +49,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,8 +61,8 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -60,7 +70,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String, tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -86,6 +97,13 @@ case class AsofJoinExec(
     val lOut = left.output
     val rOut = right.output
     val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    // 0 = backward, 1 = forward, 2 = nearest (resolved once, not per row)
+    val dirCode = direction match {
+      case "backward" => 0
+      case "forward" => 1
+      case "nearest" => 2
+    }
+    val tol = tolerance
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val rWidth = rOut.size
@@ -126,6 +144,11 @@ case class AsofJoinExec(
       advanceR()
       var lastMatch: InternalRow = null
       var lastMatchKey: Any = null
+      var lastMatchTime: Any = null
+      // distance arithmetic for tolerance/nearest: every supported
+      // time type's physical value is a Number (timestamp micros,
+      // long, int, date days) — enforced by the apply() entry point
+      def num(v: Any): Long = v.asInstanceOf[Number].longValue
       li.map { lRaw =>
         val lkv = lp(lRaw)
         val lKey = lkv.get(0, keyType)
@@ -133,18 +156,40 @@ case class AsofJoinExec(
         if (lKey == null || lTime == null) {
           joined(lRaw, nullRight)
         } else {
-          // consume right rows at-or-before (lKey, lTime); remember the
-          // newest one PER KEY (an older key's match must not leak)
+          // consume right rows before (lKey, lTime); remember the
+          // newest one PER KEY (an older key's match must not leak).
+          // Forward keeps an equal-time right row BUFFERED (it is the
+          // forward candidate); backward/nearest consume it (it is the
+          // backward candidate, and nearest's distance-0 tie prefers
+          // backward anyway).
           var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
-          while (rRow != null && (cmp < 0 ||
-              (cmp == 0 && timeOrd.compare(rTime, lTime) <= 0))) {
-            if (cmp == 0) { lastMatch = rRow; lastMatchKey = rKey }
+          while (rRow != null && (cmp < 0 || (cmp == 0 && {
+              val tc = timeOrd.compare(rTime, lTime)
+              if (dirCode == 1) tc < 0 else tc <= 0
+            }))) {
+            if (cmp == 0) {
+              lastMatch = rRow; lastMatchKey = rKey; lastMatchTime = rTime
+            }
             advanceR()
             cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           }
-          val hit = lastMatch != null &&
-            keyOrd.compare(lastMatchKey, lKey) == 0
-          joined(lRaw, if (hit) lastMatch else nullRight)
+          val backHit = dirCode != 1 && lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            tol.forall(t => num(lTime) - num(lastMatchTime) <= t)
+          val fwdHit = dirCode != 0 && rRow != null &&
+            keyOrd.compare(rKey, lKey) == 0 &&
+            tol.forall(t => num(rTime) - num(lTime) <= t)
+          val chosen =
+            if (backHit && fwdHit) {
+              // nearest: closer wins, ties prefer backward (pandas
+              // merge_asof nearest contract)
+              if (num(lTime) - num(lastMatchTime) <= num(rTime) - num(lTime))
+                lastMatch
+              else rRow
+            } else if (backHit) lastMatch
+            else if (fwdHit) rRow
+            else nullRight
+          joined(lRaw, chosen)
         }
         outProj(joined)
       }
@@ -164,7 +209,9 @@ object AsofJoinNative {
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String,
-            rightPayload: Seq[String]): DataFrame = {
+            rightPayload: Seq[String],
+            direction: String = "backward",
+            toleranceSec: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -187,7 +234,21 @@ object AsofJoinNative {
       s"left and right share attribute ids (${shared.mkString(", ")}) — " +
         "re-alias one side (e.g. .select(cols.map(c => col(c).as(c)))) " +
         "or use toDF to break shared lineage")
-    val node = AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt)
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction '$direction'")
+    val isTs = lt.dataType == org.apache.spark.sql.types.TimestampType ||
+      lt.dataType == org.apache.spark.sql.types.TimestampNTZType
+    require(toleranceSec.isEmpty || isTs,
+      "toleranceSec needs a timestamp time column (micros) — cast first")
+    val numericPhysical = isTs ||
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DateType)(lt.dataType)
+    require(direction != "nearest" || numericPhysical,
+      "nearest needs a numeric-physical time column for distances")
+    val node = AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt,
+      direction, toleranceSec.map(_ * 1000000L))
     // select by resolved attribute (exprId), not by name — the raw
     // output keeps the whole right row and may repeat left names
     val keep = lPlan.output ++

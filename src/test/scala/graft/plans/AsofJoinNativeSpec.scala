@@ -62,6 +62,67 @@ class AsofJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("directions + tolerance unit semantics: forward takes the " +
+    "earliest at-or-after, nearest takes the closer side with ties " +
+    "backward, tolerance voids distant matches") {
+    val q = Seq(("A", 1000000L, 1.0), ("A", 3000000L, 2.0),
+      ("B", 9000000L, 5.0)).toDF("sym", "qt", "px")
+      .select($"sym", timestamp_micros($"qt").as("qt"), $"px")
+    val t = Seq((1L, "A", 1400000L), // back 0.4s vs fwd 1.6s -> 1.0
+      (2L, "A", 2200000L),           // back 1.2s vs fwd 0.8s -> 2.0
+      (3L, "A", 2000000L),           // equidistant 1s -> backward 1.0
+      (4L, "A", 3000000L),           // exact hit -> 2.0 in all modes
+      (5L, "B", 1000000L))           // fwd 8s away
+      .toDF("trade_id", "sym", "tt")
+      .select($"trade_id", $"sym", timestamp_micros($"tt").as("tt"))
+    def run(dir: String, tol: Option[Long]) =
+      AsofJoinNative(t, q, "sym", "sym", "tt", "qt", Seq("px"),
+        direction = dir, toleranceSec = tol)
+        .select($"trade_id", $"px").as[(Long, Option[Double])]
+        .collect().toMap
+    val near = run("nearest", None)
+    assert(near(1L).contains(1.0) && near(2L).contains(2.0))
+    assert(near(3L).contains(1.0)) // tie -> backward
+    assert(near(4L).contains(2.0))
+    assert(near(5L).contains(5.0)) // only a forward candidate exists
+    val fwd = run("forward", None)
+    assert(fwd(1L).contains(2.0) && fwd(2L).contains(2.0))
+    assert(fwd(4L).contains(2.0)) // at-or-after includes equal time
+    assert(fwd(5L).contains(5.0))
+    val nearTol = run("nearest", Some(1L))
+    assert(nearTol(1L).contains(1.0) && nearTol(2L).contains(2.0))
+    assert(nearTol(5L).isEmpty) // 8s > 1s tolerance
+    val fwdTol = run("forward", Some(1L))
+    assert(fwdTol(2L).contains(2.0) && fwdTol(5L).isEmpty)
+    val backTol = run("backward", Some(1L))
+    assert(backTol(1L).contains(1.0) && backTol(2L).isEmpty)
+  }
+
+  test("nearest+tolerance parity with the composed AsofJoin on the " +
+    "fixture (the join_asof_nearest catalog shape), several " +
+    "partitionings") {
+    val ev = load(spark, sf0001, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val composed = AsofJoin(err, pur, "user_id", "p_user", "ts", "p_ts",
+      Seq("purchase_id"), direction = "nearest",
+      toleranceSec = Some(86400L))
+      .select(col("error_id"), col("purchase_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    for (parts <- Seq(1, 7)) {
+      val native = AsofJoinNative(err.repartition(parts),
+        pur.repartition(parts + 2), "user_id", "p_user", "ts", "p_ts",
+        Seq("purchase_id"), direction = "nearest",
+        toleranceSec = Some(86400L))
+        .select(col("error_id"), col("purchase_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(native == composed, s"parts=$parts: diverged")
+    }
+  }
+
   test("plan: AsofJoinExec with one exchange per side, no union, no " +
     "window, no nested loop") {
     val events = load(spark, sf0001, "events")

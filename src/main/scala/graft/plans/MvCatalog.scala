@@ -4,6 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, IsNotNull, Literal, Not}
+import org.apache.spark.sql.types.BooleanType
 
 /** Registry of materialized aggregate views for transparent query
   * rewrite (see [[MvRewriteRule]]): each entry claims "`view` holds
@@ -34,7 +36,47 @@ object MvCatalog {
       groupCols: Seq[String],
       aggs: Map[AggKey, String], // agg key -> view column name
       view: () => DataFrame, // fresh plan per call (fresh exprIds)
-      fingerprint: String)
+      fingerprint: String,
+      // version-based freshness override (maintained views): when set,
+      // it replaces the file-listing compare entirely
+      freshCheck: Option[SparkSession => Boolean] = None,
+      // the predicate family the view is BUILT UNDER: matching filter
+      // conjuncts in a query are absorbed (the view already reflects
+      // them) and the core predicate is REQUIRED (a query without it
+      // reads different rows than the view and must not rewrite)
+      sourcePredicate: Option[SourcePredicate] = None)
+
+  /** A source-row predicate a view claim is built under (e.g. "live
+    * mirror rows only"). */
+  trait SourcePredicate extends Serializable {
+    /** is this filter conjunct already reflected in the view's rows? */
+    def absorbs(e: Expression): Boolean
+    /** does the query's conjunct set include the claim's core
+      * predicate? */
+    def satisfied(conjuncts: Seq[Expression]): Boolean
+  }
+
+  /** The mirror-live predicate `NOT _v_deleted` (what
+    * `Materialize.stripVersions` applies and every maintained agg view
+    * is built under) — plus the `IsNotNull` conjunct the optimizer
+    * infers from it. */
+  object LiveMirrorRows extends SourcePredicate {
+    private val flag = graft.cdc.Materialize.deletedFlag
+    private def isNotDeleted(e: Expression): Boolean = e match {
+      case Not(a: AttributeReference) => a.name == flag
+      case EqualTo(a: AttributeReference, Literal(false, BooleanType)) =>
+        a.name == flag
+      case EqualTo(Literal(false, BooleanType), a: AttributeReference) =>
+        a.name == flag
+      case _ => false
+    }
+    override def absorbs(e: Expression): Boolean = isNotDeleted(e) || (e match {
+      case IsNotNull(a: AttributeReference) => a.name == flag
+      case _ => false
+    })
+    override def satisfied(conjuncts: Seq[Expression]): Boolean =
+      conjuncts.exists(isNotDeleted)
+  }
 
   private val entries = new ConcurrentHashMap[String, Entry]()
 
@@ -86,6 +128,60 @@ object MvCatalog {
     * matches the directory's current listing. */
   private[plans] def freshEntry(spark: SparkSession,
                                 qualified: String): Option[Entry] =
-    Option(entries.get(qualified))
-      .filter(e => listingFingerprint(spark, qualified) == e.fingerprint)
+    Option(entries.get(qualified)).filter(e =>
+      e.freshCheck.map(_(spark))
+        .getOrElse(listingFingerprint(spark, qualified) == e.fingerprint))
+
+  /** Register a PIPELINE-MAINTAINED aggregate view
+    * ([[graft.streaming.IncrementalAgg]] state kept by
+    * `CdcPipeline.updateAggView`) as a rewrite target for queries that
+    * aggregate the table's mirror directly. Freshness is VERSION-based
+    * instead of file listings: the view state's applied-batch
+    * watermark (`_b_upto`) must equal the mirror's last merged batch
+    * id (the swap layout's `_GRAFT_BATCH` marker / the log layout's
+    * manifest id) — a mirror merge the view hasn't folded yet makes
+    * the claim stale, and queries fall through to the base scan until
+    * the view catches up. Registered aggregates: `count(*)` → n_rows
+    * plus the spec's sum/max/min columns (HLL distinct sketches are
+    * not relational aggregates and are not claimed).
+    *
+    * Only swap-layout mirrors are rewritable (queries over a
+    * LOG-layout mirror read through `LogMirror.read`'s reconcile plan,
+    * never a bare scan the rule could match). */
+  def registerMaintained(spark: SparkSession,
+                         cfg: graft.streaming.CdcPipeline.Config,
+                         viewName: String): Unit = {
+    val v = cfg.aggViews(viewName)
+    val spec = v.spec
+    val tableRoot = s"${cfg.mirrorRoot}/${v.table}"
+    val stateDir = s"${cfg.mirrorRoot}/_views/$viewName/live"
+    val aggs: Map[AggKey, String] =
+      (Map[AggKey, String](("count", "*") -> "n_rows") ++
+        spec.sumCols.map(c => (("sum", c): AggKey) -> s"sum_$c") ++
+        spec.maxCols.map(c => (("max", c): AggKey) -> s"max_$c") ++
+        spec.minCols.map(c => (("min", c): AggKey) -> s"min_$c"))
+    def viewState() = spark.read.parquet(stateDir)
+    val fresh: SparkSession => Boolean = sp => {
+      val mirrorBatch = cfg.mirrorSink.lastBatchId(sp, tableRoot)
+      mirrorBatch.exists { mb =>
+        try {
+          import org.apache.spark.sql.functions.{coalesce, lit, max => fmax}
+          viewState().agg(coalesce(fmax(
+            org.apache.spark.sql.functions.col("_b_upto")), lit(-1L)))
+            .head().getLong(0) == mb
+        } catch { case _: Exception => false } // no state yet = stale
+      }
+    }
+    val q = qualify(spark, s"$tableRoot/live")
+    entries.put(q, Entry(q, spec.groupCols, aggs,
+      () => {
+        val st = viewState()
+        val drop = Seq("_b_upto") ++
+          graft.streaming.IncrementalAgg.hiddenCols(spec) ++
+          spec.distinctCols.map(c => s"hll_$c")
+        st.drop(drop.filter(st.columns.contains): _*)
+      },
+      fingerprint = "<maintained>", freshCheck = Some(fresh),
+      sourcePredicate = Some(LiveMirrorRows)))
+  }
 }

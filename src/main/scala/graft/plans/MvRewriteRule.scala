@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.DoubleType
   *     fingerprint, so a source write after the last view refresh
   *     disables the rewrite instead of serving stale rows.
   */
-object MvRewriteRule extends Rule[LogicalPlan] {
+object MvRewriteRule extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvCatalog.isEmpty) plan
@@ -108,14 +109,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       groupAttrs <- bareAttrs(agg.groupingExpressions)
       names = groupAttrs.map(_.name)
       if names.distinct == names && names.toSet.subsetOf(entry.groupCols.toSet)
-      // a filter may only touch view group columns (then it commutes
-      // with the grouping and re-applies over the view's group values)
-      if src.filter.forall(_.references.forall(a =>
+      // filter handling: conjuncts the claim declares ABSORBED (the
+      // predicate a maintained view is built under, e.g. live mirror
+      // rows) are dropped — and the claim's core predicate must be
+      // PRESENT, else the query reads rows the view doesn't hold; the
+      // remaining conjuncts may only touch view group columns (they
+      // commute with the grouping and re-apply over the view's group
+      // values)
+      conjuncts = src.filter.toSeq.flatMap(splitConjunctivePredicates)
+      if entry.sourcePredicate.forall(_.satisfied(conjuncts))
+      remaining = conjuncts.filterNot(c =>
+        entry.sourcePredicate.exists(_.absorbs(c)))
+      if remaining.forall(_.references.forall(a =>
         entry.groupCols.contains(a.name)))
       viewPlan = entry.view().queryExecution.analyzed
-      child <- src.filter match {
-        case None => Some(viewPlan)
-        case Some(cond) => rebind(cond, viewPlan).map(Filter(_, viewPlan))
+      child <- remaining match {
+        case Nil => Some(viewPlan)
+        case cs => rebind(cs.reduce(And), viewPlan).map(Filter(_, viewPlan))
       }
       result <-
         if (names.sorted == entry.groupCols.sorted)

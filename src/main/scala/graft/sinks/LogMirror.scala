@@ -55,13 +55,13 @@ object LogMirror {
   final case class Manifest(keyCols: Seq[String], bucketCount: Option[Int],
                             base: Option[Long], deltas: Seq[Long])
 
-  private def manifestId(p: Path): Option[Long] = {
+  private[sinks] def manifestId(p: Path): Option[Long] = {
     val n = p.getName
     if (n.startsWith("MANIFEST-")) n.stripPrefix("MANIFEST-").toLongOption
     else None
   }
 
-  private def latestManifest(fs: FileSystem, root: String): Option[Path] = {
+  private[sinks] def latestManifest(fs: FileSystem, root: String): Option[Path] = {
     val dir = new Path(root)
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).map(_.getPath)
@@ -625,4 +625,13 @@ final case class LogMirrorSink(maxDeltas: Int = 16,
   override def lookup(spark: SparkSession, tableRoot: String,
                       keyCols: Seq[String], keyValues: Seq[Any]): DataFrame =
     LogMirror.lookup(spark, tableRoot, keyCols, keyValues)
+
+  /** The log layout versions natively: the latest manifest id IS the
+    * last merged batch id. */
+  override def lastBatchId(spark: SparkSession,
+                           tableRoot: String): Option[Long] = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LogMirror.latestManifest(fs, tableRoot).flatMap(LogMirror.manifestId)
+  }
 }

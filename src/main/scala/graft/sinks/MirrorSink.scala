@@ -60,6 +60,15 @@ trait MirrorSink extends Serializable {
     * mirror's stored types (hash(Int) ≠ hash(Long)). */
   def lookup(spark: SparkSession, tableRoot: String, keyCols: Seq[String],
              keyValues: Seq[Any]): DataFrame
+
+  /** The last batch id this mirror has merged, when the layout records
+    * one — the freshness version the MV-rewrite integration compares
+    * against a maintained view's applied-batch watermark
+    * ([[graft.plans.MvCatalog.registerMaintained]]). None = unknown
+    * (layout doesn't version) → the integration conservatively treats
+    * the view as stale and queries fall through to the base table. */
+  def lastBatchId(spark: SparkSession, tableRoot: String): Option[Long] =
+    None
 }
 
 /** Full-rewrite mirror with atomic two-rename publish — the plain
@@ -90,8 +99,16 @@ final case class SwapMirror(bucketCount: Option[Int] = None) extends MirrorSink 
         case None => merged.write
       }
       writer.mode("overwrite").parquet(staging.toString)
+      SwapMirror.writeBatchMarker(fs, staging, batchId)
     }
   }
+
+  override def lastBatchId(spark: SparkSession,
+                           tableRoot: String): Option[Long] =
+    SwapMirror.readBatchMarker(
+      new Path(s"$tableRoot/live")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(s"$tableRoot/live"))
 
   override def read(spark: SparkSession, tableRoot: String): DataFrame =
     Materialize.stripVersions(
@@ -120,6 +137,31 @@ final case class SwapMirror(bucketCount: Option[Int] = None) extends MirrorSink 
 }
 
 object SwapMirror {
+
+  /** Batch-id marker riding the atomic swap: "_"-prefixed so parquet
+    * readers and listing fingerprints ignore it; published in the SAME
+    * rename as the data, so the marker can never disagree with the
+    * state next to it. */
+  private[graft] def writeBatchMarker(fs: FileSystem, dir: Path,
+                                      batchId: Long): Unit =
+    if (batchId >= 0) {
+      val out = fs.create(new Path(dir, "_GRAFT_BATCH"), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  private[graft] def readBatchMarker(fs: FileSystem,
+                                     dir: Path): Option[Long] = {
+    val p = new Path(dir, "_GRAFT_BATCH")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } catch { case _: Exception => None } finally in.close()
+    }
+  }
 
   /** Two-rename atomic publish of a freshly-written `.staging` dir as
     * `live` (recovery for the crash window between the renames is

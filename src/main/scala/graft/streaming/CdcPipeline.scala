@@ -280,7 +280,8 @@ object CdcPipeline {
                       group -> Future {
                         sink match {
                           case Left(swap) => mergeGroupIntoMirrors(
-                            spark, parsed, group, cfg, swap.bucketCount)
+                            spark, parsed, group, cfg, swap.bucketCount,
+                            batchId)
                           case Right(log) => mergeGroupIntoLogMirrors(
                             spark, parsed, group, cfg, log, batchId)
                         }
@@ -382,7 +383,8 @@ object CdcPipeline {
     * drops from #tables jobs to one. */
   private def mergeGroupIntoMirrors(spark: SparkSession, parsed: DataFrame,
                                     ts: Seq[String], cfg: Config,
-                                    bucketCount: Option[Int]): Unit = {
+                                    bucketCount: Option[Int],
+                                    batchId: Long): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
     val fs = new Path(cfg.mirrorRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -424,6 +426,7 @@ object CdcPipeline {
           if (!fs.rename(part, staging))
             sys.error(s"staging rename failed for $t")
           fs.create(new Path(staging, "_SUCCESS"), true).close()
+          graft.sinks.SwapMirror.writeBatchMarker(fs, staging, batchId)
         }
       }
     } finally fs.delete(tmp, true)
@@ -488,19 +491,32 @@ object CdcPipeline {
     // mirror (this view job is sequenced after the table's merge);
     // the mirror read is the batch-shared cached one
     val mirrorRows = Some(sharedMirror)
-    val merged =
-      if (fs.exists(live)) {
-        val state = spark.read.parquet(live.toString)
+    val upto =
+      if (!fs.exists(live)) -1L
+      else
         // coalesce guards the empty-state file (all groups deleted, or
         // a first batch that was entirely malformed): max over zero
         // rows is null, and a bare getLong would NPE and crash-loop
         // the stream on every replay
-        val upto = state.agg(coalesce(max(col("_b_upto")), lit(-1L)))
-          .head().getLong(0)
-        if (upto >= batchId) return // replayed batch: already applied
-        IncrementalAgg.merge(state.drop("_b_upto"), delta, view.spec,
-          mirrorRows, cacheBatch)
-      } else
+        spark.read.parquet(live.toString)
+          .agg(coalesce(max(col("_b_upto")), lit(-1L))).head().getLong(0)
+    if (upto >= batchId) return // replayed batch: already applied
+    val merged =
+      if (batchId > upto + 1)
+        // GAP: batches merged into the mirror while this view wasn't
+        // riding the pipeline (registered mid-stream, or the pipeline
+        // ran with a config that omitted it). Folding only this
+        // batch's delta would silently bake the missing batches out of
+        // the state forever — REBUILD from the post-batch mirror
+        // instead (correct by construction; the MvCatalog freshness
+        // watermark advances only through here, so a lagging view
+        // stays out of query rewrites until this runs).
+        IncrementalAgg.rebuild(sharedMirror(), view.spec)
+      else if (upto >= 0)
+        IncrementalAgg.merge(
+          spark.read.parquet(live.toString).drop("_b_upto"), delta,
+          view.spec, mirrorRows, cacheBatch)
+      else
         // empty-state merge (NOT a bare filter): a within-batch
         // insert+delete of a group's max row must already trigger the
         // dirty recompute on the very first batch

@@ -113,7 +113,7 @@ object IncrementalAgg {
 
   /** Hidden per-bound state columns (kept in the view parquet, dropped
     * by the read surface). */
-  private[streaming] def hiddenCols(spec: Spec): Seq[String] =
+  private[graft] def hiddenCols(spec: Spec): Seq[String] =
     bounds(spec).flatMap(b => Seq(b.cand, b.lw))
 
   private def stateCols(spec: Spec): Seq[String] =
@@ -285,29 +285,9 @@ object IncrementalAgg {
             "IncrementalAgg: extremum candidate list drained - needs " +
               s"mirrorRows to recompute dirty groups " +
               s"(${bs.map(_.state).mkString(",")})"))()
-          // refill: top-(K+1) per dirty group via a SALTED two-level
-          // collect, so no reducer ever lists more than its salt
-          // shard; the (K+1)-th value becomes the new low-water mark
-          val salt = pmod(hash(bs.map(b => col(b.src)): _*), lit(64))
-          val p1Aggs = bs.map(b =>
-            slice(b.sortBest(collect_list(col(b.src))), 1, CandK + 1)
-              .as(s"_p_${b.state}"))
-          val lvl1 = mirror.join(broadcast(dirty), spec.groupCols, "left_semi")
-            .groupBy((spec.groupCols.map(col) :+ salt.as("_slt")): _*)
-            .agg(p1Aggs.head, p1Aggs.tail: _*)
-          val p2Aggs = bs.map(b =>
-            flatten(collect_list(col(s"_p_${b.state}"))).as(s"_f_${b.state}"))
-          val refill = bs.foldLeft(
-            lvl1.groupBy(spec.groupCols.map(col): _*)
-              .agg(p2Aggs.head, p2Aggs.tail: _*)) { (df, b) =>
-            val cp1 = b.sortBest(col(s"_f_${b.state}"))
-            val cut = try_element_at(cp1, lit(CandK + 1))
-            df.withColumn(s"_re_cand_${b.state}",
-                when(cut.isNull, cp1)
-                  .otherwise(filter(slice(cp1, 1, CandK), v => b.better(v, cut))))
-              .withColumn(s"_re_lw_${b.state}", cut)
-              .drop(s"_f_${b.state}")
-          }
+          val refill = candidateLists(
+            mirror.join(broadcast(dirty), spec.groupCols, "left_semi"),
+            spec, "_re_")
           bs.foldLeft(cachedNew.join(refill, spec.groupCols, "left")) {
             (df, b) =>
               df.withColumn(b.cand,
@@ -327,6 +307,66 @@ object IncrementalAgg {
       bs.foldLeft(resolved)((df, b) =>
           df.withColumn(b.state, try_element_at(col(b.cand), lit(1))))
         .select(outCols.map(col): _*)
+    }
+  }
+
+  /** Per-group candidate lists + low-water marks for every bound,
+    * computed from raw live rows via a SALTED two-level top-(K+1)
+    * collect (no reducer ever lists more than its salt shard); the
+    * (K+1)-th value becomes the low-water mark. Output: groupCols +
+    * `<prefix>cand_<state>` / `<prefix>lw_<state>` per bound. Shared
+    * by merge's dirty refill and [[rebuild]]. */
+  private def candidateLists(rows: DataFrame, spec: Spec,
+                             prefix: String): DataFrame = {
+    val bs = bounds(spec)
+    val salt = pmod(hash(bs.map(b => col(b.src)): _*), lit(64))
+    val p1Aggs = bs.map(b =>
+      slice(b.sortBest(collect_list(col(b.src))), 1, CandK + 1)
+        .as(s"_p_${b.state}"))
+    val lvl1 = rows
+      .groupBy((spec.groupCols.map(col) :+ salt.as("_slt")): _*)
+      .agg(p1Aggs.head, p1Aggs.tail: _*)
+    val p2Aggs = bs.map(b =>
+      flatten(collect_list(col(s"_p_${b.state}"))).as(s"_f_${b.state}"))
+    bs.foldLeft(
+      lvl1.groupBy(spec.groupCols.map(col): _*)
+        .agg(p2Aggs.head, p2Aggs.tail: _*)) { (df, b) =>
+      val cp1 = b.sortBest(col(s"_f_${b.state}"))
+      val cut = try_element_at(cp1, lit(CandK + 1))
+      df.withColumn(s"${prefix}cand_${b.state}",
+          when(cut.isNull, cp1)
+            .otherwise(filter(slice(cp1, 1, CandK), v => b.better(v, cut))))
+        .withColumn(s"${prefix}lw_${b.state}", cut)
+        .drop(s"_f_${b.state}")
+    }
+  }
+
+  /** Rebuild the full view state from the table's CURRENT live rows —
+    * the correct fallback when incremental folding is impossible: a
+    * view registered mid-stream, or one that missed batches while the
+    * pipeline ran without it (the gap guard in CdcPipeline). One
+    * grouped pass + (with bounds) one salted candidate-list pass.
+    * `distinctCols` sketches degrade to current-rows distincts (the
+    * ever-written history is not recoverable from state). */
+  def rebuild(mirrorRows: DataFrame, spec: Spec): DataFrame = {
+    val bs = bounds(spec)
+    val aggs = (count(lit(1)).as("n_rows") +:
+      spec.sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      spec.distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
+    val base = mirrorRows.groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    if (bs.isEmpty) base
+    else {
+      val lists = candidateLists(mirrorRows, spec, "_cl_")
+      val joined = bs.foldLeft(base.join(lists, spec.groupCols)) {
+        (df, b) =>
+          df.withColumn(b.cand, col(s"_cl_cand_${b.state}"))
+            .withColumn(b.lw, col(s"_cl_lw_${b.state}"))
+            .withColumn(b.state, try_element_at(col(b.cand), lit(1)))
+            .drop(s"_cl_cand_${b.state}", s"_cl_lw_${b.state}")
+      }
+      joined.select(
+        (spec.groupCols ++ stateCols(spec) ++ hiddenCols(spec)).map(col): _*)
     }
   }
 

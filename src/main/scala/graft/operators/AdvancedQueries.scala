@@ -3846,5 +3846,93 @@ object AdvancedQueries {
              |  LIMIT 1) m ON TRUE""".stripMargin),
       "nearest-direction as-of join with 24h tolerance: one shuffle + " +
         "two windows, checked against an independent LATERAL argmin " +
-        "formulation with identical tie rules"))
+        "formulation with identical tie rules"),
+
+    // Split-conformal prediction intervals (the distribution-free
+    // calibration wrapper production ML ships around point models):
+    // hash-split orders into train/calibration/test, fit the trivial
+    // per-priority mean on train, take the ceil((n+1)(1-α))-th
+    // smallest calibration residual as the group's interval half-width
+    // q̂, then MEASURE the guaranteed ≥1−α coverage on the held-out
+    // test split. Exactness: with ŷ_g = S_g/n_g, |y − ŷ_g| ordering
+    // and the coverage test both scale by n_g into INTEGER arithmetic
+    // (|y·n_g − S_g| vs the chosen residual's same-scaled value), so
+    // order statistics, ties (by order key) and the coverage flags are
+    // engine-exact; only the reported widths/rates divide. Scale
+    // shape: one hash-split scan, per-GROUP windows only (residual
+    // rank is priority-partitioned), 1-row-per-group broadcasts.
+    Q("eval_conformal_coverage",
+      (s, d) => {
+        val o = persistOnce(load(s, d, "orders").select(
+          col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100).cast("long").as("y"),
+          col("o_orderkey").as("k"),
+          (conv(substring(md5(concat(lit("conf|"),
+            col("o_orderkey").cast("string"))), 1, 2), 16, 10)
+            .cast("int") % 4).as("fold")))
+        val model = o.filter(col("fold") <= 1)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"))
+        val cal = o.filter(col("fold") === 2).join(broadcast(model), "grp")
+          .withColumn("rint", abs(col("y") * col("ng") - col("sg")))
+        val wr = Window.partitionBy(col("grp"))
+          .orderBy(col("rint"), col("k"))
+        val ranked = cal
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("ncal", count(lit(1)).over(Window.partitionBy("grp")))
+        // q-index = ceil(0.9 * (ncal + 1)) clamped to ncal
+        val qhat = ranked
+          .filter(col("rn") ===
+            least(col("ncal"), expr("(9 * (ncal + 1) + 9) div 10")))
+          .select(col("grp"), col("rint").as("qint"), col("ncal"))
+        val test = o.filter(col("fold") === 3).join(broadcast(model), "grp")
+          .join(broadcast(qhat), "grp")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(abs(col("y") * col("ng") - col("sg")) <= col("qint"),
+              1L).otherwise(0L)).as("n_covered"))
+        test.join(qhat, "grp").join(model, "grp")
+          .select(col("grp"), col("ncal").as("n_cal"), col("n_test"),
+            (col("qint").cast("double") / (col("ng") * lit(100.0)))
+              .as("q_width"),
+            (col("n_covered").cast("double") / col("n_test"))
+              .as("coverage"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             |    o_orderkey AS k,
+             |    CAST(concat('0x', substr(md5(concat('conf|',
+             |      CAST(o_orderkey AS VARCHAR))), 1, 2)) AS INTEGER) % 4
+             |      AS fold
+             |  FROM orders),
+             |model AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(y) AS BIGINT) AS sg
+             |  FROM o WHERE fold <= 1 GROUP BY 1),
+             |cal AS (
+             |  SELECT o.grp, abs(y * ng - sg) AS rint, k, ng
+             |  FROM o JOIN model USING (grp) WHERE fold = 2),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY grp
+             |      ORDER BY rint, k) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ncal
+             |  FROM cal),
+             |qhat AS (
+             |  SELECT grp, rint AS qint, ncal FROM ranked
+             |  WHERE rn = least(ncal, (9 * (ncal + 1) + 9) // 10)),
+             |test AS (
+             |  SELECT o.grp, CAST(count(*) AS BIGINT) AS n_test,
+             |    CAST(sum(CASE WHEN abs(y * ng - sg) <= qint
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+             |  FROM o JOIN model USING (grp) JOIN qhat USING (grp)
+             |  WHERE fold = 3 GROUP BY 1)
+             |SELECT grp, ncal AS n_cal, n_test,
+             |  CAST(qint AS DOUBLE) / (ng * 100.0) AS q_width,
+             |  CAST(n_covered AS DOUBLE) / n_test AS coverage
+             |FROM test JOIN qhat USING (grp) JOIN model USING (grp)""".stripMargin),
+      "split-conformal intervals per priority class: integer-scaled " +
+        "residual order statistics pick the 90% half-width, held-out " +
+        "coverage measured exactly — the distribution-free guarantee, " +
+        "hash-split reproducible"))
 }

@@ -1220,5 +1220,86 @@ object DedupQueries {
              |  ON r.doc_id = l.doc_id + $plantOffsetSql""".stripMargin),
       "b-bit MinHash: 63 minhashes compressed to ONE packed long per " +
         "doc (8-byte signatures, XOR+popcount compare), Jaccard " +
-        "re-estimated from bit agreement next to the exact value"))
+        "re-estimated from bit agreement next to the exact value"),
+
+    // Fellegi-Sunter probabilistic record linkage (the 1969 model
+    // every production ER engine — Splink, dedupe.io, JedAI — still
+    // scores with): candidate pairs get a log-likelihood-ratio weight
+    // Σ_f ln(m_f/u_f) over agreeing fields + ln((1−m_f)/(1−u_f)) over
+    // disagreeing ones. The u-probabilities (chance agreement between
+    // NON-matches) come from the data exactly — u_f = Σ_v c_v(c_v−1)
+    // / N(N−1) off each field's value rollup, the random-pair
+    // agreement probability — while m stays the 0.95 textbook prior
+    // (no labels in the fixture; Splink's default EM seed). Fields:
+    // name color (first token), type material (last token), price
+    // bucket; candidates
+    // from the (brand, size) equi-join block — pairs ∝ Σ block², never
+    // all-pairs. Weights are fixed-order 3-term chains of single-op
+    // doubles rounded at 4dp; agreement bits and ids are exact.
+    Q("dedup_fellegi_sunter",
+      (s, d) => {
+        val p = persistOnce(load(s, d, "part").select(
+          col("p_partkey").as("id"), col("p_brand").as("brand"),
+          col("p_size").as("sz"),
+          element_at(split(col("p_name"), " "), 1).as("clr"),
+          element_at(split(col("p_type"), " "), -1).as("mat"),
+          floor(col("p_retailprice") / 100).cast("long").as("pb")))
+        val n = p.agg(count(lit(1)).as("n"))
+        def uOf(c: String, alias: String) =
+          p.groupBy(col(c)).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * (col("c") - 1)).as("a"))
+            .crossJoin(n)
+            .select((col("a").cast("double") /
+              (col("n") * (col("n") - 1))).as(alias))
+        val us = uOf("clr", "u_clr").crossJoin(uOf("mat", "u_mat"))
+          .crossJoin(uOf("pb", "u_pb"))
+        def term(lc: String, rc: String, u: String) =
+          when(col(lc) === col(rc), log(lit(0.95) / col(u)))
+            .otherwise(log(lit(0.05) / (lit(1.0) - col(u))))
+        p.as("l").join(p.as("r"),
+            col("l.brand") === col("r.brand") &&
+              col("l.sz") === col("r.sz") && col("l.id") < col("r.id"))
+          .crossJoin(broadcast(us))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            (col("l.clr") === col("r.clr")).as("agr_color"),
+            (col("l.mat") === col("r.mat")).as("agr_mat"),
+            (col("l.pb") === col("r.pb")).as("agr_price"),
+            round(term("l.clr", "r.clr", "u_clr") +
+              term("l.mat", "r.mat", "u_mat") +
+              term("l.pb", "r.pb", "u_pb"), 4).as("fs_weight"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey AS id, p_brand AS brand, p_size AS sz,
+             |    string_split(p_name, ' ')[1] AS clr,
+             |    string_split(p_type, ' ')[-1] AS mat,
+             |    CAST(floor(p_retailprice / 100) AS BIGINT) AS pb
+             |  FROM part),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+             |uc AS (SELECT CAST(a AS DOUBLE) / (n * (n - 1)) AS u_clr
+             |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS a FROM
+             |    (SELECT count(*) AS c FROM p GROUP BY clr)), nn),
+             |um AS (SELECT CAST(a AS DOUBLE) / (n * (n - 1)) AS u_mat
+             |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS a FROM
+             |    (SELECT count(*) AS c FROM p GROUP BY mat)), nn),
+             |up AS (SELECT CAST(a AS DOUBLE) / (n * (n - 1)) AS u_pb
+             |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS a FROM
+             |    (SELECT count(*) AS c FROM p GROUP BY pb)), nn)
+             |SELECT l.id AS a, r.id AS b,
+             |  l.clr = r.clr AS agr_color, l.mat = r.mat AS agr_mat,
+             |  l.pb = r.pb AS agr_price,
+             |  round(
+             |    (CASE WHEN l.clr = r.clr THEN ln(0.95 / u_clr)
+             |          ELSE ln(0.05 / (1.0 - u_clr)) END) +
+             |    (CASE WHEN l.mat = r.mat THEN ln(0.95 / u_mat)
+             |          ELSE ln(0.05 / (1.0 - u_mat)) END) +
+             |    (CASE WHEN l.pb = r.pb THEN ln(0.95 / u_pb)
+             |          ELSE ln(0.05 / (1.0 - u_pb)) END), 4) AS fs_weight
+             |FROM p l JOIN p r
+             |  ON l.brand = r.brand AND l.sz = r.sz AND l.id < r.id
+             |CROSS JOIN uc CROSS JOIN um CROSS JOIN up""".stripMargin),
+      "Fellegi-Sunter linkage scoring over (brand, size) blocks: " +
+        "data-exact u-probabilities from value rollups, textbook m " +
+        "prior, 3-field log-likelihood-ratio weights at 4dp — the " +
+        "probabilistic half of the ER surface next to the distance " +
+        "matchers"))
 }

@@ -738,5 +738,64 @@ object Expectations {
              |    AS did_cents""".stripMargin),
       "difference-in-differences from one (treated, post) rollup: four " +
         "exact-cents cell means, the common time trend differenced out " +
-        "— single-op chains, unrounded"))
+        "— single-op chains, unrounded"),
+
+    // Disparate-impact audit of a curation filter (the four-fifths /
+    // 80% rule from US EEOC selection analysis, the standard first
+    // fairness probe on a training-data pipeline): does the corpus
+    // quality cutoff (n_chars >= 200 here) select documents of some
+    // languages at materially lower rates than the most-selected
+    // language? Per group: selection rate, impact ratio vs the best
+    // rate, the 80%-rule flag, and the statistical-parity difference.
+    // One (lang)-keyed rollup of integer counts + a 1-row broadcast of
+    // the reference rate; ratios stay exact INTEGER cross-products
+    // (n_sel·ref_n vs ref_sel·n) for the flag so the pass/fail never
+    // rides a float boundary; reported rates are single divisions.
+    Q("quality_disparate_impact",
+      (s, d) => {
+        val g = persistOnce(load(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") >= 200, 1L).otherwise(0L))
+              .as("n_sel")))
+        // reference = the highest selection rate (exact fraction
+        // compare via cross-multiplication, ties to the larger group
+        // then lang for determinism)
+        val ref = g.select(col("lang").as("ref_lang"),
+            col("n").as("ref_n"), col("n_sel").as("ref_sel"))
+          .orderBy(expr("(ref_sel * 1000000000) div ref_n").desc,
+            col("ref_n").desc, col("ref_lang"))
+          .limit(1)
+        g.crossJoin(broadcast(ref))
+          .select(col("lang"), col("n"), col("n_sel"),
+            (col("n_sel").cast("double") / col("n")).as("sel_rate"),
+            ((col("n_sel") * col("ref_n")).cast("double") /
+              (col("ref_sel") * col("n"))).as("impact_ratio"),
+            (col("n_sel") * col("ref_n") * lit(5) <
+              col("ref_sel") * col("n") * lit(4)).as("below_80pct"),
+            (col("n_sel").cast("double") / col("n") -
+              col("ref_sel").cast("double") / col("ref_n"))
+              .as("parity_diff"))
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_sel
+             |  FROM documents GROUP BY 1),
+             |ref AS (
+             |  SELECT lang AS ref_lang, n AS ref_n, n_sel AS ref_sel
+             |  FROM g
+             |  ORDER BY (n_sel * 1000000000) // n DESC, n DESC, lang
+             |  LIMIT 1)
+             |SELECT lang, n, n_sel,
+             |  CAST(n_sel AS DOUBLE) / n AS sel_rate,
+             |  CAST(n_sel * ref_n AS DOUBLE) / (ref_sel * n)
+             |    AS impact_ratio,
+             |  n_sel * ref_n * 5 < ref_sel * n * 4 AS below_80pct,
+             |  CAST(n_sel AS DOUBLE) / n - CAST(ref_sel AS DOUBLE) / ref_n
+             |    AS parity_diff
+             |FROM g CROSS JOIN ref""".stripMargin),
+      "four-fifths-rule disparate-impact audit of the quality cutoff: " +
+        "per-language selection rates vs the best-selected group — " +
+        "integer cross-product flags, single-division rates"))
 }

@@ -1159,5 +1159,70 @@ object Monitors {
              |FROM g""".stripMargin),
       "MASE forecast backtest: seasonal-naive vs one-step-naive error " +
         "off the shared daily rollup — integer cross-multiplied ratio, " +
-        "one final division, scale-free across streams"))
+        "one final division, scale-free across streams"),
+
+    // Changepoint detection by binary segmentation's FIRST split (the
+    // CUSUM-argmax step every binseg/PELT implementation iterates):
+    // per stream, the candidate split k* maximizes the scaled CUSUM
+    // deviation |n·S_k − k·S_n| over the daily rollup — the point
+    // where the running sum departs furthest from the homogeneous
+    // trajectory. The statistic stays in INTEGER arithmetic (counts
+    // cross-multiplied, no n/k division), so argmax and ties (earliest
+    // day wins) are engine-exact; only the reported pre/post means
+    // divide. Scale shape: everything beyond the one daily rollup
+    // shuffle runs on O(types×days) aggregate grain — the cumulative
+    // window is type-partitioned.
+    Q("mon_changepoint_binseg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = persistOnce(load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x")))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sn"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily.join(broadcast(stats), "event_type")
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("sk", sum(col("x")).over(w))
+          .filter(col("k") < col("n")) // a split needs both sides
+          .withColumn("dstat",
+            abs(col("n") * col("sk") - col("k") * col("sn")))
+        val wBest = Window.partitionBy("event_type")
+          .orderBy(col("dstat").desc, col("day"))
+        cum.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("split_day"),
+            col("dstat").as("cusum_stat"),
+            (col("sk").cast("double") / col("k")).as("pre_mean"),
+            ((col("sn") - col("sk")).cast("double") /
+              (col("n") - col("k"))).as("post_mean"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sn FROM daily GROUP BY 1),
+             |cum AS (
+             |  SELECT d.event_type, day, n, sn,
+             |    CAST(count(*) OVER w AS BIGINT) AS k,
+             |    CAST(sum(x) OVER w AS BIGINT) AS sk
+             |  FROM daily d JOIN st USING (event_type)
+             |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |scored AS (
+             |  SELECT *, abs(n * sk - k * sn) AS dstat FROM cum
+             |  WHERE k < n),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY dstat DESC, day) AS rn
+             |  FROM scored)
+             |SELECT event_type, day AS split_day, dstat AS cusum_stat,
+             |  CAST(sk AS DOUBLE) / k AS pre_mean,
+             |  CAST(sn - sk AS DOUBLE) / (n - k) AS post_mean
+             |FROM best WHERE rn = 1""".stripMargin),
+      "binary-segmentation changepoint: argmax of the integer-scaled " +
+        "CUSUM deviation per stream off the daily rollup — exact " +
+        "argmax/ties, one division each for the reported means"))
 }

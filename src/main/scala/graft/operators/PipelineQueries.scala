@@ -1632,5 +1632,50 @@ object PipelineQueries {
       "quantile normalization onto the global scale: within-lang " +
         "integer percentile arithmetic (one lang-keyed window) mapped " +
         "through a 101-point inverse-ECDF grid built aggregate-first " +
-        "— no global row sort, type-1 values exact"))
+        "— no global row sort, type-1 values exact"),
+
+    // Source ablation (leave-one-source-out contribution): which crawl
+    // sources PULL the corpus metric up or down? For a mean-based
+    // metric the LOO value needs no second pass — drop source s and
+    // the mean is (S − S_s)/(N − N_s), all from ONE source rollup plus
+    // a 1-row broadcast of the global sums; the contribution is
+    // metric_all − metric_loo (positive = the source improves the
+    // corpus). This is the cheap end of the data-valuation spectrum
+    // (data Shapley's first-order term for additive metrics) — the
+    // triage a curation pipeline runs before paying for per-source
+    // retraining. Integer sums end-to-end; each reported value is one
+    // division (or a subtraction of two single-division doubles) —
+    // bitwise deterministic, unrounded.
+    Q("pipeline_source_ablation",
+      (s, d) => {
+        val bySrc = load(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"))
+        val tot = bySrc.agg(sum(col("n_docs")).as("n"),
+          sum(col("sc")).as("st"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (col("st").cast("double") / col("n")).as("mean_all"),
+            ((col("st") - col("sc")).cast("double") /
+              (col("n") - col("n_docs"))).as("mean_loo"),
+            (col("st").cast("double") / col("n") -
+              (col("st") - col("sc")).cast("double") /
+                (col("n") - col("n_docs"))).as("contribution"))
+      },
+      Some("""WITH bysrc AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS sc
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             |    CAST(sum(sc) AS BIGINT) AS st FROM bysrc)
+             |SELECT source, n_docs,
+             |  CAST(st AS DOUBLE) / n AS mean_all,
+             |  CAST(st - sc AS DOUBLE) / (n - n_docs) AS mean_loo,
+             |  CAST(st AS DOUBLE) / n -
+             |    CAST(st - sc AS DOUBLE) / (n - n_docs) AS contribution
+             |FROM bysrc CROSS JOIN tot""".stripMargin),
+      "leave-one-source-out corpus ablation: per-source contribution " +
+        "to the corpus mean from one rollup + a 1-row broadcast — " +
+        "first-order data valuation, integer sums, unrounded " +
+        "single-division doubles"))
 }

@@ -69,7 +69,81 @@ object SimilarityQueries {
       |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
       |FROM c, q ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
-  def queries: Seq[Q] = baseQueries :+ jlQuery
+  def queries: Seq[Q] = (baseQueries :+ jlQuery) :+ matryoshkaQuery
+
+  // Matryoshka-truncation retrieval audit: MRL-style embeddings keep
+  // most of their ranking power in a short prefix — this measures it
+  // directly as recall@10 of the 16-dim-PREFIX cosine ranking against
+  // the full 64-dim ranking, per query (the accept/reject evidence for
+  // a 4× cheaper first-stage retriever, e.g. as an IVF/PQ coarse
+  // stage). Scale shape: 8 probe queries broadcast against one corpus
+  // scan (cost ∝ 8N like the bruteforce arm), both rankings are
+  // qid-PARTITIONED rank windows whose r<=10 cut pushes down as
+  // WindowGroupLimit (map-side truncation — the window never sorts
+  // more than each partition's survivors at scale), overlap is a
+  // (qid, neighbor) equi-join of two 80-row sets. Scores round to 6dp
+  // with vec_id tie-break — the exact determinism contract every
+  // sim_* query uses.
+  private def matryoshkaQuery: Q =
+    Q("sim_matryoshka_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = load(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val pairs = graft.core.Caching.persistOnce(
+          emb.select(col("vec_id"), col("embedding"))
+            .crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              round(cosine(col("embedding"), col("qv")), 6).as("s_full"),
+              round(cosine(slice(col("embedding"), 1, 16),
+                slice(col("qv"), 1, 16)), 6).as("s_pre")))
+        def top10(score: String) = pairs
+          .withColumn("r", row_number().over(Window.partitionBy("qid")
+            .orderBy(col(score).desc, col("vec_id"))))
+          .filter(col("r") <= 10).select(col("qid"), col("vec_id"))
+        top10("s_full")
+          .join(top10("s_pre").withColumn("m", lit(1L)),
+            Seq("qid", "vec_id"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("m"), lit(0L))).as("n_overlap"))
+          .select(col("qid"), col("n_overlap"),
+            (col("n_overlap") / lit(10.0)).as("recall_at_10"))
+      },
+      Some("""WITH qs AS (
+             |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 8),
+             |pairs AS (
+             |  SELECT qid, e.vec_id,
+             |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+             |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             |                               CAST(e.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(qv, qv))), 6) AS s_full,
+             |    round(list_dot_product(
+             |        CAST(e.embedding AS DOUBLE[])[1:16], qv[1:16])
+             |      / (sqrt(list_dot_product(
+             |            CAST(e.embedding AS DOUBLE[])[1:16],
+             |            CAST(e.embedding AS DOUBLE[])[1:16]))
+             |         * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 6)
+             |      AS s_pre
+             |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qid),
+             |f AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY s_full DESC, vec_id) AS r FROM pairs)
+             |  WHERE r <= 10),
+             |p AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY s_pre DESC, vec_id) AS r FROM pairs)
+             |  WHERE r <= 10)
+             |SELECT f.qid, CAST(count(p.vec_id) AS BIGINT) AS n_overlap,
+             |  CAST(count(p.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+             |FROM f LEFT JOIN p ON f.qid = p.qid AND f.vec_id = p.vec_id
+             |GROUP BY 1""".stripMargin),
+      "Matryoshka prefix-retrieval audit: recall@10 of the 16-dim " +
+        "prefix cosine ranking vs the full 64-dim ranking per probe " +
+        "query — partitioned rank windows with WindowGroupLimit " +
+        "pushdown, 6dp-rounded scores with id tie-breaks")
 
   private def baseQueries: Seq[Q] = Seq(
     Q("sim_topk_bruteforce",

@@ -638,14 +638,14 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
-  test("nearest as-of join: both direction windows ride the SAME key " +
-    "exchange — one hashpartitioning on the union, no join operator") {
+  test("nearest as-of join (catalog): served by the NATIVE merge exec " +
+    "— no union, no window, no nested loop; the composed fallback's " +
+    "one-exchange property stays pinned in AsofJoinNativeSpec") {
     val p = plan("join_asof_nearest")
+    assert(p.contains("AsofJoin "), p.take(1500)) // the custom exec node
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-    // the _k exchange appears once; the two window sorts reuse it
-    assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
-      p.take(1500))
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("Union") && !p.contains("Window "), p.take(1500))
   }
 
   test("winnowing match: fingerprint pairing is an equi-join on the " +

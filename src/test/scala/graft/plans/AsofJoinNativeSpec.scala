@@ -107,9 +107,16 @@ class AsofJoinNativeSpec extends SparkSpec {
     val pur = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .agg(max(col("event_id")).as("purchase_id"))
-    val composed = AsofJoin(err, pur, "user_id", "p_user", "ts", "p_ts",
+    val composedDf = AsofJoin(err, pur, "user_id", "p_user", "ts", "p_ts",
       Seq("purchase_id"), direction = "nearest",
       toleranceSec = Some(86400L))
+    // the composed operator's one-exchange property (both direction
+    // windows ride the SAME _k partitioning) — pinned here since the
+    // catalog's join_asof_nearest moved to the native exec
+    val cp = composedDf.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(_k".r.findAllIn(cp).size == 1,
+      cp.take(1500))
+    val composed = composedDf
       .select(col("error_id"), col("purchase_id"))
       .as[(Long, Option[Long])].collect().toMap
     for (parts <- Seq(1, 7)) {

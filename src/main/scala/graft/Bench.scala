@@ -98,7 +98,11 @@ object Bench {
     // join_asof so the merge-vs-union+window cost gap stays measured.
     // KMV/chi-square/compaction are sub-0.3 s cost classes already
     // represented; line budget holds them out.
-    "events_m4_downsample", "agg_penny_allocation", "join_asof_native")
+    "events_m4_downsample", "agg_penny_allocation", "join_asof_native",
+    // round-9: the broadcast mode of the native as-of exec next to the
+    // merge mode and the composition — three implementations of one
+    // contract, so the zero-fact-shuffle claim stays measured
+    "join_asof_broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

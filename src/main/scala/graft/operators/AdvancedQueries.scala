@@ -94,6 +94,56 @@ object AdvancedQueries {
         "one merge pass over co-partitioned sorted sides — same oracle " +
         "as the composed form, checked independently via DuckDB ASOF"),
 
+    // The BROADCAST mode of the native as-of exec — the dimension-
+    // history enrichment shape at 100 TB: a versioned rate table (42
+    // rows here; broadcast-sized by contract) enriches every fact row
+    // point-in-time WITHOUT touching the fact side's partitioning: no
+    // exchange and no sort on the big side, one binary search per row
+    // against the per-key time-sorted broadcast index. The only
+    // hashpartitioning exchange in the whole plan is the final 42-group
+    // rollup (pinned in PlanAuditSpec). Charges stay integer (cents ×
+    // basis points) so the rollup is engine-exact.
+    Q("join_asof_broadcast",
+      (s, d) => {
+        val facts = load(s, d, "orders").select(
+          (col("o_orderkey") % 7).as("cur"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val rates = s.range(0, 42).select(
+          (col("id") % 7).as("r_cur"),
+          expr("id div 7").as("v"),
+          (lit(8000L) + expr("id div 7") * 500L).as("vd"),
+          ((col("id") % 7 + 1) * 10000L + expr("id div 7") * 37L)
+            .as("rate_bp"))
+        graft.plans.AsofJoinNative(facts, rates,
+          leftKey = "cur", rightKey = "r_cur",
+          leftTime = "day", rightTime = "vd",
+          rightPayload = Seq("v", "rate_bp"),
+          mode = "broadcast")
+          .groupBy(col("cur"), col("v"), col("rate_bp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents") * col("rate_bp")).as("charge"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey % 7 AS cur,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS day,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |x AS (
+             |  SELECT cur, cents, least(5, (day - 8000) // 500) AS v
+             |  FROM o)
+             |SELECT cur, v, (cur + 1) * 10000 + v * 37 AS rate_bp,
+             |  count(*) AS n,
+             |  CAST(sum(cents * ((cur + 1) * 10000 + v * 37)) AS BIGINT)
+             |    AS charge
+             |FROM x GROUP BY 1, 2""".stripMargin),
+      "broadcast as-of exec: versioned dim history broadcast + per-row " +
+        "binary search — zero exchanges on the fact side, upstream " +
+        "partitioning preserved; oracle derives the version index " +
+        "arithmetically"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

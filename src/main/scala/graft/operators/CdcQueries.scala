@@ -953,5 +953,172 @@ object CdcQueries {
              |  ON w.id = b.id AND w.seg_from >= b.vf""".stripMargin),
       "temporal alignment of two SCD2 histories: boundary union + two " +
         "backward as-of lookups — segments ∝ version count, no " +
-        "interval theta join; DuckDB ASOF is the independent oracle"))
+        "interval theta join; DuckDB ASOF is the independent oracle"),
+
+    // Debezium TRANSACTION-BOUNDARY assembly (provide.transaction.
+    // metadata=true): data events carry transaction.id, a separate
+    // transaction topic declares per-txn event counts on END, and a
+    // consistency-demanding consumer releases a transaction's events
+    // only when all declared events have arrived. Fixture: the wave
+    // script groups 256 consecutive keys per wave into one txn; the
+    // "lost" events (keys % 251 == 0 — a connector hiccup) make some
+    // transactions incomplete. Shape that scales: one hash-agg per
+    // stream at txn grain + one aggregate-grain equi-join — no
+    // per-event state, no sort; buffering in the streaming analogue is
+    // per-open-txn, not per-event.
+    Q("cdc_txn_boundaries",
+      (s, d) => {
+        val o = load(s, d, "orders").select(col("o_orderkey").as("id"))
+        def wave(w: Int, keep: org.apache.spark.sql.Column) =
+          o.filter(keep).select(col("id"), lit(w).as("wave"))
+        val ev = wave(0, lit(true))
+          .unionByName(wave(1, col("id") % 3 === 0))
+          .unionByName(wave(2, col("id") % 6 === 0))
+          .unionByName(wave(3, col("id") % 5 === 0))
+          .unionByName(wave(4, col("id") % 10 === 0))
+          .withColumn("txn_id",
+            col("wave").cast("long") * 10000000L + expr("id div 256"))
+        val declared = ev.groupBy(col("txn_id"))
+          .agg(count(lit(1)).as("declared"))
+        val seen = ev.filter(col("id") % 251 =!= 0)
+          .groupBy(col("txn_id")).agg(count(lit(1)).as("seen"))
+        declared.join(seen, Seq("txn_id"), "left")
+          .select(col("txn_id"), col("declared"),
+            coalesce(col("seen"), lit(0L)).as("seen"),
+            when(coalesce(col("seen"), lit(0L)) === col("declared"), 1L)
+              .otherwise(0L).as("complete"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT o_orderkey AS id, w.wave
+             |  FROM orders, (VALUES (0),(1),(2),(3),(4)) AS w(wave)
+             |  WHERE w.wave = 0
+             |     OR (w.wave = 1 AND o_orderkey % 3 = 0)
+             |     OR (w.wave = 2 AND o_orderkey % 6 = 0)
+             |     OR (w.wave = 3 AND o_orderkey % 5 = 0)
+             |     OR (w.wave = 4 AND o_orderkey % 10 = 0)),
+             |t AS (
+             |  SELECT CAST(wave AS BIGINT) * 10000000 + id // 256 AS txn_id,
+             |    id
+             |  FROM ev),
+             |decl AS (
+             |  SELECT txn_id, count(*) AS declared FROM t GROUP BY 1),
+             |seen AS (
+             |  SELECT txn_id, count(*) AS seen FROM t
+             |  WHERE id % 251 <> 0 GROUP BY 1)
+             |SELECT d.txn_id, d.declared,
+             |  coalesce(s.seen, 0) AS seen,
+             |  CAST(CASE WHEN coalesce(s.seen, 0) = d.declared
+             |       THEN 1 ELSE 0 END AS BIGINT) AS complete
+             |FROM decl d LEFT JOIN seen s USING (txn_id)""".stripMargin),
+      "Debezium transaction metadata: declared END counts vs arrived " +
+        "events per txn, completeness gate — two txn-grain hash aggs + " +
+        "one aggregate-grain join, no per-event buffering"),
+
+    // Debezium OUTBOX EVENT ROUTER (the transactional-outbox pattern's
+    // SMT): an outbox table row (aggregatetype, aggregateid, type,
+    // payload JSON) routes to topic 'outbox.event.<aggregatetype>'
+    // with key = aggregateid and value = the HOISTED payload; the
+    // consumer re-expands the payload. The rollup sums a payload field
+    // PARSED BACK from the routed value — so the route + hoist + JSON
+    // round-trip is what's value-checked, in exact integer cents. All
+    // map-side until one topic-grain agg (3 groups).
+    Q("cdc_outbox_route",
+      (s, d) => {
+        val outbox = load(s, d, "orders").select(
+          col("o_orderkey").as("id"),
+          element_at(
+            array(lit("order"), lit("invoice"), lit("shipment")),
+            (col("o_orderkey") % 3 + 1).cast("int")).as("aggregatetype"),
+          col("o_custkey").as("aggregateid"),
+          to_json(struct(col("o_orderkey").as("orderkey"),
+            col("o_totalprice").as("total"))).as("payload"))
+        val routed = outbox.select(
+          concat(lit("outbox.event."), col("aggregatetype")).as("topic"),
+          col("aggregateid").as("key"),
+          col("payload").as("value"))
+        val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total",
+            org.apache.spark.sql.types.DoubleType)))
+        routed
+          .withColumn("p", from_json(col("value"), valueSchema))
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("key")).as("n_keys"),
+            sum(round(col("p.total") * 100).cast("long")).as("total_cents"))
+      },
+      Some("""SELECT
+             |  'outbox.event.' ||
+             |    CASE o_orderkey % 3 WHEN 0 THEN 'order'
+             |      WHEN 1 THEN 'invoice' ELSE 'shipment' END AS topic,
+             |  count(*) AS n_events,
+             |  count(DISTINCT o_custkey) AS n_keys,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS total_cents
+             |FROM orders
+             |GROUP BY 1""".stripMargin),
+      "outbox event router SMT: aggregatetype->topic, aggregateid->key, " +
+        "payload hoisted to the value and re-expanded by the consumer — " +
+        "map-side route + parse, one 3-group agg; cents stay integer " +
+        "through the JSON round-trip"),
+
+    // DBLog-style INCREMENTAL SNAPSHOT (Debezium's ad-hoc snapshot
+    // algorithm, Andradas & al. "DBLog", arXiv:2010.12597): key-range
+    // chunks are selected WHILE the change stream flows; each chunk's
+    // select is bracketed by low/high watermarks written into the
+    // stream, and any chunk row whose key also appears as a change
+    // event inside (lw, hw] is SUPPRESSED — the stream's copy is
+    // fresher. Fixture: chunks of 512 keys; chunk c's watermark window
+    // is [1500+(c%8)*500, +499], so successive chunks bracket
+    // different update waves. The implementation is script-agnostic:
+    // per-key cutoff filter + latest-per-key (one id-keyed hash agg
+    // with map-side combine) + chunk-grain rollup; the oracle derives
+    // the same counts from the wave arithmetic. The per-chunk output
+    // (rows read at hw, rows suppressed by the window, rows emitted)
+    // is exactly the DBLog progress report.
+    Q("cdc_incremental_snapshot",
+      (s, d) => {
+        val ev = unwrapped(s, d)
+          .select(col("id"), col("op"), col("ts_ms"), col("offset"))
+          .withColumn("chunk", expr("id div 512"))
+          .withColumn("hw", lit(1999L) + (col("chunk") % 8) * 500L)
+        val perKey = ev
+          .filter(col("ts_ms") <= col("hw")) // chunk select reads state at hw
+          .groupBy(col("id"), col("chunk"), col("hw"))
+          .agg(
+            max_by(col("op"), struct(col("ts_ms"), col("offset")))
+              .as("last_op"),
+            max(when(col("ts_ms") >= col("hw") - 499L, 1L).otherwise(0L))
+              .as("in_window"))
+        perKey.filter(col("last_op") =!= "d")
+          .groupBy(col("chunk"))
+          .agg(count(lit(1)).as("n_read"),
+            sum(col("in_window")).as("n_suppressed"),
+            (count(lit(1)) - sum(col("in_window"))).as("n_emitted"))
+      },
+      Some("""WITH k AS (
+             |  SELECT o_orderkey AS id, o_orderkey // 512 AS chunk,
+             |    1500 + ((o_orderkey // 512) % 8) * 500 AS lw
+             |  FROM orders),
+             |f AS (SELECT id, chunk, lw, lw + 499 AS hw FROM k),
+             |flags AS (
+             |  SELECT chunk,
+             |    CASE WHEN hw >= 5000 AND id % 10 = 0 THEN 1
+             |         WHEN hw >= 4000 AND id % 5 = 0 THEN 0
+             |         ELSE 1 END AS alive,
+             |    CASE WHEN id % 3 = 0  AND 2000 BETWEEN lw AND hw THEN 1
+             |         WHEN id % 6 = 0  AND 3000 BETWEEN lw AND hw THEN 1
+             |         WHEN id % 5 = 0  AND 4000 BETWEEN lw AND hw THEN 1
+             |         WHEN id % 10 = 0 AND 5000 BETWEEN lw AND hw THEN 1
+             |         ELSE 0 END AS inw
+             |  FROM f)
+             |SELECT chunk, CAST(sum(alive) AS BIGINT) AS n_read,
+             |  CAST(sum(alive * inw) AS BIGINT) AS n_suppressed,
+             |  CAST(sum(alive) - sum(alive * inw) AS BIGINT) AS n_emitted
+             |FROM flags GROUP BY chunk""".stripMargin),
+      "DBLog incremental snapshot: watermark-bracketed chunk selects " +
+        "deduped against the live change stream — per-key cutoff + one " +
+        "id-keyed latest-per-key agg + chunk-grain rollup, no " +
+        "snapshot-vs-stream join of row payloads"))
 }

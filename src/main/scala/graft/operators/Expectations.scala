@@ -797,5 +797,219 @@ object Expectations {
              |FROM g CROSS JOIN ref""".stripMargin),
       "four-fifths-rule disparate-impact audit of the quality cutoff: " +
         "per-language selection rates vs the best-selected group — " +
-        "integer cross-product flags, single-division rates"))
+        "integer cross-product flags, single-division rates"),
+
+    // Benjamini-Hochberg FDR control over a FAMILY of hypotheses — the
+    // missing piece next to the single-test battery (chi², Welch, SRM):
+    // run 25 per-nation two-proportion z-tests at once and control the
+    // expected false-discovery rate at 10% instead of Bonferroni-
+    // starving power. The conversion flag plants a real signal (nations
+    // %5==0 convert at 24% vs the 18% base) so the procedure has true
+    // positives to find. Scale shape: one nation-grain rollup (map-side
+    // combined), a 1-row total broadcast, and the rank computed by a
+    // 25×25 pair join on the ROLLUP (the Theil-Sen precedent) — no
+    // global window, no row-grain sort. p-values via the Numerical-
+    // Recipes erfc chain (|rel err| < 1.2e-7), rounded to 6dp BEFORE
+    // the threshold compare so the accept/reject decision hashes
+    // identically across engines.
+    Q("quality_bh_fdr",
+      (s, d) => {
+        def erfcc(x: Column): Column = {
+          val t = lit(1.0) / (lit(1.0) + x / 2)
+          t * exp(-x * x - lit(1.26551223) + t * (lit(1.00002368) +
+            t * (lit(0.37409196) + t * (lit(0.09678418) +
+            t * (lit(-0.18628806) + t * (lit(0.27886807) +
+            t * (lit(-1.13520398) + t * (lit(1.48851587) +
+            t * (lit(-0.82215223) + t * lit(0.17087277))))))))))
+        }
+        val o = load(s, d, "orders")
+          .join(load(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").cast("long").as("nk"),
+            when((col("o_orderkey") + col("c_nationkey") * 7) % 100 <
+                lit(18) + when(col("c_nationkey") % 5 === 0, 6).otherwise(0),
+              1L).otherwise(0L).as("x"))
+        val g = persistOnce(o.groupBy(col("nk"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("k")))
+        val tot = g.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"),
+          count(lit(1)).as("m"))
+        val scored = g.crossJoin(broadcast(tot))
+          .withColumn("p0", col("tk").cast("double") / col("tn"))
+          .withColumn("z",
+            (col("k").cast("double") / col("n") - col("p0")) /
+              sqrt(col("p0") * (lit(1.0) - col("p0")) / col("n")))
+          .select(col("nk"), col("n"), col("k"), col("m"),
+            round(erfcc(abs(col("z")) / sqrt(lit(2.0))), 6).as("p_value"))
+        val peers = scored.select(col("nk").as("b_nk"),
+          col("p_value").as("b_p"))
+        val ranked = scored.join(peers,
+            col("b_p") < col("p_value") ||
+              (col("b_p") === col("p_value") && col("b_nk") <= col("nk")))
+          .groupBy(col("nk"), col("n"), col("k"), col("m"), col("p_value"))
+          .agg(count(lit(1)).as("rank"))
+          .withColumn("ok",
+            when(col("p_value") <=
+              col("rank").cast("double") * 0.10 / col("m"), 1L)
+              .otherwise(0L))
+        val kstar = ranked.agg(
+          coalesce(max(when(col("ok") === 1L, col("rank"))), lit(0L))
+            .as("kstar"))
+        ranked.crossJoin(broadcast(kstar))
+          .select(col("nk"), col("n"), col("k"), col("p_value"),
+            col("rank"),
+            when(col("rank") <= col("kstar"), 1L).otherwise(0L)
+              .as("rejected"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+             |    CASE WHEN (o_orderkey + c_nationkey * 7) % 100 <
+             |      18 + CASE WHEN c_nationkey % 5 = 0 THEN 6 ELSE 0 END
+             |      THEN 1 ELSE 0 END AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |g AS (
+             |  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS k
+             |  FROM o GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS tn,
+             |    CAST(sum(k) AS BIGINT) AS tk,
+             |    CAST(count(*) AS BIGINT) AS m
+             |  FROM g),
+             |z AS (
+             |  SELECT nk, n, k, m,
+             |    (CAST(k AS DOUBLE) / n - CAST(tk AS DOUBLE) / tn) /
+             |      sqrt((CAST(tk AS DOUBLE) / tn) *
+             |        (1.0 - CAST(tk AS DOUBLE) / tn) / n) AS zv
+             |  FROM g CROSS JOIN tot),
+             |p AS (
+             |  SELECT nk, n, k, m,
+             |    round((1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) *
+             |      exp(-(abs(zv) / sqrt(2.0)) * (abs(zv) / sqrt(2.0))
+             |        - 1.26551223 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (1.00002368 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (0.37409196 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (0.09678418 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (-0.18628806 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (0.27886807 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (-1.13520398 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (1.48851587 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * (-0.82215223 +
+             |        (1.0 / (1.0 + abs(zv) / sqrt(2.0) / 2)) * 0.17087277
+             |        ))))))))), 6) AS p_value
+             |  FROM z),
+             |r AS (
+             |  SELECT a.nk, a.n, a.k, a.m, a.p_value,
+             |    CAST(count(*) AS BIGINT) AS rank
+             |  FROM p a JOIN p b
+             |    ON b.p_value < a.p_value
+             |    OR (b.p_value = a.p_value AND b.nk <= a.nk)
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |ks AS (
+             |  SELECT coalesce(max(CASE WHEN p_value <=
+             |    CAST(rank AS DOUBLE) * 0.10 / m THEN rank END), 0)
+             |    AS kstar
+             |  FROM r)
+             |SELECT nk, n, k, p_value, rank,
+             |  CAST(CASE WHEN rank <= kstar THEN 1 ELSE 0 END AS BIGINT)
+             |    AS rejected
+             |FROM r CROSS JOIN ks""".stripMargin),
+      "Benjamini-Hochberg FDR over 25 per-nation z-tests: nation-grain " +
+        "rollup + 1-row broadcast + pair-join rank — erfc-chain " +
+        "p-values rounded before the decision compare"),
+
+    // Wald's SEQUENTIAL probability ratio test — the always-valid
+    // sibling of the fixed-horizon battery: monitor the urgent-order
+    // rate day by day (H0 p=0.15 vs H1 p=0.20, α=0.05, β=0.20) and
+    // STOP at the first day the cumulative log-likelihood ratio exits
+    // (ln(β/(1-α)), ln((1-β)/α)). The early-stopping day is the whole
+    // point: a fixed-n test would wait out the full history. Scale
+    // shape: one day-grain rollup (the only row-grain pass), a
+    // cumulative window over ≤2406 day rows, two 1-row decision
+    // rollups. LLR is integer counts × two ln constants, rounded 6dp
+    // before the boundary compare; both boundaries are rounded the
+    // same way so the crossing day is engine-exact.
+    Q("quality_sprt",
+      (s, d) => {
+        val o = load(s, d, "orders").select(
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("x"))
+        val daily = o.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_d"), sum(col("x")).as("k_d"))
+        // cumulative over the bounded day domain (≤2406 rows — an
+        // aggregate-grain window, not a row sort)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val c1 = log(lit(0.20 / 0.15))
+        val c2 = log(lit(0.80 / 0.85))
+        val hi = round(log(lit(0.80 / 0.05)), 6)
+        val lo = round(log(lit(0.20 / 0.95)), 6)
+        val cum = daily
+          .select(col("day"), sum(col("n_d")).over(w).as("n"),
+            sum(col("k_d")).over(w).as("k"))
+          .withColumn("llr", round(col("k").cast("double") * c1 +
+            (col("n") - col("k")).cast("double") * c2, 6))
+          .withColumn("decision",
+            when(col("llr") >= hi, "h1").when(col("llr") <= lo, "h0"))
+        val firsts = cum.filter(col("decision").isNotNull)
+          .groupBy(col("decision"))
+          .agg(min(col("day")).as("day"),
+            min_by(col("n"), col("day")).as("n"),
+            min_by(col("k"), col("day")).as("k"),
+            min_by(col("llr"), col("day")).as("llr"))
+        val fin = cum.agg(max(col("day")).as("day"),
+            max_by(col("n"), col("day")).as("n"),
+            max_by(col("k"), col("day")).as("k"),
+            max_by(col("llr"), col("day")).as("llr"))
+          .select(lit("final").as("decision"), col("day"), col("n"),
+            col("k"), col("llr"))
+        firsts.select(col("decision"), col("day"), col("n"), col("k"),
+          col("llr")).unionByName(fin)
+      },
+      Some("""WITH o AS (
+             |  SELECT date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS day,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             |      AS x
+             |  FROM orders),
+             |daily AS (
+             |  SELECT day, count(*) AS n_d, sum(x) AS k_d
+             |  FROM o GROUP BY 1),
+             |cum AS (
+             |  SELECT day,
+             |    CAST(sum(n_d) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+             |    CAST(sum(k_d) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k
+             |  FROM daily),
+             |l AS (
+             |  SELECT day, n, k,
+             |    round(CAST(k AS DOUBLE) * ln(0.20 / 0.15) +
+             |      CAST(n - k AS DOUBLE) * ln(0.80 / 0.85), 6) AS llr
+             |  FROM cum),
+             |dec AS (
+             |  SELECT day, n, k, llr,
+             |    CASE WHEN llr >= round(ln(0.80 / 0.05), 6) THEN 'h1'
+             |         WHEN llr <= round(ln(0.20 / 0.95), 6) THEN 'h0'
+             |    END AS decision
+             |  FROM l),
+             |firsts AS (
+             |  SELECT decision, CAST(min(day) AS BIGINT) AS day,
+             |    arg_min(n, day) AS n, arg_min(k, day) AS k,
+             |    arg_min(llr, day) AS llr
+             |  FROM dec WHERE decision IS NOT NULL GROUP BY 1),
+             |fin AS (
+             |  SELECT 'final' AS decision, CAST(max(day) AS BIGINT) AS day,
+             |    arg_max(n, day) AS n, arg_max(k, day) AS k,
+             |    arg_max(llr, day) AS llr
+             |  FROM dec)
+             |SELECT decision, day, n, k, llr FROM firsts
+             |UNION ALL
+             |SELECT decision, day, n, k, llr FROM fin""".stripMargin),
+      "Wald SPRT on the daily urgent-order rate: day-grain rollup + " +
+        "bounded cumulative window, first boundary crossing per " +
+        "decision + the final-day row — 6dp-rounded LLR compares"))
 }

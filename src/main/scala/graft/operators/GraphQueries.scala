@@ -98,7 +98,7 @@ object GraphQueries {
        |SELECT id AS doc_id, round(r, 8) AS rank8 FROM r$Iterations""".stripMargin
   }
 
-  def queries: Seq[Q] = Seq(
+  def queries: Seq[Q] = hitsQueries ++ Seq(
     Q("graph_pagerank_prior",
       (s, d) => {
         val nRow = load(s, d, "documents").agg(count(lit(1)).as("nn"))
@@ -521,4 +521,51 @@ object GraphQueries {
         "src-keyed equi-join + min hash-agg per layer, packed " +
         "(dist, hops) lexicographic-min fold — integer-exact, all six " +
         "layers value-checked against chained CTEs"))
+
+  /** HITS (hubs & authorities, Kleinberg) over the derived link graph,
+    * UNNORMALIZED for a fixed two rounds — without the per-round L1
+    * normalization the scores are exact INTEGER path counts (auth² of
+    * v = # of 2-step paths u→x→v weighted by in-degree seeds), so the
+    * whole iteration hash-checks engine-exactly; normalization only
+    * rescales ranks and is a single 1-row broadcast division when a
+    * consumer wants it. Same shuffle shape as PageRank: one edge-keyed
+    * equi-join + one map-side-combined hash agg per half-round, no
+    * driver-side state. */
+  private def hitsQueries: Seq[Q] = Seq(
+    Q("graph_hits_paths",
+      (s, d) => {
+        val ed = persistOnce(derivedDir(s, d).select(col("src"), col("dst")))
+        val nodes = load(s, d, "documents").select(col("doc_id"))
+        val auth1 = ed.groupBy(col("dst").as("v"))
+          .agg(count(lit(1)).as("a1"))
+        val hub1 = ed.join(auth1, col("dst") === col("v"))
+          .groupBy(col("src").as("u")).agg(sum(col("a1")).as("h1"))
+        val auth2 = ed.join(hub1, col("src") === col("u"))
+          .groupBy(col("dst").as("w")).agg(sum(col("h1")).as("a2"))
+        val hub2 = ed.join(auth2, col("dst") === col("w"))
+          .groupBy(col("src").as("x")).agg(sum(col("a2")).as("h2"))
+        nodes
+          .join(auth2, col("doc_id") === col("w"), "left")
+          .join(hub2, col("doc_id") === col("x"), "left")
+          .select(col("doc_id"),
+            coalesce(col("a2"), lit(0L)).as("auth2"),
+            coalesce(col("h2"), lit(0L)).as("hub2"))
+      },
+      Some(s"""WITH $edgeSqlPrefix,
+             |a1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS a1
+             |       FROM dir GROUP BY 1),
+             |h1 AS (SELECT src AS u, CAST(sum(a1) AS BIGINT) AS h1
+             |       FROM dir JOIN a1 ON dst = v GROUP BY 1),
+             |a2 AS (SELECT dst AS w, CAST(sum(h1) AS BIGINT) AS a2
+             |       FROM dir JOIN h1 ON src = u GROUP BY 1),
+             |h2 AS (SELECT src AS x, CAST(sum(a2) AS BIGINT) AS h2
+             |       FROM dir JOIN a2 ON dst = w GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(coalesce(a2, 0) AS BIGINT) AS auth2,
+             |  CAST(coalesce(h2, 0) AS BIGINT) AS hub2
+             |FROM nodes LEFT JOIN a2 ON doc_id = w
+             |LEFT JOIN h2 ON doc_id = x""".stripMargin),
+      "HITS hubs/authorities, two unnormalized rounds = exact integer " +
+        "path counts — one edge-keyed join + hash agg per half-round, " +
+        "the PageRank shuffle discipline"))
 }

@@ -1677,5 +1677,77 @@ object PipelineQueries {
       "leave-one-source-out corpus ablation: per-source contribution " +
         "to the corpus mean from one rollup + a 1-row broadcast — " +
         "first-order data valuation, integer sums, unrounded " +
-        "single-division doubles"))
+        "single-division doubles"),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023), the standard recipe for tilting a raw crawl toward a
+    // target domain: hash every token into a fixed 64-bucket feature
+    // space, fit smoothed bucket distributions on the target slice
+    // (doc_id % 23 == 0 stands in for the in-domain sample) and on the
+    // raw corpus, and score each document with its summed
+    // log-importance weight Σ n_b·(ln p_t[b] − ln p_r[b]); the top
+    // slice is what you keep. The hashed feature space is the scale
+    // trick: the model is 64 rows (broadcast-literal at any corpus
+    // size), scoring is one token-grain broadcast join + one per-doc
+    // sum with map-side combine, and selection is TakeOrderedAndProject
+    // — the corpus never sorts globally. Weight sums are rounded 4dp
+    // (order-unstable double sums per the catalog contract) with
+    // doc_id tie-breaks on the top-k cut.
+    Q("pipeline_dsir_weights",
+      (s, d) => {
+        val tok = persistOnce(load(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+              % 64).as("bkt")))
+        val raw = tok.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+        val tgt = tok.filter(col("doc_id") % 23 === 0)
+          .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+        val tots = tok.agg(count(lit(1)).as("tcr"),
+          sum(when(col("doc_id") % 23 === 0, 1L).otherwise(0L)).as("tct"))
+        val model = raw.join(tgt, Seq("bkt"), "left").crossJoin(tots)
+          .select(col("bkt"),
+            (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(0.5)) /
+              (col("tct").cast("double") + lit(32.0))) -
+              log((col("cr").cast("double") + lit(0.5)) /
+                (col("tcr").cast("double") + lit(32.0)))).as("lw"))
+        tok.join(broadcast(model), Seq("bkt"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("lw")), 4).as("logw"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy(col("logw").desc, col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT)
+             |      AS BIGINT) % 64 AS bkt
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)),
+             |raw AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
+             |        FROM tok GROUP BY 1),
+             |tgt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+             |        FROM tok WHERE doc_id % 23 = 0 GROUP BY 1),
+             |tots AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS tcr,
+             |    CAST(sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS tct
+             |  FROM tok),
+             |model AS (
+             |  SELECT raw.bkt,
+             |    ln((CAST(coalesce(ct, 0) AS DOUBLE) + 0.5) /
+             |       (CAST(tct AS DOUBLE) + 32.0)) -
+             |    ln((CAST(cr AS DOUBLE) + 0.5) /
+             |       (CAST(tcr AS DOUBLE) + 32.0)) AS lw
+             |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt
+             |  CROSS JOIN tots)
+             |SELECT doc_id, round(sum(lw), 4) AS logw,
+             |  CAST(count(*) AS BIGINT) AS n_tokens
+             |FROM tok JOIN model ON tok.bkt = model.bkt
+             |GROUP BY 1
+             |ORDER BY logw DESC, doc_id
+             |LIMIT 200""".stripMargin),
+      "DSIR importance weights: 64-bucket hashed token features, " +
+        "smoothed target/raw bucket models (64-row broadcast), " +
+        "map-side log-ratio scoring, TakeOrderedAndProject selection"))
 }

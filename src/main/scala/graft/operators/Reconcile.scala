@@ -414,5 +414,97 @@ object Reconcile {
       "IBLT set reconciliation: O(cells) mergeable sketches per " +
         "replica, cell-wise subtraction, checksum-guarded peeling " +
         "recovers the EXACT row diff — oracle is the true symmetric " +
-        "difference, derived independently"))
+        "difference, derived independently"),
+
+    // STRATA ESTIMATOR (Eppstein et al., "What's the Difference?"
+    // SIGCOMM'11) — the sizing oracle that tells you how many IBLT
+    // cells to provision BEFORE shipping one: items land in stratum
+    // tz(hash(item)) (trailing zeros, E[|stratum i|] = D/2^(i+1) of
+    // the true difference D), so any single decodable stratum yields
+    // the estimate d_i·2^(i+1). This batch form computes every
+    // stratum's exact per-side-only count (in the protocol each
+    // stratum is a tiny fixed-size IBLT — the full join here stands in
+    // for its decode) next to its scaled estimate and the true D. One
+    // (key,fp)-grain hash agg + one stratum-grain rollup; trailing
+    // zeros via the integer-exact log2(h & -h) trick with bit 32 set
+    // as the zero-guard cap. Fixture: the bucket-digest replica script
+    // (drops %101==5, corrupts %97==3 — a corrupted key contributes 2
+    // items to the difference, a dropped key 1).
+    Q("recon_strata_estimator",
+      (s, d) => {
+        val base = load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val replica = base
+          .filter(col("c_custkey") % 101 =!= 5)
+          .withColumn("cents",
+            when(col("c_custkey") % 97 === 3, col("cents") + 100)
+              .otherwise(col("cents")))
+        def items(df: DataFrame, side: Int) = df.select(
+          col("c_custkey").as("k"),
+          rowFingerprint(col("c_custkey"), col("c_name"), col("cents"))
+            .as("fp"),
+          lit(side).as("s"))
+        val diff = items(base, 0).unionByName(items(replica, 1))
+          .groupBy(col("k"), col("fp"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") === 1) // present on exactly one side
+        // guard-bit form: h' = h + 2^32 keeps tz(h) for h > 0 and caps
+        // the h = 0 corner at 32; log2(h' & -h') is integer-exact
+        // (power of two in a double)
+        val h = rowFingerprint(col("k"), col("fp")) + lit(4294967296L)
+        val byStratum = diff
+          .select(log2(h.bitwiseAND(-h)).cast("long").as("stratum"))
+          .groupBy(col("stratum")).agg(count(lit(1)).as("d_i"))
+        val trueD = diff.agg(count(lit(1)).as("true_d"))
+        byStratum.crossJoin(broadcast(trueD))
+          .select(col("stratum"), col("d_i"),
+            expr("d_i * shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(stratum + 1 AS INT))").as("estimate"),
+            col("true_d"))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer),
+             |a AS (
+             |  SELECT c_custkey AS k,
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+             |      c_custkey, c_name, cents)), 1, 8)) AS UBIGINT)
+             |      AS BIGINT) AS fp
+             |  FROM base),
+             |b AS (
+             |  SELECT c_custkey AS k,
+             |    CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+             |      c_custkey, c_name,
+             |      CASE WHEN c_custkey % 97 = 3 THEN cents + 100
+             |           ELSE cents END)), 1, 8)) AS UBIGINT)
+             |      AS BIGINT) AS fp
+             |  FROM base WHERE c_custkey % 101 <> 5),
+             |diff AS (
+             |  SELECT k, fp FROM (
+             |    SELECT k, fp, count(*) AS n
+             |    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+             |    GROUP BY 1, 2)
+             |  WHERE n = 1),
+             |st AS (
+             |  SELECT CAST(log2(
+             |    (CAST(CAST(concat('0x', substr(md5(concat_ws('|', k, fp)),
+             |      1, 8)) AS UBIGINT) AS BIGINT) + 4294967296) &
+             |    (-(CAST(CAST(concat('0x', substr(md5(concat_ws('|', k, fp)),
+             |      1, 8)) AS UBIGINT) AS BIGINT) + 4294967296))
+             |    ) AS BIGINT) AS stratum
+             |  FROM diff),
+             |g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS d_i
+             |      FROM st GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS true_d FROM diff)
+             |SELECT stratum, d_i,
+             |  CAST(d_i * (1 << CAST(stratum + 1 AS INTEGER)) AS BIGINT)
+             |    AS estimate,
+             |  true_d
+             |FROM g CROSS JOIN t""".stripMargin),
+      "strata estimator for difference sizing: trailing-zero strata of " +
+        "the (key,fp) hash, per-stratum exact one-side-only counts + " +
+        "2^(i+1)-scaled estimates vs the true D — the IBLT " +
+        "provisioning step, one item-grain agg + one stratum rollup"))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -51,7 +51,8 @@ case class AsofJoinNode(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     direction: String = "backward",
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    mode: String = "merge") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -61,8 +62,14 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, dir, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, dir, tol, mode) =>
+      val exec =
+        if (mode == "broadcast")
+          BroadcastAsofJoinExec(planLater(l), planLater(r),
+            lk, rk, lt, rt, dir, tol)
+        else
+          AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol)
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -197,6 +204,146 @@ case class AsofJoinExec(
   }
 }
 
+/** Broadcast AS-OF join — the dimension-history enrichment shape at
+  * 100 TB: when the versioned right side is broadcast-sized (rate
+  * tables, policy histories, config timelines), the fact side should
+  * be touched ONCE, map-side. The merge exec above still clusters +
+  * sorts BOTH sides; this exec instead declares
+  *   - left: `UnspecifiedDistribution` — the fact side keeps its
+  *     upstream partitioning (NO exchange, NO sort on the 100-TB side),
+  *   - right: `BroadcastDistribution(IdentityBroadcastMode)` — one
+  *     broadcast of the raw rows,
+  * and each task builds a per-key time-sorted index from the broadcast
+  * once, then binary-searches every left row: O(|L| log |R_k|) with
+  * zero shuffles. Same direction/tolerance contract as
+  * [[AsofJoinExec]] (backward/forward/nearest, ties prefer backward,
+  * null keys/times never match) — pinned against the composed operator
+  * in `AsofJoinNativeSpec`.
+  */
+case class BroadcastAsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    direction: String, tolerance: Option[Long]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the headline property: the fact side's partitioning/ordering
+  // survive the join, so downstream keyed ops reuse them
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val dirCode = direction match {
+      case "backward" => 0
+      case "forward" => 1
+      case "nearest" => 2
+    }
+    val tol = tolerance
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val rWidth = rOut.size
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ li =>
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val lp = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rp = UnsafeProjection.create(Seq(rk, rt), rOut)
+      // per-key time-sorted candidate arrays, built once per task from
+      // the broadcast (the array is broadcast-sized by contract)
+      val index = new java.util.HashMap[Any, (Array[Any], Array[InternalRow])]
+      locally {
+        val byKey =
+          new java.util.HashMap[Any, java.util.ArrayList[(Any, InternalRow)]]
+        broadcastRows.value.foreach { raw =>
+          val kv = rp(raw).copy()
+          val k = kv.get(0, keyType)
+          val t = kv.get(1, timeType)
+          if (k != null && t != null) { // null right keys/times match nothing
+            var lst = byKey.get(k)
+            if (lst == null) {
+              lst = new java.util.ArrayList[(Any, InternalRow)]
+              byKey.put(k, lst)
+            }
+            lst.add((t, raw.copy()))
+          }
+        }
+        byKey.forEach { (k, lst) =>
+          val arr = lst.toArray(new Array[(Any, InternalRow)](lst.size))
+          java.util.Arrays.sort(arr,
+            (a: (Any, InternalRow), b: (Any, InternalRow)) =>
+              timeOrd.compare(a._1, b._1))
+          index.put(k, (arr.map(_._1), arr.map(_._2)))
+        }
+      }
+      val outProj = UnsafeProjection.create(
+        (lOut.map(a => (a.dataType, a.nullable)) ++
+          rOut.map(a => (a.dataType, true))).zipWithIndex.map {
+          case ((dt, nullable), i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, dt, nullable)
+        })
+      val nullRight = new GenericInternalRow(rWidth)
+      val joined = new JoinedRow
+      def num(v: Any): Long = v.asInstanceOf[Number].longValue
+      li.map { lRaw =>
+        val lkv = lp(lRaw)
+        val lKey = lkv.get(0, keyType)
+        val lTime = lkv.get(1, timeType)
+        val cand = if (lKey == null || lTime == null) null else index.get(lKey)
+        if (cand == null) {
+          joined(lRaw, nullRight)
+        } else {
+          val (times, rows) = cand
+          // two binary searches: lo = first index with time >= lTime
+          // (the forward candidate — FIRST among equal times, matching
+          // the merge exec's buffered-row contract), hi = first index
+          // with time > lTime (so hi-1 is the backward candidate —
+          // LAST among equal times, the merge exec's newest-consumed)
+          var a = 0; var b = times.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (timeOrd.compare(times(m), lTime) < 0) a = m + 1 else b = m
+          }
+          val lo = a
+          var b2 = times.length
+          while (a < b2) {
+            val m = (a + b2) >>> 1
+            if (timeOrd.compare(times(m), lTime) <= 0) a = m + 1 else b2 = m
+          }
+          val hi = a
+          val fwdIdx = lo
+          val backHit = dirCode != 1 && hi > 0 &&
+            tol.forall(t => num(lTime) - num(times(hi - 1)) <= t)
+          val fwdHit = dirCode != 0 && fwdIdx < times.length &&
+            tol.forall(t => num(times(fwdIdx)) - num(lTime) <= t)
+          val chosen =
+            if (backHit && fwdHit) {
+              if (num(lTime) - num(times(hi - 1)) <=
+                  num(times(fwdIdx)) - num(lTime)) rows(hi - 1)
+              else rows(fwdIdx)
+            } else if (backHit) rows(hi - 1)
+            else if (fwdHit) rows(fwdIdx)
+            else nullRight
+          joined(lRaw, chosen)
+        }
+        outProj(joined)
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** DataFrame-level entry point; registers the strategy on the session
   * (idempotent) so plain sessions work without a rebuild. */
 object AsofJoinNative {
@@ -211,7 +358,9 @@ object AsofJoinNative {
             leftTime: String, rightTime: String,
             rightPayload: Seq[String],
             direction: String = "backward",
-            toleranceSec: Option[Long] = None): DataFrame = {
+            toleranceSec: Option[Long] = None,
+            mode: String = "merge"): DataFrame = {
+    require(Set("merge", "broadcast")(mode), s"unknown mode '$mode'")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -248,7 +397,7 @@ object AsofJoinNative {
     require(direction != "nearest" || numericPhysical,
       "nearest needs a numeric-physical time column for distances")
     val node = AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt,
-      direction, toleranceSec.map(_ * 1000000L))
+      direction, toleranceSec.map(_ * 1000000L), mode)
     // select by resolved attribute (exprId), not by name — the raw
     // output keeps the whole right row and may repeat left names
     val keep = lPlan.output ++

@@ -638,6 +638,17 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("broadcast as-of join (catalog): BroadcastAsofJoin exec, the " +
+    "fact side never shuffled — the only hashpartitioning exchange in " +
+    "the plan is the final 42-group rollup") {
+    val p = plan("join_asof_broadcast")
+    assert(p.contains("BroadcastAsofJoin"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(1500))
+    assert(!p.contains("Sort "), p.take(1500))
+  }
+
   test("nearest as-of join (catalog): served by the NATIVE merge exec " +
     "— no union, no window, no nested loop; the composed fallback's " +
     "one-exchange property stays pinned in AsofJoinNativeSpec") {

@@ -154,4 +154,90 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
       p.take(1200))
   }
+
+  test("broadcast mode: unit + null semantics match the merge exec") {
+    val m = AsofJoinNative(trades, quotes, "sym", "sym", "t", "qt",
+      Seq("px"), mode = "broadcast")
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).contains(2.0) && m(2L).contains(3.0))
+    assert(m(3L).isEmpty && m(4L).isEmpty && m(5L).isEmpty)
+    val q = Seq((Some("A"), Some(5L), 1.0), (None, Some(6L), 7.0),
+      (Some("A"), None, 8.0)).toDF("sym", "qt", "px")
+    val t = Seq((1L, Some("A"), Some(9L)), (2L, None, Some(9L)),
+      (3L, Some("A"), None)).toDF("trade_id", "sym", "t")
+    val n = AsofJoinNative(t, q, "sym", "sym", "t", "qt", Seq("px"),
+      mode = "broadcast")
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(n(1L).contains(1.0))
+    assert(n(2L).isEmpty && n(3L).isEmpty)
+  }
+
+  test("broadcast mode: duplicate equal right times still match at " +
+    "distance 0 in every direction (which equal-payload row wins is " +
+    "unspecified in BOTH execs — the duplicates share a payload here)") {
+    val q = Seq(("A", 10L, 7.0), ("A", 10L, 7.0), ("A", 10L, 7.0),
+      ("A", 20L, 9.0)).toDF("sym", "qt", "px")
+    val t = Seq((1L, "A", 10L), (2L, "A", 15L), (3L, "A", 5L))
+      .toDF("trade_id", "sym", "t")
+    def run(mode: String, dir: String) =
+      AsofJoinNative(t, q, "sym", "sym", "t", "qt", Seq("px"),
+        direction = dir, mode = mode)
+        .select($"trade_id", $"px").as[(Long, Option[Double])]
+        .collect().toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val bc = run("broadcast", dir)
+      val mg = run("merge", dir)
+      assert(bc == mg, s"direction=$dir: broadcast $bc vs merge $mg")
+      if (dir != "backward") assert(bc(3L).contains(7.0)) // fwd hit at 10
+      if (dir != "forward") assert(bc(1L).contains(7.0))  // exact hit
+    }
+  }
+
+  test("broadcast mode: parity with the composed AsofJoin on the " +
+    "fixture for every direction + tolerance, several partitionings") {
+    val ev = load(spark, sf0001, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(86400L))) {
+      val composed = AsofJoin(err, pur, "user_id", "p_user", "ts", "p_ts",
+        Seq("purchase_id"), direction = dir, toleranceSec = tol)
+        .select(col("error_id"), col("purchase_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      for (parts <- Seq(1, 7)) {
+        val bc = AsofJoinNative(err.repartition(parts), pur,
+          "user_id", "p_user", "ts", "p_ts", Seq("purchase_id"),
+          direction = dir, toleranceSec = tol, mode = "broadcast")
+          .select(col("error_id"), col("purchase_id"))
+          .as[(Long, Option[Long])].collect().toMap
+        assert(bc == composed, s"dir=$dir tol=$tol parts=$parts: diverged")
+      }
+    }
+  }
+
+  test("broadcast mode plan: BroadcastAsofJoin with a broadcast " +
+    "exchange on the right and ZERO hashpartitioning exchanges — the " +
+    "fact side is never shuffled or sorted") {
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // non-aggregated right side so the only possible exchange is the
+    // join's own
+    val versions = load(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .as("vt"), col("o_orderkey").as("asof_orderkey"))
+    val df = AsofJoinNative(events, versions,
+      "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"),
+      mode = "broadcast")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastAsofJoin"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      p.take(1200))
+    assert(!p.contains("Sort "), p.take(1200))
+  }
 }

@@ -1120,5 +1120,59 @@ object CdcQueries {
       "DBLog incremental snapshot: watermark-bracketed chunk selects " +
         "deduped against the live change stream — per-key cutoff + one " +
         "id-keyed latest-per-key agg + chunk-grain rollup, no " +
-        "snapshot-vs-stream join of row payloads"))
+        "snapshot-vs-stream join of row payloads"),
+
+    // SCHEMA-DRIFT report over the raw envelope stream — the catalog
+    // face of the S7 schema-evolution family (cdc/SchemaEvolution.scala
+    // handles the merge; this query is the registry-style monitor that
+    // TELLS you drift happened): three synthesized envelope epochs (a
+    // column added in epoch 2, one dropped in epoch 3) are fingerprinted
+    // by their actual JSON key set — json_object_keys over the raw
+    // payload, sorted into a canonical signature — and rolled up to
+    // (signature, count, first/last epoch). The implementation reads
+    // keys from the JSON bytes (works for any stream); the oracle
+    // derives the same signatures from the epoch arithmetic. Map-side
+    // key extraction + one signature-grain agg.
+    Q("cdc_schema_drift",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        def env(epoch: Int, df: DataFrame,
+                after: org.apache.spark.sql.Column) =
+          df.select(lit(epoch).as("epoch"),
+            to_json(struct(struct(after.as("after")).as("payload")))
+              .as("value"))
+        val e1 = env(1, o, struct(col("o_orderkey").as("id"),
+          col("o_orderstatus"), col("o_totalprice")))
+        val e2 = env(2, o.filter(col("o_orderkey") % 2 === 0),
+          struct(col("o_orderkey").as("id"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_custkey")))
+        val e3 = env(3, o.filter(col("o_orderkey") % 7 === 0),
+          struct(col("o_orderkey").as("id"), col("o_orderstatus")))
+        e1.unionByName(e2).unionByName(e3)
+          .select(col("epoch"),
+            array_join(array_sort(json_object_keys(
+              get_json_object(col("value"), "$.payload.after"))), ",")
+              .as("sig"))
+          .groupBy(col("sig"))
+          .agg(count(lit(1)).as("n"),
+            min(col("epoch")).cast("long").as("first_epoch"),
+            max(col("epoch")).cast("long").as("last_epoch"))
+      },
+      Some("""WITH e AS (
+             |  SELECT 1 AS epoch, 'id,o_orderstatus,o_totalprice' AS sig
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 2, 'id,o_custkey,o_orderstatus,o_totalprice'
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 3, 'id,o_orderstatus'
+             |  FROM orders WHERE o_orderkey % 7 = 0)
+             |SELECT sig, count(*) AS n,
+             |  CAST(min(epoch) AS BIGINT) AS first_epoch,
+             |  CAST(max(epoch) AS BIGINT) AS last_epoch
+             |FROM e GROUP BY 1""".stripMargin),
+      "schema-drift monitor: canonical JSON key-set signatures read " +
+        "from the raw envelope bytes, rolled to (signature, n, " +
+        "first/last epoch) — map-side key extraction, one tiny agg; " +
+        "oracle derives signatures from the epoch arithmetic"))
 }

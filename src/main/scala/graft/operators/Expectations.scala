@@ -528,7 +528,10 @@ object Expectations {
             sum(col("x") * col("x")).as("sxx"))
           .select(col("seg"), col("n"), col("sx"), col("sxx"),
             (col("sx") / col("n").cast("double")).as("mean"),
-            ((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+            // sx cast to double BEFORE the square: the long×long
+            // product overflows past ~3e9 total (sf0.1 upward)
+            ((col("sxx") - col("sx").cast("double") * col("sx") /
+              col("n").cast("double")) /
               (col("n") - 1).cast("double")).as("v"))
         val a = m.filter(col("seg") === "1-URGENT")
           .select(col("n").as("n1"), col("mean").as("m1"), col("v").as("v1"))
@@ -556,7 +559,7 @@ object Expectations {
              |  FROM o GROUP BY 1),
              |mm AS (
              |  SELECT seg, n, sx / CAST(n AS DOUBLE) AS mean,
-             |    (sxx - sx * sx / CAST(n AS DOUBLE))
+             |    (sxx - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE))
              |      / CAST(n - 1 AS DOUBLE) AS v
              |  FROM m),
              |a AS (SELECT n AS n1, mean AS m1, v AS v1 FROM mm
@@ -1011,5 +1014,78 @@ object Expectations {
              |SELECT decision, day, n, k, llr FROM fin""".stripMargin),
       "Wald SPRT on the daily urgent-order rate: day-grain rollup + " +
         "bounded cumulative window, first boundary crossing per " +
-        "decision + the final-day row — 6dp-rounded LLR compares"))
+        "decision + the final-day row — 6dp-rounded LLR compares"),
+
+    // TOST equivalence test — the inverse question the Welch t-test
+    // can't answer: are two segments the SAME to within a margin?
+    // (Failing to reject difference ≠ equivalence.) Two one-sided
+    // Welch tests against ±$1000 on order totals; equivalence is
+    // declared when BOTH one-sided statistics clear the z critical
+    // value — compared on 6dp-rounded statistics so the verdict
+    // hashes identically. Same scale shape as the Welch query: one
+    // map-side integer-moment rollup per segment, a 1-row cross join,
+    // fixed IEEE chains.
+    Q("quality_tost",
+      (s, d) => {
+        val o = load(s, d, "orders")
+          .filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+          .select(col("o_orderpriority").as("seg"),
+            round(col("o_totalprice")).cast("long").as("x"))
+        val m = o.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("seg"), col("n"),
+            (col("sx") / col("n").cast("double")).as("mean"),
+            // sx cast to double BEFORE the square: the long×long
+            // product overflows past ~3e9 total (sf0.1 upward)
+            ((col("sxx") - col("sx").cast("double") * col("sx") /
+              col("n").cast("double")) /
+              (col("n") - 1).cast("double")).as("v"))
+        val a = m.filter(col("seg") === "2-HIGH")
+          .select(col("n").as("n1"), col("mean").as("m1"), col("v").as("v1"))
+        val b = m.filter(col("seg") === "3-MEDIUM")
+          .select(col("n").as("n2"), col("mean").as("m2"), col("v").as("v2"))
+        val margin = lit(1000.0)
+        a.crossJoin(b)
+          .withColumn("se",
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+          .withColumn("t_lower",
+            round((col("m1") - col("m2") + margin) / col("se"), 6))
+          .withColumn("t_upper",
+            round((margin - (col("m1") - col("m2"))) / col("se"), 6))
+          .select(col("n1"), col("n2"),
+            round(col("m1") - col("m2"), 4).as("mean_diff"),
+            col("t_lower"), col("t_upper"),
+            when(col("t_lower") > 1.644854 && col("t_upper") > 1.644854,
+              1L).otherwise(0L).as("equivalent"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS seg,
+             |    CAST(round(o_totalprice) AS BIGINT) AS x
+             |  FROM orders WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')),
+             |mm AS (
+             |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x) / CAST(count(*) AS DOUBLE) AS mean,
+             |    (sum(x * x) - CAST(sum(x) AS DOUBLE) * sum(x)
+             |      / CAST(count(*) AS DOUBLE))
+             |      / CAST(count(*) - 1 AS DOUBLE) AS v
+             |  FROM o GROUP BY 1),
+             |a AS (SELECT n AS n1, mean AS m1, v AS v1 FROM mm
+             |      WHERE seg = '2-HIGH'),
+             |b AS (SELECT n AS n2, mean AS m2, v AS v2 FROM mm
+             |      WHERE seg = '3-MEDIUM'),
+             |t AS (
+             |  SELECT n1, n2, m1, m2,
+             |    sqrt(v1 / n1 + v2 / n2) AS se
+             |  FROM a, b)
+             |SELECT n1, n2, round(m1 - m2, 4) AS mean_diff,
+             |  round((m1 - m2 + 1000.0) / se, 6) AS t_lower,
+             |  round((1000.0 - (m1 - m2)) / se, 6) AS t_upper,
+             |  CAST(CASE WHEN round((m1 - m2 + 1000.0) / se, 6) > 1.644854
+             |        AND round((1000.0 - (m1 - m2)) / se, 6) > 1.644854
+             |       THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+             |FROM t""".stripMargin),
+      "TOST equivalence on order totals (±$1000 margin): two one-sided " +
+        "Welch statistics from exact integer moments, verdict on " +
+        "6dp-rounded compares — one rollup + a 1-row cross join"))
 }

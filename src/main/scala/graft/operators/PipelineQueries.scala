@@ -269,8 +269,11 @@ object PipelineQueries {
           .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sx"),
             sum(col("n_chars") * col("n_chars")).as("sx2"))
           .select(col("lang"), col("nh"),
-            sqrt((col("nh") * col("sx2") - col("sx") * col("sx"))
-              .cast("double") / (col("nh") * (col("nh") - 1))).as("sd"))
+            // sums cast to double BEFORE the products: nh·sx2 and sx²
+            // overflow long around sf100 (Σchars ~ 4e9 per stratum)
+            sqrt((col("nh").cast("double") * col("sx2") -
+              col("sx").cast("double") * col("sx")) /
+              (col("nh") * (col("nh") - 1))).as("sd"))
         val w = st.select(col("lang"), col("nh"), col("sd"),
           (col("nh") * col("sd")).as("wt"))
         w.crossJoin(broadcast(w.agg(sum(col("wt")).as("tot"))))
@@ -283,7 +286,8 @@ object PipelineQueries {
              |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
              |  FROM documents GROUP BY 1),
              |sd AS (SELECT lang, nh,
-             |         sqrt(CAST(nh * sx2 - sx * sx AS DOUBLE)
+             |         sqrt((CAST(nh AS DOUBLE) * sx2
+             |             - CAST(sx AS DOUBLE) * sx)
              |           / (nh * (nh - 1))) AS sd
              |       FROM st),
              |w AS (SELECT lang, nh, sd, nh * sd AS wt FROM sd),

@@ -63,8 +63,16 @@ case class AsofJoinNode(
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinNode(l, r, lk, rk, lt, rt, dir, tol, mode) =>
+      // "auto" picks broadcast exactly the way the planner picks
+      // BroadcastHashJoin: right-side size estimate under the session's
+      // autoBroadcastJoinThreshold (-1 disables, same knob)
+      val useBroadcast = mode == "broadcast" || (mode == "auto" && {
+        val threshold = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        threshold > 0 && r.stats.sizeInBytes <= threshold
+      })
       val exec =
-        if (mode == "broadcast")
+        if (useBroadcast)
           BroadcastAsofJoinExec(planLater(l), planLater(r),
             lk, rk, lt, rt, dir, tol)
         else
@@ -360,7 +368,7 @@ object AsofJoinNative {
             direction: String = "backward",
             toleranceSec: Option[Long] = None,
             mode: String = "merge"): DataFrame = {
-    require(Set("merge", "broadcast")(mode), s"unknown mode '$mode'")
+    require(Set("merge", "broadcast", "auto")(mode), s"unknown mode '$mode'")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed

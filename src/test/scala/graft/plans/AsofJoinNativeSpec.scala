@@ -240,4 +240,23 @@ class AsofJoinNativeSpec extends SparkSpec {
       p.take(1200))
     assert(!p.contains("Sort "), p.take(1200))
   }
+
+  test("auto mode rides the autoBroadcastJoinThreshold knob: broadcast " +
+    "under it, merge when broadcasting is disabled") {
+    def planFor(): String = {
+      val df = AsofJoinNative(trades, quotes, "sym", "sym", "t", "qt",
+        Seq("px"), mode = "auto")
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10485760")
+      assert(planFor().contains("BroadcastAsofJoin"))
+      spark.conf.set(key, "-1")
+      val p = planFor()
+      assert(p.contains("AsofJoin ") && !p.contains("BroadcastAsofJoin"), p)
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -1301,5 +1301,157 @@ object DedupQueries {
         "data-exact u-probabilities from value rollups, textbook m " +
         "prior, 3-field log-likelihood-ratio weights at 4dp — the " +
         "probabilistic half of the ER surface next to the distance " +
-        "matchers"))
+        "matchers"),
+
+    // EM-ESTIMATED Fellegi-Sunter parameters — the unsupervised half
+    // the textbook-prior query above leaves open: learn (m_j, u_j, π)
+    // from the agreement-pattern counts themselves (Winkler's EM for
+    // record linkage). The state is EIGHT rows (2³ patterns), so every
+    // iteration is pure aggregate-grain algebra: an E-step crossJoin
+    // of the pattern table with the 1-row parameter set, an M-step
+    // 1-row aggregate. Engine-exactness trick: posteriors are
+    // integer-scaled to w6 = round(w·10⁶) LONGS before the M-step, so
+    // the M-step sums are exact integers in ANY order and each m/u/π
+    // is a single division of exact longs — three full EM rounds stay
+    // bit-identical across engines with no rounding tolerance. Output:
+    // the 8 patterns with their final match posteriors + the learned
+    // parameters, all integer-scaled.
+    Q("dedup_fs_em",
+      (s, d) => {
+        val p = persistOnce(load(s, d, "part").select(
+          col("p_partkey").as("id"), col("p_brand").as("brand"),
+          col("p_size").as("sz"),
+          element_at(split(col("p_name"), " "), 1).as("clr"),
+          element_at(split(col("p_type"), " "), -1).as("mat"),
+          floor(col("p_retailprice") / 100).cast("long").as("pb")))
+        val pat = persistOnce(p.as("l").join(p.as("r"),
+            col("l.brand") === col("r.brand") &&
+              col("l.sz") === col("r.sz") && col("l.id") < col("r.id"))
+          .groupBy((col("l.clr") === col("r.clr")).as("b1"),
+            (col("l.mat") === col("r.mat")).as("b2"),
+            (col("l.pb") === col("r.pb")).as("b3"))
+          .agg(count(lit(1)).as("ng")))
+        val init = s.range(1).select(
+          lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
+          lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"),
+          lit(0.05).as("pi"))
+        def pick(b: String, v: String) =
+          when(col(b), col(v)).otherwise(lit(1.0) - col(v))
+        def estep(params: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          pat.crossJoin(broadcast(params))
+            .withColumn("pm",
+              pick("b1", "m1") * pick("b2", "m2") * pick("b3", "m3"))
+            .withColumn("pu",
+              pick("b1", "u1") * pick("b2", "u2") * pick("b3", "u3"))
+            .withColumn("w6",
+              round((col("pi") * col("pm") /
+                (col("pi") * col("pm") +
+                  (lit(1.0) - col("pi")) * col("pu"))) * 1000000)
+                .cast("long"))
+        def mstep(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          def mj(b: String) =
+            sum(when(col(b), col("w6") * col("ng")).otherwise(0L))
+          def uj(b: String) =
+            sum(when(col(b), (lit(1000000L) - col("w6")) * col("ng"))
+              .otherwise(0L))
+          e.agg(mj("b1").as("sm1"), mj("b2").as("sm2"), mj("b3").as("sm3"),
+              uj("b1").as("su1"), uj("b2").as("su2"), uj("b3").as("su3"),
+              sum(col("w6") * col("ng")).as("sw"),
+              sum(col("ng")).as("nn"))
+            .select(
+              (col("sm1").cast("double") / col("sw")).as("m1"),
+              (col("sm2").cast("double") / col("sw")).as("m2"),
+              (col("sm3").cast("double") / col("sw")).as("m3"),
+              (col("su1").cast("double") /
+                (lit(1000000L) * col("nn") - col("sw"))).as("u1"),
+              (col("su2").cast("double") /
+                (lit(1000000L) * col("nn") - col("sw"))).as("u2"),
+              (col("su3").cast("double") /
+                (lit(1000000L) * col("nn") - col("sw"))).as("u3"),
+              (col("sw").cast("double") /
+                (lit(1000000L) * col("nn")).cast("double")).as("pi"))
+        }
+        var params = init
+        for (_ <- 1 to 3) params = mstep(estep(params))
+        estep(params).select(col("b1").as("agr_color"),
+          col("b2").as("agr_mat"), col("b3").as("agr_price"),
+          col("ng").as("n_pairs"), col("w6"),
+          round(col("m1") * 1000000).cast("long").as("m1_6"),
+          round(col("m2") * 1000000).cast("long").as("m2_6"),
+          round(col("m3") * 1000000).cast("long").as("m3_6"),
+          round(col("u1") * 1000000).cast("long").as("u1_6"),
+          round(col("u2") * 1000000).cast("long").as("u2_6"),
+          round(col("u3") * 1000000).cast("long").as("u3_6"),
+          round(col("pi") * 1000000000).cast("long").as("pi9"))
+      },
+      Some {
+        def estepSql(k: Int) =
+          s"""e$k AS (
+             |  SELECT b1, b2, b3, ng,
+             |    CAST(round((pi * pm / (pi * pm + (1.0 - pi) * pu))
+             |      * 1000000) AS BIGINT) AS w6
+             |  FROM (
+             |    SELECT pat.*, pi,
+             |      (CASE WHEN b1 THEN m1 ELSE 1.0 - m1 END) *
+             |      (CASE WHEN b2 THEN m2 ELSE 1.0 - m2 END) *
+             |      (CASE WHEN b3 THEN m3 ELSE 1.0 - m3 END) AS pm,
+             |      (CASE WHEN b1 THEN u1 ELSE 1.0 - u1 END) *
+             |      (CASE WHEN b2 THEN u2 ELSE 1.0 - u2 END) *
+             |      (CASE WHEN b3 THEN u3 ELSE 1.0 - u3 END) AS pu
+             |    FROM pat CROSS JOIN it${k - 1}))""".stripMargin
+        def mstepSql(k: Int) =
+          s"""it$k AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN b1 THEN w6 * ng ELSE 0 END) AS DOUBLE)
+             |      / sum(w6 * ng) AS m1,
+             |    CAST(sum(CASE WHEN b2 THEN w6 * ng ELSE 0 END) AS DOUBLE)
+             |      / sum(w6 * ng) AS m2,
+             |    CAST(sum(CASE WHEN b3 THEN w6 * ng ELSE 0 END) AS DOUBLE)
+             |      / sum(w6 * ng) AS m3,
+             |    CAST(sum(CASE WHEN b1 THEN (1000000 - w6) * ng ELSE 0 END)
+             |      AS DOUBLE) / (1000000 * sum(ng) - sum(w6 * ng)) AS u1,
+             |    CAST(sum(CASE WHEN b2 THEN (1000000 - w6) * ng ELSE 0 END)
+             |      AS DOUBLE) / (1000000 * sum(ng) - sum(w6 * ng)) AS u2,
+             |    CAST(sum(CASE WHEN b3 THEN (1000000 - w6) * ng ELSE 0 END)
+             |      AS DOUBLE) / (1000000 * sum(ng) - sum(w6 * ng)) AS u3,
+             |    CAST(sum(w6 * ng) AS DOUBLE)
+             |      / CAST(1000000 * sum(ng) AS DOUBLE) AS pi
+             |  FROM e$k)""".stripMargin
+        s"""WITH p AS (
+           |  SELECT p_partkey AS id, p_brand AS brand, p_size AS sz,
+           |    string_split(p_name, ' ')[1] AS clr,
+           |    string_split(p_type, ' ')[-1] AS mat,
+           |    CAST(floor(p_retailprice / 100) AS BIGINT) AS pb
+           |  FROM part),
+           |pat AS (
+           |  SELECT l.clr = r.clr AS b1, l.mat = r.mat AS b2,
+           |    l.pb = r.pb AS b3, CAST(count(*) AS BIGINT) AS ng
+           |  FROM p l JOIN p r
+           |    ON l.brand = r.brand AND l.sz = r.sz AND l.id < r.id
+           |  GROUP BY 1, 2, 3),
+           |it0 AS (SELECT 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+           |               0.1 AS u1, 0.1 AS u2, 0.1 AS u3, 0.05 AS pi),
+           |${estepSql(1)},
+           |${mstepSql(1)},
+           |${estepSql(2)},
+           |${mstepSql(2)},
+           |${estepSql(3)},
+           |${mstepSql(3)},
+           |${estepSql(4)}
+           |SELECT b1 AS agr_color, b2 AS agr_mat, b3 AS agr_price,
+           |  ng AS n_pairs, w6,
+           |  CAST(round(m1 * 1000000) AS BIGINT) AS m1_6,
+           |  CAST(round(m2 * 1000000) AS BIGINT) AS m2_6,
+           |  CAST(round(m3 * 1000000) AS BIGINT) AS m3_6,
+           |  CAST(round(u1 * 1000000) AS BIGINT) AS u1_6,
+           |  CAST(round(u2 * 1000000) AS BIGINT) AS u2_6,
+           |  CAST(round(u3 * 1000000) AS BIGINT) AS u3_6,
+           |  CAST(round(pi * 1000000000) AS BIGINT) AS pi9
+           |FROM e4 CROSS JOIN it3""".stripMargin
+      },
+      "Winkler EM for Fellegi-Sunter m/u/π over the 8 agreement " +
+        "patterns: E-step posteriors integer-scaled to w6 longs so " +
+        "M-step sums are order-independent exact integers and each " +
+        "parameter is one division of exact longs — three rounds, " +
+        "engine-exact, no rounding tolerance"))
 }

@@ -1087,5 +1087,80 @@ object Expectations {
              |FROM t""".stripMargin),
       "TOST equivalence on order totals (±$1000 margin): two one-sided " +
         "Welch statistics from exact integer moments, verdict on " +
-        "6dp-rounded compares — one rollup + a 1-row cross join"))
+        "6dp-rounded compares — one rollup + a 1-row cross join"),
+
+    // PERMUTATION TEST at corpus scale — the distribution-free answer
+    // when no z/t approximation is trusted: the null distribution is
+    // built from 32 hash-derived pseudo-random re-assignments of the
+    // treatment label, each a deterministic md5 salt, all evaluated in
+    // ONE pass via a 33-way replicate explode (map-side) + a 66-group
+    // integer-moment agg — no loop over the data, no driver state; the
+    // pattern scales because R is fixed while the data streams once.
+    // Every replicate statistic is |mean diff| from exact integer
+    // sums (single-division chains, compared UNROUNDED — identical
+    // IEEE ops both engines); p = (1 + #{stat_r ≥ stat_obs}) / (R+1),
+    // the standard add-one permutation p-value.
+    Q("quality_permutation_test",
+      (s, d) => {
+        val o = load(s, d, "orders").select(
+          col("o_orderkey").cast("string").as("k"),
+          round(col("o_totalprice")).cast("long").as("x"))
+        val reps = o
+          .select(col("k"), col("x"),
+            explode(sequence(lit(0), lit(32))).as("r"))
+          .withColumn("arm",
+            substring(md5(concat(col("k"),
+              when(col("r") === 32, lit(":obs"))
+                .otherwise(concat(lit(":p"), col("r").cast("string"))))),
+              1, 1) < "8")
+        val arms = reps.groupBy(col("r"), col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        val stats = arms.groupBy(col("r")).agg(
+          abs(max(when(col("arm"), col("sx"))).cast("double") /
+            max(when(col("arm"), col("n"))) -
+            max(when(!col("arm"), col("sx"))).cast("double") /
+              max(when(!col("arm"), col("n")))).as("stat"))
+        val obs = stats.filter(col("r") === 32)
+          .select(col("stat").as("stat_obs"))
+        stats.filter(col("r") < 32).crossJoin(broadcast(obs))
+          .agg(count(lit(1)).as("n_reps"),
+            sum(when(col("stat") >= col("stat_obs"), 1L).otherwise(0L))
+              .as("n_ge"),
+            max(col("stat_obs")).as("so"))
+          .select(col("n_reps"), round(col("so"), 4).as("stat_obs"),
+            col("n_ge"),
+            ((col("n_ge") + 1L).cast("double") / lit(33.0)).as("p_value"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             |    CAST(round(o_totalprice) AS BIGINT) AS x
+             |  FROM orders),
+             |reps AS (
+             |  SELECT k, x, r,
+             |    substr(md5(k || CASE WHEN r = 32 THEN ':obs'
+             |      ELSE ':p' || CAST(r AS VARCHAR) END), 1, 1) < '8'
+             |      AS arm
+             |  FROM o CROSS JOIN generate_series(0, 32) g(r)),
+             |arms AS (
+             |  SELECT r, arm, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx
+             |  FROM reps GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT r,
+             |    abs(CAST(max(CASE WHEN arm THEN sx END) AS DOUBLE)
+             |        / max(CASE WHEN arm THEN n END) -
+             |      CAST(max(CASE WHEN NOT arm THEN sx END) AS DOUBLE)
+             |        / max(CASE WHEN NOT arm THEN n END)) AS stat
+             |  FROM arms GROUP BY 1),
+             |obs AS (SELECT stat AS stat_obs FROM stats WHERE r = 32)
+             |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             |  round(max(stat_obs), 4) AS stat_obs,
+             |  CAST(sum(CASE WHEN stat >= stat_obs THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ge,
+             |  CAST(sum(CASE WHEN stat >= stat_obs THEN 1 ELSE 0 END) + 1
+             |    AS DOUBLE) / 33.0 AS p_value
+             |FROM stats CROSS JOIN obs WHERE r < 32""".stripMargin),
+      "permutation test via 33-way hash-replicate explode: one data " +
+        "pass, 66-group integer moments, unrounded |mean diff| " +
+        "compares, add-one p-value — R fixed, data streamed once"))
 }

@@ -24,6 +24,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // transparent materialized-view rewrite (no-op until a view is
     // registered in MvCatalog)
     e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // left-predicate pushdown through the native as-of join node; in
+    // the extensions path this runs inside the operator-optimization
+    // batch, BEFORE scan pushdown, so pushed predicates reach
+    // PushedFilters / partition pruning
+    e.injectOptimizerRule(_ => graft.plans.AsofJoinPushdown)
   }
 }
 

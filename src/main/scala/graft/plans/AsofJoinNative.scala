@@ -352,6 +352,34 @@ case class BroadcastAsofJoinExec(
   }
 }
 
+/** Filter pushdown through [[AsofJoinNode]] — Catalyst's own
+  * PushDownPredicates cannot see through a custom node, so without
+  * this rule a `WHERE` on fact columns evaluates ABOVE the join: the
+  * full fact side is exchanged/sorted (merge mode) or probed
+  * (broadcast mode) first, and scan-level pushdown (PushedFilters /
+  * partition pruning — the difference between reading 100 TB and
+  * reading a slice) never fires. The as-of join emits exactly one row
+  * per left row (left-outer enrichment), so any deterministic
+  * predicate over LEFT columns commutes with the join; predicates
+  * touching right (nullable-padded) columns stay above. */
+object AsofJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsofJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p =>
+          p.references.subsetOf(j.left.outputSet) && p.deterministic)
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** DataFrame-level entry point; registers the strategy on the session
   * (idempotent) so plain sessions work without a rebuild. */
 object AsofJoinNative {
@@ -359,6 +387,9 @@ object AsofJoinNative {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinPushdown
   }
 
   def apply(left: DataFrame, right: DataFrame,

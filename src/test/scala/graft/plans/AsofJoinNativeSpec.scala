@@ -241,6 +241,42 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(!p.contains("Sort "), p.take(1200))
   }
 
+  test("left-predicate pushdown: a filter on fact columns moves BELOW " +
+    "the as-of node (pre-exchange), right-column predicates stay above") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val versions = load(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .as("vt"), col("o_orderkey").as("asof_orderkey"))
+    val joined = AsofJoinNative(events, versions,
+      "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"))
+    val df = joined.filter(col("user_id") % 10 === 3 &&
+      col("asof_orderkey").isNotNull)
+    val opt = df.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case n: AsofJoinNode => n }.get
+    // the left-only predicate landed inside the node's left child
+    val leftFilters = node.left.collect { case f: LFilter => f }
+    assert(leftFilters.nonEmpty, opt.toString.take(1500))
+    assert(leftFilters.exists(_.condition.toString.contains("% 10")),
+      leftFilters.map(_.condition).mkString("; "))
+    // the right-column predicate did NOT push into either child
+    assert(!node.left.collect { case f: LFilter => f }
+      .exists(_.condition.toString.contains("asof_orderkey")))
+    assert(node.right.collect { case f: LFilter => f }.isEmpty ||
+      !node.right.collect { case f: LFilter => f }
+        .exists(_.condition.toString.contains("asof_orderkey")))
+    // and results match the unpushed formulation
+    val expected = joined.collect()
+      .filter(r => r.getLong(r.fieldIndex("user_id")) % 10 == 3 &&
+        !r.isNullAt(r.fieldIndex("asof_orderkey")))
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("asof_orderkey"))))
+      .toSet
+    val got = df.select(col("event_id"), col("asof_orderkey"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("auto mode rides the autoBroadcastJoinThreshold knob: broadcast " +
     "under it, merge when broadcasting is disabled") {
     def planFor(): String = {

@@ -365,8 +365,8 @@ case class BroadcastAsofJoinExec(
 object AsofJoinPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.And
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsofJoinNode) =>
       val (push, keep) = splitConjunctivePredicates(cond)
@@ -377,6 +377,24 @@ object AsofJoinPushdown
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+    // Column pruning — the other thing Catalyst can't do through a
+    // custom node: a Project above the join keeps only some payload
+    // columns, but without this rewrite BOTH scans still read every
+    // column (ReadSchema stays wide). The node's output is defined
+    // from its children, so inserting child Projects restricted to
+    // (referenced ++ key/time) attributes shrinks the node output and
+    // the scans in one move; the parent Project's attributes survive
+    // untouched.
+    case p @ Project(projList, j: AsofJoinNode) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTime, j.rightTime)
+          .flatMap(_.references))
+      def prune(side: LogicalPlan): LogicalPlan =
+        if (side.output.forall(needed.contains)) side
+        else Project(side.output.filter(needed.contains), side)
+      val (nl, nr) = (prune(j.left), prune(j.right))
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else Project(projList, j.copy(left = nl, right = nr))
   }
 }
 

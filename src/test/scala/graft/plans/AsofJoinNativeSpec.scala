@@ -277,6 +277,25 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("column pruning through the node: a wide right side shrinks to " +
+    "(payload + key/time) below the join, and the scans narrow") {
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wide = load(spark, sf0001, "orders") // all 5 order columns
+      .withColumn("vt", col("o_orderdate").cast("timestamp"))
+    val df = AsofJoinNative(events, wide,
+      "user_id", "o_custkey", "ts", "vt", Seq("o_orderkey"))
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    val rightCols = node.right.output.map(_.name).toSet
+    assert(rightCols == Set("o_custkey", "vt", "o_orderkey"),
+      s"right side not pruned: $rightCols")
+    // the unused wide columns never reach the scan output either
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("o_totalprice"))
+    assert(df.count() > 0)
+  }
+
   test("auto mode rides the autoBroadcastJoinThreshold knob: broadcast " +
     "under it, merge when broadcasting is disabled") {
     def planFor(): String = {

@@ -144,6 +144,70 @@ object AdvancedQueries {
         "partitioning preserved; oracle derives the version index " +
         "arithmetically"),
 
+    // THEIL INDEX with between/within decomposition — the inequality
+    // measure Gini can't decompose: how concentrated is corpus volume,
+    // and is the concentration BETWEEN languages (source imbalance —
+    // fix the mix) or WITHIN them (a few huge docs — cap lengths)?
+    // T = T_between + Σ_g share_g·T_g holds exactly. Scale shape: one
+    // lang rollup broadcast back (map-side μ_g), one per-row log term,
+    // one lang-grain agg — the corpus never shuffles by row. Per-group
+    // sums of log terms are order-unstable doubles → rounded 6dp after
+    // the final division (catalog contract); means/shares are exact
+    // integer ratios.
+    Q("agg_theil_decomposition",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("lang"), col("n_chars").cast("long").as("x"))
+        val g = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+        val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+        val withMu = docs.join(broadcast(g), Seq("lang"))
+          .withColumn("mu_g", col("sg").cast("double") / col("ng"))
+          .withColumn("term",
+            (col("x") / col("mu_g")) * log(col("x") / col("mu_g")))
+        withMu.groupBy(col("lang"), col("ng"), col("sg"))
+          .agg(sum(col("term")).as("tsum"))
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("ng"),
+            round(col("sg").cast("double") / col("ng"), 4).as("mean_g"),
+            round(col("tsum") / col("ng"), 6).as("theil_within"),
+            round((col("ng").cast("double") / col("n")) *
+              ((col("sg").cast("double") / col("ng")) /
+                (col("st").cast("double") / col("n"))) *
+              log((col("sg").cast("double") / col("ng")) /
+                (col("st").cast("double") / col("n"))), 6)
+              .as("between_term"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS x
+             |  FROM documents WHERE n_chars > 0),
+             |g AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(x) AS BIGINT) AS sg
+             |  FROM docs GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(ng) AS BIGINT) AS n,
+             |    CAST(sum(sg) AS BIGINT) AS st
+             |  FROM g),
+             |terms AS (
+             |  SELECT docs.lang, ng, sg,
+             |    (x / (CAST(sg AS DOUBLE) / ng)) *
+             |      ln(x / (CAST(sg AS DOUBLE) / ng)) AS term
+             |  FROM docs JOIN g ON docs.lang = g.lang)
+             |SELECT lang, ng,
+             |  round(CAST(sg AS DOUBLE) / ng, 4) AS mean_g,
+             |  round(sum(term) / ng, 6) AS theil_within,
+             |  round((CAST(ng AS DOUBLE) / n) *
+             |    ((CAST(sg AS DOUBLE) / ng) / (CAST(st AS DOUBLE) / n)) *
+             |    ln((CAST(sg AS DOUBLE) / ng) / (CAST(st AS DOUBLE) / n)),
+             |    6) AS between_term
+             |FROM terms CROSS JOIN tot
+             |GROUP BY lang, ng, sg, n, st""".stripMargin),
+      "Theil inequality with between/within-language decomposition: " +
+        "lang rollup broadcast back, one per-row log term, one " +
+        "lang-grain agg — tells source imbalance from in-source skew"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

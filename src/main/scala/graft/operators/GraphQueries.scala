@@ -567,5 +567,73 @@ object GraphQueries {
              |LEFT JOIN h2 ON doc_id = x""".stripMargin),
       "HITS hubs/authorities, two unnormalized rounds = exact integer " +
         "path counts — one edge-keyed join + hash agg per half-round, " +
-        "the PageRank shuffle discipline"))
+        "the PageRank shuffle discipline"),
+
+    // Per-node LOCAL clustering coefficient — the node-grain sibling
+    // of graph_triangle_count's global number (community cores vs
+    // bridge nodes). Same degree-ordered orientation, but the closed
+    // wedge keeps its MIDDLE vertex so each triangle credits all
+    // three corners via one explode; lcc = 2t/(d(d−1)) is an exact
+    // integer ratio (one division, unrounded). Candidates stay
+    // ∝ Σ out-deg² — the hub² blowup is structurally impossible.
+    Q("graph_local_clustering",
+      (s, d) => {
+        val und = persistOnce(derivedUnd(s, d))
+        val deg = persistOnce(und
+          .select(explode(array(col("a"), col("b"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg")))
+        val lower = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o = persistOnce(und
+          .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+          .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+            when(lower, col("b")).otherwise(col("a")).as("v")))
+        val closed = o.as("x").join(o.as("y"), col("x.v") === col("y.u"))
+          .select(col("x.u").as("u"), col("x.v").as("m"),
+            col("y.v").as("w"))
+          .join(o.select(col("u"), col("v").as("w")), Seq("u", "w"),
+            "left_semi")
+        val perNode = closed
+          .select(explode(array(col("u"), col("m"), col("w"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("t"))
+        deg.join(perNode, Seq("v"), "left")
+          .select(col("v").as("doc_id"), col("dg"),
+            coalesce(col("t"), lit(0L)).as("n_triangles"),
+            when(col("dg") < 2, lit(0.0))
+              .otherwise((lit(2L) * coalesce(col("t"), lit(0L)))
+                .cast("double") / (col("dg") * (col("dg") - 1)))
+              .as("lcc"))
+      },
+      Some(s"""WITH $edgeSqlPrefix,
+             |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+             |          SELECT a AS v FROM und
+             |          UNION ALL SELECT b AS v FROM und) e GROUP BY 1),
+             |o AS (SELECT CASE WHEN da.dg < db.dg
+             |                    OR (da.dg = db.dg AND a < b)
+             |                  THEN a ELSE b END AS u,
+             |             CASE WHEN da.dg < db.dg
+             |                    OR (da.dg = db.dg AND a < b)
+             |                  THEN b ELSE a END AS v
+             |      FROM und JOIN deg da ON und.a = da.v
+             |               JOIN deg db ON und.b = db.v),
+             |closed AS (
+             |  SELECT x.u AS u, x.v AS m, y.v AS w
+             |  FROM o x JOIN o y ON x.v = y.u
+             |  WHERE EXISTS (SELECT 1 FROM o
+             |                WHERE o.u = x.u AND o.v = y.v)),
+             |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+             |         SELECT u AS v FROM closed
+             |         UNION ALL SELECT m FROM closed
+             |         UNION ALL SELECT w FROM closed) z GROUP BY 1)
+             |SELECT deg.v AS doc_id, dg,
+             |  coalesce(t, 0) AS n_triangles,
+             |  CASE WHEN dg < 2 THEN 0.0
+             |       ELSE CAST(2 * coalesce(t, 0) AS DOUBLE)
+             |         / (dg * (dg - 1)) END AS lcc
+             |FROM deg LEFT JOIN tv ON deg.v = tv.v""".stripMargin),
+      "per-node local clustering coefficient via degree-ordered " +
+        "wedges that keep their middle vertex — one explode credits " +
+        "all three triangle corners; exact integer ratio, no hub² " +
+        "blowup"))
 }

@@ -208,6 +208,53 @@ object AdvancedQueries {
         "lang rollup broadcast back, one per-row log term, one " +
         "lang-grain agg — tells source imbalance from in-source skew"),
 
+    // McNEMAR'S PAIRED TEST — the correct significance test when two
+    // classifiers are scored on the SAME documents (the independent-
+    // samples tests overstate significance on paired data): only the
+    // DISCORDANT pairs carry information. Two rule classifiers against
+    // a planted truth label; b = A-right/B-wrong, c = B-right/A-wrong;
+    // χ² = (b−c)²/(b+c) plus the Edwards continuity correction — both
+    // single divisions of exact integers, unrounded. One map-side pass
+    // + a 1-row aggregate; nothing shuffles but four counters.
+    Q("eval_mcnemar",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          (col("doc_id") % 3 =!= 0).as("truth"),
+          (col("n_chars") >= 200).as("pa"),
+          ((col("n_chars") + col("doc_id")) % 997 < 600).as("pb"))
+        t.agg(
+          sum(when(col("pa") === col("truth") &&
+            col("pb") =!= col("truth"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("pb") === col("truth") &&
+            col("pa") =!= col("truth"), 1L).otherwise(0L)).as("c"))
+          .select(col("b"), col("c"),
+            (((col("b") - col("c")) * (col("b") - col("c")))
+              .cast("double") / (col("b") + col("c"))).as("chi2"),
+            (((abs(col("b") - col("c")) - 1) *
+              (abs(col("b") - col("c")) - 1)).cast("double") /
+              (col("b") + col("c"))).as("chi2_corrected"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id % 3 <> 0 AS truth,
+             |    n_chars >= 200 AS pa,
+             |    (n_chars + doc_id) % 997 < 600 AS pb
+             |  FROM documents),
+             |m AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN pa = truth AND pb <> truth
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN pb = truth AND pa <> truth
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |  FROM t)
+             |SELECT b, c,
+             |  CAST((b - c) * (b - c) AS DOUBLE) / (b + c) AS chi2,
+             |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+             |    / (b + c) AS chi2_corrected
+             |FROM m""".stripMargin),
+      "McNemar paired classifier test: discordant counts from one " +
+        "map-side pass, χ² and continuity-corrected χ² as exact " +
+        "integer-ratio divisions"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

@@ -191,5 +191,76 @@ object RangeJoin {
              |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
              |  < 4.0""".stripMargin),
       "ε-grid neighbor join: 3×3 cell probe equi-join vs the naive " +
-        "all-pairs oracle — spatial ball queries without a cross product"))
+        "all-pairs oracle — spatial ball queries without a cross product"),
+
+    // ALLEN'S INTERVAL ALGEBRA histogram — classify every intersecting
+    // or abutting window pair into its temporal relation (equals /
+    // starts / finishes / during / contains / meets / overlaps + the
+    // four inverses). The relation CASE runs inside the SAME bucketed
+    // overlap join as join_range_overlap (before/after — the unbounded
+    // disjoint relations — are excluded by construction), so the
+    // classification adds zero plan cost over the pair generation; the
+    // histogram is an 11-group rollup. The CASE order is identical in
+    // both engines, so tie rows classify identically.
+    Q("window_allen_relations",
+      (s, d) => {
+        def win(lo: Long, hi: Long, kCol: String) =
+          load(s, d, "orders")
+            .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+            .select(col("o_orderkey").as(kCol),
+              epochDays(col("o_orderdate")).as(s"lo_$kCol"),
+              (epochDays(col("o_orderdate")) + col("o_orderkey") % 30)
+                .as(s"hi_$kCol"))
+        val a = win(0L, 1000L, "ka")
+        val b = win(1000L, 2000L, "kb")
+        val rel = when(col("lo_ka") === col("lo_kb") &&
+            col("hi_ka") === col("hi_kb"), "equals")
+          .when(col("hi_ka") === col("lo_kb"), "meets")
+          .when(col("hi_kb") === col("lo_ka"), "met_by")
+          .when(col("lo_ka") === col("lo_kb") &&
+            col("hi_ka") < col("hi_kb"), "starts")
+          .when(col("lo_ka") === col("lo_kb"), "started_by")
+          .when(col("hi_ka") === col("hi_kb") &&
+            col("lo_ka") > col("lo_kb"), "finishes")
+          .when(col("hi_ka") === col("hi_kb"), "finished_by")
+          .when(col("lo_ka") > col("lo_kb") &&
+            col("hi_ka") < col("hi_kb"), "during")
+          .when(col("lo_ka") < col("lo_kb") &&
+            col("hi_ka") > col("hi_kb"), "contains")
+          .when(col("lo_ka") < col("lo_kb"), "overlaps")
+          .otherwise("overlapped_by")
+        intervalOverlap(a, "lo_ka", "hi_ka", b, "lo_kb", "hi_kb",
+            width = 32L)
+          .groupBy(rel.as("relation"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey AS k,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS lo,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) + o_orderkey % 30 AS hi
+             |  FROM orders),
+             |pairs AS (
+             |  SELECT a.lo AS lo_ka, a.hi AS hi_ka,
+             |         b.lo AS lo_kb, b.hi AS hi_kb
+             |  FROM w a JOIN w b ON a.lo <= b.hi AND b.lo <= a.hi
+             |  WHERE a.k < 1000 AND b.k >= 1000 AND b.k < 2000)
+             |SELECT CASE
+             |    WHEN lo_ka = lo_kb AND hi_ka = hi_kb THEN 'equals'
+             |    WHEN hi_ka = lo_kb THEN 'meets'
+             |    WHEN hi_kb = lo_ka THEN 'met_by'
+             |    WHEN lo_ka = lo_kb AND hi_ka < hi_kb THEN 'starts'
+             |    WHEN lo_ka = lo_kb THEN 'started_by'
+             |    WHEN hi_ka = hi_kb AND lo_ka > lo_kb THEN 'finishes'
+             |    WHEN hi_ka = hi_kb THEN 'finished_by'
+             |    WHEN lo_ka > lo_kb AND hi_ka < hi_kb THEN 'during'
+             |    WHEN lo_ka < lo_kb AND hi_ka > hi_kb THEN 'contains'
+             |    WHEN lo_ka < lo_kb THEN 'overlaps'
+             |    ELSE 'overlapped_by' END AS relation,
+             |  count(*) AS n
+             |FROM pairs GROUP BY 1""".stripMargin),
+      "Allen interval-relation histogram over the bucketed overlap " +
+        "join — 11 temporal relations classified in the pair pass, " +
+        "an 11-group rollup, zero cost over pair generation"))
 }

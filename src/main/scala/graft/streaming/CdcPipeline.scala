@@ -105,7 +105,13 @@ object CdcPipeline {
       quarantineDir: Option[String] = None,
       tableExpectations: Map[String, TableExpectation] = Map.empty,
       consistentSnapshots: Boolean = false,
-      stageTimer: Option[StageTimings => Unit] = None) {
+      stageTimer: Option[StageTimings => Unit] = None,
+      // Debezium-style signaling: a dir of execute-snapshot signal
+      // JSON rows + per-table snapshot sources (the table's current
+      // truth) drive chunked ad-hoc backfills — see SignalSnapshot
+      signalDir: Option[String] = None,
+      snapshotSources: Map[String, () => DataFrame] = Map.empty,
+      snapshotChunkKeys: Int = 4096) {
     require(!consistentSnapshots ||
       sinkOverride.exists(_.isInstanceOf[graft.sinks.LogMirrorSink]),
       "consistentSnapshots pin LogMirror versions (readAsOf) — they " +
@@ -198,6 +204,21 @@ object CdcPipeline {
       // merge stage below times merging, not the first cache fill
       if (cfg.stageTimer.isDefined) parsedBySchema.values.foreach(_.count())
       val tParse = secsSince(t0)
+
+      // Signal-driven incremental snapshots: plan this batch's chunk
+      // per active table (DBLog dedup against THIS batch's changes);
+      // chunks for tables also present in the batch ride the table's
+      // regular merge below, idle tables merge their chunk alone.
+      val snapPlan =
+        if (cfg.signalDir.isEmpty) SignalSnapshot.noop
+        else SignalSnapshot.plan(spark, cfg, batchId, t => {
+          val spec = cfg.specFor(t)
+          val parsed = parsedBySchema.getOrElse(spec.rowSchema,
+            Envelope.parse(routed.filter(lit(false)), spec.rowSchema)
+              .withColumn("_wf", Envelope.isWellFormed.cast("int")))
+          Envelope.unwrap(parsed.filter(col("table_name") === t &&
+            col("_wf") === 1), spec.keyCols)
+        })
       try {
         // Merges are submitted concurrently: each is an independent Spark
         // job, so many small per-table batches don't serialize on the
@@ -256,8 +277,12 @@ object CdcPipeline {
         def perTableJob(parsed: DataFrame, t: String): Future[Unit] = Future {
           val spec = cfg.specFor(t)
           val sub = parsed.filter(col("table_name") === t).drop("table_name")
-          val unwrapped = Envelope.unwrap(sub.filter(col("_wf") === 1),
+          val base = Envelope.unwrap(sub.filter(col("_wf") === 1),
             spec.keyCols)
+          // snapshot chunk rides the table's own merge (same delta,
+          // same commit — atomic and replay-idempotent with the batch)
+          val unwrapped = snapPlan.chunkFor(t)
+            .map(base.unionByName(_)).getOrElse(base)
           cfg.expectations.get(t).filter(_.nonEmpty) match {
             case None => cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
               unwrapped, spec.keyCols, batchId)
@@ -281,15 +306,26 @@ object CdcPipeline {
                         sink match {
                           case Left(swap) => mergeGroupIntoMirrors(
                             spark, parsed, group, cfg, swap.bucketCount,
-                            batchId)
+                            batchId, snapPlan)
                           case Right(log) => mergeGroupIntoLogMirrors(
-                            spark, parsed, group, cfg, log, batchId)
+                            spark, parsed, group, cfg, log, batchId,
+                            snapPlan)
                         }
                       }
                     }
             }
           }
-        val jobs = jobsWithTables.map(_._2)
+        // active snapshot tables with NO events this batch still make
+        // chunk progress: their chunk merges alone (manifest ids still
+        // advance — the table had no merge this batch)
+        val idleSnapJobs = (snapPlan.chunks.keySet -- tables.toSet)
+          .toSeq.sorted.map { t =>
+            Future {
+              cfg.mirrorSink.merge(spark, s"${cfg.mirrorRoot}/$t",
+                snapPlan.chunks(t), cfg.specFor(t).keyCols, batchId)
+            }
+          }
+        val jobs = jobsWithTables.map(_._2) ++ idleSnapJobs
         val mergeFor: Map[String, Future[Unit]] =
           jobsWithTables.flatMap { case (ts, f) => ts.map(_ -> f) }.toMap
         // Maintained aggregate views ride the same batch: deltas come
@@ -324,6 +360,9 @@ object CdcPipeline {
             }
           }
         jobs.foreach(Await.result(_, Duration.Inf))
+        // snapshot progress commits once every chunk landed; a replay
+        // re-reads the PREVIOUS state and recomputes the same chunks
+        snapPlan.commit()
         val tMerge = secsSince(t0)
         viewJobs.foreach(Await.result(_, Duration.Inf))
         sharedMirrors.forEach(_.unpersist())
@@ -348,9 +387,12 @@ object CdcPipeline {
         // strings are never decompressed to find nothing; a parquet
         // commit (files + _SUCCESS) per trigger would pollute the DLQ
         // dir forever on a long-running stream.
+        // reduceOption: a batch with NO routable tables at all (e.g. an
+        // idle trigger that only advances a snapshot) has zero parsed
+        // schema groups
         val hasMalformed = hasUnroutable || parsedBySchema.values
           .map(p => p.filter(col("_wf") === 0).select(lit(1).as("x")))
-          .reduce(_ unionByName _).take(1).nonEmpty
+          .reduceOption(_ unionByName _).exists(_.take(1).nonEmpty)
         if (hasMalformed) {
           val unroutable = routed.filter(col("table_name") === "")
             .select(col("value").cast("string").as("payload_json"))
@@ -384,15 +426,22 @@ object CdcPipeline {
   private def mergeGroupIntoMirrors(spark: SparkSession, parsed: DataFrame,
                                     ts: Seq[String], cfg: Config,
                                     bucketCount: Option[Int],
-                                    batchId: Long): Unit = {
+                                    batchId: Long,
+                                    snap: SignalSnapshot.Planned =
+                                      SignalSnapshot.noop): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
     val fs = new Path(cfg.mirrorRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     ts.foreach(t => recoverMirror(fs, s"${cfg.mirrorRoot}/$t"))
-    val changes = Envelope.unwrap(
+    val changes0 = Envelope.unwrap(
       parsed.filter(col("table_name").isin(ts: _*) && col("_wf") === 1),
       spec.keyCols)
       .withColumn("table_name", Envelope.route(col("topic")))
+    // snapshot chunks join the group's change set with an EXPLICIT
+    // table_name (their synthetic topic routes nowhere)
+    val changes = ts.flatMap(t => snap.chunkFor(t)
+        .map(_.withColumn("table_name", lit(t))))
+      .foldLeft(changes0)(_.unionByName(_))
     val existing = ts.flatMap { t =>
       val live = new Path(s"${cfg.mirrorRoot}/$t/live")
       if (fs.exists(live))
@@ -441,12 +490,19 @@ object CdcPipeline {
                                        parsed: DataFrame, ts: Seq[String],
                                        cfg: Config,
                                        sink: graft.sinks.LogMirrorSink,
-                                       batchId: Long): Unit = {
+                                       batchId: Long,
+                                       snap: SignalSnapshot.Planned =
+                                         SignalSnapshot.noop): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
-    val changes = Envelope.unwrap(
+    val changes0 = Envelope.unwrap(
       parsed.filter(col("table_name").isin(ts: _*) && col("_wf") === 1),
       spec.keyCols)
       .withColumn("table_name", Envelope.route(col("topic")))
+    // snapshot chunks join the group's change set with an EXPLICIT
+    // table_name (their synthetic topic routes nowhere)
+    val changes = ts.flatMap(t => snap.chunkFor(t)
+        .map(_.withColumn("table_name", lit(t))))
+      .foldLeft(changes0)(_.unionByName(_))
     graft.sinks.LogMirror.mergeGroup(spark, cfg.mirrorRoot, changes, ts,
       spec.keyCols, batchId, sink.maxDeltas, sink.bucketCount)
   }

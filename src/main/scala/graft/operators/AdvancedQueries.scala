@@ -255,6 +255,64 @@ object AdvancedQueries {
         "map-side pass, χ² and continuity-corrected χ² as exact " +
         "integer-ratio divisions"),
 
+    // COHEN'S KAPPA — chance-corrected agreement between two raters on
+    // the same items, the label-quality gate every annotation pipeline
+    // needs (raw percent agreement rewards the majority class; κ
+    // doesn't). Two rule raters over documents; the whole computation
+    // is the 2×2 confusion table from ONE map-side pass — κ is a fixed
+    // chain over four exact integers (products stay < 2^63 to ~3e9
+    // docs; past that, cast-then-multiply like the Welch moments).
+    Q("eval_cohens_kappa",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          (col("n_chars") >= 200).as("ra"),
+          ((col("doc_id") * 31) % 100 < 55).as("rb"))
+        t.agg(
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+          .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
+          .withColumn("po",
+            (col("n11") + col("n00")).cast("double") / col("n"))
+          .withColumn("pe",
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00")))
+              .cast("double") / (col("n") * col("n")))
+          .select(col("n11"), col("n10"), col("n01"), col("n00"),
+            col("po"), col("pe"),
+            ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+      },
+      Some("""WITH t AS (
+             |  SELECT n_chars >= 200 AS ra,
+             |    (doc_id * 31) % 100 < 55 AS rb
+             |  FROM documents),
+             |m AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n11,
+             |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM t),
+             |k AS (
+             |  SELECT n11, n10, n01, n00,
+             |    n11 + n10 + n01 + n00 AS n,
+             |    CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS po,
+             |    CAST((n11 + n10) * (n11 + n01) +
+             |         (n01 + n00) * (n10 + n00) AS DOUBLE)
+             |      / ((n11 + n10 + n01 + n00) *
+             |         (n11 + n10 + n01 + n00)) AS pe
+             |  FROM m)
+             |SELECT n11, n10, n01, n00, po, pe,
+             |  (po - pe) / (1.0 - pe) AS kappa
+             |FROM k""".stripMargin),
+      "Cohen's kappa from one map-side 2x2 confusion pass — " +
+        "chance-corrected rater agreement, fixed integer-ratio chains"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

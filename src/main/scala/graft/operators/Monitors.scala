@@ -1224,5 +1224,57 @@ object Monitors {
              |FROM best WHERE rn = 1""".stripMargin),
       "binary-segmentation changepoint: argmax of the integer-scaled " +
         "CUSUM deviation per stream off the daily rollup — exact " +
-        "argmax/ties, one division each for the reported means"))
+        "argmax/ties, one division each for the reported means"),
+
+    // KAFKA PARTITION-ASSIGNOR semantics over the reference topology
+    // (9 per-table topics × 32 partitions, a 7-member consumer group):
+    // RangeAssignor — each topic's partition list split into contiguous
+    // ranges, first (P mod C) members take the extra one — and
+    // RoundRobinAssignor — all topic-partitions in (topic, partition)
+    // order dealt out modulo C. The skew column is WHY the assignor
+    // choice matters operationally: range leaves the same leading
+    // members overloaded on EVERY topic (9 extra partitions each)
+    // while round-robin spreads the remainder. Pure integer map-side
+    // arithmetic over a 288-row generated relation + a 14-group agg.
+    Q("mon_partition_assignment",
+      (s, d) => {
+        val tp = s.range(0, 9).select(col("id").as("t"))
+          .crossJoin(s.range(0, 32).select(col("id").as("p")))
+        val c = lit(7L)
+        // RangeAssignor per topic: q = P div C, r = P mod C; member i
+        // takes q+1 partitions while i < r, q afterwards
+        val q = lit(32L / 7L)
+        val r = lit(32L % 7L)
+        val range = tp.select(lit("range").as("assignor"),
+          when(col("p") < (q + 1) * r, expr("p div (32 div 7 + 1)"))
+            .otherwise(r + expr("(p - (32 % 7) * (32 div 7 + 1)) div (32 div 7)"))
+            .as("consumer"))
+        val rr = tp.select(lit("roundrobin").as("assignor"),
+          ((col("t") * 32 + col("p")) % c).as("consumer"))
+        range.unionByName(rr)
+          .groupBy(col("assignor"), col("consumer"))
+          .agg(count(lit(1)).as("n_partitions"))
+      },
+      Some("""WITH tp AS (
+             |  SELECT t.range AS t, p.range AS p
+             |  FROM range(0, 9) t, range(0, 32) p),
+             |rg AS (
+             |  SELECT 'range' AS assignor,
+             |    CASE WHEN p < (32 // 7 + 1) * (32 % 7)
+             |         THEN p // (32 // 7 + 1)
+             |         ELSE 32 % 7 +
+             |           (p - (32 % 7) * (32 // 7 + 1)) // (32 // 7)
+             |    END AS consumer
+             |  FROM tp),
+             |rr AS (
+             |  SELECT 'roundrobin' AS assignor,
+             |    (t * 32 + p) % 7 AS consumer
+             |  FROM tp)
+             |SELECT assignor, consumer,
+             |  CAST(count(*) AS BIGINT) AS n_partitions
+             |FROM (SELECT * FROM rg UNION ALL SELECT * FROM rr) u
+             |GROUP BY 1, 2""".stripMargin),
+      "Kafka RangeAssignor vs RoundRobinAssignor over the reference's " +
+        "9-topic x 32-partition group — exact integer assignment " +
+        "arithmetic, shows range's per-topic remainder skew"))
 }

@@ -31,6 +31,16 @@ import org.apache.spark.sql.types._
   * Reference anchor: Debezium incremental snapshots / signaling
   * (DBLog, arXiv:2010.12597); the reference deployment's connectors
   * expose the same `execute-snapshot` signal.
+  *
+  * Scale note: the per-trigger chunk select is
+  * `key > lastKey ORDER BY key LIMIT n` — TakeOrderedAndProject keeps
+  * the DRIVER cost at O(chunk), but the scan side touches every file
+  * whose key range can exceed lastKey. On a key-clustered source
+  * (parquet min/max row-group stats, the bucketed/Z-ordered layouts
+  * this repo writes, or a JDBC source with a key index — DBLog's
+  * actual target) that is a pruned read ∝ chunk; on an unclustered
+  * heap it degrades to a scan per trigger — cluster the source or
+  * raise `snapshotChunkKeys` to amortize.
   */
 object SignalSnapshot {
 

@@ -313,6 +313,62 @@ object AdvancedQueries {
       "Cohen's kappa from one map-side 2x2 confusion pass — " +
         "chance-corrected rater agreement, fixed integer-ratio chains"),
 
+    // FLEISS' KAPPA — Cohen generalized to m raters (here 3 rule
+    // raters, binary label): per-item agreement P_i =
+    // (k² + (m−k)² − m)/(m(m−1)) where k = positive votes, so the
+    // whole statistic reduces to THREE integer sums in one map-side
+    // pass (N, Σk, Σ(k²+(3−k)²)) and fixed double chains — no
+    // per-item shuffle, no category pivot. The multi-annotator
+    // agreement gate for labeling pipelines.
+    Q("eval_fleiss_kappa",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          (when(col("n_chars") >= 200, 1L).otherwise(0L) +
+            when((col("doc_id") * 31) % 100 < 55, 1L).otherwise(0L) +
+            when((col("n_chars") + col("doc_id") * 7) % 13 < 7, 1L)
+              .otherwise(0L)).as("k"))
+        t.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+            sum(col("k") * col("k") +
+              (lit(3L) - col("k")) * (lit(3L) - col("k"))).as("sq"))
+          .withColumn("p_bar",
+            (col("sq") - lit(3L) * col("n")).cast("double") /
+              (lit(6L) * col("n")))
+          .withColumn("p_pos",
+            col("sk").cast("double") / (lit(3L) * col("n")))
+          .withColumn("p_e",
+            col("p_pos") * col("p_pos") +
+              (lit(1.0) - col("p_pos")) * (lit(1.0) - col("p_pos")))
+          .select(col("n"), col("sk"), col("p_bar"), col("p_e"),
+            ((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+              .as("kappa"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN (doc_id * 31) % 100 < 55 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN (n_chars + doc_id * 7) % 13 < 7
+             |          THEN 1 ELSE 0 END) AS k
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(k) AS BIGINT) AS sk,
+             |    CAST(sum(k * k + (3 - k) * (3 - k)) AS BIGINT) AS sq
+             |  FROM t),
+             |x AS (
+             |  SELECT n, sk,
+             |    CAST(sq - 3 * n AS DOUBLE) / (6 * n) AS p_bar,
+             |    CAST(sk AS DOUBLE) / (3 * n) AS p_pos
+             |  FROM m)
+             |SELECT n, sk, p_bar,
+             |  p_pos * p_pos + (1.0 - p_pos) * (1.0 - p_pos) AS p_e,
+             |  (p_bar - (p_pos * p_pos + (1.0 - p_pos) * (1.0 - p_pos)))
+             |    / (1.0 - (p_pos * p_pos +
+             |       (1.0 - p_pos) * (1.0 - p_pos))) AS kappa
+             |FROM x""".stripMargin),
+      "Fleiss' kappa for 3 raters from three integer sums in one " +
+        "map-side pass — multi-annotator agreement with no per-item " +
+        "shuffle and no category pivot"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

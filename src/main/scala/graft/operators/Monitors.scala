@@ -1256,8 +1256,9 @@ object Monitors {
           .agg(count(lit(1)).as("n_partitions"))
       },
       Some("""WITH tp AS (
-             |  SELECT t.range AS t, p.range AS p
-             |  FROM range(0, 9) t, range(0, 32) p),
+             |  SELECT t.g AS t, p.g AS p
+             |  FROM generate_series(0, 8) t(g)
+             |  CROSS JOIN generate_series(0, 31) p(g)),
              |rg AS (
              |  SELECT 'range' AS assignor,
              |    CASE WHEN p < (32 // 7 + 1) * (32 % 7)

@@ -369,6 +369,75 @@ object AdvancedQueries {
         "map-side pass — multi-annotator agreement with no per-item " +
         "shuffle and no category pivot"),
 
+    // CRONBACH'S ALPHA — internal-consistency reliability of a
+    // multi-item instrument (here the 3 binary rule raters as items):
+    // α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Every variance comes from the
+    // same one-pass integer moments (Σx, Σx², Σ cross-products via the
+    // total column), so the whole statistic is a fixed chain over nine
+    // exact integers — completing the reliability trio next to
+    // Cohen's and Fleiss' kappa. The long×long products stay inside
+    // 2^63 to ~3e9 docs (binary items); wider instruments cast first.
+    Q("eval_cronbach_alpha",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          when(col("n_chars") >= 200, 1L).otherwise(0L).as("x1"),
+          when((col("doc_id") * 31) % 100 < 55, 1L).otherwise(0L).as("x2"),
+          when((col("n_chars") + col("doc_id") * 7) % 13 < 7, 1L)
+            .otherwise(0L).as("x3"))
+          .withColumn("tot", col("x1") + col("x2") + col("x3"))
+        val m = t.agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x1") * col("x1")).as("q1"),
+          sum(col("x2")).as("s2"), sum(col("x2") * col("x2")).as("q2"),
+          sum(col("x3")).as("s3"), sum(col("x3") * col("x3")).as("q3"),
+          sum(col("tot")).as("st"), sum(col("tot") * col("tot")).as("qt"))
+        def v(q: String, sc: String) =
+          (col(q).cast("double") - col(sc).cast("double") * col(sc) /
+            col("n")) / (col("n") - 1)
+        m.select(col("n"),
+            (v("q1", "s1") + v("q2", "s2") + v("q3", "s3")).as("sum_vi"),
+            v("qt", "st").as("v_tot"))
+          .select(col("n"), col("sum_vi"), col("v_tot"),
+            ((lit(3.0) / 2.0) * (lit(1.0) - col("sum_vi") / col("v_tot")))
+              .as("alpha"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS x1,
+             |    CASE WHEN (doc_id * 31) % 100 < 55 THEN 1 ELSE 0 END
+             |      AS x2,
+             |    CASE WHEN (n_chars + doc_id * 7) % 13 < 7
+             |         THEN 1 ELSE 0 END AS x3
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x1) AS BIGINT) AS s1,
+             |    CAST(sum(x1 * x1) AS BIGINT) AS q1,
+             |    CAST(sum(x2) AS BIGINT) AS s2,
+             |    CAST(sum(x2 * x2) AS BIGINT) AS q2,
+             |    CAST(sum(x3) AS BIGINT) AS s3,
+             |    CAST(sum(x3 * x3) AS BIGINT) AS q3,
+             |    CAST(sum(x1 + x2 + x3) AS BIGINT) AS st,
+             |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+             |      AS qt
+             |  FROM t),
+             |vv AS (
+             |  SELECT n,
+             |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             |      / (n - 1) +
+             |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+             |      / (n - 1) +
+             |    (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n)
+             |      / (n - 1) AS sum_vi,
+             |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+             |      / (n - 1) AS v_tot
+             |  FROM m)
+             |SELECT n, sum_vi, v_tot,
+             |  (3.0 / 2.0) * (1.0 - sum_vi / v_tot) AS alpha
+             |FROM vv""".stripMargin),
+      "Cronbach's alpha over the 3 rule raters: nine exact integer " +
+        "moments in one pass, fixed variance chains — the " +
+        "internal-consistency member of the reliability trio"),
+
     // ---- session windows ---------------------------------------------
     Q("window_session",
       (s, d) => load(s, d, "events")

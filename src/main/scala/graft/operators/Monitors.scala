@@ -1277,5 +1277,49 @@ object Monitors {
              |GROUP BY 1, 2""".stripMargin),
       "Kafka RangeAssignor vs RoundRobinAssignor over the reference's " +
         "9-topic x 32-partition group — exact integer assignment " +
-        "arithmetic, shows range's per-topic remainder skew"))
+        "arithmetic, shows range's per-topic remainder skew"),
+
+    // OVERDISPERSION (index-of-dispersion) test on daily arrivals —
+    // the diagnostic that tells bursty traffic from a Poisson stream
+    // BEFORE an alerting threshold is tuned to the wrong noise model:
+    // D = s²/x̄ (≈1 under Poisson), χ² = (n−1)·D against n−1 df.
+    // One day-grain rollup + exact integer moments; the squared sum
+    // casts to double before the product per the overflow discipline.
+    Q("mon_dispersion_test",
+      (s, d) => {
+        val daily = load(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("qc"))
+          .withColumn("mean", col("sc").cast("double") / col("n"))
+          .withColumn("variance",
+            (col("qc").cast("double") - col("sc").cast("double") *
+              col("sc") / col("n")) / (col("n") - 1))
+          .select(col("n").as("n_days"), col("mean"),
+            (col("variance") / col("mean")).as("dispersion_index"),
+            ((col("n") - 1).cast("double") * (col("variance") /
+              col("mean"))).as("chi2"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS sc,
+             |    CAST(sum(c * c) AS BIGINT) AS qc
+             |  FROM daily),
+             |x AS (
+             |  SELECT n, CAST(sc AS DOUBLE) / n AS mean,
+             |    (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n)
+             |      / (n - 1) AS variance
+             |  FROM m)
+             |SELECT n AS n_days, mean,
+             |  variance / mean AS dispersion_index,
+             |  CAST(n - 1 AS DOUBLE) * (variance / mean) AS chi2
+             |FROM x""".stripMargin),
+      "index-of-dispersion Poisson test on daily arrivals: one " +
+        "day-grain rollup + exact integer moments, fixed chains — " +
+        "bursty-vs-Poisson before tuning alert thresholds"))
 }

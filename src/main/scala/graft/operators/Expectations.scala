@@ -1162,5 +1162,51 @@ object Expectations {
              |FROM stats CROSS JOIN obs WHERE r < 32""".stripMargin),
       "permutation test via 33-way hash-replicate explode: one data " +
         "pass, 66-group integer moments, unrounded |mean diff| " +
-        "compares, add-one p-value — R fixed, data streamed once"))
+        "compares, add-one p-value — R fixed, data streamed once"),
+
+    // KEY-GAP detection — the replication-integrity question the
+    // MAX(id)/COUNT probes can't answer: WHERE did keys go missing?
+    // A global sort + lag over the key column would be the naive
+    // formulation (row-grain, forbidden); instead keys bucket into
+    // 4096-key density cells map-side and each cell compares its count
+    // to the cell's key-domain width — one hash agg, output ∝ cells,
+    // and a dropped key RANGE shows up as a low-density cell without
+    // the engine ever sorting rows. Orders' key domain is sparse by
+    // construction (TPC-H populates 1 in 4), so expected density is
+    // checked as an exact integer ratio against the observed count;
+    // the fixture's own sparseness is the "gap" under test.
+    Q("quality_key_gaps",
+      (s, d) => {
+        val o = load(s, d, "orders")
+          .select(expr("o_orderkey div 4096").as("cell"),
+            col("o_orderkey"))
+        val tot = o.agg(max(col("o_orderkey")).as("mk"))
+        o.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_keys"),
+            min(col("o_orderkey")).as("lo"),
+            max(col("o_orderkey")).as("hi"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_keys"),
+            // domain width of the cell, clipped at the table max
+            (least((col("cell") + 1) * 4096 - 1, col("mk")) -
+              col("cell") * 4096 + 1).as("domain"),
+            (least((col("cell") + 1) * 4096 - 1, col("mk")) -
+              col("cell") * 4096 + 1 - col("n_keys")).as("n_missing"),
+            col("lo"), col("hi"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey // 4096 AS cell, o_orderkey
+             |  FROM orders),
+             |t AS (SELECT max(o_orderkey) AS mk FROM o)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n_keys,
+             |  least((cell + 1) * 4096 - 1, mk) - cell * 4096 + 1
+             |    AS domain,
+             |  least((cell + 1) * 4096 - 1, mk) - cell * 4096 + 1
+             |    - count(*) AS n_missing,
+             |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+             |FROM o CROSS JOIN t
+             |GROUP BY cell, mk""".stripMargin),
+      "key-gap detection via 4096-key density cells: one map-side " +
+        "bucket + hash agg localizes dropped key ranges without any " +
+        "row sort — the WHERE to the MAX(id) probe's WHETHER"))
 }

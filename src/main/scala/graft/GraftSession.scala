@@ -31,6 +31,13 @@ object GraftSession {
           "true")
     val s = withState.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // a front-door session comes fully equipped: SQL-registered custom
+    // expressions/UDAFs, the MV rewrite rule, and the native as-of
+    // strategy + its pushdown/pruning rule (all idempotent, and
+    // register() also covers the getOrCreate-returned-existing-session
+    // case where builder extensions would be ignored)
+    GraftExtensions.register(s)
+    graft.plans.AsofJoinNative.ensureRegistered(s)
     s
   }
 }

@@ -84,9 +84,13 @@ object IncrementalAgg {
     * boundary; null = complete history, every live value is listed).
     * Delta columns: `ins`/`insDrop` (best K inserted values + the best
     * value the cap dropped), `reta`/`retDrop` (same for retractions).
-    * Invariant maintained by [[merge]]: cand is exactly the multiset
-    * of live values strictly better than lw (all live values when lw
-    * is null), truncated only ever by raising lw. */
+    * Invariant maintained by [[merge]]: cand contains EVERY live value
+    * strictly better than lw, plus possibly some copies EQUAL to lw
+    * (all live values when lw is null); every unlisted live value is
+    * at-or-beyond lw. Truncation keeps top-K INCLUSIVE of ties — a
+    * strictly-better-than-cut filter would empty the list whenever the
+    * extremum has ≥K+1 equal copies and present a silent NULL (the
+    * head == lw is then the correct scalar: a live copy is listed). */
   private final case class Bound(src: String, isMax: Boolean) {
     val kind: String = if (isMax) "max" else "min"
     val state: String = s"${kind}_$src"
@@ -250,11 +254,19 @@ object IncrementalAgg {
         val l1 = b.widen(lw0, col(b.insDrop))
         val dropV = try_element_at(c1, lit(CandK + 1))
         val l2 = b.widen(l1, dropV)
-        val c2 = when(dropV.isNull, c1)
-          .otherwise(filter(slice(c1, 1, CandK), v => b.better(v, dropV)))
+        // cap keeps top-K INCLUSIVE of values equal to the dropped cut
+        // (kept values are provably >= l2 — liveIns values all >= any
+        // non-trivial insDrop, cand0 values >= lw0); a strict filter
+        // here would empty the list under >=K+1 equal extremum copies
+        val c2 = when(dropV.isNull, c1).otherwise(slice(c1, 1, CandK))
         val df1 = df0.withColumn("_c2", c2).withColumn("_l2", l2)
+        // retractions AT the low-water mark must also probe the list:
+        // the inclusive cap can list copies equal to lw; a strike that
+        // finds no listed copy is a legitimate no-op (an unlisted copy
+        // at lw died — multiset-indistinguishable, nothing served from
+        // it), counted by _eq below
         val liveRet = filter(coalesce(col(b.reta), empt),
-          v => col("_l2").isNull || b.better(v, col("_l2")))
+          v => col("_l2").isNull || !b.better(col("_l2"), v))
         val df2 = df1.withColumn("_lr", liveRet)
           .withColumn("_c3",
             aggregate(col("_lr"), col("_c2"), (acc, r) => removeFirst(acc, r)))
@@ -264,9 +276,13 @@ object IncrementalAgg {
               (col("_l2").isNull || b.better(col(b.retDrop), col("_l2")))) ||
               (size(col("_c3")) === 0 && col("n_rows") > 0 &&
                 col("_l2").isNotNull) ||
-              // a live-zone retraction missing from the list means the
-              // invariant was broken upstream - recompute, never serve
-              (size(col("_lr")) > size(col("_c2")) - size(col("_c3"))))
+              // strictly-live retractions must ALL strike (every live
+              // value better than lw is listed); no-op strikes are only
+              // legal up to the number of ==lw retractions — any excess
+              // means the invariant broke upstream: recompute, never
+              // serve
+              (size(col("_lr")) - (size(col("_c2")) - size(col("_c3"))) >
+                size(filter(col("_lr"), v => v === col("_l2")))))
           .withColumn(b.cand, col("_c3"))
           .withColumn(b.lw, col("_l2"))
           .drop("_c2", "_l2", "_lr", "_c3")
@@ -333,9 +349,12 @@ object IncrementalAgg {
         .agg(p2Aggs.head, p2Aggs.tail: _*)) { (df, b) =>
       val cp1 = b.sortBest(col(s"_f_${b.state}"))
       val cut = try_element_at(cp1, lit(CandK + 1))
-      df.withColumn(s"${prefix}cand_${b.state}",
-          when(cut.isNull, cp1)
-            .otherwise(filter(slice(cp1, 1, CandK), v => b.better(v, cut))))
+      // top-K INCLUSIVE of ties with the cut (see Bound's invariant):
+      // the old strict filter emptied the refill whenever the extremum
+      // had >=K+1 equal copies (they all salt into the same shard), so
+      // the drain-dirty recompute reproduced the same empty list and
+      // the view served NULL forever for that group
+      df.withColumn(s"${prefix}cand_${b.state}", slice(cp1, 1, CandK))
         .withColumn(s"${prefix}lw_${b.state}", cut)
         .drop(s"_f_${b.state}")
     }

@@ -19,10 +19,20 @@ import org.apache.spark.sql.types._
   *   - the current batch IS the watermark window (batch processing is
   *     synchronous): chunk rows whose key also changed in this batch
   *     are DROPPED — the stream's copy is fresher (DBLog's dedup);
-  *   - surviving chunk rows merge as op='r' reads versioned at
-  *     (hw, Long.MaxValue) where hw = max(mirror version at signal
-  *     time, batch event time so far) — they outrank any state the
-  *     mirror already holds but lose to every later stream event;
+  *   - surviving chunk rows merge as op='r' reads versioned at the
+  *     SIGNAL-TIME epoch (hw0, off0+1), where (hw0, off0) is the
+  *     mirror's max (ts_ms, offset) version when the run started: they
+  *     deterministically outrank every row the mirror held at signal
+  *     time (stale rows get repaired, not just missing ones) while
+  *     LOSING to every post-signal stream event — ts > hw0, or an
+  *     equal-ts ms tie whose offset is monotonically past off0. The
+  *     backfill never needs to beat concurrent stream state: the
+  *     stream is complete going forward from the signal, so a chunk
+  *     copy that loses a version race is repaired by the very event
+  *     that beat it (or a later one). Versioning chunks at the live
+  *     batch clock instead (the obvious choice) silently DISCARDS any
+  *     later-batch stream update that ties the run's high-water ts_ms
+  *     — ms-granularity ties are common under CDC bursts;
   *   - progress (lastKey per table + hw + processed signal ids)
   *     commits per batch to `_signals/state-<batchId>` exactly like a
   *     mirror manifest, so a foreachBatch REPLAY recomputes the same
@@ -44,8 +54,10 @@ import org.apache.spark.sql.types._
   */
 object SignalSnapshot {
 
+  /** (hw, off) is the run's fixed signal-time version epoch: chunk rows
+    * merge at (hw, off) for the whole run. */
   final case class Progress(signal: String, table: String, lastKey: Long,
-                            hw: Long, done: Boolean)
+                            hw: Long, off: Long, done: Boolean)
   final case class State(processed: Set[String], active: Seq[Progress])
 
   /** Chunk changes per table (unwrapped-change shape, no table_name) +
@@ -84,8 +96,14 @@ object SignalSnapshot {
       l.stripPrefix("sig:") }.toSet
     val active = lines.collect { case l if l.startsWith("run:") =>
       l.stripPrefix("run:").split('\t') match {
+        case Array(sig, table, lastKey, hw, off, done) =>
+          Progress(sig, table, lastKey.toLong, hw.toLong, off.toLong,
+            done.toBoolean)
+        // pre-epoch state line (no off field): resume with the legacy
+        // MaxValue offset rather than abandoning the run
         case Array(sig, table, lastKey, hw, done) =>
-          Progress(sig, table, lastKey.toLong, hw.toLong, done.toBoolean)
+          Progress(sig, table, lastKey.toLong, hw.toLong, Long.MaxValue,
+            done.toBoolean)
       }
     }
     State(processed, active)
@@ -100,7 +118,8 @@ object SignalSnapshot {
     try out.write((
       st.processed.toSeq.sorted.map(s => s"sig:$s") ++
         st.active.map(p =>
-          s"run:${p.signal}\t${p.table}\t${p.lastKey}\t${p.hw}\t${p.done}"))
+          s"run:${p.signal}\t${p.table}\t${p.lastKey}\t${p.hw}\t${p.off}" +
+            s"\t${p.done}"))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(dir, s"state-$batchId")
@@ -148,26 +167,39 @@ object SignalSnapshot {
       tables.filter(cfg.snapshotSources.contains)
         .filterNot(t => st.active.exists(p => p.table == t && !p.done))
         .map { t =>
-          // new runs start with hw = the mirror's current version
-          // high-water, so backfilled rows outrank everything the
-          // mirror already holds (stale rows get repaired, not just
-          // missing ones); non-LogMirror sinks start at 0 and ride
-          // the batch clock
-          val hw0 = cfg.mirrorSink match {
+          // new runs pin the SIGNAL-TIME version epoch (hw0, off0+1):
+          // the mirror's max (ts, offset) version — chunk rows then
+          // outrank everything the mirror held at signal time while
+          // losing to every post-signal event (offsets are monotone,
+          // so even an equal-ts ms tie resolves to the stream).
+          // Non-LogMirror sinks have no readable version state: epoch
+          // (0, MaxValue) — backfill fills holes, never overrides
+          val (hw0, off0) = cfg.mirrorSink match {
             case _: graft.sinks.LogMirrorSink =>
               val root = s"${cfg.mirrorRoot}/$t"
-              if (graft.sinks.LogMirror.readManifest(fs, root).isEmpty) 0L
+              if (graft.sinks.LogMirror.readManifest(fs, root).isEmpty)
+                (0L, Long.MaxValue)
               else graft.sinks.LogMirror.readVersioned(spark, root)
-                .agg(max(col(graft.cdc.Materialize.versionTs)))
+                .agg(max(struct(col(graft.cdc.Materialize.versionTs),
+                  col(graft.cdc.Materialize.versionOffset))))
                 .collect()(0) match {
-                  case r if r.isNullAt(0) => 0L
-                  case r => r.getLong(0)
+                  case r if r.isNullAt(0) => (0L, Long.MaxValue)
+                  case r =>
+                    val v = r.getStruct(0)
+                    // +1 strictly outranks the newest signal-time row;
+                    // clamp guards legacy MaxValue-versioned rows
+                    (v.getLong(0),
+                      math.min(v.getLong(1), Long.MaxValue - 1) + 1)
                 }
-            case _ => 0L
+            case _ => (0L, Long.MaxValue)
           }
-          Progress(id, t, Long.MinValue, hw0, done = false)
+          Progress(id, t, Long.MinValue, hw0, off0, done = false)
         }
     }
+      // two same-batch signals naming one table must start ONE run —
+      // the committed-state filter above only sees PRIOR batches; the
+      // first signal id (pending is id-sorted) claims the table
+      .distinctBy(_.table)
     val nowProcessed = st.processed ++ pending.map(_._1)
     val active = st.active.filterNot(_.done) ++ started
     if (active.isEmpty) {
@@ -189,14 +221,13 @@ object SignalSnapshot {
       val chunk = src.filter(col(keyCol) > pr.lastKey)
         .orderBy(col(keyCol)).limit(cfg.snapshotChunkKeys).persist()
       persisted.add(chunk)
-      val stats = chunk.agg(count(lit(1)), max(col(keyCol))).collect()(0)
+      // progress keys are tracked as long — cast integral key types up
+      // front (an IntegerType key would otherwise throw on getLong and
+      // crash-loop processBatch on every trigger)
+      val stats =
+        chunk.agg(count(lit(1)), max(col(keyCol).cast("long"))).collect()(0)
       val n = stats.getLong(0)
       val batch = batchChanges(pr.table)
-      val batchTs = batch.agg(max(col("ts_ms"))).collect()(0) match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-      val hw = math.max(pr.hw, batchTs)
       // DBLog dedup: this batch is the watermark window
       val deduped = chunk.join(
         batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
@@ -204,14 +235,14 @@ object SignalSnapshot {
       val changes = deduped.select(
         Seq(lit("graft-snapshot").as("topic"),
           lit(0).as("partition"),
-          lit(Long.MaxValue).as("offset"),
+          lit(pr.off).as("offset"),
           lit("r").as("op"),
-          lit(hw).as("ts_ms")) ++ payload.map(col): _*)
+          lit(pr.hw).as("ts_ms")) ++ payload.map(col): _*)
       val next =
         if (n < cfg.snapshotChunkKeys)
-          pr.copy(hw = hw, done = true,
+          pr.copy(done = true,
             lastKey = if (n == 0) pr.lastKey else stats.getLong(1))
-        else pr.copy(hw = hw, lastKey = stats.getLong(1))
+        else pr.copy(lastKey = stats.getLong(1))
       (pr.table, changes, next)
     }
     Planned(

@@ -108,6 +108,66 @@ class IncrementalAggSpec extends SparkSpec {
     assert(m1 == Map("a" -> 5.0), m1.toString)
   }
 
+  test("max maintenance: >=K+1 equal extremum copies never present NULL") {
+    // CandK+1 = 9 copies of the SAME max value: the truncation cut
+    // equals the extremum, so a strictly-better-than-cut cap would
+    // empty the candidate list and serve NULL despite live rows (and
+    // the dirty refill, salting equal values into one shard, would
+    // reproduce the empty list every batch). Inclusive top-K keeps a
+    // listed copy == lw, whose head IS the correct scalar.
+    val mspec = IncrementalAgg.Spec(Seq("g"), Nil, maxCols = Seq("v"))
+    val dupN = IncrementalAgg.CandK + 1
+    val rows = (1 to dupN).map(i => (i.toLong, "a", 50.0)) :+
+      ((100L, "a", 7.0))
+    val b1 = parsed(rows.map { case (id, g, v) =>
+      env("c", None, Some((id, g, v))) })
+    val s1 = IncrementalAgg.merge(
+      IncrementalAgg.deltas(b1, mspec).limit(0),
+      IncrementalAgg.deltas(b1, mspec), mspec,
+      // the insert-side cap alone must not flag dirty
+      Some(() => sys.error("pure inserts must not recompute")))
+    val m1 = s1.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m1 == Map("a" -> 50.0), s"expected 50.0, got $m1")
+
+    // retract ONE copy of the duplicated max: >=K copies remain — the
+    // listed representative (or a strike no-op at lw) keeps it correct
+    val b2 = parsed(Seq(env("d", Some((1L, "a", 50.0)), None)))
+    val mirror2 = rows.drop(1).toDF("id", "g", "v")
+    val s2 = IncrementalAgg.merge(s1, IncrementalAgg.deltas(b2, mspec),
+      mspec, Some(() => mirror2))
+    val m2 = s2.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m2 == Map("a" -> 50.0), s"after one retraction: $m2")
+
+    // retract EVERY remaining copy: must fall to the runner-up via the
+    // mirror recompute — and the refill must not reproduce an empty
+    // list (the old strict candidateLists filter did exactly that)
+    val b3 = parsed((2 to dupN).map(i =>
+      env("d", Some((i.toLong, "a", 50.0)), None)))
+    val mirror3 = Seq((100L, "a", 7.0)).toDF("id", "g", "v")
+    val s3 = IncrementalAgg.merge(s2, IncrementalAgg.deltas(b3, mspec),
+      mspec, Some(() => mirror3))
+    val m3 = s3.select("g", "max_v").as[(String, Double)].collect().toMap
+    assert(m3 == Map("a" -> 7.0), s"after full retraction: $m3")
+  }
+
+  test("min maintenance: duplicate-heavy extremum via rebuild stays exact") {
+    val mspec = IncrementalAgg.Spec(Seq("g"), Nil, minCols = Seq("v"))
+    val dupN = IncrementalAgg.CandK + 3
+    val mirror = ((1 to dupN).map(i => (i.toLong, "a", -3.0)) ++
+      Seq((200L, "a", 1.0), (201L, "b", 4.0))).toDF("id", "g", "v")
+    val st = IncrementalAgg.rebuild(mirror, mspec)
+    val m = st.select("g", "min_v").as[(String, Double)].collect().toMap
+    assert(m == Map("a" -> -3.0, "b" -> 4.0), m.toString)
+    // and folding a retraction of one duplicated-min copy onto the
+    // rebuilt state keeps serving the value without a mirror recompute
+    val b = parsed(Seq(env("d", Some((1L, "a", -3.0)), None)))
+    val s2 = IncrementalAgg.merge(st, IncrementalAgg.deltas(b, mspec),
+      mspec, Some(() => sys.error(
+        "retraction of one of many equal minima must not recompute")))
+    val m2 = s2.select("g", "min_v").as[(String, Double)].collect().toMap
+    assert(m2 == Map("a" -> -3.0, "b" -> 4.0), m2.toString)
+  }
+
   test("distinct maintenance: counts values ever written; deletes don't " +
     "retract; replay is idempotent") {
     val dspec = IncrementalAgg.Spec(Seq("g"), Seq("v"), distinctCols = Seq("id"))

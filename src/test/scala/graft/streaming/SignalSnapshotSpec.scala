@@ -103,4 +103,83 @@ class SignalSnapshotSpec extends SparkSpec {
     assert(mirrorMap()(3L) == "SRC3",
       "a fresh signal must re-backfill over post-snapshot changes")
   }
+
+  test("equal-ts stream update in a LATER batch beats the backfill " +
+    "(signal-time epoch versioning)") {
+    val root = Files.createTempDirectory("graft-sigsnap-tie").toString
+    val source = spark.range(0, 40).select(col("id"),
+      concat(lit("SRC"), col("id")).as("v"))
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"),
+      s"$root/mirror", s"$root/dlq", s"$root/ckpt",
+      sinkOverride = Some(graft.sinks.LogMirrorSink()),
+      signalDir = Some(s"$root/signals"),
+      snapshotSources = Map("ventas" -> (() => source)),
+      snapshotChunkKeys = 20)
+    def mirrorMap() = CdcPipeline.mirror(spark, cfg, "ventas")
+      .as[(Long, String)].collect().toMap
+
+    // pre-signal history: the mirror's max version is (5000, 9)
+    CdcPipeline.processBatch(
+      (0L until 10L).map(i => rec(i, s"OLD$i", "r", 5000, i)).toDF(), 0L, cfg)
+    Files.createDirectories(Paths.get(s"$root/signals"))
+    Files.write(Paths.get(s"$root/signals/tie.json"),
+      ("""{"id":"sig-tie","type":"execute-snapshot",""" +
+        """"data":{"data-collections":["ventas"]}}""").getBytes("UTF-8"))
+    // batch 1 backfills keys [0,19] at the signal epoch (5000, 10)
+    CdcPipeline.processBatch(Seq.empty[Rec].toDF(), 1L, cfg)
+    assert(mirrorMap()(3L) == "SRC3", "stale rows repaired at the epoch ts")
+
+    // batch 2: a stream update for an ALREADY-backfilled key arriving
+    // with ts_ms EQUAL to the epoch hw (an ms-granularity CDC-burst
+    // tie) — its offset is monotonically past the epoch, so it must
+    // win; versioning chunks at (hw, Long.MaxValue) silently discarded
+    // exactly this update
+    CdcPipeline.processBatch(
+      Seq(rec(3, "TIE3", "u", 5000, 10)).toDF(), 2L, cfg)
+    assert(mirrorMap()(3L) == "TIE3",
+      "equal-ts later-batch stream update must beat the backfill")
+    // and the run keeps going to completion regardless
+    CdcPipeline.processBatch(Seq.empty[Rec].toDF(), 3L, cfg)
+    val done = mirrorMap()
+    assert(done.size == 40 && done(39L) == "SRC39" && done(3L) == "TIE3")
+  }
+
+  test("two same-batch signals naming one table start ONE run; " +
+    "IntegerType keys chunk without crashing") {
+    val root = Files.createTempDirectory("graft-sigsnap-dup").toString
+    val intSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    // an INT-keyed source: chunk progress must cast, not getLong-crash
+    val source = spark.range(0, 25).select(col("id").cast("int").as("id"),
+      concat(lit("SRC"), col("id")).as("v"))
+    val cfg = CdcPipeline.Config(intSchema, Seq("id"),
+      s"$root/mirror", s"$root/dlq", s"$root/ckpt",
+      sinkOverride = Some(graft.sinks.LogMirrorSink()),
+      signalDir = Some(s"$root/signals"),
+      snapshotSources = Map("ventas" -> (() => source)),
+      snapshotChunkKeys = 10)
+    Files.createDirectories(Paths.get(s"$root/signals"))
+    // TWO signals in the same batch naming the same table
+    Files.write(Paths.get(s"$root/signals/a.json"),
+      ("""{"id":"sig-a","type":"execute-snapshot",""" +
+        """"data":{"data-collections":["ventas"]}}""").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/signals/b.json"),
+      ("""{"id":"sig-b","type":"execute-snapshot",""" +
+        """"data":{"data-collections":["ventas"]}}""").getBytes("UTF-8"))
+    val fs = new org.apache.hadoop.fs.Path(cfg.mirrorRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 2L).foreach { b =>
+      CdcPipeline.processBatch(Seq.empty[Rec].toDF(), b, cfg)
+      val st = SignalSnapshot.readState(fs, cfg.mirrorRoot, b + 1)
+      assert(st.active.count(p => p.table == "ventas" && !p.done) <= 1,
+        s"batch $b: duplicate same-batch signals must start one run, " +
+          s"got ${st.active}")
+      // both signal ids are consumed (neither re-fires later)
+      assert(st.processed == Set("sig-a", "sig-b"))
+    }
+    val m = CdcPipeline.mirror(spark, cfg, "ventas")
+      .as[(Int, String)].collect().toMap
+    assert(m.size == 25 && m(24) == "SRC24",
+      s"int-keyed backfill must complete, got ${m.size} rows")
+  }
 }

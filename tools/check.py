@@ -3,7 +3,14 @@
 compare: run graft.Verify first, then this. Not part of the shipped
 library (driver-side tooling only).
 
-Usage: python3 tools/check.py <sfdir> <outdir>
+Usage: python3 tools/check.py <sfdir> <outdir> [--json <artifact.json>]
+
+--json writes a driver-shaped correctness artifact (one entry per
+oracled query: rows/schema/hash match + row counts + err) — used to
+commit the per-round sf0.1 gate result (CORRECTNESS_sf01.json): the
+round-9 Welch/TOST long-overflow find proved sf0.01-green does not
+imply sf0.1-green, so scale-dependent divergence needs its own
+committed artifact.
 """
 import glob
 import hashlib
@@ -29,11 +36,17 @@ def canon(rows, cols):
     return h.hexdigest(), len(out)
 
 
-def compare_one(con, outdir, name, sql):
+def compare_one(con, outdir, name, sql, record=None):
     """Hash-compare one dumped result dir against its oracle SQL,
     printing PASS/FAIL/WARN lines exactly as the full gate does.
     Shared by the full catalog loop and tools/checkq.py (the dev-loop
-    subset checker) so the two can never drift. Returns True on PASS."""
+    subset checker) so the two can never drift. Returns True on PASS.
+    When `record` is a dict, writes a driver-shaped artifact entry."""
+    def rec(rows_m, schema_m, hash_m, sr=None, orr=None, err=None):
+        if record is not None:
+            record[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                            "hash_match": hash_m, "spark_rows": sr,
+                            "oracle_rows": orr, "err": err}
     try:
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         grows, gcols = got.fetchall(), [c.lower() for c in got.columns]
@@ -41,9 +54,11 @@ def compare_one(con, outdir, name, sql):
         erows, ecols = exp.fetchall(), [c.lower() for c in exp.columns]
     except Exception as e:
         print(f"FAIL {name}: exception {e}")
+        rec(False, False, False, err=str(e)[:300])
         return False
     if sorted(gcols) != sorted(ecols):
         print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
+        rec(False, False, False, len(grows), len(erows))
         return False
     # dtype audit (warning only - value hash is the gate, but a
     # strict driver comparator may also hash types)
@@ -57,6 +72,7 @@ def compare_one(con, outdir, name, sql):
     eh, en = canon(erows, ecols)
     if gn != en:
         print(f"FAIL {name}: rowcount spark={gn} oracle={en}")
+        rec(False, True, False, gn, en)
         return False
     if gh != eh:
         print(f"FAIL {name}: hash mismatch ({gn} rows)")
@@ -67,12 +83,15 @@ def compare_one(con, outdir, name, sql):
             print(f"  spark-only: {r}")
         for r in list(es - gs)[:3]:
             print(f"  oracle-only: {r}")
+        rec(True, True, False, gn, en)
         return False
     print(f"PASS {name} ({gn} rows)")
+    rec(True, True, True, gn, en)
     return True
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, json_out=None):
+    record = {} if json_out else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -111,14 +130,23 @@ def main(sfdir, outdir):
         else:
             print(f"WARN {name}: catalog query has no SQL oracle (rows-only)")
     for name, sql in sorted(oracle.items()):
-        if compare_one(con, outdir, name, sql):
+        if compare_one(con, outdir, name, sql, record):
             n_pass += 1
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(oracle)} oracled, {len(catalog)} catalog")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(record)} entries)")
     return n_fail
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jout = None
+    if "--json" in sys.argv:
+        jout = sys.argv[sys.argv.index("--json") + 1]
+        args.remove(jout) if jout in args else None
+    sys.exit(1 if main(args[0], args[1], jout) else 0)

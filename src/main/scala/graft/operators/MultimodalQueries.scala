@@ -4,34 +4,61 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Multimodal
 
-/** Multimodal plumbing surface (north_star): binary payload columns with
-  * typed metadata; decode is a deterministic stub (FakeCodec) so the
-  * metadata math IS oracle-checkable even though a real codec wouldn't be.
+/** Multimodal surface (north_star): binary payload columns with typed
+  * metadata; the codec is REAL ([[graft.functions.MediaCodecs]] —
+  * 24-bit BMP, RIFF/WAV PCM, YUV4MPEG2), and the oracle is closed-form:
+  * payload samples are `(id + i) mod 256`, so every item's exact sample
+  * sum is recomputable arithmetically in DuckDB — the hash compare then
+  * verifies the whole encode→parse round trip (header offsets, BMP row
+  * stride/padding, RIFF chunk walk, Y4M frame markers) byte-for-byte.
   */
 object MultimodalQueries {
 
   def queries: Seq[Q] = Seq(
     Q("mm_decode_meta",
-      (s, d) => Multimodal.decodeMeta(Multimodal.mediaTable(s, d)).toDF()
-        .select(col("media_id"), col("media_type"), col("n_bytes"),
-          col("width"), col("height"), col("n_frames")),
-      Some("""SELECT doc_id AS media_id,
-             |CASE WHEN doc_id % 3 = 0 THEN 'image'
-             |     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-             |CAST(strlen(text) AS BIGINT) AS n_bytes,
-             |CAST(16 + strlen(text) % 640 AS INTEGER) AS width,
-             |CAST(16 + (strlen(text) // 7) % 480 AS INTEGER) AS height,
-             |CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
-             |FROM documents""".stripMargin),
-      "binary payload + typed metadata; partition-batched stub decode"),
+      (s, d) => Multimodal.decodeMeta(Multimodal.encodedMediaTable(s, d)).toDF(),
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, doc_id % 256 AS a, doc_id % 3 AS m,
+             |    8 + doc_id % 32 AS iw, 8 + (doc_id // 7) % 24 AS ih,
+             |    8000 + (doc_id % 8) * 1000 AS rate, 64 + doc_id % 1000 AS ns,
+             |    8 + doc_id % 16 AS vw, 8 + (doc_id // 5) % 12 AS vh,
+             |    1 + doc_id % 6 AS vf
+             |  FROM documents),
+             |p AS (
+             |  SELECT media_id, a,
+             |    CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |           ELSE 'video' END AS media_type,
+             |    CASE m WHEN 0 THEN 54 + ((3 * iw + 3) // 4 * 4) * ih
+             |           WHEN 1 THEN 44 + ns
+             |           ELSE 34 + strlen(CAST(vw AS VARCHAR))
+             |                + strlen(CAST(vh AS VARCHAR))
+             |                + vf * (6 + vw * vh) END AS n_bytes,
+             |    CASE m WHEN 0 THEN iw WHEN 1 THEN rate ELSE vw END AS width,
+             |    CASE m WHEN 0 THEN ih WHEN 1 THEN 1 ELSE vh END AS height,
+             |    CASE m WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE vf END AS n_frames,
+             |    CASE m WHEN 0 THEN iw * ih * 3 WHEN 1 THEN ns
+             |           ELSE vw * vh * vf END AS n
+             |  FROM g)
+             |SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+             |  CAST(width AS INTEGER) AS width,
+             |  CAST(height AS INTEGER) AS height,
+             |  CAST(n_frames AS INTEGER) AS n_frames,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(32640 * ((a + n) // 256)
+             |       + ((a + n) % 256) * ((a + n) % 256 - 1) // 2
+             |       - 32640 * (a // 256)
+             |       - (a % 256) * (a % 256 - 1) // 2 AS BIGINT) AS sample_sum
+             |FROM p""".stripMargin),
+      "REAL codec round trip: BMP/WAV/Y4M encode -> magic-sniffed " +
+        "header parse; closed-form oracle checks every stride/offset"),
 
     Q("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
-        Multimodal.decodeMeta(Multimodal.mediaTable(s, d)), everyK = 4),
+        Multimodal.decodeMeta(Multimodal.encodedMediaTable(s, d)), everyK = 4),
       Some("""SELECT doc_id AS media_id,
-             |CAST(unnest(range(0, 1 + strlen(text) % 24, 4)) AS INTEGER) AS frame_idx
+             |CAST(unnest(range(0, 1 + doc_id % 6, 4)) AS INTEGER) AS frame_idx
              |FROM documents WHERE doc_id % 3 = 2""".stripMargin),
-      "1→N frame-sampling stage (explode over sampled frame indices)"),
+      "1→N frame-sampling stage over the PARSED Y4M frame count"),
 
     Q("mm_size_stats",
       (s, d) => Multimodal.mediaTable(s, d)

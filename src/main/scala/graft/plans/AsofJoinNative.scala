@@ -360,21 +360,154 @@ case class BroadcastAsofJoinExec(
   * partition pruning — the difference between reading 100 TB and
   * reading a slice) never fires. The as-of join emits exactly one row
   * per left row (left-outer enrichment), so any deterministic
-  * predicate over LEFT columns commutes with the join; predicates
-  * touching right (nullable-padded) columns stay above. */
+  * predicate over LEFT columns commutes with the join and MOVES below
+  * the left side.
+  *
+  * Three RIGHT-side pushes are also sound — each only ever removes
+  * right rows that cannot be the served candidate of any surviving
+  * left row, so they are COPIES (derived constraints), with the
+  * original predicate staying where it was:
+  *
+  *  1. Left-KEY predicates transpose to the right key: a match needs
+  *     key equality, so a right row failing the transposed predicate
+  *     could only match a left row that the left push already removed.
+  *     Sound for ANY deterministic conjunct over the left key alone.
+  *  2. Right-KEY predicates (from above the join) copy below when
+  *     NULL-INTOLERANT (comparison/IN shapes): the match candidates of
+  *     a left row share one key, so they all pass or all fail — a
+  *     failing group's left rows got a null match before and keep a
+  *     null match after, and the kept-above copy (evaluating to null)
+  *     drops them both ways. A null-TOLERANT predicate (e.g.
+  *     `r.key IS NULL OR …`) must NOT push: removing the failing
+  *     candidates would turn a dropped row into a kept null-match row.
+  *  3. Left-TIME bounds transpose with direction-aware widening: a
+  *     backward match needs rt <= lt, so `lt <= U` implies the served
+  *     row has `rt <= U`; the opposite bound needs the tolerance to
+  *     close it (`lt >= T` implies `rt >= T - tol` only because rows
+  *     further back than tol can't match). Forward is symmetric;
+  *     nearest needs the tolerance for BOTH bounds; a strict bound
+  *     stays strict only when unwidened. Time filters that don't fit
+  *     a (attr cmp literal) shape are left alone — at 100 TB this
+  *     bound is what prunes a time-partitioned right side.
+  */
 object AsofJoinPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, BinaryComparison, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  /** Conjuncts of `child` when it is a Filter, for the idempotence
+    * guard (this rule runs to fixed point: a COPY that is re-derived
+    * every pass must detect it already landed). */
+  private def existingConjuncts(p: LogicalPlan): Seq[Expression] = p match {
+    case Filter(c, _) => splitConjunctivePredicates(c)
+    case _ => Nil
+  }
+
+  /** p with every occurrence of attribute `from` replaced by `to`. */
+  private def transpose(p: Expression, from: Attribute,
+                        to: Attribute): Expression = p.transform {
+    case a: Attribute if a.semanticEquals(from) => to
+  }
+
+  /** Null-intolerant single-attribute shapes safe to copy below as a
+    * right-key predicate: comparisons and IN over the attr with
+    * foldable operands (each evaluates to null/false on a null key,
+    * so a no-candidate left row is dropped identically above). */
+  private def nullIntolerantKeyShape(p: Expression, key: Attribute): Boolean =
+    p match {
+      case b: BinaryComparison if !b.isInstanceOf[EqualNullSafe] =>
+        (b.left.semanticEquals(key) && b.right.foldable) ||
+          (b.right.semanticEquals(key) && b.left.foldable)
+      case In(v, list) => v.semanticEquals(key) && list.forall(_.foldable)
+      case InSet(v, _) => v.semanticEquals(key)
+      case _ => false
+    }
+
+  /** Derived right-time bound from one left-time conjunct, or None.
+    * `tol` is in the time column's own physical units (micros). */
+  private def timeBound(p: Expression, lt: Attribute, rt: Attribute,
+                        direction: String,
+                        tol: Option[Long]): Option[Expression] = {
+    // normalize to (isUpper, isStrict, literal) over the left time attr
+    val norm: Option[(Boolean, Boolean, Literal)] = p match {
+      case LessThan(a, l) if a.semanticEquals(lt) && l.foldable =>
+        Some((true, true, Literal.create(l.eval(), l.dataType)))
+      case LessThanOrEqual(a, l) if a.semanticEquals(lt) && l.foldable =>
+        Some((true, false, Literal.create(l.eval(), l.dataType)))
+      case GreaterThan(l, a) if a.semanticEquals(lt) && l.foldable =>
+        Some((true, true, Literal.create(l.eval(), l.dataType)))
+      case GreaterThanOrEqual(l, a) if a.semanticEquals(lt) && l.foldable =>
+        Some((true, false, Literal.create(l.eval(), l.dataType)))
+      case GreaterThan(a, l) if a.semanticEquals(lt) && l.foldable =>
+        Some((false, true, Literal.create(l.eval(), l.dataType)))
+      case GreaterThanOrEqual(a, l) if a.semanticEquals(lt) && l.foldable =>
+        Some((false, false, Literal.create(l.eval(), l.dataType)))
+      case LessThan(l, a) if a.semanticEquals(lt) && l.foldable =>
+        Some((false, true, Literal.create(l.eval(), l.dataType)))
+      case LessThanOrEqual(l, a) if a.semanticEquals(lt) && l.foldable =>
+        Some((false, false, Literal.create(l.eval(), l.dataType)))
+      case _ => None
+    }
+    def shifted(l: Literal, by: Long): Option[Literal] = l.value match {
+      case v: Long => Some(Literal(v + by, l.dataType))
+      case _ => None // tolerance implies a micros-physical (Long) column
+    }
+    norm.flatMap { case (isUpper, isStrict, lit0) =>
+      if (lit0.value == null) None
+      else {
+        // which side of the bound closes WITHOUT tolerance?
+        //   backward: rt <= lt  -> upper bound transposes directly
+        //   forward:  rt >= lt  -> lower bound transposes directly
+        // the other side (and both for nearest) needs tol widening
+        val direct = (direction, isUpper) match {
+          case ("backward", true) | ("forward", false) => Some(lit0)
+          case _ => None
+        }
+        val viaTol = tol.flatMap(t =>
+          shifted(lit0, if (isUpper) t else -t))
+        direct.map((_, isStrict))
+          .orElse(viaTol.map((_, false))) // widened bounds lose strictness
+          .map { case (l, strict) =>
+            if (isUpper) { if (strict) LessThan(rt, l) else LessThanOrEqual(rt, l) }
+            else { if (strict) GreaterThan(rt, l) else GreaterThanOrEqual(rt, l) }
+          }
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsofJoinNode) =>
-      val (push, keep) = splitConjunctivePredicates(cond)
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (push, keep) = conjuncts
         .partition(p =>
           p.references.subsetOf(j.left.outputSet) && p.deterministic)
-      if (push.isEmpty) f
+      // derived right-side constraints (COPIES — nothing leaves `keep`)
+      def refsOnly(p: Expression, a: Attribute): Boolean =
+        p.references.nonEmpty && p.references.subsetOf(AttributeSet(Seq(a)))
+      val rightCopies: Seq[Expression] =
+        (j.leftKey, j.rightKey, j.leftTime, j.rightTime) match {
+          case (lk: Attribute, rk: Attribute, lt: Attribute, rt: Attribute) =>
+            conjuncts.filter(_.deterministic).flatMap { p =>
+              if (refsOnly(p, lk)) Some(transpose(p, lk, rk)) // class 1
+              else if (refsOnly(p, rk) && nullIntolerantKeyShape(p, rk))
+                Some(p) // class 2
+              else if (refsOnly(p, lt))
+                timeBound(p, lt, rt, j.direction, j.tolerance) // class 3
+              else None
+            }
+          case _ => Nil
+        }
+      val already = existingConjuncts(j.right)
+      val newCopies = rightCopies.filterNot(c =>
+        already.exists(_.semanticEquals(c)))
+      if (push.isEmpty && newCopies.isEmpty) f
       else {
-        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        val newLeft = push.reduceOption(And)
+          .map(Filter(_, j.left)).getOrElse(j.left)
+        val newRight = newCopies.reduceOption(And)
+          .map(Filter(_, j.right)).getOrElse(j.right)
+        val pushed = j.copy(left = newLeft, right = newRight)
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
     // Column pruning — the other thing Catalyst can't do through a

@@ -78,7 +78,23 @@ object MvCatalog {
       conjuncts.exists(isNotDeleted)
   }
 
+  /** Claim "`view` holds exactly `fact ⋈_joinKeys dim` (inner,
+    * same-named equi keys — [[graft.sinks.IncrementalJoinView]]'s
+    * contract) at ROW grain". [[MvRewriteRule]] then replaces the whole
+    * matching Join subtree, so ANY aggregate or consumer over the join
+    * accelerates — the Aggregate-over-join case composes for free
+    * (transformUp rewrites the join first, and an agg-view claim over
+    * the join view can rewrite the aggregate above it). */
+  final case class JoinEntry(
+      factPath: String, dimPath: String,
+      joinKeys: Seq[String],
+      view: () => DataFrame,
+      fingerprint: String,
+      freshCheck: Option[SparkSession => Boolean] = None,
+      sourcePredicate: Option[SourcePredicate] = None)
+
   private val entries = new ConcurrentHashMap[String, Entry]()
+  private val joinEntries = new ConcurrentHashMap[(String, String), JoinEntry]()
 
   private[plans] def qualify(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
@@ -120,9 +136,43 @@ object MvCatalog {
   def unregister(spark: SparkSession, sourceDir: String): Unit =
     entries.remove(qualify(spark, sourceDir))
 
-  def clear(): Unit = entries.clear()
+  /** Register (or refresh) a row-grain JOIN-view claim. Freshness
+    * defaults to the combined file-listing fingerprint of BOTH source
+    * dirs (any change to either side falls the query through);
+    * `freshCheck` overrides it for version-maintained views — e.g. an
+    * [[graft.sinks.IncrementalJoinView]] whose checkpoint versions must
+    * equal the source mirrors' current versions, or a swap-mirror chain
+    * comparing `_GRAFT_BATCH` markers. `sourcePredicate` declares the
+    * per-side row predicate the view is built under (mirror reads are
+    * `NOT _v_deleted`-filtered scans — pass [[LiveMirrorRows]]). */
+  def registerJoin(spark: SparkSession, factDir: String, dimDir: String,
+                   joinKeys: Seq[String], view: () => DataFrame,
+                   freshCheck: Option[SparkSession => Boolean] = None,
+                   sourcePredicate: Option[SourcePredicate] = None): Unit = {
+    require(joinKeys.nonEmpty, "a join view needs equi-join key columns")
+    val (qf, qd) = (qualify(spark, factDir), qualify(spark, dimDir))
+    joinEntries.put((qf, qd), JoinEntry(qf, qd, joinKeys, view,
+      listingFingerprint(spark, factDir) + "|" +
+        listingFingerprint(spark, dimDir),
+      freshCheck, sourcePredicate))
+  }
 
-  private[plans] def isEmpty: Boolean = entries.isEmpty
+  def unregisterJoin(spark: SparkSession, factDir: String,
+                     dimDir: String): Unit =
+    joinEntries.remove((qualify(spark, factDir), qualify(spark, dimDir)))
+
+  def clear(): Unit = { entries.clear(); joinEntries.clear() }
+
+  private[plans] def isEmpty: Boolean =
+    entries.isEmpty && joinEntries.isEmpty
+
+  /** The join entry for a (fact, dim) location pair, only while fresh. */
+  private[plans] def freshJoinEntry(spark: SparkSession, factQ: String,
+                                    dimQ: String): Option[JoinEntry] =
+    Option(joinEntries.get((factQ, dimQ))).filter(e =>
+      e.freshCheck.map(_(spark)).getOrElse(
+        listingFingerprint(spark, factQ) + "|" +
+          listingFingerprint(spark, dimQ) == e.fingerprint))
 
   /** The entry for a source location, only if its fingerprint still
     * matches the directory's current listing. */

@@ -49,6 +49,10 @@ object MvRewriteRule extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvCatalog.isEmpty) plan
     else plan.transformUp {
+      // bottom-up: a registered JOIN subtree rewrites first, then an
+      // aggregate-view claim above can still match what remains
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        rewriteJoin(j).getOrElse(j)
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
@@ -138,6 +142,109 @@ object MvRewriteRule extends Rule[LogicalPlan]
           // count as sum of counts, avg from summed parts
           rollup(agg.aggregateExpressions, names.toSet, entry, viewPlan, child)
     } yield result
+  }
+
+  /** Replace a whole `fact ⋈ dim` inner equi-join subtree with its
+    * registered row-grain join view (see [[MvCatalog.registerJoin]] —
+    * the [[graft.sinks.IncrementalJoinView]] claim). Safety rules, each
+    * a fallthrough:
+    *   - both children must be scans of the registered (fact, dim)
+    *     pair, modulo pruning projections and at most one deterministic
+    *     filter per side; for an INNER equi-join, a single-side
+    *     predicate commutes with the join (it filters (fact,dim) PAIRS
+    *     exactly like filtering its side first), so the remaining
+    *     conjuncts rebind by name over the view and re-apply above it;
+    *   - the join condition must be exactly the registered same-named
+    *     key equalities, nothing else;
+    *   - every join output attribute must map to a view column of the
+    *     same name and type; the dim-side KEY attribute maps to the
+    *     view's single key column (equal on every inner-join row).
+    *     Non-key name collisions across the two sides refuse the
+    *     rewrite (name-based mapping would silently cross sides);
+    *   - the replacement projects the view under the ORIGINAL join
+    *     output exprIds, so parents resolve unchanged;
+    *   - freshness per [[MvCatalog.freshJoinEntry]] (listing
+    *     fingerprints of both dirs, or the registered version check) —
+    *     a lagging view stops matching and the query falls through to
+    *     the real join. */
+  private def rewriteJoin(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val spark = SparkSession.active
+    if (j.joinType != Inner || j.condition.isEmpty) return None
+    // try both orientations: the query may write dim.join(fact)
+    val oriented = Seq((j.left, j.right, false), (j.right, j.left, true))
+    oriented.view.flatMap { case (factSide, dimSide, _) =>
+      for {
+        srcF <- sourceOf(factSide)
+        srcD <- sourceOf(dimSide)
+        locF <- locationOf(srcF.rel)
+        locD <- locationOf(srcD.rel)
+        entry <- MvCatalog.freshJoinEntry(spark,
+          MvCatalog.qualify(spark, locF), MvCatalog.qualify(spark, locD))
+        // condition = exactly the registered same-named key equalities
+        pairs <- keyPairs(j.condition.get, factSide, dimSide)
+        if pairs.forall { case (f, d) => f.name == d.name } &&
+          pairs.map(_._1.name).sorted == entry.joinKeys.sorted
+        dimKeyIds = pairs.map(_._2.exprId).toSet
+        viewPlan = entry.view().queryExecution.analyzed
+        // every join output column must resolve uniquely in the view;
+        // the dim-side key attr maps to the view's shared key column
+        outNames = j.output.map(a =>
+          if (dimKeyIds.contains(a.exprId))
+            pairs.find(_._2.exprId == a.exprId).get._1.name
+          else a.name)
+        // unique mapping — except a key name may appear twice (the
+        // fact-side and dim-side key attrs both map to the view's one
+        // key column, which equals both on every inner-join row)
+        if outNames.groupBy(identity).forall { case (n, occ) =>
+          occ.size == 1 ||
+            (occ.size == 2 && entry.joinKeys.contains(n))
+        }
+        mapped <- {
+          val m = j.output.zip(outNames).map { case (a, n) =>
+            viewPlan.output.find(v => v.name == n && v.dataType == a.dataType)
+              .map(v => Alias(v, a.name)(exprId = a.exprId))
+          }
+          if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+        }
+        // per-side residual filters: claim-absorbed conjuncts drop, the
+        // claim's core predicate must be present on BOTH sides, and the
+        // rest rebinds over the view (sound for inner equi-joins)
+        conjF = srcF.filter.toSeq.flatMap(splitConjunctivePredicates)
+        conjD = srcD.filter.toSeq.flatMap(splitConjunctivePredicates)
+        if entry.sourcePredicate.forall(p =>
+          p.satisfied(conjF) && p.satisfied(conjD))
+        remaining = (conjF ++ conjD).filterNot(c =>
+          entry.sourcePredicate.exists(_.absorbs(c)))
+        // a filter column whose NAME exists on both scans (and is not a
+        // shared key) would rebind ambiguously — refuse
+        if remaining.forall(_.references.forall(a =>
+          entry.joinKeys.contains(a.name) ||
+            !(srcF.rel.output.exists(_.name == a.name) &&
+              srcD.rel.output.exists(_.name == a.name))))
+        child <- remaining match {
+          case Nil => Some(viewPlan)
+          case cs => rebind(cs.reduce(And), viewPlan).map(Filter(_, viewPlan))
+        }
+      } yield Project(mapped, child): LogicalPlan
+    }.headOption
+  }
+
+  /** The condition decomposed into (factAttr, dimAttr) equality pairs;
+    * None when any conjunct is not such an equality. */
+  private def keyPairs(cond: Expression, factSide: LogicalPlan,
+                       dimSide: LogicalPlan): Option[Seq[(Attribute, Attribute)]] = {
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if factSide.outputSet.contains(a) && dimSide.outputSet.contains(b) =>
+        Some((a: Attribute, b: Attribute))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+        if factSide.outputSet.contains(a) && dimSide.outputSet.contains(b) =>
+        Some((a: Attribute, b: Attribute))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.map(_.get)) else None
   }
 
   /** Re-point a predicate's source attributes at the view's columns of

@@ -675,6 +675,44 @@ object CdcPipeline {
       spec)
   }
 
+  /** KEY-GAP detection over the CDC path (the continuous form of the
+    * `quality_key_gaps` probe): reads a maintained DENSITY view — an
+    * agg view whose spec carries `cellGroups = Seq((src, width))`, so
+    * the state holds one row per touched `width`-key cell, updated by
+    * the delta path (only cells the batch touched, O(cells) state) —
+    * and returns every INTERIOR cell whose live-key count is below the
+    * cell's full domain width, including cells that vanished entirely
+    * (a fully-dropped key range leaves no state row; the spine
+    * anti-join resurfaces it as n_keys = 0). The last cell is excluded:
+    * its domain end is unknown without the table's max key. Cost: one
+    * O(cells) state read + an O(cells) spine — never a mirror scan. */
+  def lowDensityCells(spark: SparkSession, cfg: Config,
+                      viewName: String, src: String): DataFrame = {
+    val spec = cfg.aggViews(viewName).spec
+    val width = spec.cellGroups.find(_._1 == src).map(_._2)
+      .getOrElse(sys.error(
+        s"view $viewName has no cell group over '$src' — register the " +
+          s"AggView with cellGroups = Seq((\"$src\", width))"))
+    val cellCol = s"cell_$src"
+    val state = aggView(spark, cfg, viewName)
+      .select(col(cellCol).cast("long").as("cell"),
+        col("n_rows").as("n_keys"))
+    val maxCell = state.agg(coalesce(max(col("cell")), lit(-1L)).as("mx"))
+    // dense spine 0..maxCell-1 (interior cells have full domain width);
+    // mx < 1 means no interior cells — sequence() would DESCEND on a
+    // start > stop, so branch to an empty array instead
+    val spine = maxCell
+      .select(explode(when(col("mx") >= 1,
+        sequence(lit(0L), col("mx") - 1))
+        .otherwise(array().cast("array<bigint>"))).as("cell"))
+    spine.join(state, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        lit(width).as("domain"),
+        (lit(width) - coalesce(col("n_keys"), lit(0L))).as("n_missing"))
+      .filter(col("n_missing") > 0)
+  }
+
   /** Read a table's current (live, unversioned) mirror state. */
   def mirror(spark: SparkSession, cfg: Config, table: String): DataFrame =
     cfg.mirrorSink.read(spark, s"${cfg.mirrorRoot}/$table")

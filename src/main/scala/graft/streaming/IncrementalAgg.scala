@@ -56,10 +56,32 @@ object IncrementalAgg {
     * sketch cannot retract, so deletes don't decrement and a row that
     * moves groups is counted in both. That is the "users ever active
     * per status" monitor shape, not current-state distinct. */
+  /** `cellGroups` adds DERIVED grouping columns `cell_<src> =
+    * <src> div <width>` (exact 64-bit integer division) — the
+    * density-cell shape: grouping a key column into fixed-width cells
+    * turns the view into an O(cells) key-density monitor maintained by
+    * the same delta path (only touched cells update per batch), the
+    * continuous form of the `quality_key_gaps` probe. */
   final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
                         maxCols: Seq[String] = Nil,
                         minCols: Seq[String] = Nil,
-                        distinctCols: Seq[String] = Nil)
+                        distinctCols: Seq[String] = Nil,
+                        cellGroups: Seq[(String, Long)] = Nil) {
+    /** Effective grouping = declared columns + derived cell columns. */
+    def allGroupCols: Seq[String] =
+      groupCols ++ cellGroups.map { case (src, _) => s"cell_$src" }
+  }
+
+  /** Derive the cell columns from frames that carry the raw source
+    * columns (mirror rows, unioned contribution rows). SQL `div` is
+    * exact integer division — `floor(x / w)` would round through a
+    * double and corrupt cells past 2^53. `nameOf` maps a cell source
+    * to the column name carrying it in this frame. */
+  private def withCells(df: DataFrame, spec: Spec,
+                        nameOf: String => String = identity): DataFrame =
+    spec.cellGroups.foldLeft(df) { case (d, (src, w)) =>
+      d.withColumn(s"cell_$src", expr(s"`${nameOf(src)}` div ${w}L"))
+    }
 
   /** Candidate-list depth per extremum — the bounded-history IVM
     * technique: state keeps the K best LIVE values per group plus a
@@ -137,14 +159,17 @@ object IncrementalAgg {
           col(s"env.payload.$img").isNotNull)
         .select(
           spec.groupCols.map(g => col(s"env.payload.$img.$g").as(g)) ++
+            spec.cellGroups.map { case (src, _) =>
+              col(s"env.payload.$img.$src").as(s"_cg_$src") } ++
             (lit(sign.toLong).as("_n") +:
               (spec.sumCols.map(c =>
                 (col(s"env.payload.$img.$c") * sign).as(s"_s_$c")) ++
                 boundSrcs.map(c =>
                   col(s"env.payload.$img.$c").as(s"_m_$c")))): _*)
-    val contributions =
+    val contributions = withCells(
       side("after", 1, Seq("c", "r", "u"))
-        .unionByName(side("before", -1, Seq("u", "d")))
+        .unionByName(side("before", -1, Seq("u", "d"))),
+      spec, src => s"_cg_$src")
     val aggs = (sum(col("_n")).as("n_rows") +:
       spec.sumCols.map(c => sum(col(s"_s_$c")).as(s"sum_$c"))) ++
       // inserted- and retracted-side value lists ride the same hash
@@ -163,7 +188,7 @@ object IncrementalAgg {
       // before-images contribute nothing (sketches can't retract)
       spec.distinctCols.map(c =>
         hll_sketch_agg(when(col("_n") === 1, col(s"_m_$c"))).as(s"hll_$c"))
-    val grouped = contributions.groupBy(spec.groupCols.map(col): _*)
+    val grouped = contributions.groupBy(spec.allGroupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     bounds(spec).foldLeft(grouped) { (df, b) =>
       val si = b.sortBest(col(s"_rawi_${b.state}"))
@@ -218,7 +243,7 @@ object IncrementalAgg {
           if (c == b.cand) arrT(b) else elemT(b)
         }
     def aligned(df: DataFrame) = {
-      val cols = spec.groupCols ++ ("n_rows" +:
+      val cols = spec.allGroupCols ++ ("n_rows" +:
         (spec.sumCols.map(c => s"sum_$c") ++
           spec.distinctCols.map(c => s"hll_$c"))) ++ extra
       val withAll = cols.foldLeft(df)((d, c) =>
@@ -235,7 +260,7 @@ object IncrementalAgg {
       // sketch union is register-wise max: associative and idempotent
       spec.distinctCols.map(c => hll_union_agg(col(s"hll_$c")).as(s"hll_$c"))
     val merged = aligned(state).unionByName(aligned(delta))
-      .groupBy(spec.groupCols.map(col): _*)
+      .groupBy(spec.allGroupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_rows") > 0)
     if (bs.isEmpty) merged
@@ -293,7 +318,7 @@ object IncrementalAgg {
       // + deferred unpersist) so the second pass reads the first
       val cachedNew = cache(withNew)
       val dirty = cachedNew.filter(dirtyFlags.reduce(_ || _))
-        .select(spec.groupCols.map(col): _*)
+        .select(spec.allGroupCols.map(col): _*)
       val resolved =
         if (dirty.isEmpty) cachedNew
         else {
@@ -302,9 +327,10 @@ object IncrementalAgg {
               s"mirrorRows to recompute dirty groups " +
               s"(${bs.map(_.state).mkString(",")})"))()
           val refill = candidateLists(
-            mirror.join(broadcast(dirty), spec.groupCols, "left_semi"),
+            withCells(mirror, spec).join(broadcast(dirty),
+              spec.allGroupCols, "left_semi"),
             spec, "_re_")
-          bs.foldLeft(cachedNew.join(refill, spec.groupCols, "left")) {
+          bs.foldLeft(cachedNew.join(refill, spec.allGroupCols, "left")) {
             (df, b) =>
               df.withColumn(b.cand,
                   when(col(s"_dirty_${b.state}"),
@@ -319,7 +345,7 @@ object IncrementalAgg {
         }
       // presented scalar = head of the candidate list; drop the delta
       // and dirty transients, keep cand/lw as hidden state
-      val outCols = spec.groupCols ++ stateCols(spec) ++ hiddenCols(spec)
+      val outCols = spec.allGroupCols ++ stateCols(spec) ++ hiddenCols(spec)
       bs.foldLeft(resolved)((df, b) =>
           df.withColumn(b.state, try_element_at(col(b.cand), lit(1))))
         .select(outCols.map(col): _*)
@@ -340,12 +366,12 @@ object IncrementalAgg {
       slice(b.sortBest(collect_list(col(b.src))), 1, CandK + 1)
         .as(s"_p_${b.state}"))
     val lvl1 = rows
-      .groupBy((spec.groupCols.map(col) :+ salt.as("_slt")): _*)
+      .groupBy((spec.allGroupCols.map(col) :+ salt.as("_slt")): _*)
       .agg(p1Aggs.head, p1Aggs.tail: _*)
     val p2Aggs = bs.map(b =>
       flatten(collect_list(col(s"_p_${b.state}"))).as(s"_f_${b.state}"))
     bs.foldLeft(
-      lvl1.groupBy(spec.groupCols.map(col): _*)
+      lvl1.groupBy(spec.allGroupCols.map(col): _*)
         .agg(p2Aggs.head, p2Aggs.tail: _*)) { (df, b) =>
       val cp1 = b.sortBest(col(s"_f_${b.state}"))
       val cut = try_element_at(cp1, lit(CandK + 1))
@@ -369,15 +395,16 @@ object IncrementalAgg {
     * ever-written history is not recoverable from state). */
   def rebuild(mirrorRows: DataFrame, spec: Spec): DataFrame = {
     val bs = bounds(spec)
+    val rows = withCells(mirrorRows, spec)
     val aggs = (count(lit(1)).as("n_rows") +:
       spec.sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
       spec.distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
-    val base = mirrorRows.groupBy(spec.groupCols.map(col): _*)
+    val base = rows.groupBy(spec.allGroupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     if (bs.isEmpty) base
     else {
-      val lists = candidateLists(mirrorRows, spec, "_cl_")
-      val joined = bs.foldLeft(base.join(lists, spec.groupCols)) {
+      val lists = candidateLists(rows, spec, "_cl_")
+      val joined = bs.foldLeft(base.join(lists, spec.allGroupCols)) {
         (df, b) =>
           df.withColumn(b.cand, col(s"_cl_cand_${b.state}"))
             .withColumn(b.lw, col(s"_cl_lw_${b.state}"))
@@ -385,7 +412,7 @@ object IncrementalAgg {
             .drop(s"_cl_cand_${b.state}", s"_cl_lw_${b.state}")
       }
       joined.select(
-        (spec.groupCols ++ stateCols(spec) ++ hiddenCols(spec)).map(col): _*)
+        (spec.allGroupCols ++ stateCols(spec) ++ hiddenCols(spec)).map(col): _*)
     }
   }
 

@@ -296,6 +296,147 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("left-key predicate TRANSPOSES to the right side (both scans " +
+    "prune), results unchanged; rule is fixed-point idempotent") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val versions = load(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .as("vt"), col("o_orderkey").as("asof_orderkey"))
+    val joined = AsofJoinNative(events, versions,
+      "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"))
+    val df = joined.filter(col("user_id") % 10 === 3)
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    // the transposed copy sits inside the right child, keyed by the
+    // RIGHT key attribute
+    val rightFilters = node.right.collect { case f: LFilter => f }
+    assert(rightFilters.size == 1, // idempotence: ONE filter, not stacked
+      df.queryExecution.optimizedPlan.toString.take(1500))
+    assert(rightFilters.head.condition.toString.contains("o_custkey"),
+      rightFilters.head.condition.toString)
+    // equality shape reaches the right SCAN's PushedFilters
+    val dfEq = joined.filter(col("user_id") === 3L)
+    dfEq.collect()
+    val phys = dfEq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val pushedSections = "PushedFilters: \\[[^\\]]*\\]".r
+      .findAllIn(phys).toSeq
+    assert(pushedSections.count(_.contains("EqualTo")) == 2,
+      s"expected the key predicate pushed to BOTH scans: $pushedSections")
+    // value parity with the unpushed formulation
+    val expected = joined.collect()
+      .filter(r => r.getLong(r.fieldIndex("user_id")) % 10 == 3)
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("asof_orderkey")))
+        .map(_.asInstanceOf[Long]))).toSet
+    val got = df.select(col("event_id"), col("asof_orderkey"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == expected)
+  }
+
+  test("right-key predicate: null-INTOLERANT shapes copy below (kept " +
+    "above); null-TOLERANT shapes must not — the counterexample class") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // rename so the right key survives into the output under its own name
+    val q = Seq(("A", 10L, 1.0), ("B", 10L, 2.0), ("B", 20L, 3.0))
+      .toDF("qsym", "qt", "px")
+    val t = Seq((1L, "A", 25L), (2L, "B", 25L), (3L, "C", 25L))
+      .toDF("trade_id", "sym", "t")
+    val joined = AsofJoinNative(t, q, "sym", "qsym", "t", "qt",
+      Seq("qsym", "px"))
+    // null-intolerant: qsym = 'B' -> copied below AND kept above
+    val safe = joined.filter(col("qsym") === "B")
+    val n1 = safe.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    assert(n1.right.collect { case f: LFilter => f }.exists(
+      _.condition.toString.contains("qsym")),
+      safe.queryExecution.optimizedPlan.toString.take(1200))
+    assert(safe.select($"trade_id", $"px").as[(Long, Double)]
+      .collect().toMap == Map(2L -> 3.0))
+    // null-TOLERANT: (qsym IS NULL OR qsym = 'A'). Above-semantics keep
+    // trade 1 (matched A) and trade 3 (no match -> null qsym). Pushing
+    // it below would instead re-match trade 2 to nothing and KEEP it as
+    // a null row — silently wrong. The rule must leave the right child
+    // clean and preserve above-semantics.
+    val unsafe = joined.filter(col("qsym").isNull || col("qsym") === "A")
+    val n2 = unsafe.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    assert(n2.right.collect { case f: LFilter => f }.isEmpty,
+      unsafe.queryExecution.optimizedPlan.toString.take(1200))
+    val rows = unsafe.select($"trade_id", $"px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(1L -> Some(1.0), 3L -> None), rows.toString)
+  }
+
+  test("right-PAYLOAD predicate never pushes: pushing would re-match " +
+    "dropped rows to worse candidates (concrete counterexample pinned)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val q = Seq(("A", 10L, 1.0), ("A", 20L, 2.0)).toDF("qsym", "qt", "px")
+    val t = Seq((1L, "A", 25L)).toDF("trade_id", "sym", "t")
+    val joined = AsofJoinNative(t, q, "sym", "qsym", "t", "qt", Seq("px"))
+    val df = joined.filter(col("px") === 1.0)
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    assert(node.right.collect { case f: LFilter => f }.isEmpty,
+      df.queryExecution.optimizedPlan.toString.take(1200))
+    // above-semantics: the trade matched px=2.0, which fails the filter
+    // -> zero rows. (A pushed filter would have re-matched it to the
+    // older px=1.0 quote and kept it.)
+    assert(df.count() == 0)
+  }
+
+  test("left-time bounds transpose with direction/tolerance widening; " +
+    "the tolerance-less open side does not push") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val events = load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val versions = load(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp")
+        .as("vt"), col("o_orderkey").as("asof_orderkey"))
+    val cutoff = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def rightTimeFilters(direction: String, tol: Option[Long],
+                         cond: org.apache.spark.sql.Column): Seq[String] = {
+      val joined = AsofJoinNative(events, versions,
+        "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"),
+        direction = direction, toleranceSec = tol)
+      joined.filter(cond).queryExecution.optimizedPlan
+        .collectFirst { case n: AsofJoinNode => n }.get
+        .right.collect { case f: LFilter => f.condition.toString }
+    }
+    // backward upper bound: transposes directly (vt <= U)
+    assert(rightTimeFilters("backward", None, col("ts") <= cutoff)
+      .exists(_.contains("vt")), "backward upper must push")
+    // backward LOWER bound without tolerance: open — must NOT push
+    assert(!rightTimeFilters("backward", None, col("ts") >= cutoff)
+      .exists(_.contains("vt")), "backward lower w/o tol must not push")
+    // backward lower WITH tolerance: pushes widened (vt >= T - tol)
+    assert(rightTimeFilters("backward", Some(3600L), col("ts") >= cutoff)
+      .exists(_.contains("vt")), "backward lower with tol must push")
+    // forward lower bound: transposes directly
+    assert(rightTimeFilters("forward", None, col("ts") > cutoff)
+      .exists(_.contains("vt")), "forward lower must push")
+    // nearest without tolerance: neither side pushes
+    assert(!rightTimeFilters("nearest", None, col("ts") <= cutoff)
+      .exists(_.contains("vt")), "nearest w/o tol must not push")
+    // nearest with tolerance: both bounds push widened
+    assert(rightTimeFilters("nearest", Some(3600L),
+      col("ts") <= cutoff && col("ts") >= cutoff)
+      .count(_.contains("vt")) >= 1, "nearest with tol must push")
+    // value parity: pushed backward-upper result equals manual filter
+    val joined = AsofJoinNative(events, versions,
+      "user_id", "o_custkey", "ts", "vt", Seq("asof_orderkey"))
+    val expected = joined.collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("ts")) &&
+        !r.getAs[java.sql.Timestamp](r.fieldIndex("ts")).after(cutoff))
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("asof_orderkey")))
+        .map(_.asInstanceOf[Long]))).toSet
+    val got = joined.filter(col("ts") <= cutoff)
+      .select(col("event_id"), col("asof_orderkey"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == expected)
+  }
+
   test("auto mode rides the autoBroadcastJoinThreshold knob: broadcast " +
     "under it, merge when broadcasting is disabled") {
     def planFor(): String = {

@@ -449,4 +449,55 @@ class CdcPipelineSpec extends SparkSpec {
       spark.streams.removeListener(mon)
     }
   }
+
+  test("continuous key-gap detection: a density view over id cells " +
+    "flags a dropped key range within ONE batch, replay-idempotent") {
+    // deletes must carry BEFORE images so the density cells retract
+    // (binlog row mode, what the reference connector emits)
+    def denv(id: Long, op: String, ts: Long): String =
+      if (op == "d")
+        s"""{"payload":{"before":{"id":$id,"v":"x"},"after":null,""" +
+          s""""op":"d","ts_ms":$ts}}"""
+      else
+        s"""{"payload":{"after":{"id":$id,"v":"x"},"op":"$op","ts_ms":$ts}}"""
+    def drec(id: Long, op: String, ts: Long, off: Long) =
+      Rec("mysql-server.pos_bi_db.ventas", s"""{"payload":{"id":$id}}""",
+        denv(id, op, ts), 0, off)
+    val base = freshCfg()
+    val cfg = base.copy(aggViews = Map("density" ->
+      CdcPipeline.AggView("ventas",
+        IncrementalAgg.Spec(Nil, Nil, cellGroups = Seq(("id", 64L))))))
+    def gaps() = CdcPipeline.lowDensityCells(spark, cfg, "density", "id")
+      .select("cell", "n_keys", "n_missing").as[(Long, Long, Long)]
+      .collect().toSet
+
+    // batch 0: ids 0..269 — cells 0..3 full (64 each), cell 4 partial
+    CdcPipeline.processBatch(
+      (0L until 270L).map(i => drec(i, "r", 1000, i)).toDF(), 0L, cfg)
+    assert(gaps().isEmpty, s"dense interior must not flag: ${gaps()}")
+
+    // batch 1: a PARTIAL range drop (64..99 -> cell 1 keeps 28) and a
+    // FULL cell drop (128..191 -> cell 2 vanishes from state; the
+    // spine anti-join must resurface it as n_keys = 0)
+    val dropped = (64L until 100L) ++ (128L until 192L)
+    CdcPipeline.processBatch(
+      dropped.zipWithIndex.map { case (i, k) =>
+        drec(i, "d", 2000, 1000L + k) }.toDF(), 1L, cfg)
+    val flagged = gaps()
+    assert(flagged == Set((1L, 28L, 36L), (2L, 0L, 64L)),
+      s"expected the two dropped ranges flagged in THIS batch: $flagged")
+
+    // foreachBatch replay of batch 1: the _b_upto guard skips the
+    // re-fold; flags unchanged (no double retraction)
+    CdcPipeline.processBatch(
+      dropped.zipWithIndex.map { case (i, k) =>
+        drec(i, "d", 2000, 1000L + k) }.toDF(), 1L, cfg)
+    assert(gaps() == flagged, "replay must not change the flags")
+
+    // the range refills -> the flags clear on the next batch
+    CdcPipeline.processBatch(
+      dropped.zipWithIndex.map { case (i, k) =>
+        drec(i, "c", 3000, 2000L + k) }.toDF(), 2L, cfg)
+    assert(gaps().isEmpty, s"refilled ranges must clear: ${gaps()}")
+  }
 }

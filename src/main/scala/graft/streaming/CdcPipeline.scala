@@ -549,13 +549,19 @@ object CdcPipeline {
     val mirrorRows = Some(sharedMirror)
     val upto =
       if (!fs.exists(live)) -1L
-      else
-        // coalesce guards the empty-state file (all groups deleted, or
-        // a first batch that was entirely malformed): max over zero
-        // rows is null, and a bare getLong would NPE and crash-loop
-        // the stream on every replay
+      else graft.sinks.SwapMirror.readBatchMarker(fs, live).getOrElse {
+        // legacy state (written before the marker rode the swap): fall
+        // back to the parquet watermark column. coalesce guards the
+        // empty-state file (all groups deleted, or a first batch that
+        // was entirely malformed): max over zero rows is null, and a
+        // bare getLong would NPE and crash-loop the stream on replay.
+        // The marker path replaces a per-view-per-trigger Spark job
+        // (scan + agg + head on the state file) with one tiny
+        // filesystem read — measured as a real slice of the multi-view
+        // drain cost (StreamSweep views mode)
         spark.read.parquet(live.toString)
           .agg(coalesce(max(col("_b_upto")), lit(-1L))).head().getLong(0)
+      }
     if (upto >= batchId) return // replayed batch: already applied
     val merged =
       if (batchId > upto + 1)
@@ -583,6 +589,9 @@ object CdcPipeline {
       // than the stream; one file keeps the swap cheap and the read local
       merged.withColumn("_b_upto", lit(batchId))
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      // watermark marker rides the SAME atomic rename as the state, so
+      // the cheap read path above can never disagree with the data
+      graft.sinks.SwapMirror.writeBatchMarker(fs, staging, batchId)
     } finally cached.forEach(_.unpersist())
   }
 

@@ -29,7 +29,8 @@ object QueryCatalog {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       PipelineQueries.queries ++ RangeJoin.queries ++ CurationQueries.queries ++
       SqlSurface.queries ++ LayoutQueries.queries ++ Expectations.queries ++
-      FuzzyJoin.queries ++ GraphQueries.queries ++ Reconcile.queries
+      FuzzyJoin.queries ++ GraphQueries.queries ++ Reconcile.queries ++
+      StatsQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

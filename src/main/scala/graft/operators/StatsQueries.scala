@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.load
+
+/** Statistics / econometrics faces added round 10: survival analysis,
+  * inequality and concentration measures, digit-distribution auditing,
+  * Markov transition estimation, readability scoring. Every query is a
+  * grain-reducing rollup first (user / customer / supplier / duration
+  * grain), with any ordered window running on the REDUCED frame — the
+  * catalog's scale discipline (PlanAuditSpec's window rule).
+  */
+object StatsQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // Kaplan-Meier survival estimator — time-to-conversion over the
+    // event stream: duration = days from a user's first event to their
+    // first HIGH-VALUE purchase (value > 90 — the "death"; the raw
+    // event stream is so dense every user purchases, which would leave
+    // the censoring path vacuous, the same fixture trap
+    // events_cohort_retention documents); users who never convert are
+    // right-CENSORED at their last observed event (they leave the risk
+    // set without converting — dropping them instead would bias the
+    // curve down, the classic mistake KM exists to fix). One user-grain
+    // rollup (min/filtered-min/max, no argmax), one duration-grain agg,
+    // then the product-limit fold as exp(running sum of ln(1 - d/n))
+    // over the tiny duration spine. round(4): the running double sum is
+    // segment-tree-ordered in DuckDB, sequential in Spark.
+    Q("eval_kaplan_meier",
+      (s, d) => {
+        val ev = load(s, d, "events")
+        val users = ev.groupBy(col("user_id")).agg(
+          min(to_date(col("ts"))).as("first_d"),
+          min(when(col("event_type") === "purchase" && col("value") > 90,
+            to_date(col("ts")))).as("purch_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        val durations = users.select(
+          datediff(coalesce(col("purch_d"), col("last_d")), col("first_d"))
+            .cast("long").as("dur"),
+          col("purch_d").isNotNull.cast("long").as("obs"))
+        val grain = durations.groupBy(col("dur"))
+          .agg(sum(col("obs")).as("d_t"), count(lit(1)).as("c_t"))
+        val w = Window.orderBy(col("dur"))
+        grain
+          // risk set at time t = everyone still under observation:
+          // reverse-cumulative count, same frame as the oracle
+          .withColumn("at_risk",
+            sum(col("c_t")).over(w.rowsBetween(
+              Window.currentRow, Window.unboundedFollowing)))
+          // the final duration can kill the whole risk set (factor 0);
+          // DuckDB's ln(0) THROWS (Spark's returns null), so both sides
+          // guard: ln only over positive factors, an explicit 0.0 once
+          // any factor hits zero (it then stays zero forever)
+          .withColumn("_f",
+            lit(1.0) - col("d_t").cast("double") / col("at_risk"))
+          .withColumn("survival",
+            when(min(col("_f")).over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)) <= 0, lit(0.0))
+              .otherwise(round(exp(
+                sum(when(col("_f") > 0, log(col("_f"))).otherwise(lit(0.0)))
+                  .over(w.rowsBetween(Window.unboundedPreceding,
+                    Window.currentRow))), 4)))
+          .select(col("dur"), col("at_risk"), col("d_t").as("n_events"),
+            col("c_t").as("n_leaving"), col("survival"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(CAST(ts AS DATE)) AS first_d,
+             |    min(CAST(ts AS DATE))
+             |      FILTER (event_type = 'purchase' AND value > 90)
+             |      AS purch_d,
+             |    max(CAST(ts AS DATE)) AS last_d
+             |  FROM events GROUP BY 1),
+             |dur AS (
+             |  SELECT date_diff('day', first_d, coalesce(purch_d, last_d))
+             |      AS dur,
+             |    CASE WHEN purch_d IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |  FROM u),
+             |g AS (
+             |  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_t,
+             |    CAST(count(*) AS BIGINT) AS c_t
+             |  FROM dur GROUP BY 1),
+             |g2 AS (
+             |  SELECT dur, d_t, c_t,
+             |    CAST(sum(c_t) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+             |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+             |  FROM g),
+             |g3 AS (
+             |  SELECT dur, d_t, c_t, at_risk,
+             |    1.0 - CAST(d_t AS DOUBLE) / at_risk AS f
+             |  FROM g2)
+             |SELECT dur, at_risk, d_t AS n_events, c_t AS n_leaving,
+             |  CASE WHEN min(f) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) <= 0 THEN 0.0
+             |    ELSE round(exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0.0 END)
+             |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW)), 4) END AS survival
+             |FROM g3""".stripMargin),
+      "Kaplan-Meier product-limit survival: censoring-correct " +
+        "time-to-purchase; one user rollup + a duration-grain fold"),
+
+    // Gini coefficient of customer revenue per market segment — the
+    // inequality lens on the same revenue rollup every dashboard runs.
+    // Exact-integer formulation: revenue in cents, ranks from a
+    // per-segment window over the CUSTOMER-grain rollup, and the
+    // closed form G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) on long
+    // arithmetic (equal values commute under rank swap, so the unique
+    // (rev, custkey) order is deterministic AND value-correct).
+    // Overflow audit (the r9 rule): Σ rank·x at sf0.1 is ~4.5e17 of
+    // the 9.2e18 long range (20× margin) — verified green at the
+    // sf0.1 gate; the 100 TB form would shard the rank-sum per
+    // segment-salt and re-sum, same plan shape.
+    Q("agg_gini_coefficient",
+      (s, d) => {
+        val custRev = load(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("rev_cents"))
+        val seg = custRev.join(
+          broadcast(load(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("rev_cents"), col("o_custkey"))
+        seg.withColumn("rnk", row_number().over(w))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev_cents")).as("total_rev_cents"),
+            sum(col("rnk") * col("rev_cents")).as("rank_sum"))
+          .select(col("c_mktsegment"), col("n_customers"),
+            col("total_rev_cents"),
+            round((lit(2.0) * col("rank_sum").cast("double") -
+              (col("n_customers") + 1).cast("double") *
+                col("total_rev_cents").cast("double")) /
+              (col("n_customers").cast("double") *
+                col("total_rev_cents").cast("double")), 4).as("gini"))
+      },
+      Some("""WITH cr AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT c_mktsegment, rev_cents,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY rev_cents, o_custkey) AS rnk
+             |  FROM cr JOIN customer ON o_custkey = c_custkey)
+             |SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(sum(rev_cents) AS BIGINT) AS total_rev_cents,
+             |  round((2.0 * CAST(CAST(sum(rnk * rev_cents) AS BIGINT)
+             |      AS DOUBLE) -
+             |    CAST(count(*) + 1 AS DOUBLE) *
+             |      CAST(CAST(sum(rev_cents) AS BIGINT) AS DOUBLE)) /
+             |    (CAST(count(*) AS DOUBLE) *
+             |      CAST(CAST(sum(rev_cents) AS BIGINT) AS DOUBLE)), 4)
+             |    AS gini
+             |FROM r GROUP BY 1""".stripMargin),
+      "Gini inequality per segment: exact-cents rank formula on the " +
+        "customer-grain rollup, one partitioned window"),
+
+    // Benford first-digit audit — the fraud/corruption smell test for
+    // any financial column: observed leading-digit counts vs the
+    // log10(1 + 1/d) law, with per-digit chi-square contributions.
+    // Leading digit comes from the exact cents string (scale-shift
+    // invariant), so both engines read the same digit; expectations
+    // and contributions round 4 (log10 may differ across libm ulps).
+    Q("quality_benford_digits",
+      (s, d) => {
+        val digits = load(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100)
+            .cast("long").cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            round(col("n_total") *
+              log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+              .as("n_expected"),
+            round(pow(col("n_obs") - col("n_total") *
+              log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 2) /
+              (col("n_total") *
+                log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 4)
+              .as("chi2_part"))
+      },
+      Some("""WITH dg AS (
+             |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS digit, count(*) AS n_obs
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM dg)
+             |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+             |  round(n_total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4)
+             |    AS n_expected,
+             |  round(pow(n_obs - n_total *
+             |      log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2) /
+             |    (n_total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4)
+             |    AS chi2_part
+             |FROM dg CROSS JOIN t""".stripMargin),
+      "Benford's-law first-digit audit with per-digit chi-square " +
+        "contributions; digit from the exact cents string"),
+
+    // Lorenz curve deciles — the curve the Gini scalar summarizes:
+    // cumulative revenue share by customer decile per segment, the
+    // "top 10% of customers hold X% of revenue" readout. NTILE over
+    // the customer-grain rollup (unique (rev, custkey) order), one
+    // decile-grain agg, then a 10-row cumulative window per segment;
+    // shares are exact long ratios (unrounded — both engines divide
+    // the same exact integers).
+    Q("agg_lorenz_deciles",
+      (s, d) => {
+        val custRev = load(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("rev_cents"))
+        val seg = custRev.join(
+          broadcast(load(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("rev_cents"), col("o_custkey"))
+        val deciles = seg.withColumn("decile", ntile(10).over(w))
+          .groupBy(col("c_mktsegment"), col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev_cents")).as("decile_cents"))
+        val cumW = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy(col("c_mktsegment"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        deciles
+          .withColumn("cum_share",
+            sum(col("decile_cents")).over(cumW).cast("double") /
+              sum(col("decile_cents")).over(totW).cast("double"))
+          .select(col("c_mktsegment"), col("decile"), col("n_customers"),
+            col("decile_cents"), col("cum_share"))
+      },
+      Some("""WITH cr AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT c_mktsegment, rev_cents,
+             |    ntile(10) OVER (PARTITION BY c_mktsegment
+             |      ORDER BY rev_cents, o_custkey) AS decile
+             |  FROM cr JOIN customer ON o_custkey = c_custkey),
+             |g AS (
+             |  SELECT c_mktsegment, CAST(decile AS INTEGER) AS decile,
+             |    CAST(count(*) AS BIGINT) AS n_customers,
+             |    CAST(sum(rev_cents) AS BIGINT) AS decile_cents
+             |  FROM r GROUP BY 1, 2)
+             |SELECT c_mktsegment, decile, n_customers, decile_cents,
+             |  CAST(sum(decile_cents) OVER (PARTITION BY c_mktsegment
+             |      ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |      CURRENT ROW) AS DOUBLE) /
+             |    CAST(sum(decile_cents) OVER (PARTITION BY c_mktsegment)
+             |      AS DOUBLE) AS cum_share
+             |FROM g""".stripMargin),
+      "Lorenz curve by customer decile per segment: exact-cents NTILE " +
+        "rollup + a 10-row cumulative window — the curve behind Gini"),
+
+    // Flesch reading-ease scoring — the classic readability gate in a
+    // text-curation pipeline. Words / sentences / vowel-group syllable
+    // proxies are RE2-countable in both engines; the score is pure
+    // per-row IEEE arithmetic on exact integer counts (unrounded —
+    // bitwise identical), computed entirely map-side.
+    Q("text_readability",
+      (s, d) => {
+        val t = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit("[A-Za-z]+")).cast("long")
+              .as("n_words"),
+            greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+              .cast("long").as("n_sentences"),
+            regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+              .as("n_syllables"))
+        t.filter(col("n_words") > 0)
+          .select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"),
+            (lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") /
+                col("n_sentences").cast("double")) -
+              lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double"))).as("flesch"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             |      AS n_words,
+             |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             |      AS BIGINT) AS n_sentences,
+             |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+             |      AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) /
+             |      CAST(n_sentences AS DOUBLE)) -
+             |    84.6 * (CAST(n_syllables AS DOUBLE) /
+             |      CAST(n_words AS DOUBLE)) AS flesch
+             |FROM t WHERE n_words > 0""".stripMargin),
+      "Flesch reading-ease per document: RE2 word/sentence/vowel-group " +
+        "counts, zero-shuffle map-side scoring"),
+
+    // Herfindahl-Hirschman concentration of supplier revenue within
+    // each nation — the market-structure monitor over the same
+    // supplier rollup Q5-class queries build. Revenue exact in cents
+    // per supplier (rollup BELOW the dim join, supplier dim broadcast);
+    // shares are exact long ratios; the share-squared sum rounds 4
+    // (order-unstable doubles), top share is an order-independent max.
+    Q("agg_hhi_concentration",
+      (s, d) => {
+        val srev = load(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) -
+            col("l_discount")) * 100).cast("long")).as("rev_cents"))
+        val bySupp = srev.join(
+          broadcast(load(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        val nrev = bySupp.groupBy(col("s_nationkey").as("n_key"))
+          .agg(sum(col("rev_cents")).as("nation_cents"))
+        bySupp.join(broadcast(nrev), col("s_nationkey") === col("n_key"))
+          .select(col("s_nationkey"),
+            (col("rev_cents").cast("double") /
+              col("nation_cents").cast("double")).as("share"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(col("share") * col("share")), 4).as("hhi"),
+            round(max(col("share")), 4).as("top_share"))
+      },
+      Some("""WITH sr AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM lineitem GROUP BY 1),
+             |j AS (
+             |  SELECT s_nationkey, rev_cents,
+             |    CAST(sum(rev_cents) OVER (PARTITION BY s_nationkey)
+             |      AS BIGINT) AS nation_cents
+             |  FROM sr JOIN supplier ON l_suppkey = s_suppkey)
+             |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             |  round(sum((CAST(rev_cents AS DOUBLE) /
+             |    CAST(nation_cents AS DOUBLE)) *
+             |    (CAST(rev_cents AS DOUBLE) /
+             |    CAST(nation_cents AS DOUBLE))), 4) AS hhi,
+             |  round(max(CAST(rev_cents AS DOUBLE) /
+             |    CAST(nation_cents AS DOUBLE)), 4) AS top_share
+             |FROM j GROUP BY 1""".stripMargin),
+      "HHI market concentration per nation: supplier-grain exact-cents " +
+        "rollup below a broadcast dim join, shares as exact ratios"))
+}

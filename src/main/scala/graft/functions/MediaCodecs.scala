@@ -76,7 +76,10 @@ object MediaCodecs {
     out
   }
 
-  /** Parse a 24-bit uncompressed BMP; sum skips the padding bytes. */
+  /** Parse a 24-bit uncompressed BMP; sum skips the padding bytes.
+    * Every header field is range-checked BEFORE use — malformed input
+    * must throw IllegalArgumentException (the DLQ contract), never
+    * hang, index out of bounds, or overflow into garbage stats. */
   def decodeBmp(b: Array[Byte]): Decoded = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') fail("not a BMP")
     val off = rdLe32(b, 10)
@@ -85,6 +88,8 @@ object MediaCodecs {
     if (rdLe16(b, 28) != 24) fail(s"unsupported bpp ${rdLe16(b, 28)}")
     if (rdLe32(b, 30) != 0) fail("compressed BMP unsupported")
     if (width <= 0 || height <= 0) fail("top-down/empty BMP unsupported")
+    if (off < 54 || off > b.length) fail(s"bad pixel-data offset $off")
+    if (width > (Int.MaxValue - 3) / 3) fail(s"absurd BMP width $width")
     val stride = (width * 3 + 3) / 4 * 4
     if (off.toLong + stride.toLong * height > b.length) fail("truncated BMP")
     var sum = 0L
@@ -134,7 +139,12 @@ object MediaCodecs {
     while (pos + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = tag(pos)
       val sz = rdLe32(b, pos + 4)
+      // a negative/garbage size would stall or reverse the walk — a
+      // poison payload must THROW (the DLQ contract), never hang
+      if (sz < 0 || pos.toLong + 8 + sz > b.length)
+        fail(s"bad RIFF chunk size $sz at $pos")
       if (id == "fmt ") {
+        if (sz < 16) fail(s"short fmt chunk ($sz)")
         if (rdLe16(b, pos + 8) != 1) fail("non-PCM WAV unsupported")
         channels = rdLe16(b, pos + 10)
         rate = rdLe32(b, pos + 12)
@@ -144,7 +154,8 @@ object MediaCodecs {
     }
     if (rate < 0 || dataOff < 0) fail("missing fmt/data chunk")
     if (bits != 8 || channels != 1) fail(s"unsupported PCM layout")
-    if (dataOff + dataLen > b.length) fail("truncated WAV")
+    if (rate <= 0) fail(s"bad sample rate $rate")
+    if (dataOff.toLong + dataLen > b.length) fail("truncated WAV")
     var sum = 0L
     var i = 0
     while (i < dataLen) { sum += b(dataOff + i) & 0xff; i += 1 }
@@ -182,9 +193,14 @@ object MediaCodecs {
     val params = header.split(' ').drop(1)
     def param(p: Char): Option[String] =
       params.find(_.headOption.contains(p)).map(_.tail)
-    val width = param('W').map(_.toInt).getOrElse(fail("Y4M missing W"))
-    val height = param('H').map(_.toInt).getOrElse(fail("Y4M missing H"))
+    val width = param('W').flatMap(_.toIntOption)
+      .getOrElse(fail("Y4M missing/bad W"))
+    val height = param('H').flatMap(_.toIntOption)
+      .getOrElse(fail("Y4M missing/bad H"))
     if (!param('C').forall(_ == "mono")) fail("only Cmono supported")
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height > Int.MaxValue - 8)
+      fail(s"bad Y4M geometry ${width}x$height")
     val fsz = width * height
     var pos = nl + 1
     var frames = 0
@@ -195,8 +211,8 @@ object MediaCodecs {
         new String(b, pos, 5, "US-ASCII") != "FRAME") fail("bad FRAME marker")
       var e = pos + 5
       while (e < b.length && b(e) != '\n') e += 1
-      if (e >= b.length || e + 1 + fsz > b.length + 0) fail("truncated frame")
-      if (e + 1 + fsz > b.length) fail("truncated frame")
+      if (e >= b.length || e.toLong + 1 + fsz > b.length)
+        fail("truncated frame")
       var i = 0
       while (i < fsz) { sum += b(e + 1 + i) & 0xff; i += 1 }
       pos = e + 1 + fsz

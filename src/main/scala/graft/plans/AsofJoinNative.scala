@@ -396,11 +396,18 @@ object AsofJoinPushdown
   import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, BinaryComparison, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
-  /** Conjuncts of `child` when it is a Filter, for the idempotence
+  /** Conjuncts already sitting in the right child, for the idempotence
     * guard (this rule runs to fixed point: a COPY that is re-derived
-    * every pass must detect it already landed). */
+    * every pass must detect it already landed). Looks through the
+    * bare-attribute pruning Projects this rule's own column-pruning
+    * case inserts — without that, a pruned right side would stack a
+    * duplicate Filter above the Project on every pass. */
   private def existingConjuncts(p: LogicalPlan): Seq[Expression] = p match {
-    case Filter(c, _) => splitConjunctivePredicates(c)
+    case Filter(c, child) =>
+      splitConjunctivePredicates(c) ++ existingConjuncts(child)
+    case Project(ps, child)
+      if ps.forall(_.isInstanceOf[org.apache.spark.sql.catalyst
+        .expressions.AttributeReference]) => existingConjuncts(child)
     case _ => Nil
   }
 

@@ -215,15 +215,30 @@ object MvCatalog {
       val mirrorBatch = cfg.mirrorSink.lastBatchId(sp, tableRoot)
       mirrorBatch.exists { mb =>
         try {
-          import org.apache.spark.sql.functions.{coalesce, lit, max => fmax}
-          viewState().agg(coalesce(fmax(
-            org.apache.spark.sql.functions.col("_b_upto")), lit(-1L)))
-            .head().getLong(0) == mb
+          val fs = new Path(stateDir)
+            .getFileSystem(sp.sparkContext.hadoopConfiguration)
+          // the _GRAFT_BATCH marker rides the view swap — one
+          // filesystem read instead of a per-compile Spark job on the
+          // state parquet; marker-less legacy states fall back
+          graft.sinks.SwapMirror
+            .readBatchMarker(fs, new Path(stateDir)).getOrElse {
+              import org.apache.spark.sql.functions.{coalesce, lit, max => fmax}
+              viewState().agg(coalesce(fmax(
+                org.apache.spark.sql.functions.col("_b_upto")), lit(-1L)))
+                .head().getLong(0)
+            } == mb
         } catch { case _: Exception => false } // no state yet = stale
       }
     }
     val q = qualify(spark, s"$tableRoot/live")
-    entries.put(q, Entry(q, spec.groupCols, aggs,
+    // the claim's grain is the view's EFFECTIVE grouping — declared
+    // columns PLUS derived cell columns: claiming only groupCols would
+    // let a coarser query take the exact-match projection path and
+    // read one row per cell (silently wrong grain). Cell columns can
+    // never appear in a mirror query (they don't exist on the table),
+    // so cell views serve only the coarser re-aggregate path — which
+    // is correct: cells partition the rows disjointly.
+    entries.put(q, Entry(q, spec.allGroupCols, aggs,
       () => {
         val st = viewState()
         val drop = Seq("_b_upto") ++

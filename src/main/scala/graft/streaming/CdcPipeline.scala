@@ -689,14 +689,23 @@ object CdcPipeline {
     * agg view whose spec carries `cellGroups = Seq((src, width))`, so
     * the state holds one row per touched `width`-key cell, updated by
     * the delta path (only cells the batch touched, O(cells) state) —
-    * and returns every INTERIOR cell whose live-key count is below the
-    * cell's full domain width, including cells that vanished entirely
-    * (a fully-dropped key range leaves no state row; the spine
-    * anti-join resurfaces it as n_keys = 0). The last cell is excluded:
-    * its domain end is unknown without the table's max key. Cost: one
-    * O(cells) state read + an O(cells) spine — never a mirror scan. */
+    * and returns every cell whose live-key count is below the cell's
+    * domain width, including cells that vanished entirely (a
+    * fully-dropped key range leaves no state row; the spine anti-join
+    * resurfaces it as n_keys = 0). Cost: one O(cells) state read + an
+    * O(cells) spine — never a mirror scan.
+    *
+    * `expectedMaxKey` bounds the domain from REFERENCE truth (the
+    * source table's MAX(pk) — the same probe TableExpectation.reference
+    * reads from parquet footer stats). Without it the spine ends at the
+    * highest SURVIVING cell, which cannot see a fully-dropped TAIL
+    * range (losing cells 3 AND 4 of 0..4 shrinks the observed max to 2
+    * and the monitor reads healthy) and must exclude the last cell
+    * (domain end unknown) — pass the reference bound when auditing for
+    * truncation, not just interior holes. */
   def lowDensityCells(spark: SparkSession, cfg: Config,
-                      viewName: String, src: String): DataFrame = {
+                      viewName: String, src: String,
+                      expectedMaxKey: Option[Long] = None): DataFrame = {
     val spec = cfg.aggViews(viewName).spec
     val width = spec.cellGroups.find(_._1 == src).map(_._2)
       .getOrElse(sys.error(
@@ -706,19 +715,33 @@ object CdcPipeline {
     val state = aggView(spark, cfg, viewName)
       .select(col(cellCol).cast("long").as("cell"),
         col("n_rows").as("n_keys"))
-    val maxCell = state.agg(coalesce(max(col("cell")), lit(-1L)).as("mx"))
-    // dense spine 0..maxCell-1 (interior cells have full domain width);
-    // mx < 1 means no interior cells — sequence() would DESCEND on a
-    // start > stop, so branch to an empty array instead
+    // spine end: the reference bound's cell (tail drops visible, last
+    // cell's domain known) or the highest surviving cell minus one
+    // (observed-only mode; see the scaladoc limitation). mx < 0 means
+    // no auditable cells — sequence() would DESCEND on start > stop,
+    // so branch to an empty array instead
+    val maxCell = expectedMaxKey match {
+      case Some(mk) => state.sparkSession.range(1)
+        .select(lit(mk / width).as("mx"), lit(mk).as("maxkey"))
+      case None => state
+        .agg((coalesce(max(col("cell")), lit(0L)) - 1).as("mx"),
+          lit(null).cast("long").as("maxkey"))
+    }
     val spine = maxCell
-      .select(explode(when(col("mx") >= 1,
-        sequence(lit(0L), col("mx") - 1))
-        .otherwise(array().cast("array<bigint>"))).as("cell"))
+      .select(explode(when(col("mx") >= 0, sequence(lit(0L), col("mx")))
+        .otherwise(array().cast("array<bigint>"))).as("cell"),
+        col("maxkey"))
     spine.join(state, Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
-        lit(width).as("domain"),
-        (lit(width) - coalesce(col("n_keys"), lit(0L))).as("n_missing"))
+        // the reference-bounded last cell is partial: clip its domain
+        when(col("maxkey").isNotNull,
+          least(lit(width), col("maxkey") - col("cell") * width + 1))
+          .otherwise(lit(width)).as("domain"),
+        (when(col("maxkey").isNotNull,
+          least(lit(width), col("maxkey") - col("cell") * width + 1))
+          .otherwise(lit(width)) -
+          coalesce(col("n_keys"), lit(0L))).as("n_missing"))
       .filter(col("n_missing") > 0)
   }
 

@@ -25,14 +25,24 @@ import org.apache.spark.sql.types._
   *     deterministically outrank every row the mirror held at signal
   *     time (stale rows get repaired, not just missing ones) while
   *     LOSING to every post-signal stream event — ts > hw0, or an
-  *     equal-ts ms tie whose offset is monotonically past off0. The
+  *     equal-ts ms tie whose offset is strictly past off0. The
   *     backfill never needs to beat concurrent stream state: the
   *     stream is complete going forward from the signal, so a chunk
   *     copy that loses a version race is repaired by the very event
   *     that beat it (or a later one). Versioning chunks at the live
   *     batch clock instead (the obvious choice) silently DISCARDS any
   *     later-batch stream update that ties the run's high-water ts_ms
-  *     — ms-granularity ties are common under CDC bursts;
+  *     — ms-granularity ties are common under CDC bursts. One
+  *     boundary record remains genuinely ambiguous: the IMMEDIATELY
+  *     NEXT stream record (offset exactly off0) arriving with ts_ms
+  *     equal to hw0 ties the epoch, and the keyed max_by resolves
+  *     ties arbitrarily — unavoidable with a (ts, offset)-only
+  *     version (the chunk must strictly beat (hw0, off0-1), the
+  *     newest signal-time row, to repair it when stale). The exposure
+  *     is one record per run, and only when that record's DB change
+  *     postdates the chunk read AND no later event ever touches the
+  *     key; a third version component (snapshot-epoch flag) is the
+  *     full fix but reorders every mirror's merge contract;
   *   - progress (lastKey per table + hw + processed signal ids)
   *     commits per batch to `_signals/state-<batchId>` exactly like a
   *     mirror manifest, so a foreachBatch REPLAY recomputes the same

@@ -62,6 +62,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](decodeY4m(y4m.dropRight(1)))
   }
 
+  test("poison payloads THROW, never hang or index out of bounds: " +
+    "negative RIFF chunk size, bad BMP offset, absurd Y4M geometry") {
+    // negative chunk size used to make the RIFF walk a no-op forever —
+    // a poison record would hang the executor instead of routing to DLQ
+    val wav = encodeWav(8000, seqBytes(0, 16))
+    val negChunk = wav.take(12) ++
+      Array[Byte]('J', 'U', 'N', 'K') ++ Array[Byte](-8, -1, -1, -1) ++
+      wav.drop(12)
+    intercept[IllegalArgumentException](decodeWav(negChunk))
+    // pixel-data offset pointing before the header / past the buffer
+    val bmp = encodeBmp(8, 2, seqBytes(0, 48))
+    val badOff = bmp.clone(); badOff(10) = 1; badOff(11) = 1 // off=65793
+    intercept[IllegalArgumentException](decodeBmp(badOff))
+    val negOff = bmp.clone(); negOff(13) = -1 // off < 0
+    intercept[IllegalArgumentException](decodeBmp(negOff))
+    // W*H overflowing Int must fail the geometry check, not misparse
+    intercept[IllegalArgumentException](
+      decodeY4m("YUV4MPEG2 W100000 H100000 F25:1 Ip A1:1 Cmono\nFRAME\n"
+        .getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      decodeY4m("YUV4MPEG2 W-4 H3 F25:1 Ip A1:1 Cmono\nFRAME\n"
+        .getBytes("US-ASCII")))
+  }
+
   test("sniffDecode dispatches on magic, rejects unknown containers") {
     assert(Multimodal.sniffDecode(encodeBmp(8, 2, seqBytes(0, 48))).height == 2)
     assert(Multimodal.sniffDecode(encodeWav(9000, seqBytes(0, 10))).width == 9000)

@@ -316,15 +316,27 @@ class AsofJoinNativeSpec extends SparkSpec {
       df.queryExecution.optimizedPlan.toString.take(1500))
     assert(rightFilters.head.condition.toString.contains("o_custkey"),
       rightFilters.head.condition.toString)
-    // equality shape reaches the right SCAN's PushedFilters
+    // equality shape reaches the right SCAN's PushedFilters. (Left-side
+    // scan pushdown is pinned logically above and physically by the
+    // older left-pushdown test; asserting the left scan's PushedFilters
+    // here is order-fragile under the shared test session — an earlier
+    // suite's cache can absorb the events scan into an
+    // InMemoryRelation, whose embedded scan text shows the ORIGINAL
+    // empty PushedFilters: the NOTES persistOnce plan-text gotcha.)
     val dfEq = joined.filter(col("user_id") === 3L)
     dfEq.collect()
     val phys = dfEq.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val pushedSections = "PushedFilters: \\[[^\\]]*\\]".r
       .findAllIn(phys).toSeq
-    assert(pushedSections.count(_.contains("EqualTo")) == 2,
-      s"expected the key predicate pushed to BOTH scans: $pushedSections")
+    assert(pushedSections.exists(_.contains("EqualTo(o_custkey,3)")),
+      s"expected the TRANSPOSED key predicate on the right scan: " +
+        s"$pushedSections")
+    val nEq = dfEq.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    assert(nEq.left.collect { case f: LFilter => f }.nonEmpty &&
+      nEq.right.collect { case f: LFilter => f }.nonEmpty,
+      "both children must carry the predicate logically")
     // value parity with the unpushed formulation
     val expected = joined.collect()
       .filter(r => r.getLong(r.fieldIndex("user_id")) % 10 == 3)
@@ -367,6 +379,27 @@ class AsofJoinNativeSpec extends SparkSpec {
     val rows = unsafe.select($"trade_id", $"px")
       .as[(Long, Option[Double])].collect().toMap
     assert(rows == Map(1L -> Some(1.0), 3L -> None), rows.toString)
+  }
+
+  test("idempotence THROUGH the pruning Project: a kept-above right-key " +
+    "predicate on a pruned-right plan lands exactly one copy below") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // wide right side (extra columns) so the rule's own pruning case
+    // wraps the pushed Filter in a Project — the fixed-point guard must
+    // look through it or it stacks a duplicate Filter every pass
+    val q = Seq(("A", 10L, 1.0, "x", 1), ("B", 20L, 3.0, "y", 2))
+      .toDF("qsym", "qt", "px", "extra1", "extra2")
+    val t = Seq((1L, "A", 25L), (2L, "B", 25L)).toDF("trade_id", "sym", "t")
+    val df = AsofJoinNative(t, q, "sym", "qsym", "t", "qt",
+      Seq("qsym", "px")).filter(col("qsym") === "B")
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    val rightFilters = node.right.collect { case f: LFilter => f }
+    assert(rightFilters.size == 1,
+      s"expected exactly ONE pushed copy, got ${rightFilters.size}: " +
+        df.queryExecution.optimizedPlan.toString.take(1500))
+    assert(df.select($"trade_id", $"px").as[(Long, Double)]
+      .collect().toMap == Map(2L -> 3.0))
   }
 
   test("right-PAYLOAD predicate never pushes: pushing would re-match " +

@@ -499,5 +499,22 @@ class CdcPipelineSpec extends SparkSpec {
       dropped.zipWithIndex.map { case (i, k) =>
         drec(i, "c", 3000, 2000L + k) }.toDF(), 2L, cfg)
     assert(gaps().isEmpty, s"refilled ranges must clear: ${gaps()}")
+
+    // TAIL truncation: dropping the TOP cells shrinks the observed max,
+    // so observed-only mode is blind (documented) — the REFERENCE-bound
+    // mode must flag both the vanished full cell and the partial last
+    // cell (clipped domain)
+    CdcPipeline.processBatch(
+      (192L until 270L).zipWithIndex.map { case (i, k) =>
+        drec(i, "d", 4000, 3000L + k) }.toDF(), 3L, cfg)
+    val bounded = CdcPipeline.lowDensityCells(spark, cfg, "density", "id",
+      expectedMaxKey = Some(269L))
+      .select("cell", "n_keys", "domain", "n_missing")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bounded == Set((3L, 0L, 64L, 64L), (4L, 0L, 14L, 14L)),
+      s"reference-bounded audit must flag the dropped tail: $bounded")
+    assert(gaps().isEmpty,
+      "observed-only mode cannot see a tail drop (the documented " +
+        "limitation the reference bound exists for)")
   }
 }

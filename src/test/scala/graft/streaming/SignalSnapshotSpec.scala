@@ -131,11 +131,14 @@ class SignalSnapshotSpec extends SparkSpec {
 
     // batch 2: a stream update for an ALREADY-backfilled key arriving
     // with ts_ms EQUAL to the epoch hw (an ms-granularity CDC-burst
-    // tie) — its offset is monotonically past the epoch, so it must
-    // win; versioning chunks at (hw, Long.MaxValue) silently discarded
-    // exactly this update
+    // tie) — its offset (11) is STRICTLY past the epoch (10), so it
+    // must win deterministically; versioning chunks at
+    // (hw, Long.MaxValue) silently discarded every equal-ts update.
+    // (Offset exactly 10 would TIE the epoch — the documented
+    // one-record ambiguity max_by resolves arbitrarily, so the spec
+    // pins the deterministic region.)
     CdcPipeline.processBatch(
-      Seq(rec(3, "TIE3", "u", 5000, 10)).toDF(), 2L, cfg)
+      Seq(rec(3, "TIE3", "u", 5000, 11)).toDF(), 2L, cfg)
     assert(mirrorMap()(3L) == "TIE3",
       "equal-ts later-batch stream update must beat the backfill")
     // and the run keeps going to completion regardless

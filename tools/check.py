@@ -144,9 +144,14 @@ def main(sfdir, outdir, json_out=None):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     jout = None
-    if "--json" in sys.argv:
-        jout = sys.argv[sys.argv.index("--json") + 1]
-        args.remove(jout) if jout in args else None
-    sys.exit(1 if main(args[0], args[1], jout) else 0)
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: check.py <sfdir> <outdir> [--json <artifact>]")
+        jout = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2 or any(a.startswith("--") for a in argv):
+        sys.exit("usage: check.py <sfdir> <outdir> [--json <artifact>]")
+    sys.exit(1 if main(argv[0], argv[1], jout) else 0)

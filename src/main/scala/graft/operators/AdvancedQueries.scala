@@ -144,6 +144,49 @@ object AdvancedQueries {
         "partitioning preserved; oracle derives the version index " +
         "arithmetically"),
 
+    // The AS-OF ANTI shape — the SLA/staleness monitor: which errors
+    // were never followed by a purchase within the tolerance window
+    // ("unresolved within a day")? The native forward+tolerance as-of
+    // exec answers it with ONE merge pass (a null payload IS the
+    // no-match verdict), where the naive formulation is a range join +
+    // distinct. Per-user rollup after; both match and no-match paths
+    // are populated at every gate SF (124/201 unresolved at sf0.001).
+    Q("join_asof_unmatched",
+      (s, d) => {
+        val ev = load(s, d, "events")
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        graft.plans.AsofJoinNative(err, pur,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          rightPayload = Seq("purchase_id"),
+          direction = "forward", toleranceSec = Some(86400L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_errors"),
+            sum(col("purchase_id").isNull.cast("long")).as("n_unresolved"))
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id AS error_id, user_id, ts FROM events
+             |  WHERE event_type = 'error'),
+             |pur AS (
+             |  SELECT DISTINCT user_id AS p_user, ts AS p_ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT e.error_id, e.user_id, count(p.p_ts) AS nm
+             |  FROM err e LEFT JOIN pur p ON p.p_user = e.user_id
+             |    AND p.p_ts >= e.ts AND p.p_ts <= e.ts + INTERVAL 1 DAY
+             |  GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors,
+             |  CAST(sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unresolved
+             |FROM m GROUP BY 1""".stripMargin),
+      "as-of ANTI via the native forward+tolerance exec: unresolved-" +
+        "within-window monitoring in one merge pass, null payload = " +
+        "no-match; oracle replays via a bounded range join"),
+
     // THEIL INDEX with between/within decomposition — the inequality
     // measure Gini can't decompose: how concentrated is corpus volume,
     // and is the concentration BETWEEN languages (source imbalance —

@@ -647,6 +647,65 @@ object PipelineQueries {
         "per-domain sampling rates respect the target mix — one corpus " +
         "scan, O(domains) arithmetic"),
 
+    // TOKEN-BUDGET split — carve train/val by CUMULATIVE TOKENS (not
+    // doc counts: doc-count splits skew token mass when lengths vary)
+    // in a deterministic pseudo-random order (md5 of the doc id), cut
+    // at 90% of the total. Scale shape: the global running sum is the
+    // TWO-PHASE SWEEP (16 md5-prefix buckets: per-bucket partitioned
+    // windows + an O(16) carry prefix broadcast back), never a global
+    // row sort — the window_sweep_concurrency discipline. The cut
+    // compares exact integers (10·cum ≤ 9·total), so the boundary doc
+    // is engine-exact.
+    Q("pipeline_token_budget_split",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("toks"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("bucket", substring(col("h"), 1, 1))
+        val local = docs.withColumn("local_cum",
+          sum(col("toks")).over(Window.partitionBy(col("bucket"))
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bucketTotals = docs.groupBy(col("bucket"))
+          .agg(sum(col("toks")).as("btoks"))
+        val prefixes = bucketTotals
+          .withColumn("prefix",
+            coalesce(sum(col("btoks")).over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("prefix"))
+        val total = docs.agg(sum(col("toks")).as("total"))
+        local.join(broadcast(prefixes), "bucket")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("toks"),
+            when((col("prefix") + col("local_cum")) * 10 <=
+              col("total") * 9, "train").otherwise("val").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    sum(toks) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cum,
+             |    (SELECT sum(toks) FROM t) AS total
+             |  FROM t)
+             |SELECT CASE WHEN cum * 10 <= total * 9 THEN 'train'
+             |    ELSE 'val' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1""".stripMargin),
+      "token-budget train/val split at 90% of cumulative tokens in " +
+        "md5 order: two-phase sweep (bucketed windows + O(16) carry), " +
+        "exact-integer cut — no global row sort"),
+
     // Reproducible epoch shuffling — every epoch must visit the corpus
     // in a different order, yet the order must be a pure function of
     // (epoch, doc_id) so a resumed/re-run job shards identically. The

@@ -350,5 +350,318 @@ object StatsQueries {
              |    CAST(nation_cents AS DOUBLE)), 4) AS top_share
              |FROM j GROUP BY 1""".stripMargin),
       "HHI market concentration per nation: supplier-grain exact-cents " +
-        "rollup below a broadcast dim join, shares as exact ratios"))
+        "rollup below a broadcast dim join, shares as exact ratios"),
+
+    // Spearman rank correlation between daily traffic and daily revenue
+    // — the monotone-association screen Pearson (profile_correlation_
+    // matrix) misses when the relation is nonlinear. Day-grain rollup
+    // first (calendar-bounded: ~31 rows at ANY scale factor), exact
+    // cents for the revenue sum, then DOUBLED mid-ranks (2·minrank +
+    // ties − 1 stays integer) from two windows over the tiny frame and
+    // Pearson's closed form on exact integer moments. sqrt/division are
+    // IEEE-correctly-rounded in both engines, so the result ships
+    // unrounded. Windows are unpartitioned but the frame is day-grain
+    // (the PlanAuditSpec regime).
+    Q("profile_spearman_corr",
+      (s, d) => {
+        val day = load(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(round(col("value") * 100).cast("long")).as("y"))
+        val ranked = day.select(
+          (rank().over(Window.orderBy(col("x"))).cast("long") * 2 +
+            count(lit(1)).over(Window.partitionBy(col("x"))) - 1).as("rx"),
+          (rank().over(Window.orderBy(col("y"))).cast("long") * 2 +
+            count(lit(1)).over(Window.partitionBy(col("y"))) - 1).as("ry"))
+        ranked
+          .agg(count(lit(1)).as("n"),
+            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("rho"))
+      },
+      Some("""WITH day AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y
+             |  FROM events GROUP BY 1),
+             |r AS (
+             |  SELECT
+             |    CAST(rank() OVER (ORDER BY x) * 2 +
+             |      count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             |    CAST(rank() OVER (ORDER BY y) * 2 +
+             |      count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+             |  FROM day),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(rx) AS BIGINT) AS sx,
+             |    CAST(sum(ry) AS BIGINT) AS sy,
+             |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+             |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+             |  FROM r)
+             |SELECT n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+             |FROM m""".stripMargin),
+      "Spearman rank correlation on the day-grain rollup: doubled " +
+        "integer mid-ranks + Pearson closed form, exact moments"),
+
+    // Mann-Whitney U — the distribution-free two-sample test (purchase
+    // vs click values): no normality assumption, unlike
+    // quality_welch_ttest on the same comparison. The AUC machinery
+    // (exact doubled mid-ranks on the DISTINCT-CENTS rollup — value
+    // domain, not row grain) gives the rank sum in one pass; the
+    // tie-corrected normal approximation is a fixed double chain over
+    // exact integer moments (Σ(t³−t) ≤ n³ — long-safe through sf1;
+    // the 100 TB form shards the value rollup, same shape). u1 is an
+    // exact dyadic (possibly .5) so it ships as double, z unrounded
+    // (identical IEEE chains both engines).
+    Q("quality_mann_whitney",
+      (s, d) => {
+        val ev = load(s, d, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select((col("event_type") === lit("purchase"))
+            .cast("long").as("g1"),
+            round(col("value") * 100).cast("long").as("v"))
+        val byV = ev.groupBy(col("v"))
+          .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("cnt1"))
+          .withColumn("cum",
+            sum(col("cnt")).over(Window.orderBy(col("v"))))
+          .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        byV
+          .agg(sum(col("cnt")).as("n"), sum(col("cnt1")).as("n1"),
+            sum(col("cnt1") * col("rank2")).as("r1_2"),
+            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+              .as("ties"))
+          .select(col("n1"), (col("n") - col("n1")).as("n2"), col("n"),
+            col("r1_2"), col("ties"))
+          .select(col("n1"), col("n2"),
+            ((col("r1_2") - col("n1") * (col("n1") + 1))
+              .cast("double") / lit(2.0)).as("u1"),
+            (((col("r1_2") - col("n1") * (col("n1") + 1)) -
+              col("n1") * col("n2")).cast("double") /
+              (lit(2.0) * sqrt(
+                (col("n1") * col("n2")).cast("double") / lit(12.0) *
+                  ((col("n") + 1).cast("double") -
+                    col("ties").cast("double") /
+                      (col("n") * (col("n") - 1)).cast("double")))))
+              .as("z"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END AS g1,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |g AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(g1) AS BIGINT) AS cnt1
+             |  FROM ev GROUP BY 1),
+             |r AS (
+             |  SELECT cnt, cnt1,
+             |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) * 2
+             |      - cnt + 1 AS rank2
+             |  FROM g),
+             |m AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(cnt1) AS BIGINT) AS n1,
+             |    CAST(sum(cnt1 * rank2) AS BIGINT) AS r1_2,
+             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+             |  FROM r)
+             |SELECT n1, n - n1 AS n2,
+             |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             |  CAST((r1_2 - n1 * (n1 + 1)) - n1 * (n - n1) AS DOUBLE) /
+             |    (2.0 * sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12.0 *
+             |      (CAST(n + 1 AS DOUBLE) -
+             |       CAST(ties AS DOUBLE) /
+             |         CAST(n * (n - 1) AS DOUBLE)))) AS z
+             |FROM m""".stripMargin),
+      "Mann-Whitney U two-sample rank test: exact doubled mid-ranks on " +
+        "the distinct-cents rollup, tie-corrected normal z"),
+
+    // Kruskal-Wallis — Mann-Whitney generalized to all five event
+    // types: one (type, cents) grain pass, the value-grain rank frame
+    // DERIVED from it (no second scan), per-type doubled rank sums via
+    // an equi-join at value grain. Rj² crosses 2^63 by sf1, so each
+    // per-type term casts the EXACT long rank-sum to double before
+    // squaring (the r9 moment-product rule — sf0.1-gate verified);
+    // the 5-term cross-group sum is order-unstable, so H rounds 4dp.
+    Q("quality_kruskal_wallis",
+      (s, d) => {
+        val gv = load(s, d, "events")
+          .select(col("event_type").as("g"),
+            round(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("g"), col("v"))
+          .agg(count(lit(1)).as("gcnt"))
+        val vg = gv.groupBy(col("v")).agg(sum(col("gcnt")).as("cnt"))
+          .withColumn("cum",
+            sum(col("cnt")).over(Window.orderBy(col("v"))))
+          .select(col("v"), col("cnt"),
+            (col("cum") * 2 - col("cnt") + 1).as("rank2"))
+        val perGroup = gv.join(vg.select(col("v"), col("rank2")), Seq("v"))
+          .groupBy(col("g"))
+          .agg(sum(col("gcnt")).as("nj"),
+            sum(col("gcnt") * col("rank2")).as("rj2"))
+        val tot = vg.agg(sum(col("cnt")).as("n"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .as("ties"))
+        perGroup.crossJoin(broadcast(tot))
+          .select(col("g"), col("nj"), col("rj2"), col("n"), col("ties"),
+            (col("rj2").cast("double") * col("rj2").cast("double") /
+              (lit(4.0) * col("nj").cast("double"))).as("term"))
+          .agg(count(lit(1)).as("k_groups"), max(col("n")).as("n"),
+            sum(col("term")).as("sumterm"), max(col("ties")).as("ties"))
+          .select(col("k_groups"), col("n"),
+            round((lit(12.0) * col("sumterm") /
+              (col("n") * (col("n") + 1)).cast("double") -
+              lit(3.0) * (col("n") + 1).cast("double")) /
+              (lit(1.0) - col("ties").cast("double") /
+                (col("n") * col("n") * col("n") - col("n"))
+                  .cast("double")), 4).as("h"))
+      },
+      Some("""WITH gv AS (
+             |  SELECT event_type AS g,
+             |    CAST(round(value * 100) AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS gcnt
+             |  FROM events GROUP BY 1, 2),
+             |vg AS (
+             |  SELECT v, CAST(sum(gcnt) AS BIGINT) AS cnt
+             |  FROM gv GROUP BY 1),
+             |vr AS (
+             |  SELECT v, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) * 2
+             |      - cnt + 1 AS rank2
+             |  FROM vg),
+             |pg AS (
+             |  SELECT g, CAST(sum(gcnt) AS BIGINT) AS nj,
+             |    CAST(sum(gcnt * rank2) AS BIGINT) AS rj2
+             |  FROM gv JOIN vr USING (v) GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+             |  FROM vg),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k_groups, max(n) AS n,
+             |    sum(CAST(rj2 AS DOUBLE) * CAST(rj2 AS DOUBLE) /
+             |      (4.0 * CAST(nj AS DOUBLE))) AS sumterm,
+             |    max(ties) AS ties
+             |  FROM pg CROSS JOIN tot)
+             |SELECT k_groups, n,
+             |  round((12.0 * sumterm / CAST(n * (n + 1) AS DOUBLE) -
+             |    3.0 * CAST(n + 1 AS DOUBLE)) /
+             |    (1.0 - CAST(ties AS DOUBLE) /
+             |      CAST(n * n * n - n AS DOUBLE)), 4) AS h
+             |FROM m""".stripMargin),
+      "Kruskal-Wallis k-group rank test: one (type, cents) pass, " +
+        "value-grain ranks, tie-corrected H rounded 4dp"),
+
+    // Krippendorff's alpha — the reliability coefficient that remains
+    // comparable across designs (kappa family fails under prevalence
+    // skew). Nominal binary, the SAME three deterministic pseudo-raters
+    // as eval_fleiss_kappa (deliberately: one fixture, two coefficient
+    // families — their disagreement is itself informative). With m=3
+    // and no missing values the whole statistic collapses to three
+    // integer sums: D_o ∝ Σk(3−k), D_e from the pooled margin, and
+    // alpha = 1 − dis·(3N−1) / (2P(3N−P)) ships as ONE exact-integer
+    // division chain, unrounded.
+    Q("eval_krippendorff_alpha",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          (when(col("n_chars") >= 200, 1L).otherwise(0L) +
+            when((col("doc_id") * 31) % 100 < 55, 1L).otherwise(0L) +
+            when((col("n_chars") + col("doc_id") * 7) % 13 < 7, 1L)
+              .otherwise(0L)).as("k"))
+        t.agg(count(lit(1)).as("n_items"), sum(col("k")).as("p"),
+            sum(col("k") * (lit(3L) - col("k"))).as("dis"))
+          .select(col("n_items"),
+            (col("dis").cast("double") /
+              (lit(3L) * col("n_items")).cast("double")).as("d_o"),
+            ((lit(2L) * col("p") * (lit(3L) * col("n_items") - col("p")))
+              .cast("double") /
+              ((lit(3L) * col("n_items")) *
+                (lit(3L) * col("n_items") - 1)).cast("double")).as("d_e"),
+            (lit(1.0) -
+              (col("dis") * (lit(3L) * col("n_items") - 1)).cast("double") /
+                (lit(2L) * col("p") *
+                  (lit(3L) * col("n_items") - col("p"))).cast("double"))
+              .as("alpha"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN (doc_id * 31) % 100 < 55 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN (n_chars + doc_id * 7) % 13 < 7
+             |          THEN 1 ELSE 0 END) AS k
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(k) AS BIGINT) AS p,
+             |    CAST(sum(k * (3 - k)) AS BIGINT) AS dis
+             |  FROM t)
+             |SELECT n_items,
+             |  CAST(dis AS DOUBLE) / CAST(3 * n_items AS DOUBLE) AS d_o,
+             |  CAST(2 * p * (3 * n_items - p) AS DOUBLE) /
+             |    CAST((3 * n_items) * (3 * n_items - 1) AS DOUBLE) AS d_e,
+             |  1.0 - CAST(dis * (3 * n_items - 1) AS DOUBLE) /
+             |    CAST(2 * p * (3 * n_items - p) AS DOUBLE) AS alpha
+             |FROM m""".stripMargin),
+      "Krippendorff's alpha (nominal, m=3, no missing): three integer " +
+        "sums, exact closed form — the skew-robust reliability gate"),
+
+    // Cochran's Q — McNemar generalized to k=3 paired binary
+    // classifiers scored on the SAME documents (eval_mcnemar covers
+    // k=2): do the three judge columns differ in positive rate, given
+    // per-document pairing? Column totals G_j, row totals L_i, and
+    // Q = (k−1)(kΣG_j² − (ΣG_j)²)/(kΣL_i − ΣL_i²) — five integer sums
+    // in one map-side pass, one exact division, unrounded.
+    Q("eval_cochrans_q",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          when(col("n_chars") >= 200, 1L).otherwise(0L).as("c1"),
+          when((col("doc_id") * 31) % 100 < 55, 1L).otherwise(0L).as("c2"),
+          when((col("n_chars") + col("doc_id") * 7) % 13 < 7, 1L)
+            .otherwise(0L).as("c3"))
+        t.agg(count(lit(1)).as("n"),
+            sum(col("c1")).as("g1"), sum(col("c2")).as("g2"),
+            sum(col("c3")).as("g3"),
+            sum(col("c1") + col("c2") + col("c3")).as("sl"),
+            sum((col("c1") + col("c2") + col("c3")) *
+              (col("c1") + col("c2") + col("c3"))).as("sl2"))
+          .select(col("n"), col("g1"), col("g2"), col("g3"), lit(2L).as("df"),
+            ((lit(2L) * (lit(3L) * (col("g1") * col("g1") +
+              col("g2") * col("g2") + col("g3") * col("g3")) -
+              col("sl") * col("sl"))).cast("double") /
+              (lit(3L) * col("sl") - col("sl2")).cast("double")).as("q"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS c1,
+             |    CASE WHEN (doc_id * 31) % 100 < 55 THEN 1 ELSE 0 END
+             |      AS c2,
+             |    CASE WHEN (n_chars + doc_id * 7) % 13 < 7 THEN 1 ELSE 0
+             |      END AS c3
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c1) AS BIGINT) AS g1,
+             |    CAST(sum(c2) AS BIGINT) AS g2,
+             |    CAST(sum(c3) AS BIGINT) AS g3,
+             |    CAST(sum(c1 + c2 + c3) AS BIGINT) AS sl,
+             |    CAST(sum((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT)
+             |      AS sl2
+             |  FROM t)
+             |SELECT n, g1, g2, g3, CAST(2 AS BIGINT) AS df,
+             |  CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - sl * sl)
+             |    AS DOUBLE) / CAST(3 * sl - sl2 AS DOUBLE) AS q
+             |FROM m""".stripMargin),
+      "Cochran's Q for k=3 paired binary classifiers: five integer " +
+        "sums map-side, exact division — the k-way McNemar"))
 }

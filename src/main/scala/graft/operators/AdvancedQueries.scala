@@ -2688,6 +2688,170 @@ object AdvancedQueries {
         "Brier score over planted-signal milli-scores — distinct-score " +
         "rollup, integers end-to-end, no n_pos×n_neg pair compare"),
 
+    // The operating-point view AUC's single scalar hides: precision /
+    // recall / F1 at EVERY distinct score threshold (predict positive
+    // when s >= t). Same planted-score derivation and distinct-score
+    // rollup as eval_auc_brier; TP/FP at each threshold are reverse-
+    // cumulative integer sums over the value-domain frame (never row
+    // grain), and all three metrics ship as single exact-integer
+    // divisions — F1 in its 2TP/(2TP+FP+FN) form so no compound
+    // double chain exists to diverge.
+    Q("eval_pr_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = plantedScores(s, d)
+        val g = ev.groupBy(col("s"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l")).as("pos"))
+        val w = Window.orderBy(col("s"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        g.withColumn("tp", sum(col("pos")).over(w))
+          .withColumn("pp", sum(col("cnt")).over(w))
+          // total positives = one full-frame window over the SAME sort,
+          // not a second aggregation subplan over the rollup
+          .withColumn("n_pos", sum(col("pos")).over(Window.orderBy(col("s"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select(col("s").as("threshold"), col("tp"),
+            (col("pp") - col("tp")).as("fp"),
+            (col("tp").cast("double") / col("pp")).as("precision"),
+            (col("tp").cast("double") / col("n_pos")).as("recall"),
+            ((lit(2L) * col("tp")).cast("double") /
+              (col("pp") + col("n_pos"))).as("f1"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(concat('0x', substr(md5(concat('lbl|',
+             |      CAST(event_id AS VARCHAR))), 1, 1)) AS INTEGER) % 2 AS l,
+             |    CAST(concat('0x', substr(md5(concat('scr|',
+             |      CAST(event_id AS VARCHAR))), 1, 3)) AS INTEGER) % 1000 AS u
+             |  FROM events),
+             |sc AS (SELECT l, (u * 6) // 10 + l * 400 AS s FROM ev),
+             |g AS (
+             |  SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(l) AS BIGINT) AS pos
+             |  FROM sc GROUP BY 1),
+             |r AS (
+             |  SELECT s,
+             |    CAST(sum(pos) OVER (ORDER BY s ROWS BETWEEN CURRENT ROW
+             |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+             |    CAST(sum(cnt) OVER (ORDER BY s ROWS BETWEEN CURRENT ROW
+             |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS pp,
+             |    CAST(sum(pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_pos
+             |  FROM g)
+             |SELECT CAST(s AS BIGINT) AS threshold, tp, pp - tp AS fp,
+             |  CAST(tp AS DOUBLE) / pp AS precision,
+             |  CAST(tp AS DOUBLE) / n_pos AS recall,
+             |  CAST(2 * tp AS DOUBLE) / (pp + n_pos) AS f1
+             |FROM r""".stripMargin),
+      "precision/recall/F1 at every distinct threshold: reverse-" +
+        "cumulative integer sums on the score-domain rollup, exact " +
+        "single divisions"),
+
+    // Corpus-level BLEU-2 between deterministically paired documents
+    // (even doc_id = reference, odd = candidate — the dense-id pairing;
+    // 31-token vocab guarantees non-degenerate overlap at every SF).
+    // Clipped n-gram counts come from ONE role-tagged explode per gram
+    // order: conditional sums per (pair, gram) make the clip a
+    // least(cand, ref) with NO cand⋈ref join, and incomplete pairs
+    // contribute zero clip AND zero denominator, so they cancel
+    // exactly. Integer sums end-to-end; p1/p2 are single exact
+    // divisions; bp/bleu round 4dp for the libm exp/ln (the KM rule:
+    // zero-factor CASE before ln on both engines).
+    Q("eval_bleu_overlap",
+      (s, d) => {
+        val t = graft.core.Caching.persistOnce(
+          load(s, d, "documents").select(
+            expr("doc_id DIV 2").as("pair"),
+            (col("doc_id") % 2 === 1).cast("long").as("is_c"),
+            split(col("text"), " ").as("w")))
+        val lens = t.groupBy(col("pair"))
+          .agg(count(lit(1)).as("nr"),
+            sum(when(col("is_c") === 1, size(col("w"))).otherwise(0))
+              .as("clen"),
+            sum(when(col("is_c") === 0, size(col("w"))).otherwise(0))
+              .as("rlen"))
+          .filter(col("nr") === 2)
+          .agg(count(lit(1)).as("n_pairs"), sum(col("clen")).as("c_tot"),
+            sum(col("rlen")).as("r_tot"),
+            sum(col("clen") - 1).as("c_tot2"))
+        def clipSum(grams: DataFrame, name: String): DataFrame =
+          grams.groupBy(col("pair"), col("g"))
+            .agg(sum(col("is_c")).as("cc"),
+              sum(lit(1L) - col("is_c")).as("rc"))
+            .agg(sum(least(col("cc"), col("rc"))).as(name))
+        val clip1 = clipSum(t.select(col("pair"), col("is_c"),
+          explode(col("w")).as("g")), "clip1")
+        val clip2 = clipSum(t.filter(size(col("w")) >= 2)
+          .select(col("pair"), col("is_c"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(w[i-1], ' ', w[i]))")).as("g")), "clip2")
+        lens.crossJoin(clip1).crossJoin(clip2)
+          .select(col("n_pairs"),
+            (col("clip1").cast("double") / col("c_tot")).as("p1"),
+            (col("clip2").cast("double") / col("c_tot2")).as("p2"),
+            when(col("c_tot") > col("r_tot"), lit(1.0))
+              .otherwise(round(exp(lit(1.0) -
+                col("r_tot").cast("double") / col("c_tot")), 4)).as("bp"),
+            when(col("clip1") === 0 || col("clip2") === 0, lit(0.0))
+              .otherwise(round(
+                when(col("c_tot") > col("r_tot"), lit(1.0))
+                  .otherwise(exp(lit(1.0) -
+                    col("r_tot").cast("double") / col("c_tot"))) *
+                  exp((log(col("clip1").cast("double") / col("c_tot")) +
+                    log(col("clip2").cast("double") / col("c_tot2"))) /
+                    lit(2.0)), 4)).as("bleu"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id // 2 AS pair,
+             |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_c,
+             |    string_split(text, ' ') AS w
+             |  FROM documents),
+             |lens AS (
+             |  SELECT pair, count(*) AS nr,
+             |    CAST(sum(CASE WHEN is_c = 1 THEN len(w) ELSE 0 END)
+             |      AS BIGINT) AS clen,
+             |    CAST(sum(CASE WHEN is_c = 0 THEN len(w) ELSE 0 END)
+             |      AS BIGINT) AS rlen
+             |  FROM t GROUP BY 1),
+             |lt AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(clen) AS BIGINT) AS c_tot,
+             |    CAST(sum(rlen) AS BIGINT) AS r_tot,
+             |    CAST(sum(clen - 1) AS BIGINT) AS c_tot2
+             |  FROM lens WHERE nr = 2),
+             |uc AS (
+             |  SELECT pair, g, CAST(sum(is_c) AS BIGINT) AS cc,
+             |    CAST(sum(1 - is_c) AS BIGINT) AS rc
+             |  FROM (SELECT pair, is_c, unnest(w) AS g FROM t)
+             |  GROUP BY 1, 2),
+             |u1 AS (SELECT CAST(sum(least(cc, rc)) AS BIGINT) AS clip1
+             |       FROM uc),
+             |bc AS (
+             |  SELECT pair, g, CAST(sum(is_c) AS BIGINT) AS cc,
+             |    CAST(sum(1 - is_c) AS BIGINT) AS rc
+             |  FROM (SELECT pair, is_c,
+             |          unnest(list_transform(generate_series(1, len(w) - 1),
+             |            i -> w[i] || ' ' || w[i+1])) AS g
+             |        FROM t WHERE len(w) >= 2)
+             |  GROUP BY 1, 2),
+             |b1 AS (SELECT CAST(sum(least(cc, rc)) AS BIGINT) AS clip2
+             |       FROM bc)
+             |SELECT n_pairs,
+             |  CAST(clip1 AS DOUBLE) / c_tot AS p1,
+             |  CAST(clip2 AS DOUBLE) / c_tot2 AS p2,
+             |  CASE WHEN c_tot > r_tot THEN 1.0
+             |    ELSE round(exp(1.0 - CAST(r_tot AS DOUBLE) / c_tot), 4)
+             |    END AS bp,
+             |  CASE WHEN clip1 = 0 OR clip2 = 0 THEN 0.0
+             |    ELSE round((CASE WHEN c_tot > r_tot THEN 1.0
+             |        ELSE exp(1.0 - CAST(r_tot AS DOUBLE) / c_tot) END) *
+             |      exp((ln(CAST(clip1 AS DOUBLE) / c_tot) +
+             |        ln(CAST(clip2 AS DOUBLE) / c_tot2)) / 2.0), 4)
+             |    END AS bleu
+             |FROM lt CROSS JOIN u1 CROSS JOIN b1""".stripMargin),
+      "corpus-level BLEU-2 over paired documents: clipped n-gram " +
+        "counts via role-tagged conditional sums, no cand-ref join"),
+
     // Calibration companion: reliability-diagram bins over the same
     // planted scores. O(bins) output; mean predicted vs observed
     // positive rate per decile plus the per-bin gap — all integer

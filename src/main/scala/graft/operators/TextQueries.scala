@@ -471,7 +471,8 @@ object TextQueries {
       "top-k vocabulary token coverage at concrete cutoffs: rank + " +
         "cumulative sum over the vocab aggregate, exact-integer " +
         "shares unrounded")) :+ shingleProfile :+ autocompleteTopk :+
-    rakeKeyphrases :+ goodTuring :+ textrankKeywords :+ heapsLaw
+    rakeKeyphrases :+ goodTuring :+ textrankKeywords :+ heapsLaw :+
+    burrowsDelta :+ msttrDiversity
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -873,4 +874,140 @@ object TextQueries {
       "Heaps-law 5-gram vocabulary growth by doc-id decile: arithmetic " +
         "slicing (no global rank), one gram-keyed first-seen rollup, " +
         "cumulative curves + local beta exponents over 10 rows")
+
+  // Burrows' delta — the stylometric distance behind authorship
+    // attribution: how far apart are two SOURCES in their relative use
+    // of the corpus's most frequent words? Frequencies quantize to
+    // exact integer ppm (c·10⁶ div T — long-safe, 1e12 per square,
+    // 20 sources), z-scores use the integer closed form
+    // (n·f − Σf)/sqrt(n·Σf² − (Σf)²) over the 16×20 grid (zero-variance
+    // words pinned to z=0 on both engines), and the per-pair mean of
+    // 16 |z₁−z₂| terms rounds 4dp (cross-word double sum). The grid is
+    // built source×word so ZERO counts score properly — a word a
+    // source never uses is stylometric signal, not a missing row.
+  private lazy val burrowsDelta: Q =
+    Q("text_burrows_delta",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = persistOnce(load(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("g")))
+        val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("t"))
+        val top = toks.groupBy(col("g")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("g")).limit(16).select(col("g"))
+        val counts = toks.join(broadcast(top), Seq("g"))
+          .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        val grid = srcTot.crossJoin(broadcast(top))
+          .join(counts, Seq("source", "g"), "left")
+          .select(col("source"), col("g"),
+            expr("coalesce(c, 0L) * 1000000 DIV t").as("f"))
+        val wg = Window.partitionBy(col("g"))
+        val z = grid
+          .withColumn("n_src", count(lit(1)).over(wg))
+          .withColumn("sf", sum(col("f")).over(wg))
+          .withColumn("sff", sum(col("f") * col("f")).over(wg))
+          .select(col("source"), col("g"),
+            when(col("n_src") * col("sff") - col("sf") * col("sf") === 0,
+              lit(0.0))
+              .otherwise((col("n_src") * col("f") - col("sf"))
+                .cast("double") /
+                sqrt((col("n_src") * col("sff") - col("sf") * col("sf"))
+                  .cast("double"))).as("z"))
+        z.as("a").join(z.as("b"),
+            col("a.g") === col("b.g") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(round(avg(abs(col("a.z") - col("b.z"))), 4).as("delta"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS g
+             |  FROM documents),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+             |       FROM toks GROUP BY 1),
+             |top AS (SELECT g FROM (
+             |    SELECT g, count(*) AS n FROM toks GROUP BY 1
+             |    ORDER BY n DESC, g LIMIT 16)),
+             |cnt AS (
+             |  SELECT source, g, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks JOIN top USING (g) GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT st.source, top.g,
+             |    coalesce(cnt.c, 0) * 1000000 // st.t AS f
+             |  FROM st CROSS JOIN top
+             |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.g = top.g),
+             |z AS (
+             |  SELECT source, g,
+             |    CASE WHEN n_src * sff - sf * sf = 0 THEN 0.0
+             |      ELSE CAST(n_src * f - sf AS DOUBLE) /
+             |        sqrt(CAST(n_src * sff - sf * sf AS DOUBLE)) END AS z
+             |  FROM (
+             |    SELECT source, g, f,
+             |      CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_src,
+             |      CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS sf,
+             |      CAST(sum(f * f) OVER (PARTITION BY g) AS BIGINT) AS sff
+             |    FROM grid))
+             |SELECT a.source AS s1, b.source AS s2,
+             |  round(avg(abs(a.z - b.z)), 4) AS delta
+             |FROM z a JOIN z b ON a.g = b.g AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin),
+      "Burrows' delta stylometric distance between sources: integer-" +
+        "ppm frequencies, closed-form z-scores over the source×word " +
+        "grid, pairwise mean |z| gap")
+
+    // Mean segmental type-token ratio (MSTTR-32) — the lexical-
+    // diversity gauge raw TTR can't be (TTR falls with length, so
+    // corpus comparisons need fixed-size segments). Tokens explode
+    // once, segment = pos div 32 keeps FULL segments only, distinct
+    // counting is per (doc, segment) — never a sliding window (rolling
+    // DISTINCT doesn't slide). Per-doc MSTTR is the exact single
+    // division Σu/(32k); the language rollup ships the pooled ratio
+    // exact/unrounded and the doc-mean rounded 4dp (cross-doc double
+    // sum).
+  private lazy val msttrDiversity: Q =
+    Q("text_msttr_diversity",
+      (s, d) => {
+        val segs = load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("lang"), size(col("w")).as("n"),
+            posexplode(col("w")).as(Seq("i", "g")))
+          .filter(expr("i DIV 32") < expr("n DIV 32"))
+          .groupBy(col("doc_id"), col("lang"), expr("i DIV 32").as("seg"))
+          .agg(countDistinct(col("g")).as("u"))
+        val docs = segs.groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("k"), sum(col("u")).as("usum"))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_segments"),
+            sum(col("usum")).as("utot"),
+            round(avg(col("usum").cast("double") /
+              (col("k") * lit(32.0))), 4).as("avg_doc_ttr"))
+          .select(col("lang"), col("n_docs"), col("n_segments"),
+            (col("utot").cast("double") /
+              (col("n_segments") * lit(32.0))).as("pooled_ttr"),
+            col("avg_doc_ttr"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS w
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, lang, len(w) AS n, w,
+             |    unnest(generate_series(1, len(w))) AS i
+             |  FROM t),
+             |seg AS (
+             |  SELECT doc_id, lang, (i - 1) // 32 AS seg,
+             |    CAST(count(DISTINCT w[i]) AS BIGINT) AS u
+             |  FROM pos WHERE (i - 1) // 32 < n // 32
+             |  GROUP BY 1, 2, 3),
+             |docs AS (
+             |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(u) AS BIGINT) AS usum
+             |  FROM seg GROUP BY 1, 2)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(k) AS BIGINT) AS n_segments,
+             |  CAST(sum(usum) AS DOUBLE) /
+             |    (CAST(sum(k) AS BIGINT) * 32.0) AS pooled_ttr,
+             |  round(avg(CAST(usum AS DOUBLE) / (k * 32.0)), 4)
+             |    AS avg_doc_ttr
+             |FROM docs GROUP BY 1""".stripMargin),
+      "MSTTR-32 lexical diversity per language: fixed 32-token " +
+        "segments from one posexplode, per-segment distinct counts, " +
+        "pooled ratio exact")
 }

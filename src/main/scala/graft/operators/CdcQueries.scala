@@ -1174,5 +1174,65 @@ object CdcQueries {
       "schema-drift monitor: canonical JSON key-set signatures read " +
         "from the raw envelope bytes, rolled to (signature, n, " +
         "first/last epoch) — map-side key extraction, one tiny agg; " +
-        "oracle derives signatures from the epoch arithmetic"))
+        "oracle derives signatures from the epoch arithmetic"),
+
+    // Kafka log-compaction simulation over the raw topic records —
+    // what does the compacted head of each CDC topic hold once the
+    // cleaner has run? Retention semantics: latest offset per
+    // (topic, key) survives; 'd'-envelope heads are tombstones the
+    // delete-retention GC then removes; compaction is VALUE-agnostic,
+    // so a malformed record at the head survives verbatim (the %97
+    // corrupt keys — a real operational hazard this query makes
+    // visible). One (topic, key)-keyed hash agg (map-side combinable,
+    // shuffle ∝ distinct keys — the compaction cost model itself) +
+    // a 9-row topic rollup; head-op classification is a map-side
+    // get_json_object, never a payload join. Oracle replays the
+    // fixture script arithmetically from orders.
+    Q("cdc_log_compaction",
+      (s, d) => {
+        val ev = graft.cdc.Fixture.ordersCdcEvents(s, d)
+          .select(col("topic"), col("key"), col("offset"),
+            coalesce(get_json_object(col("value"), "$.payload.op"),
+              lit("corrupt")).as("opc"))
+        val perKey = ev.groupBy(col("topic"), col("key"))
+          .agg(count(lit(1)).as("cnt"),
+            max_by(col("opc"), col("offset")).as("head"))
+        perKey.groupBy(col("topic"))
+          .agg(sum(col("cnt")).as("n_raw"), count(lit(1)).as("n_keys"),
+            sum(col("cnt") - 1).as("n_reclaimed"),
+            sum(when(col("head") === "d", 1L).otherwise(0L))
+              .as("n_tombstone_heads"),
+            sum(when(col("head") === "corrupt", 1L).otherwise(0L))
+              .as("n_corrupt_heads"))
+          .withColumn("n_keys_after_gc",
+            col("n_keys") - col("n_tombstone_heads"))
+      },
+      Some("""WITH k AS (
+             |  SELECT 'mysql-server.pos_bi_db.orders_t' ||
+             |      CAST(o_orderkey % 9 AS VARCHAR) AS topic,
+             |    1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+             |      + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END
+             |      + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+             |      + CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END
+             |      + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+             |      AS cnt,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN 'corrupt'
+             |         WHEN o_orderkey % 10 = 0 THEN 'c'
+             |         WHEN o_orderkey % 5 = 0 THEN 'd'
+             |         WHEN o_orderkey % 3 = 0 THEN 'u'
+             |         ELSE 'r' END AS head
+             |  FROM orders)
+             |SELECT topic, CAST(sum(cnt) AS BIGINT) AS n_raw,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(cnt - 1) AS BIGINT) AS n_reclaimed,
+             |  CAST(sum(CASE WHEN head = 'd' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_tombstone_heads,
+             |  CAST(sum(CASE WHEN head = 'corrupt' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_corrupt_heads,
+             |  CAST(count(*) - sum(CASE WHEN head = 'd' THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_keys_after_gc
+             |FROM k GROUP BY 1""".stripMargin),
+      "Kafka log-compaction + tombstone-GC simulation: latest-offset " +
+        "head per (topic, key), value-agnostic (corrupt heads " +
+        "survive), one key-grain agg + topic rollup"))
 }

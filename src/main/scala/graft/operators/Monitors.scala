@@ -1321,5 +1321,58 @@ object Monitors {
              |FROM x""".stripMargin),
       "index-of-dispersion Poisson test on daily arrivals: one " +
         "day-grain rollup + exact integer moments, fixed chains — " +
-        "bursty-vs-Poisson before tuning alert thresholds"))
+        "bursty-vs-Poisson before tuning alert thresholds"),
+
+    // Classical seasonal decomposition of daily traffic — the monitor
+    // that separates "Mondays are always slow" from "something broke":
+    // trend = centered 7-day moving average (full windows only, edges
+    // null), seasonal = weekday mean of the detrended series, residual
+    // = what alerting should actually watch. Day-grain rollup first
+    // (calendar-bounded frame), windows over ≤31 rows. Trend is an
+    // exact int-sum/7 division (deterministic); the weekday means
+    // average few doubles, so seasonal/resid round 4dp.
+    Q("mon_seasonal_decompose",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = load(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("observed"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val t = day
+          .withColumn("wn", count(lit(1)).over(w7))
+          .withColumn("trend", when(col("wn") === 7,
+            sum(col("observed")).over(w7).cast("double") / lit(7.0)))
+          .withColumn("dow", dayofweek(col("day")))
+        val seasonal = t.filter(col("trend").isNotNull)
+          .groupBy(col("dow"))
+          .agg(round(avg(col("observed") - col("trend")), 4).as("seasonal"))
+        t.join(broadcast(seasonal), Seq("dow"), "left")
+          .select(col("day"), col("dow"), col("observed"),
+            round(col("trend"), 4).as("trend"), col("seasonal"),
+            round(col("observed") - col("trend") - col("seasonal"), 4)
+              .as("resid"))
+      },
+      Some("""WITH day AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS observed
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT day, observed,
+             |    CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+             |    CASE WHEN count(*) OVER w = 7
+             |      THEN CAST(sum(observed) OVER w AS DOUBLE) / 7.0 END
+             |      AS trend
+             |  FROM day
+             |  WINDOW w AS (ORDER BY day
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |se AS (
+             |  SELECT dow, round(avg(observed - trend), 4) AS seasonal
+             |  FROM t WHERE trend IS NOT NULL GROUP BY 1)
+             |SELECT t.day, t.dow, t.observed, round(t.trend, 4) AS trend,
+             |  se.seasonal,
+             |  round(t.observed - t.trend - se.seasonal, 4) AS resid
+             |FROM t LEFT JOIN se USING (dow)""".stripMargin),
+      "classical additive seasonal decomposition of daily arrivals: " +
+        "centered 7-day MA trend, weekday seasonal means, residual — " +
+        "the tell-Mondays-from-breakage monitor"))
 }

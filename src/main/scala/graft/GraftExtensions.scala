@@ -72,6 +72,12 @@ object GraftExtensions {
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical " +
         "normalization (composed forms), the pre-hash cleaning step"),
       arity("nfc_normalize", 1)(args => NormalizeNFC(args(0)))),
+    ("deflate_size",
+      info("deflate_size", "deflate_size(s) - DEFLATE-compressed byte " +
+        "size of s at level 6; deflate_size(s) / octet_length(s) is the " +
+        "compression-ratio repetitiveness signal for corpus curation"),
+      arity("deflate_size", 1)(args =>
+        graft.functions.DeflateSize(args(0)))),
     ("bpe_merge",
       info("bpe_merge", "bpe_merge(arr, 'a', 'b') - one greedy BPE merge " +
         "pass: every non-overlapping adjacent (a, b) in the string array " +

@@ -472,7 +472,7 @@ object TextQueries {
         "cumulative sum over the vocab aggregate, exact-integer " +
         "shares unrounded")) :+ shingleProfile :+ autocompleteTopk :+
     rakeKeyphrases :+ goodTuring :+ textrankKeywords :+ heapsLaw :+
-    burrowsDelta :+ msttrDiversity
+    burrowsDelta :+ msttrDiversity :+ compressionQuality
 
   // Duplication-rate profile by shingle width (1..4-gram): how
   // repetitive the corpus is at each granularity — the curve that
@@ -1010,4 +1010,49 @@ object TextQueries {
       "MSTTR-32 lexical diversity per language: fixed 32-token " +
         "segments from one posexplode, per-segment distinct counts, " +
         "pooled ratio exact")
+
+  // Compression-ratio quality gate — the Gopher/RefinedWeb-class
+  // curation signal: machine-generated boilerplate compresses far
+  // below natural text, and DEFLATE catches LONG-RANGE duplication
+  // token-level repetition metrics miss (a paragraph pasted 16 times
+  // has unremarkable per-copy bigram stats but a dramatic ratio).
+  // Scored by the custom codegen'd [[graft.functions.DeflateSize]]
+  // expression (preference-(b): native Expression, no UDF wall) —
+  // pure per-row map, embarrassingly parallel. DEFLATE sizes are
+  // JVM-side only, so the oracle checks the FLAGGED SET against
+  // planted ground truth: repetitive docs planted at max-derived ids
+  // score ≤ 0.11, natural fixture text ≥ 0.39 (measured), and the
+  // 0.25 threshold sits in the 3.5× gap — the flag decision is
+  // margin-robust, never a byte-count compare.
+  private lazy val compressionQuality: Q =
+    Q("text_compression_quality",
+      (s, d) => {
+        val base = load(s, d, "documents").select(col("doc_id"), col("text"))
+        val offset = (base.agg(coalesce(max(col("doc_id")), lit(0L)))
+          .head().getLong(0) / 1000 + 2) * 1000
+        val planted = base
+          .filter(col("doc_id") % 25 === 0 &&
+            size(split(col("text"), " ")) >= 5)
+          .select((col("doc_id") + lit(offset)).as("doc_id"),
+            array_join(flatten(array_repeat(
+              slice(split(col("text"), " "), 1, 4), 16)), " ").as("text"))
+        base.unionByName(planted)
+          .withColumn("ratio",
+            graft.functions.CompressionSignal.deflateSize(col("text"))
+              .cast("double") / octet_length(col("text")))
+          .filter(col("ratio") < 0.25)
+          .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+      },
+      Some("""SELECT doc_id +
+             |    ((SELECT max(doc_id) FROM documents) // 1000 + 2) * 1000
+             |    AS doc_id,
+             |  CAST(strlen(rtrim(repeat(
+             |    array_to_string(string_split(text, ' ')[1:4], ' ') || ' ',
+             |    16))) AS INTEGER) AS n_bytes
+             |FROM documents
+             |WHERE doc_id % 25 = 0
+             |  AND len(string_split(text, ' ')) >= 5""".stripMargin),
+      "compression-ratio quality gate via the codegen'd deflate_size " +
+        "expression: planted repetitive docs flagged at a margin-" +
+        "robust threshold, natural text untouched")
 }

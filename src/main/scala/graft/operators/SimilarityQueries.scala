@@ -69,7 +69,197 @@ object SimilarityQueries {
       |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
       |FROM c, q ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
-  def queries: Seq[Q] = (baseQueries :+ jlQuery) :+ matryoshkaQuery
+  def queries: Seq[Q] = ((baseQueries :+ jlQuery) :+ matryoshkaQuery) :+
+    mmrQuery
+
+  /** Maximal-marginal-relevance re-ranking of the retrieval head —
+    * the diversification pass between ANN recall and what a user (or a
+    * RAG context window) actually sees: greedily pick k=8 of the top-16
+    * candidates maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked (λ=0.7), so near-duplicate hits stop crowding out
+    * coverage. The DISTRIBUTED work is the corpus scan (TakeOrdered
+    * top-16) and the 16×16 candidate sim matrix; the greedy argmax is
+    * O(k·c) over those 256 driver-local rows — rerank is inherently a
+    * head-stage operator, like the V-opt histogram dp on file metadata.
+    * Determinism: rel/sim round 6dp (the float-kernel rule) BEFORE the
+    * greedy, argmax compares the unrounded λ-combination of those
+    * bitwise-identical doubles with vec_id tie-break, and the oracle
+    * replays the exact greedy as 8 unrolled SQL steps. */
+  private def mmrQuery: Q =
+    Q("sim_mmr_rerank",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+        val qv = queryVec(s, d)
+        val cand = bruteForceTopK(emb, qv, 16)
+        val candVecs = emb
+          .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val sims = candVecs.as("a").crossJoin(broadcast(candVecs.as("b")))
+          .filter(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+            round(cosine(col("a.embedding"), col("b.embedding")), 6)
+              .as("sim"))
+        val rel = cand.collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val simMap = sims.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        def round6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        val lambda = 0.7
+        var selected = Vector.empty[Long]
+        val out = Seq.newBuilder[(Int, Long, Double, Double)]
+        for (rank <- 1 to 8) {
+          val scored = rel.keysIterator.filterNot(selected.contains).map {
+            c =>
+              val maxSim =
+                if (selected.isEmpty) 0.0
+                else selected.map(sel => simMap((c, sel))).max
+              (c, lambda * rel(c) - (1 - lambda) * maxSim)
+          }.toSeq
+          val (bestId, bestMmr) = scored.minBy { case (c, m) => (-m, c) }
+          selected :+= bestId
+          out += ((rank, bestId, rel(bestId), round6(bestMmr)))
+        }
+        val sess = s
+        import sess.implicits._
+        out.result().toDF("rank", "vec_id", "rel", "mmr")
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id = 0),
+             |cand AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
+             |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                               CAST(embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(q.v, q.v))), 6) AS rel
+             |  FROM embeddings, q
+             |  ORDER BY rel DESC, vec_id LIMIT 16),
+             |cv AS MATERIALIZED (
+             |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+             |  FROM embeddings e JOIN cand USING (vec_id)),
+             |sims AS MATERIALIZED (
+             |  SELECT a.vec_id AS x, b.vec_id AS y,
+             |    round(list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v))
+             |         * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |  FROM cv a, cv b WHERE a.vec_id <> b.vec_id),
+             |p1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel, round(0.7 * rel, 6)
+             |         AS mmr
+             |       FROM cand ORDER BY 0.7 * rel DESC, vec_id LIMIT 1),
+             |p2 AS MATERIALIZED (SELECT 2 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1) GROUP BY x) ms
+             |         ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1),
+             |p3 AS MATERIALIZED (SELECT 3 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1
+             |                     UNION ALL SELECT vec_id FROM p2)
+             |         GROUP BY x) ms ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+             |                              UNION ALL SELECT vec_id FROM p2)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1),
+             |p4 AS MATERIALIZED (SELECT 4 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1
+             |                     UNION ALL SELECT vec_id FROM p2
+             |                     UNION ALL SELECT vec_id FROM p3)
+             |         GROUP BY x) ms ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+             |                              UNION ALL SELECT vec_id FROM p2
+             |                              UNION ALL SELECT vec_id FROM p3)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1),
+             |p5 AS MATERIALIZED (SELECT 5 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1
+             |                     UNION ALL SELECT vec_id FROM p2
+             |                     UNION ALL SELECT vec_id FROM p3
+             |                     UNION ALL SELECT vec_id FROM p4)
+             |         GROUP BY x) ms ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+             |                              UNION ALL SELECT vec_id FROM p2
+             |                              UNION ALL SELECT vec_id FROM p3
+             |                              UNION ALL SELECT vec_id FROM p4)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1),
+             |p6 AS MATERIALIZED (SELECT 6 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1
+             |                     UNION ALL SELECT vec_id FROM p2
+             |                     UNION ALL SELECT vec_id FROM p3
+             |                     UNION ALL SELECT vec_id FROM p4
+             |                     UNION ALL SELECT vec_id FROM p5)
+             |         GROUP BY x) ms ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+             |                              UNION ALL SELECT vec_id FROM p2
+             |                              UNION ALL SELECT vec_id FROM p3
+             |                              UNION ALL SELECT vec_id FROM p4
+             |                              UNION ALL SELECT vec_id FROM p5)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1),
+             |p7 AS MATERIALIZED (SELECT 7 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1
+             |                     UNION ALL SELECT vec_id FROM p2
+             |                     UNION ALL SELECT vec_id FROM p3
+             |                     UNION ALL SELECT vec_id FROM p4
+             |                     UNION ALL SELECT vec_id FROM p5
+             |                     UNION ALL SELECT vec_id FROM p6)
+             |         GROUP BY x) ms ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+             |                              UNION ALL SELECT vec_id FROM p2
+             |                              UNION ALL SELECT vec_id FROM p3
+             |                              UNION ALL SELECT vec_id FROM p4
+             |                              UNION ALL SELECT vec_id FROM p5
+             |                              UNION ALL SELECT vec_id FROM p6)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1),
+             |p8 AS MATERIALIZED (SELECT 8 AS rank, c.vec_id, c.rel,
+             |         round(0.7 * c.rel - 0.3 * ms.m, 6) AS mmr
+             |       FROM cand c JOIN (
+             |         SELECT x, max(sim) AS m FROM sims
+             |         WHERE y IN (SELECT vec_id FROM p1
+             |                     UNION ALL SELECT vec_id FROM p2
+             |                     UNION ALL SELECT vec_id FROM p3
+             |                     UNION ALL SELECT vec_id FROM p4
+             |                     UNION ALL SELECT vec_id FROM p5
+             |                     UNION ALL SELECT vec_id FROM p6
+             |                     UNION ALL SELECT vec_id FROM p7)
+             |         GROUP BY x) ms ON ms.x = c.vec_id
+             |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+             |                              UNION ALL SELECT vec_id FROM p2
+             |                              UNION ALL SELECT vec_id FROM p3
+             |                              UNION ALL SELECT vec_id FROM p4
+             |                              UNION ALL SELECT vec_id FROM p5
+             |                              UNION ALL SELECT vec_id FROM p6
+             |                              UNION ALL SELECT vec_id FROM p7)
+             |       ORDER BY 0.7 * c.rel - 0.3 * ms.m DESC, c.vec_id
+             |       LIMIT 1)
+             |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+             |UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6
+             |UNION ALL SELECT * FROM p7
+             |UNION ALL SELECT * FROM p8""".stripMargin),
+      "MMR diversification of the retrieval head: distributed top-16 " +
+        "+ 16×16 sim matrix, O(k·c) greedy on 256 driver-local rows, " +
+        "oracle replays the greedy as 8 unrolled SQL steps")
 
   // Matryoshka-truncation retrieval audit: MRL-style embeddings keep
   // most of their ranking power in a short prefix — this measures it

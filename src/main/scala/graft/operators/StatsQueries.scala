@@ -663,5 +663,209 @@ object StatsQueries {
              |    AS DOUBLE) / CAST(3 * sl - sl2 AS DOUBLE) AS q
              |FROM m""".stripMargin),
       "Cochran's Q for k=3 paired binary classifiers: five integer " +
-        "sums map-side, exact division — the k-way McNemar"))
+        "sums map-side, exact division — the k-way McNemar"),
+
+    // Kendall's tau-b between per-nation revenue and shipped quantity
+    // — the third correlation lens (Pearson: linear, Spearman:
+    // monotone-by-rank, Kendall: pairwise concordance, the most
+    // outlier-robust and the right one for small-n grain like 25
+    // nations). Nation-grain exact-integer rollup (cents + quantity
+    // units) below a broadcast dim join, then ALL pairs from a self
+    // equi-free join on the 25-row frame — O(n²) pairs is the
+    // ALGORITHM here and n is dimension-bounded, the Theil-Sen pair
+    // discipline. Concordant/discordant/tie classification is exact
+    // integer sign arithmetic; tau-b ships unrounded (integer moments
+    // into one sqrt/division chain).
+    Q("profile_kendall_tau",
+      (s, d) => {
+        val byNation = load(s, d, "lineitem")
+          .join(broadcast(load(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) -
+            col("l_discount")) * 100).cast("long")).as("x"),
+            sum(col("l_quantity").cast("long")).as("y"))
+        val pairs = byNation.as("a").crossJoin(byNation.as("b"))
+          .filter(col("a.s_nationkey") < col("b.s_nationkey"))
+          .select(
+            signum((col("a.x") - col("b.x")).cast("double")).cast("long")
+              .as("sx"),
+            signum((col("a.y") - col("b.y")).cast("double")).cast("long")
+              .as("sy"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sx") * col("sy") === 1, 1L).otherwise(0L))
+              .as("c"),
+            sum(when(col("sx") * col("sy") === -1, 1L).otherwise(0L))
+              .as("disc"),
+            sum(when(col("sx") === 0 && col("sy") =!= 0, 1L).otherwise(0L))
+              .as("tx"),
+            sum(when(col("sy") === 0 && col("sx") =!= 0, 1L).otherwise(0L))
+              .as("ty"))
+          .select(col("n_pairs"), col("c"), col("disc"),
+            ((col("c") - col("disc")).cast("double") /
+              (sqrt((col("c") + col("disc") + col("tx")).cast("double")) *
+                sqrt((col("c") + col("disc") + col("ty")).cast("double"))))
+              .as("tau_b"))
+      },
+      Some("""WITH bn AS (
+             |  SELECT s_nationkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS x,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1),
+             |pairs AS (
+             |  SELECT CAST(sign(a.x - b.x) AS BIGINT) AS sx,
+             |    CAST(sign(a.y - b.y) AS BIGINT) AS sy
+             |  FROM bn a, bn b WHERE a.s_nationkey < b.s_nationkey),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c,
+             |    CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS disc,
+             |    CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS tx,
+             |    CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ty
+             |  FROM pairs)
+             |SELECT n_pairs, c, disc,
+             |  CAST(c - disc AS DOUBLE) /
+             |    (sqrt(CAST(c + disc + tx AS DOUBLE)) *
+             |     sqrt(CAST(c + disc + ty AS DOUBLE))) AS tau_b
+             |FROM m""".stripMargin),
+      "Kendall tau-b on the nation-grain rollup: exact integer pair " +
+        "concordance over the dimension-bounded frame, tau unrounded"),
+
+    // Wilcoxon signed-rank — the PAIRED nonparametric test (Mann-
+    // Whitney assumes independent samples; per-document score deltas
+    // are paired): two deterministic md5 integer scores per document
+    // with a planted +50 shift, signed ranks of |d| on the |d|-domain
+    // rollup (same doubled-mid-rank machinery, zeros excluded per the
+    // standard), W+ and the tie-corrected normal z. All moments exact
+    // longs (n(n+1)(2n+1) ≈ 2.5e14 at sf0.1, 4 orders of margin);
+    // W+ is exact dyadic, z a fixed identical chain.
+    Q("quality_wilcoxon_signed",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          ((conv(substring(md5(concat(lit("wa|"),
+            col("doc_id").cast("string"))), 1, 3), 16, 10).cast("long")
+            % 1000) -
+            (conv(substring(md5(concat(lit("wb|"),
+              col("doc_id").cast("string"))), 1, 3), 16, 10).cast("long")
+              % 1000) + 50).as("diff"))
+          .filter(col("diff") =!= 0)
+          .select(abs(col("diff")).as("ad"),
+            (col("diff") > 0).cast("long").as("pos"))
+        val byA = t.groupBy(col("ad"))
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("cnt_pos"))
+          .withColumn("cum",
+            sum(col("cnt")).over(Window.orderBy(col("ad"))))
+          .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        byA.agg(sum(col("cnt")).as("n"),
+            sum(col("cnt_pos") * col("rank2")).as("w2"),
+            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+              .as("ties"))
+          .select(col("n"),
+            (col("w2").cast("double") / lit(2.0)).as("w_plus"),
+            ((lit(2L) * col("w2") - col("n") * (col("n") + 1))
+              .cast("double") /
+              (lit(4.0) * sqrt(
+                (col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1))
+                  .cast("double") / lit(24.0) -
+                  col("ties").cast("double") / lit(48.0)))).as("z"))
+      },
+      Some("""WITH t AS (
+             |  SELECT (CAST(concat('0x', substr(md5(concat('wa|',
+             |      CAST(doc_id AS VARCHAR))), 1, 3)) AS BIGINT) % 1000) -
+             |    (CAST(concat('0x', substr(md5(concat('wb|',
+             |      CAST(doc_id AS VARCHAR))), 1, 3)) AS BIGINT) % 1000)
+             |    + 50 AS diff
+             |  FROM documents),
+             |nz AS (
+             |  SELECT abs(diff) AS ad,
+             |    CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos
+             |  FROM t WHERE diff <> 0),
+             |g AS (
+             |  SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(pos) AS BIGINT) AS cnt_pos
+             |  FROM nz GROUP BY 1),
+             |r AS (
+             |  SELECT cnt, cnt_pos,
+             |    CAST(sum(cnt) OVER (ORDER BY ad) AS BIGINT) * 2
+             |      - cnt + 1 AS rank2
+             |  FROM g),
+             |m AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(cnt_pos * rank2) AS BIGINT) AS w2,
+             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+             |  FROM r)
+             |SELECT n, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+             |  CAST(2 * w2 - n * (n + 1) AS DOUBLE) /
+             |    (4.0 * sqrt(
+             |      CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0 -
+             |      CAST(ties AS DOUBLE) / 48.0)) AS z
+             |FROM m""".stripMargin),
+      "Wilcoxon signed-rank paired test: doubled mid-ranks on the " +
+        "|delta|-domain rollup, planted +50 shift, tie-corrected z"),
+
+    // Simpson's-paradox detector — the aggregation-bias failure mode
+    // every pooled dashboard metric risks: within-group slopes all
+    // positive while the pooled slope is negative. The planted
+    // semantic fixture derives (group, x, y) arithmetically from order
+    // keys (y = 2x' within each group, group shifts +10 in x / −30 in
+    // y), so the reversal exists BY CONSTRUCTION at every SF and the
+    // detector must find it: per-group and pooled OLS slope NUMERATORS
+    // as exact integer moments (n·Σxy − Σx·Σy), reversal = pooled
+    // negative while every group positive. One map-side pass + a
+    // 3-row rollup, all longs.
+    Q("quality_simpson_reversal",
+      (s, d) => {
+        val t = load(s, d, "orders").select(
+          (col("o_orderkey") % 3).as("g"),
+          (col("o_orderkey") % 7 + (col("o_orderkey") % 3) * 10).as("x"),
+          ((col("o_orderkey") % 7) * 2 - (col("o_orderkey") % 3) * 30)
+            .as("y"))
+        val byG = t.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+          .select(col("g"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .as("slope_num"))
+        byG.agg(sum(col("n")).as("n"),
+            min(col("slope_num")).as("min_group_num"),
+            max(col("slope_num")).as("max_group_num"))
+          .crossJoin(broadcast(t.agg(
+            (count(lit(1)) * sum(col("x") * col("y")) -
+              sum(col("x")) * sum(col("y"))).as("pooled_num"))))
+          .select(col("n"), col("pooled_num"), col("min_group_num"),
+            col("max_group_num"),
+            (col("pooled_num") < 0 && col("min_group_num") > 0)
+              .as("reversal"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey % 3 AS g,
+             |    o_orderkey % 7 + (o_orderkey % 3) * 10 AS x,
+             |    (o_orderkey % 7) * 2 - (o_orderkey % 3) * 30 AS y
+             |  FROM orders),
+             |bg AS (
+             |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             |      AS slope_num
+             |  FROM t GROUP BY 1),
+             |p AS (
+             |  SELECT CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+             |    AS BIGINT) AS pooled_num
+             |  FROM t)
+             |SELECT CAST(sum(bg.n) AS BIGINT) AS n,
+             |  max(p.pooled_num) AS pooled_num,
+             |  min(bg.slope_num) AS min_group_num,
+             |  max(bg.slope_num) AS max_group_num,
+             |  max(p.pooled_num) < 0 AND min(bg.slope_num) > 0
+             |    AS reversal
+             |FROM bg CROSS JOIN p""".stripMargin),
+      "Simpson's-paradox detector: per-group vs pooled OLS slope " +
+        "numerators as exact integer moments — planted reversal found " +
+        "at every SF"))
 }

@@ -20,7 +20,9 @@ class QueryCatalogSpec extends SparkSpec {
     val known = graft.core.Tables.all.toSet
     QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).foreach {
       case (name, sql) =>
-        val ctes = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*\\(".r
+        // `AS MATERIALIZED (` is DuckDB's explicit-materialization CTE
+        // form (required for chained unrolled-step oracles, NOTES.md)
+        val ctes = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*(?:materialized\\s*)?\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val aliases = "(?i)\\)\\s*([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

@@ -867,5 +867,168 @@ object StatsQueries {
              |FROM bg CROSS JOIN p""".stripMargin),
       "Simpson's-paradox detector: per-group vs pooled OLS slope " +
         "numerators as exact integer moments — planted reversal found " +
-        "at every SF"))
+        "at every SF"),
+
+    // Chain-ladder development factors — the actuarial/BI triangle:
+    // how does cumulative revenue develop as cohorts age? Cohort =
+    // order year, age = ship year − order year (0..3), cumulative
+    // exact-cents triangle from one join + one (cohort, age) rollup
+    // (the frame is years×4 — dimension-bounded), factors
+    // f_k = Σ C_{k+1} / Σ C_k over cohorts observed at BOTH ages
+    // (lead-with-gap-guard per cohort). Factors are single exact
+    // divisions of long sums, unrounded.
+    Q("agg_chain_ladder",
+      (s, d) => {
+        val tri = load(s, d, "lineitem")
+          .join(load(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(year(col("o_orderdate")).as("cohort"),
+            (year(col("l_shipdate")) - year(col("o_orderdate"))).as("age"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100).cast("long").as("cents"))
+          .filter(col("age").between(0, 3))
+          .groupBy(col("cohort"), col("age"))
+          .agg(sum(col("cents")).as("rev"))
+        val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        val cum = tri
+          .withColumn("cum", sum(col("rev")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next_age", lead(col("age"), 1).over(w))
+          .withColumn("next_cum", lead(col("cum"), 1).over(w))
+        cum.filter(col("next_age") === col("age") + 1)
+          .groupBy(col("age").as("age_from"))
+          .agg(count(lit(1)).as("n_cohorts"),
+            sum(col("cum")).as("c_cur_total"),
+            sum(col("next_cum")).as("c_next_total"))
+          .select(col("age_from"), (col("age_from") + 1).as("age_to"),
+            col("n_cohorts"), col("c_cur_total"), col("c_next_total"),
+            (col("c_next_total").cast("double") /
+              col("c_cur_total").cast("double")).as("factor"))
+      },
+      Some("""WITH tri AS (
+             |  SELECT year(o_orderdate) AS cohort,
+             |    year(l_shipdate) - year(o_orderdate) AS age,
+             |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE year(l_shipdate) - year(o_orderdate) BETWEEN 0 AND 3
+             |  GROUP BY 1, 2),
+             |cum0 AS (
+             |  SELECT cohort, age,
+             |    CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM tri),
+             |cum AS (
+             |  SELECT cohort, age, cum,
+             |    lead(age) OVER (PARTITION BY cohort ORDER BY age)
+             |      AS next_age,
+             |    CAST(lead(cum) OVER (PARTITION BY cohort ORDER BY age)
+             |      AS BIGINT) AS next_cum
+             |  FROM cum0)
+             |SELECT CAST(age AS INTEGER) AS age_from,
+             |  CAST(age + 1 AS INTEGER) AS age_to,
+             |  CAST(count(*) AS BIGINT) AS n_cohorts,
+             |  CAST(sum(cum) AS BIGINT) AS c_cur_total,
+             |  CAST(sum(next_cum) AS BIGINT) AS c_next_total,
+             |  CAST(sum(next_cum) AS DOUBLE) / CAST(sum(cum) AS DOUBLE)
+             |    AS factor
+             |FROM cum WHERE next_age = age + 1
+             |GROUP BY age""".stripMargin),
+      "chain-ladder development factors: cumulative exact-cents " +
+        "(cohort-year, age) triangle, lead-with-gap-guard pairing, " +
+        "factors as exact long-sum ratios"),
+
+    // Conditional transition entropy H(next | current) per event type
+    // — how predictable is the next user action given the current one?
+    // The scalar the Markov transition MATRIX (events_markov_
+    // transitions) doesn't give: low entropy = funnel-like determinism,
+    // high = exploration. One lag window per user (partitioned, row
+    // grain per key), a (cur, next) rollup, entropy over ≤5 next-states
+    // per current — per-term libm log2 rounds at 4dp.
+    Q("events_transition_entropy",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("cur"))
+          .withColumn("next", lead(col("cur"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("cur"), col("next"))
+          .agg(count(lit(1)).as("c"))
+        val byCur = trans.groupBy(col("cur")).agg(sum(col("c")).as("n"))
+        trans.join(broadcast(byCur), Seq("cur"))
+          .groupBy(col("cur"))
+          .agg(max(col("n")).as("n_trans"),
+            round(-sum((col("c").cast("double") / col("n")) *
+              log2(col("c").cast("double") / col("n"))), 4).as("h_bits"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type AS cur,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next
+             |  FROM events),
+             |t AS (
+             |  SELECT cur, next, CAST(count(*) AS BIGINT) AS c
+             |  FROM e WHERE next IS NOT NULL GROUP BY 1, 2),
+             |bc AS (
+             |  SELECT cur, CAST(sum(c) AS BIGINT) AS n FROM t GROUP BY 1)
+             |SELECT cur, max(n) AS n_trans,
+             |  round(-sum((CAST(c AS DOUBLE) / n) *
+             |    log2(CAST(c AS DOUBLE) / n)), 4) AS h_bits
+             |FROM t JOIN bc USING (cur)
+             |GROUP BY cur""".stripMargin),
+      "conditional transition entropy per current event type: one lag " +
+        "window per user, (cur, next) rollup, predictability scalar"),
+
+    // Lincoln-Petersen capture-recapture — estimating what QA never
+    // saw: two INDEPENDENT detectors each flag a subset; the overlap
+    // calibrates total population N̂ = n1·n2/m, so coverage of a
+    // third, unseen defect class is quantifiable from two passes.
+    // Detectors are independent md5 channels (30% / 40%), the truth N
+    // is the corpus size, and the relative error of the estimate is
+    // itself an output (the estimator works: err → 0 as n grows).
+    // Five integer sums in one map-side pass, single exact divisions.
+    Q("quality_capture_recapture",
+      (s, d) => {
+        val t = load(s, d, "documents").select(
+          (conv(substring(md5(concat(lit("d1|"),
+            col("doc_id").cast("string"))), 1, 3), 16, 10) % 10 < 3)
+            .cast("long").as("f1"),
+          (conv(substring(md5(concat(lit("d2|"),
+            col("doc_id").cast("string"))), 1, 3), 16, 10) % 10 < 4)
+            .cast("long").as("f2"))
+        t.agg(count(lit(1)).as("n_true"), sum(col("f1")).as("n1"),
+            sum(col("f2")).as("n2"),
+            sum(col("f1") * col("f2")).as("m"))
+          .select(col("n_true"), col("n1"), col("n2"), col("m"),
+            ((col("n1") * col("n2")).cast("double") / col("m"))
+              .as("n_hat"),
+            round(((col("n1") * col("n2")).cast("double") / col("m") -
+              col("n_true")) / col("n_true"), 4).as("rel_err"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CASE WHEN CAST(concat('0x', substr(md5(concat('d1|',
+             |      CAST(doc_id AS VARCHAR))), 1, 3)) AS BIGINT) % 10 < 3
+             |      THEN 1 ELSE 0 END AS f1,
+             |    CASE WHEN CAST(concat('0x', substr(md5(concat('d2|',
+             |      CAST(doc_id AS VARCHAR))), 1, 3)) AS BIGINT) % 10 < 4
+             |      THEN 1 ELSE 0 END AS f2
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+             |    CAST(sum(f1) AS BIGINT) AS n1,
+             |    CAST(sum(f2) AS BIGINT) AS n2,
+             |    CAST(sum(f1 * f2) AS BIGINT) AS m
+             |  FROM t)
+             |SELECT n_true, n1, n2, m,
+             |  CAST(n1 * n2 AS DOUBLE) / m AS n_hat,
+             |  round((CAST(n1 * n2 AS DOUBLE) / m - n_true)
+             |    / n_true, 4) AS rel_err
+             |FROM m""".stripMargin),
+      "Lincoln-Petersen capture-recapture: two independent md5 " +
+        "detectors calibrate total population from their overlap — " +
+        "the QA-coverage estimator"))
 }

@@ -1030,5 +1030,156 @@ object StatsQueries {
              |FROM m""".stripMargin),
       "Lincoln-Petersen capture-recapture: two independent md5 " +
         "detectors calibrate total population from their overlap — " +
-        "the QA-coverage estimator"))
+        "the QA-coverage estimator"),
+
+    // Wald-Wolfowitz runs test — is daily traffic RANDOM around its
+    // median, or do above/below stretches cluster (trend, regime
+    // shifts, weekly cycles)? The randomness gate for residual-based
+    // monitors. Day-grain frame: exact lower median via row_number
+    // over the ≤31-row rollup, ties-with-median excluded per the
+    // standard, runs counted by one lag window, and the normal
+    // approximation is a fixed chain over exact integers, unrounded.
+    Q("mon_runs_test",
+      (s, d) => {
+        val day = load(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = day
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("cnt"), col("day"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.orderBy(lit(1)).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("cnt").as("median"))
+        val signs = day.crossJoin(broadcast(med))
+          .filter(col("cnt") =!= col("median"))
+          .select(col("day"), (col("cnt") > col("median")).cast("long")
+            .as("sgn"))
+          .withColumn("prev",
+            lag(col("sgn"), 1).over(Window.orderBy(col("day"))))
+        signs.agg(count(lit(1)).as("n"), sum(col("sgn")).as("n1"),
+            (sum(when(col("prev").isNotNull &&
+              col("sgn") =!= col("prev"), 1L).otherwise(0L)) + 1)
+              .as("runs"))
+          .select(col("n1"), (col("n") - col("n1")).as("n2"), col("runs"),
+            ((col("runs") - (lit(1L) + lit(2L) * col("n1") *
+              (col("n") - col("n1")) / col("n"))).cast("double") /
+              sqrt((lit(2L) * col("n1") * (col("n") - col("n1")) *
+                (lit(2L) * col("n1") * (col("n") - col("n1")) - col("n")))
+                .cast("double") /
+                (col("n") * col("n") * (col("n") - 1)).cast("double")))
+              .as("z"))
+      },
+      Some("""WITH day AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |med AS (
+             |  SELECT cnt AS median FROM (
+             |    SELECT cnt, row_number() OVER (ORDER BY cnt, day) AS rn,
+             |      count(*) OVER () AS n
+             |    FROM day)
+             |  WHERE rn = (n + 1) // 2),
+             |signs AS (
+             |  SELECT day, CASE WHEN cnt > median THEN 1 ELSE 0 END
+             |      AS sgn
+             |  FROM day CROSS JOIN med WHERE cnt <> median),
+             |lagged AS (
+             |  SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev
+             |  FROM signs),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(sgn) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+             |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+             |  FROM lagged)
+             |SELECT n1, n - n1 AS n2, runs,
+             |  CAST(runs - (1 + 2 * n1 * (n - n1) / n) AS DOUBLE) /
+             |    sqrt(CAST(2 * n1 * (n - n1) *
+             |      (2 * n1 * (n - n1) - n) AS DOUBLE) /
+             |      CAST(n * n * (n - 1) AS DOUBLE)) AS z
+             |FROM m""".stripMargin),
+      "Wald-Wolfowitz runs test on daily arrivals around the exact " +
+        "median: one lag window over the day grain, integer chain, " +
+        "the randomness gate for residual monitors"),
+
+    // ABC revenue classification — the inventory-analysis classic at
+    // its true scale shape: parts ranked by revenue need a GLOBAL
+    // cumulative share, and at 100 TB part grain a single-partition
+    // window is the classic scale-killer. The catalog's two-phase
+    // sweep discipline instead: approx cutoffs (percentile_approx —
+    // they only balance buckets, the RESULT is cutoff-independent)
+    // bucket the parts, the cumulative sum runs per-bucket (windows
+    // partitioned by bucket), and an O(buckets) carry of higher-bucket
+    // totals broadcasts back. Class membership is an exact integer
+    // compare (cum·100 vs total·80/95), so the classes are identical
+    // to the oracle's single-window formulation.
+    Q("agg_abc_classification",
+      (s, d) => {
+        // the part rollup feeds four subplans (cuts, totals, bucket
+        // assignment, the sweep) — persist it once or the fact scan
+        // and combine run 4× (the 100 TB version of this is a real
+        // re-read of the corpus)
+        val parts = graft.core.Caching.persistOnce(
+          load(s, d, "lineitem")
+            .groupBy(col("l_partkey"))
+            .agg(sum(round(col("l_extendedprice") * (lit(1.0) -
+              col("l_discount")) * 100).cast("long")).as("cents")))
+        val cuts = parts.agg(percentile_approx(col("cents"),
+          array((1 to 7).map(i => lit(i / 8.0)): _*), lit(100))
+          .as("cuts"))
+        val bucketed = parts.crossJoin(broadcast(cuts))
+          // bucket 0 holds the HIGHEST revenue (descending sweep order):
+          // bucket = #cuts at-or-above cents, monotone in -cents
+          .withColumn("bucket", expr(
+            "aggregate(cuts, 0, (acc, c) -> acc + CAST(cents <= c AS INT))"))
+          .drop("cuts")
+        val bTotals = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("cents")).as("btot"))
+          .withColumn("carry",
+            coalesce(sum(col("btot")).over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("carry"))
+        val total = parts.agg(sum(col("cents")).as("total"))
+        val wb = Window.partitionBy(col("bucket"))
+          .orderBy(col("cents").desc, col("l_partkey"))
+        bucketed.join(broadcast(bTotals), Seq("bucket"))
+          .crossJoin(broadcast(total))
+          .withColumn("cum", col("carry") + sum(col("cents")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cls",
+            when(col("cum") * 100 <= col("total") * 80, "A")
+              .when(col("cum") * 100 <= col("total") * 95, "B")
+              .otherwise("C"))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("cents")).as("class_cents"),
+            (sum(col("cents")).cast("double") / max(col("total")))
+              .as("rev_share"))
+      },
+      Some("""WITH parts AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |c AS (
+             |  SELECT l_partkey, cents,
+             |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(cents) OVER () AS BIGINT) AS total
+             |  FROM parts)
+             |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+             |    WHEN cum * 100 <= total * 95 THEN 'B'
+             |    ELSE 'C' END AS cls,
+             |  CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(sum(cents) AS BIGINT) AS class_cents,
+             |  CAST(sum(cents) AS DOUBLE) / max(total) AS rev_share
+             |FROM c GROUP BY 1""".stripMargin),
+      "ABC revenue classification via the two-phase sweep: bucketed " +
+        "windows + O(buckets) carry replace the global-sort cumsum; " +
+        "classes exact-integer identical to the single-window oracle"))
 }

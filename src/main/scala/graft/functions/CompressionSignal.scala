@@ -56,19 +56,28 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 
 object CompressionSignal {
 
+  // one Deflater + scratch buffer per executor thread: deflateInit/
+  // deflateEnd are JNI calls and the kernel runs once per ROW — a
+  // fresh native context per call would dominate the compression
+  // itself. reset() restores the identical level-6 state, so the
+  // output (and therefore the counted size) is unchanged.
+  private val local =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(6), new Array[Byte](8192))
+    }
+
   /** DEFLATE (zlib wrapper, level 6, default strategy) byte size of
     * the input. Static so interpreted eval and generated code share
     * one kernel. */
   def deflateSize(bytes: Array[Byte]): Int = {
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var n = 0
-      while (!d.finished()) n += d.deflate(buf)
-      n
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    n
   }
 
   /** Column API: compressed byte size of `text`. */

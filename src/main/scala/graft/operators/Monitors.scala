@@ -1340,7 +1340,13 @@ object Monitors {
         val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
         val t = day
           .withColumn("wn", count(lit(1)).over(w7))
-          .withColumn("trend", when(col("wn") === 7,
+          // 7 ROWS alone isn't 7 DAYS: a zero-event day is absent from
+          // the rollup, so also require the frame to span exactly 6
+          // calendar days — else the "weekly" MA silently stretches
+          // over a gap
+          .withColumn("span",
+            datediff(max(col("day")).over(w7), min(col("day")).over(w7)))
+          .withColumn("trend", when(col("wn") === 7 && col("span") === 6,
             sum(col("observed")).over(w7).cast("double") / lit(7.0)))
           .withColumn("dow", dayofweek(col("day")))
         val seasonal = t.filter(col("trend").isNotNull)
@@ -1360,6 +1366,8 @@ object Monitors {
              |  SELECT day, observed,
              |    CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
              |    CASE WHEN count(*) OVER w = 7
+             |        AND date_diff('day', min(day) OVER w,
+             |                      max(day) OVER w) = 6
              |      THEN CAST(sum(observed) OVER w AS DOUBLE) / 7.0 END
              |      AS trend
              |  FROM day

@@ -106,7 +106,11 @@ object SimilarityQueries {
         def round6(x: Double): Double =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble
+        // mu is the LITERAL 0.3 the oracle multiplies by — computing
+        // it as 1 - 0.7 gives 0.30000000000000004 (1 ulp off), and the
+        // cross-engine argmax chains must be bitwise-identical
         val lambda = 0.7
+        val mu = 0.3
         var selected = Vector.empty[Long]
         val out = Seq.newBuilder[(Int, Long, Double, Double)]
         for (rank <- 1 to 8) {
@@ -115,7 +119,7 @@ object SimilarityQueries {
               val maxSim =
                 if (selected.isEmpty) 0.0
                 else selected.map(sel => simMap((c, sel))).max
-              (c, lambda * rel(c) - (1 - lambda) * maxSim)
+              (c, lambda * rel(c) - mu * maxSim)
           }.toSeq
           val (bestId, bestMmr) = scored.minBy { case (c, m) => (-m, c) }
           selected :+= bestId

@@ -523,9 +523,13 @@ object StatsQueries {
             round((lit(12.0) * col("sumterm") /
               (col("n") * (col("n") + 1)).cast("double") -
               lit(3.0) * (col("n") + 1).cast("double")) /
+              // n³ in LONG wraps past n ≈ 2.1e6 (~sf3) — cube in
+              // double (deterministic, overflow-free; same cast-
+              // before-the-product rule as the rj2² term above)
               (lit(1.0) - col("ties").cast("double") /
-                (col("n") * col("n") * col("n") - col("n"))
-                  .cast("double")), 4).as("h"))
+                (col("n").cast("double") * col("n").cast("double") *
+                  col("n").cast("double") - col("n").cast("double"))),
+              4).as("h"))
       },
       Some("""WITH gv AS (
              |  SELECT event_type AS g,
@@ -558,7 +562,8 @@ object StatsQueries {
              |  round((12.0 * sumterm / CAST(n * (n + 1) AS DOUBLE) -
              |    3.0 * CAST(n + 1 AS DOUBLE)) /
              |    (1.0 - CAST(ties AS DOUBLE) /
-             |      CAST(n * n * n - n AS DOUBLE)), 4) AS h
+             |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+             |       CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 4) AS h
              |FROM m""".stripMargin),
       "Kruskal-Wallis k-group rank test: one (type, cents) pass, " +
         "value-grain ranks, tie-corrected H rounded 4dp"),

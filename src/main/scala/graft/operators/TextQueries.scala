@@ -1024,12 +1024,24 @@ object TextQueries {
   // score ≤ 0.11, natural fixture text ≥ 0.39 (measured), and the
   // 0.25 threshold sits in the 3.5× gap — the flag decision is
   // margin-robust, never a byte-count compare.
+  // Same collision-safe planted-id offset rule as DedupQueries/
+  // SimilarityQueries (next-plus-one multiple of 1000 above
+  // max(doc_id)), memoized so the driver-side max probe runs once per
+  // (session, dir) instead of on every query build.
+  private val plantOffsets = new graft.core.SessionMemo[String, Long]
+  private def plantOffset(s: org.apache.spark.sql.SparkSession,
+                          d: String): Long =
+    plantOffsets.getOrElseUpdate(s, d) {
+      val maxId = load(s, d, "documents")
+        .agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      (maxId / 1000 + 2) * 1000
+    }
+
   private lazy val compressionQuality: Q =
     Q("text_compression_quality",
       (s, d) => {
         val base = load(s, d, "documents").select(col("doc_id"), col("text"))
-        val offset = (base.agg(coalesce(max(col("doc_id")), lit(0L)))
-          .head().getLong(0) / 1000 + 2) * 1000
+        val offset = plantOffset(s, d)
         val planted = base
           .filter(col("doc_id") % 25 === 0 &&
             size(split(col("text"), " ")) >= 5)

@@ -635,5 +635,38 @@ object GraphQueries {
       "per-node local clustering coefficient via degree-ordered " +
         "wedges that keep their middle vertex — one explode credits " +
         "all three triangle corners; exact integer ratio, no hub² " +
-        "blowup"))
+        "blowup"),
+
+    // Edge reciprocity of the DIRECTED derivation — what fraction of
+    // links are mutual? The macro signal separating broadcast-shaped
+    // graphs (follow/cite, low r) from conversation-shaped ones
+    // (mutual, high r); also the sanity probe for any pipeline that
+    // SYMMETRIZES edges downstream (und = dedup of dir) — r says how
+    // much that dedup collapses. One self equi-join on the reversed
+    // key + two exact counts; join keyed (src, dst) like any hash
+    // join, no degree² term anywhere.
+    Q("graph_reciprocity",
+      (s, d) => {
+        val dir = persistOnce(derivedDir(s, d).distinct())
+        val mutual = dir.as("e").join(dir.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+          .select(count(lit(1)).as("n_mutual"))
+        dir.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(mutual))
+          .select(col("n_edges"), col("n_mutual"),
+            (col("n_mutual").cast("double") / col("n_edges"))
+              .as("reciprocity"))
+      },
+      Some(s"""WITH $edgeSqlPrefix,
+             |dd AS (SELECT DISTINCT src, dst FROM dir),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_mutual
+             |  FROM dd e JOIN dd r ON e.src = r.dst AND e.dst = r.src)
+             |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             |  max(m.n_mutual) AS n_mutual,
+             |  CAST(max(m.n_mutual) AS DOUBLE) / count(*) AS reciprocity
+             |FROM dd CROSS JOIN m""".stripMargin),
+      "directed-edge reciprocity: one reversed-key self equi-join, " +
+        "exact integer counts — the broadcast-vs-conversation shape " +
+        "scalar"))
 }

@@ -1186,5 +1186,150 @@ object StatsQueries {
              |FROM c GROUP BY 1""".stripMargin),
       "ABC revenue classification via the two-phase sweep: bucketed " +
         "windows + O(buckets) carry replace the global-sort cumsum; " +
-        "classes exact-integer identical to the single-window oracle"))
+        "classes exact-integer identical to the single-window oracle"),
+
+    // Laspeyres / Paasche / Fisher price indices between two order
+    // years — the economics of "did prices move, holding the basket
+    // fixed?": Laspeyres weights by BASE-year quantities (overstates
+    // inflation), Paasche by current (understates), Fisher is their
+    // geometric mean. Unit values per part are exact-cents/quantity
+    // ratios; the base-weighted denominators Σc₀ and numerator Σc₁
+    // stay exact longs, the cross terms (q₀·uv₁, q₁·uv₀) are per-part
+    // doubles summed across parts — order-unstable, so the three
+    // indices round 4dp. Parts must trade in BOTH years (inner join
+    // of the two part-year rollups — the matched-basket rule).
+    Q("agg_price_index",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+          .join(load(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .groupBy(col("l_partkey"), year(col("o_orderdate")).as("yr"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"),
+            sum(round(col("l_extendedprice") * (lit(1.0) -
+              col("l_discount")) * 100).cast("long")).as("c"))
+        val base = li.filter(col("yr") === 1995)
+          .select(col("l_partkey"), col("q").as("q0"), col("c").as("c0"))
+        val cur = li.filter(col("yr") === 1996)
+          .select(col("l_partkey"), col("q").as("q1"), col("c").as("c1"))
+        base.join(cur, Seq("l_partkey"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("c0")).as("sc0"), sum(col("c1")).as("sc1"),
+            sum(col("q0").cast("double") *
+              (col("c1").cast("double") / col("q1"))).as("l_num"),
+            sum(col("q1").cast("double") *
+              (col("c0").cast("double") / col("q0"))).as("p_den"))
+          .select(col("n_parts"),
+            round(col("l_num") / col("sc0"), 4).as("laspeyres"),
+            round(col("sc1") / col("p_den"), 4).as("paasche"),
+            round(sqrt((col("l_num") / col("sc0")) *
+              (col("sc1") / col("p_den"))), 4).as("fisher"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey, year(o_orderdate) AS yr,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |      * 100) AS BIGINT)) AS BIGINT) AS c
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE year(o_orderdate) IN (1995, 1996)
+             |  GROUP BY 1, 2),
+             |b AS (SELECT l_partkey, q AS q0, c AS c0 FROM li
+             |      WHERE yr = 1995),
+             |cu AS (SELECT l_partkey, q AS q1, c AS c1 FROM li
+             |       WHERE yr = 1996),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             |    CAST(sum(c0) AS BIGINT) AS sc0,
+             |    CAST(sum(c1) AS BIGINT) AS sc1,
+             |    sum(CAST(q0 AS DOUBLE) *
+             |      (CAST(c1 AS DOUBLE) / q1)) AS l_num,
+             |    sum(CAST(q1 AS DOUBLE) *
+             |      (CAST(c0 AS DOUBLE) / q0)) AS p_den
+             |  FROM b JOIN cu USING (l_partkey))
+             |SELECT n_parts,
+             |  round(l_num / sc0, 4) AS laspeyres,
+             |  round(sc1 / p_den, 4) AS paasche,
+             |  round(sqrt((l_num / sc0) * (sc1 / p_den)), 4) AS fisher
+             |FROM m""".stripMargin),
+      "Laspeyres/Paasche/Fisher price indices on the matched basket: " +
+        "exact-cents unit values, base-weighted sums, 4dp"),
+
+    // Distribution-shape anomaly via hourly-entropy: a day whose
+    // traffic CONCENTRATES into few hours (bot burst, stuck retry
+    // loop) has low entropy even when its total volume is normal —
+    // the axis volume monitors can't see. Per-day 24-hour entropy
+    // from exact integer counts (libm log2, rounded 4dp), then the
+    // anomaly fence runs on the INTEGER-SCALED rounded entropies
+    // (e4 = entropy·10⁴ as long): flag iff (n·e4 − Σe4)² >
+    // 4·(n·Σe4² − (Σe4)²) — the 2σ compare as exact integer
+    // arithmetic, no order-unstable double moments near the boundary.
+    Q("mon_entropy_anomaly",
+      (s, d) => {
+        // planted positive: one synthetic day with ALL traffic in a
+        // single hour (entropy exactly 0) — at sf0.1 the real days'
+        // hourly mix is uniform enough that no natural day breaches
+        // 2σ, and a detector whose positive path never fires at a
+        // gate SF is untested by the gate (the degenerate-fixture
+        // rule). Entropy of a one-hour day is 0 regardless of the
+        // count, so the plant is scale-free.
+        val hourly = load(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"),
+            hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .unionByName(s.range(1).select(
+            to_date(lit("2024-02-15")).as("day"), lit(3).as("hr"),
+            lit(7L).as("c")))
+        val byDay = hourly.groupBy(col("day")).agg(sum(col("c")).as("n"))
+        val ent = hourly.join(broadcast(byDay), Seq("day"))
+          .groupBy(col("day"))
+          // + 0.0 normalizes the single-hour day's -0.0 (IEEE: the
+          // sum of p·log2(p) terms is -0.0 when every term is; both
+          // engines then print a sign the hash compare sees)
+          .agg(round(-sum((col("c").cast("double") / col("n")) *
+            log2(col("c").cast("double") / col("n"))) + lit(0.0), 4)
+            .as("entropy"))
+          .withColumn("e4", round(col("entropy") * 10000).cast("long"))
+        val w = Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        ent
+          .withColumn("nd", count(lit(1)).over(w))
+          .withColumn("se", sum(col("e4")).over(w))
+          .withColumn("se2", sum(col("e4") * col("e4")).over(w))
+          .select(col("day"), col("entropy"),
+            ((col("nd") * col("e4") - col("se")) *
+              (col("nd") * col("e4") - col("se")) >
+              lit(4L) * (col("nd") * col("se2") - col("se") * col("se")))
+              .as("anomaly"))
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT DATE '2024-02-15', 3, 7),
+             |bd AS (
+             |  SELECT day, CAST(sum(c) AS BIGINT) AS n FROM h
+             |  GROUP BY 1),
+             |e AS (
+             |  SELECT day,
+             |    round(-sum((CAST(c AS DOUBLE) / n) *
+             |      log2(CAST(c AS DOUBLE) / n)) + 0.0, 4) AS entropy
+             |  FROM h JOIN bd USING (day) GROUP BY day),
+             |e4t AS (
+             |  SELECT day, entropy,
+             |    CAST(round(entropy * 10000) AS BIGINT) AS e4
+             |  FROM e),
+             |m AS (
+             |  SELECT day, entropy, e4,
+             |    CAST(count(*) OVER () AS BIGINT) AS nd,
+             |    CAST(sum(e4) OVER () AS BIGINT) AS se,
+             |    CAST(sum(e4 * e4) OVER () AS BIGINT) AS se2
+             |  FROM e4t)
+             |SELECT day, entropy,
+             |  (nd * e4 - se) * (nd * e4 - se) >
+             |    4 * (nd * se2 - se * se) AS anomaly
+             |FROM m""".stripMargin),
+      "hourly-distribution entropy per day with an exact-integer 2σ " +
+        "fence on the scaled entropies — concentration anomalies " +
+        "volume monitors can't see"))
 }

@@ -844,4 +844,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(offending.isEmpty,
       s"row-grain global windows in: ${offending.mkString(", ")}")
   }
+
+  test("join_cidr_lookup: LPM is a broadcast HASH join on the exploded " +
+    "(len, prefix) keys — no nested-loop theta join anywhere") {
+    val p = plan("join_cidr_lookup")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // a 1-row Cross BNLJ is the accepted scalar-glue shape; any OTHER
+    // BroadcastNestedLoopJoin means the LPM fell back to a theta join
+    assert(!"BroadcastNestedLoopJoin(?![^\\n]*Cross)".r
+      .findFirstIn(p).isDefined, p.take(1200))
+  }
+
+  test("agg_abc_classification: the part-grain cumulative window is " +
+    "PARTITIONED BY bucket (the two-phase sweep), and the persisted " +
+    "part rollup is reused across its four consumers") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = QueryCatalog.byName("agg_abc_classification").fn(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p.children ++ p.subqueries
+      p +: kids.flatMap(nodes)
+    }
+    val windows = nodes(sp).collect { case w: WindowExec => w }
+    // the part-grain sweep window keys on bucket; the only other
+    // window (the O(buckets) carry) runs on the 8-row bucket rollup
+    assert(windows.exists(w => w.partitionSpec.exists(
+      _.toString.contains("bucket"))),
+      s"no bucket-partitioned window:\n${sp.toString.take(1200)}")
+    val planStr = sp.toString
+    assert("InMemoryTableScan".r.findAllIn(planStr).size >= 2,
+      "part rollup not served from the persisted copy:\n" +
+        planStr.take(1200))
+  }
 }

@@ -1331,5 +1331,128 @@ object StatsQueries {
              |FROM m""".stripMargin),
       "hourly-distribution entropy per day with an exact-integer 2σ " +
         "fence on the scaled entropies — concentration anomalies " +
-        "volume monitors can't see"))
+        "volume monitors can't see"),
+
+    // Monthly seasonal index across the multi-year order history —
+    // the classical-decomposition companion at the OTHER calendar
+    // grain (mon_seasonal_decompose works days-within-month on the
+    // event stream; this works months-across-years on orders): index
+    // = 12·share vs the uniform month, for volume and exact-cents
+    // revenue. 12-row output, one aggregation, exact single-division
+    // ratios unrounded.
+    Q("agg_seasonal_index",
+      (s, d) => {
+        val m = load(s, d, "orders")
+          .groupBy(month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("rev_cents"))
+        val tot = m.agg(sum(col("n_orders")).as("tn"),
+          sum(col("rev_cents")).as("tr"))
+        m.crossJoin(broadcast(tot))
+          .select(col("mo"), col("n_orders"), col("rev_cents"),
+            (lit(12L) * col("n_orders")).cast("double")./(col("tn"))
+              .as("volume_index"),
+            (lit(12L) * col("rev_cents")).cast("double")./(col("tr"))
+              .as("revenue_index"))
+      },
+      Some("""WITH m AS (
+             |  SELECT month(o_orderdate) AS mo,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+             |    CAST(sum(rev_cents) AS BIGINT) AS tr
+             |  FROM m)
+             |SELECT CAST(mo AS INTEGER) AS mo, n_orders, rev_cents,
+             |  CAST(12 * n_orders AS DOUBLE) / tn AS volume_index,
+             |  CAST(12 * rev_cents AS DOUBLE) / tr AS revenue_index
+             |FROM m CROSS JOIN t""".stripMargin),
+      "monthly seasonal index over the multi-year order history: " +
+        "12·share vs uniform for volume and exact-cents revenue"),
+
+    // Drawdown DURATION — mon_max_drawdown gives depth; operations
+    // care how LONG the metric stayed underwater. The demeaned daily
+    // series scales to exact integers (equity_t = n·cum_t − t·total —
+    // no rational mean anywhere), the running peak is a cumulative
+    // max window, and underwater episodes are gaps-and-islands
+    // (rn_all − rn_underwater) — all on the ≤31-row day grain, every
+    // compare exact. Depth converts to cents by one final /n.
+    Q("mon_drawdown_duration",
+      (s, d) => {
+        val day = load(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("day"))
+        val full = Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val eq = day
+          .withColumn("n", count(lit(1)).over(full))
+          .withColumn("total", sum(col("cents")).over(full))
+          .withColumn("t", row_number().over(w))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("equity", col("n") * col("cum") -
+            col("t") * col("total"))
+          .withColumn("peak", max(col("equity")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("uw", col("equity") < col("peak"))
+        val islands = eq.filter(col("uw"))
+          .withColumn("rn_uw", row_number().over(w))
+          .withColumn("island", col("t") - col("rn_uw"))
+          .groupBy(col("island"))
+          .agg(count(lit(1)).as("len"),
+            max(col("peak") - col("equity")).as("depth_scaled"))
+        islands.crossJoin(broadcast(
+            eq.agg(count(lit(1)).as("n_days"), max(col("n")).as("n"))))
+          .agg(max(col("n_days")).as("n_days"),
+            count(lit(1)).as("n_episodes"),
+            max(col("len")).as("longest_underwater_days"),
+            round(max(col("depth_scaled")).cast("double") /
+              max(col("n")), 1).as("max_depth_cents"))
+      },
+      Some("""WITH day AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events GROUP BY 1),
+             |eq AS (
+             |  SELECT day, cents,
+             |    CAST(count(*) OVER () AS BIGINT) AS n,
+             |    CAST(sum(cents) OVER () AS BIGINT) AS total,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             |    CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum
+             |  FROM day),
+             |e2 AS (
+             |  SELECT day, n, t, n * cum - t * total AS equity
+             |  FROM eq),
+             |e3 AS (
+             |  SELECT day, n, t, equity,
+             |    CAST(max(equity) OVER (ORDER BY day ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS peak
+             |  FROM e2),
+             |uw AS (
+             |  SELECT n, t, peak - equity AS gap,
+             |    t - row_number() OVER (ORDER BY day) AS island
+             |  FROM e3 WHERE equity < peak),
+             |isl AS (
+             |  SELECT island, CAST(count(*) AS BIGINT) AS len,
+             |    CAST(max(gap) AS BIGINT) AS depth_scaled,
+             |    max(n) AS n
+             |  FROM uw GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM e3)
+             |SELECT max(tot.n_days) AS n_days,
+             |  CAST(count(*) AS BIGINT) AS n_episodes,
+             |  max(len) AS longest_underwater_days,
+             |  round(CAST(max(depth_scaled) AS DOUBLE) / max(isl.n), 1)
+             |    AS max_depth_cents
+             |FROM isl CROSS JOIN tot""".stripMargin),
+      "drawdown duration via gaps-and-islands on the exact-integer " +
+        "demeaned equity series (n·cum − t·total): longest underwater " +
+        "stretch + episode count, depth in cents"))
 }

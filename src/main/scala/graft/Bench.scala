@@ -30,6 +30,11 @@ final case class BenchRec(topic: String, key: String, value: String,
   * `IvfIndex.buildCached`), so their numbers measure SEARCH ONLY — the
   * ANN contract is that build cost amortizes across queries; pass 1 of
   * the first run pays the build.
+  *
+  * `timed` starts the clock BEFORE the query-build fn call, so queries
+  * that do driver-side work at build time (e.g. `sim_mmr_rerank`'s
+  * eager 256-row head collect + greedy rerank) are charged for it —
+  * timing only the returned plan would measure a LocalRelation there.
   */
 object Bench {
 

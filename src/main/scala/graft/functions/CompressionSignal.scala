@@ -61,17 +61,41 @@ object CompressionSignal {
   // fresh native context per call would dominate the compression
   // itself. reset() restores the identical level-6 state, so the
   // output (and therefore the counted size) is unchanged.
-  private val local =
-    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
-      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
-        (new java.util.zip.Deflater(6), new Array[Byte](8192))
-    }
+  //
+  // Each context registers with a Cleaner keyed on the per-thread
+  // holder object: when the owning thread dies (dynamic pools,
+  // repeated local sessions) the ThreadLocal entry becomes
+  // unreachable and the cleaner calls Deflater.end(), releasing the
+  // native zlib state deterministically instead of waiting on
+  // finalization (which JDK deprecated and may never run).
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  // the cleanup action must NOT capture the holder itself (that would
+  // pin it reachable forever); holding the Deflater alone is safe —
+  // the phantom fires on the HOLDER, the Deflater stays alive exactly
+  // until end() runs.
+  private final class EndDeflater(d: java.util.zip.Deflater)
+      extends Runnable {
+    override def run(): Unit = d.end()
+  }
+
+  private final class Ctx {
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](8192)
+    cleaner.register(this, new EndDeflater(deflater))
+  }
+
+  private val local = new ThreadLocal[Ctx] {
+    override def initialValue(): Ctx = new Ctx
+  }
 
   /** DEFLATE (zlib wrapper, level 6, default strategy) byte size of
     * the input. Static so interpreted eval and generated code share
     * one kernel. */
   def deflateSize(bytes: Array[Byte]): Int = {
-    val (d, buf) = local.get()
+    val ctx = local.get()
+    val d = ctx.deflater
+    val buf = ctx.buf
     d.reset()
     d.setInput(bytes)
     d.finish()

@@ -1271,14 +1271,19 @@ object StatsQueries {
         // 2σ, and a detector whose positive path never fires at a
         // gate SF is untested by the gate (the degenerate-fixture
         // rule). Entropy of a one-hour day is 0 regardless of the
-        // count, so the plant is scale-free.
-        val hourly = load(s, d, "events")
+        // count, so the plant is scale-free. The planted day is
+        // DATA-DERIVED (max real day + 30) — collision-free at any
+        // fixture date range, same discipline as the planted-id
+        // offsets in SimilarityQueries/TextQueries.
+        val ev = load(s, d, "events")
+        val hourly = ev
           .groupBy(to_date(col("ts")).as("day"),
             hour(col("ts")).as("hr"))
           .agg(count(lit(1)).as("c"))
-          .unionByName(s.range(1).select(
-            to_date(lit("2024-02-15")).as("day"), lit(3).as("hr"),
-            lit(7L).as("c")))
+          .unionByName(ev
+            .agg(max(to_date(col("ts"))).as("md"))
+            .select(date_add(col("md"), 30).as("day"), lit(3).as("hr"),
+              lit(7L).as("c")))
         val byDay = hourly.groupBy(col("day")).agg(sum(col("c")).as("n"))
         val ent = hourly.join(broadcast(byDay), Seq("day"))
           .groupBy(col("day"))
@@ -1306,7 +1311,8 @@ object StatsQueries {
              |    CAST(count(*) AS BIGINT) AS c
              |  FROM events GROUP BY 1, 2
              |  UNION ALL
-             |  SELECT DATE '2024-02-15', 3, 7),
+             |  SELECT CAST(max(ts) AS DATE) + 30, 3,
+             |    CAST(7 AS BIGINT) FROM events),
              |bd AS (
              |  SELECT day, CAST(sum(c) AS BIGINT) AS n FROM h
              |  GROUP BY 1),

@@ -1058,9 +1058,9 @@ object TextQueries {
       Some("""SELECT doc_id +
              |    ((SELECT max(doc_id) FROM documents) // 1000 + 2) * 1000
              |    AS doc_id,
-             |  CAST(strlen(rtrim(repeat(
-             |    array_to_string(string_split(text, ' ')[1:4], ' ') || ' ',
-             |    16))) AS INTEGER) AS n_bytes
+             |  CAST(16 * strlen(
+             |    array_to_string(string_split(text, ' ')[1:4], ' '))
+             |    + 15 AS INTEGER) AS n_bytes
              |FROM documents
              |WHERE doc_id % 25 = 0
              |  AND len(string_split(text, ' ')) >= 5""".stripMargin),

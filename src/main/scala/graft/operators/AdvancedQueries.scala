@@ -1374,10 +1374,16 @@ object AdvancedQueries {
             Window.partitionBy("seg").orderBy(col("cents"), col("cust"))))
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("tot", sum(col("cents")).over(w))
+        // Σi·cents ≈ n²·avg/2 and n·tot grow ∝ sf² — long wraps near
+        // sf10. The rank sum accumulates in DECIMAL(38,0) (exact to
+        // n ≈ 1e14), and n·tot is a double product of two exact longs:
+        // both engines round the same exact values, so the result
+        // stays bitwise-identical at any magnitude.
         rk.groupBy(col("seg"))
           .agg(max(col("n")).as("n_customers"),
-            (lit(2.0) * sum(col("i") * col("cents")) /
-              (max(col("n")) * max(col("tot"))) -
+            (lit(2.0) * sum(col("i").cast("decimal(19,0)") *
+              col("cents").cast("decimal(19,0)")).cast("double") /
+              (max(col("n")).cast("double") * max(col("tot")).cast("double")) -
               (max(col("n")) + 1).cast("double") / max(col("n"))).as("gini"))
       },
       Some("""WITH rev AS (
@@ -1393,7 +1399,9 @@ object AdvancedQueries {
              |    sum(cents) OVER (PARTITION BY seg) AS tot
              |  FROM rev)
              |SELECT seg, CAST(max(n) AS BIGINT) AS n_customers,
-             |  CAST(2 AS DOUBLE) * sum(i * cents) / (max(n) * max(tot))
+             |  CAST(2 AS DOUBLE) * CAST(sum(CAST(i AS DECIMAL(19,0)) *
+             |      CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+             |    / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))
              |    - CAST(max(n) + 1 AS DOUBLE) / max(n) AS gini
              |FROM rk GROUP BY seg""".stripMargin),
       "Gini revenue concentration per segment: one customer-grain " +

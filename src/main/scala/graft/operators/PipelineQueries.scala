@@ -1253,8 +1253,12 @@ object PipelineQueries {
             Window.partitionBy(col("source"))
               .orderBy(col("es_key").desc, col("doc_id"))))
           .filter(col("rk") <= 4)
+          // + 0.0: a doc whose 32-bit hash lands within ~2e-9 of 2^32
+          // makes ln(ratio) round to NEGATIVE zero in one engine and
+          // positive zero in the other (hit at sf1) — normalize the
+          // sign on both sides (IEEE: -0.0 + 0.0 = +0.0)
           .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
-            round(col("es_key"), 8).as("es_key"))
+            (round(col("es_key"), 8) + lit(0.0)).as("es_key"))
       },
       Some("""WITH keyed AS (
              |  SELECT source, doc_id, n_chars,
@@ -1263,7 +1267,7 @@ object PipelineQueries {
              |      / 4294967296.0) / n_chars AS es_key
              |  FROM documents)
              |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
-             |  round(es_key, 8) AS es_key
+             |  round(es_key, 8) + 0.0 AS es_key
              |FROM (SELECT *, row_number() OVER (PARTITION BY source
              |        ORDER BY es_key DESC, doc_id) AS rk
              |      FROM keyed)

@@ -368,17 +368,23 @@ object Reconcile {
     // are (key, content-fingerprint) packed longs, so a modified row
     // surfaces as TWO recovered elements (its old version A-side, new
     // version B-side) and a deleted row as one. The planted replica-B
-    // drops every 97th customer and retouches every 89th balance; the
-    // 1024-cell table is sized for the gate-SF diff (the IBLT
-    // contract: provision for the expected diff bound d̂, decode
-    // failure is DETECTED — checksum-guarded peeling can return
-    // incomplete, never wrong — and falls back to digest+re-sync).
-    // The oracle is fully independent: DuckDB derives the true
-    // symmetric difference from the plant definitions directly.
+    // drops every 97th customer and retouches every 89th balance — a
+    // diff of ≈ 3.3% of rows, so the table is SIZED FROM THE COUNT
+    // (next power of two ≥ n/8, ≈ 1.9× the planted diff — the IBLT
+    // contract: provision for the expected diff bound d̂, which a
+    // production re-sync takes from the strata estimator in this same
+    // file; a FIXED 1024 cells silently under-provisions past sf0.2,
+    // caught by the sf1 stress gate). Decode failure stays DETECTED —
+    // checksum-guarded peeling can return incomplete, never wrong —
+    // and falls back to digest+re-sync. The oracle is fully
+    // independent: DuckDB derives the true symmetric difference from
+    // the plant definitions directly.
     Q("recon_iblt_diff",
       (s, d) => {
         import graft.functions.Iblt
-        val cells = 1024
+        val n = load(s, d, "customer").count()
+        val cells = math.max(1024L,
+          java.lang.Long.highestOneBit(n / 8) * 2).toInt
         val src = persistOnce(load(s, d, "customer")
           .select(col("c_custkey").as("ck"),
             round(col("c_acctbal") * 100).cast("long").as("cents")))

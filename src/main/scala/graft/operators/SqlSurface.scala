@@ -82,6 +82,12 @@ object SqlSurface {
     // identical WITH RECURSIVE).
     Q("cte_bom_explosion",
       (s, d) => {
+        // the loop is PROVABLY bounded at O(parts × log₁₀ parts) rows
+        // (each round strictly divides anc by 10), so the default 1M
+        // runaway guard — which a 200k-part catalog at sf1 legitimately
+        // exceeds — can be raised without risk; it exists to stop
+        // unbounded recursions, which this is structurally not
+        s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
         load(s, d, "part").createOrReplaceTempView("part_bom")
         s.sql("""WITH RECURSIVE walk(part, anc, qty, lvl) AS (
           |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT),
@@ -1117,8 +1123,15 @@ object SqlSurface {
             expr("(rebate_c * price_c) div total_c"))
           .withColumn("rem",
             col("rebate_c") * col("price_c") - col("share_c") * col("total_c"))
+          // tie-break must include price_c: the fixture holds duplicate
+          // (orderkey, linenumber) pairs, and two such rows with equal
+          // rem would otherwise rank engine-arbitrarily (caught by the
+          // sf1 overflow-stress gate — max_item_c flipped ±1 on 727
+          // orders). Rows still tied after price_c are exact duplicates,
+          // so which one takes the +1 cent is outcome-invariant.
           .withColumn("rrk", row_number().over(
-            wo.orderBy(col("rem").desc, col("l_linenumber"))))
+            wo.orderBy(col("rem").desc, col("l_linenumber"),
+              col("price_c"))))
           .withColumn("leftover",
             col("rebate_c") - sum(col("share_c")).over(wo))
           .withColumn("alloc_c",
@@ -1150,7 +1163,7 @@ object SqlSurface {
              |ranked AS (
              |  SELECT *,
              |    row_number() OVER (PARTITION BY l_orderkey
-             |      ORDER BY rem DESC, l_linenumber) AS rrk,
+             |      ORDER BY rem DESC, l_linenumber, price_c) AS rrk,
              |    rebate_c - sum(share_c) OVER (PARTITION BY l_orderkey)
              |      AS leftover
              |  FROM shares)
@@ -1199,8 +1212,11 @@ object SqlSurface {
             sum(col("b1")).as("tier1_c"),
             sum(col("b2")).as("tier2_c"),
             expr("sum(fee_bpc) DIV 10000").as("fee_c"),
+            // Σc·10⁴ wraps long near sf3000 — the denominator is a
+            // double product of the exact long sum (identical chain
+            // both engines, never wraps)
             (sum(col("fee_bpc")).cast("double") /
-              (sum(col("c")) * 10000).cast("double")).as("eff_rate"))
+              (sum(col("c")).cast("double") * lit(10000.0))).as("eff_rate"))
       },
       Some("""WITH o AS (
              |  SELECT o_orderpriority,
@@ -1218,7 +1234,7 @@ object SqlSurface {
              |  CAST(sum(b2) AS BIGINT) AS tier2_c,
              |  CAST(sum(b1 * 250 + b2 * 750) AS BIGINT) // 10000 AS fee_c,
              |  CAST(sum(b1 * 250 + b2 * 750) AS DOUBLE)
-             |    / CAST(sum(c) * 10000 AS DOUBLE) AS eff_rate
+             |    / (CAST(sum(c) AS DOUBLE) * 10000.0) AS eff_rate
              |FROM b GROUP BY 1""".stripMargin),
       "marginal-bracket rating: per-row clamp algebra splits exact " +
         "cents across tiers, fees roll up in integer basis-point-" +

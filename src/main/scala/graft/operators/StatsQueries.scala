@@ -125,11 +125,16 @@ object StatsQueries {
           col("o_custkey") === col("c_custkey"))
         val w = Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("rev_cents"), col("o_custkey"))
+        // rank_sum ≈ n²·avg_cents/2 — a long would wrap near sf10;
+        // DECIMAL(38,0) is exact to 1e38 (n ≈ 1e14 customers), and the
+        // final double cast of the same exact integer is bitwise-
+        // identical on both engines at any magnitude.
         seg.withColumn("rnk", row_number().over(w))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_customers"),
             sum(col("rev_cents")).as("total_rev_cents"),
-            sum(col("rnk") * col("rev_cents")).as("rank_sum"))
+            sum(col("rnk").cast("decimal(19,0)") *
+              col("rev_cents").cast("decimal(19,0)")).as("rank_sum"))
           .select(col("c_mktsegment"), col("n_customers"),
             col("total_rev_cents"),
             round((lit(2.0) * col("rank_sum").cast("double") -
@@ -151,8 +156,8 @@ object StatsQueries {
              |SELECT c_mktsegment,
              |  CAST(count(*) AS BIGINT) AS n_customers,
              |  CAST(sum(rev_cents) AS BIGINT) AS total_rev_cents,
-             |  round((2.0 * CAST(CAST(sum(rnk * rev_cents) AS BIGINT)
-             |      AS DOUBLE) -
+             |  round((2.0 * CAST(sum(CAST(rnk AS DECIMAL(19,0)) *
+             |      CAST(rev_cents AS DECIMAL(19,0))) AS DOUBLE) -
              |    CAST(count(*) + 1 AS DOUBLE) *
              |      CAST(CAST(sum(rev_cents) AS BIGINT) AS DOUBLE)) /
              |    (CAST(count(*) AS DOUBLE) *
@@ -437,23 +442,33 @@ object StatsQueries {
           .withColumn("cum",
             sum(col("cnt")).over(Window.orderBy(col("v"))))
           .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        // r1_2 ≈ 2n², ties worst-case n³ (one tie spike holds the
+        // corpus), n1·n2 and n(n−1) ≈ n²/4 — all wrap long within a
+        // few sf decades. The n-quadratic/cubic terms accumulate in
+        // DECIMAL (exact to 1e38, i.e. n ≈ 1e12 rows for the cube);
+        // bounded factors stay long; every decimal casts to double at
+        // its use site (same exact integer, both engines).
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+        def dec12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,0)")
         byV
           .agg(sum(col("cnt")).as("n"), sum(col("cnt1")).as("n1"),
-            sum(col("cnt1") * col("rank2")).as("r1_2"),
-            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-              .as("ties"))
+            sum(dec(col("cnt1")) * dec(col("rank2"))).as("r1_2"),
+            sum(dec12(col("cnt")) * dec12(col("cnt")) * dec12(col("cnt"))
+              - dec(col("cnt"))).as("ties"))
           .select(col("n1"), (col("n") - col("n1")).as("n2"), col("n"),
             col("r1_2"), col("ties"))
           .select(col("n1"), col("n2"),
-            ((col("r1_2") - col("n1") * (col("n1") + 1))
+            ((col("r1_2") - dec(col("n1")) * (dec(col("n1")) + lit(1)))
               .cast("double") / lit(2.0)).as("u1"),
-            (((col("r1_2") - col("n1") * (col("n1") + 1)) -
-              col("n1") * col("n2")).cast("double") /
+            (((col("r1_2") - dec(col("n1")) * (dec(col("n1")) + lit(1))) -
+              dec(col("n1")) * dec(col("n2"))).cast("double") /
               (lit(2.0) * sqrt(
-                (col("n1") * col("n2")).cast("double") / lit(12.0) *
+                col("n1").cast("double") * col("n2").cast("double") /
+                  lit(12.0) *
                   ((col("n") + 1).cast("double") -
                     col("ties").cast("double") /
-                      (col("n") * (col("n") - 1)).cast("double")))))
+                      (col("n").cast("double") *
+                        (col("n") - 1).cast("double"))))))
               .as("z"))
       },
       Some("""WITH ev AS (
@@ -473,16 +488,24 @@ object StatsQueries {
              |m AS (
              |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
              |    CAST(sum(cnt1) AS BIGINT) AS n1,
-             |    CAST(sum(cnt1 * rank2) AS BIGINT) AS r1_2,
-             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+             |    sum(CAST(cnt1 AS DECIMAL(19,0)) *
+             |      CAST(rank2 AS DECIMAL(19,0))) AS r1_2,
+             |    sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+             |      * CAST(cnt AS DECIMAL(12,0))
+             |      - CAST(cnt AS DECIMAL(19,0))) AS ties
              |  FROM r)
              |SELECT n1, n - n1 AS n2,
-             |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-             |  CAST((r1_2 - n1 * (n1 + 1)) - n1 * (n - n1) AS DOUBLE) /
-             |    (2.0 * sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12.0 *
+             |  CAST(r1_2 - CAST(n1 AS DECIMAL(19,0)) *
+             |    (CAST(n1 AS DECIMAL(19,0)) + 1) AS DOUBLE) / 2.0 AS u1,
+             |  CAST((r1_2 - CAST(n1 AS DECIMAL(19,0)) *
+             |      (CAST(n1 AS DECIMAL(19,0)) + 1)) -
+             |    CAST(n1 AS DECIMAL(19,0)) * CAST(n - n1 AS DECIMAL(19,0))
+             |    AS DOUBLE) /
+             |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+             |      / 12.0 *
              |      (CAST(n + 1 AS DOUBLE) -
              |       CAST(ties AS DOUBLE) /
-             |         CAST(n * (n - 1) AS DOUBLE)))) AS z
+             |         (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))) AS z
              |FROM m""".stripMargin),
       "Mann-Whitney U two-sample rank test: exact doubled mid-ranks on " +
         "the distinct-cents rollup, tie-corrected normal z"),
@@ -506,13 +529,18 @@ object StatsQueries {
             sum(col("cnt")).over(Window.orderBy(col("v"))))
           .select(col("v"), col("cnt"),
             (col("cum") * 2 - col("cnt") + 1).as("rank2"))
+        // rj2 ≈ 2n² and the tie sum is worst-case n³ (a single tie
+        // spike) — both wrap long within a few sf decades; accumulate
+        // in DECIMAL (exact to n ≈ 1e12 for the cube), double at use.
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+        def dec12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,0)")
         val perGroup = gv.join(vg.select(col("v"), col("rank2")), Seq("v"))
           .groupBy(col("g"))
           .agg(sum(col("gcnt")).as("nj"),
-            sum(col("gcnt") * col("rank2")).as("rj2"))
+            sum(dec(col("gcnt")) * dec(col("rank2"))).as("rj2"))
         val tot = vg.agg(sum(col("cnt")).as("n"),
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-            .as("ties"))
+          sum(dec12(col("cnt")) * dec12(col("cnt")) * dec12(col("cnt"))
+            - dec(col("cnt"))).as("ties"))
         perGroup.crossJoin(broadcast(tot))
           .select(col("g"), col("nj"), col("rj2"), col("n"), col("ties"),
             (col("rj2").cast("double") * col("rj2").cast("double") /
@@ -521,7 +549,7 @@ object StatsQueries {
             sum(col("term")).as("sumterm"), max(col("ties")).as("ties"))
           .select(col("k_groups"), col("n"),
             round((lit(12.0) * col("sumterm") /
-              (col("n") * (col("n") + 1)).cast("double") -
+              (col("n").cast("double") * (col("n") + 1).cast("double")) -
               lit(3.0) * (col("n") + 1).cast("double")) /
               // n³ in LONG wraps past n ≈ 2.1e6 (~sf3) — cube in
               // double (deterministic, overflow-free; same cast-
@@ -546,11 +574,14 @@ object StatsQueries {
              |  FROM vg),
              |pg AS (
              |  SELECT g, CAST(sum(gcnt) AS BIGINT) AS nj,
-             |    CAST(sum(gcnt * rank2) AS BIGINT) AS rj2
+             |    sum(CAST(gcnt AS DECIMAL(19,0)) *
+             |      CAST(rank2 AS DECIMAL(19,0))) AS rj2
              |  FROM gv JOIN vr USING (v) GROUP BY 1),
              |tot AS (
              |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
-             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+             |    sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+             |      * CAST(cnt AS DECIMAL(12,0))
+             |      - CAST(cnt AS DECIMAL(19,0))) AS ties
              |  FROM vg),
              |m AS (
              |  SELECT CAST(count(*) AS BIGINT) AS k_groups, max(n) AS n,
@@ -559,7 +590,8 @@ object StatsQueries {
              |    max(ties) AS ties
              |  FROM pg CROSS JOIN tot)
              |SELECT k_groups, n,
-             |  round((12.0 * sumterm / CAST(n * (n + 1) AS DOUBLE) -
+             |  round((12.0 * sumterm /
+             |      (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) -
              |    3.0 * CAST(n + 1 AS DOUBLE)) /
              |    (1.0 - CAST(ties AS DOUBLE) /
              |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
@@ -768,17 +800,23 @@ object StatsQueries {
           .withColumn("cum",
             sum(col("cnt")).over(Window.orderBy(col("ad"))))
           .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        // w2 ≈ 2n², the tie sum and n(n+1)(2n+1) are n³ — long wraps
+        // at n ≈ 1.7e6 rows. Quadratic/cubic integer terms accumulate
+        // in DECIMAL (exact to n ≈ 1e12); the variance cube runs as a
+        // double product of exact longs (identical chain both engines).
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+        def dec12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,0)")
         byA.agg(sum(col("cnt")).as("n"),
-            sum(col("cnt_pos") * col("rank2")).as("w2"),
-            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-              .as("ties"))
+            sum(dec(col("cnt_pos")) * dec(col("rank2"))).as("w2"),
+            sum(dec12(col("cnt")) * dec12(col("cnt")) * dec12(col("cnt"))
+              - dec(col("cnt"))).as("ties"))
           .select(col("n"),
             (col("w2").cast("double") / lit(2.0)).as("w_plus"),
-            ((lit(2L) * col("w2") - col("n") * (col("n") + 1))
+            ((lit(2) * col("w2") - dec(col("n")) * (dec(col("n")) + lit(1)))
               .cast("double") /
               (lit(4.0) * sqrt(
-                (col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1))
-                  .cast("double") / lit(24.0) -
+                col("n").cast("double") * (col("n") + 1).cast("double") *
+                  (lit(2L) * col("n") + 1).cast("double") / lit(24.0) -
                   col("ties").cast("double") / lit(48.0)))).as("z"))
       },
       Some("""WITH t AS (
@@ -803,13 +841,18 @@ object StatsQueries {
              |  FROM g),
              |m AS (
              |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
-             |    CAST(sum(cnt_pos * rank2) AS BIGINT) AS w2,
-             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+             |    sum(CAST(cnt_pos AS DECIMAL(19,0)) *
+             |      CAST(rank2 AS DECIMAL(19,0))) AS w2,
+             |    sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+             |      * CAST(cnt AS DECIMAL(12,0))
+             |      - CAST(cnt AS DECIMAL(19,0))) AS ties
              |  FROM r)
              |SELECT n, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
-             |  CAST(2 * w2 - n * (n + 1) AS DOUBLE) /
+             |  CAST(2 * w2 - CAST(n AS DECIMAL(19,0)) *
+             |    (CAST(n AS DECIMAL(19,0)) + 1) AS DOUBLE) /
              |    (4.0 * sqrt(
-             |      CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0 -
+             |      CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) *
+             |        CAST(2 * n + 1 AS DOUBLE) / 24.0 -
              |      CAST(ties AS DOUBLE) / 48.0)) AS z
              |FROM m""".stripMargin),
       "Wilcoxon signed-rank paired test: doubled mid-ranks on the " +
@@ -832,20 +875,27 @@ object StatsQueries {
           (col("o_orderkey") % 7 + (col("o_orderkey") % 3) * 10).as("x"),
           ((col("o_orderkey") % 7) * 2 - (col("o_orderkey") % 3) * 30)
             .as("y"))
+        // n·Σxy and Σx·Σy grow ∝ sf² (≈ 312·n²) — long wraps near
+        // sf100. The numerators form in DECIMAL(38,0) (exact to
+        // n ≈ 5e17); the reversal compare runs on the exact decimals
+        // and the reported magnitudes ship as doubles (same exact
+        // integer rounded identically on both engines).
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
         val byG = t.groupBy(col("g"))
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
           .select(col("g"), col("n"),
-            (col("n") * col("sxy") - col("sx") * col("sy"))
+            (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
               .as("slope_num"))
         byG.agg(sum(col("n")).as("n"),
             min(col("slope_num")).as("min_group_num"),
             max(col("slope_num")).as("max_group_num"))
           .crossJoin(broadcast(t.agg(
-            (count(lit(1)) * sum(col("x") * col("y")) -
-              sum(col("x")) * sum(col("y"))).as("pooled_num"))))
-          .select(col("n"), col("pooled_num"), col("min_group_num"),
-            col("max_group_num"),
+            (dec(count(lit(1))) * dec(sum(col("x") * col("y"))) -
+              dec(sum(col("x"))) * dec(sum(col("y")))).as("pooled_num"))))
+          .select(col("n"), col("pooled_num").cast("double").as("pooled_num"),
+            col("min_group_num").cast("double").as("min_group_num"),
+            col("max_group_num").cast("double").as("max_group_num"),
             (col("pooled_num") < 0 && col("min_group_num") > 0)
               .as("reversal"))
       },
@@ -856,17 +906,21 @@ object StatsQueries {
              |  FROM orders),
              |bg AS (
              |  SELECT g, CAST(count(*) AS BIGINT) AS n,
-             |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
-             |      AS slope_num
+             |    CAST(count(*) AS DECIMAL(19,0)) *
+             |      CAST(sum(x * y) AS DECIMAL(19,0)) -
+             |      CAST(sum(x) AS DECIMAL(19,0)) *
+             |      CAST(sum(y) AS DECIMAL(19,0)) AS slope_num
              |  FROM t GROUP BY 1),
              |p AS (
-             |  SELECT CAST(count(*) * sum(x * y) - sum(x) * sum(y)
-             |    AS BIGINT) AS pooled_num
+             |  SELECT CAST(count(*) AS DECIMAL(19,0)) *
+             |      CAST(sum(x * y) AS DECIMAL(19,0)) -
+             |      CAST(sum(x) AS DECIMAL(19,0)) *
+             |      CAST(sum(y) AS DECIMAL(19,0)) AS pooled_num
              |  FROM t)
              |SELECT CAST(sum(bg.n) AS BIGINT) AS n,
-             |  max(p.pooled_num) AS pooled_num,
-             |  min(bg.slope_num) AS min_group_num,
-             |  max(bg.slope_num) AS max_group_num,
+             |  CAST(max(p.pooled_num) AS DOUBLE) AS pooled_num,
+             |  CAST(min(bg.slope_num) AS DOUBLE) AS min_group_num,
+             |  CAST(max(bg.slope_num) AS DOUBLE) AS max_group_num,
              |  max(p.pooled_num) < 0 AND min(bg.slope_num) > 0
              |    AS reversal
              |FROM bg CROSS JOIN p""".stripMargin),

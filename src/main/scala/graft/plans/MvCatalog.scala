@@ -93,8 +93,28 @@ object MvCatalog {
       freshCheck: Option[SparkSession => Boolean] = None,
       sourcePredicate: Option[SourcePredicate] = None)
 
+  /** Claim "`view` holds, for every group of `partitionCols`, the rows
+    * ranked 1..k under `ordering` (row_number semantics — ties broken
+    * by the ordering's own tie-break columns), flat rows with a
+    * 1-based integer `rankCol`" — the incrementally-maintained
+    * leaderboard ([[graft.functions.TopK.TopKAggregator]] /
+    * [[graft.sinks.IncrementalAggView]]) as a rewrite target for the
+    * window-top-n query shape (`row_number().over(...)` + `rn <= n`,
+    * n ≤ k). One claim per source path. */
+  final case class TopKEntry(
+      sourcePath: String,
+      partitionCols: Seq[String],
+      ordering: Seq[(String, Boolean)], // (column name, descending?)
+      k: Int,
+      rankCol: String,
+      view: () => DataFrame,
+      fingerprint: String,
+      freshCheck: Option[SparkSession => Boolean] = None,
+      sourcePredicate: Option[SourcePredicate] = None)
+
   private val entries = new ConcurrentHashMap[String, Entry]()
   private val joinEntries = new ConcurrentHashMap[(String, String), JoinEntry]()
+  private val topkEntries = new ConcurrentHashMap[String, TopKEntry]()
 
   private[plans] def qualify(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
@@ -161,10 +181,61 @@ object MvCatalog {
                      dimDir: String): Unit =
     joinEntries.remove((qualify(spark, factDir), qualify(spark, dimDir)))
 
-  def clear(): Unit = { entries.clear(); joinEntries.clear() }
+  /** Register (or refresh) a top-k leaderboard claim. `ordering` must
+    * be the EXACT sort the leaderboard was built under, including its
+    * tie-break columns — a query ordering differently reads a
+    * different top-k and must fall through. The view must expose
+    * `partitionCols`, every column a rewritten query projects, and a
+    * 1-based IntegerType `rankCol`. */
+  def registerTopK(spark: SparkSession, sourceDir: String,
+                   partitionCols: Seq[String],
+                   ordering: Seq[(String, Boolean)], k: Int,
+                   rankCol: String, view: () => DataFrame,
+                   freshCheck: Option[SparkSession => Boolean] = None,
+                   sourcePredicate: Option[SourcePredicate] = None): Unit = {
+    require(partitionCols.nonEmpty && ordering.nonEmpty && k > 0,
+      "a top-k view needs partition columns, an ordering and k > 0")
+    val q = qualify(spark, sourceDir)
+    topkEntries.put(q, TopKEntry(q, partitionCols, ordering, k, rankCol,
+      view, listingFingerprint(spark, sourceDir), freshCheck,
+      sourcePredicate))
+  }
+
+  def unregisterTopK(spark: SparkSession, sourceDir: String): Unit =
+    topkEntries.remove(qualify(spark, sourceDir))
+
+  def clear(): Unit = {
+    entries.clear(); joinEntries.clear(); topkEntries.clear()
+  }
+
+  // Maintenance bypass: a view REFRESH recomputes the view from its
+  // sources — if that read were rewritten, it would read the stale
+  // view it is about to overwrite (self-referential refresh: observed
+  // as FILE_NOT_EXIST mid-overwrite, or silently frozen content).
+  // Spark optimizes lazily on the action's calling thread, so a
+  // thread-local flag scopes the bypass to exactly the refresh job.
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Run `body` (a view-maintenance read/write) with the rewrite rule
+    * disabled on this thread. */
+  def suspended[T](body: => T): T = {
+    bypass.set(true)
+    try body finally bypass.set(false)
+  }
+
+  private[plans] def isBypassed: Boolean = bypass.get()
 
   private[plans] def isEmpty: Boolean =
-    entries.isEmpty && joinEntries.isEmpty
+    entries.isEmpty && joinEntries.isEmpty && topkEntries.isEmpty
+
+  /** The top-k entry for a source location, only while fresh. */
+  private[plans] def freshTopKEntry(spark: SparkSession,
+                                    qualified: String): Option[TopKEntry] =
+    Option(topkEntries.get(qualified)).filter(e =>
+      e.freshCheck.map(_(spark)).getOrElse(
+        listingFingerprint(spark, qualified) == e.fingerprint))
 
   /** The join entry for a (fact, dim) location pair, only while fresh. */
   private[plans] def freshJoinEntry(spark: SparkSession, factQ: String,

@@ -47,13 +47,14 @@ object MvRewriteRule extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvCatalog.isEmpty) plan
+    if (MvCatalog.isEmpty || MvCatalog.isBypassed) plan
     else plan.transformUp {
       // bottom-up: a registered JOIN subtree rewrites first, then an
       // aggregate-view claim above can still match what remains
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         rewriteJoin(j).getOrElse(j)
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      case f: Filter => rewriteTopK(f).getOrElse(f)
     }
 
   private case class Src(rel: LogicalRelation, filter: Option[Expression])
@@ -66,8 +67,15 @@ object MvRewriteRule extends Rule[LogicalPlan]
   private def sourceOf(plan: LogicalPlan): Option[Src] =
     plan match {
       case r: LogicalRelation => Some(Src(r, None))
-      case Project(ps, child)
-        if ps.forall(_.isInstanceOf[AttributeReference]) => sourceOf(child)
+      // bare-attribute pruning projections, plus IDENTITY aliases
+      // (Alias(attr, attr.name)) — the shape [[rewriteJoin]] emits, so
+      // an agg-view claim over a JOIN VIEW composes with the join
+      // rewrite in the same pass (the chained star-rollup case)
+      case Project(ps, child) if ps.forall {
+        case _: AttributeReference => true
+        case Alias(a: AttributeReference, name) => a.name == name
+        case _ => false
+      } => sourceOf(child)
       case Filter(cond, child)
         if cond.deterministic &&
           cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
@@ -216,7 +224,17 @@ object MvRewriteRule extends Rule[LogicalPlan]
         if entry.sourcePredicate.forall(p =>
           p.satisfied(conjF) && p.satisfied(conjD))
         remaining = (conjF ++ conjD).filterNot(c =>
-          entry.sourcePredicate.exists(_.absorbs(c)))
+          entry.sourcePredicate.exists(_.absorbs(c)) ||
+            // IsNotNull on a join key is IMPLIED by the inner join the
+            // view materializes (every view row joined on that key) —
+            // the optimizer infers these from the join condition, and
+            // carrying them as residual filters would block claims
+            // stacked above (the star-rollup chain)
+            (c match {
+              case IsNotNull(a: AttributeReference) =>
+                entry.joinKeys.contains(a.name)
+              case _ => false
+            }))
         // a filter column whose NAME exists on both scans (and is not a
         // shared key) would rebind ambiguously — refuse
         if remaining.forall(_.references.forall(a =>
@@ -229,6 +247,130 @@ object MvRewriteRule extends Rule[LogicalPlan]
         }
       } yield Project(mapped, child): LogicalPlan
     }.headOption
+  }
+
+  /** Replace `Filter(rn <= n, Window(row_number over (partition, order),
+    * scan(source)))` — the top-n-per-group query shape — with a read of
+    * the registered leaderboard view (see [[MvCatalog.registerTopK]] —
+    * the maintained-top-k claim). Safety rules, each a fallthrough:
+    *   - exactly ONE window expression, and it must be `row_number()`
+    *     (rank/dense_rank admit ties the bounded leaderboard never
+    *     stores);
+    *   - the partition columns must set-match and the ORDER must
+    *     list-match the claim exactly, directions included — a
+    *     different order is a different leaderboard;
+    *   - the filter must bound the rank at some n ≤ k (`<=`, `<`, `=`
+    *     against an integer literal); ALL conjuncts (the rank bound
+    *     included) rebind over the view and re-apply — re-filtering
+    *     stored 1..k ranks at n ≤ k is exact;
+    *   - every output attribute must map to a view column of the same
+    *     name and type (the rank attr maps to the claim's `rankCol`),
+    *     re-aliased under the original exprIds;
+    *   - scans with residual filters only rewrite when the claim's
+    *     sourcePredicate absorbs them (a filtered source ranks
+    *     different rows than the view);
+    *   - freshness per [[MvCatalog.freshTopKEntry]] — a source write
+    *     the view hasn't folded falls the query through. */
+  private def rewriteTopK(f: Filter): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val spark = SparkSession.active
+    // look through a pruning projection between the filter and window
+    def windowOf(p: LogicalPlan): Option[LWindow] = p match {
+      case w: LWindow => Some(w)
+      case Project(ps, child)
+        if ps.forall(_.isInstanceOf[AttributeReference]) => windowOf(child)
+      case _ => None
+    }
+    for {
+      w <- windowOf(f.child)
+      alias <- w.windowExpressions match {
+        case Seq(a: Alias) => Some(a)
+        case _ => None
+      }
+      we <- alias.child match {
+        case e: WindowExpression => Some(e)
+        case _ => None
+      }
+      _ <- we.windowFunction match {
+        case _: RowNumber => Some(())
+        case _ => None
+      }
+      // the optimizer has already inserted its WindowGroupLimit
+      // pre-filter below the window by the time extra rules run —
+      // semantics-preserving, look through it
+      src <- sourceOf(w.child match {
+        case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+          wgl.child
+        case other => other
+      })
+      loc <- locationOf(src.rel)
+      entry <- MvCatalog.freshTopKEntry(spark, MvCatalog.qualify(spark, loc))
+      partAttrs <- bareAttrs(w.partitionSpec)
+      if partAttrs.map(_.name).sorted == entry.partitionCols.sorted
+      orderPairs <- {
+        val ps = w.orderSpec.map {
+          case SortOrder(a: AttributeReference, dir, _, _) =>
+            Some((a.name, dir == Descending))
+          case _ => None
+        }
+        if (ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
+      }
+      if orderPairs == entry.ordering
+      // residual source filter: only claim-absorbed conjuncts allowed,
+      // and the claim's core predicate must be present when declared
+      conjSrc = src.filter.toSeq.flatMap(splitConjunctivePredicates)
+      if entry.sourcePredicate.forall(_.satisfied(conjSrc))
+      if conjSrc.forall(c => entry.sourcePredicate.exists(_.absorbs(c)))
+      rankAttr = alias.toAttribute
+      conjuncts = splitConjunctivePredicates(f.condition)
+      if conjuncts.exists(c => rankBound(c, rankAttr).exists(_ <= entry.k))
+      viewPlan = entry.view().queryExecution.analyzed
+      vmap = viewPlan.output.map(a => a.name -> a).toMap
+      // every output column the parents may read must be served
+      mapped <- {
+        val m = f.output.map { o =>
+          val name = if (o.exprId == rankAttr.exprId) entry.rankCol else o.name
+          vmap.get(name).filter(_.dataType == o.dataType)
+            .map(v => Alias(v, o.name)(exprId = o.exprId))
+        }
+        if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+      }
+      cond2 <- {
+        val ok = f.condition.references.forall { a =>
+          val name = if (a.exprId == rankAttr.exprId) entry.rankCol else a.name
+          vmap.get(name).exists(_.dataType == a.dataType)
+        }
+        if (!ok) None
+        else Some(f.condition.transform {
+          case a: AttributeReference =>
+            vmap(if (a.exprId == rankAttr.exprId) entry.rankCol else a.name)
+        })
+      }
+    } yield Project(mapped, Filter(cond2, viewPlan)): LogicalPlan
+  }
+
+  /** The inclusive rank bound n in `attr <= n` / `attr < n+1` /
+    * `attr = n` (integer literal, either operand order); None if the
+    * conjunct doesn't bound `attr` from above. */
+  private def rankBound(c: Expression, attr: Attribute): Option[Long] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def isAttr(e: Expression) = e match {
+      case a: AttributeReference => a.exprId == attr.exprId
+      case _ => false
+    }
+    c match {
+      case LessThanOrEqual(a, l) if isAttr(a) => lit(l)
+      case LessThan(a, l) if isAttr(a) => lit(l).map(_ - 1)
+      case EqualTo(a, l) if isAttr(a) => lit(l)
+      case EqualTo(l, a) if isAttr(a) => lit(l)
+      case GreaterThanOrEqual(l, a) if isAttr(a) => lit(l)
+      case GreaterThan(l, a) if isAttr(a) => lit(l).map(_ - 1)
+      case _ => None
+    }
   }
 
   /** The condition decomposed into (factAttr, dimAttr) equality pairs;

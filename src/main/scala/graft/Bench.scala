@@ -57,7 +57,11 @@ object Bench {
     // text_quality_score); line budget funds the round-9 stage/load
     // fields
     "setop_except_all",
-    "pivot_event_counts",
+    // pivot_event_counts / agg_topk_typed / layout_zorder_key rotated
+    // out round 11 (0.33-0.36 s; pivot = grouped-agg class covered by
+    // agg_pricing_summary, typed top-k covered by window_topn_per_group,
+    // z-order key = map-only scalar class covered by text_quality_score);
+    // the freed line budget funds ann_recall + per-drain stream stats
     // dedup_exact_groups rotated out round 10 (0.43 s exact hash-groupBy
     // — cost class covered by agg_latest_per_key and the dedup family);
     // line budget funds the round-10 stream-stage attribution field
@@ -71,12 +75,12 @@ object Bench {
     // pipeline_pack_sequences rotated out round 9 (0.28 s — the
     // packing cost class stays covered by pipeline_curate_pack)
     "text_repetition", "dedup_decontaminate",
-    "agg_topk_typed", "pipeline_curate_pack", "sim_knn_join_ivf",
+    "pipeline_curate_pack", "sim_knn_join_ivf",
     // sim_topk_pq rotated out round 10 (0.64 s; the PQ/ADC cost class
     // stays covered by sim_topk_ivfpq, which composes cell routing +
     // the same ADC probes + exact re-rank); stream-stage line budget
     "agg_bitmap_distinct", "join_salted_skew",
-    "sim_topk_ivfpq", "join_lateral_topn", "layout_zorder_key",
+    "sim_topk_ivfpq", "join_lateral_topn",
     // cdc_changefeed/cdc_replicated_state are NOT benched: the catalog
     // forms build a temp mirror from the full fixture stream first, so
     // their wall time is mirror construction, not the delta-sized feed
@@ -214,11 +218,23 @@ object Bench {
     //   - sustained throughput: the remaining events feed free-running
     //     (batches auto-size under load, as Structured Streaming does
     //     on a backlog) → drain rate in ev/s.
-    val (streamEps, trigP50, trigP95) = {
-      val all = raw.limit(250000).collect().map(r => BenchRec(
-        r.getAs[String]("topic"), r.getAs[String]("key"),
-        r.getAs[String]("value"), r.getAs[Int]("partition"),
-        r.getAs[Long]("offset")))
+    //
+    // CONTENTION SELF-DEFENSE (round 11): the committed r10 artifact
+    // shipped a 5,334 ms streaming p95 that a quiet-box rerun showed
+    // was really ~720 ms — a single drain has no way to prove it ran
+    // on a contended window. The batch section already takes 3
+    // separated passes; the stream section now does the same: THREE
+    // full runs (fresh pipeline each), spread across the batch passes
+    // minutes apart, each stamped with /proc/loadavg at start. The
+    // headline numbers are per-metric MEDIANS; the per-run
+    // [eps, p50, p95, load] tuples ship in the JSON so a bad window is
+    // attributable to its loadavg instead of relitigated.
+    val streamAll = raw.limit(250000).collect().map(r => BenchRec(
+      r.getAs[String]("topic"), r.getAs[String]("key"),
+      r.getAs[String]("value"), r.getAs[Int]("partition"),
+      r.getAs[Long]("offset")))
+    def streamRun(): (Long, Long, Long, Double) = {
+      val loadAtStart = loadavg()
       val root = java.nio.file.Files.createTempDirectory("graft-bench-s").toString
       // maxDeltas = 32: the fold cadence DOMINATES this phase (the
       // round-8 StreamSweep measured drain 28-31k ev/s at 16 vs 43-61k
@@ -245,7 +261,7 @@ object Bench {
           .MemoryStream[BenchRec]
         val query = graft.streaming.CdcPipeline.start(ms.toDF(), cfg)
         val warmupTriggers = 2
-        val (latency, rest) = all.splitAt((warmupTriggers + 20) * 3000)
+        val (latency, rest) = streamAll.splitAt((warmupTriggers + 20) * 3000)
         latency.grouped(3000).foreach { chunk =>
           ms.addData(chunk.toSeq)
           query.processAllAvailable() // one trigger per reference-sized batch
@@ -263,9 +279,10 @@ object Bench {
         query.processAllAvailable()
         val wall = (System.nanoTime() - t0) / 1e9
         query.stop()
-        ((rest.length / wall).toLong, pct(0.5), pct(0.95))
+        ((rest.length / wall).toLong, pct(0.5), pct(0.95), loadAtStart)
       } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
+    val stream1 = streamRun()
 
     // Streaming STAGE attribution (VERDICT r9 item 3): a separate short
     // attributed run — stageTimer per trigger, so the p95 tail is
@@ -324,9 +341,13 @@ object Bench {
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pipe1 = pipeRun()
     val pipeV1 = pipeRun(withViews = true)
+    // stream runs 2 and 3 sit between the batch passes, so the three
+    // drains are minutes apart — a host spike can't hit all of them
+    val stream2 = streamRun()
     val pass2 = names.map(n => n -> timed(n)).toMap
     val pipe2 = pipeRun()
     val pipeV2 = pipeRun(withViews = true)
+    val stream3 = streamRun()
     val pass3 = names.map(n => n -> timed(n)).toMap
     // the pipeline number is the HEADLINE metric and a single pass is
     // one I/O-heavy job on a contended host — a third sample cuts the
@@ -382,8 +403,27 @@ object Bench {
       .mkString("{", ",", "}")
     val streamStageJson = streamStageP95
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // streaming headline = per-metric MEDIAN of the three separated
+    // runs; the raw [eps, p50_ms, p95_ms, loadavg_at_start] tuples ship
+    // so any outlier run is attributable to its load stamp
+    val sruns = Seq(stream1, stream2, stream3)
+    def medL(xs: Seq[Long]): Long = xs.sorted.apply(1)
+    val streamEps = medL(sruns.map(_._1))
+    val trigP50 = medL(sruns.map(_._2))
+    val trigP95 = medL(sruns.map(_._3))
+    val streamRunsJson = sruns.map(r =>
+      s"[${r._1},${r._2},${r._3},${"%.2f".formatLocal(Locale.ROOT, r._4)}]")
+      .mkString("[", ",", "]")
+    // ANN approximation quality on the raw corpus (recall vs the
+    // brute-force arm) — a committed per-round number, so an index or
+    // codebook change that degrades recall moves this instead of
+    // passing every exactness gate
+    val recall = graft.operators.SimilarityQueries.annRecallAt10(spark, sfDir)
+    def f2(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
+    val annJson =
+      s"""{"ivf":${f2(recall("ivf"))},"ivfpq":${f2(recall("ivfpq"))}}"""
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews,"cdc_stage_sec":$stageJson,"small_batch_write_bytes":{"swap":$wampSwap,"bucketed":$wampBucket,"log":$wampLog},"stream_events_per_sec":$streamEps,"stream_trigger_p50_ms":$trigP50,"stream_trigger_p95_ms":$trigP95,"stream_stage_p95_ms":$streamStageJson,"load":{"start":${f(loadStart)},"end":${f(loadEnd)}}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews,"cdc_stage_sec":$stageJson,"small_batch_write_bytes":{"swap":$wampSwap,"bucketed":$wampBucket,"log":$wampLog},"stream_events_per_sec":$streamEps,"stream_trigger_p50_ms":$trigP50,"stream_trigger_p95_ms":$trigP95,"stream_runs":$streamRunsJson,"stream_stage_p95_ms":$streamStageJson,"ann_recall":$annJson,"load":{"start":${f(loadStart)},"end":${f(loadEnd)}}}""")
     spark.stop()
   }
 }

@@ -69,6 +69,44 @@ object SimilarityQueries {
       |       * sqrt(list_dot_product(q.v, q.v))), 6) AS score
       |FROM c, q ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Per-round ANN quality telemetry (BENCH `ann_recall`): recall@10 of
+    * the IVF and IVF-PQ search paths vs brute-force cosine ground truth
+    * over the RAW corpus — no planted duplicates. The planted catalog
+    * queries prove the probe→candidate→rank pipeline is exact; this
+    * measures APPROXIMATION quality on real vectors, so an index or
+    * codebook change that silently degrades recall moves a committed
+    * number instead of passing every gate. Averaged over `nQueries`
+    * query vectors (the corpus' first ids); indexes ride the same
+    * session memo the catalog queries use (search-only timing).
+    */
+  def annRecallAt10(s: org.apache.spark.sql.SparkSession, d: String,
+                    nQueries: Int = 8): Map[String, Double] = {
+    val emb = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qids = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(nQueries).collect().map(_.getLong(0)).toSeq
+    val ivfIdx = graft.functions.IvfIndex.buildCached(
+      s, s"$d#raw", emb, k = 16, iterations = 2)
+    val pqIdx = graft.functions.IvfPq.buildCached(
+      s, s"$d#raw", emb, kCells = 16, m = 8, ksub = 16, iterations = 2)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recalls = qids.map { id =>
+      val qv = emb.filter(col("vec_id") === id).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      val truth = ids(graft.functions.SimilarityFunctions
+        .bruteForceTopK(emb, qv, 10))
+      val rIvf = truth.intersect(ids(graft.functions.IvfIndex
+        .search(ivfIdx, qv, topK = 10, nprobe = 4))).size / 10.0
+      val rPq = truth.intersect(ids(graft.functions.IvfPq
+        .searchReranked(pqIdx, qv, 10))).size / 10.0
+      (rIvf, rPq)
+    }
+    Map(
+      "ivf" -> recalls.map(_._1).sum / recalls.length,
+      "ivfpq" -> recalls.map(_._2).sum / recalls.length)
+  }
+
   def queries: Seq[Q] = ((baseQueries :+ jlQuery) :+ matryoshkaQuery) :+
     mmrQuery
 

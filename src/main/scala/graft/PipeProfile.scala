@@ -9,15 +9,20 @@ object PipeProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.env.contains("GRAFT_RAWFS"))
+      b.config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+    else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val stagesOnly = args.contains("stages") // fast attribution loop
-    val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir)
+    // persisted: the envelope generator must not run inside the timings
+    // (same rationale as Bench — a pipeline's bytes arrive pre-built)
+    val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir).persist()
     val nEvents = raw.count()
     println(s"[pipeprofile] events=$nEvents")
     def loadavg() = new String(java.nio.file.Files.readAllBytes(

@@ -91,11 +91,9 @@ object BucketedMirror {
   private def writeManifest(fs: FileSystem, root: String, batchId: Long,
                             versions: Map[Int, Long], nBuckets: Int): Unit = {
     val tmp = new Path(s"$root/.MANIFEST-$batchId.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((s"n:$nBuckets" +:
+    graft.core.LocalFs.writeSmall(fs, tmp, (s"n:$nBuckets" +:
       versions.toSeq.sorted.map { case (b, v) => s"$b:$v" })
       .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
     val dst = new Path(s"$root/MANIFEST-$batchId")
     fs.delete(dst, false) // replay of the same batch recommits
     if (!fs.rename(tmp, dst)) sys.error(s"manifest commit failed for $root")
@@ -127,8 +125,8 @@ object BucketedMirror {
   private def writeSchema(fs: FileSystem, root: String, batchId: Long,
                           schema: org.apache.spark.sql.types.StructType): Unit = {
     val tmp = new Path(s"$root/._SCHEMA-$batchId.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    graft.core.LocalFs.writeSmall(fs, tmp,
+      schema.toDDL.getBytes("UTF-8"))
     val dst = new Path(s"$root/_SCHEMA-$batchId")
     fs.delete(dst, false) // replay of the same batch recommits
     if (!fs.rename(tmp, dst)) sys.error(s"schema commit failed for $root")

@@ -59,8 +59,7 @@ object ChangefeedReplicator {
   private def writeCheckpoint(fs: FileSystem, targetRoot: String,
                               v: Long): Unit = {
     val tmp = new Path(s"$targetRoot/._CHANGEFEED_CKPT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    graft.core.LocalFs.writeSmall(fs, tmp, s"$v\n".getBytes("UTF-8"))
     val dst = ckptPath(targetRoot)
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))

@@ -75,10 +75,8 @@ object IncrementalAggView {
   private def writeCheckpoint(fs: FileSystem, viewRoot: String,
                               c: Checkpoint): Unit = {
     val tmp = new Path(s"$viewRoot/._AGG_VIEW_CKPT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"src:${c.sourceVersion}\nbatch:${c.batch}\n"
-      .getBytes("UTF-8"))
-    finally out.close()
+    graft.core.LocalFs.writeSmall(fs, tmp,
+      s"src:${c.sourceVersion}\nbatch:${c.batch}\n".getBytes("UTF-8"))
     val dst = ckptPath(viewRoot)
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))

@@ -89,11 +89,9 @@ object IncrementalJoinView {
   private def writeCheckpoint(fs: FileSystem, viewRoot: String,
                               c: Checkpoint): Unit = {
     val tmp = new Path(s"$viewRoot/._JOIN_VIEW_CKPT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
+    graft.core.LocalFs.writeSmall(fs, tmp,
       s"fact:${c.factVersion}\ndim:${c.dimVersion}\nbatch:${c.batch}\n"
         .getBytes("UTF-8"))
-    finally out.close()
     val dst = ckptPath(viewRoot)
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))

@@ -94,14 +94,14 @@ object LogMirror {
   private def writeManifest(fs: FileSystem, root: String, commitId: Long,
                             m: Manifest): Unit = {
     val tmp = new Path(s"$root/.MANIFEST-$commitId.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((
+    // LocalFs: one manifest per TABLE per TRIGGER rides this path — the
+    // local-FS create otherwise forks a chmod per call (~12 ms)
+    graft.core.LocalFs.writeSmall(fs, tmp, (
       Seq(s"k:${m.keyCols.mkString(",")}") ++
         m.bucketCount.map(n => s"n:$n") ++
         m.base.map(b => s"base:$b") ++
         m.deltas.map(d => s"delta:$d"))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
     val dst = new Path(s"$root/MANIFEST-$commitId")
     fs.delete(dst, false) // replay of the same batch recommits
     if (!fs.rename(tmp, dst)) sys.error(s"manifest commit failed for $root")
@@ -228,7 +228,7 @@ object LogMirror {
           val root = s"$mirrorRoot/$t"
           val dst = new Path(deltaPath(root, batchId))
           fs.delete(dst, true) // replay overwrites its own slot
-          fs.mkdirs(dst.getParent)
+          graft.core.LocalFs.mkdirs(fs, dst.getParent)
           if (!fs.rename(part, dst))
             sys.error(s"delta segment rename failed for $t")
           // stagger the folds: the group shares one batch counter, so

@@ -144,10 +144,9 @@ object SwapMirror {
     * state next to it. */
   private[graft] def writeBatchMarker(fs: FileSystem, dir: Path,
                                       batchId: Long): Unit =
-    if (batchId >= 0) {
-      val out = fs.create(new Path(dir, "_GRAFT_BATCH"), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    }
+    if (batchId >= 0)
+      graft.core.LocalFs.writeSmall(fs, new Path(dir, "_GRAFT_BATCH"),
+        batchId.toString.getBytes("UTF-8"))
 
   private[graft] def readBatchMarker(fs: FileSystem,
                                      dir: Path): Option[Long] = {
@@ -169,6 +168,11 @@ object SwapMirror {
   def atomicSwap(fs: FileSystem, root: String)(write: Path => Unit): Unit = {
     val live = new Path(s"$root/live")
     val staging = new Path(s"$root/.staging")
+    // the table root must exist BEFORE `write` renames data into
+    // staging: Hadoop's local rename into a missing parent silently
+    // degrades to a full file COPY (measured 365 ms vs 1 ms for a
+    // 32-file segment — it dominated every first-batch swap)
+    graft.core.LocalFs.mkdirs(fs, new Path(root))
     fs.delete(staging, true)
     write(staging)
     val old = new Path(s"$root/.old")

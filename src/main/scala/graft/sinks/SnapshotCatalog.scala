@@ -72,11 +72,9 @@ object SnapshotCatalog {
     val dir = new Path(snapDir(groupRoot))
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val tmp = new Path(s"${snapDir(groupRoot)}/.SNAP-$id.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(pinned.toSeq.sortBy(_._1)
+    graft.core.LocalFs.writeSmall(fs, tmp, pinned.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t:$v" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
-    finally out.close()
     val dst = new Path(s"${snapDir(groupRoot)}/SNAP-$id")
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) sys.error(s"snapshot commit failed for $groupRoot")

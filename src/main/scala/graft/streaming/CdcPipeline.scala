@@ -111,7 +111,16 @@ object CdcPipeline {
       // truth) drive chunked ad-hoc backfills — see SignalSnapshot
       signalDir: Option[String] = None,
       snapshotSources: Map[String, () => DataFrame] = Map.empty,
-      snapshotChunkKeys: Int = 4096) {
+      snapshotChunkKeys: Int = 4096,
+      // Cache the routed batch frame. The clean-path batch is read at
+      // most twice (table stats + parse-cache fill), and building the
+      // columnar cache for the full payload costs MORE than the saved
+      // re-read when the source re-reads cheaply (MemoryStream /
+      // already-persisted frames: ~1 s per 271k-event batch, measured
+      // — it dominated the route stage). Set true for sources whose
+      // re-read is expensive (a Kafka batch re-read re-fetches from
+      // the broker).
+      persistRoutedBatch: Boolean = false) {
     require(!consistentSnapshots ||
       sinkOverride.exists(_.isInstanceOf[graft.sinks.LogMirrorSink]),
       "consistentSnapshots pin LogMirror versions (readAsOf) — they " +
@@ -176,13 +185,16 @@ object CdcPipeline {
     val spark = batch.sparkSession
     val t0 = System.nanoTime()
     def secsSince(t: Long) = (System.nanoTime() - t) / 1e9
-    val routed = batch
+    // persistRoutedBatch trades one saved source re-read against the
+    // columnar-cache build for the full payload — see Config
+    val routed0 = batch
       .withColumn("table_name", Envelope.route(col("topic")))
-      .persist()
+    val routed = if (cfg.persistRoutedBatch) routed0.persist() else routed0
     try {
-      // one pass fills the route cache AND yields the table list plus
-      // the unroutable flag — the DLQ stage below then never has to
-      // rescan `routed` to learn whether any topic routed nowhere
+      // one pass yields the table list plus the unroutable flag (and,
+      // when caching is on, fills the route cache) — the DLQ stage
+      // below then never has to rescan `routed` to learn whether any
+      // topic routed nowhere
       val tstats = routed.groupBy(col("table_name")).count().collect()
       val tables = tstats.map(_.getString(0)).filter(_ != "")
       val hasUnroutable = tstats.exists(_.getString(0) == "")
@@ -411,7 +423,7 @@ object CdcPipeline {
           views = tViews - tMerge, snapshot = tSnap - tViews,
           dlq = secsSince(t0) - tSnap)))
       } finally parsedBySchema.values.foreach(_.unpersist())
-    } finally routed.unpersist()
+    } finally if (cfg.persistRoutedBatch) { routed.unpersist(); () }
   }
 
   /** Unified merge for a group of same-schema same-key tables: the
@@ -460,7 +472,13 @@ object CdcPipeline {
     // one write for the group, then per-table staging + swap
     val tmp = new Path(cfg.mirrorRoot,
       s".group_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dbg = sys.env.contains("GRAFT_MERGE_DEBUG")
+    def mark(label: String, t0: Long): Long = {
+      if (dbg) println(f"[mergedebug] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      System.nanoTime()
+    }
     try {
+      var t = System.nanoTime()
       val writer = bucketCount match {
         case Some(n) => merged
           .withColumn("_bucket", bucketCol(spec, n))
@@ -469,15 +487,19 @@ object CdcPipeline {
         case None => merged.write.partitionBy("table_name")
       }
       writer.mode("overwrite").parquet(tmp.toString)
-      ts.foreach { t =>
-        val part = new Path(tmp, s"table_name=$t")
-        if (fs.exists(part)) atomicSwap(fs, s"${cfg.mirrorRoot}/$t") { staging =>
+      t = mark("group write", t)
+      ts.foreach { tb =>
+        val s0 = System.nanoTime()
+        val part = new Path(tmp, s"table_name=$tb")
+        if (fs.exists(part)) atomicSwap(fs, s"${cfg.mirrorRoot}/$tb") { staging =>
           if (!fs.rename(part, staging))
-            sys.error(s"staging rename failed for $t")
-          fs.create(new Path(staging, "_SUCCESS"), true).close()
+            sys.error(s"staging rename failed for $tb")
+          graft.core.LocalFs.touch(fs, new Path(staging, "_SUCCESS"))
           graft.sinks.SwapMirror.writeBatchMarker(fs, staging, batchId)
         }
+        if (dbg) println(f"[mergedebug]   swap $tb%-22s ${(System.nanoTime() - s0) / 1e9}%6.3f s")
       }
+      t = mark("swaps", t)
     } finally fs.delete(tmp, true)
   }
 

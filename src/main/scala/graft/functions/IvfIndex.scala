@@ -47,9 +47,15 @@ object IvfIndex {
     * `corpusKey` must distinguish corpora, not just directories — e.g.
     * append a tag when the caller unions planted rows into the input. */
   def buildCached(spark: SparkSession, corpusKey: String, embeddings: => DataFrame,
-                  k: Int, iterations: Int = 3): Index =
-    cache.getOrElseUpdate(spark, (corpusKey, k, iterations))(
+                  k: Int, iterations: Int = 3): Index = {
+    val idx = cache.getOrElseUpdate(spark, (corpusKey, k, iterations))(
       build(spark, embeddings, k, iterations))
+    // a session clearCache() unpersists the artifact's assignments
+    // frame behind the memo — re-assert on access (searches over an
+    // unpersisted index are correct but rescan, and plan shapes drift)
+    graft.core.Caching.persistOnce(idx.assignments)
+    idx
+  }
 
   /** Nearest-centroid id for a vector column, given a small centroid
     * table rendered as literal arrays (broadcast-by-closure). */

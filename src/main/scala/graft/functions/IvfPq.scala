@@ -28,9 +28,13 @@ object IvfPq {
 
   def buildCached(spark: SparkSession, corpusKey: String,
                   embeddings: => DataFrame, kCells: Int = 16, m: Int = 8,
-                  ksub: Int = 16, iterations: Int = 2): Index =
-    cache.getOrElseUpdate(spark, (corpusKey, kCells, m, ksub))(
+                  ksub: Int = 16, iterations: Int = 2): Index = {
+    val idx = cache.getOrElseUpdate(spark, (corpusKey, kCells, m, ksub))(
       build(spark, embeddings, kCells, m, ksub, iterations))
+    graft.core.Caching.persistOnce(idx.codes)
+    graft.core.Caching.persistOnce(idx.ivf.assignments)
+    idx
+  }
 
   /** One IVF build (cell routing) + one PQ build (codebooks) + one
     * encode pass over the already-normalized assignments (PQ's own

@@ -26,12 +26,16 @@ object CdcQueries {
                                         d: String) = unwrapped(s, d)
 
   /** Shared Spark pipeline: raw records → unwrapped typed changes. */
+  // persistOnce at ACCESS time, not only creation: a session-level
+  // clearCache() (the plan-fingerprint spec's isolation discipline, or
+  // any user) would otherwise leave the memoized frame unpersisted
+  // forever, silently changing downstream plan shapes
   private def unwrapped(s: org.apache.spark.sql.SparkSession, d: String) =
-    cache.getOrElseUpdate(s, d)(
+    graft.core.Caching.persistOnce(cache.getOrElseUpdate(s, d)(
       Envelope.unwrap(
         Envelope.wellFormed(
           Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)),
-        keyCols = Seq("id")).persist())
+        keyCols = Seq("id"))))
 
   /** DuckDB-side derivation of the fixture's expected final state. */
   private val oracleFinalState =

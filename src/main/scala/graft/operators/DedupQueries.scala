@@ -111,6 +111,8 @@ object DedupQueries {
       pairs.count() // materialize, then release the intermediate bands
       bands.unpersist()
       pairs
+    } match { // re-assert persistence on memo hits (clearCache healing)
+      case df => graft.core.Caching.persistOnce(df)
     }
 
   /** DuckDB CTE chain producing the same `pairs(a, b)` relation. */

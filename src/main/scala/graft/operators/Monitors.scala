@@ -20,12 +20,12 @@ object Monitors {
     new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
   private def dailyTotals(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
-    dailyMemo.getOrElseUpdate(s, d) {
-      persistOnce(load(s, d, "events")
+    persistOnce(dailyMemo.getOrElseUpdate(s, d) {
+      load(s, d, "events")
         .filter(col("value").isNotNull)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("y")))
-    }
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    })
 
   def queries: Seq[Q] = Seq(
     // J2: consumer-lag = latest offset − committed offset, per topic.

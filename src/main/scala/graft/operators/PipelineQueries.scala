@@ -39,9 +39,9 @@ object PipelineQueries {
     new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
 
   private def tokenizedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
-    tokenized.getOrElseUpdate(s, d)(
+    graft.core.Caching.persistOnce(tokenized.getOrElseUpdate(s, d)(
       load(s, d, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("w")).persist())
+        .select(col("doc_id"), tokens(col("text")).as("w"))))
 
   /** BM25 (k1=1.2, b=0.75) top-`n` docs for the fixed [[B25_TERMS]]
     * query — the lexical retrieval arm, shared by `text_bm25_search`

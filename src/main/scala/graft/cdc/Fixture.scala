@@ -36,7 +36,8 @@ object Fixture {
 
   /** Raw Kafka-shaped records: (topic, key, value, partition, offset). */
   def ordersCdcEvents(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(spark, dir)(buildEvents(spark, dir).persist())
+    graft.core.Caching.persistMaterialized(
+      cache.getOrElseUpdate(spark, dir)(buildEvents(spark, dir)))
 
   private def buildEvents(spark: SparkSession, dir: String): DataFrame = {
     // The orders parquet is a handful of row-groups; without an explicit

@@ -16,4 +16,18 @@ import org.apache.spark.storage.StorageLevel
 object Caching {
   def persistOnce(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.persist() else df
+
+  /** [[persistOnce]] plus eager materialization whenever a persist
+    * actually happens. JoinSelection reads InMemoryRelation stats,
+    * which are ACCURATE only once the cache is built; a heal that
+    * re-registers persistence after `spark.catalog.clearCache()`
+    * without materializing leaves size-estimated stats in place, so
+    * the same query plans BroadcastHashJoin when an earlier suite
+    * built the cache and SortMergeJoin when it didn't (the round-11
+    * suite-order PlanFingerprintSpec failure). Memo-access wrappers
+    * must use this, not persistOnce: the guarded count() fires only
+    * on the persist transition, so live-cache hits stay free. */
+  def persistMaterialized(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) { df.persist(); df.count(); df }
+    else df
 }

@@ -52,8 +52,10 @@ object IvfIndex {
       build(spark, embeddings, k, iterations))
     // a session clearCache() unpersists the artifact's assignments
     // frame behind the memo — re-assert on access (searches over an
-    // unpersisted index are correct but rescan, and plan shapes drift)
-    graft.core.Caching.persistOnce(idx.assignments)
+    // unpersisted index are correct but rescan, and plan shapes drift).
+    // Materialized heal: a persist-only heal leaves estimated stats,
+    // which can flip downstream join strategies by suite order.
+    graft.core.Caching.persistMaterialized(idx.assignments)
     idx
   }
 

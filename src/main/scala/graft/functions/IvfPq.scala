@@ -31,8 +31,9 @@ object IvfPq {
                   ksub: Int = 16, iterations: Int = 2): Index = {
     val idx = cache.getOrElseUpdate(spark, (corpusKey, kCells, m, ksub))(
       build(spark, embeddings, kCells, m, ksub, iterations))
-    graft.core.Caching.persistOnce(idx.codes)
-    graft.core.Caching.persistOnce(idx.ivf.assignments)
+    // materialized heals (see Caching.persistMaterialized scaladoc)
+    graft.core.Caching.persistMaterialized(idx.codes)
+    graft.core.Caching.persistMaterialized(idx.ivf.assignments)
     idx
   }
 

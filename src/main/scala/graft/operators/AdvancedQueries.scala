@@ -122,8 +122,12 @@ object AdvancedQueries {
           rightPayload = Seq("v", "rate_bp"),
           mode = "broadcast")
           .groupBy(col("cur"), col("v"), col("rate_bp"))
+          // cents×basis-point summands reach ~3.5e12: a long charge
+          // wraps near 2.6e6 rows PER GROUP (~sf70 total) — the
+          // charge accumulates in DECIMAL(38,0) on both engines
           .agg(count(lit(1)).as("n"),
-            sum(col("cents") * col("rate_bp")).as("charge"))
+            sum(col("cents").cast("decimal(19,0)") *
+              col("rate_bp").cast("decimal(19,0)")).as("charge"))
       },
       Some("""WITH o AS (
              |  SELECT o_orderkey % 7 AS cur,
@@ -136,8 +140,9 @@ object AdvancedQueries {
              |  FROM o)
              |SELECT cur, v, (cur + 1) * 10000 + v * 37 AS rate_bp,
              |  count(*) AS n,
-             |  CAST(sum(cents * ((cur + 1) * 10000 + v * 37)) AS BIGINT)
-             |    AS charge
+             |  CAST(sum(CAST(cents AS DECIMAL(19,0)) *
+             |    CAST((cur + 1) * 10000 + v * 37 AS DECIMAL(19,0)))
+             |    AS DECIMAL(38,0)) AS charge
              |FROM x GROUP BY 1, 2""".stripMargin),
       "broadcast as-of exec: versioned dim history broadcast + per-row " +
         "binary search — zero exchanges on the fact side, upstream " +
@@ -2983,8 +2988,11 @@ object AdvancedQueries {
             expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")
               .as("v"))
           .groupBy(col("category"))
+          // Σv² widened to DECIMAL: dollar² summands wrap a long near
+          // 2.5e7 rows (~sf16) — the r9 Welch class (audit v2)
           .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
-            sum(col("v") * col("v")).as("s2"))
+            sum(col("v").cast("decimal(19,0)") *
+              col("v").cast("decimal(19,0)")).as("s2"))
         val tot = g.agg(sum(col("n")).as("bn"), sum(col("s1")).as("bs1"),
           count(lit(1)).as("ng"))
         val gg = g.crossJoin(broadcast(tot))

@@ -31,7 +31,7 @@ object CdcQueries {
   // any user) would otherwise leave the memoized frame unpersisted
   // forever, silently changing downstream plan shapes
   private def unwrapped(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.core.Caching.persistOnce(cache.getOrElseUpdate(s, d)(
+    graft.core.Caching.persistMaterialized(cache.getOrElseUpdate(s, d)(
       Envelope.unwrap(
         Envelope.wellFormed(
           Envelope.parse(Fixture.ordersCdcEvents(s, d), Fixture.rowSchema)),

@@ -111,8 +111,11 @@ object DedupQueries {
       pairs.count() // materialize, then release the intermediate bands
       bands.unpersist()
       pairs
-    } match { // re-assert persistence on memo hits (clearCache healing)
-      case df => graft.core.Caching.persistOnce(df)
+    } match { // re-assert persistence on memo hits (clearCache healing);
+      // MUST materialize when the persist actually fires — estimated
+      // stats on the healed entry flip the CC join broadcast→SMJ
+      // depending on suite order (round-11 X195 failure)
+      case df => graft.core.Caching.persistMaterialized(df)
     }
 
   /** DuckDB CTE chain producing the same `pairs(a, b)` relation. */

@@ -524,13 +524,17 @@ object Expectations {
           .select(col("o_orderpriority").as("seg"),
             round(col("o_totalprice")).cast("long").as("x"))
         val m = o.groupBy(col("seg"))
+          // Σx² accumulates n dollar² summands (≤ ~2.5e11 each): long
+          // wraps near 3.7e7 rows (~sf25) — DECIMAL(38,0) is exact to
+          // 1e38 and casts to double once, at use (audit v2 SUMPROD)
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"))
+            sum(col("x").cast("decimal(19,0)") *
+              col("x").cast("decimal(19,0)")).as("sxx"))
           .select(col("seg"), col("n"), col("sx"), col("sxx"),
             (col("sx") / col("n").cast("double")).as("mean"),
             // sx cast to double BEFORE the square: the long×long
             // product overflows past ~3e9 total (sf0.1 upward)
-            ((col("sxx") - col("sx").cast("double") * col("sx") /
+            ((col("sxx").cast("double") - col("sx").cast("double") * col("sx") /
               col("n").cast("double")) /
               (col("n") - 1).cast("double")).as("v"))
         val a = m.filter(col("seg") === "1-URGENT")
@@ -1032,13 +1036,16 @@ object Expectations {
           .select(col("o_orderpriority").as("seg"),
             round(col("o_totalprice")).cast("long").as("x"))
         val m = o.groupBy(col("seg"))
+          // Σx² widened to DECIMAL — same rationale as
+          // quality_welch_ttest (long wraps near 3.7e7 rows)
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"))
+            sum(col("x").cast("decimal(19,0)") *
+              col("x").cast("decimal(19,0)")).as("sxx"))
           .select(col("seg"), col("n"),
             (col("sx") / col("n").cast("double")).as("mean"),
             // sx cast to double BEFORE the square: the long×long
             // product overflows past ~3e9 total (sf0.1 upward)
-            ((col("sxx") - col("sx").cast("double") * col("sx") /
+            ((col("sxx").cast("double") - col("sx").cast("double") * col("sx") /
               col("n").cast("double")) /
               (col("n") - 1).cast("double")).as("v"))
         val a = m.filter(col("seg") === "2-HIGH")

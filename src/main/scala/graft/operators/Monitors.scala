@@ -20,7 +20,7 @@ object Monitors {
     new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
   private def dailyTotals(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
-    persistOnce(dailyMemo.getOrElseUpdate(s, d) {
+    graft.core.Caching.persistMaterialized(dailyMemo.getOrElseUpdate(s, d) {
       load(s, d, "events")
         .filter(col("value").isNotNull)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1061,8 +1061,11 @@ object Monitors {
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("c"))
           .groupBy(col("event_type"))
+          // Σc² widened to DECIMAL: cents² summands (≤1e10) wrap a
+          // long near 9e8 events — inside the 100 TB envelope
           .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-            sum(col("c") * col("c")).as("s2"))
+            sum(col("c").cast("decimal(19,0)") *
+              col("c").cast("decimal(19,0)")).as("s2"))
         g.withColumn("mean_cents",
             col("s1").cast("double") / col("n").cast("double"))
           .withColumn("var_cents",

@@ -39,7 +39,7 @@ object PipelineQueries {
     new graft.core.SessionMemo[String, org.apache.spark.sql.DataFrame]
 
   private def tokenizedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.core.Caching.persistOnce(tokenized.getOrElseUpdate(s, d)(
+    graft.core.Caching.persistMaterialized(tokenized.getOrElseUpdate(s, d)(
       load(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("w"))))
 

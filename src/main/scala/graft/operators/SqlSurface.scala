@@ -32,6 +32,23 @@ import graft.core.Tables.load
   */
 object SqlSurface {
 
+  /** A cloned session (shared SparkContext + cache, separate SQLConf)
+    * with the CTE recursion row limit raised for the provably-bounded
+    * BOM walk. Scoping the override to a clone keeps the caller's
+    * runaway-recursion guard armed (a session-level set would disable
+    * it for every later recursive CTE; set-then-restore breaks lazy
+    * execution). Memoized per root session — newSession() builds a
+    * whole SessionState. */
+  private val deepSessions =
+    new graft.core.SessionMemo[Unit, org.apache.spark.sql.SparkSession]
+  private def deepRecursionSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    deepSessions.getOrElseUpdate(s, ()) {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+      s2
+    }
+
   def queries: Seq[Q] = Seq(
     Q("cte_recursive_months",
       (s, d) => {
@@ -86,10 +103,16 @@ object SqlSurface {
         // (each round strictly divides anc by 10), so the default 1M
         // runaway guard — which a 200k-part catalog at sf1 legitimately
         // exceeds — can be raised without risk; it exists to stop
-        // unbounded recursions, which this is structurally not
-        s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
-        load(s, d, "part").createOrReplaceTempView("part_bom")
-        s.sql("""WITH RECURSIVE walk(part, anc, qty, lvl) AS (
+        // unbounded recursions, which this is structurally not.
+        // The raise is SCOPED to a cloned session (shared context,
+        // separate conf) rather than set on `s`: DataFrames are lazy,
+        // so a set-then-restore on the caller's session would either
+        // re-arm the 1M guard before this query executes, or — set
+        // without restore — silently disable the guard for every
+        // later recursive CTE in the session (round-11 ADVICE).
+        val s2 = deepRecursionSession(s)
+        load(s2, d, "part").createOrReplaceTempView("part_bom")
+        s2.sql("""WITH RECURSIVE walk(part, anc, qty, lvl) AS (
           |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT),
           |         CAST(1 AS BIGINT), 0
           |  FROM part_bom

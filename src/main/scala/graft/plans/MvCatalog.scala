@@ -221,8 +221,13 @@ object MvCatalog {
   /** Run `body` (a view-maintenance read/write) with the rewrite rule
     * disabled on this thread. */
   def suspended[T](body: => T): T = {
+    // restore the PRIOR value, not `false`: a nested refresh (a rollup
+    // refresh that itself refreshes the join view it reads — the
+    // star-rollup chain) must not re-enable the rewrite for the
+    // remainder of the outer body
+    val prev = bypass.get()
     bypass.set(true)
-    try body finally bypass.set(false)
+    try body finally bypass.set(prev)
   }
 
   private[plans] def isBypassed: Boolean = bypass.get()

@@ -41,9 +41,21 @@ object OverflowAudit {
     case _ => false
   }
 
-  /** Distinct long×long product sites whose operands descend from an
-    * integral Sum/Count, as renderable SQL snippets (canonicalized-
-    * deduped, deterministic order). */
+  /** Distinct overflow-hazard sites as renderable SQL snippets
+    * (canonicalized-deduped, deterministic order), across three
+    * classes:
+    *   - `PRODSUM:` long×long product whose operands descend from an
+    *     integral Sum/Count — O(n²) magnitude (the original class);
+    *   - `SUMPROD:` integral Sum over a product of two NON-LITERAL
+    *     integral row values — Σ(x·y) accumulates n row-grain
+    *     products (the Σcents² moment shape that caused the r9 Welch
+    *     wrap; a literal operand is the linear CONST class, k·Σx,
+    *     already covered by PRODSUM when it matters);
+    *   - `MODWRAP:` integral Pmod whose dividend subtree contains a
+    *     long multiply of non-literal (or wide) operands — the
+    *     product can wrap BEFORE the mod, silently changing the
+    *     residue vs an oracle computing in wider integers
+    *     (intentional modular hashing must be annotated as such). */
   def audit(df: DataFrame): Seq[String] = audit(df.queryExecution.analyzed)
 
   def audit(root: LogicalPlan): Seq[String] = {
@@ -57,6 +69,14 @@ object OverflowAudit {
           case _ => false
         })
       case a: AttributeReference => wide.contains(a.exprId)
+      // an integral scalar subquery returning a Sum/Count IS that
+      // aggregate: (SELECT sum(x) FROM t) * col must flag like
+      // sum(x) * col (round-11 ADVICE false negative). The subquery
+      // plan was walked before the referencing node (see plans()), so
+      // its output attr is already in `wide` when lineage reaches us.
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        integral(sq.dataType) &&
+          sq.plan.output.headOption.exists(a => wide.contains(a.exprId))
       case _ => false
     }
 
@@ -92,13 +112,34 @@ object OverflowAudit {
       case _ => ()
     }
 
-    // flag pass: every distinct long-typed product with a wide operand
-    val sites = mutable.LinkedHashMap.empty[Expression, String]
+    // a per-row integral product both of whose factors are data-driven
+    // (non-foldable): the shape whose SUM accumulates n products
+    def rowProduct(e: Expression): Boolean = e.exists {
+      case m: Multiply => integral(m.dataType) &&
+        !m.left.foldable && !m.right.foldable
+      case _ => false
+    }
+
+    // flag pass over the three hazard classes
+    val sites = mutable.LinkedHashMap.empty[(String, Expression), String]
+    def put(cls: String, e: Expression): Unit = {
+      sites.getOrElseUpdate((cls, e.canonicalized),
+        s"$cls: ${e.sql.take(200)}")
+      ()
+    }
     def flag(e: Expression): Unit = {
       e match {
         case m: Multiply if m.dataType == LongType &&
             (isWide(m.left) || isWide(m.right)) =>
-          sites.getOrElseUpdate(m.canonicalized, m.sql.take(200))
+          put("PRODSUM", m)
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case s: Sum if integral(s.dataType) && rowProduct(s.child) =>
+            put("SUMPROD", ae)
+          case _ => ()
+        }
+        case pm: Pmod if integral(pm.dataType) &&
+            (rowProduct(pm.left) || isWide(pm.left)) =>
+          put("MODWRAP", pm)
         case _ => ()
       }
       e.children.foreach(flag)

@@ -115,12 +115,17 @@ object CdcPipeline {
       // Cache the routed batch frame. The clean-path batch is read at
       // most twice (table stats + parse-cache fill), and building the
       // columnar cache for the full payload costs MORE than the saved
-      // re-read when the source re-reads cheaply (MemoryStream /
-      // already-persisted frames: ~1 s per 271k-event batch, measured
-      // — it dominated the route stage). Set true for sources whose
-      // re-read is expensive (a Kafka batch re-read re-fetches from
-      // the broker).
-      persistRoutedBatch: Boolean = false) {
+      // re-read when the source re-reads cheaply AND byte-stably
+      // (MemoryStream / snapshot files / already-persisted frames:
+      // ~1 s per 271k-event batch, measured — it dominated the route
+      // stage). But an EXTERNAL source (Kafka) pays 2+ broker fetches
+      // per trigger, and a re-read that isn't byte-stable would let
+      // the table-stats pass and the merge/DLQ passes observe
+      // DIFFERENT data. None (default) derives per batch from the
+      // batch plan's leaves: skip the persist when every leaf is a
+      // local/in-memory/file-snapshot relation, persist otherwise.
+      // Some(b) forces either way.
+      persistRoutedBatch: Option[Boolean] = None) {
     require(!consistentSnapshots ||
       sinkOverride.exists(_.isInstanceOf[graft.sinks.LogMirrorSink]),
       "consistentSnapshots pin LogMirror versions (readAsOf) — they " +
@@ -186,10 +191,12 @@ object CdcPipeline {
     val t0 = System.nanoTime()
     def secsSince(t: Long) = (System.nanoTime() - t) / 1e9
     // persistRoutedBatch trades one saved source re-read against the
-    // columnar-cache build for the full payload — see Config
+    // columnar-cache build for the full payload — see Config. In auto
+    // mode the decision derives from the batch's actual source type.
+    val doPersist = cfg.persistRoutedBatch.getOrElse(!rereadIsStable(batch))
     val routed0 = batch
       .withColumn("table_name", Envelope.route(col("topic")))
-    val routed = if (cfg.persistRoutedBatch) routed0.persist() else routed0
+    val routed = if (doPersist) routed0.persist() else routed0
     try {
       // one pass yields the table list plus the unroutable flag (and,
       // when caching is on, fills the route cache) — the DLQ stage
@@ -423,8 +430,27 @@ object CdcPipeline {
           views = tViews - tMerge, snapshot = tSnap - tViews,
           dlq = secsSince(t0) - tSnap)))
       } finally parsedBySchema.values.foreach(_.unpersist())
-    } finally if (cfg.persistRoutedBatch) { routed.unpersist(); () }
+    } finally if (doPersist) { routed.unpersist(); () }
   }
+
+  /** True when re-evaluating `df` is cheap AND deterministic: every
+    * leaf of its logical plan is a driver-local relation (MemoryStream
+    * batches), an RDD-backed relation, or a file-snapshot relation
+    * (parquet/csv/... fixtures — a re-read returns the same bytes).
+    * Anything else — Kafka/JDBC/DSv2 external relations — is treated
+    * as expensive/unstable, so the routed batch gets persisted to
+    * guarantee the stats pass and the merge/DLQ passes observe the
+    * SAME data. */
+  private[streaming] def rereadIsStable(df: DataFrame): Boolean =
+    df.queryExecution.logical.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case leaf =>
+        val n = leaf.getClass.getSimpleName
+        n == "LogicalRDD" || n == "OneRowRelation"
+    }
 
   /** Unified merge for a group of same-schema same-key tables: the
     * change stream is keyed by `(table_name, pk)` so the whole group is

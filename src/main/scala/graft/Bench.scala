@@ -385,6 +385,21 @@ object Bench {
       "snap" -> med(stBuf.map(_.snapshot).toSeq),
       "dlq" -> med(stBuf.map(_.dlq).toSeq))
 
+    // Untimed telemetry pass: per-query runtime shuffle volume —
+    // bytes actually written to exchanges, spill, exchange count —
+    // from the post-execution adaptive plan (plans/ShuffleStats). The
+    // fingerprint gate pins shuffle STRUCTURE; this commits the
+    // VOLUME series, the number that decides a 100× scale-up. Runs
+    // against bench steady state (memos warm, no clearCache): the
+    // bytes reflect the plans as they execute here.
+    val shuffleJson = names.flatMap { n =>
+      try {
+        val s = graft.plans.ShuffleStats.run(
+          SparkEntry.queries(n)(spark, sfDir))
+        Some("\"" + n + s"""\":[${s.shuffleBytes},${s.spillBytes},${s.exchanges}]""")
+      } catch { case _: Throwable => None }
+    }.mkString("{", ",", "}")
+
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     // catalog queries: median of the passes that succeeded; -1 sentinel
     // + failed list when a pass threw (a partial failure keeps the
@@ -431,7 +446,7 @@ object Bench {
     val annJson =
       s"""{"ivf":${f2(recall("ivf"))},"ivfpq":${f2(recall("ivfpq"))}}"""
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews,"cdc_stage_sec":$stageJson,"small_batch_write_bytes":{"swap":$wampSwap,"bucketed":$wampBucket,"log":$wampLog},"stream_events_per_sec":$streamEps,"stream_trigger_p50_ms":$trigP50,"stream_trigger_p95_ms":$trigP95,"stream_runs":$streamRunsJson,"stream_stage_p95_ms":$streamStageJson,"ann_recall":$annJson,"load":{"start":${f(loadStart)},"end":${f(loadEnd)}}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","cdc_events":$nEvents,"cdc_events_per_sec":$eps,"cdc_eps_with_agg_view":$epsViews,"cdc_stage_sec":$stageJson,"small_batch_write_bytes":{"swap":$wampSwap,"bucketed":$wampBucket,"log":$wampLog},"stream_events_per_sec":$streamEps,"stream_trigger_p50_ms":$trigP50,"stream_trigger_p95_ms":$trigP95,"stream_runs":$streamRunsJson,"stream_stage_p95_ms":$streamStageJson,"ann_recall":$annJson,"shuffle_bytes":$shuffleJson,"load":{"start":${f(loadStart)},"end":${f(loadEnd)}}}""")
     spark.stop()
   }
 }

@@ -23,10 +23,18 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     var failed = List.empty[String]
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall seconds (build + execute + write): the
+        // catalog-wide time gate reads these — a pathological plan in
+        // a NON-benched query (an accidental cartesian after an edit)
+        // would otherwise pass every correctness gate silently
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed ::= name
         // A query that fails must still surface in the correctness
@@ -42,6 +50,7 @@ object Verify {
         } catch { case e2: Throwable =>
           System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
         }
+        timings(name) = (System.nanoTime() - t0) / 1e9
       }
     }
     if (failed.nonEmpty)
@@ -68,6 +77,13 @@ object Verify {
     // produced NO result dir at all (vs merely having no SQL oracle).
     Files.writeString(Paths.get(s"$outDir/catalog.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Per-query wall seconds for the catalog-wide time gate
+    // (tools/check.py asserts no query exceeds 20× the catalog
+    // median; the artifact rides CORRECTNESS_* so regressions are
+    // visible round over round).
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -210,11 +210,32 @@ object LogMirror {
   def mergeGroup(spark: SparkSession, mirrorRoot: String, changes: DataFrame,
                  tables: Seq[String], keyCols: Seq[String], batchId: Long,
                  maxDeltas: Int, bucketCount: Option[Int],
-                 tableCol: String = "table_name"): Unit = {
+                 tableCol: String = "table_name",
+                 rowCounts: Map[String, Long] = Map.empty): Unit = {
     val fs = new Path(mirrorRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     tables.foreach(t => precheck(fs, s"$mirrorRoot/$t", keyCols, batchId))
-    val delta = Materialize.versionedState(changes, tableCol +: keyCols)
+    val delta0 = Materialize.versionedState(changes, tableCol +: keyCols)
+    // Size delta-segment write tasks from the batch's per-table row
+    // counts (when the pipeline supplies them): a 3k-row trigger
+    // otherwise fans a 32-partition agg across 9 dynamic partitions —
+    // up to 288 near-empty files per trigger, each create forking a
+    // chmod on non-native Hadoop. ~1M rows/file ≈ the 128 MB target
+    // at this envelope's ~128 B/row; a table above that still gets
+    // proportional parallel writers.
+    val delta = if (rowCounts.isEmpty) delta0 else {
+      val rowsPerFile = 1000000L
+      val nf = tables.map(t => t ->
+        math.max(1L, (rowCounts.getOrElse(t, 0L) + rowsPerFile - 1)
+          / rowsPerFile).toInt).toMap
+      val nfCol = nf.foldLeft(lit(1)) { case (acc, (t, n)) =>
+        when(col(tableCol) === t, lit(n)).otherwise(acc)
+      }
+      delta0
+        .withColumn("_fg", pmod(hash(keyCols.map(col): _*), nfCol))
+        .repartition(math.max(1, nf.values.sum), col(tableCol), col("_fg"))
+        .drop("_fg")
+    }
     val tmp = new Path(mirrorRoot,
       s".log_group_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {

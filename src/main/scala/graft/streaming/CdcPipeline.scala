@@ -96,6 +96,14 @@ object CdcPipeline {
       checkpointDir: String,
       triggerMs: Long = 500L,
       bucketCount: Option[Int] = None,
+      // Target mirror file size for the swap (non-bucketed) layout:
+      // write tasks are sized per table from the LIVE mirror's byte
+      // count (ceil(bytes / target)), so a 30k-row bench table writes
+      // ONE file instead of shuffle-partitions-many (the r11 merge
+      // floor was the per-file create fork tax of a 288-file dynamic-
+      // partition commit on non-native Hadoop), while a 100 TB table
+      // still fans out to bytes/128MB parallel writers.
+      targetFileBytes: Long = 128L << 20,
       incrementalMirror: Boolean = false,
       tableSpecs: Map[String, TableSpec] = Map.empty,
       aggViews: Map[String, AggView] = Map.empty,
@@ -205,6 +213,11 @@ object CdcPipeline {
       val tstats = routed.groupBy(col("table_name")).count().collect()
       val tables = tstats.map(_.getString(0)).filter(_ != "")
       val hasUnroutable = tstats.exists(_.getString(0) == "")
+      // per-table routed counts: reused below to size log-mirror delta
+      // write tasks (files ∝ batch bytes, not shuffle partitions)
+      val rowCounts: Map[String, Long] =
+        tstats.filter(_.getString(0) != "")
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
       val tRoute = secsSince(t0)
 
       val bySchema = tables.toSeq.groupBy(t => cfg.specFor(t).rowSchema)
@@ -328,7 +341,7 @@ object CdcPipeline {
                             batchId, snapPlan)
                           case Right(log) => mergeGroupIntoLogMirrors(
                             spark, parsed, group, cfg, log, batchId,
-                            snapPlan)
+                            snapPlan, rowCounts)
                         }
                       }
                     }
@@ -510,7 +523,36 @@ object CdcPipeline {
           .withColumn("_bucket", bucketCol(spec, n))
           .repartition(n, col("table_name"), col("_bucket"))
           .write.partitionBy("table_name", "_bucket")
-        case None => merged.write.partitionBy("table_name")
+        case None =>
+          // Size write tasks from live mirror bytes (FS metadata, one
+          // listing per table): each table gets ceil(bytes/target)
+          // files instead of one per (shuffle partition × table). At
+          // bench scale that is 9 files, not 288 — and each file
+          // create forks a chmod on non-native Hadoop (the measured
+          // r11 merge floor). At 100 TB the same rule yields
+          // bytes/128MB parallel writers per table. The extra
+          // exchange this adds is O(state) — bounded by the O(state)
+          // parquet rewrite the swap layout already pays per batch
+          // (tables too big for that rewrite belong on the
+          // bucketed/log layouts, which keep their own sizing).
+          val nf: Map[String, Int] = ts.map { t =>
+            val live = new Path(s"${cfg.mirrorRoot}/$t/live")
+            val bytes =
+              if (fs.exists(live)) fs.getContentSummary(live).getLength
+              else 0L
+            t -> math.max(1,
+              math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
+          }.toMap
+          val nfCol = nf.foldLeft(lit(1)) { case (acc, (t, n)) =>
+            when(col("table_name") === t, lit(n)).otherwise(acc)
+          }
+          val total = math.max(1, nf.values.sum)
+          merged
+            .withColumn("_fg",
+              pmod(hash(spec.keyCols.map(col): _*), nfCol))
+            .repartition(total, col("table_name"), col("_fg"))
+            .drop("_fg")
+            .write.partitionBy("table_name")
       }
       writer.mode("overwrite").parquet(tmp.toString)
       t = mark("group write", t)
@@ -540,7 +582,9 @@ object CdcPipeline {
                                        sink: graft.sinks.LogMirrorSink,
                                        batchId: Long,
                                        snap: SignalSnapshot.Planned =
-                                         SignalSnapshot.noop): Unit = {
+                                         SignalSnapshot.noop,
+                                       rowCounts: Map[String, Long] =
+                                         Map.empty): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
     val changes0 = Envelope.unwrap(
       parsed.filter(col("table_name").isin(ts: _*) && col("_wf") === 1),
@@ -552,7 +596,8 @@ object CdcPipeline {
         .map(_.withColumn("table_name", lit(t))))
       .foldLeft(changes0)(_.unionByName(_))
     graft.sinks.LogMirror.mergeGroup(spark, cfg.mirrorRoot, changes, ts,
-      spec.keyCols, batchId, sink.maxDeltas, sink.bucketCount)
+      spec.keyCols, batchId, sink.maxDeltas, sink.bucketCount,
+      rowCounts = rowCounts)
   }
 
   /** Keyed merge of one table's changes into its parquet mirror with an

@@ -6,15 +6,28 @@ import graft.SparkSpec
   * duplicate catalog queries prove the IVF / IVF-PQ pipelines are
   * exact on guaranteed-colliding vectors; this asserts APPROXIMATION
   * quality on the raw corpus, so an index or codebook regression that
-  * keeps the planted gates green still fails a test. Measured
-  * 0.85–0.98 at both gate SFs (round 11); floor set at 0.70 to absorb
-  * k-means seed drift without admitting a real regression.
+  * keeps the planted gates green still fails a test.
+  *
+  * Per-index floors (round 12), SF-matched to where this spec runs:
+  * at sf0.001 the measured values are ivf 0.8875 / ivfpq ≥ 0.75-band
+  * (this round's run); at sf0.1 both committed artifacts (BENCH_r11
+  * driver + local) recorded ivf 0.98 / ivfpq 0.85 — recall RISES with
+  * corpus size here (more vectors per cell ⇒ coarser quantization
+  * hurts less relatively), so the sf0.001 numbers are the floor-
+  * setting ones. Seeding is deterministic (first k by id); the only
+  * drift source is tie-order inside Lloyd steps, observed < 0.05
+  * across rounds. The earlier shared 0.70 floor would have admitted
+  * a 0.98 → 0.71 IVF collapse as "green"; 0.82 / 0.75 sits one
+  * drift-width under the sf0.001 measurements.
   */
 class AnnRecallSpec extends SparkSpec {
-  test("IVF and IVF-PQ recall@10 vs brute force holds the 0.70 floor " +
+  test("IVF recall@10 vs brute force holds the 0.82 per-index floor " +
     "on the raw (unplanted) corpus") {
     val r = graft.operators.SimilarityQueries.annRecallAt10(spark, sf0001)
-    assert(r("ivf") >= 0.70, s"ivf recall@10 = ${r("ivf")}")
-    assert(r("ivfpq") >= 0.70, s"ivfpq recall@10 = ${r("ivfpq")}")
+    assert(r("ivf") >= 0.82, s"ivf recall@10 = ${r("ivf")}")
+  }
+  test("IVF-PQ recall@10 vs brute force holds the 0.75 per-index floor") {
+    val r = graft.operators.SimilarityQueries.annRecallAt10(spark, sf0001)
+    assert(r("ivfpq") >= 0.75, s"ivfpq recall@10 = ${r("ivfpq")}")
   }
 }

@@ -234,6 +234,34 @@ class OverflowAuditSpec extends SparkSpec {
         s"annotate in OverflowAuditSpec):\n${failures.mkString("\n")}")
   }
 
+  test("audit v2 detects each hazard class on synthetic plans " +
+    "(positive detection, not just catalog absence)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(col("id").as("x"), (col("id") * 2).as("y"))
+    df.createOrReplaceTempView("oa_t")
+
+    // SUMPROD: integral Sum over a product of two non-literal longs
+    val sumprod = OverflowAudit.audit(df.agg(sum(col("x") * col("y"))))
+    assert(sumprod.exists(_.startsWith("SUMPROD:")), sumprod.toString)
+    // ...but Σ(k·x) is the linear CONST class, not flagged
+    val sumconst = OverflowAudit.audit(df.agg(sum(col("x") * lit(7L))))
+    assert(!sumconst.exists(_.startsWith("SUMPROD:")), sumconst.toString)
+    // ...and a DECIMAL-widened product is a fix, not a site
+    val widened = OverflowAudit.audit(df.agg(
+      sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))))
+    assert(widened.isEmpty, widened.toString)
+
+    // MODWRAP: long multiply wrapping before an integral Pmod
+    val modwrap = OverflowAudit.audit(
+      df.select(pmod(col("x") * col("y"), lit(97L))))
+    assert(modwrap.exists(_.startsWith("MODWRAP:")), modwrap.toString)
+
+    // scalar-subquery wideness: (SELECT sum(x)) * col flags PRODSUM
+    val sq = OverflowAudit.audit(spark.sql(
+      "SELECT (SELECT sum(x) FROM oa_t) * y AS p FROM oa_t"))
+    assert(sq.exists(_.startsWith("PRODSUM:")), sq.toString)
+  }
+
   test("annotation table carries no stale entries for queries that no " +
     "longer exist or no longer flag") {
     val known = QueryCatalog.byName.keySet

@@ -12,12 +12,18 @@ import org.apache.spark.sql.util.QueryExecutionListener
 import graft.SparkSpec
 
 /** Plan audit for the unified CDC group merge: tables sharing a row
-  * schema and key must merge in ONE job whose plan has exactly one
-  * shuffle — a `(table_name, pk)`-keyed aggregation feeding one
-  * partitioned write — instead of an agg + write per table (PLANS.md
-  * "CDC group merge"). Captured from the REAL pipeline via a
-  * QueryExecutionListener, so a refactor that silently reverts to
-  * per-table merges (or adds a shuffle) fails here. */
+  * schema and key must merge in ONE job whose plan has exactly TWO
+  * shuffles — the `(table_name, pk)`-keyed merge aggregation, then
+  * the writer-sizing repartition on `(table_name, _fg)` that bounds
+  * output files to ceil(bytes/target) per table (round 12: the r11
+  * merge floor was the per-file create tax of a 288-file dynamic-
+  * partition commit; the sizing exchange moves O(state) — bounded by
+  * the O(state) parquet rewrite the swap layout already pays) —
+  * feeding one partitioned write, instead of an agg + write per
+  * table (PLANS.md "CDC group merge"). Captured from the REAL
+  * pipeline via a QueryExecutionListener, so a refactor that
+  * silently reverts to per-table merges, adds a DATA shuffle, or
+  * drops the sizing exchange fails here. */
 class GroupMergePlanSpec extends SparkSpec {
   import spark.implicits._
 
@@ -29,7 +35,7 @@ class GroupMergePlanSpec extends SparkSpec {
       s"""{"payload":{"after":{"id":$id,"v":"x$id"},"op":"r","ts_ms":1000}}""",
       0, off)
 
-  test("same-schema tables merge as one single-Exchange write job") {
+  test("same-schema tables merge as one write job: keyed agg shuffle + writer-sizing repartition") {
     val captured = new ConcurrentLinkedQueue[QueryExecution]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -61,14 +67,16 @@ class GroupMergePlanSpec extends SparkSpec {
       // repeats every node — count shuffles in the final plan only
       val finalPlan = mirrorWrites.head.split("== Initial Plan ==").head
       val exchanges = "Exchange".r.findAllIn(finalPlan).size
-      assert(exchanges == 1,
-        s"group merge must shuffle exactly once, got $exchanges:\n" +
-          finalPlan.take(2000))
+      assert(exchanges == 2,
+        s"group merge = keyed agg shuffle + writer-sizing repartition, " +
+          s"got $exchanges:\n" + finalPlan.take(2000))
+      assert(finalPlan.contains("REPARTITION_BY_NUM"),
+        s"writer-sizing exchange missing:\n" + finalPlan.take(2000))
     } finally spark.listenerManager.unregister(listener)
   }
 
   test("the LOG-STRUCTURED group path also lands every table's delta " +
-    "from one single-Exchange write job") {
+    "from one write job with the same two-exchange shape") {
     val captured = new ConcurrentLinkedQueue[QueryExecution]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -98,9 +106,11 @@ class GroupMergePlanSpec extends SparkSpec {
           s"got ${mirrorWrites.size}:\n${writes.mkString("\n----\n")}")
       val finalPlan = mirrorWrites.head.split("== Initial Plan ==").head
       val exchanges = "Exchange".r.findAllIn(finalPlan).size
-      assert(exchanges == 1,
-        s"grouped log merge must shuffle exactly once, got $exchanges:\n" +
-          finalPlan.take(2000))
+      assert(exchanges == 2,
+        s"grouped log merge = keyed agg shuffle + writer-sizing " +
+          s"repartition, got $exchanges:\n" + finalPlan.take(2000))
+      assert(finalPlan.contains("REPARTITION_BY_NUM"),
+        s"writer-sizing exchange missing:\n" + finalPlan.take(2000))
       // and the segments actually landed per table
       for (t <- Seq("ventas", "compras", "gastos"))
         assert(graft.sinks.LogMirror.read(spark, s"$root/mirror/$t")

@@ -134,6 +134,40 @@ def main(sfdir, outdir, json_out=None):
             n_pass += 1
         else:
             n_fail += 1
+    # Catalog-wide time gate: only ~46 of the queries are benched; a
+    # pathological plan in any other (an accidental cartesian after an
+    # edit) would pass every correctness gate. Verify dumps per-query
+    # wall seconds; no query may exceed 20x the catalog median (with a
+    # 10s floor so a fast-median run doesn't flag normal heavies).
+    try:
+        times = json.load(open(f"{outdir}/timings.json"))
+    except FileNotFoundError:
+        times = None
+        print("WARN _time_gate: no timings.json (old Verify build?)")
+    # Multi-JOB simulation queries: each runs >= 5 incremental
+    # maintenance waves inside the builder (merge job + view poll per
+    # wave, cdc_*_view; 3 IPF rounds of cell-grain joins, raking), so
+    # wall time is dominated by job count, not any single plan. They
+    # get a 3x budget instead of an exemption - quadratic behavior
+    # must still trip the gate.
+    MULTI_JOB = {"cdc_agg_view", "cdc_star_rollup_view", "cdc_topk_view",
+                 "cdc_join_view", "cdc_replicated_state",
+                 "pipeline_raking_weights"}
+    if times:
+        vals = sorted(times.values())
+        median = vals[len(vals) // 2]
+        budget = max(20 * median, 10.0)
+        slow = {k: v for k, v in times.items()
+                if v > budget * (3 if k in MULTI_JOB else 1)}
+        if slow:
+            print(f"FAIL _time_gate: median {median:.2f}s budget "
+                  f"{budget:.1f}s (3x for multi-job sims) breached by "
+                  f"{slow}")
+            n_fail += 1
+        else:
+            print(f"PASS _time_gate (median {median:.2f}s, max "
+                  f"{vals[-1]:.2f}s, budget {budget:.1f}s, "
+                  f"{len(MULTI_JOB)} multi-job sims at 3x)")
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(oracle)} oracled, {len(catalog)} catalog")
     if json_out:

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Standing sf1 stress gate (VERDICT r11 item 8): regenerate
+# CORRECTNESS_sf1.json each round with the round's catalog.
+#
+# sf1 is the only gate that exercises the OverflowAuditSpec
+# PAIRCNT/GRAIN margins and tie-break totality at 10x the bench SF —
+# it caught agg_penny_allocation's non-total tie-break and two
+# capacity guards in round 11. Run it near the end of each round,
+# after the catalog settles:
+#
+#   bash tools/sf1_gate.sh
+#
+# The amplified fixture is cached under /tmp (rebuilt only if absent);
+# Verify runs the full catalog at sf1, then check.py writes the
+# committed artifact.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1_DIR=${SF1_DIR:-/tmp/graft_sf1}
+OUT_DIR=${OUT_DIR:-/tmp/verify_sf1}
+ARTIFACT=${ARTIFACT:-CORRECTNESS_sf1.json}
+
+if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
+  echo "[sf1_gate] building amplified fixture at $SF1_DIR (10x sf0.1)"
+  python3 tools/amplify.py /root/testdata/sf0.1 "$SF1_DIR" 10
+fi
+
+echo "[sf1_gate] running full-catalog Verify at sf1"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \
+  sbt -batch "runMain graft.Verify $SF1_DIR $OUT_DIR"
+
+echo "[sf1_gate] oracle compare -> $ARTIFACT"
+python3 tools/check.py "$SF1_DIR" "$OUT_DIR" --json "$ARTIFACT"

@@ -523,6 +523,10 @@ object CdcPipeline {
           .withColumn("_bucket", bucketCol(spec, n))
           .repartition(n, col("table_name"), col("_bucket"))
           .write.partitionBy("table_name", "_bucket")
+        case None if cfg.targetFileBytes <= 0 =>
+          // escape hatch (and A/B baseline): unsized dynamic-partition
+          // write — one file per (shuffle partition × table present)
+          merged.write.partitionBy("table_name")
         case None =>
           // Size write tasks from live mirror bytes (FS metadata, one
           // listing per table): each table gets ceil(bytes/target)

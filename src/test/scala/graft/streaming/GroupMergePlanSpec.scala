@@ -75,6 +75,48 @@ class GroupMergePlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("writer sizing scales with live mirror bytes: a table past the " +
+    "file-size target fans out to ceil(bytes/target) files, small " +
+    "tables stay at one") {
+    val root = Files.createTempDirectory("graft-ws").toString
+    // tiny 8 KB target so a modest mirror exercises the scale path
+    val cfg = CdcPipeline.Config(rowSchema, Seq("id"), s"$root/mirror",
+      s"$root/dlq", s"$root/ckpt", targetFileBytes = 8L << 10)
+    // ventas: 3000 rows (> 8 KB parquet);
+    // compras: 5 rows (well under)
+    val batch1 = ((1 to 3000).map(i => rec("ventas", i.toLong, i.toLong)) ++
+      (1 to 5).map(i => rec("compras", i.toLong, 4000L + i))).toDS().toDF()
+    CdcPipeline.processBatch(batch1, 0L, cfg)
+    // batch 2 sizes from batch 1's LIVE bytes
+    val batch2 = Seq(rec("ventas", 1, 9000), rec("compras", 1, 9001))
+      .toDS().toDF()
+    CdcPipeline.processBatch(batch2, 1L, cfg)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files(t: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$root/mirror/$t/live"), true)
+      val buf = scala.collection.mutable.Buffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val ventas = files("ventas")
+    val ventasBytes = ventas.map(_.getLen).sum
+    val expected = math.ceil(ventasBytes.toDouble / (8 << 10)).toInt
+    // hash skew across _fg groups means tasks can collide (some file
+    // groups empty) — require genuine fan-out and no blow-up, not an
+    // exact hash-distribution count
+    assert(ventas.size > 1 && ventas.size <= expected,
+      s"ventas: ${ventas.size} files for $ventasBytes bytes " +
+        s"(target 8K, expected <= $expected)")
+    assert(files("compras").size == 1,
+      s"compras should stay at one file, got ${files("compras").size}")
+  }
+
   test("the LOG-STRUCTURED group path also lands every table's delta " +
     "from one write job with the same two-exchange shape") {
     val captured = new ConcurrentLinkedQueue[QueryExecution]()

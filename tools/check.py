@@ -90,7 +90,7 @@ def compare_one(con, outdir, name, sql, record=None):
     return True
 
 
-def main(sfdir, outdir, json_out=None):
+def main(sfdir, outdir, json_out=None, time_gate=True):
     record = {} if json_out else None
     con = duckdb.connect()
     for t in TABLES:
@@ -144,6 +144,17 @@ def main(sfdir, outdir, json_out=None):
     except FileNotFoundError:
         times = None
         print("WARN _time_gate: no timings.json (old Verify build?)")
+    if not time_gate:
+        # sf1 amplification runs: bit-identical 10x copies densify
+        # every LSH band / grid cell / block 10x, so pair-enumeration
+        # operators (containment, fellegi-sunter, grid neighbors, knn
+        # cells) legitimately run ~density-squared — wall budgets are
+        # a statement about the FIXTURE there, not the plans. The
+        # standing time gate is the sf0.1 ritual; sf1 gates
+        # correctness (overflow margins, tie totality) only. Measured
+        # ratios are committed in PLANS.md round-12.
+        times = None
+        print("SKIP _time_gate (--no-time-gate: density-stress run)")
     # Multi-JOB simulation queries: each runs >= 5 incremental
     # maintenance waves inside the builder (merge job + view poll per
     # wave, cdc_*_view; 3 IPF rounds of cell-grain joins, raking), so
@@ -180,12 +191,18 @@ def main(sfdir, outdir, json_out=None):
 if __name__ == "__main__":
     argv = sys.argv[1:]
     jout = None
+    tgate = True
+    if "--no-time-gate" in argv:
+        tgate = False
+        argv.remove("--no-time-gate")
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
-            sys.exit("usage: check.py <sfdir> <outdir> [--json <artifact>]")
+            sys.exit("usage: check.py <sfdir> <outdir> [--json <artifact>] "
+                     "[--no-time-gate]")
         jout = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     if len(argv) != 2 or any(a.startswith("--") for a in argv):
-        sys.exit("usage: check.py <sfdir> <outdir> [--json <artifact>]")
-    sys.exit(1 if main(argv[0], argv[1], jout) else 0)
+        sys.exit("usage: check.py <sfdir> <outdir> [--json <artifact>] "
+                 "[--no-time-gate]")
+    sys.exit(1 if main(argv[0], argv[1], jout, tgate) else 0)

@@ -23,6 +23,21 @@ object WriteSizeAB {
     val raw = graft.cdc.Fixture.ordersCdcEvents(spark, sfDir).persist()
     println(s"[ab] events=${raw.count()}")
 
+    // GRAFT_AB_POLLUTE: reproduce Bench's session state before
+    // measuring — run the headline catalog queries first, pinning
+    // their memoized caches, to test whether the pipeRun-vs-clean-JVM
+    // gap (3.1 s vs 2.0 s per batch, observed round 12) is session
+    // pollution (cache memory pressure / GC) or something else.
+    if (sys.env.contains("GRAFT_AB_POLLUTE")) {
+      val t0 = System.nanoTime()
+      Bench.headline.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      println(f"[ab] polluted: ${Bench.headline.length} queries in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
     def run(target: Long): (Double, Int) = {
       val root = java.nio.file.Files.createTempDirectory("graft-ab").toString
       val cfg = graft.streaming.CdcPipeline.Config(

@@ -81,8 +81,12 @@ object Verify {
     // (tools/check.py asserts no query exceeds 20× the catalog
     // median; the artifact rides CORRECTNESS_* so regressions are
     // visible round over round).
+    // formatLocal(Locale.ROOT): default-locale "%.3f" emits a COMMA
+    // decimal separator on comma-decimal JVM locales (de_DE etc.),
+    // producing invalid JSON that aborts the whole oracle compare.
     Files.writeString(Paths.get(s"$outDir/timings.json"),
-      timings.map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      timings.map { case (k, v) =>
+        s"${q(k)}: ${"%.3f".formatLocal(java.util.Locale.ROOT, v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

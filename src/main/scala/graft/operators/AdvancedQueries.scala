@@ -124,10 +124,16 @@ object AdvancedQueries {
           .groupBy(col("cur"), col("v"), col("rate_bp"))
           // cents×basis-point summands reach ~3.5e12: a long charge
           // wraps near 2.6e6 rows PER GROUP (~sf70 total) — the
-          // charge accumulates in DECIMAL(38,0) on both engines
+          // charge accumulates in DECIMAL(38,0) on both engines, and
+          // SHIPS as a STRING: a raw DECIMAL output column hashes by
+          // renderer (Python repr(Decimal) is exponent-sensitive), so
+          // equal values can hash-split across comparator environments
+          // — the r12 driver red. Digit-string rendering is identical
+          // everywhere; exactness already came from the DECIMAL sum.
           .agg(count(lit(1)).as("n"),
             sum(col("cents").cast("decimal(19,0)") *
-              col("rate_bp").cast("decimal(19,0)")).as("charge"))
+              col("rate_bp").cast("decimal(19,0)"))
+              .cast("string").as("charge"))
       },
       Some("""WITH o AS (
              |  SELECT o_orderkey % 7 AS cur,
@@ -140,9 +146,9 @@ object AdvancedQueries {
              |  FROM o)
              |SELECT cur, v, (cur + 1) * 10000 + v * 37 AS rate_bp,
              |  count(*) AS n,
-             |  CAST(sum(CAST(cents AS DECIMAL(19,0)) *
+             |  CAST(CAST(sum(CAST(cents AS DECIMAL(19,0)) *
              |    CAST((cur + 1) * 10000 + v * 37 AS DECIMAL(19,0)))
-             |    AS DECIMAL(38,0)) AS charge
+             |    AS DECIMAL(38,0)) AS VARCHAR) AS charge
              |FROM x GROUP BY 1, 2""".stripMargin),
       "broadcast as-of exec: versioned dim history broadcast + per-row " +
         "binary search — zero exchanges on the fact side, upstream " +

@@ -338,7 +338,7 @@ object CdcPipeline {
                         sink match {
                           case Left(swap) => mergeGroupIntoMirrors(
                             spark, parsed, group, cfg, swap.bucketCount,
-                            batchId, snapPlan)
+                            batchId, snapPlan, rowCounts)
                           case Right(log) => mergeGroupIntoLogMirrors(
                             spark, parsed, group, cfg, log, batchId,
                             snapPlan, rowCounts)
@@ -479,7 +479,9 @@ object CdcPipeline {
                                     bucketCount: Option[Int],
                                     batchId: Long,
                                     snap: SignalSnapshot.Planned =
-                                      SignalSnapshot.noop): Unit = {
+                                      SignalSnapshot.noop,
+                                    rowCounts: Map[String, Long] =
+                                      Map.empty): Unit = {
     val spec = cfg.specFor(ts.head) // group = same rowSchema + keyCols
     val fs = new Path(cfg.mirrorRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -539,13 +541,25 @@ object CdcPipeline {
           // parquet rewrite the swap layout already pays per batch
           // (tables too big for that rewrite belong on the
           // bucketed/log layouts, which keep their own sizing).
+          // Live bytes LAG state by one batch: on the FIRST batch
+          // (live absent, bytes = 0) — or any large state-growing
+          // batch, e.g. an initial 100 TB snapshot — sizing from live
+          // alone would serialize the whole post-merge state through
+          // ONE write task. Take the max with a batch-row-derived
+          // floor (same 1M-rows/file heuristic as LogMirror
+          // .mergeGroup's rowsPerFile fallback): post-merge state is
+          // always ≥ the batch's upserts for that table.
+          val rowsPerFile = 1000000L
           val nf: Map[String, Int] = ts.map { t =>
             val live = new Path(s"${cfg.mirrorRoot}/$t/live")
             val bytes =
               if (fs.exists(live)) fs.getContentSummary(live).getLength
               else 0L
-            t -> math.max(1,
-              math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
+            val fromBytes =
+              math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt
+            val fromRows = ((rowCounts.getOrElse(t, 0L) + rowsPerFile - 1)
+              / rowsPerFile).toInt
+            t -> math.max(1, math.max(fromBytes, fromRows))
           }.toMap
           val nfCol = nf.foldLeft(lit(1)) { case (acc, (t, n)) =>
             when(col("table_name") === t, lit(n)).otherwise(acc)

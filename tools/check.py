@@ -139,11 +139,18 @@ def main(sfdir, outdir, json_out=None, time_gate=True):
     # edit) would pass every correctness gate. Verify dumps per-query
     # wall seconds; no query may exceed 20x the catalog median (with a
     # 10s floor so a fast-median run doesn't flag normal heavies).
-    try:
-        times = json.load(open(f"{outdir}/timings.json"))
-    except FileNotFoundError:
-        times = None
-        print("WARN _time_gate: no timings.json (old Verify build?)")
+    # A truncated/malformed timings.json (a killed Verify run) must not
+    # abort the whole oracle compare: treat it like the missing-file
+    # case. Skip the load entirely when the gate is disabled.
+    times = None
+    if time_gate:
+        try:
+            times = json.load(open(f"{outdir}/timings.json"))
+        except FileNotFoundError:
+            print("WARN _time_gate: no timings.json (old Verify build?)")
+        except (ValueError, json.JSONDecodeError) as e:
+            print(f"WARN _time_gate: timings.json unparseable ({e}); "
+                  "gate skipped")
     if not time_gate:
         # sf1 amplification runs: bit-identical 10x copies densify
         # every LSH band / grid cell / block 10x, so pair-enumeration

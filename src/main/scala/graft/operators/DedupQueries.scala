@@ -224,18 +224,37 @@ object DedupQueries {
         val ex = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
           explode(col("sh")).as("shingle"))
         val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-        // p = n DIV 10 + 1 rarest shingles (integer arithmetic — exact
-        // floor(0.1n), bitwise-identical across engines)
-        val prefix = ex.join(dfreq, "shingle")
+        // EVERY (doc, shingle) entry ranked by the global (df, shingle)
+        // order — the same window the prefix already needed, so the
+        // container-side positions below are free
+        val ranked = ex.join(dfreq, "shingle")
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("doc_id"))
               .orderBy(col("df"), col("shingle"))))
-          .filter(col("rk") <= expr("n_sh DIV 10") + 1)
-          .select(col("doc_id"), col("n_sh"), col("shingle"))
-        val cand = prefix.as("l").join(ex.as("r"),
+          .select(col("doc_id"), col("n_sh"), col("shingle"), col("rk"))
+        // p = n DIV 10 + 1 rarest shingles (integer arithmetic — exact
+        // floor(0.1n), bitwise-identical across engines)
+        val prefix = ranked.filter(col("rk") <= expr("n_sh DIV 10") + 1)
+        // PPJoin POSITIONAL filter (round 13 — the sf1 density-stress
+        // fix): both docs' shingle lists sit in the SAME global (df,
+        // shingle) order, so a match at positions (i, j) bounds the
+        // whole overlap by min(i, j) + min(n_f − i, n_c − j) — at most
+        // min(i, j) common shingles can precede the match and at most
+        // min of the remainders can follow it. Containment > 0.9
+        // needs overlap·10 > 9·n_f; any candidate whose bound can't
+        // reach that is dead before the confirm join. Recall stays
+        // EXACT: the bound is an upper bound on the true overlap, so
+        // every true pair passes it on every one of its matches —
+        // ∀-pass, ∃-keep, nothing true is dropped. Integer arithmetic
+        // throughout; the oracle replays the identical predicate.
+        val cand = prefix.as("l").join(ranked.as("r"),
             col("l.shingle") === col("r.shingle") &&
               col("l.doc_id") =!= col("r.doc_id") &&
-              col("l.n_sh") < col("r.n_sh"))
+              col("l.n_sh") < col("r.n_sh") &&
+              (least(col("l.rk"), col("r.rk")) +
+                least(col("l.n_sh") - col("l.rk"),
+                  col("r.n_sh") - col("r.rk"))) * 10 >
+                col("l.n_sh") * 9)
           .select(col("l.doc_id").as("fragment"),
             col("r.doc_id").as("container"))
           .distinct()
@@ -267,17 +286,21 @@ object DedupQueries {
              |  SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
              |dfreq AS (
              |  SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+             |ranked AS (
+             |  SELECT e.doc_id, e.n_sh, e.shingle,
+             |    row_number() OVER (PARTITION BY e.doc_id
+             |      ORDER BY d.df, e.shingle) AS rk
+             |  FROM ex e JOIN dfreq d ON e.shingle = d.shingle),
              |prefix AS (
-             |  SELECT doc_id, n_sh, shingle FROM (
-             |    SELECT e.doc_id, e.n_sh, e.shingle,
-             |      row_number() OVER (PARTITION BY e.doc_id
-             |        ORDER BY d.df, e.shingle) AS rk
-             |    FROM ex e JOIN dfreq d ON e.shingle = d.shingle)
+             |  SELECT doc_id, n_sh, shingle, rk FROM ranked
              |  WHERE rk <= n_sh // 10 + 1),
              |cand AS (
              |  SELECT DISTINCT l.doc_id AS fragment, r.doc_id AS container
-             |  FROM prefix l JOIN ex r ON l.shingle = r.shingle
-             |  WHERE l.doc_id != r.doc_id AND l.n_sh < r.n_sh)
+             |  FROM prefix l JOIN ranked r ON l.shingle = r.shingle
+             |  WHERE l.doc_id != r.doc_id AND l.n_sh < r.n_sh
+             |    AND (least(l.rk, r.rk)
+             |      + least(l.n_sh - l.rk, r.n_sh - r.rk)) * 10
+             |      > l.n_sh * 9)
              |SELECT fragment, container, containment FROM (
              |  SELECT c.fragment, c.container,
              |    CAST(len(list_filter(f.s, x -> list_contains(g.s, x))) AS DOUBLE)
@@ -287,7 +310,8 @@ object DedupQueries {
              |WHERE containment > 0.9""".stripMargin),
       "asymmetric containment dedup over the FULL corpus: prefix-filter " +
         "candidates (rarest-shingle probes, exact recall at t>0.9) + " +
-        "confirm on candidates only; whole pipeline value-checked"),
+        "PPJoin positional overlap bound + confirm on candidates only; " +
+        "whole pipeline value-checked"),
 
     // Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
     // SIGMOD 2003 — the MOSS plagiarism-detection algorithm): hash

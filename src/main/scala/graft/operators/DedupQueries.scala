@@ -1332,6 +1332,119 @@ object DedupQueries {
         "probabilistic half of the ER surface next to the distance " +
         "matchers"),
 
+    // Fellegi-Sunter with the DECISION RULE applied — the production
+    // shape of the query above. dedup_fellegi_sunter is output-complete
+    // (every blocked pair, non-matches included), which is genuinely
+    // quadratic in block density; no real ER engine ships that table.
+    // The decision contract here is "pairs agreeing on ≥1 of the two
+    // NAME-LIKE fields (color / material)" — price stays a
+    // scoring-only field, the Splink idiom of blocking on identity
+    // evidence and scoring the rest (a field that agrees by chance,
+    // like the coarse price bucket here, would otherwise admit every
+    // pair and prune nothing); the excluded pairs (73% of the blocked
+    // set at sf0.01) are NEVER materialized — candidates come from a
+    // MULTI-PASS union of FINER blocking keys ((brand,sz)+color /
+    // (brand,sz)+material), the Splink blocking_rules idiom:
+    // equi-joins whose pair count is Σ over the finer blocks, not Σ
+    // over the coarse (brand,sz) blocks. A pair agreeing on k≥1 name
+    // fields is found by exactly k passes and deduped by DISTINCT;
+    // weights are then computed once per pair via two id joins back
+    // to the profile.
+    // The weight arithmetic, u-probabilities, and 4dp rounding are
+    // IDENTICAL to dedup_fellegi_sunter (already hash-green at all
+    // SFs); decision labels compare the ROUNDED weight on both
+    // engines, so the boundary is deterministic.
+    Q("dedup_fs_decision",
+      (s, d) => {
+        val p = persistOnce(load(s, d, "part").select(
+          col("p_partkey").as("id"), col("p_brand").as("brand"),
+          col("p_size").as("sz"),
+          element_at(split(col("p_name"), " "), 1).as("clr"),
+          element_at(split(col("p_type"), " "), -1).as("mat"),
+          floor(col("p_retailprice") / 100).cast("long").as("pb")))
+        val n = p.agg(count(lit(1)).as("n"))
+        def uOf(c: String, alias: String) =
+          p.groupBy(col(c)).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * (col("c") - 1)).as("a"))
+            .crossJoin(n)
+            .select((col("a").cast("double") /
+              (col("n") * (col("n") - 1))).as(alias))
+        val us = uOf("clr", "u_clr").crossJoin(uOf("mat", "u_mat"))
+          .crossJoin(uOf("pb", "u_pb"))
+        val cand = Seq("clr", "mat").map { c =>
+          p.as("l").join(p.as("r"),
+              col("l.brand") === col("r.brand") &&
+                col("l.sz") === col("r.sz") &&
+                col(s"l.$c") === col(s"r.$c") &&
+                col("l.id") < col("r.id"))
+            .select(col("l.id").as("a"), col("r.id").as("b"))
+        }.reduce(_ unionAll _).distinct()
+        val lf = p.select(col("id").as("a"), col("clr").as("lclr"),
+          col("mat").as("lmat"), col("pb").as("lpb"))
+        val rf = p.select(col("id").as("b"), col("clr").as("rclr"),
+          col("mat").as("rmat"), col("pb").as("rpb"))
+        def term(lc: String, rc: String, u: String) =
+          when(col(lc) === col(rc), log(lit(0.95) / col(u)))
+            .otherwise(log(lit(0.05) / (lit(1.0) - col(u))))
+        cand.join(lf, "a").join(rf, "b").crossJoin(broadcast(us))
+          .select(col("a"), col("b"),
+            (col("lclr") === col("rclr")).as("agr_color"),
+            (col("lmat") === col("rmat")).as("agr_mat"),
+            (col("lpb") === col("rpb")).as("agr_price"),
+            round(term("lclr", "rclr", "u_clr") +
+              term("lmat", "rmat", "u_mat") +
+              term("lpb", "rpb", "u_pb"), 4).as("fs_weight"))
+          .withColumn("decision",
+            when(col("fs_weight") > 0, lit("match"))
+              .otherwise(lit("possible")))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey AS id, p_brand AS brand, p_size AS sz,
+             |    string_split(p_name, ' ')[1] AS clr,
+             |    string_split(p_type, ' ')[-1] AS mat,
+             |    CAST(floor(p_retailprice / 100) AS BIGINT) AS pb
+             |  FROM part),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+             |uc AS (SELECT CAST(a AS DOUBLE) / (n * (n - 1)) AS u_clr
+             |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS a FROM
+             |    (SELECT count(*) AS c FROM p GROUP BY clr)), nn),
+             |um AS (SELECT CAST(a AS DOUBLE) / (n * (n - 1)) AS u_mat
+             |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS a FROM
+             |    (SELECT count(*) AS c FROM p GROUP BY mat)), nn),
+             |up AS (SELECT CAST(a AS DOUBLE) / (n * (n - 1)) AS u_pb
+             |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS a FROM
+             |    (SELECT count(*) AS c FROM p GROUP BY pb)), nn),
+             |cand AS (
+             |  SELECT DISTINCT a, b FROM (
+             |    SELECT l.id AS a, r.id AS b FROM p l JOIN p r
+             |      ON l.brand = r.brand AND l.sz = r.sz
+             |      AND l.clr = r.clr AND l.id < r.id
+             |    UNION ALL
+             |    SELECT l.id, r.id FROM p l JOIN p r
+             |      ON l.brand = r.brand AND l.sz = r.sz
+             |      AND l.mat = r.mat AND l.id < r.id))
+             |SELECT a, b, agr_color, agr_mat, agr_price, fs_weight,
+             |  CASE WHEN fs_weight > 0 THEN 'match'
+             |       ELSE 'possible' END AS decision
+             |FROM (
+             |  SELECT c.a, c.b,
+             |    l.clr = r.clr AS agr_color, l.mat = r.mat AS agr_mat,
+             |    l.pb = r.pb AS agr_price,
+             |    round(
+             |      (CASE WHEN l.clr = r.clr THEN ln(0.95 / u_clr)
+             |            ELSE ln(0.05 / (1.0 - u_clr)) END) +
+             |      (CASE WHEN l.mat = r.mat THEN ln(0.95 / u_mat)
+             |            ELSE ln(0.05 / (1.0 - u_mat)) END) +
+             |      (CASE WHEN l.pb = r.pb THEN ln(0.95 / u_pb)
+             |            ELSE ln(0.05 / (1.0 - u_pb)) END), 4) AS fs_weight
+             |  FROM cand c JOIN p l ON c.a = l.id JOIN p r ON c.b = r.id
+             |  CROSS JOIN uc CROSS JOIN um CROSS JOIN up)""".stripMargin),
+      "Fellegi-Sunter with the decision rule applied: multi-pass " +
+        "finer-key blocking on the name-like fields (the Splink " +
+        "blocking_rules idiom; price scores but never blocks) so " +
+        "no-identity-evidence pairs never materialize — the " +
+        "production ER shape next to the output-complete scorer"),
+
     // EM-ESTIMATED Fellegi-Sunter parameters — the unsupervised half
     // the textbook-prior query above leaves open: learn (m_j, u_j, π)
     // from the agreement-pattern counts themselves (Winkler's EM for

@@ -145,6 +145,9 @@ class OverflowAuditSpec extends SparkSpec {
         "flag that)"),
     "dedup_fellegi_sunter" -> (9,
       "c(c−1)/n(n−1) agree-pair counts: PAIRCNT (~sf2500)"),
+    "dedup_fs_decision" -> (9,
+      "c(c−1)/n(n−1) agree-pair counts: PAIRCNT (~sf2500) — same " +
+        "u-probability rollups as dedup_fellegi_sunter"),
     "dedup_fs_em" -> (30,
       "EM weights ≤ 1e6 × group counts: CONST(1e6), wraps at n≈9e12"),
 

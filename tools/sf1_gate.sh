@@ -36,6 +36,14 @@ echo "[sf1_gate] oracle compare -> $ARTIFACT"
 python3 tools/check.py "$SF1_DIR" "$OUT_DIR" --json "$ARTIFACT" \
   --no-time-gate
 
+# Commit the sf1 per-query wall series next to the sf0.1 one: the
+# sf1/sf0.1 timing ratio is the density-stress triage input (see
+# PLANS.md round 13 — compare OUTPUT growth before calling a high
+# ratio a regression), and keeping it as an artifact saves the
+# next round a /tmp archaeology pass.
+cp "$OUT_DIR/timings.json" TIMINGS_sf1.json
+echo "[sf1_gate] timings -> TIMINGS_sf1.json"
+
 # Replication-path e2e at the same SF (VERDICT r12 item 7): drives
 # CdcPipeline ingest -> log-mirror folds -> ChangefeedReplicator polls
 # (incremental, re-snapshot, resume) and verifies target == source

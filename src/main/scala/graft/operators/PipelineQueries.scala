@@ -1557,8 +1557,17 @@ object PipelineQueries {
           .agg(count(lit(1)).as("t")))
         val tp = full.groupBy(col("p")).agg(sum(col("t")).as("tp"))
         val tg = full.groupBy(col("g")).agg(sum(col("t")).as("tg"))
+        // localCheckpoint each half-iteration: w_{i+1} references w_i
+        // TWICE (once directly, once through its margin), so an
+        // unbroken lineage doubles per half-iteration — 2^7 copies of
+        // the base rollup by the final join (measured: ~110 s at
+        // sf0.01, a 2.9 MiB task binary, planning + 64 redundant
+        // scans; data-size-independent). Truncating the ≤25-row cell
+        // table per step makes each iteration two tiny joins over a
+        // LogicalRDD — same values, same ordered-fold margins.
         var w = o.filter(col("st") === "F").groupBy(col("p"), col("g"))
           .agg(count(lit(1)).as("n")).withColumn("w", lit(1.0))
+          .localCheckpoint()
         def marginOf(df: DataFrame, key: String, ord: String) = df
           .withColumn("nw", col("n") * col("w"))
           .withColumn("cum", sum(col("nw")).over(
@@ -1570,10 +1579,12 @@ object PipelineQueries {
             .withColumn("w",
               col("w") * (col("tp").cast("double") / col("m")))
             .select(col("p"), col("g"), col("n"), col("w"))
+            .localCheckpoint()
           w = w.join(marginOf(w, "g", "p"), "g").join(tg, "g")
             .withColumn("w",
               col("w") * (col("tg").cast("double") / col("m")))
             .select(col("p"), col("g"), col("n"), col("w"))
+            .localCheckpoint()
         }
         w.join(marginOf(w, "p", "g"), "p").join(tp, "p")
           .select(col("p"), col("g"), col("n"), col("w").as("weight"),

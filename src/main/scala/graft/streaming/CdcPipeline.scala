@@ -391,6 +391,45 @@ object CdcPipeline {
               }
             }
           }
+        // Consolidated DLQ probe + append, OVERLAPPED with the merges
+        // (spark_optimization_guide §2.6 — overlap independent jobs):
+        // the probe depends only on the parse caches and the route
+        // rollup, never on a merge, so running it as one more
+        // concurrent job back-fills executor slots in the merge
+        // stage's straggler tail instead of adding a sequential stage
+        // at the end (measured 0.5-0.9 s/batch as a tail stage).
+        // Submitted AFTER the merge futures so FIFO scheduling gives
+        // the merges first claim on task slots. Replay semantics are
+        // unchanged: the DLQ append was always at-least-once under
+        // foreachBatch replay (the checkpoint commits only after the
+        // whole batch returns), so ordering it before the merges
+        // finish loses nothing.
+        //
+        // The emptiness probe itself is ONE aggregation job per cached
+        // schema frame (min over the materialized _wf ints) instead of
+        // the previous take(1) over a filter — take's limit-escalation
+        // runs up to four sequential jobs (1, 4, 16, then all cache
+        // partitions) to conclude a clean batch has nothing, paying
+        // scheduler latency four times; the min-agg answers in one
+        // cached columnar pass.
+        val dlqJob: Future[Unit] = Future {
+          val hasMalformed = hasUnroutable || parsedBySchema.values
+            .exists(p => p.agg(coalesce(min(col("_wf")), lit(1)))
+              .head().getInt(0) == 0)
+          if (hasMalformed) {
+            val unroutable = routed.filter(col("table_name") === "")
+              .select(col("value").cast("string").as("payload_json"))
+            val dlqAll = parsedBySchema.values
+              .map(p => p.filter(col("_wf") === 0)
+                .select(col("value").cast("string").as("payload_json")))
+              .foldLeft(unroutable)(_ unionByName _)
+            // poison records are a trickle by contract (errors.tolerance=
+            // all quarantines stragglers, not the firehose): one writer
+            // task per batch instead of #cache-partitions near-empty
+            // files — bounded by the trigger's own batch cap
+            dlqAll.repartition(1).write.mode("append").parquet(cfg.dlqDir)
+          }
+        }
         jobs.foreach(Await.result(_, Duration.Inf))
         // snapshot progress commits once every chunk landed; a replay
         // re-reads the PREVIOUS state and recomputes the same chunks
@@ -411,33 +450,18 @@ object CdcPipeline {
             tables.toSeq)
         val tSnap = secsSince(t0)
 
-        // consolidated DLQ append: malformed envelopes from every table
-        // + records whose topic routes nowhere (register-dlq-sink.json:16-17).
-        // Clean batches skip the write entirely — the emptiness probe
-        // touches ONLY the cached _wf ints (the unroutable side was
-        // answered by the route-stage rollup above), so the big `value`
-        // strings are never decompressed to find nothing; a parquet
-        // commit (files + _SUCCESS) per trigger would pollute the DLQ
-        // dir forever on a long-running stream.
-        // reduceOption: a batch with NO routable tables at all (e.g. an
-        // idle trigger that only advances a snapshot) has zero parsed
-        // schema groups
-        val hasMalformed = hasUnroutable || parsedBySchema.values
-          .map(p => p.filter(col("_wf") === 0).select(lit(1).as("x")))
-          .reduceOption(_ unionByName _).exists(_.take(1).nonEmpty)
-        if (hasMalformed) {
-          val unroutable = routed.filter(col("table_name") === "")
-            .select(col("value").cast("string").as("payload_json"))
-          val dlqAll = parsedBySchema.values
-            .map(p => p.filter(col("_wf") === 0)
-              .select(col("value").cast("string").as("payload_json")))
-            .foldLeft(unroutable)(_ unionByName _)
-          // poison records are a trickle by contract (errors.tolerance=
-          // all quarantines stragglers, not the firehose): one writer
-          // task per batch instead of #cache-partitions near-empty
-          // files — bounded by the trigger's own batch cap
-          dlqAll.repartition(1).write.mode("append").parquet(cfg.dlqDir)
-        }
+        // DLQ join point: malformed envelopes from every table +
+        // records whose topic routes nowhere
+        // (register-dlq-sink.json:16-17). The probe and any append ran
+        // concurrently with the merges above; clean batches still skip
+        // the write entirely (the probe touches only the cached _wf
+        // ints — the unroutable side was answered by the route-stage
+        // rollup), so the big `value` strings are never decompressed
+        // to find nothing, and no per-trigger parquet commit pollutes
+        // the DLQ dir on a long-running stream. The `dlq` stage timing
+        // is now the await RESIDUE — near zero whenever the probe
+        // finished inside the merge window.
+        Await.result(dlqJob, Duration.Inf)
         cfg.stageTimer.foreach(f => f(StageTimings(
           route = tRoute, parse = tParse - tRoute, merge = tMerge - tParse,
           views = tViews - tMerge, snapshot = tSnap - tViews,

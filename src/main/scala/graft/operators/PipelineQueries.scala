@@ -510,10 +510,15 @@ object PipelineQueries {
     // interpolation is rounded (4 dp) since the lerp's op order is an
     // engine detail.
     Q("agg_percentiles",
-      (s, d) => load(s, d, "orders").groupBy(col("o_orderpriority")).agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75")),
+      // one percentile buffer per group, not three: the array form
+      // collects/sorts each group's values once and interpolates all
+      // three quantiles from it — same lerp, same values
+      (s, d) => load(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("px"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("px"), 1), 4).as("p25"),
+          round(element_at(col("px"), 2), 4).as("p50"),
+          round(element_at(col("px"), 3), 4).as("p75")),
       Some("""SELECT o_orderpriority,
              |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
              |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -530,13 +535,24 @@ object PipelineQueries {
     Q("agg_approx_percentile",
       (s, d) => {
         val li = load(s, d, "lineitem")
+        // ONE exact-percentile buffer and ONE sketch: the previous four
+        // scalar percentile() aggregates each collected and sorted the
+        // full column independently (4 copies of every value in the
+        // aggregation buffers), and the two approx_percentile calls
+        // built two sketches. The array forms interpolate from one
+        // shared buffer/sketch — bitwise-identical values per quantile.
         li.agg(
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"),
-            expr("percentile(l_extendedprice, 0.49)").as("lo50"),
-            expr("percentile(l_extendedprice, 0.51)").as("hi50"),
-            expr("percentile(l_extendedprice, 0.89)").as("lo90"),
-            expr("percentile(l_extendedprice, 0.91)").as("hi90"))
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+              .as("ap"),
+            expr("percentile(l_extendedprice, array(0.49, 0.51, 0.89, 0.91))")
+              .as("px"))
+          .select(
+            element_at(col("ap"), 1).as("ap50"),
+            element_at(col("ap"), 2).as("ap90"),
+            element_at(col("px"), 1).as("lo50"),
+            element_at(col("px"), 2).as("hi50"),
+            element_at(col("px"), 3).as("lo90"),
+            element_at(col("px"), 4).as("hi90"))
           .select(
             round(col("lo50"), 2).as("band50_lo"),
             round(col("hi50"), 2).as("band50_hi"),

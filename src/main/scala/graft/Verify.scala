@@ -15,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scheduler warmup (same as Bench): without it the
+    // FIRST catalog query absorbs ~5-8 s of session spin-up in
+    // timings.json — measured: agg_tiered_billing (first in map
+    // order) read 7.9 s in catalog context vs 0.4 s warm — skewing
+    // the catalog-median time gate and the committed TIMINGS artifact.
+    spark.range(1000000).selectExpr("sum(id)").collect()
     new java.io.File(outDir).mkdirs()
     // optional args(2..): restrict to the named queries (dev loop only;
     // the driver always invokes with exactly two args = full catalog)

@@ -274,11 +274,23 @@ object CurationQueries {
       "greedy sequence packing into 128-token bins per language (typed mapPartitions)"),
 
     // Composite flagship: the curation chain a training-data job runs —
-    // quality gate → eval-set decontamination (anti-join against the
-    // broadcast benchmark grams) → greedy packing into context windows —
-    // declared as ONE plan (filters collapse into the scan, the
-    // decontamination side broadcasts, packing is the typed tail). The
-    // oracle chains the same CTEs and replays the packing recurrence.
+    // quality gate → eval-set decontamination (broadcast benchmark
+    // grams) → greedy packing into context windows — declared as ONE
+    // plan (filters collapse into the scan, the decontamination side
+    // broadcasts, packing is the typed tail). The oracle chains the
+    // same CTEs and replays the packing recurrence.
+    //
+    // ONE corpus pass (r14, guide §1.2 step 1 / §2.3): the original
+    // shape evaluated tokenize+quality over the train side TWICE —
+    // once to explode grams for the contamination join, once more to
+    // project (lang, doc_id, n_tokens) for the anti-join — because the
+    // two branches were separate subtrees of one plan. Restructured:
+    // explode_outer keeps gram-less docs alive in the SAME exploded
+    // frame, the broadcast eval-gram join runs as a LEFT join, and a
+    // doc-grain max(hit) aggregate (map-side partial — gram rows
+    // collapse to doc rows before the exchange) decides contamination.
+    // A doc survives iff no gram matched — exactly the old anti-join
+    // set, oracle unchanged and hash-green.
     Q("pipeline_curate_pack",
       (s, d) => {
         val docs = load(s, d, "documents")
@@ -286,15 +298,21 @@ object CurationQueries {
             tokens(col("text")).as("w"))
         val train = docs.filter(qualityScore(col("text")) > 0.5 &&
           col("doc_id") % 50 =!= 0)
-        val grams = (df: org.apache.spark.sql.DataFrame) => df.select(
-          col("doc_id"),
-          explode(array_distinct(wordShinglesFromTokens(col("w"), 3))).as("gram"))
-        val evalGrams = grams(docs.filter(col("doc_id") % 50 === 0))
-          .select(col("gram")).distinct()
-        val contaminated = grams(train).join(broadcast(evalGrams), Seq("gram"))
-          .select(col("doc_id")).distinct()
-        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
-          .select(col("lang"), col("doc_id"), size(col("w")).as("n_tokens"))
+        val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(array_distinct(
+            wordShinglesFromTokens(col("w"), 3))).as("gram"))
+          .distinct()
+        val enriched = train.select(col("lang"), col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          explode_outer(array_distinct(
+            wordShinglesFromTokens(col("w"), 3))).as("gram"))
+        val clean = enriched
+          .join(broadcast(evalGrams.withColumn("_hit", lit(true))),
+            Seq("gram"), "left")
+          .groupBy(col("lang"), col("doc_id"), col("n_tokens"))
+          .agg(max(col("_hit")).as("_contaminated"))
+          .filter(col("_contaminated").isNull)
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
         Packing.packGreedy(clean, "lang", "doc_id", "n_tokens", ctx = 256)
           .toDF().select(col("doc_id"), col("lang"), col("bin_id"))
       },

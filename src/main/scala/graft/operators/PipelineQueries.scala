@@ -1581,6 +1581,20 @@ object PipelineQueries {
         // scans; data-size-independent). Truncating the ≤25-row cell
         // table per step makes each iteration two tiny joins over a
         // LogicalRDD — same values, same ordered-fold margins.
+        //
+        // Superseded checkpoints unpersist as soon as the next one is
+        // materialized (ADVICE r13): each invocation otherwise left 8
+        // orphan cached RDDs in the session for its lifetime. Only the
+        // FINAL checkpoint stays (the returned plan reads it lazily).
+        // localCheckpoint remains non-recoverable under executor loss
+        // — fine under the repo's local[N] contract; a cluster
+        // deployment with dynamic allocation would use checkpoint().
+        def unpersistCkpt(df: DataFrame): Unit =
+          df.queryExecution.analyzed.collectLeaves().foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false); ()
+            case _ => ()
+          }
         var w = o.filter(col("st") === "F").groupBy(col("p"), col("g"))
           .agg(count(lit(1)).as("n")).withColumn("w", lit(1.0))
           .localCheckpoint()
@@ -1591,16 +1605,20 @@ object PipelineQueries {
               .rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col(key)).agg(max(col("cum")).as("m"))
         for (_ <- 1 to 3) {
+          val prev1 = w
           w = w.join(marginOf(w, "p", "g"), "p").join(tp, "p")
             .withColumn("w",
               col("w") * (col("tp").cast("double") / col("m")))
             .select(col("p"), col("g"), col("n"), col("w"))
             .localCheckpoint()
+          unpersistCkpt(prev1)
+          val prev2 = w
           w = w.join(marginOf(w, "g", "p"), "g").join(tg, "g")
             .withColumn("w",
               col("w") * (col("tg").cast("double") / col("m")))
             .select(col("p"), col("g"), col("n"), col("w"))
             .localCheckpoint()
+          unpersistCkpt(prev2)
         }
         w.join(marginOf(w, "p", "g"), "p").join(tp, "p")
           .select(col("p"), col("g"), col("n"), col("w").as("weight"),

@@ -40,7 +40,18 @@ object Skew {
       pmod(hash(saltCols.map(col): _*), lit(saltFactor)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+    // SHUFFLE_HASH on the replicated side: salting's premise is that
+    // the build side does NOT fit in a broadcast (a broadcast join has
+    // no shuffle to skew), so the honest shape at any scale is a
+    // shuffle join on (key, salt). Left to the planner at local/bench
+    // SF, the saltFactor-replicated dim broadcasts instead — paying a
+    // single-threaded saltFactor× hashed-relation build per run (the
+    // measured cost AND the reason the query scaled at 0.54× from 8
+    // to 32 cores) while demonstrating a shape salting exists to
+    // avoid. The hint keeps the per-partition hash build (no sort) —
+    // exactly what the skewed-fact side wants, since its hot (key,
+    // salt) partitions stream against a small per-partition dim table.
+    l.join(r.hint("shuffle_hash"), Seq(key, "_salt"), joinType).drop("_salt")
   }
 
   /** Two-phase aggregation for skewed group keys: first aggregate

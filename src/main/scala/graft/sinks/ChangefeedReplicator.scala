@@ -118,10 +118,14 @@ object ChangefeedReplicator {
       if (resnap) sink match {
         case _: LogMirrorSink
           if LogMirror.currentVersion(spark, targetRoot).nonEmpty =>
+          // persisted: the emptiness probe + purgeKeys otherwise each
+          // re-reconcile the target mirror for this key-grain frame
           val stale = LogMirror.readVersioned(spark, targetRoot)
             .select(keyCols.map(col): _*)
             .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-          if (!stale.isEmpty) LogMirror.purgeKeys(spark, targetRoot, stale)
+            .persist()
+          try if (!stale.isEmpty) LogMirror.purgeKeys(spark, targetRoot, stale)
+          finally stale.unpersist()
         case _ => ()
       }
       writeCheckpoint(fs, targetRoot, srcVersion.get)

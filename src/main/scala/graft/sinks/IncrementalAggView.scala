@@ -136,9 +136,16 @@ object IncrementalAggView {
         if (resnap) {
           // full re-derivation: one aggregate pass + map rebuild, then
           // tombstone whatever the snapshot no longer covers (groups
-          // emptied or keys purged while the feed window was lost)
+          // emptied or keys purged while the feed window was lost).
+          // `fresh` (group-grain, tiny) and `freshMap` (key-grain,
+          // narrow) are each referenced twice below (their 'c' branch
+          // + the stale anti-join): persisted, the source mirror
+          // reconciles once per projection instead of once per
+          // REFERENCE — unpersisted, the resnapshot poll paid four
+          // full source reconciles (r14, guide §3.3 / §5)
           val fresh = source.groupBy(groupCols.map(col): _*)
-            .agg(aggs.head, aggs.tail: _*)
+            .agg(aggs.head, aggs.tail: _*).persist()
+          cached += fresh
           val staleGroups =
             if (LogMirror.currentVersion(spark, aggRoot).isEmpty)
               fresh.limit(0).select(groupCols.map(col): _*)
@@ -149,6 +156,8 @@ object IncrementalAggView {
                 "left_anti")
             }
           val freshMap = source.select((srcKeys ++ groupCols).map(col): _*)
+            .persist()
+          cached += freshMap
           val staleKeys =
             if (LogMirror.currentVersion(spark, mapRoot).isEmpty)
               freshMap.limit(0).select(srcKeys.map(col): _*)
@@ -180,8 +189,13 @@ object IncrementalAggView {
           cached += dirty
           val touched = source.join(broadcast(dirty),
             nullSafeOn(source, dirty, groupCols), "left_semi")
+          // persisted: `recomputed` (group-grain, ≤ dirty-set rows) is
+          // referenced by BOTH the upsert branch and the `gone`
+          // anti-join — unpersisted, the source reconcile + dirty
+          // semi-probe + aggregate ran twice per poll (r14, guide §3.3)
           val recomputed = touched.groupBy(groupCols.map(col): _*)
-            .agg(aggs.head, aggs.tail: _*)
+            .agg(aggs.head, aggs.tail: _*).persist()
+          cached += recomputed
           val gone = dirty.join(recomputed,
             nullSafeOn(dirty, recomputed, groupCols), "left_anti")
           val aggC = recomputed.withColumn("op", lit("c"))
@@ -201,11 +215,20 @@ object IncrementalAggView {
         .withColumn("ts_ms", lit(batchId)).withColumn("offset", lit(0L))
       val changes = stamp(aggChanges).persist()
       cached += changes
-      val n = changes.filter(col("op") === "c").count()
-      if (!changes.isEmpty)
+      // one action answers refresh count AND emptiness (the previous
+      // filter-count + isEmpty pair ran two jobs over the same cache)
+      val byOp = changes.groupBy(col("op")).count().collect()
+      val n = byOp.collectFirst {
+        case r if r.getString(0) == "c" => r.getLong(1) }.getOrElse(0L)
+      if (byOp.nonEmpty)
         LogMirror.merge(spark, aggRoot, changes, groupCols, batchId,
           maxDeltas, bucketCount = None)
-      val mc = stamp(mapChanges)
+      // persisted BEFORE the emptiness probe: unpersisted, the probe +
+      // the merge's versionedState each re-evaluated mapChanges from
+      // scratch — on the resnapshot path that is two extra full
+      // reconciles of the source mirror
+      val mc = stamp(mapChanges).persist()
+      cached += mc
       if (!mc.isEmpty)
         LogMirror.merge(spark, mapRoot, mc, srcKeys, batchId, maxDeltas,
           bucketCount = None)

@@ -172,8 +172,16 @@ object IncrementalJoinView {
         s"dim payload columns ${dimPayload.mkString(",")} collide with " +
           "fact columns; project the dim side (dimCols) apart first")
 
+      // joined deltas referenced by BOTH branches (hits → upserts,
+      // misses → deletes) persist for the span of the poll: unpersisted,
+      // the feed ⋈ dim join ran twice when `changes` materialized (r14,
+      // guide §3.3 — the frame is delta-grain, never the view)
+      val cached = scala.collection.mutable.ListBuffer[DataFrame]()
       def derive(facts: DataFrame): (DataFrame, DataFrame) = {
-        val joined = facts.join(bcast(dim), joinKeys.toSeq, "left")
+        val joined0 = facts.join(bcast(dim), joinKeys.toSeq, "left")
+        val joined =
+          if (joinType == "left") joined0
+          else { val j = joined0.persist(); cached += j; j }
         if (joinType == "left")
           (joined.drop("_dim_hit"), joined.limit(0).select(factKeys.map(col): _*))
         else
@@ -231,7 +239,7 @@ object IncrementalJoinView {
         writeCheckpoint(fs, viewRoot,
           Checkpoint(factV.get, dimV.get, batchId))
         Result(n, resnap, factV, dimV)
-      } finally changes.unpersist()
+      } finally { changes.unpersist(); cached.foreach(_.unpersist()) }
     } finally feed.unpersist()
   }
 

@@ -430,42 +430,55 @@ object CdcPipeline {
             dlqAll.repartition(1).write.mode("append").parquet(cfg.dlqDir)
           }
         }
-        jobs.foreach(Await.result(_, Duration.Inf))
-        // snapshot progress commits once every chunk landed; a replay
-        // re-reads the PREVIOUS state and recomputes the same chunks
-        snapPlan.commit()
-        val tMerge = secsSince(t0)
-        viewJobs.foreach(Await.result(_, Duration.Inf))
-        sharedMirrors.forEach(_.unpersist())
-        val tViews = secsSince(t0)
+        // The DLQ future must NEVER outlive the batch (ADVICE r13): if
+        // a merge/view await below throws, the exception propagates
+        // past the unpersist finallys while the orphan DLQ job could
+        // still be appending to cfg.dlqDir — and the replayed batch's
+        // own DLQ append could then collide with it in the shared
+        // _temporary staging dir (lost/partial DLQ files, beyond the
+        // acknowledged at-least-once duplicates). Await.ready in a
+        // finally joins the job without masking a propagating merge
+        // exception (its own failure already lands via the
+        // Await.result at the join point on the success path).
+        try {
+          jobs.foreach(Await.result(_, Duration.Inf))
+          // snapshot progress commits once every chunk landed; a replay
+          // re-reads the PREVIOUS state and recomputes the same chunks
+          snapPlan.commit()
+          val tMerge = secsSince(t0)
+          viewJobs.foreach(Await.result(_, Duration.Inf))
+          sharedMirrors.forEach(_.unpersist())
+          val tViews = secsSince(t0)
 
-        // Cross-table consistency cut: AFTER every table's merge landed,
-        // pin the batch as one atomic snapshot (SnapshotCatalog) —
-        // snapshot readers can never observe table A at batch N joined
-        // with table B at N-1, and a crash anywhere above leaves the
-        // previous complete snapshot in place (replays recommit the
-        // same id idempotently).
-        if (cfg.consistentSnapshots)
-          graft.sinks.SnapshotCatalog.commit(spark, cfg.mirrorRoot, batchId,
-            tables.toSeq)
-        val tSnap = secsSince(t0)
+          // Cross-table consistency cut: AFTER every table's merge landed,
+          // pin the batch as one atomic snapshot (SnapshotCatalog) —
+          // snapshot readers can never observe table A at batch N joined
+          // with table B at N-1, and a crash anywhere above leaves the
+          // previous complete snapshot in place (replays recommit the
+          // same id idempotently).
+          if (cfg.consistentSnapshots)
+            graft.sinks.SnapshotCatalog.commit(spark, cfg.mirrorRoot, batchId,
+              tables.toSeq)
+          val tSnap = secsSince(t0)
 
-        // DLQ join point: malformed envelopes from every table +
-        // records whose topic routes nowhere
-        // (register-dlq-sink.json:16-17). The probe and any append ran
-        // concurrently with the merges above; clean batches still skip
-        // the write entirely (the probe touches only the cached _wf
-        // ints — the unroutable side was answered by the route-stage
-        // rollup), so the big `value` strings are never decompressed
-        // to find nothing, and no per-trigger parquet commit pollutes
-        // the DLQ dir on a long-running stream. The `dlq` stage timing
-        // is now the await RESIDUE — near zero whenever the probe
-        // finished inside the merge window.
-        Await.result(dlqJob, Duration.Inf)
-        cfg.stageTimer.foreach(f => f(StageTimings(
-          route = tRoute, parse = tParse - tRoute, merge = tMerge - tParse,
-          views = tViews - tMerge, snapshot = tSnap - tViews,
-          dlq = secsSince(t0) - tSnap)))
+          // DLQ join point: malformed envelopes from every table +
+          // records whose topic routes nowhere
+          // (register-dlq-sink.json:16-17). The probe and any append ran
+          // concurrently with the merges above; clean batches still skip
+          // the write entirely (the probe reads the cached _wf ints —
+          // or, if it wins the race to a not-yet-filled parse cache,
+          // fills it first, sharing the work with the merges through the
+          // cache's block locks; the unroutable side was answered by the
+          // route-stage rollup). No per-trigger parquet commit pollutes
+          // the DLQ dir on a long-running stream. The `dlq` stage timing
+          // is the await RESIDUE — near zero whenever the probe
+          // finished inside the merge window.
+          Await.result(dlqJob, Duration.Inf)
+          cfg.stageTimer.foreach(f => f(StageTimings(
+            route = tRoute, parse = tParse - tRoute, merge = tMerge - tParse,
+            views = tViews - tMerge, snapshot = tSnap - tViews,
+            dlq = secsSince(t0) - tSnap)))
+        } finally Await.ready(dlqJob, Duration.Inf)
       } finally parsedBySchema.values.foreach(_.unpersist())
     } finally if (doPersist) { routed.unpersist(); () }
   }

@@ -77,11 +77,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(800))
   }
 
-  test("curate+pack: decontamination stage is a broadcast LeftAnti") {
+  test("curate+pack: ONE train-side corpus pass — broadcast left join " +
+    "on the eval grams + doc-grain contamination aggregate") {
     val p = plan("pipeline_curate_pack")
-    assert(p.contains("LeftAnti"), p.take(800))
+    // r14 shape: explode_outer keeps gram-less docs, the broadcast
+    // eval-gram join runs LEFT OUTER, and a doc-grain max(hit)
+    // aggregate replaces the anti-join — so tokenize+quality evaluate
+    // once per train doc instead of twice (OPTIMIZATION_r14.md)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("LeftOuter"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // exactly TWO documents scans: train (quality-gated) + eval grams
+    // — the old anti-join shape paid a third full tokenize+quality pass
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1500))
   }
 
   test("salted skew join joins on (key, salt) — the hot key is spread") {

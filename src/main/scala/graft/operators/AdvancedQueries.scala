@@ -1674,36 +1674,59 @@ object AdvancedQueries {
         // block offsets from a triangular join on the tiny block
         // rollup — no unpartitioned window at any scale. Block keys
         // are order-preserving coarsenings (year / v>>4 / v>>24).
-        def cuts(dim: String, blkOf: Column => Column): DataFrame = {
-          val vals = persistOnce(cust
-            .groupBy(col(dim).as("v")).agg(count(lit(1)).as("cnt"))
-            .withColumn("blk", blkOf(col("v"))))
-          val wIn = Window.partitionBy(col("blk")).orderBy(col("v").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val blkTot = vals.groupBy(col("blk")).agg(sum(col("cnt")).as("btot"))
-          val prior = blkTot.as("a")
-            .join(broadcast(blkTot.as("b")), col("b.blk") > col("a.blk"),
-              "left")
-            .groupBy(col("a.blk").as("blk"))
-            .agg(coalesce(sum(col("b.btot")), lit(0L)).as("prior"))
-          vals.withColumn("cumin", sum(col("cnt")).over(wIn))
-            .join(broadcast(prior), "blk").crossJoin(nRow)
-            .withColumn("q", expr("1 + (4 * (cumin + prior - cnt)) div n"))
-            .agg(min(when(col("q") <= 1, col("v"))).as(s"${dim}_t1"),
-              min(when(col("q") <= 2, col("v"))).as(s"${dim}_t2"),
-              min(when(col("q") <= 3, col("v"))).as(s"${dim}_t3"))
-        }
-        val cut = cuts("rec", year)
-          .crossJoin(cuts("freq", v => shiftright(v, 4)))
-          .crossJoin(cuts("mon_cents", v => shiftright(v, 24)))
-        def score(c: String): Column = (lit(4)
-          - (col(c) >= col(s"${c}_t1")).cast("int")
-          - (col(c) >= col(s"${c}_t2")).cast("int")
-          - (col(c) >= col(s"${c}_t3")).cast("int")).cast("string")
-        cust.crossJoin(broadcast(cut))
+        //
+        // ONE stacked pipeline for all three dimensions (r14): the
+        // previous shape ran the rollup + window + prior join + cut
+        // aggregate once PER dimension (3 parallel pipelines, ~18
+        // exchanges, then two crossJoins) — this stacks (dim, blk, v)
+        // rows map-side and runs each step once, with the dim column
+        // riding every key (~6 exchanges). Recency stacks as
+        // epoch-days: datediff is an order-preserving bijection of
+        // the date domain, so per-dim counts, cutoffs and the final
+        // customer comparisons are value-for-value identical.
+        val recDays = datediff(col("rec"), lit("1970-01-01")).cast("long")
+        val stacked = cust.select(explode(array(
+          struct(lit("rec").as("dim"),
+            year(col("rec")).cast("long").as("blk"), recDays.as("v")),
+          struct(lit("freq").as("dim"),
+            shiftright(col("freq"), 4).as("blk"), col("freq").as("v")),
+          struct(lit("mon").as("dim"),
+            shiftright(col("mon_cents"), 24).as("blk"),
+            col("mon_cents").as("v")))).as("e"))
+          .select(col("e.*"))
+        val vals = persistOnce(stacked
+          .groupBy(col("dim"), col("blk"), col("v"))
+          .agg(count(lit(1)).as("cnt")))
+        val wIn = Window.partitionBy(col("dim"), col("blk"))
+          .orderBy(col("v").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val blkTot = vals.groupBy(col("dim"), col("blk"))
+          .agg(sum(col("cnt")).as("btot"))
+        val prior = blkTot.as("a")
+          .join(broadcast(blkTot.as("b")),
+            col("a.dim") === col("b.dim") && col("b.blk") > col("a.blk"),
+            "left")
+          .groupBy(col("a.dim").as("dim"), col("a.blk").as("blk"))
+          .agg(coalesce(sum(col("b.btot")), lit(0L)).as("prior"))
+        def cutAt(dim: String, k: Int, name: String): Column =
+          min(when(col("dim") === dim && col("q") <= k, col("v"))).as(name)
+        val cut = vals.withColumn("cumin", sum(col("cnt")).over(wIn))
+          .join(broadcast(prior), Seq("dim", "blk")).crossJoin(nRow)
+          .withColumn("q", expr("1 + (4 * (cumin + prior - cnt)) div n"))
+          .agg(cutAt("rec", 1, "rec_t1"), cutAt("rec", 2, "rec_t2"),
+            cutAt("rec", 3, "rec_t3"), cutAt("freq", 1, "freq_t1"),
+            cutAt("freq", 2, "freq_t2"), cutAt("freq", 3, "freq_t3"),
+            cutAt("mon", 1, "mon_t1"), cutAt("mon", 2, "mon_t2"),
+            cutAt("mon", 3, "mon_t3"))
+        def score(c: String, t: String): Column = (lit(4)
+          - (col(c) >= col(s"${t}_t1")).cast("int")
+          - (col(c) >= col(s"${t}_t2")).cast("int")
+          - (col(c) >= col(s"${t}_t3")).cast("int")).cast("string")
+        cust.withColumn("rec_days", recDays)
+          .crossJoin(broadcast(cut))
           .select(col("mon_cents"),
-            concat(score("rec"), score("freq"), score("mon_cents"))
-              .as("segment"))
+            concat(score("rec_days", "rec"), score("freq", "freq"),
+              score("mon_cents", "mon")).as("segment"))
           .groupBy(col("segment"))
           .agg(count(lit(1)).as("n_customers"),
             sum(col("mon_cents")).as("sc"))

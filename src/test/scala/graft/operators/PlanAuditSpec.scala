@@ -445,15 +445,18 @@ class PlanAuditSpec extends SparkSpec {
     "frame; quartiles are broadcast value-domain cutoffs, never a " +
     "global ntile over the customer aggregate") {
     val p = plan("agg_rfm_segments")
-    // the customer rollup is CACHED — the three cutoff passes and the
-    // final segment assignment all read the cache (the FileScan lines
-    // in the printout sit inside the cached-relation subplan = the
-    // one-time fill); quartile windows are blk-PARTITIONED over value
-    // rollups, never an ntile over customer grain
+    // the customer rollup is CACHED — the stacked cutoff pipeline and
+    // the final segment assignment both read the cache (the FileScan
+    // lines in the printout sit inside the cached-relation subplan =
+    // the one-time fill); the ONE quartile window (r14: the three
+    // per-dim pipelines stack into a single (dim, blk, v) rollup) is
+    // (dim, blk)-PARTITIONED over the value rollup, never an ntile
+    // over customer grain
     assert(p.contains("InMemoryTableScan"), p.take(1200))
     assert(!p.contains("ntile"), p.take(1200))
     assert(!"windowspecdefinition\\(v#".r.findFirstIn(p).isDefined &&
-      p.contains("windowspecdefinition(blk"), p.take(1500))
+      p.contains("windowspecdefinition(dim"), p.take(1500))
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(1500))
   }
 
   test("CUSUM drift: the recursion is two cumulative windows over the " +

@@ -170,8 +170,9 @@ class OverflowAuditSpec extends SparkSpec {
     "agg_abc_classification" -> (3,
       "cum·100 / total·80/95: CONST(100), wraps Σcents≈9e16 (~sf1e5)"),
     "agg_heavy_hitters" -> (1, "cnt·16: CONST(16)"),
-    "agg_rfm_segments" -> (5,
-      "4·cumsum + ×200 score scaling: CONST(200)"),
+    "agg_rfm_segments" -> (3,
+      "4·cumsum (one stacked pipeline since r14) + ×200 score " +
+        "scaling: CONST(200)"),
     "agg_eb_shrinkage" -> (2,
       "per-group n²: PAIRCNT per group (~sf2500)"),
     "agg_weighted_median" -> (1, "cum·2: CONST(2)"),
